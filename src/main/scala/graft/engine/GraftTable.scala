@@ -1,0 +1,459 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.tableformat._
+
+/** Spark-native versioned table: the engine facade binding the
+  * tableformat metadata layer to SparkSession (SURVEY.md §7 module 2).
+  *
+  * Re-expresses the reference's Iceberg surface — snapshots, time travel,
+  * field-id schema evolution, CoW row-level DML, metadata tables,
+  * changelog — as plain DataFrame ops over explicit parquet file lists.
+  *
+  * Scale design:
+  *   - planning is metadata-only: reads consume the snapshot's file list,
+  *     never a directory listing;
+  *   - appends touch only new files; DELETE/UPDATE rewrite only the files
+  *     that contain matching rows (file-granularity CoW, found with one
+  *     predicate-pushed scan over input_file_name);
+  *   - hidden partitioning writes layout dirs (`_p_*=v`) whose values are
+  *     recorded per-file in the manifest, so partition pruning is a pure
+  *     metadata filter (O(#files), no I/O).
+  */
+final class GraftTable(val spark: SparkSession, val location: String) {
+
+  def meta: TableMetadata = MetadataIO.read(location)
+
+  // ------------------------------------------------------------------ read
+
+  /** Current-snapshot read, mapped to the current schema. */
+  def read(): DataFrame = readSnapshot(meta, meta.currentSnapshot)
+
+  /** Time travel by wall-clock (reference: FOR SYSTEM_TIME AS OF,
+    * apiv15.py:154-157).
+    */
+  def readAsOfTime(tsMs: Long): DataFrame = {
+    val m = meta
+    readSnapshot(m, m.snapshotAsOfTime(tsMs))
+  }
+
+  /** Time travel by snapshot id (reference: VERSION AS OF, cell 45). */
+  def readAsOfVersion(snapshotId: Long): DataFrame = {
+    val m = meta
+    readSnapshot(m, m.snapshotById(snapshotId))
+  }
+
+  /** Read a column that may only exist under a historical name — the
+    * reference's core GetColumn semantic (apiv15.py:170-209): resolve via
+    * field-ids, then project the current column.
+    */
+  def readColumn(requestedName: String): DataFrame = {
+    val m = meta
+    SchemaHistory.resolve(m, requestedName) match {
+      case SchemaHistory.Current(n)       => read().select(col(s"`$n`"))
+      case SchemaHistory.Renamed(n, _, _) => read().select(col(s"`$n`"))
+      case SchemaHistory.Dropped(id) =>
+        sys.error(s"column '$requestedName' (field-id $id) was dropped")
+      case SchemaHistory.NeverExisted =>
+        sys.error(s"column '$requestedName' never existed in any schema")
+    }
+  }
+
+  /** Partition-pruned read: keeps only files whose recorded partition
+    * values pass `keep`. Metadata-only pruning — at 100 TB this is the
+    * difference between scanning a day and scanning the table.
+    */
+  def readPruned(keep: Map[String, String] => Boolean): DataFrame = {
+    val m = meta
+    m.currentSnapshot match {
+      case None => emptyDf(m)
+      case Some(s) =>
+        readFiles(m, s.files.filter(f => keep(f.partitionValues)))
+    }
+  }
+
+  private def emptyDf(m: TableMetadata): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      m.currentSchema.toStructType)
+
+  private def readSnapshot(m: TableMetadata, snap: Option[Snapshot]): DataFrame =
+    snap match {
+      case None    => emptyDf(m)
+      case Some(s) => readFiles(m, s.files)
+    }
+
+  /** Field-id mapped read: group files by written schema, read each group
+    * with its write-time schema, rename/null-fill to the current schema,
+    * union. Dropped columns vanish; added columns null-fill; renamed
+    * columns follow their field-id (SURVEY §7 risk 1).
+    */
+  private def readFiles(m: TableMetadata, files: Vector[DataFileEntry]): DataFrame = {
+    val cur = m.currentSchema
+    if (files.isEmpty) return emptyDf(m)
+    val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    val parts = bySchema.map { case (sid, fs) =>
+      val written = m.schemaById(sid)
+        .getOrElse(sys.error(s"schema $sid missing from metadata"))
+      val raw = spark.read.schema(written.toStructType)
+        .parquet(fs.map(f => s"$location/${f.path}"): _*)
+      val cols = cur.fields.map { f =>
+        written.fieldById(f.id) match {
+          case Some(w) => col(s"`${w.name}`").cast(f.sparkType).as(f.name)
+          case None    => lit(null).cast(f.sparkType).as(f.name)
+        }
+      }
+      raw.select(cols: _*)
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  // ----------------------------------------------------------------- write
+
+  /** Append rows as a new snapshot (reference: INSERT INTO, cells 11/22/27). */
+  def append(df: DataFrame): GraftTable = commitWrite(df, "append", carryOver = true)
+
+  /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
+  def overwrite(df: DataFrame): GraftTable = commitWrite(df, "overwrite", carryOver = false)
+
+  private def commitWrite(df: DataFrame, op: String, carryOver: Boolean,
+      keepFiles: Vector[DataFileEntry] = Vector.empty): GraftTable = {
+    val m = meta
+    val written = writeFiles(m, df)
+    val carried =
+      if (carryOver) m.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ keepFiles
+      else keepFiles
+    commitSnapshot(m, op, carried ++ written)
+    this
+  }
+
+  /** Write df under the current schema/spec into a unique staging dir;
+    * return manifest entries. Partition transforms materialize as `_p_*`
+    * layout columns (removed from file contents by partitionBy, recorded
+    * in the manifest from the path).
+    */
+  private def writeFiles(m: TableMetadata, df: DataFrame): Vector[DataFileEntry] = {
+    val cur = m.currentSchema
+    val aligned = df.select(cur.fields.map(f =>
+      col(s"`${f.name}`").cast(f.sparkType).as(f.name)): _*)
+    val spec = m.currentSpec
+    val stagingRel = s"data/${UUID.randomUUID().toString.take(8)}"
+    val stagingAbs = s"$location/$stagingRel"
+    val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
+    def partExpr(pf: PartitionField): Column = {
+      val src = cur.fieldById(pf.sourceId)
+        .getOrElse(sys.error(s"partition source field ${pf.sourceId} missing"))
+      pf.transform match {
+        case "identity" => col(s"`${src.name}`").cast("string")
+        case "day"      => date_format(col(s"`${src.name}`"), "yyyy-MM-dd")
+        case other      => sys.error(s"unknown partition transform $other")
+      }
+    }
+    if (spec.fields.isEmpty) {
+      aligned.write.mode("overwrite").option("compression", codec)
+        .parquet(stagingAbs)
+    } else {
+      val out = spec.fields.foldLeft(aligned)((d, pf) =>
+        d.withColumn(s"_p_${pf.name}", partExpr(pf)))
+      out.write.mode("overwrite")
+        .partitionBy(spec.fields.map(pf => s"_p_${pf.name}"): _*)
+        .option("compression", codec)
+        .parquet(stagingAbs)
+    }
+    listParquet(stagingAbs).map { abs =>
+      val rel = s"$stagingRel/${abs.stripPrefix(stagingAbs + "/")}"
+      val pvals = rel.split("/").toSeq
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k.stripPrefix("_p_") -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      DataFileEntry(rel, parquetRowCount(abs), m.currentSchemaId, pvals)
+    }
+  }
+
+  private def listParquet(dir: String): Vector[String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) Vector.empty
+    else Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(_.toString).toVector.sorted
+  }
+
+  private def parquetRowCount(path: String): Long = {
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.hadoop.ParquetFileReader
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def commitSnapshot(m: TableMetadata, op: String,
+      files: Vector[DataFileEntry]): Unit = {
+    val now = System.currentTimeMillis()
+    val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
+    val snap = Snapshot(
+      snapshotId = id, parentId = m.currentSnapshotId, timestampMs = now,
+      operation = op, schemaId = m.currentSchemaId, specId = m.currentSpecId,
+      files = files,
+      summary = Map(
+        "total-records" -> files.map(_.recordCount).sum.toString,
+        "total-data-files" -> files.size.toString))
+    MetadataIO.commit(m.copy(
+      currentSnapshotId = Some(id),
+      snapshots = m.snapshots :+ snap,
+      snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, id)))
+  }
+
+  // ------------------------------------------------------- row-level DML
+
+  /** DELETE FROM t WHERE cond — file-granularity copy-on-write
+    * (reference: cell 11; Iceberg wrote positional deletes, CoW is
+    * semantically equivalent — SURVEY §2.10 M-D).
+    */
+  def delete(cond: Column): GraftTable = rewriteMatching(cond, "delete", identity)
+
+  /** UPDATE t SET ... WHERE cond (reference: cells 19/24; SURVEY M-U). */
+  def update(cond: Column, assignments: Map[String, Column]): GraftTable =
+    rewriteMatching(cond, "overwrite", df => {
+      assignments.foldLeft(df) { case (d, (c, v)) =>
+        d.withColumn(c, when(cond, v).otherwise(col(s"`$c`")))
+      }
+    })
+
+  /** One predicate-pushed scan finds the files containing matching rows;
+    * only those are rewritten (minus deleted / with updated rows); all
+    * other files carry over untouched.
+    */
+  private def rewriteMatching(cond: Column, op: String,
+      transform: DataFrame => DataFrame): GraftTable = {
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(return this)
+    val withFile = readFilesWithName(m, snap.files)
+    val touchedAbs = withFile.filter(cond)
+      .select(col("_graft_file")).distinct().collect().map(_.getString(0)).toSet
+    if (touchedAbs.isEmpty) return this
+    val touched = snap.files.filter(f => touchedAbs.exists(a => a.endsWith(f.path)))
+    val untouched = snap.files.filterNot(touched.contains)
+    val survivors0 = readFiles(m, touched)
+    val survivors = op match {
+      case "delete" => survivors0.filter(!cond)
+      case _        => transform(survivors0)
+    }
+    val written = writeFiles(m, survivors)
+    commitSnapshot(m, op, untouched ++ written)
+    this
+  }
+
+  private def readFilesWithName(m: TableMetadata,
+      files: Vector[DataFileEntry]): DataFrame = {
+    val cur = m.currentSchema
+    if (files.isEmpty)
+      return emptyDf(m).withColumn("_graft_file", lit(""))
+    val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    bySchema.map { case (sid, fs) =>
+      val written = m.schemaById(sid).get
+      val raw = spark.read.schema(written.toStructType)
+        .parquet(fs.map(f => s"$location/${f.path}"): _*)
+      val cols = cur.fields.map { f =>
+        written.fieldById(f.id) match {
+          case Some(w) => col(s"`${w.name}`").cast(f.sparkType).as(f.name)
+          case None    => lit(null).cast(f.sparkType).as(f.name)
+        }
+      } :+ input_file_name().as("_graft_file")
+      raw.select(cols: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------ DDL
+
+  /** ALTER TABLE ADD COLUMN (reference: apiv15.py:94; SURVEY D3). */
+  def addColumn(name: String, dataType: String): GraftTable = evolveSchema { m =>
+    require(m.currentSchema.fieldByName(name).isEmpty, s"column $name exists")
+    m.currentSchema.fields :+ FieldDef(m.nextFieldId, name, dataType)
+  }
+
+  /** ALTER TABLE DROP COLUMN (reference: apiv15.py:122; SURVEY D4). */
+  def dropColumn(name: String): GraftTable = evolveSchema { m =>
+    require(m.currentSchema.fieldByName(name).isDefined, s"no column $name")
+    m.currentSchema.fields.filterNot(_.name == name)
+  }
+
+  /** ALTER TABLE RENAME COLUMN — same field-id, new name; the core
+    * evolution semantic (reference: apiv15.py:352; SURVEY D5).
+    */
+  def renameColumn(oldName: String, newName: String): GraftTable = evolveSchema { m =>
+    val f = m.currentSchema.fieldByName(oldName)
+      .getOrElse(sys.error(s"no column $oldName"))
+    require(m.currentSchema.fieldByName(newName).isEmpty, s"column $newName exists")
+    m.currentSchema.fields.map(x => if (x.id == f.id) x.copy(name = newName) else x)
+  }
+
+  private def evolveSchema(f: TableMetadata => Vector[FieldDef]): GraftTable = {
+    val m = meta
+    val next = VersionedSchema(m.schemas.map(_.schemaId).max + 1, f(m))
+    MetadataIO.commit(m.copy(currentSchemaId = next.schemaId,
+      schemas = m.schemas :+ next))
+    this
+  }
+
+  def setProperties(props: Map[String, String]): GraftTable = {
+    val m = meta
+    MetadataIO.commit(m.copy(properties = m.properties ++ props))
+    this
+  }
+
+  // ------------------------------------------------- metadata tables M1-M5
+
+  import spark.implicits._
+
+  /** t.history (reference: apiv15.py:80; SURVEY M1). */
+  def history: DataFrame = {
+    val m = meta
+    val ancestors = currentAncestors(m)
+    m.snapshotLog.map { e =>
+      val parent = m.snapshotById(e.snapshotId).flatMap(_.parentId)
+      (new java.sql.Timestamp(e.timestampMs), e.snapshotId, parent,
+        ancestors.contains(e.snapshotId))
+    }.toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  private def currentAncestors(m: TableMetadata): Set[Long] = {
+    Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (id, s.parentId))
+      case None     => None
+    }.toSet
+  }
+
+  /** t.snapshots (SURVEY M2). */
+  def snapshotsDf: DataFrame = {
+    val m = meta
+    m.snapshots.map { s =>
+      (new java.sql.Timestamp(s.timestampMs), s.snapshotId, s.parentId,
+        s.operation, s.summary)
+    }.toDF("committed_at", "snapshot_id", "parent_id", "operation", "summary")
+  }
+
+  /** t.metadata_log_entries (SURVEY M3). */
+  def metadataLogEntries: DataFrame = {
+    val m = meta
+    m.metadataLog.map(e => (new java.sql.Timestamp(e.timestampMs), e.file))
+      .toDF("timestamp", "file")
+  }
+
+  /** t.refs (SURVEY M4): single main branch. */
+  def refs: DataFrame = {
+    val m = meta
+    m.currentSnapshotId.map(id => ("main", "BRANCH", id)).toSeq
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  /** t.files — manifest listing for observability/debugging. */
+  def filesDf: DataFrame = {
+    val m = meta
+    m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+      .map(f => (f.path, f.recordCount, f.schemaId, f.partitionValues))
+      .toDF("file_path", "record_count", "schema_id", "partition_values")
+  }
+
+  /** Changelog between two snapshots: multiset diff with _change_type
+    * insert/delete (reference: create_changelog_view, cell 32; an UPDATE
+    * appears as delete+insert — SURVEY M5). Runs as two shuffled
+    * exceptAll anti-diffs; columns follow the current schema.
+    */
+  def changelog(fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame = {
+    val m = meta
+    val newDf = readSnapshot(m, m.snapshotById(toSnapshotId))
+    val oldDf = fromSnapshotId match {
+      case Some(id) => readSnapshot(m, m.snapshotById(id))
+      case None     => emptyDf(m)
+    }
+    newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert"))
+      .unionByName(oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Changelog of the latest commit, registered as `<name>_changes`
+    * (reference notebook cells 32-35 query `table3_changes`).
+    */
+  def createChangelogView(viewName: String): DataFrame = {
+    val m = meta
+    val cur = m.currentSnapshot.getOrElse(sys.error("no snapshots"))
+    val df = changelog(cur.parentId, cur.snapshotId)
+    df.createOrReplaceTempView(viewName)
+    df
+  }
+}
+
+object GraftTable {
+
+  /** CREATE TABLE (reference D2). */
+  def create(spark: SparkSession, location: String, name: String,
+      fields: Seq[(String, String)],
+      partition: Seq[(String, String)] = Nil,  // (sourceColumn, transform)
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    require(!MetadataIO.exists(location), s"table exists at $location")
+    var m = TableMetadata.create(name, location, fields,
+      properties = properties ++ Map(
+        "write.parquet.compression-codec" -> properties.getOrElse(
+          "write.parquet.compression-codec", "zstd"),
+        "format-version" -> "2"))
+    val pfs = partition.map { case (src, tr) =>
+      val f = m.currentSchema.fieldByName(src)
+        .getOrElse(sys.error(s"partition source $src missing"))
+      val pname = tr match {
+        case "identity" => src
+        case "day"      => s"${src}_day"
+        case other      => sys.error(s"unknown transform $other")
+      }
+      PartitionField(f.id, tr, pname)
+    }
+    m = m.copy(partitionSpecs = Vector(PartitionSpec(0, pfs.toVector)))
+    MetadataIO.commit(m)
+    new GraftTable(spark, location)
+  }
+
+  /** CTAS (reference S6): create from a DataFrame's schema, then append it. */
+  def createAs(spark: SparkSession, location: String, name: String,
+      df: DataFrame, partition: Seq[(String, String)] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val fields = df.schema.fields.toSeq.map(f =>
+      f.name -> FieldDef.nameType(f.dataType))
+    val t = create(spark, location, name, fields, partition, properties)
+    t.append(df)
+    t
+  }
+
+  /** REPLACE TABLE AS SELECT (reference S7, cell 13): new schema from the
+    * query, contents replaced, history preserved.
+    */
+  def replaceAs(spark: SparkSession, location: String, df: DataFrame): GraftTable = {
+    val t = load(spark, location)
+    val m = t.meta
+    val next = VersionedSchema(m.schemas.map(_.schemaId).max + 1,
+      df.schema.fields.toVector.zipWithIndex.map { case (f, i) =>
+        // reuse field-ids for same-name fields, allocate for new ones
+        m.currentSchema.fieldByName(f.name) match {
+          case Some(existing) => existing.copy(dataType = FieldDef.nameType(f.dataType))
+          case None => FieldDef(m.nextFieldId + i, f.name, FieldDef.nameType(f.dataType))
+        }
+      })
+    MetadataIO.commit(m.copy(
+      currentSchemaId = next.schemaId, schemas = m.schemas :+ next,
+      // spec evolution: REPLACE drops partitioning (reference `table`
+      // metadata has identity -> unpartitioned spec history)
+      currentSpecId = m.currentSpecId + 1,
+      partitionSpecs = m.partitionSpecs :+ PartitionSpec(m.currentSpecId + 1, Vector.empty)))
+    t.overwrite(df)
+    t
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable = {
+    require(MetadataIO.exists(location), s"no table at $location")
+    new GraftTable(spark, location)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.GraftTable
+
+/** Versioned-table operator surface pushed through the driver's oracle
+  * gate: each query builds a GraftTable in a scratch dir from the sf
+  * parquet, exercises an engine op (rename-resolution read, time travel,
+  * CoW DELETE/UPDATE, changelog, hidden-partition pruning, add-column
+  * null-fill), and returns a result that plain SQL over the SOURCE
+  * parquet must reproduce — so the whole metadata/engine path is
+  * correctness-checked, not just unit-tested.
+  *
+  * (SURVEY.md §2.9-2.12: D3-D5, M-U/M-D, T1/T2, M5.)
+  */
+object Versioned {
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(s"graft-$prefix").toString
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Rename resolution (D5 + H2): data written under the old name reads
+    // under the new one via field-id mapping — reference apiv15.py:182-207.
+    QueryDef(
+      "q30_rename_resolution",
+      (s, d) => {
+        val t = GraftTable.createAs(s, scratch("rename"), "region_v",
+          Tables.region(s, d))
+        t.renameColumn("r_name", "region_name")
+        t.read().select(col("r_regionkey"), col("region_name"))
+          .orderBy(col("r_regionkey"))
+      },
+      Some("""
+        SELECT r_regionkey, r_name AS region_name
+        FROM region ORDER BY r_regionkey
+      """)),
+
+    // Time travel (T1/T2): snapshot 1 = even nations, snapshot 2 adds the
+    // odd ones; VERSION AS OF snapshot 1 must see only evens.
+    QueryDef(
+      "q31_time_travel",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val t = GraftTable.createAs(s, scratch("tt"), "nation_v",
+          n.filter(col("n_nationkey") % 2 === 0))
+        val v1 = t.meta.currentSnapshot.get.snapshotId
+        t.append(n.filter(col("n_nationkey") % 2 === 1))
+        t.readAsOfVersion(v1).orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT * FROM nation WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey
+      """)),
+
+    // CoW DELETE (M-D): delete low-balance suppliers, survivors match SQL.
+    QueryDef(
+      "q32_cow_delete",
+      (s, d) => {
+        val t = GraftTable.createAs(s, scratch("del"), "supplier_v",
+          Tables.supplier(s, d))
+        t.delete(col("s_acctbal") < 0.0)
+        t.read().select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey"), round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier WHERE NOT (s_acctbal < 0.0) ORDER BY s_suppkey
+      """)),
+
+    // CoW UPDATE (M-U): uppercase names of regions 0-1, leave the rest.
+    QueryDef(
+      "q33_cow_update",
+      (s, d) => {
+        val t = GraftTable.createAs(s, scratch("upd"), "region_v",
+          Tables.region(s, d))
+        t.update(col("r_regionkey") < 2, Map("r_name" -> upper(col("r_name"))))
+        t.read().orderBy(col("r_regionkey"))
+      },
+      Some("""
+        SELECT r_regionkey,
+               CASE WHEN r_regionkey < 2 THEN upper(r_name) ELSE r_name END AS r_name
+        FROM region ORDER BY r_regionkey
+      """)),
+
+    // Changelog (M5): second append's rows surface as _change_type=insert.
+    QueryDef(
+      "q34_changelog",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val t = GraftTable.createAs(s, scratch("cdc"), "nation_v",
+          n.filter(col("n_nationkey") % 2 === 0))
+        t.append(n.filter(col("n_nationkey") % 2 === 1))
+        val cur = t.meta.currentSnapshot.get
+        t.changelog(cur.parentId, cur.snapshotId).orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
+        FROM nation WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey
+      """)),
+
+    // Hidden partitioning day(ts) + metadata-only pruning: only files of
+    // 2024-01-05..06 are read (partition values from the manifest, no I/O).
+    QueryDef(
+      "q35_partition_prune",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+        val t = GraftTable.createAs(s, scratch("prune"), "events_v", ev,
+          partition = Seq("ts" -> "day"))
+        t.readPruned(pv => pv.get("ts_day").exists(v =>
+            v >= "2024-01-05" && v <= "2024-01-06"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-06'
+        GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // ADD COLUMN null-fill (D3): old files surface the new column as NULL.
+    QueryDef(
+      "q36_add_column",
+      (s, d) => {
+        val t = GraftTable.createAs(s, scratch("addc"), "part_v",
+          Tables.part(s, d).select("p_partkey", "p_name", "p_size"))
+        t.addColumn("grade", "string")
+        t.read().orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_size, CAST(NULL AS VARCHAR) AS grade
+        FROM part ORDER BY p_partkey
+      """))
+  )
+}

@@ -1,0 +1,164 @@
+package graft.tableformat
+
+import org.apache.spark.sql.types._
+
+/** Versioned-table metadata model — an idiomatic re-expression of the
+  * table-format capabilities the reference actually exercises
+  * (field-id schemas, snapshots, partition specs, properties, metadata
+  * log; see /root/reference
+  * spark-warehouse/iceberg/employee_db/employee/metadata/v15.metadata.json
+  * and SURVEY.md §1).
+  *
+  * Scale design: everything here is O(#schemas + #snapshots + #files)
+  * metadata — no operation ever lists or reads data directories. File
+  * lists live inside snapshots (with their partition values, manifest
+  * style), so planning a read at 100 TB touches only this JSON.
+  */
+
+/** A named field with an immutable id. Renames keep the id
+  * (reference: employee schema 0 'Phone' -> schema 1 'Phone number',
+  * both field-id 6).
+  */
+final case class FieldDef(id: Int, name: String, dataType: String,
+    nullable: Boolean = true) {
+  def sparkType: DataType = FieldDef.parseType(dataType)
+}
+
+object FieldDef {
+  def parseType(s: String): DataType = s match {
+    case "int"       => IntegerType
+    case "long"      => LongType
+    case "float"     => FloatType
+    case "double"    => DoubleType
+    case "string"    => StringType
+    case "boolean"   => BooleanType
+    case "date"      => DateType
+    case "timestamp" => TimestampType
+    case "binary"    => BinaryType
+    case other if other.startsWith("array<") && other.endsWith(">") =>
+      ArrayType(parseType(other.stripPrefix("array<").stripSuffix(">")))
+    case other => DataType.fromDDL(other)
+  }
+
+  def nameType(dt: DataType): String = dt match {
+    case IntegerType   => "int"
+    case LongType      => "long"
+    case FloatType     => "float"
+    case DoubleType    => "double"
+    case StringType    => "string"
+    case BooleanType   => "boolean"
+    case DateType      => "date"
+    case TimestampType => "timestamp"
+    case BinaryType    => "binary"
+    case ArrayType(e, _) => s"array<${nameType(e)}>"
+    case other         => other.sql.toLowerCase
+  }
+}
+
+/** One immutable schema version. */
+final case class VersionedSchema(schemaId: Int, fields: Vector[FieldDef]) {
+  def toStructType: StructType = StructType(fields.map { f =>
+    StructField(f.name, f.sparkType, f.nullable,
+      new MetadataBuilder().putLong("graft.field-id", f.id.toLong).build())
+  })
+  def fieldNames: Vector[String] = fields.map(_.name)
+  def fieldById(id: Int): Option[FieldDef] = fields.find(_.id == id)
+  def fieldByName(n: String): Option[FieldDef] = fields.find(_.name == n)
+}
+
+/** Hidden-partitioning spec: transform of a source field
+  * (reference: PARTITIONED BY (day(added_at)) notebook cell 7,
+  * identity PARTITIONED BY (id) cell 8). Transforms: "identity", "day".
+  */
+final case class PartitionField(sourceId: Int, transform: String, name: String)
+final case class PartitionSpec(specId: Int, fields: Vector[PartitionField])
+
+/** One data file inside a snapshot, with its partition values (manifest
+  * entry). Paths are relative to the table location. recordCount feeds
+  * summary stats; partitionValues feed O(#files) pruning. schemaId is the
+  * schema the file was WRITTEN under — files survive schema evolution, so
+  * reads map written columns to the current schema by field-id.
+  */
+final case class DataFileEntry(path: String, recordCount: Long,
+    schemaId: Int, partitionValues: Map[String, String] = Map.empty)
+
+/** A committed table version: full file list + provenance.
+  * operation: "append" | "overwrite" | "delete" | "replace".
+  */
+final case class Snapshot(snapshotId: Long, parentId: Option[Long],
+    timestampMs: Long, operation: String, schemaId: Int, specId: Int,
+    files: Vector[DataFileEntry], summary: Map[String, String] = Map.empty) {
+  def totalRecords: Long = files.map(_.recordCount).sum
+}
+
+final case class MetadataLogEntry(timestampMs: Long, file: String)
+final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
+
+/** The root metadata document, persisted as metadata/vN.metadata.json with
+  * version-hint.text holding N (reference: apiv15.py:41-43 reads the hint).
+  */
+final case class TableMetadata(
+    name: String,
+    location: String,
+    formatVersion: Int,
+    currentSchemaId: Int,
+    schemas: Vector[VersionedSchema],
+    currentSpecId: Int,
+    partitionSpecs: Vector[PartitionSpec],
+    currentSnapshotId: Option[Long],
+    snapshots: Vector[Snapshot],
+    snapshotLog: Vector[SnapshotLogEntry],
+    metadataLog: Vector[MetadataLogEntry],
+    properties: Map[String, String]) {
+
+  def currentSchema: VersionedSchema =
+    schemas.find(_.schemaId == currentSchemaId)
+      .getOrElse(sys.error(s"schema $currentSchemaId missing"))
+
+  def currentSpec: PartitionSpec =
+    partitionSpecs.find(_.specId == currentSpecId)
+      .getOrElse(sys.error(s"spec $currentSpecId missing"))
+
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def schemaById(id: Int): Option[VersionedSchema] =
+    schemas.find(_.schemaId == id)
+
+  def nextFieldId: Int =
+    (schemas.flatMap(_.fields.map(_.id)) :+ 0).max + 1
+
+  /** Snapshot visible at a wall-clock time: the latest snapshot with
+    * timestampMs <= ts (reference: FOR SYSTEM_TIME AS OF, apiv15.py:154-157).
+    */
+  def snapshotAsOfTime(tsMs: Long): Option[Snapshot] =
+    snapshots.filter(_.timestampMs <= tsMs).sortBy(_.timestampMs).lastOption
+
+  /** Snapshot by exact id (reference: VERSION AS OF, notebook cell 45). */
+  def snapshotById(id: Long): Option[Snapshot] =
+    snapshots.find(_.snapshotId == id)
+}
+
+object TableMetadata {
+  def create(name: String, location: String, fields: Seq[(String, String)],
+      partition: Seq[PartitionField] = Nil,
+      properties: Map[String, String] = Map.empty): TableMetadata = {
+    val schema = VersionedSchema(0,
+      fields.zipWithIndex.map { case ((n, t), i) => FieldDef(i + 1, n, t) }.toVector)
+    TableMetadata(
+      name = name, location = location, formatVersion = 2,
+      currentSchemaId = 0, schemas = Vector(schema),
+      currentSpecId = 0,
+      partitionSpecs = Vector(PartitionSpec(0, partition.toVector)),
+      currentSnapshotId = None, snapshots = Vector.empty,
+      snapshotLog = Vector.empty, metadataLog = Vector.empty,
+      properties = properties)
+  }
+
+  def fromStructType(name: String, location: String, st: StructType,
+      partition: Seq[PartitionField] = Nil,
+      properties: Map[String, String] = Map.empty): TableMetadata =
+    create(name, location,
+      st.fields.toSeq.map(f => f.name -> FieldDef.nameType(f.dataType)),
+      partition, properties)
+}

@@ -1,0 +1,213 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.GraftTable
+import graft.tableformat.SchemaHistory
+
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-eng").toString
+
+  import scala.jdk.CollectionConverters._
+
+  test("create + append + read round-trip") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t1",
+      Seq("id" -> "long", "name" -> "string"))
+    t.append(Seq((1L, "alice"), (2L, "bob")).toDF("id", "name"))
+    t.append(Seq((3L, "carol")).toDF("id", "name"))
+    val rows = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+    assert(t.meta.snapshots.size == 2)
+    assert(t.meta.currentSnapshot.get.totalRecords == 3)
+  }
+
+  test("rename column: old files still readable, historical name resolves") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "emp",
+      Seq("Index" -> "long", "Phone" -> "string"))
+    t.append(Seq((1L, "555-1"), (2L, "555-2")).toDF("Index", "Phone"))
+    t.renameColumn("Phone", "Phone number")
+    // data written pre-rename reads under the new name (field-id mapping)
+    assert(t.read().columns.toSeq == Seq("Index", "Phone number"))
+    assert(t.read().select("`Phone number`").as[String].collect().sorted.toSeq ==
+      Seq("555-1", "555-2"))
+    // reference GetColumn semantic: request by the historical name
+    assert(t.readColumn("Phone").as[String].collect().sorted.toSeq ==
+      Seq("555-1", "555-2"))
+    // append post-rename, both vintages united
+    t.append(Seq((3L, "555-3")).toDF("Index", "Phone number"))
+    assert(t.read().count() == 3)
+    assert(SchemaHistory.resolve(t.meta, "Phone") ==
+      SchemaHistory.Renamed("Phone number", 2, 0))
+  }
+
+  test("add + drop column across existing files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t",
+      Seq("id" -> "long", "name" -> "string"))
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    t.addColumn("age", "int")
+    // old file null-fills the new column
+    val r = t.read().orderBy("id").collect()
+    assert(r.head.isNullAt(2))
+    t.append(Seq((2L, "b", 30)).toDF("id", "name", "age"))
+    t.dropColumn("name")
+    assert(t.read().columns.toSeq == Seq("id", "age"))
+    val vals = t.read().orderBy("id").collect().map(x =>
+      (x.getLong(0), if (x.isNullAt(1)) -1 else x.getInt(1)))
+    assert(vals.toSeq == Seq((1L, -1), (2L, 30)))
+  }
+
+  test("CoW delete rewrites only touched files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // file A
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"))   // file B
+    val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    t.delete(col("id") === 1L)
+    val after = t.meta.currentSnapshot.get
+    assert(after.operation == "delete")
+    assert(t.read().orderBy("id").select("id").as[Long].collect().toSeq == Seq(2L, 3L, 4L))
+    // untouched file carried over byte-identical (same path)
+    assert(after.files.map(_.path).toSet.intersect(filesBefore).nonEmpty)
+  }
+
+  test("CoW update") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t3",
+      Seq("id" -> "long", "name" -> "string", "age" -> "int"))
+    t.append(Seq((1L, "x", 30), (2L, "y", 40), (3L, "z", 50)).toDF("id", "name", "age"))
+    t.update(col("id") === 1L, Map("age" -> lit(31)))
+    val got = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 31), (2L, 40), (3L, 50)))
+  }
+
+  test("time travel by version and by time") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    val v1 = t.meta.currentSnapshot.get
+    Thread.sleep(5)
+    t.append(Seq(3L).toDF("id"))
+    val v2 = t.meta.currentSnapshot.get
+    assert(t.readAsOfVersion(v1.snapshotId).count() == 2)
+    assert(t.readAsOfVersion(v2.snapshotId).count() == 3)
+    assert(t.readAsOfTime(v1.timestampMs).count() == 2)
+    assert(t.readAsOfTime(System.currentTimeMillis()).count() == 3)
+    assert(t.readAsOfTime(v1.timestampMs - 1000).count() == 0) // before first
+  }
+
+  test("metadata tables: history, snapshots, refs, metadata_log") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    assert(t.history.columns.toSeq ==
+      Seq("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor"))
+    assert(t.history.count() == 2)
+    assert(t.history.filter(col("is_current_ancestor")).count() == 2)
+    assert(t.snapshotsDf.select("operation").as[String].collect().toSet == Set("append"))
+    assert(t.refs.count() == 1)
+    assert(t.metadataLogEntries.count() >= 3) // create + 2 appends
+  }
+
+  test("changelog: appends are inserts, deletes are deletes") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val changes = t.createChangelogView("t_changes")
+    val got = changes.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((3L, "insert")))
+    t.delete(col("id") === 1L)
+    val cur = t.meta.currentSnapshot.get
+    val del = t.changelog(cur.parentId, cur.snapshotId).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(del == Set((1L, "delete")))
+    // distinct _change_type query from notebook cell 35
+    assert(spark.sql("SELECT DISTINCT _change_type FROM t_changes")
+      .as[String].collect().toSeq == Seq("insert"))
+  }
+
+  test("hidden partitioning day(ts): layout + metadata pruning") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "ev",
+      Seq("id" -> "long", "added_at" -> "timestamp"),
+      partition = Seq("added_at" -> "day"))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-02-23 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2025-02-23 11:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2025-02-24 09:00:00"))
+    ).toDF("id", "added_at")
+    t.append(df)
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.forall(_.partitionValues.contains("added_at_day")))
+    assert(files.map(_.partitionValues("added_at_day")).toSet ==
+      Set("2025-02-23", "2025-02-24"))
+    // partition cols are layout-only: data files carry the real columns
+    assert(t.read().columns.toSeq == Seq("id", "added_at"))
+    // metadata-only pruning
+    val pruned = t.readPruned(pv => pv.get("added_at_day").contains("2025-02-23"))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("identity partitioning") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t2",
+      Seq("id" -> "int", "name" -> "string"),
+      partition = Seq("id" -> "identity"))
+    t.append(Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "name"))
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.map(_.partitionValues("id")).toSet == Set("1", "2"))
+    assert(t.read().count() == 3)
+    assert(t.readPruned(_.get("id").contains("1")).count() == 2)
+  }
+
+  test("CTAS and REPLACE TABLE AS SELECT with spec evolution") {
+    import spark.implicits._
+    val loc = tmp()
+    val src = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "x")
+    val t = GraftTable.createAs(spark, loc, "ctas", src,
+      partition = Seq("id" -> "identity"))
+    assert(t.read().count() == 2)
+    // RTAS: different column set, unpartitioned (reference cell 13 behavior)
+    GraftTable.replaceAs(spark, loc, Seq((9L, "z")).toDF("id", "name"))
+    val t2 = GraftTable.load(spark, loc)
+    assert(t2.read().columns.toSeq == Seq("id", "name"))
+    assert(t2.read().count() == 1)
+    assert(t2.meta.partitionSpecs.size == 2)
+    assert(t2.meta.currentSpec.fields.isEmpty)
+    // history preserved across replace
+    assert(t2.meta.snapshots.size == 2)
+  }
+
+  test("schema evolution golden replay: reference `test` table (6 schemas)") {
+    import spark.implicits._
+    // create(id int, name string, added_at ts) -> rename name->new_name
+    // -> rename back + add age -> add birthday -> drop age -> re-add age
+    val t = GraftTable.create(spark, tmp(), "test",
+      Seq("id" -> "int", "name" -> "string", "added_at" -> "timestamp"))
+    t.renameColumn("name", "new_name")
+    t.renameColumn("new_name", "name")
+    t.addColumn("age", "string")
+    t.addColumn("birthday", "date")
+    t.dropColumn("age")
+    t.addColumn("age", "string")
+    val m = t.meta
+    assert(m.schemas.size == 7)
+    val ageIds = m.schemas.flatMap(_.fields.filter(_.name == "age").map(_.id)).distinct
+    assert(ageIds.size == 2, s"re-added age must get a fresh field-id, got $ageIds")
+    assert(m.currentSchema.fieldNames == Vector("id", "name", "added_at", "birthday", "age"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tableformat._
+
+class TableFormatSpec extends AnyFunSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-tf").toString
+
+  test("metadata JSON round-trip preserves everything") {
+    val loc = tmp()
+    val m0 = TableMetadata.create("t", loc,
+      Seq("id" -> "long", "name" -> "string", "added_at" -> "timestamp"),
+      properties = Map("k" -> "v"))
+    val withSnap = m0.copy(
+      currentSnapshotId = Some(42L),
+      snapshots = Vector(Snapshot(42L, None, 1000L, "append", 0, 0,
+        Vector(DataFileEntry("data/x/p.parquet", 10, 0, Map("id" -> "1"))),
+        Map("total-records" -> "10"))),
+      snapshotLog = Vector(SnapshotLogEntry(1000L, 42L)))
+    MetadataIO.commit(withSnap)
+    val back = MetadataIO.read(loc)
+    assert(back.name == "t")
+    assert(back.currentSchema.fields.map(f => (f.id, f.name, f.dataType)) ==
+      Vector((1, "id", "long"), (2, "name", "string"), (3, "added_at", "timestamp")))
+    assert(back.currentSnapshotId.contains(42L))
+    assert(back.snapshots.head.files.head.partitionValues == Map("id" -> "1"))
+    assert(back.metadataLog.map(_.file) == Vector("v1.metadata.json"))
+    assert(MetadataIO.currentVersion(loc).contains(1))
+  }
+
+  test("commit bumps versions and appends to metadata log") {
+    val loc = tmp()
+    val m = TableMetadata.create("t", loc, Seq("a" -> "int"))
+    MetadataIO.commit(m)
+    MetadataIO.commit(MetadataIO.read(loc))
+    MetadataIO.commit(MetadataIO.read(loc))
+    assert(MetadataIO.currentVersion(loc).contains(3))
+    assert(MetadataIO.read(loc).metadataLog.map(_.file) ==
+      Vector("v1.metadata.json", "v2.metadata.json", "v3.metadata.json"))
+  }
+
+  test("resolve: current name, renamed name, never-existed") {
+    val loc = tmp()
+    // mirror reference employee: schema 0 'Phone' -> schema 1 'Phone number'
+    val s0 = VersionedSchema(0, Vector(
+      FieldDef(1, "Index", "long"), FieldDef(6, "Phone", "string")))
+    val s1 = VersionedSchema(1, Vector(
+      FieldDef(1, "Index", "long"), FieldDef(6, "Phone number", "string")))
+    val m = TableMetadata.create("e", loc, Seq("x" -> "int"))
+      .copy(schemas = Vector(s0, s1), currentSchemaId = 1)
+    assert(SchemaHistory.resolve(m, "Index") == SchemaHistory.Current("Index"))
+    assert(SchemaHistory.resolve(m, "Phone") ==
+      SchemaHistory.Renamed("Phone number", 6, 0))
+    assert(SchemaHistory.resolve(m, "Fax") == SchemaHistory.NeverExisted)
+  }
+
+  test("resolve: rename chains land on the current name") {
+    // mirror changelog_testing: name -> new_name -> name3 ... 7 renames
+    val names = Vector("name", "new_name", "name3", "name4", "name5")
+    val schemas = names.zipWithIndex.map { case (n, i) =>
+      VersionedSchema(i, Vector(FieldDef(1, "id", "int"), FieldDef(2, n, "string")))
+    }
+    val m = TableMetadata.create("c", tmp(), Seq("x" -> "int"))
+      .copy(schemas = schemas, currentSchemaId = schemas.last.schemaId)
+    for (old <- names.dropRight(1))
+      assert(SchemaHistory.resolve(m, old) match {
+        case SchemaHistory.Renamed("name5", 2, _) => true
+        case other => fail(s"$old resolved to $other")
+      })
+  }
+
+  test("resolve: drop-then-readd binds the newest field-id (reference `test` table)") {
+    val s0 = VersionedSchema(0, Vector(FieldDef(1, "id", "int"), FieldDef(2, "age", "string")))
+    val s1 = VersionedSchema(1, Vector(FieldDef(1, "id", "int"))) // drop age
+    val s2 = VersionedSchema(2, Vector(FieldDef(1, "id", "int"), FieldDef(3, "age", "string")))
+    val m = TableMetadata.create("t", tmp(), Seq("x" -> "int"))
+      .copy(schemas = Vector(s0, s1, s2), currentSchemaId = 2)
+    // 'age' is current (field-id 3); historical field-id 2 is unreachable by name
+    assert(SchemaHistory.resolve(m, "age") == SchemaHistory.Current("age"))
+    // now drop the re-added one too: old name maps to the NEWEST historical binding
+    val s3 = VersionedSchema(3, Vector(FieldDef(1, "id", "int")))
+    val m2 = m.copy(schemas = m.schemas :+ s3, currentSchemaId = 3)
+    assert(SchemaHistory.resolve(m2, "age") == SchemaHistory.Dropped(3))
+  }
+
+  test("positional resolution") {
+    val m = TableMetadata.create("t", tmp(),
+      Seq("Index" -> "long", "First Name" -> "string"))
+    assert(SchemaHistory.byPosition(m, 1).contains("First Name"))
+    assert(SchemaHistory.byPosition(m, 9).isEmpty)
+  }
+
+  test("snapshot selection by time and version") {
+    val snaps = Vector(
+      Snapshot(1L, None, 100L, "append", 0, 0, Vector.empty),
+      Snapshot(2L, Some(1L), 200L, "append", 0, 0, Vector.empty),
+      Snapshot(3L, Some(2L), 300L, "delete", 0, 0, Vector.empty))
+    val m = TableMetadata.create("t", tmp(), Seq("x" -> "int"))
+      .copy(snapshots = snaps, currentSnapshotId = Some(3L))
+    assert(m.snapshotAsOfTime(50L).isEmpty)              // before first
+    assert(m.snapshotAsOfTime(100L).map(_.snapshotId).contains(1L)) // exact
+    assert(m.snapshotAsOfTime(250L).map(_.snapshotId).contains(2L)) // between
+    assert(m.snapshotAsOfTime(9999L).map(_.snapshotId).contains(3L)) // after last
+    assert(m.snapshotById(2L).map(_.operation).contains("append"))
+    assert(m.snapshotById(99L).isEmpty)
+  }
+
+  test("nextFieldId never reuses dropped ids") {
+    val s0 = VersionedSchema(0, Vector(FieldDef(1, "a", "int"), FieldDef(2, "b", "int")))
+    val s1 = VersionedSchema(1, Vector(FieldDef(1, "a", "int")))
+    val m = TableMetadata.create("t", tmp(), Seq("x" -> "int"))
+      .copy(schemas = Vector(s0, s1), currentSchemaId = 1)
+    assert(m.nextFieldId == 3)
+  }
+}
