@@ -141,8 +141,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val aligned = df.select(cur.fields.map(f =>
       col(s"`${f.name}`").cast(f.sparkType).as(f.name)): _*)
     val spec = m.currentSpec
-    val stagingRel = s"data/${UUID.randomUUID().toString.take(8)}"
+    // full UUID + errorifexists: a staging-dir collision must fail loudly,
+    // never silently overwrite data files of committed snapshots
+    val stagingRel = s"data/${UUID.randomUUID().toString}"
     val stagingAbs = s"$location/$stagingRel"
+    require(!Files.exists(Paths.get(stagingAbs)), s"staging collision $stagingRel")
     val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
     def partExpr(pf: PartitionField): Column = {
       val src = cur.fieldById(pf.sourceId)
@@ -154,16 +157,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
     }
     if (spec.fields.isEmpty) {
-      aligned.write.mode("overwrite").option("compression", codec)
+      aligned.write.mode("errorifexists").option("compression", codec)
         .parquet(stagingAbs)
     } else {
       val out = spec.fields.foldLeft(aligned)((d, pf) =>
         d.withColumn(s"_p_${pf.name}", partExpr(pf)))
-      out.write.mode("overwrite")
+      out.write.mode("errorifexists")
         .partitionBy(spec.fields.map(pf => s"_p_${pf.name}"): _*)
         .option("compression", codec)
         .parquet(stagingAbs)
     }
+    val nameToId = cur.fields.map(f => f.name -> f.id).toMap
     listParquet(stagingAbs).map { abs =>
       val rel = s"$stagingRel/${abs.stripPrefix(stagingAbs + "/")}"
       val pvals = rel.split("/").toSeq
@@ -171,7 +175,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           val Array(k, v) = seg.split("=", 2)
           k.stripPrefix("_p_") -> java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
-      DataFileEntry(rel, parquetRowCount(abs), m.currentSchemaId, pvals)
+      // one footer open per file yields row count AND column min/max —
+      // the stats that let DML prune candidate files metadata-only
+      val footer = readFooter(abs)
+      def byId(statsByName: Map[String, String]): Map[String, String] =
+        statsByName.flatMap { case (n, v) =>
+          nameToId.get(n).map(id => id.toString -> v)
+        }
+      DataFileEntry(rel, footer.rowCount, m.currentSchemaId, pvals,
+        lowerBounds = byId(footer.lower), upperBounds = byId(footer.upper))
     }
   }
 
@@ -183,15 +195,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .map(_.toString).toVector.sorted
   }
 
-  private def parquetRowCount(path: String): Long = {
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.hadoop.ParquetFileReader
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path),
-      spark.sessionState.newHadoopConf())
-    val r = ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
+  private def readFooter(path: String): ParquetFooterStats =
+    ParquetFooterStats.read(path, spark.sessionState.newHadoopConf())
 
   private def commitSnapshot(m: TableMetadata, op: String,
       files: Vector[DataFileEntry]): Unit = {
@@ -215,6 +220,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** DELETE FROM t WHERE cond — file-granularity copy-on-write
     * (reference: cell 11; Iceberg wrote positional deletes, CoW is
     * semantically equivalent — SURVEY §2.10 M-D).
+    *
+    * SQL three-valued logic: only rows where cond is TRUE are removed;
+    * rows where cond evaluates to NULL survive (plain `!cond` would drop
+    * them — silent data loss).
     */
   def delete(cond: Column): GraftTable = rewriteMatching(cond, "delete", identity)
 
@@ -226,28 +235,61 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
     })
 
-  /** One predicate-pushed scan finds the files containing matching rows;
-    * only those are rewritten (minus deleted / with updated rows); all
-    * other files carry over untouched.
+  /** Files that could contain rows matching cond, decided purely from
+    * per-file min/max stats in the manifest — a 1-row DELETE at 100 TB
+    * must not scan the table to find its file.
+    */
+  def candidateFiles(cond: Column): Vector[DataFileEntry] = {
+    val m = meta
+    m.currentSnapshot.map(s => StatsPruning.candidates(m, s.files, exprOf(cond)))
+      .getOrElse(Vector.empty)
+  }
+
+  /** Column -> Catalyst Expression (Spark 4 columns are ColumnNode-backed). */
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftshim.expressionOf(c)
+
+  /** Metadata stats pruning narrows to candidate files; one
+    * predicate-pushed scan over ONLY those finds the files actually
+    * containing matching rows; only those are rewritten (minus deleted /
+    * with updated rows); all other files carry over untouched.
     */
   private def rewriteMatching(cond: Column, op: String,
       transform: DataFrame => DataFrame): GraftTable = {
     val m = meta
     val snap = m.currentSnapshot.getOrElse(return this)
-    val withFile = readFilesWithName(m, snap.files)
+    val candidates = StatsPruning.candidates(m, snap.files, exprOf(cond))
+    if (candidates.isEmpty) return this
+    val withFile = readFilesWithName(m, candidates)
     val touchedAbs = withFile.filter(cond)
-      .select(col("_graft_file")).distinct().collect().map(_.getString(0)).toSet
+      .select(col("_graft_file")).distinct().collect()
+      .map(r => normalizePath(r.getString(0))).toSet
     if (touchedAbs.isEmpty) return this
-    val touched = snap.files.filter(f => touchedAbs.exists(a => a.endsWith(f.path)))
+    val touched = snap.files.filter(f =>
+      touchedAbs.contains(normalizePath(s"$location/${f.path}")))
     val untouched = snap.files.filterNot(touched.contains)
     val survivors0 = readFiles(m, touched)
     val survivors = op match {
-      case "delete" => survivors0.filter(!cond)
+      // keep rows where cond is not TRUE (NULL-safe: NULL keeps the row)
+      case "delete" => survivors0.filter(!coalesce(cond, lit(false)))
       case _        => transform(survivors0)
     }
     val written = writeFiles(m, survivors)
     commitSnapshot(m, op, untouched ++ written)
     this
+  }
+
+  /** input_file_name() yields a percent-encoded file: URI while manifest
+    * paths are raw — normalize both sides to a decoded absolute path so
+    * partition values with spaces/':'/'%' still match exactly.
+    */
+  private def normalizePath(p: String): String = {
+    val decoded =
+      try {
+        val uri = new java.net.URI(p)
+        if (uri.getScheme != null) Paths.get(uri).toString else p
+      } catch { case _: Exception => p }
+    Paths.get(decoded).toAbsolutePath.normalize.toString
   }
 
   private def readFilesWithName(m: TableMetadata,
@@ -363,18 +405,34 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Changelog between two snapshots: multiset diff with _change_type
     * insert/delete (reference: create_changelog_view, cell 32; an UPDATE
-    * appears as delete+insert — SURVEY M5). Runs as two shuffled
-    * exceptAll anti-diffs; columns follow the current schema.
+    * appears as delete+insert — SURVEY M5).
+    *
+    * Manifest-level diff: carried-over manifest entries are byte-identical
+    * files whose rows cancel in a multiset diff, so only files ADDED or
+    * REMOVED between the snapshots are read at all. A pure append at
+    * 100 TB reads just the new files (no shuffle); only a rewrite
+    * (CoW DELETE/UPDATE) diffs the rewritten slice.
     */
   def changelog(fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame = {
     val m = meta
-    val newDf = readSnapshot(m, m.snapshotById(toSnapshotId))
-    val oldDf = fromSnapshotId match {
-      case Some(id) => readSnapshot(m, m.snapshotById(id))
-      case None     => emptyDf(m)
-    }
-    newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert"))
-      .unionByName(oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))
+    val toSnap = m.snapshotById(toSnapshotId)
+      .getOrElse(sys.error(s"no snapshot $toSnapshotId"))
+    val fromFiles = fromSnapshotId.flatMap(m.snapshotById)
+      .map(_.files).getOrElse(Vector.empty)
+    val fromPaths = fromFiles.map(_.path).toSet
+    val toPaths = toSnap.files.map(_.path).toSet
+    val added = toSnap.files.filterNot(f => fromPaths(f.path))
+    val removed = fromFiles.filterNot(f => toPaths(f.path))
+    val addedDf = readFiles(m, added)
+    val removedDf = readFiles(m, removed)
+    val inserts =
+      if (removed.isEmpty) addedDf // metadata-only decision: all new rows
+      else addedDf.exceptAll(removedDf)
+    val deletes =
+      if (added.isEmpty) removedDf
+      else removedDf.exceptAll(addedDf)
+    inserts.withColumn("_change_type", lit("insert"))
+      .unionByName(deletes.withColumn("_change_type", lit("delete")))
   }
 
   /** Changelog of the latest commit, registered as `<name>_changes`

@@ -1,0 +1,83 @@
+package graft.engine
+
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.column.statistics.Statistics
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.LogicalTypeAnnotation
+
+/** Row count + per-column min/max read from one parquet footer.
+  *
+  * Encodings (must round-trip through [[StatsPruning]]):
+  *   - INT32/INT64 (plain, date=epoch-days, timestamp=micros): decimal string
+  *   - FLOAT/DOUBLE: numeric string (NaN-containing columns are skipped —
+  *     parquet min/max is unreliable there)
+  *   - BINARY(UTF8): the string verbatim
+  *   - everything else: no bound recorded (readers must keep the file)
+  *
+  * Iceberg records the same footer-derived bounds per data file in its
+  * manifests (reference tables carry them too); this is the piece that
+  * makes a 1-row DELETE at 100 TB a metadata problem, not a scan.
+  */
+final case class ParquetFooterStats(rowCount: Long,
+    lower: Map[String, String], upper: Map[String, String])
+
+object ParquetFooterStats {
+
+  def read(path: String, conf: Configuration): ParquetFooterStats = {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      val footer = r.getFooter
+      val blocks = footer.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+      // merge per-row-group statistics per top-level column
+      val merged = scala.collection.mutable.LinkedHashMap[String, (PrimitiveType, Statistics[_])]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val s = c.getStatistics
+        if (s != null && !s.isEmpty && s.hasNonNullValue) {
+          merged.get(name) match {
+            case Some((pt, acc)) =>
+              // erased cast through a concrete Comparable to satisfy
+              // Statistics[T <: Comparable[T]]; runtime types always agree
+              acc.asInstanceOf[Statistics[java.lang.Integer]]
+                .mergeStatistics(s.asInstanceOf[Statistics[java.lang.Integer]])
+              merged(name) = (pt, acc)
+            case None =>
+              merged(name) = (c.getPrimitiveType, s.copy())
+          }
+        }
+      }
+      val lower = merged.flatMap { case (n, (pt, s)) =>
+        encode(pt, s.genericGetMin.asInstanceOf[AnyRef]).map(n -> _)
+      }.toMap
+      val upper = merged.flatMap { case (n, (pt, s)) =>
+        encode(pt, s.genericGetMax.asInstanceOf[AnyRef]).map(n -> _)
+      }.toMap
+      ParquetFooterStats(rowCount, lower, upper)
+    } finally r.close()
+  }
+
+  private def encode(pt: PrimitiveType, v: AnyRef): Option[String] =
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 => Some(v.toString)
+      case FLOAT =>
+        val f = v.asInstanceOf[java.lang.Float].floatValue()
+        if (f.isNaN) None else Some(f.toString)
+      case DOUBLE =>
+        val d = v.asInstanceOf[java.lang.Double].doubleValue()
+        if (d.isNaN) None else Some(d.toString)
+      case BINARY =>
+        pt.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            Some(v.asInstanceOf[Binary].toStringUsingUTF8)
+          case _ => None
+        }
+      case _ => None
+    }
+}

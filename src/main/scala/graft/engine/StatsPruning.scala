@@ -1,0 +1,171 @@
+package graft.engine
+
+import java.time.LocalDate
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.tableformat._
+
+/** Metadata-only candidate-file pruning for row-level DML: decide from a
+  * file's manifest min/max bounds whether a predicate COULD match any of
+  * its rows, without touching the file.
+  *
+  * Strictly conservative tri-state collapse: anything not understood —
+  * unrecognized expression shape, missing bounds, type mismatch — keeps
+  * the file. So pruning can only skip files that provably contain no
+  * matching row; correctness never depends on it.
+  *
+  * Mirrors what Iceberg's `InclusiveMetricsEvaluator` does over manifest
+  * bounds (reference's DELETE/UPDATE planning goes through the same
+  * idea); expressed here over Catalyst expression trees directly.
+  */
+object StatsPruning {
+
+  def candidates(m: TableMetadata, files: Vector[DataFileEntry],
+      cond: Expression): Vector[DataFileEntry] = {
+    val schema = m.currentSchema
+    files.filter(f => mayMatch(schema, f, cond))
+  }
+
+  private def mayMatch(schema: VersionedSchema, f: DataFileEntry,
+      e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
+    case Or(l, r)  => mayMatch(schema, f, l) || mayMatch(schema, f, r)
+    case EqualTo(a, b)            => leaf(schema, f, a, b, "=")
+    case EqualNullSafe(a, b)      => leaf(schema, f, a, b, "=")
+    case LessThan(a, b)           => leaf(schema, f, a, b, "<")
+    case LessThanOrEqual(a, b)    => leaf(schema, f, a, b, "<=")
+    case GreaterThan(a, b)        => leaf(schema, f, a, b, ">")
+    case GreaterThanOrEqual(a, b) => leaf(schema, f, a, b, ">=")
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => leaf(schema, f, a, v, "="))
+    case InSet(a, vs) =>
+      vs.exists(v => leaf(schema, f, a, Literal(v), "="))
+    // Spark 4 Column DSL arrives pre-analysis as UnresolvedFunction nodes
+    // named after the SQL operator ('=', '<', 'and', 'in', ...)
+    case UnresolvedFunction(Seq(fn), args, false, _, _, _, _) =>
+      (fn.toLowerCase, args) match {
+        case ("and", Seq(l, r)) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
+        case ("or", Seq(l, r))  => mayMatch(schema, f, l) || mayMatch(schema, f, r)
+        case ("=" | "==", Seq(a, b))  => leaf(schema, f, a, b, "=")
+        case ("<=>", Seq(a, b)) => leaf(schema, f, a, b, "=")
+        case ("<", Seq(a, b))   => leaf(schema, f, a, b, "<")
+        case ("<=", Seq(a, b))  => leaf(schema, f, a, b, "<=")
+        case (">", Seq(a, b))   => leaf(schema, f, a, b, ">")
+        case (">=", Seq(a, b))  => leaf(schema, f, a, b, ">=")
+        case ("in", a +: vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          vs.exists(v => leaf(schema, f, a, v, "="))
+        case _ => true
+      }
+    case _ => true // IsNull, Not, functions-of-columns, UDFs, ... — keep
+  }
+
+  /** attr-vs-literal comparison; flipped literal-on-left mirrors the op. */
+  private def leaf(schema: VersionedSchema, f: DataFileEntry,
+      a: Expression, b: Expression, op: String): Boolean =
+    (attrName(a), litOf(b)) match {
+      case (Some(n), Some(l)) => boundsAdmit(schema, f, n, l, op)
+      case _ =>
+        (attrName(b), litOf(a)) match {
+          case (Some(n), Some(l)) => boundsAdmit(schema, f, n, l, mirror(op))
+          case _                  => true
+        }
+    }
+
+  private def mirror(op: String): String = op match {
+    case "<" => ">"; case "<=" => ">="
+    case ">" => "<"; case ">=" => "<="
+    case other => other
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case a: AttributeReference  => Some(a.name)
+    case _                      => None
+  }
+
+  private def litOf(e: Expression): Option[Literal] = e match {
+    case l: Literal => Some(l)
+    case c: Cast if c.foldable && c.resolved =>
+      try Some(Literal(c.eval(null), c.dataType)) catch { case _: Exception => None }
+    case _ => None
+  }
+
+  private def boundsAdmit(schema: VersionedSchema, f: DataFileEntry,
+      name: String, l: Literal, op: String): Boolean = {
+    if (l.value == null) return true
+    val field = schema.fieldByName(name)
+      .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+      .getOrElse(return true)
+    val key = field.id.toString
+    (for {
+      v  <- litValue(field.dataType, l)
+      lo = f.lowerBounds.get(key).flatMap(parseBound(field.dataType, _))
+      hi = f.upperBounds.get(key).flatMap(parseBound(field.dataType, _))
+    } yield op match {
+      case "="  => lo.forall(cmp(_, v) <= 0) && hi.forall(cmp(_, v) >= 0)
+      case "<"  => lo.forall(cmp(_, v) < 0)   // some row < v possible?
+      case "<=" => lo.forall(cmp(_, v) <= 0)
+      case ">"  => hi.forall(cmp(_, v) > 0)
+      case ">=" => hi.forall(cmp(_, v) >= 0)
+      case _    => true
+    }).getOrElse(true)
+  }
+
+  // comparison domains: BigDecimal (all numerics), String, Int (epoch
+  // days), Long (micros)
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: String, y: String)         => x.compareTo(y)
+    case (x: Int, y: Int)               => x.compareTo(y)
+    case (x: Long, y: Long)             => x.compareTo(y)
+    case _                              => 0
+  }
+
+  private def parseBound(dt: String, raw: String): Option[Any] = dt match {
+    case "int" | "long" | "float" | "double" =>
+      try Some(BigDecimal(raw)) catch { case _: Exception => None }
+    case "string"    => Some(raw)
+    case "date"      => raw.toIntOption
+    case "timestamp" => raw.toLongOption
+    case _           => None
+  }
+
+  /** Literal → the field's comparison domain; None = can't compare, keep. */
+  private def litValue(dt: String, l: Literal): Option[Any] = dt match {
+    case "int" | "long" | "float" | "double" =>
+      l.value match {
+        case n: Int     => Some(BigDecimal(n))
+        case n: Long    => Some(BigDecimal(n))
+        case n: Short   => Some(BigDecimal(n.toInt))
+        case n: Byte    => Some(BigDecimal(n.toInt))
+        case n: Float   => if (n.isNaN) None else Some(BigDecimal(n.toDouble))
+        case n: Double  => if (n.isNaN) None else Some(BigDecimal(n))
+        case d: Decimal => Some(d.toBigDecimal)
+        case s: UTF8String =>
+          try Some(BigDecimal(s.toString)) catch { case _: Exception => None }
+        case _ => None
+      }
+    case "string" =>
+      l.value match {
+        case s: UTF8String => Some(s.toString)
+        case s: String     => Some(s)
+        case _             => None
+      }
+    case "date" =>
+      (l.dataType, l.value) match {
+        case (DateType, d: Int) => Some(d)
+        case (StringType, s) =>
+          try Some(LocalDate.parse(s.toString).toEpochDay.toInt)
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    case "timestamp" =>
+      (l.dataType, l.value) match {
+        case (TimestampType, t: Long) => Some(t)
+        case _                        => None
+      }
+    case _ => None
+  }
+}

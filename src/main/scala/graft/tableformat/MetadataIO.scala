@@ -51,8 +51,12 @@ object MetadataIO {
     val next = currentVersion(meta.location).getOrElse(0) + 1
     val withLog = meta.copy(metadataLog = meta.metadataLog :+
       MetadataLogEntry(System.currentTimeMillis(), s"v$next.metadata.json"))
+    // CREATE_NEW: two writers racing from the same base version both try
+    // to write v(N+1) — the loser fails loudly instead of clobbering
+    // (commits are last-writer-FAILS, never last-writer-wins)
     Files.writeString(metadataPath(meta.location, next),
-      Serialization.writePretty(withLog))
+      Serialization.writePretty(withLog),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     val tmp = dir.resolve(s".version-hint.$next.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, hintPath(meta.location),

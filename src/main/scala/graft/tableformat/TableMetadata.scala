@@ -78,9 +78,19 @@ final case class PartitionSpec(specId: Int, fields: Vector[PartitionField])
   * summary stats; partitionValues feed O(#files) pruning. schemaId is the
   * schema the file was WRITTEN under — files survive schema evolution, so
   * reads map written columns to the current schema by field-id.
+  *
+  * lowerBounds/upperBounds hold per-column min/max from the parquet
+  * footer, keyed by FIELD-ID (as a string — JSON map keys), encoded per
+  * the column type (numbers/micros/epoch-days as decimal strings, strings
+  * verbatim). They make row-level DML candidate discovery a pure
+  * metadata filter (Iceberg keeps the same per-file bounds in its
+  * manifests). Absent for files written before stats collection —
+  * readers must treat a missing bound as "unknown, keep the file".
   */
 final case class DataFileEntry(path: String, recordCount: Long,
-    schemaId: Int, partitionValues: Map[String, String] = Map.empty)
+    schemaId: Int, partitionValues: Map[String, String] = Map.empty,
+    lowerBounds: Map[String, String] = Map.empty,
+    upperBounds: Map[String, String] = Map.empty)
 
 /** A committed table version: full file list + provenance.
   * operation: "append" | "overwrite" | "delete" | "replace".

@@ -192,6 +192,76 @@ class EngineSpec extends AnyFunSuite {
     assert(t2.meta.snapshots.size == 2)
   }
 
+  test("DELETE keeps rows where the predicate evaluates to NULL") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t",
+      Seq("id" -> "long", "score" -> "int"))
+    t.append(Seq((1L, Some(5)), (2L, None), (3L, Some(15)))
+      .toDF("id", "score"))
+    t.delete(col("score") < 10) // NULL < 10 is NULL, not TRUE: row 2 stays
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("DML matches files with URI-hostile partition values (spaces, %)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t",
+      Seq("cat" -> "string", "n" -> "long"),
+      partition = Seq("cat" -> "identity"))
+    t.append(Seq(("has space", 1L), ("pct%40", 2L), ("plain", 3L))
+      .toDF("cat", "n"))
+    t.delete(col("cat") === "has space")
+    assert(t.read().select("cat").as[String].collect().sorted.toSeq ==
+      Seq("pct%40", "plain"))
+    t.update(col("cat") === "pct%40", Map("n" -> lit(20L)))
+    assert(t.read().filter(col("cat") === "pct%40")
+      .select("n").as[Long].collect().toSeq == Seq(20L))
+  }
+
+  test("stats pruning: targeted DELETE considers only candidate files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t",
+      Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))   // ids 1-2
+    t.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").coalesce(1)) // ids 10-11
+    t.append(Seq((20L, "e")).toDF("id", "v").coalesce(1))             // id 20
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size == 3)
+    assert(files.forall(_.lowerBounds.nonEmpty), "footer bounds recorded")
+    // a 1-row-targeted predicate prunes to exactly the containing file
+    assert(t.candidateFiles(col("id") === 10L).size == 1)
+    assert(t.candidateFiles(col("id") === 10L || col("id") === 20L).size == 2)
+    assert(t.candidateFiles(col("id") > 11L).size == 1)
+    assert(t.candidateFiles(col("id") < 0L).isEmpty)
+    assert(t.candidateFiles(col("v") === "d").size == 1)
+    // unprunable predicate keeps everything (conservative)
+    assert(t.candidateFiles(upper(col("v")) === "D").size == 3)
+    t.delete(col("id") === 10L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 11L, 20L))
+  }
+
+  test("changelog of a pure append never reads carried-over files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    val cur = t.meta.currentSnapshot.get
+    val df = t.changelog(cur.parentId, cur.snapshotId)
+    // manifest-level diff: the plan reads only the file added by the
+    // second append, not the whole table
+    assert(df.inputFiles.length == 1)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("setProperties persists table properties") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
+    t.setProperties(Map("write.delete.mode" -> "copy-on-write",
+      "owner" -> "graft"))
+    assert(t.meta.properties("owner") == "graft")
+    assert(t.meta.properties("format-version") == "2")
+  }
+
   test("schema evolution golden replay: reference `test` table (6 schemas)") {
     import spark.implicits._
     // create(id int, name string, added_at ts) -> rename name->new_name
