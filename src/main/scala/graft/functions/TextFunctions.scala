@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline tier: all
+  * built-in codegen'd expressions (split/transform/aggregate/xxhash64),
+  * no UDFs — every function here stays inside whole-stage codegen and
+  * pushes through Catalyst untouched.
+  *
+  * The reference corpus (BASELINE north star) has no text operators of
+  * its own; these are the standard pipeline primitives (tokenize,
+  * shingle, MinHash, SimHash, quality/lang heuristics) re-expressed as
+  * Spark expressions, designed so oracle SQL can mirror them exactly
+  * (integer-ratio arithmetic, md5 for cross-engine-stable hashing).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; trim first so no empty edge tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word k-shingles ("w1 w2 w3") of a token array. Documents
+    * shorter than k yield an empty set (they can never near-dup).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays — an
+    * integer/integer ratio, so Spark and any oracle engine compute the
+    * bit-identical double.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Count of tokens matched by a marker set (lang-ID / stopword use). */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** 32-bit-domain shingle hash (xxhash64 folded into [0, 2^31-1)):
+    * keeps MinHash permutation arithmetic overflow-free in a Long.
+    */
+  def hash31(s: Column): Column = pmod(xxhash64(s), lit(MersennePrime))
+
+  val MersennePrime: Long = 2147483647L // 2^31 - 1
+
+  /** MinHash signature: for each (a,b) permutation, min over the
+    * element hashes of (a*h + b) mod p. Permutations are derived from
+    * `seed` by a splitmix-style LCG — fully deterministic across runs
+    * and executors.
+    */
+  def minhashSignature(elems: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val perms = permutations(numHashes, seed)
+    val hashes = transform(elems, e => hash31(e))
+    array(perms.map { case (a, b) =>
+      aggregate(hashes, lit(MersennePrime),
+        (acc, h) => least(acc, pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** Deterministic (a, b) pairs in [1, p) / [0, p). */
+  def permutations(n: Int, seed: Long): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = { // splitmix64 step
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until n).map { _ =>
+      val a = Math.floorMod(next(), MersennePrime - 1) + 1
+      val b = Math.floorMod(next(), MersennePrime)
+      (a, b)
+    }
+  }
+
+  /** LSH band keys for a MinHash signature: hash of each r-row band.
+    * Two docs land in the same (band, key) bucket iff a band of their
+    * signatures agrees — the classic banding scheme, so candidate
+    * generation is a bucket equi-join, never all-pairs.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("key"))
+    }: _*)
+
+  /** 64-bit SimHash over a token array: per bit, sign of the sum of
+    * ±1 votes from each token's xxhash64 bit. One groupBy-free
+    * expression per document; near-dup search bands the 64 bits into
+    * 16-bit chunks (pigeonhole: hamming<=3 pairs must share a chunk).
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** 16-bit chunks of a 64-bit fingerprint, as (chunkIdx, value). */
+  def simhashChunks(fp: Column): Column =
+    array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(fp, c * 16).bitwiseAND(lit(0xffffL)).as("value"))
+    }: _*)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text analysis over document corpora: token/char statistics, quality
+  * scoring, heuristic language ID, token counting, and shingle
+  * fingerprints. All built-in expressions; every derived number is an
+  * integer or an integer-ratio double so an independent SQL engine
+  * reproduces it bit-for-bit (the driver's DuckDB oracle does).
+  *
+  * Scale: one narrow projection + one partial-aggregated groupBy per
+  * stat query — no joins, no UDFs, map-side combine throughout.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-language marker words for the n-gram/marker lang-ID heuristic.
+    * (The detector is a deterministic scoring rule, not a model.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Per-document derived features (id, n_tokens, n_distinct, chars,
+    * mean token length, stopword count/ratio).
+    */
+  def docFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col("*"), // keep original columns: stats group by them
+      toks.as("toks"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      length(col(textCol)).as("n_chars"),
+      aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, l) => acc + l).as("token_chars"),
+      markerCount(toks, Stopwords).as("n_stop"))
+  }
+
+  /** Corpus statistics grouped by the given columns: doc counts, token
+    * totals, averages. Integer sums + int-ratio averages → oracle-exact.
+    */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String]): DataFrame =
+    docFeatures(docs, idCol, textCol)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(sum(col("n_stop")).cast("double") /
+          sum(col("n_tokens")).cast("double"), 6).as("stopword_ratio"))
+
+  /** Quality score in [0,1]: length saturation + vocabulary diversity +
+    * non-stopword mass. Same closed formula on the oracle side; all
+    * operands are integer ratios so the doubles agree exactly.
+    */
+  def qualityScore(nTokens: Column, nDistinct: Column, nStop: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / lit(50.0), lit(1.0))
+    val diversity = nDistinct.cast("double") / nTokens.cast("double")
+    val content = lit(1.0) - nStop.cast("double") / nTokens.cast("double")
+    round(lit(0.3) * lenScore + lit(0.4) * diversity + lit(0.3) * content, 6)
+  }
+
+  /** Heuristic language ID: score = marker hits per language; predict
+    * the argmax (ties + zero-score -> "und", undetermined). Determinism:
+    * fixed evaluation order over LangMarkers.
+    */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> markerCount(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Token counting, two tokenizers side by side: whitespace tokens and
+    * a BPE-ish regex chunking (letter runs / digit runs / single other
+    * marks) — the standard pre-tokenizer shape.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_chunks"))
+
+  /** Document fingerprint: min-md5 over word 3-shingles (a 1-hash
+    * winnowing sketch) + shingle cardinality. String min over md5 hex is
+    * engine-portable (md5 is everywhere; xxhash64 is not).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        shingles(tokens(col(textCol)), k).as("sh"))
+      .select(col(idCol),
+        array_min(transform(col("sh"), s => md5(s))).as("fingerprint"),
+        size(col("sh")).as("n_shingles"))
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline query surface over the `documents` and
+  * `embeddings` fixtures: dedup (exact / complete n-gram Jaccard /
+  * MinHash-LSH / SimHash), similarity search (brute-force + LSH ANN),
+  * text analysis (stats, quality, lang-ID, token counts, fingerprints),
+  * multimodal plumbing.
+  *
+  * Oracle notes: queries whose math is engine-portable (md5, integer
+  * counts, integer-ratio doubles) carry full DuckDB oracles. The
+  * xxhash64-based ops (MinHash, SimHash, hyperplane LSH) cannot be
+  * reproduced in DuckDB — they run as rows-only entries here and are
+  * correctness-tested in PipelineSpec against their exact counterparts
+  * (recall/completeness assertions).
+  *
+  * A doubled corpus (identical copies for exact dedup, 80%-token
+  * truncations for near-dup) is built INSIDE the query from the same
+  * parquet both engines read, so dedup actually has duplicates to find.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"),
+      col("source"))
+
+  /** documents ∪ exact copies of every 3rd doc (ids offset by 100000). */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d).select(col("doc_id"), col("text"))
+    b.unionByName(b.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-duplicate truncations (first 80% of tokens). */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d).select(col("doc_id"), col("text"))
+    val toks = tokens(col("text"))
+    b.unionByName(b.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest(lit(1), floor(size(toks) * lit(0.8)).cast("int")))).as("text")))
+  }
+
+  private val nearDupCorpusSql =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), corpus AS (
+      |  SELECT doc_id, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         toks[1:greatest(1, CAST(floor(len(toks) * 0.8) AS INT))]
+      |  FROM base
+      |), shingled AS (
+      |  SELECT doc_id,
+      |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                        for i in range(1, len(toks) - 1)]) AS sh
+      |  FROM corpus WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Exact dedup: hash-groupBy, keep-first (one shuffle) -----------
+    QueryDef(
+      "q40_exact_dedup",
+      (s, d) => {
+        Dedup.exact(dupCorpus(s, d), "doc_id", "text")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM corpus GROUP BY md5(text)
+        ORDER BY keep_id
+      """)),
+
+    // ---- Complete near-dup: inverted-index candidates + exact Jaccard --
+    QueryDef(
+      "q41_near_dup_jaccard",
+      (s, d) =>
+        Dedup.nearDupJaccard(nearDupCorpus(s, d), "doc_id", "text",
+            k = 3, threshold = 0.5)
+          .orderBy(col("id1"), col("id2")),
+      Some(nearDupCorpusSql +
+        """, inv AS (
+          |  SELECT doc_id, unnest(sh) AS s FROM shingled
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          |)
+          |SELECT id1, id2,
+          |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          |       CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
+          |FROM cand
+          |JOIN shingled x ON x.doc_id = id1
+          |JOIN shingled y ON y.doc_id = id2
+          |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          |      CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= 0.5
+          |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- MinHash + banded LSH (xxhash64: not oracle-expressible; exact
+    //      recall asserted in PipelineSpec) ------------------------------
+    QueryDef(
+      "q42_minhash_lsh_dedup",
+      (s, d) =>
+        Dedup.nearDupMinhashLsh(nearDupCorpus(s, d), "doc_id", "text",
+            k = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+          .orderBy(col("id1"), col("id2")),
+      None),
+
+    // ---- SimHash near-dup (chunk-bucketed, hamming-verified) -----------
+    QueryDef(
+      "q43_simhash_dedup",
+      (s, d) =>
+        Dedup.nearDupSimhash(nearDupCorpus(s, d), "doc_id", "text",
+            maxHamming = 3)
+          .orderBy(col("id1"), col("id2")),
+      None),
+
+    // ---- Corpus statistics by (lang, source) ---------------------------
+    QueryDef(
+      "q44_text_stats",
+      (s, d) =>
+        TextAnalysis.corpusStats(docs(s, d), "doc_id", "text",
+            Seq("lang", "source"))
+          .orderBy(col("lang"), col("source")),
+      Some("""
+        WITH f AS (
+          SELECT lang, source,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                 length(text) AS n_chars,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                   AS n_stop
+          FROM documents
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+                 AS stopword_ratio
+        FROM f GROUP BY lang, source
+        ORDER BY lang, source
+      """)),
+
+    // ---- Per-document quality scoring ----------------------------------
+    QueryDef(
+      "q45_quality_score",
+      (s, d) => {
+        val f = TextAnalysis.docFeatures(docs(s, d), "doc_id", "text")
+        f.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            col("n_stop"),
+            TextAnalysis.qualityScore(col("n_tokens"), col("n_distinct"),
+              col("n_stop")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                 len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                   AS n_distinct,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                   AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_distinct AS INT) AS n_distinct,
+               CAST(n_stop AS INT) AS n_stop,
+               round(0.3 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                   + 0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
+                 6) AS quality
+        FROM f ORDER BY doc_id
+      """)),
+
+    // ---- Heuristic language ID -----------------------------------------
+    QueryDef(
+      "q46_lang_id",
+      (s, d) =>
+        docs(s, d).select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(tokens(col("text"))).as("predicted"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), sc AS (
+          SELECT doc_id, lang,
+            len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+            len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+            len(list_filter(toks, t -> list_contains(['el','la','los','que','es'], t))) AS s_es,
+            len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr
+          FROM f
+        )
+        SELECT doc_id, lang,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                    ELSE 'und' END AS predicted
+        FROM sc ORDER BY doc_id
+      """)),
+
+    // ---- Brute-force cosine top-k over embeddings ----------------------
+    // rank on full double precision (adjacent margins ~2e-5 >> engine
+    // float error ~1e-7); reported sim rounded coarse for hash safety
+    QueryDef(
+      "q47_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 2).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE)
+                   AS sim
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        ), ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+               round(sim, 2) AS sim
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)),
+
+    // ---- LSH-bucketed ANN (hyperplane signs; recall vs exact asserted
+    //      in PipelineSpec) ----------------------------------------------
+    QueryDef(
+      "q48_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.cosineTopKLsh(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 2).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---- Token counting + shingle fingerprints -------------------------
+    QueryDef(
+      "q49_fingerprint_tokens",
+      (s, d) => {
+        val fp = TextAnalysis.fingerprints(docs(s, d), "doc_id", "text")
+        val tc = TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")
+        fp.join(tc, "doc_id")
+          .select(col("doc_id"), col("fingerprint"), col("n_shingles"),
+            col("ws_tokens"), col("bpe_chunks"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, text, toks,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                for i in range(1, len(toks) - 1)]) AS sh
+          FROM f WHERE len(toks) >= 3
+        )
+        SELECT doc_id,
+               list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS fingerprint,
+               CAST(len(sh) AS INT) AS n_shingles,
+               CAST(len(toks) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                 '[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpe_chunks
+        FROM sh ORDER BY doc_id
+      """)),
+
+    // ---- Multimodal plumbing: binary assets -> decode stub -> features -
+    QueryDef(
+      "q50_multimodal_features",
+      (s, d) => {
+        val assets = Multimodal.assetsFromDocs(docs(s, d), "doc_id", "text")
+        val meta = Multimodal.decodeMeta(s, assets).toDF()
+        val feats = Multimodal.extractFeatures(s, assets).toDF()
+          .select(col("asset_id"),
+            round(element_at(col("features"), 1), 4).as("f0"),
+            round(element_at(col("features"), 2), 4).as("f1"))
+        meta.join(feats, "asset_id")
+          .select(col("asset_id"), col("kind"), col("n_bytes"), col("width"),
+            col("height"), col("duration_ms"), col("f0"), col("f1"))
+          .orderBy(col("asset_id"))
+      },
+      None)
+  )
+}

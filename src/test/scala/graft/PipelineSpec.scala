@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Correctness of the LLM-pipeline tier. The xxhash64-based operators
+  * (MinHash-LSH, SimHash, hyperplane ANN) have no DuckDB oracle, so
+  * their guarantees are pinned here against exact counterparts:
+  * recall vs complete-Jaccard, pigeonhole completeness vs brute-force
+  * hamming, ANN recall vs brute-force cosine.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsWithNearDups(): DataFrame = {
+    val b = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 200)
+    val toks = TextFunctions.tokens(col("text"))
+    b.unionByName(b.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest(lit(1), floor(size(toks) * lit(0.8)).cast("int")))).as("text")))
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"), (4L, "x y"),
+      (5L, "unique")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 2L), (5L, 1L)))
+  }
+
+  test("minhash-LSH near-dup: high recall vs complete Jaccard, no false positives") {
+    import spark.implicits._
+    val corpus = docsWithNearDups()
+    val exact = Dedup.nearDupJaccard(corpus, "doc_id", "text",
+        k = 3, threshold = 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupMinhashLsh(corpus, "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain near-dups")
+    // verification step recomputes exact Jaccard => no false positives
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash chunk-bucketing is complete for hamming <= 3 (vs brute force)") {
+    import spark.implicits._
+    val corpus = docsWithNearDups()
+    val fps = corpus.select(col("doc_id"),
+      TextFunctions.simhash(TextFunctions.tokens(col("text"))).as("fp"))
+    val brute = fps.as("a").join(fps.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextFunctions.hamming(col("a.fp"), col("b.fp")).as("h"))
+      .filter(col("h") <= 3)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    val banded = Dedup.nearDupSimhash(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture must contain simhash near-dups")
+  }
+
+  test("ANN LSH: reasonable recall vs brute-force cosine top-k") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.cosineTopKLsh(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // fixture neighbors are weak (5th-neighbor cos ~0.29, theta ~72deg):
+    // hyperplane LSH collision prob per table is only (1-theta/pi)^m, so
+    // 0.6 is the honest bar at m=4, L=16 on near-random vectors
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall < 0.6")
+  }
+
+  test("cosine is exact on known vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(1f, 1f), 1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0)).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("s"), col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (s, want) => assert(math.abs(s - want) < 1e-12) }
+  }
+
+  test("quality score bounds and lang-id determinism") {
+    import spark.implicits._
+    val f = TextAnalysis.docFeatures(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val q = f.select(TextAnalysis.qualityScore(col("n_tokens"),
+      col("n_distinct"), col("n_stop")).as("q")).as[Double].collect()
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+    val p1 = TextAnalysis.langId(TextFunctions.tokens(lit("the a of test")))
+    val p2 = TextAnalysis.langId(TextFunctions.tokens(lit("der und ist zzz")))
+    val got = spark.range(1).select(p1.as("a"), p2.as("b"))
+      .as[(String, String)].head()
+    assert(got == ("en", "de"))
+  }
+
+  test("multimodal: deterministic decode stub, frames, features") {
+    val assets = Multimodal.assetsFromDocs(
+      Tables.documents(spark, sf).limit(60), "doc_id", "text")
+    assert(assets.select("kind").distinct().count() == 3)
+    val meta1 = Multimodal.decodeMeta(spark, assets).collect().sortBy(_.asset_id)
+    val meta2 = Multimodal.decodeMeta(spark, assets).collect().sortBy(_.asset_id)
+    assert(meta1.toSeq == meta2.toSeq, "decode must be deterministic")
+    assert(meta1.forall(m => m.width >= 64 && m.height >= 64))
+    assert(meta1.filter(_.kind == "image").forall(_.duration_ms == 0L))
+    val feats = Multimodal.extractFeatures(spark, assets, dim = 16).collect()
+    assert(feats.forall(_.features.length == 16))
+    val frames = Multimodal.sampleFrames(spark, assets, n = 4)
+    val perAsset = frames.groupBy("asset_id").count().collect()
+    assert(perAsset.nonEmpty && perAsset.forall(_.getLong(1) == 4L))
+  }
+}
