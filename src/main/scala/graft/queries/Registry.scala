@@ -4,7 +4,8 @@ package graft.queries
   * them under the driver's contract. Duplicate names are a bug — fail fast.
   */
 object Registry {
-  def modules: Seq[Seq[QueryDef]] = Seq(Relational.all, Versioned.all, Pipeline.all)
+  def modules: Seq[Seq[QueryDef]] =
+    Seq(Relational.all, Versioned.all, Pipeline.all, Ingestion.all)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatten

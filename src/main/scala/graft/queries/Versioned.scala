@@ -124,6 +124,71 @@ object Versioned {
         GROUP BY event_type ORDER BY event_type
       """)),
 
+    // Time travel by wall-clock (T1): FOR SYSTEM_TIME AS OF the first
+    // snapshot's commit time sees only the first snapshot's rows.
+    QueryDef(
+      "q37_time_travel_ts",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val t = GraftTable.createAs(s, scratch("ttts"), "nation_v",
+          n.filter(col("n_nationkey") < 10))
+        val ts = t.meta.currentSnapshot.get.timestampMs
+        Thread.sleep(5) // commits stamp millis; keep the append strictly later
+        t.append(n.filter(col("n_nationkey") >= 10))
+        t.readAsOfTime(ts).orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey
+      """)),
+
+    // DROP COLUMN (D4): files written with the column read without it.
+    QueryDef(
+      "q38_drop_column",
+      (s, d) => {
+        val t = GraftTable.createAs(s, scratch("dropc"), "cust_v",
+          Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"))
+        t.dropColumn("c_mktsegment")
+        t.read().orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer ORDER BY c_custkey
+      """)),
+
+    // REPLACE TABLE AS SELECT (S7): new schema + contents, history kept.
+    QueryDef(
+      "q39_rtas",
+      (s, d) => {
+        val loc = scratch("rtas")
+        GraftTable.createAs(s, loc, "nation_v", Tables.nation(s, d))
+        GraftTable.replaceAs(s, loc, Tables.nation(s, d)
+          .filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey"), col("n_name")))
+        GraftTable.load(s, loc).read().orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
+        ORDER BY n_nationkey
+      """)),
+
+    // Changelog delete path (M5): rows removed by CoW DELETE surface as
+    // _change_type='delete' between the pre- and post-delete snapshots.
+    QueryDef(
+      "q52_changelog_delete",
+      (s, d) => {
+        val t = GraftTable.createAs(s, scratch("cdcdel"), "supp_v",
+          Tables.supplier(s, d))
+        t.delete(col("s_acctbal") < 0.0)
+        val cur = t.meta.currentSnapshot.get
+        t.changelog(cur.parentId, cur.snapshotId)
+          .filter(col("_change_type") === "delete")
+          .select(col("s_suppkey"), col("s_name"), col("_change_type"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, 'delete' AS _change_type
+        FROM supplier WHERE s_acctbal < 0.0 ORDER BY s_suppkey
+      """)),
+
     // ADD COLUMN null-fill (D3): old files surface the new column as NULL.
     QueryDef(
       "q36_add_column",
