@@ -1,0 +1,155 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.GraftTable
+import graft.tableformat.MetadataIO
+
+/** Two-level `graft.<db>.<table>` namespace over a warehouse directory —
+  * the reference addresses everything as `iceberg.employee_db.employee`
+  * (apiv15.py:65) through a Hadoop catalog whose filesystem layout IS
+  * the catalog; same here: db = directory, table = subdirectory with
+  * `metadata/version-hint.text`.
+  *
+  * SQL-text surface: `sql()` resolves `graft.db.table` identifiers
+  * (optionally suffixed `FOR SYSTEM_TIME AS OF '<ts>'` / `VERSION AS OF
+  * <id>`, the reference's time-travel syntax, apiv15.py:154-157 and
+  * notebook cells 42/45) into registered temp views and delegates to
+  * `spark.sql` — queries, joins, DDL-free SELECTs all work unchanged.
+  * Catalog ops are directory/metadata-only: nothing here reads data
+  * files, so SHOW/DESCRIBE stay O(#tables) at any scale.
+  */
+final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
+
+  @volatile private var currentDb: Option[String] = None
+
+  // ---------------------------------------------------------- D1: CREATE DB
+
+  def createDatabase(db: String): Unit = {
+    require(db.matches("[A-Za-z0-9_]+"), s"bad database name $db")
+    Files.createDirectories(Paths.get(warehouse, db))
+  }
+
+  def use(db: String): Unit = {
+    require(Files.isDirectory(Paths.get(warehouse, db)), s"no database $db")
+    currentDb = Some(db)
+  }
+
+  // ------------------------------------------------------------- D7: SHOW
+
+  def listDatabases(): Seq[String] =
+    if (!Files.isDirectory(Paths.get(warehouse))) Nil
+    else Files.list(Paths.get(warehouse)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  def listTables(db: String): Seq[String] = {
+    val d = Paths.get(warehouse, db)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala
+      .filter(p => MetadataIO.exists(p.toString))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def showDatabases(): DataFrame = {
+    import spark.implicits._
+    listDatabases().toDF("namespace")
+  }
+
+  def showTables(db: String): DataFrame = {
+    import spark.implicits._
+    listTables(db).map(t => (db, t)).toDF("namespace", "tableName")
+  }
+
+  // --------------------------------------------------------- table access
+
+  def location(db: String, table: String): String =
+    Paths.get(warehouse, db, table).toString
+
+  def table(db: String, name: String): GraftTable =
+    GraftTable.load(spark, location(db, name))
+
+  def tableExists(db: String, name: String): Boolean =
+    MetadataIO.exists(location(db, name))
+
+  def createTable(db: String, name: String, fields: Seq[(String, String)],
+      partition: Seq[(String, String)] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    createDatabase(db)
+    GraftTable.create(spark, location(db, name), s"$db.$name", fields,
+      partition, properties)
+  }
+
+  def createTableAs(db: String, name: String, df: DataFrame,
+      partition: Seq[(String, String)] = Nil): GraftTable = {
+    createDatabase(db)
+    GraftTable.createAs(spark, location(db, name), s"$db.$name", df, partition)
+  }
+
+  // --------------------------------------------------------- D8: DESCRIBE
+
+  /** DESCRIBE TABLE: column name / type / field-id rows. */
+  def describe(db: String, name: String): DataFrame = {
+    import spark.implicits._
+    table(db, name).meta.currentSchema.fields
+      .map(f => (f.name, f.dataType, f.id)).toDF("col_name", "data_type", "field_id")
+  }
+
+  /** DESCRIBE EXTENDED: schema rows plus metadata section (properties,
+    * partition spec, current snapshot), mirroring the notebook's
+    * DESCRIBE EXTENDED output shape (cells 15/20/69).
+    */
+  def describeExtended(db: String, name: String): DataFrame = {
+    import spark.implicits._
+    val m = table(db, name).meta
+    val schemaRows = m.currentSchema.fields.map(f =>
+      (f.name, f.dataType, s"field-id ${f.id}"))
+    val partRows = m.currentSpec.fields.map(pf =>
+      (s"# Partition ${pf.name}", pf.transform, s"source-id ${pf.sourceId}"))
+    val metaRows = Seq(
+      ("# Metadata", "", ""),
+      ("Name", m.name, ""),
+      ("Location", m.location, ""),
+      ("Format-version", m.formatVersion.toString, ""),
+      ("Current-snapshot", m.currentSnapshotId.map(_.toString).getOrElse("none"), ""),
+      ("Snapshots", m.snapshots.size.toString, "")) ++
+      m.properties.toSeq.sortBy(_._1).map { case (k, v) => (k, v, "property") }
+    (schemaRows ++ partRows ++ metaRows).toDF("col_name", "data_type", "comment")
+  }
+
+  // ------------------------------------------------- SQL-text entry point
+
+  private val qualified =
+    """graft\.([A-Za-z0-9_]+)\.([A-Za-z0-9_]+)(\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']+)'|\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+
+  /** Run SQL text containing `graft.db.table` references (with optional
+    * time-travel suffixes). Each distinct reference is materialized as a
+    * temp view; the rewritten text goes to spark.sql so Catalyst handles
+    * everything else (joins, aggregates, windows...).
+    */
+  def sql(query: String): DataFrame = {
+    var n = 0
+    val rewritten = qualified.replaceAllIn(query, m => {
+      val (db, tbl) = (m.group(1), m.group(2))
+      val t = table(db, tbl)
+      val df = (Option(m.group(4)), Option(m.group(5))) match {
+        case (Some(ts), _) => t.readAsOfTime(parseTs(ts))
+        case (_, Some(v))  => t.readAsOfVersion(v.toLong)
+        case _             => t.read()
+      }
+      n += 1
+      val view = s"graft_${db}_${tbl}_$n"
+      df.createOrReplaceTempView(view)
+      view
+    })
+    spark.sql(rewritten)
+  }
+
+  private def parseTs(s: String): Long =
+    try java.sql.Timestamp.valueOf(s).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        java.sql.Date.valueOf(s).getTime
+    }
+}

@@ -315,32 +315,41 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   // ------------------------------------------------------------------ DDL
 
   /** ALTER TABLE ADD COLUMN (reference: apiv15.py:94; SURVEY D3). */
-  def addColumn(name: String, dataType: String): GraftTable = evolveSchema { m =>
-    require(m.currentSchema.fieldByName(name).isEmpty, s"column $name exists")
-    m.currentSchema.fields :+ FieldDef(m.nextFieldId, name, dataType)
-  }
+  def addColumn(name: String, dataType: String): GraftTable =
+    evolveSchema(s"add-column $name") { m =>
+      require(m.currentSchema.fieldByName(name).isEmpty, s"column $name exists")
+      m.currentSchema.fields :+ FieldDef(m.nextFieldId, name, dataType)
+    }
 
   /** ALTER TABLE DROP COLUMN (reference: apiv15.py:122; SURVEY D4). */
-  def dropColumn(name: String): GraftTable = evolveSchema { m =>
-    require(m.currentSchema.fieldByName(name).isDefined, s"no column $name")
-    m.currentSchema.fields.filterNot(_.name == name)
-  }
+  def dropColumn(name: String): GraftTable =
+    evolveSchema(s"drop-column $name") { m =>
+      require(m.currentSchema.fieldByName(name).isDefined, s"no column $name")
+      m.currentSchema.fields.filterNot(_.name == name)
+    }
 
   /** ALTER TABLE RENAME COLUMN — same field-id, new name; the core
     * evolution semantic (reference: apiv15.py:352; SURVEY D5).
     */
-  def renameColumn(oldName: String, newName: String): GraftTable = evolveSchema { m =>
-    val f = m.currentSchema.fieldByName(oldName)
-      .getOrElse(sys.error(s"no column $oldName"))
-    require(m.currentSchema.fieldByName(newName).isEmpty, s"column $newName exists")
-    m.currentSchema.fields.map(x => if (x.id == f.id) x.copy(name = newName) else x)
-  }
+  def renameColumn(oldName: String, newName: String): GraftTable =
+    evolveSchema(s"rename-column $oldName->$newName") { m =>
+      val f = m.currentSchema.fieldByName(oldName)
+        .getOrElse(sys.error(s"no column $oldName"))
+      require(m.currentSchema.fieldByName(newName).isEmpty, s"column $newName exists")
+      m.currentSchema.fields.map(x => if (x.id == f.id) x.copy(name = newName) else x)
+    }
 
-  private def evolveSchema(f: TableMetadata => Vector[FieldDef]): GraftTable = {
+  /** Each evolution records provenance as a table property (the
+    * reference's schema_api_mapping.json side-file, H4, folded into
+    * metadata: schema-id -> what changed).
+    */
+  private def evolveSchema(op: String)(f: TableMetadata => Vector[FieldDef]): GraftTable = {
     val m = meta
     val next = VersionedSchema(m.schemas.map(_.schemaId).max + 1, f(m))
     MetadataIO.commit(m.copy(currentSchemaId = next.schemaId,
-      schemas = m.schemas :+ next))
+      schemas = m.schemas :+ next,
+      properties = m.properties +
+        (s"graft.schema-log.${next.schemaId}" -> op)))
     this
   }
 

@@ -1,0 +1,63 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.catalog.GraftCatalog
+
+/** Catalog + SQL-text surface (SURVEY D1/D7/D8 + §2.11 SQL forms):
+  * tables registered under `graft.<db>.<table>` and queried through
+  * SQL text — joins, aggregation, and time travel included — exactly
+  * how the reference addresses `iceberg.employee_db.employee`
+  * (apiv15.py:65, notebook cells 2-5).
+  */
+object CatalogQueries {
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(s"graft-$prefix").toString
+
+  val all: Seq[QueryDef] = Seq(
+
+    // SQL text over registered names, with a join + agg through spark.sql
+    QueryDef(
+      "q53_catalog_sql",
+      (s, d) => {
+        val cat = new GraftCatalog(s, scratch("cat"))
+        cat.createDatabase("db1")
+        cat.createTableAs("db1", "region_t", Tables.region(s, d))
+        cat.createTableAs("db1", "nation_t", Tables.nation(s, d))
+        cat.sql("""
+          SELECT r.r_name, count(*) AS n_nations
+          FROM graft.db1.nation_t n
+          JOIN graft.db1.region_t r ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name
+          ORDER BY r.r_name""")
+      },
+      Some("""
+        SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+      """)),
+
+    // SQL-text time travel: VERSION AS OF through the catalog
+    QueryDef(
+      "q54_catalog_time_travel_sql",
+      (s, d) => {
+        val cat = new GraftCatalog(s, scratch("cattt"))
+        cat.createDatabase("db1")
+        val sup = Tables.supplier(s, d)
+        val t = cat.createTableAs("db1", "supp_t",
+          sup.filter(col("s_suppkey") <= 50))
+        val v = t.meta.currentSnapshot.get.snapshotId
+        t.append(sup.filter(col("s_suppkey") > 50))
+        cat.sql(s"""
+          SELECT s_suppkey, s_name
+          FROM graft.db1.supp_t VERSION AS OF $v
+          ORDER BY s_suppkey""")
+      },
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey <= 50 ORDER BY s_suppkey
+      """))
+  )
+}

@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   def modules: Seq[Seq[QueryDef]] =
-    Seq(Relational.all, Versioned.all, Pipeline.all, Ingestion.all)
+    Seq(Relational.all, Versioned.all, Pipeline.all, Ingestion.all,
+      CatalogQueries.all)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatten
