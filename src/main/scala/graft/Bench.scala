@@ -1,6 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: one JSON line with per-query seconds at the target
+  * scale (driver contract).
+  *
+  * Hygiene (round-1 verdict items):
+  *   - materialization is a `noop`-format write — executes the full
+  *     plan including sorts and projections (a bare count() lets
+  *     Catalyst eliminate both);
+  *   - an untimed warmup pass at the target scale runs every query
+  *     first, so measured times are the operator steady-state, not
+  *     JVM/codegen warmup — and one-time scratch-table setup
+  *     (Versioned/Catalog queries memoize builds per scale) is paid
+  *     before the measured run;
+  *   - failures never masquerade as timings: per-query `ok` flags and
+  *     an `errors` list ride along in the JSON.
+  */
 object Bench {
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,15 +33,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val queries = graft.queries.Registry.all.sortBy(_.name)
+    // one untimed warmup pass at the TARGET scale: pays codegen/JIT,
+    // first-at-scale shuffle costs, and the one-time scratch-table
+    // builds of `needsSetup` queries — measured times are steady-state
+    // operator throughput
+    queries.foreach { q =>
+      try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = queries.map { q =>
+      val t0 = System.nanoTime()
+      val ok = try { run(q.fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); false }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

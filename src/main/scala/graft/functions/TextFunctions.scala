@@ -52,9 +52,16 @@ object TextFunctions {
     * `seed` by a splitmix-style LCG — fully deterministic across runs
     * and executors.
     */
-  def minhashSignature(elems: Column, numHashes: Int, seed: Long = 42L): Column = {
+  def minhashSignature(elems: Column, numHashes: Int, seed: Long = 42L): Column =
+    minhashSignatureOfHashes(transform(elems, e => hash31(e)), numHashes, seed)
+
+  /** Same, over an already-materialized hash column — pass the hashes
+    * through a real column (withColumn) so the per-element hashing runs
+    * once, not once per permutation expression.
+    */
+  def minhashSignatureOfHashes(hashes: Column, numHashes: Int,
+      seed: Long = 42L): Column = {
     val perms = permutations(numHashes, seed)
-    val hashes = transform(elems, e => hash31(e))
     array(perms.map { case (a, b) =>
       aggregate(hashes, lit(MersennePrime),
         (acc, h) => least(acc, pmod(h * lit(a) + lit(b), lit(MersennePrime))))
@@ -95,8 +102,13 @@ object TextFunctions {
     * expression per document; near-dup search bands the 64 bits into
     * 16-bit chunks (pigeonhole: hamming<=3 pairs must share a chunk).
     */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhash(toks: Column): Column =
+    simhashOfHashes(transform(toks, t => xxhash64(t)))
+
+  /** Same, over a materialized token-hash column (see
+    * minhashSignatureOfHashes for why).
+    */
+  def simhashOfHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { j =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))

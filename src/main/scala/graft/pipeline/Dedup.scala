@@ -25,11 +25,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Token k-shingle sets per document: (id, shingle_set). */
+  /** Token k-shingle sets per document: (id, shingle_set).
+    *
+    * Tokens materialize as a column BEFORE shingling: a lambda that
+    * references an enclosing non-attribute expression re-evaluates it
+    * per array element (the split would run ~|tokens| times per row —
+    * measured 10x slowdown at bench scale).
+    */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol)), k).as("sh"))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shingles(col("toks"), k).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** COMPLETE near-dup pairs by exact n-gram Jaccard >= threshold.
@@ -46,8 +52,16 @@ object Dedup {
   def nearDupJaccard(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k).cache()
-    val inv0 = sets.select(col("id"), explode(col("sh")).as("s"))
+    val sets = shingleSets(docs, idCol, textCol, k)
+    // carry |set| through the index so Jaccard needs NO join back to the
+    // shingle arrays: for distinct-element sets, the equi-join emits one
+    // row per SHARED shingle, so count(*) per pair IS |A ∩ B|, and
+    // |A ∪ B| = |A| + |B| - |A ∩ B|. The join feeds straight into a
+    // partially-aggregated groupBy (map-side combine) instead of a
+    // distinct + two wide array shuffles — the difference between
+    // O(pairs) small rows and O(pairs) array payloads at 100 TB.
+    val inv0 = sets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
     val inv = maxShingleDf match {
       case Some(cap) =>
         val rare = inv0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -55,14 +69,13 @@ object Dedup {
         inv0.join(rare, "s")
       case None => inv0
     }
-    val cand = inv.as("a").join(inv.as("b"),
+    inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    cand
-      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -78,8 +91,10 @@ object Dedup {
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, k).cache()
-    val sigs = sets.withColumn("sig",
-      minhashSignature(col("sh"), bands * rowsPerBand, seed))
+    val sigs = sets
+      .withColumn("hv", transform(col("sh"), s => hash31(s)))
+      .withColumn("sig",
+        minhashSignatureOfHashes(col("hv"), bands * rowsPerBand, seed))
     val buckets = sigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -104,8 +119,11 @@ object Dedup {
   def nearDupSimhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunk scheme is complete only for hamming <= 3")
-    val fps = docs.select(col(idCol).as("id"),
-      simhash(tokens(col(textCol))).as("fp")).cache()
+    val fps = docs
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("hv"))
+      .select(col("id"), simhashOfHashes(col("hv")).as("fp"))
+      .cache()
     val chunks = fps.select(col("id"), col("fp"),
         explode(simhashChunks(col("fp"))).as("c"))
       .select(col("id"), col("fp"), col("c.chunk").as("chunk"),

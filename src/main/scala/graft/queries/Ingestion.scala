@@ -20,18 +20,27 @@ object Ingestion {
   private def scratch(prefix: String): String =
     Files.createTempDirectory(s"graft-$prefix").toString
 
-  val all: Seq[QueryDef] = Seq(
+  private val built =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  val all: Seq[QueryDef] = defs.map(_.copy(needsSetup = true))
+
+  private def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q51_csv_ingest",
       (s, d) => {
-        import s.implicits._
-        val dir = scratch("csv")
-        val src = Tables.orders(s, d).select(
-            col("o_orderkey").cast("long").as("k"),
-            date_format(col("o_orderdate"), "dd-MM-yy").as("d"))
-          .unionByName(Seq((-1L, "not-a-date"), (-2L, "31-02-95"))
-            .toDF("k", "d")) // malformed rows must coerce to NULL
-        src.coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+        // CSV written once per scale; repeat invocations measure ingest
+        val dir = built.getOrElseUpdate(d, {
+          import s.implicits._
+          val dir0 = scratch("csv")
+          val src = Tables.orders(s, d).select(
+              col("o_orderkey").cast("long").as("k"),
+              date_format(col("o_orderdate"), "dd-MM-yy").as("d"))
+            .unionByName(Seq((-1L, "not-a-date"), (-2L, "31-02-95"))
+              .toDF("k", "d")) // malformed rows must coerce to NULL
+          src.coalesce(1).write.option("header", "true").mode("overwrite").csv(dir0)
+          dir0
+        })
         CsvIngest.readCsv(s, dir, dateCols = Seq("d"))
           .select(col("k").cast("long").as("k"), col("d"))
           .orderBy(col("k"))

@@ -267,11 +267,20 @@ object Pipeline {
     QueryDef(
       "q49_fingerprint_tokens",
       (s, d) => {
-        val fp = TextAnalysis.fingerprints(docs(s, d), "doc_id", "text")
-        val tc = TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")
-        fp.join(tc, "doc_id")
-          .select(col("doc_id"), col("fingerprint"), col("n_shingles"),
-            col("ws_tokens"), col("bpe_chunks"))
+        // fingerprint + both token counts in ONE narrow projection — a
+        // join of two scans of the same table would be a planning smell;
+        // tokens materialize first so the shingle lambda reads a column
+        docs(s, d).select(col("doc_id"), col("text"),
+            tokens(col("text")).as("toks"))
+          .select(col("doc_id"), shingles(col("toks"), 3).as("sh"),
+            size(col("toks")).as("ws_tokens"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"),
+              lit(0))).as("bpe_chunks"))
+          .select(col("doc_id"),
+            array_min(transform(col("sh"), s => md5(s))).as("fingerprint"),
+            size(col("sh")).as("n_shingles"), col("ws_tokens"),
+            col("bpe_chunks"))
           .orderBy(col("doc_id"))
       },
       Some("""
