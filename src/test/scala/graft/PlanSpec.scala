@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.GraftTable
+import graft.ingest.JsonIngest
+
+/** Plan-quality gates: the properties that make these operators hold at
+  * 100 TB are asserted on the actual physical plans, so a regression
+  * (lost pushdown, un-broadcast dim, un-pruned scan, codegen fallback)
+  * fails the build, not just the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections push into the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must read only projected columns:\n$p")
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side for dims") {
+    val q05 = graft.queries.Registry.all.find(_.name == "q05_revenue_by_nation").get
+    val p = plan(q05.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    // exactly one shuffle join (lineitem x orders); dims never shuffle-join
+    assert(!p.contains("SortMergeJoin") || p.split("SortMergeJoin").length <= 2)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val df = Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc).limit(10)
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the relational hot path") {
+    // lambda-bearing higher-order functions (transform/filter/aggregate)
+    // are excluded from whole-stage codegen by Spark itself; the gate
+    // here is that scan->filter->agg pipelines stay fused
+    // AQE inserts codegen stages only when the plan finalizes at
+    // execution; run first, then check the final plan's "*(n)" markers
+    val q01 = graft.queries.Registry.all.find(_.name == "q01_pricing_summary").get
+    val df = q01.fn(spark, sf)
+    df.collect() // a write would plan its own QueryExecution; collect
+                 // finalizes THIS df's adaptive plan in place
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("*("), s"agg pipeline must have codegen stages:\n$p")
+    // and the text path still prunes to exactly the needed columns
+    val f = graft.pipeline.TextAnalysis.docFeatures(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val tp = plan(f.select("doc_id", "n_tokens", "n_stop"))
+    assert(tp.contains("Batched: true"), s"vectorized parquet read:\n$tp")
+  }
+
+  test("versioned-table partition pruning reads only matching files") {
+    import spark.implicits._
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft-plan").toString, "ev",
+      Seq("id" -> "long", "added_at" -> "timestamp"),
+      partition = Seq("added_at" -> "day"))
+    t.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-02-23 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2025-02-24 11:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2025-02-25 09:00:00"))).toDF("id", "added_at"))
+    val pruned = t.readPruned(_.get("added_at_day").contains("2025-02-24"))
+    assert(pruned.inputFiles.length == 1, "pruning is metadata-only, 1 file read")
+    val full = t.read()
+    assert(full.inputFiles.length == 3)
+  }
+
+  test("JSON metadata documents read as DataFrames (S4)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft-json").toString, "jt",
+      Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    val df = JsonIngest.readTableMetadata(spark, t.location)
+    val row = df.select("name", "formatVersion", "currentSchemaId").head()
+    assert(row.getString(0) == "jt")
+    assert(row.getLong(1) == 2L)
+    // snapshots array surfaces as queryable nested structure
+    assert(df.select(explode(col("snapshots")).as("s"))
+      .select("s.operation").as[String].collect().toSeq == Seq("append"))
+  }
+}
