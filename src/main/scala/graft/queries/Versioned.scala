@@ -243,6 +243,44 @@ object Versioned {
         FROM supplier WHERE s_acctbal < 0.0 ORDER BY s_suppkey
       """)),
 
+    // Metadata tables (M1/M2/M4): snapshot ids and timestamps are
+    // nondeterministic, but the OPERATION SEQUENCE and ancestry flags
+    // are not — oracle them against literal VALUES.
+    QueryDef(
+      "q55_metadata_tables",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val loc = setupOnce("q55", d) {
+          val l = scratch("metat")
+          val t = GraftTable.createAs(s, l, "region_v", Tables.region(s, d))
+          t.append(Tables.region(s, d))
+          t.delete(col("r_regionkey") === 0)
+          l
+        }
+        val t = GraftTable.load(s, loc)
+        val w = Window.orderBy(col("committed_at"), col("snapshot_id"))
+        val snaps = t.snapshotsDf
+          .withColumn("seq", row_number().over(w))
+          .select(col("seq"), col("operation"))
+        val hist = t.history
+          .agg(count(lit(1)).as("n_history"),
+            sum(when(col("is_current_ancestor"), 1L).otherwise(0L)).as("n_ancestors"))
+        val refs = t.refs.select(col("name"), col("type"))
+        snaps.join(hist).join(refs)
+          .select(col("seq"), col("operation"), col("n_history"),
+            col("n_ancestors"), col("name").as("ref_name"),
+            col("type").as("ref_type"))
+          .orderBy(col("seq"))
+      },
+      Some("""
+        SELECT seq, operation,
+               CAST(3 AS BIGINT) AS n_history, CAST(3 AS BIGINT) AS n_ancestors,
+               'main' AS ref_name, 'BRANCH' AS ref_type
+        FROM (VALUES (1, 'append'), (2, 'append'), (3, 'delete'))
+             AS t(seq, operation)
+        ORDER BY seq
+      """)),
+
     // ADD COLUMN null-fill (D3): old files surface the new column as NULL.
     QueryDef(
       "q36_add_column",
