@@ -83,9 +83,50 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   private def readSnapshot(m: TableMetadata, snap: Option[Snapshot]): DataFrame =
     snap match {
-      case None    => emptyDf(m)
-      case Some(s) => readFiles(m, s.files)
+      case None => emptyDf(m)
+      case Some(s) if s.deleteFiles.isEmpty => readFiles(m, s.files)
+      case Some(s) =>
+        // merge-on-read: anti-join positional delete rows; delete files
+        // are small relative to data, so they broadcast
+        applyDeletes(readFilesTagged(m, s.files), s.deleteFiles)
+          .drop("_g_path", "_g_pos")
     }
+
+  /** Data read with per-row provenance for MoR: absolute file path +
+    * row index from the parquet reader's metadata columns.
+    */
+  private def readFilesTagged(m: TableMetadata, files: Vector[DataFileEntry]): DataFrame = {
+    val cur = m.currentSchema
+    if (files.isEmpty)
+      return emptyDf(m).withColumn("_g_path", lit(""))
+        .withColumn("_g_pos", lit(0L))
+    val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    bySchema.map { case (sid, fs) =>
+      val written = m.schemaById(sid)
+        .getOrElse(sys.error(s"schema $sid missing from metadata"))
+      val raw = spark.read.schema(written.toStructType)
+        .parquet(fs.map(f => s"$location/${f.path}"): _*)
+      val cols = cur.fields.map { f =>
+        written.fieldById(f.id) match {
+          case Some(w) => col(s"`${w.name}`").cast(f.sparkType).as(f.name)
+          case None    => lit(null).cast(f.sparkType).as(f.name)
+        }
+      } ++ Seq(col("_metadata.file_path").as("_g_path"),
+        col("_metadata.row_index").as("_g_pos"))
+      raw.select(cols: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def applyDeletes(tagged: DataFrame,
+      deletes: Vector[DataFileEntry]): DataFrame = {
+    if (deletes.isEmpty) return tagged
+    val delDf = spark.read
+      .schema("file_path STRING, pos BIGINT")
+      .parquet(deletes.map(f => s"$location/${f.path}"): _*)
+    tagged.join(broadcast(delDf),
+      tagged("_g_path") === delDf("file_path") && tagged("_g_pos") === delDf("pos"),
+      "left_anti")
+  }
 
   /** Field-id mapped read: group files by written schema, read each group
     * with its write-time schema, rename/null-fill to the current schema,
@@ -127,7 +168,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val carried =
       if (carryOver) m.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ keepFiles
       else keepFiles
-    commitSnapshot(m, op, carried ++ written)
+    // appends carry existing positional deletes; overwrite resets them
+    val carriedDeletes =
+      if (carryOver) m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+      else Vector.empty
+    commitSnapshot(m, op, carried ++ written, carriedDeletes)
     this
   }
 
@@ -199,7 +244,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     ParquetFooterStats.read(path, spark.sessionState.newHadoopConf())
 
   private def commitSnapshot(m: TableMetadata, op: String,
-      files: Vector[DataFileEntry]): Unit = {
+      files: Vector[DataFileEntry],
+      deleteFiles: Vector[DataFileEntry] = Vector.empty): Unit = {
     val now = System.currentTimeMillis()
     val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
     val snap = Snapshot(
@@ -208,7 +254,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       files = files,
       summary = Map(
         "total-records" -> files.map(_.recordCount).sum.toString,
-        "total-data-files" -> files.size.toString))
+        "total-data-files" -> files.size.toString,
+        "total-delete-files" -> deleteFiles.size.toString,
+        "total-position-deletes" -> deleteFiles.map(_.recordCount).sum.toString),
+      deleteFiles = deleteFiles)
     MetadataIO.commit(m.copy(
       currentSnapshotId = Some(id),
       snapshots = m.snapshots :+ snap,
@@ -217,23 +266,80 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   // ------------------------------------------------------- row-level DML
 
-  /** DELETE FROM t WHERE cond — file-granularity copy-on-write
-    * (reference: cell 11; Iceberg wrote positional deletes, CoW is
-    * semantically equivalent — SURVEY §2.10 M-D).
+  /** DELETE FROM t WHERE cond — mode chosen by `write.delete.mode`
+    * (reference: TBLPROPERTIES, cell 18): copy-on-write (default)
+    * rewrites the touched files; merge-on-read writes positional
+    * delete files (`*-deletes.parquet` on disk like the reference's
+    * table3/table2) that readers anti-join.
     *
     * SQL three-valued logic: only rows where cond is TRUE are removed;
     * rows where cond evaluates to NULL survive (plain `!cond` would drop
     * them — silent data loss).
     */
-  def delete(cond: Column): GraftTable = rewriteMatching(cond, "delete", identity)
+  def delete(cond: Column): GraftTable =
+    if (deleteMode == "merge-on-read") mergeOnReadDml(cond, None)
+    else rewriteMatching(cond, "delete", identity)
 
-  /** UPDATE t SET ... WHERE cond (reference: cells 19/24; SURVEY M-U). */
+  /** UPDATE t SET ... WHERE cond (reference: cells 19/24; SURVEY M-U).
+    * Merge-on-read plans as delete-matched + append-updated (what the
+    * reference's `write.update.mode=merge-on-read` does physically).
+    */
   def update(cond: Column, assignments: Map[String, Column]): GraftTable =
-    rewriteMatching(cond, "overwrite", df => {
+    if (updateMode == "merge-on-read") mergeOnReadDml(cond, Some(assignments))
+    else rewriteMatching(cond, "overwrite", df => {
       assignments.foldLeft(df) { case (d, (c, v)) =>
         d.withColumn(c, when(cond, v).otherwise(col(s"`$c`")))
       }
     })
+
+  private def deleteMode: String =
+    meta.properties.getOrElse("write.delete.mode", "copy-on-write")
+  private def updateMode: String =
+    meta.properties.getOrElse("write.update.mode",
+      meta.properties.getOrElse("write.delete.mode", "copy-on-write"))
+
+  /** Merge-on-read row-level DML: stats-pruned candidate scan finds
+    * matching rows; their (file_path, row_index) pairs land in a new
+    * positional delete file; UPDATE additionally appends the updated
+    * copies. Data files are never rewritten — the write cost is
+    * O(matched rows), the read cost an anti-join against (small,
+    * broadcast) delete files until `rewriteDataFiles()` compacts.
+    */
+  private def mergeOnReadDml(cond: Column,
+      assignments: Option[Map[String, Column]]): GraftTable = {
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(return this)
+    val candidates = StatsPruning.candidates(m, snap.files, exprOf(cond))
+    if (candidates.isEmpty) return this
+    // existing deletes must apply first: an already-deleted row must not
+    // be re-deleted (harmless) or re-updated (row resurrection!)
+    val live = applyDeletes(readFilesTagged(m, candidates), snap.deleteFiles)
+    val matched = live.filter(cond).cache()
+    try {
+      val delRows = matched.select(col("_g_path").as("file_path"),
+        col("_g_pos").as("pos"))
+      if (delRows.isEmpty) return this
+      val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
+      val delRel = s"data/${UUID.randomUUID().toString}-deletes"
+      val delAbs = s"$location/$delRel"
+      delRows.write.mode("errorifexists").option("compression", codec)
+        .parquet(delAbs)
+      val delEntries = listParquet(delAbs).map { abs =>
+        val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
+        DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
+      }
+      val (dataFiles, op) = assignments match {
+        case None => (snap.files, "delete")
+        case Some(as) =>
+          val updated = as.foldLeft(matched.drop("_g_path", "_g_pos")) {
+            case (d, (c, v)) => d.withColumn(c, v)
+          }
+          (snap.files ++ writeFiles(m, updated), "overwrite")
+      }
+      commitSnapshot(m, op, dataFiles, snap.deleteFiles ++ delEntries)
+      this
+    } finally matched.unpersist()
+  }
 
   /** Files that could contain rows matching cond, decided purely from
     * per-file min/max stats in the manifest — a 1-row DELETE at 100 TB
@@ -268,14 +374,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val touched = snap.files.filter(f =>
       touchedAbs.contains(normalizePath(s"$location/${f.path}")))
     val untouched = snap.files.filterNot(touched.contains)
-    val survivors0 = readFiles(m, touched)
+    // rewriting a file must not resurrect rows a positional delete
+    // already removed (tables can switch write modes between commits)
+    val survivors0 =
+      if (snap.deleteFiles.isEmpty) readFiles(m, touched)
+      else applyDeletes(readFilesTagged(m, touched), snap.deleteFiles)
+        .drop("_g_path", "_g_pos")
     val survivors = op match {
       // keep rows where cond is not TRUE (NULL-safe: NULL keeps the row)
       case "delete" => survivors0.filter(!coalesce(cond, lit(false)))
       case _        => transform(survivors0)
     }
     val written = writeFiles(m, survivors)
-    commitSnapshot(m, op, untouched ++ written)
+    commitSnapshot(m, op, untouched ++ written, snap.deleteFiles)
     this
   }
 
@@ -359,6 +470,90 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  // ----------------------------------------------------- maintenance ops
+
+  /** Compaction (Iceberg's rewrite_data_files): materialize the current
+    * snapshot (deletes applied) into fresh files; positional delete
+    * files stop being needed and the read path returns to plain scans.
+    */
+  def rewriteDataFiles(): GraftTable = {
+    val m = meta
+    val df = read()
+    val written = writeFiles(m, df)
+    commitSnapshot(m, "replace", written, Vector.empty)
+    this
+  }
+
+  /** Expire snapshots (Iceberg's expire_snapshots): keep the most
+    * recent `keepLast` plus anything a ref points at; history/metadata
+    * stay bounded as the table ages. Metadata-only — data files are
+    * reclaimed separately by removeOrphanFiles.
+    */
+  def expireSnapshots(keepLast: Int): GraftTable = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val m = meta
+    val pinned = m.refs.map(_.snapshotId).toSet ++ m.currentSnapshotId
+    val keep = m.snapshots.sortBy(-_.timestampMs).take(keepLast)
+      .map(_.snapshotId).toSet ++ pinned
+    MetadataIO.commit(m.copy(
+      snapshots = m.snapshots.filter(s => keep(s.snapshotId)),
+      snapshotLog = m.snapshotLog.filter(e => keep(e.snapshotId))))
+    this
+  }
+
+  /** Physically delete data/delete files not referenced by any
+    * retained snapshot (Iceberg's remove_orphan_files). The only op
+    * that lists directories — it is maintenance, not planning.
+    */
+  def removeOrphanFiles(): Vector[String] = {
+    val m = meta
+    val referenced = m.snapshots
+      .flatMap(s => s.files ++ s.deleteFiles).map(_.path).toSet
+    val dataRoot = Paths.get(location, "data")
+    val orphans = listParquet(dataRoot.toString).filterNot { abs =>
+      referenced(abs.stripPrefix(location + "/"))
+    }
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans
+  }
+
+  // -------------------------------------------------------- branch/tag refs
+
+  /** Immutable tag at a snapshot (default: current). */
+  def createTag(name: String, snapshotId: Option[Long] = None): GraftTable =
+    addRef(name, "TAG", snapshotId)
+
+  /** Named branch pointer at a snapshot (default: current). */
+  def createBranch(name: String, snapshotId: Option[Long] = None): GraftTable =
+    addRef(name, "BRANCH", snapshotId)
+
+  private def addRef(name: String, tpe: String, snapshotId: Option[Long]): GraftTable = {
+    val m = meta
+    require(name != "main" && !m.refs.exists(_.name == name), s"ref $name exists")
+    val id = snapshotId.orElse(m.currentSnapshotId)
+      .getOrElse(sys.error("no snapshot to reference"))
+    require(m.snapshotById(id).isDefined, s"no snapshot $id")
+    MetadataIO.commit(m.copy(refs = m.refs :+ TableRef(name, tpe, id)))
+    this
+  }
+
+  def dropRef(name: String): GraftTable = {
+    val m = meta
+    MetadataIO.commit(m.copy(refs = m.refs.filterNot(_.name == name)))
+    this
+  }
+
+  /** Read the snapshot a ref points at (VERSION AS OF by name). */
+  def readRef(name: String): DataFrame = {
+    val m = meta
+    if (name == "main") read()
+    else {
+      val r = m.refs.find(_.name == name)
+        .getOrElse(sys.error(s"no ref $name"))
+      readSnapshot(m, m.snapshotById(r.snapshotId))
+    }
+  }
+
   // ------------------------------------------------- metadata tables M1-M5
 
   import spark.implicits._
@@ -397,10 +592,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("timestamp", "file")
   }
 
-  /** t.refs (SURVEY M4): single main branch. */
+  /** t.refs (SURVEY M4): main plus named branches/tags. */
   def refs: DataFrame = {
     val m = meta
-    m.currentSnapshotId.map(id => ("main", "BRANCH", id)).toSeq
+    (m.currentSnapshotId.map(id => ("main", "BRANCH", id)).toSeq ++
+      m.refs.map(r => (r.name, r.refType, r.snapshotId)))
       .toDF("name", "type", "snapshot_id")
   }
 
@@ -426,8 +622,18 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val toSnap = m.snapshotById(toSnapshotId)
       .getOrElse(sys.error(s"no snapshot $toSnapshotId"))
-    val fromFiles = fromSnapshotId.flatMap(m.snapshotById)
-      .map(_.files).getOrElse(Vector.empty)
+    val fromSnap = fromSnapshotId.flatMap(m.snapshotById)
+    if (toSnap.deleteFiles.nonEmpty || fromSnap.exists(_.deleteFiles.nonEmpty)) {
+      // merge-on-read snapshots: positional deletes break the
+      // "carried file = identical rows" invariant, so diff the
+      // materialized (delete-applied) snapshots. Correct always;
+      // the metadata-only fast path below covers the CoW common case.
+      val newDf = readSnapshot(m, Some(toSnap))
+      val oldDf = fromSnap.map(s => readSnapshot(m, Some(s))).getOrElse(emptyDf(m))
+      return newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert"))
+        .unionByName(oldDf.exceptAll(newDf).withColumn("_change_type", lit("delete")))
+    }
+    val fromFiles = fromSnap.map(_.files).getOrElse(Vector.empty)
     val fromPaths = fromFiles.map(_.path).toSet
     val toPaths = toSnap.files.map(_.path).toSet
     val added = toSnap.files.filterNot(f => fromPaths(f.path))

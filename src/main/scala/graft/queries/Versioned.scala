@@ -281,6 +281,32 @@ object Versioned {
         ORDER BY seq
       """)),
 
+    // Merge-on-read DELETE (M-D, reference's write.delete.mode=
+    // merge-on-read with on-disk *-deletes.parquet): positional delete
+    // files anti-join at read time; same survivors as the CoW oracle.
+    QueryDef(
+      "q56_mor_delete",
+      (s, d) => {
+        val loc = setupOnce("q56", d) {
+          val l = scratch("mor")
+          val t = GraftTable.createAs(s, l, "supplier_mor",
+            Tables.supplier(s, d),
+            properties = Map("write.delete.mode" -> "merge-on-read"))
+          t.delete(col("s_acctbal") < 0.0)
+          require(t.meta.currentSnapshot.get.deleteFiles.nonEmpty,
+            "MoR delete must write positional delete files")
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier WHERE NOT (s_acctbal < 0.0) ORDER BY s_suppkey
+      """)),
+
     // ADD COLUMN null-fill (D3): old files surface the new column as NULL.
     QueryDef(
       "q36_add_column",

@@ -94,12 +94,25 @@ final case class DataFileEntry(path: String, recordCount: Long,
 
 /** A committed table version: full file list + provenance.
   * operation: "append" | "overwrite" | "delete" | "replace".
+  *
+  * deleteFiles are POSITIONAL delete files (merge-on-read, the
+  * reference's `write.delete.mode=merge-on-read` with on-disk
+  * `*-deletes.parquet` — format-v2 semantics): parquet of
+  * (file_path, pos) rows that readers anti-join against data rows.
+  * Empty under copy-on-write.
   */
 final case class Snapshot(snapshotId: Long, parentId: Option[Long],
     timestampMs: Long, operation: String, schemaId: Int, specId: Int,
-    files: Vector[DataFileEntry], summary: Map[String, String] = Map.empty) {
+    files: Vector[DataFileEntry], summary: Map[String, String] = Map.empty,
+    deleteFiles: Vector[DataFileEntry] = Vector.empty) {
   def totalRecords: Long = files.map(_.recordCount).sum
 }
+
+/** A named ref: "BRANCH" moves with writes on that branch; "TAG" is an
+  * immutable snapshot pointer (Iceberg's refs model; the reference's
+  * `t.refs` metadata table, cell 44).
+  */
+final case class TableRef(name: String, refType: String, snapshotId: Long)
 
 final case class MetadataLogEntry(timestampMs: Long, file: String)
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
@@ -119,7 +132,8 @@ final case class TableMetadata(
     snapshots: Vector[Snapshot],
     snapshotLog: Vector[SnapshotLogEntry],
     metadataLog: Vector[MetadataLogEntry],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    refs: Vector[TableRef] = Vector.empty) {
 
   def currentSchema: VersionedSchema =
     schemas.find(_.schemaId == currentSchemaId)

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.GraftTable
+
+/** Merge-on-read DML (positional delete files, the reference's
+  * format-v2 `write.delete.mode=merge-on-read` with on-disk
+  * `*-deletes.parquet`), plus table maintenance (compaction, snapshot
+  * expiry, orphan cleanup) and branch/tag refs.
+  */
+class MergeOnReadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-mor").toString
+
+  private def morTable(): GraftTable = {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t3",
+      Seq("id" -> "long", "name" -> "string", "age" -> "int"),
+      properties = Map("write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read"))
+    t.append(Seq((1L, "a", 30), (2L, "b", 40)).toDF("id", "name", "age"))
+    t.append(Seq((3L, "c", 50), (4L, "d", 60)).toDF("id", "name", "age"))
+    t
+  }
+
+  test("MoR delete writes positional delete files, no data rewrite") {
+    import spark.implicits._
+    val t = morTable()
+    val dataBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    t.delete(col("id") === 2L)
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.operation == "delete")
+    assert(snap.files.map(_.path).toSet == dataBefore, "data files untouched")
+    assert(snap.deleteFiles.nonEmpty, "positional delete file written")
+    assert(snap.deleteFiles.forall(_.path.contains("-deletes")))
+    assert(snap.summary("total-position-deletes") == "1")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("MoR update appends updated rows and hides originals") {
+    import spark.implicits._
+    val t = morTable()
+    val nBefore = t.meta.currentSnapshot.get.files.size
+    t.update(col("id") === 1L, Map("age" -> lit(31)))
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.operation == "overwrite")
+    assert(snap.files.size > nBefore, "updated copies appended")
+    assert(snap.deleteFiles.nonEmpty)
+    val got = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 31), (2L, 40), (3L, 50), (4L, 60)))
+  }
+
+  test("MoR deletes accumulate; time travel sees pre-delete state") {
+    import spark.implicits._
+    val t = morTable()
+    val v0 = t.meta.currentSnapshot.get.snapshotId
+    t.delete(col("id") === 1L)
+    t.delete(col("id") === 3L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    assert(t.meta.currentSnapshot.get.deleteFiles.size == 2)
+    assert(t.readAsOfVersion(v0).count() == 4)
+    // deleting an already-deleted row is a no-op (no new snapshot)
+    val nSnaps = t.meta.snapshots.size
+    t.delete(col("id") === 1L)
+    assert(t.meta.snapshots.size == nSnaps)
+  }
+
+  test("MoR update does not resurrect rows deleted earlier") {
+    import spark.implicits._
+    val t = morTable()
+    t.delete(col("id") === 2L)
+    t.update(col("age") >= 30, Map("age" -> (col("age") + 1)))
+    val got = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 31), (3L, 51), (4L, 61)))
+  }
+
+  test("CoW delete on a table with existing positional deletes") {
+    import spark.implicits._
+    val t = morTable()
+    t.delete(col("id") === 2L) // MoR
+    t.setProperties(Map("write.delete.mode" -> "copy-on-write"))
+    t.delete(col("id") === 3L) // CoW rewrite must not resurrect id=2
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("changelog across MoR delete reports the deleted rows") {
+    import spark.implicits._
+    val t = morTable()
+    t.delete(col("id") === 4L)
+    val cur = t.meta.currentSnapshot.get
+    val ch = t.changelog(cur.parentId, cur.snapshotId).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(ch == Set((4L, "delete")))
+  }
+
+  test("rewriteDataFiles compacts away delete files") {
+    import spark.implicits._
+    val t = morTable()
+    t.delete(col("id") === 2L)
+    t.rewriteDataFiles()
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.isEmpty)
+    assert(snap.operation == "replace")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // compaction preserves history: pre-compaction snapshot still reads
+    val parent = snap.parentId.get
+    assert(t.readAsOfVersion(parent).count() == 3)
+  }
+
+  test("expireSnapshots + removeOrphanFiles reclaim history and disk") {
+    import spark.implicits._
+    val t = morTable()
+    t.delete(col("id") === 2L)
+    t.rewriteDataFiles()
+    val before = t.meta.snapshots.size
+    assert(before == 4)
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.snapshots.size == 1)
+    val orphans = t.removeOrphanFiles()
+    assert(orphans.nonEmpty, "expired snapshots' files reclaimed")
+    // current state unaffected
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("tags and branches pin snapshots; expiry respects refs") {
+    import spark.implicits._
+    val t = morTable()
+    val v0 = t.meta.currentSnapshot.get.snapshotId
+    t.createTag("v1.0", Some(v0))
+    t.delete(col("id") === 1L)
+    t.createBranch("audit")
+    assert(t.readRef("v1.0").count() == 4)
+    assert(t.readRef("audit").count() == 3)
+    assert(t.refs.count() == 3) // main + tag + branch
+    t.expireSnapshots(keepLast = 1)
+    // tag-pinned snapshot survives expiry
+    assert(t.readRef("v1.0").count() == 4)
+    t.dropRef("audit")
+    assert(t.refs.count() == 2)
+    intercept[RuntimeException](t.readRef("nope"))
+  }
+}

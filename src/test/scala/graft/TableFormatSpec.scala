@@ -108,6 +108,33 @@ class TableFormatSpec extends AnyFunSuite {
     assert(m.snapshotById(99L).isEmpty)
   }
 
+  test("older metadata JSON without newer fields still reads (defaults apply)") {
+    // simulate a document written before bounds/deleteFiles/refs existed
+    val loc = tmp()
+    val json =
+      """{
+        |  "name":"old","location":"LOC","formatVersion":2,
+        |  "currentSchemaId":0,
+        |  "schemas":[{"schemaId":0,"fields":[{"id":1,"name":"id","dataType":"long","nullable":true}]}],
+        |  "currentSpecId":0,"partitionSpecs":[{"specId":0,"fields":[]}],
+        |  "currentSnapshotId":7,
+        |  "snapshots":[{"snapshotId":7,"timestampMs":1000,"operation":"append",
+        |    "schemaId":0,"specId":0,
+        |    "files":[{"path":"data/a.parquet","recordCount":3,"schemaId":0}],
+        |    "summary":{}}],
+        |  "snapshotLog":[{"timestampMs":1000,"snapshotId":7}],
+        |  "metadataLog":[],"properties":{}
+        |}""".stripMargin.replace("LOC", loc)
+    Files.createDirectories(java.nio.file.Paths.get(loc, "metadata"))
+    Files.writeString(MetadataIO.metadataPath(loc, 1), json)
+    Files.writeString(java.nio.file.Paths.get(loc, "metadata", "version-hint.text"), "1")
+    val m = MetadataIO.read(loc)
+    val s = m.currentSnapshot.get
+    assert(s.files.head.lowerBounds.isEmpty && s.deleteFiles.isEmpty)
+    assert(s.parentId.isEmpty)
+    assert(m.refs.isEmpty)
+  }
+
   test("nextFieldId never reuses dropped ids") {
     val s0 = VersionedSchema(0, Vector(FieldDef(1, "a", "int"), FieldDef(2, "b", "int")))
     val s1 = VersionedSchema(1, Vector(FieldDef(1, "a", "int")))
