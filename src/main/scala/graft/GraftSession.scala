@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the library's recommended configuration, set
+  * ONCE at construction (a loader silently flipping session-wide flags
+  * mid-query is a trap for every other reader in the session):
+  *
+  *   - UTC session timezone (reference uses timestamptz; oracle
+  *     comparisons need a pinned zone);
+  *   - zstd parquet writes (reference's
+  *     write.parquet.compression-codec on every table);
+  *   - nanosAsLong so TIMESTAMP(NANOS) parquet (the events fixture)
+  *     reads as a long instead of erroring — `Tables.events` then
+  *     normalizes to a micros timestamp;
+  *   - shuffle partitions sized to the core count, not the 200
+  *     default (right for local/bench; a real cluster deployment
+  *     should size to executors x cores, or rely on AQE coalescing).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val parts = shufflePartitions.getOrElse(
+      Runtime.getRuntime.availableProcessors())
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+}

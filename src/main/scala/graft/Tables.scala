@@ -29,9 +29,15 @@ object Tables {
     * unless spark.sql.legacy.parquet.nanosAsLong=true (then it surfaces as
     * a nanos-since-epoch long). Normalize to a proper TimestampType by
     * truncating to micros, so downstream queries see a timestamp column.
+    *
+    * The flag must be set at session construction (GraftSession.builder
+    * does) — a loader mutating session conf mid-flight would silently
+    * change how OTHER nanos-typed parquet reads behave.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see GraftSession.builder)")
     val df = load(s, d, "events")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

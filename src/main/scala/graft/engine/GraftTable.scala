@@ -650,6 +650,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .unionByName(deletes.withColumn("_change_type", lit("delete")))
   }
 
+  /** Incremental append scan (Iceberg's incremental read): rows in
+    * files ADDED between two snapshots — the batch form of "consume the
+    * table as a stream of appends". Metadata-only file selection; a
+    * consumer tracking its last-seen snapshot reads only new data.
+    */
+  def readAppendsBetween(fromSnapshotId: Option[Long],
+      toSnapshotId: Long): DataFrame = {
+    val m = meta
+    val toSnap = m.snapshotById(toSnapshotId)
+      .getOrElse(sys.error(s"no snapshot $toSnapshotId"))
+    val fromPaths = fromSnapshotId.flatMap(m.snapshotById)
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    readFiles(m, toSnap.files.filterNot(f => fromPaths(f.path)))
+  }
+
   /** Changelog of the latest commit, registered as `<name>_changes`
     * (reference notebook cells 32-35 query `table3_changes`).
     */

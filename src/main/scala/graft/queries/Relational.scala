@@ -287,6 +287,28 @@ object Relational {
         ORDER BY o_orderkey
       """)),
 
+    // ---- NULL + inequality predicates (SURVEY §2.2 F5/F6) ---------------
+    // the fixture has no NULL columns; nullif derives them
+    // deterministically so IS NULL / IS NOT NULL / != run under oracle
+    QueryDef(
+      "q17_null_predicates",
+      (s, d) =>
+        li(s, d)
+          .withColumn("flag", nullif(col("l_returnflag"), lit("N")))
+          .filter(col("flag").isNull && col("l_linestatus") =!= "F" &&
+            col("l_quantity") > lit(49.0))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("flag"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               nullif(l_returnflag, 'N') AS flag
+        FROM lineitem
+        WHERE nullif(l_returnflag, 'N') IS NULL
+          AND l_linestatus != 'F' AND l_quantity > 49.0
+        ORDER BY l_orderkey, l_linenumber
+      """)),
+
     // ---- ROLLUP grouping (SURVEY §2.4: grouping-set builtins) ------------
     QueryDef(
       "q12_rollup",

