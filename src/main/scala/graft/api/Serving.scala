@@ -65,15 +65,24 @@ object Serving {
 
   /** GET /<table>/snapshot/<date> — FOR SYSTEM_TIME AS OF with the
     * reference's input normalization (apiv15.py:136,153: pandas
-    * to_datetime then %Y-%m-%d). Accepts date or timestamp strings.
+    * to_datetime then %Y-%m-%d). Accepts date or timestamp strings,
+    * interpreted in UTC (commit timestamps are epoch millis and the
+    * session timezone is pinned UTC — a JVM-default-zone parse would
+    * make the same call return different snapshots on different hosts).
     */
   def getSnapshot(t: GraftTable, asOf: String): Result = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
     val ts =
       try {
-        if (asOf.contains(":")) java.sql.Timestamp.valueOf(asOf).getTime
-        else java.sql.Date.valueOf(asOf).getTime + 86399999L // end of day
+        val s = asOf.trim
+        if (s.contains(":"))
+          LocalDateTime.parse(s.replace(" ", "T"))
+            .toInstant(ZoneOffset.UTC).toEpochMilli
+        else // end of the named day, inclusive
+          LocalDate.parse(s).plusDays(1).atStartOfDay
+            .toInstant(ZoneOffset.UTC).toEpochMilli - 1L
       } catch {
-        case _: IllegalArgumentException =>
+        case _: java.time.format.DateTimeParseException =>
           return BadRequest(s"unparseable timestamp '$asOf'")
       }
     Ok(jsonRecords(t.readAsOfTime(ts)))

@@ -124,32 +124,44 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     """graft\.([A-Za-z0-9_]+)\.([A-Za-z0-9_]+)(\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']+)'|\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
 
   /** Run SQL text containing `graft.db.table` references (with optional
-    * time-travel suffixes). Each distinct reference is materialized as a
-    * temp view; the rewritten text goes to spark.sql so Catalyst handles
-    * everything else (joins, aggregates, windows...).
+    * time-travel suffixes). Each distinct (table, travel) reference is
+    * materialized as ONE temp view — repeated occurrences (e.g. a
+    * qualified column `graft.db.t.c` alongside `FROM graft.db.t`)
+    * rewrite to the same name, so qualifiers keep resolving. The
+    * rewritten text goes to spark.sql so Catalyst handles everything
+    * else (joins, aggregates, windows...).
     */
   def sql(query: String): DataFrame = {
-    var n = 0
+    val views = scala.collection.mutable.Map[String, String]()
     val rewritten = qualified.replaceAllIn(query, m => {
       val (db, tbl) = (m.group(1), m.group(2))
-      val t = table(db, tbl)
-      val df = (Option(m.group(4)), Option(m.group(5))) match {
-        case (Some(ts), _) => t.readAsOfTime(parseTs(ts))
-        case (_, Some(v))  => t.readAsOfVersion(v.toLong)
-        case _             => t.read()
-      }
-      n += 1
-      val view = s"graft_${db}_${tbl}_$n"
-      df.createOrReplaceTempView(view)
-      view
+      val travel = Option(m.group(3)).getOrElse("")
+      views.getOrElseUpdate(s"$db.$tbl$travel", {
+        val t = table(db, tbl)
+        val df = (Option(m.group(4)), Option(m.group(5))) match {
+          case (Some(ts), _) => t.readAsOfTime(parseTs(ts))
+          case (_, Some(v))  => t.readAsOfVersion(v.toLong)
+          case _             => t.read()
+        }
+        val view = s"graft_${db}_${tbl}_${views.size}"
+        df.createOrReplaceTempView(view)
+        view
+      })
     })
     spark.sql(rewritten)
   }
 
-  private def parseTs(s: String): Long =
-    try java.sql.Timestamp.valueOf(s).getTime
-    catch {
-      case _: IllegalArgumentException =>
-        java.sql.Date.valueOf(s).getTime
-    }
+  /** Timestamps/dates in SQL text are interpreted in UTC, matching the
+    * pinned session timezone — java.sql.Timestamp.valueOf would use the
+    * JVM default zone and shift results between hosts.
+    */
+  private def parseTs(s: String): Long = {
+    val t = s.trim
+    if (t.contains(":"))
+      java.time.LocalDateTime.parse(t.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    else
+      java.time.LocalDate.parse(t).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
 }

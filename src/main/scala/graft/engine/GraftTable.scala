@@ -622,7 +622,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val toSnap = m.snapshotById(toSnapshotId)
       .getOrElse(sys.error(s"no snapshot $toSnapshotId"))
-    val fromSnap = fromSnapshotId.flatMap(m.snapshotById)
+    // an unknown/expired start snapshot must fail loudly: silently
+    // treating it as "empty table" would re-emit every live row as an
+    // insert to a CDC consumer
+    val fromSnap = fromSnapshotId.map(id => m.snapshotById(id)
+      .getOrElse(sys.error(s"no snapshot $id (expired?)")))
     if (toSnap.deleteFiles.nonEmpty || fromSnap.exists(_.deleteFiles.nonEmpty)) {
       // merge-on-read snapshots: positional deletes break the
       // "carried file = identical rows" invariant, so diff the
@@ -654,14 +658,33 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * files ADDED between two snapshots — the batch form of "consume the
     * table as a stream of appends". Metadata-only file selection; a
     * consumer tracking its last-seen snapshot reads only new data.
+    *
+    * Every snapshot in (from, to] must be an `append`: a CoW rewrite or
+    * compaction in the range would surface rewritten OLD rows as new
+    * files, re-delivering the whole rewritten set to the consumer —
+    * fail loudly instead (Iceberg's incremental scan does the same;
+    * consumers resync via changelog() across such commits).
     */
   def readAppendsBetween(fromSnapshotId: Option[Long],
       toSnapshotId: Long): DataFrame = {
     val m = meta
     val toSnap = m.snapshotById(toSnapshotId)
       .getOrElse(sys.error(s"no snapshot $toSnapshotId"))
-    val fromPaths = fromSnapshotId.flatMap(m.snapshotById)
-      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val fromSnap = fromSnapshotId.map(id => m.snapshotById(id)
+      .getOrElse(sys.error(s"no snapshot $id (expired?)")))
+    // walk the parent chain to..from, requiring append-only commits
+    var cur: Option[Snapshot] = Some(toSnap)
+    while (cur.exists(s => !fromSnapshotId.contains(s.snapshotId))) {
+      val s = cur.get
+      require(s.operation == "append",
+        s"snapshot ${s.snapshotId} is '${s.operation}', not append — " +
+          "incremental append scan invalid across rewrites; use changelog()")
+      cur = s.parentId.map(p => m.snapshotById(p)
+        .getOrElse(sys.error(s"no snapshot $p (expired?)")))
+    }
+    require(fromSnapshotId.isEmpty || cur.isDefined,
+      s"$fromSnapshotId is not an ancestor of $toSnapshotId")
+    val fromPaths = fromSnap.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     readFiles(m, toSnap.files.filterNot(f => fromPaths(f.path)))
   }
 

@@ -35,12 +35,19 @@ object ParquetFooterStats {
       val footer = r.getFooter
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
-      // merge per-row-group statistics per top-level column
+      // merge per-row-group statistics per top-level column; a row group
+      // with ABSENT stats for a column (NaN chunks, oversized binary
+      // mins, old writers) POISONS that column — bounds that don't
+      // cover every row group would let pruning skip live rows
       val merged = scala.collection.mutable.LinkedHashMap[String, (PrimitiveType, Statistics[_])]()
+      val poisoned = scala.collection.mutable.Set[String]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val s = c.getStatistics
-        if (s != null && !s.isEmpty && s.hasNonNullValue) {
+        val usable = s != null && !s.isEmpty &&
+          (s.hasNonNullValue || s.getNumNulls == b.getRowCount)
+        if (!usable) poisoned += name
+        else if (s.hasNonNullValue) {
           merged.get(name) match {
             case Some((pt, acc)) =>
               // erased cast through a concrete Comparable to satisfy
@@ -53,6 +60,7 @@ object ParquetFooterStats {
           }
         }
       }
+      poisoned.foreach(merged.remove)
       val lower = merged.flatMap { case (n, (pt, s)) =>
         encode(pt, s.genericGetMin.asInstanceOf[AnyRef]).map(n -> _)
       }.toMap

@@ -140,8 +140,12 @@ object StatsPruning {
         case n: Long    => Some(BigDecimal(n))
         case n: Short   => Some(BigDecimal(n.toInt))
         case n: Byte    => Some(BigDecimal(n.toInt))
-        case n: Float   => if (n.isNaN) None else Some(BigDecimal(n.toDouble))
-        case n: Double  => if (n.isNaN) None else Some(BigDecimal(n))
+        // float/double MUST round-trip through toString: bounds are
+        // encoded with toString, and BigDecimal(0.1d) is the binary
+        // expansion 0.1000000000000000055... — comparing that against
+        // decimal "0.1" would wrongly prune the file containing 0.1
+        case n: Float   => if (n.isNaN) None else Some(BigDecimal(n.toString))
+        case n: Double  => if (n.isNaN) None else Some(BigDecimal(n.toString))
         case d: Decimal => Some(d.toBigDecimal)
         case s: UTF8String =>
           try Some(BigDecimal(s.toString)) catch { case _: Exception => None }

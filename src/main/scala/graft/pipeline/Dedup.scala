@@ -90,6 +90,10 @@ object Dedup {
   def nearDupMinhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    // cache note: the shingle sets feed both the signature pipeline and
+    // the verification join; the cache lives until Spark's LRU evicts
+    // it (or spark.catalog.clearCache()) — callers looping over many
+    // corpora in one session should clear between batches
     val sets = shingleSets(docs, idCol, textCol, k).cache()
     val sigs = sets
       .withColumn("hv", transform(col("sh"), s => hash31(s)))

@@ -69,8 +69,10 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID: score = marker hits per language; predict
-    * the argmax (ties + zero-score -> "und", undetermined). Determinism:
-    * fixed evaluation order over LangMarkers.
+    * the argmax; zero hits everywhere -> "und" (undetermined); a tied
+    * max resolves to the FIRST language in LangMarkers order (fixed
+    * evaluation order keeps it deterministic; the oracle mirrors the
+    * same first-match CASE).
     */
   def langId(toks: Column): Column = {
     val scores = LangMarkers.map { case (l, ms) => l -> markerCount(toks, ms) }

@@ -22,9 +22,7 @@ object CatalogQueries {
   private def setupOnce[T <: AnyRef](name: String, d: String)(f: => T): T =
     built.getOrElseUpdate((name, d), f).asInstanceOf[T]
 
-  val all: Seq[QueryDef] = defs.map(_.copy(needsSetup = true))
-
-  private def defs: Seq[QueryDef] = Seq(
+  val all: Seq[QueryDef] = Seq(
 
     // SQL text over registered names, with a join + agg through spark.sql
     QueryDef(

@@ -23,9 +23,7 @@ object Ingestion {
   private val built =
     new scala.collection.concurrent.TrieMap[String, String]
 
-  val all: Seq[QueryDef] = defs.map(_.copy(needsSetup = true))
-
-  private def defs: Seq[QueryDef] = Seq(
+  val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q51_csv_ingest",
       (s, d) => {

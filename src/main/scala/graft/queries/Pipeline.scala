@@ -277,6 +277,7 @@ object Pipeline {
             size(regexp_extract_all(col("text"),
               lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"),
               lit(0))).as("bpe_chunks"))
+          .filter(size(col("sh")) > 0) // mirror the oracle's len(toks)>=3
           .select(col("doc_id"),
             array_min(transform(col("sh"), s => md5(s))).as("fingerprint"),
             size(col("sh")).as("n_shingles"), col("ws_tokens"),

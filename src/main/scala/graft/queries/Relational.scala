@@ -17,13 +17,7 @@ import graft.Tables
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String],
-    /** true when the first invocation per (query, sfDir) performs a
-      * one-time memoized scratch-table/file build: the bench pre-runs
-      * these at the target scale so measured time is the operator,
-      * not the setup.
-      */
-    needsSetup: Boolean = false)
+    oracle: Option[String])
 
 /** Relational query surface: the reference's scan/project/filter/distinct/
   * limit operators (SURVEY.md §2.2, apiv15.py:65-249) plus the full

@@ -33,9 +33,7 @@ object Versioned {
   private def setupOnce[T <: AnyRef](name: String, d: String)(f: => T): T =
     built.getOrElseUpdate((name, d), f).asInstanceOf[T]
 
-  val all: Seq[QueryDef] = defs.map(_.copy(needsSetup = true))
-
-  private def defs: Seq[QueryDef] = Seq(
+  val all: Seq[QueryDef] = Seq(
 
     // Rename resolution (D5 + H2): data written under the old name reads
     // under the new one via field-id mapping — reference apiv15.py:182-207.

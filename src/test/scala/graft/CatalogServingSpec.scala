@@ -67,6 +67,23 @@ class CatalogServingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("555-1", "555-2"))
   }
 
+  test("SQL text: repeated and qualified references resolve to one view") {
+    val cat = freshCat()
+    employeeTable(cat)
+    // the qualified column reference must rewrite to the SAME view name
+    // as the FROM-clause reference
+    val n = cat.sql(
+      """SELECT graft.employee_db.employee.Index
+        |FROM graft.employee_db.employee
+        |WHERE graft.employee_db.employee.Index > 0""".stripMargin).count()
+    assert(n == 2)
+    // self-join: both occurrences share the view, aliases disambiguate
+    val j = cat.sql(
+      """SELECT a.Index FROM graft.employee_db.employee a
+        |JOIN graft.employee_db.employee b ON a.Index = b.Index""".stripMargin)
+    assert(j.count() == 2)
+  }
+
   test("SQL text: FOR SYSTEM_TIME AS OF resolves a past snapshot") {
     import spark.implicits._
     val cat = freshCat()

@@ -240,6 +240,34 @@ class EngineSpec extends AnyFunSuite {
       Seq(1L, 2L, 11L, 20L))
   }
 
+  test("stats pruning compares float/double literals in the decimal domain") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t",
+      Seq("id" -> "long", "price" -> "double"))
+    t.append(Seq((1L, 100.05), (2L, 0.1)).toDF("id", "price").coalesce(1))
+    // BigDecimal(100.05) is the binary expansion, bounds are "100.05" —
+    // a domain mismatch would prune the only file and silently no-op
+    assert(t.candidateFiles(col("price") === 100.05).size == 1)
+    assert(t.candidateFiles(col("price") <= 0.1).size == 1)
+    t.delete(col("price") === 100.05)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("changelog and incremental scan reject unknown/invalid ranges") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    val v1 = t.meta.currentSnapshot.get.snapshotId
+    t.delete(col("id") === 1L) // a rewrite commit
+    t.append(Seq(2L).toDF("id"))
+    val v3 = t.meta.currentSnapshot.get.snapshotId
+    // expired/unknown start snapshot: loud error, not "whole table as inserts"
+    intercept[RuntimeException](t.changelog(Some(999L), v3).collect())
+    // incremental append scan across a delete/rewrite commit is invalid
+    val e = intercept[IllegalArgumentException](t.readAppendsBetween(Some(v1), v3))
+    assert(e.getMessage.contains("not append"))
+  }
+
   test("changelog of a pure append never reads carried-over files") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
