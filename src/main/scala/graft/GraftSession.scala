@@ -29,5 +29,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native `graft.db.t` SQL resolution (incl. VERSION/TIMESTAMP AS
+      // OF) — a no-op until spark.graft.warehouse points at a warehouse;
+      // the catalog plugin claims the name, the rule supplies the plan
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftNamespaceCatalog")
+      .withExtensions(new graft.catalog.GraftExtensions)
   }
 }

@@ -23,6 +23,11 @@ import graft.tableformat.MetadataIO
   */
 final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
+  // point native SQL resolution (GraftExtensions) at this warehouse;
+  // with several catalogs in one session the most recent wins — the
+  // sql() rewrite below is warehouse-explicit and unaffected
+  spark.conf.set("spark.graft.warehouse", warehouse)
+
   @volatile private var currentDb: Option[String] = None
 
   // ---------------------------------------------------------- D1: CREATE DB

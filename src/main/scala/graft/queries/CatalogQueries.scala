@@ -49,6 +49,38 @@ object CatalogQueries {
         GROUP BY r_name ORDER BY r_name
       """)),
 
+    // NATIVE SQL through the injected Catalyst rule: Spark's own parser
+    // and analyzer resolve graft.db.t and its VERSION AS OF clause —
+    // no text rewriting anywhere in this path
+    QueryDef(
+      "q57_native_sql",
+      (s, d) => {
+        val (wh, v) = setupOnce("q57", d) {
+          val w = scratch("natcat")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val t = cat.createTableAs("db1", "part_t",
+            Tables.part(s, d).select("p_partkey", "p_name", "p_brand"))
+          val v0 = t.meta.currentSnapshot.get.snapshotId
+          t.append(Tables.part(s, d)
+            .select("p_partkey", "p_name", "p_brand")
+            .limit(0)) // second snapshot, same rows
+          (w, java.lang.Long.valueOf(v0))
+        }
+        // other queries repoint the session's graft warehouse between
+        // invocations — native resolution follows the conf, so pin it
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql(s"""
+          SELECT p_brand, count(*) AS n
+          FROM graft.db1.part_t VERSION AS OF ${v.longValue()}
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+        FROM part GROUP BY p_brand ORDER BY p_brand
+      """))
+  ) ++ Seq(
+
     // SQL-text time travel: VERSION AS OF through the catalog
     QueryDef(
       "q54_catalog_time_travel_sql",

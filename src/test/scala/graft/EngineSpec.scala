@@ -9,10 +9,7 @@ import graft.tableformat.SchemaHistory
 
 class EngineSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", Some(4))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

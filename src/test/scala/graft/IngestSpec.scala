@@ -12,10 +12,7 @@ import graft.ingest.CsvIngest
   */
 class IngestSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", Some(4))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

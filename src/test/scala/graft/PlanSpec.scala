@@ -14,11 +14,7 @@ import graft.ingest.JsonIngest
   */
 class PlanSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", Some(4))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
