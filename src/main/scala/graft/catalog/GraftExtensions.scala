@@ -1,39 +1,47 @@
 package graft.catalog
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.engine.GraftTable
 import graft.tableformat.MetadataIO
 
-/** Native SQL resolution for graft tables — the Catalyst-extension
-  * point (SparkSessionExtensions.injectResolutionRule) instead of text
-  * rewriting: with the extension installed and `spark.graft.warehouse`
-  * set, `spark.table("graft.db.t")` and SQL text like
+/** Native SQL for graft tables — the Catalyst-extension point
+  * (SparkSessionExtensions) instead of text rewriting: with the
+  * extension installed, the `graft` catalog plugin registered, and
+  * `spark.graft.warehouse` set,
   *
-  *   SELECT * FROM graft.db.t
-  *   SELECT * FROM graft.db.t VERSION AS OF 123
-  *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   SELECT * FROM graft.db.t [VERSION AS OF n | TIMESTAMP AS OF '...']
+  *   INSERT INTO / INSERT OVERWRITE graft.db.t ...
+  *   DELETE FROM graft.db.t WHERE ...
+  *   UPDATE graft.db.t SET ... WHERE ...
+  *   CREATE / ALTER / DROP TABLE, SHOW, DESCRIBE
   *
-  * resolve through Spark's own parser/analyzer (the reference gets the
-  * same surface from the Iceberg Spark extensions, apiv15.py:22).
+  * all parse and resolve through Spark's own parser/analyzer (the
+  * reference gets the same surface from the Iceberg Spark extensions,
+  * apiv15.py:22). DDL and metadata go through
+  * [[GraftNamespaceCatalog]]; scans and DML land here, where the
+  * relation/DML nodes are swapped for the engine's plans and commands.
   *
   * Install via `GraftSession.builder` or
-  * `spark.sql.extensions=graft.catalog.GraftExtensions`.
+  * `spark.sql.extensions=graft.catalog.GraftExtensions` plus
+  * `spark.sql.catalog.graft=graft.catalog.GraftNamespaceCatalog`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectResolutionRule(ResolveGraftRelations)
 }
 
-/** Resolution rule: replaces `UnresolvedRelation(graft, db, t)` (plus
-  * its RelationTimeTravel wrapper) with the analyzed plan of the
-  * versioned read — field-id mapping, positional deletes, and snapshot
-  * selection all come from the engine read path.
+/** Resolution rule: swaps graft relations and DML statements for
+  * engine plans/commands. Field-id mapping, positional deletes, CoW/MoR
+  * mode selection, and snapshot selection all come from the one engine
+  * code path — the DSv2 handle ([[GraftTableHandle]]) only carries
+  * schema/identity for the analyzer.
   */
 case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -47,8 +55,41 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
-      case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-          if isGraft(u) =>
+      // ---- SQL DML: intercept whole statements (top-down, so the
+      // ---- relation below is not yet swapped for a read plan)
+      case i: InsertIntoStatement if handleOf(i.table).isDefined =>
+        val h = handleOf(i.table).get
+        require(i.partitionSpec.isEmpty,
+          "static PARTITION clauses are not supported; graft partitioning is hidden")
+        GraftInsertCommand(h.table.location, i.query, i.overwrite,
+          i.userSpecifiedCols)
+      case DeleteFromTable(rel, cond) if handleOf(rel).isDefined =>
+        GraftDeleteCommand(handleOf(rel).get.table.location, cond)
+      case UpdateTable(rel, assignments, cond) if handleOf(rel).isDefined =>
+        val as = assignments.map(a => assignName(a.key) -> a.value)
+        GraftUpdateCommand(handleOf(rel).get.table.location, as, cond)
+
+      // ---- scans: swap the capability-less handle for the engine read
+      case r: DataSourceV2Relation if handleOf(r).isDefined =>
+        val h = handleOf(r).get
+        val df = h.pinnedSnapshot match {
+          case Some(s) => h.table.readAsOfVersion(s.snapshotId)
+          case None    => h.table.read()
+        }
+        val newPlan = df.queryExecution.analyzed
+        // parents are already bound to the relation's attribute ids:
+        // alias the fresh read's output back onto them, by name
+        val byName = newPlan.output.map(a => a.name.toLowerCase -> a).toMap
+        val aliases = r.output.map { o =>
+          val n = byName.getOrElse(o.name.toLowerCase,
+            sys.error(s"column ${o.name} missing from graft read of ${h.name()}"))
+          org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
+            exprId = o.exprId, qualifier = o.qualifier)
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Project(aliases, newPlan)
+
+      // ---- fallbacks: extension installed without the catalog plugin
+      case RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isGraft(u) =>
         withTable(u) { t =>
           (ts, ver) match {
             case (_, Some(v)) => t.readAsOfVersion(v.toLong)
@@ -59,6 +100,23 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case u: UnresolvedRelation if isGraft(u) =>
         withTable(u)(_.read()).getOrElse(u)
     }
+
+  private def handleOf(plan: LogicalPlan): Option[GraftTableHandle] =
+    plan match {
+      case s: SubqueryAlias => handleOf(s.child) // DML wraps the relation
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case h: GraftTableHandle => Some(h)
+          case _                   => None
+        }
+      case _ => None
+    }
+
+  private def assignName(key: Expression): String = key match {
+    case a: AttributeReference  => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => sys.error(s"unsupported UPDATE target $other")
+  }
 
   private def isGraft(u: UnresolvedRelation): Boolean =
     u.multipartIdentifier.length == 3 &&

@@ -7,19 +7,20 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.tableformat.MetadataIO
+import graft.engine.GraftTable
+import graft.tableformat.{FieldDef, MetadataIO}
 
 /** Catalog plugin claiming the `graft` namespace
   * (`spark.sql.catalog.graft=graft.catalog.GraftNamespaceCatalog`).
   *
-  * Division of labor: this plugin answers NAMESPACE questions (SHOW
-  * DATABASES / SHOW TABLES / existence) from the warehouse layout, and
-  * deliberately reports every table as "not found" — Spark's built-in
-  * resolution then leaves `graft.db.t` unresolved, and the injected
-  * [[ResolveGraftRelations]] rule supplies the versioned-table read
-  * plan (field-id mapping, positional deletes, time travel), which a
-  * DSv2 Table handle could not express without reimplementing the
-  * whole scan stack. Without the plugin, the session catalog claims
+  * Division of labor: this plugin answers catalog questions — SHOW
+  * DATABASES / SHOW TABLES / DESCRIBE / existence — from the warehouse
+  * layout, serves [[GraftTableHandle]]s (schema + identity, no scan
+  * capabilities) for relation resolution including native time-travel
+  * clauses, and applies DDL (CREATE/ALTER/DROP TABLE). Actual scans and
+  * DML are swapped in by [[ResolveGraftRelations]], so the engine's
+  * field-id mapping, positional deletes, and snapshot commits are the
+  * single code path. Without the plugin, the session catalog claims
   * the identifier first and fails with REQUIRES_SINGLE_PART_NAMESPACE
   * before any resolution rule runs.
   */
@@ -71,7 +72,7 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("dropNamespace")
 
-  // -------- tables: existence answered here, reads via the rule --------
+  // -------- tables: handles served here, scans/writes via the rule ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     warehouse.map { w =>
@@ -82,31 +83,95 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
         .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
     }.getOrElse(Array.empty)
 
+  private def location(ident: Identifier): Option[String] =
+    warehouse.map(w =>
+      Paths.get(w, (ident.namespace() :+ ident.name()).mkString("/")).toString)
+
   override def tableExists(ident: Identifier): Boolean =
-    warehouse.exists(w => MetadataIO.exists(
-      Paths.get(w, (ident.namespace() :+ ident.name()).mkString("/")).toString))
+    location(ident).exists(MetadataIO.exists)
+
+  private def graftTable(ident: Identifier): GraftTable =
+    location(ident).filter(MetadataIO.exists)
+      .map(loc => GraftTable.load(
+        org.apache.spark.sql.SparkSession.active, loc))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
 
   override def loadTable(ident: Identifier): Table =
-    throw new NoSuchTableException(ident)
+    GraftTableHandle(graftTable(ident), fullName(ident))
 
-  override def loadTable(ident: Identifier, version: String): Table =
-    throw new NoSuchTableException(ident)
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = graftTable(ident)
+    val snap = t.meta.snapshotById(version.toLong)
+      .getOrElse(throw new NoSuchTableException(ident))
+    GraftTableHandle(t, fullName(ident), Some(snap))
+  }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new NoSuchTableException(ident)
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = graftTable(ident)
+    // Spark hands TIMESTAMP AS OF down in MICROseconds
+    val snap = t.meta.snapshotAsOfTime(timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    GraftTableHandle(t, fullName(ident), Some(snap))
+  }
 
+  /** CREATE TABLE graft.db.t (...) [PARTITIONED BY (days(ts) | c)]. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create graft tables via GraftCatalog.createTable")
+      properties: java.util.Map[String, String]): Table = {
+    val loc = location(ident).getOrElse(
+      sys.error("set spark.graft.warehouse to create graft tables via SQL"))
+    val fields = schema.fields.toSeq.map(f =>
+      f.name -> FieldDef.nameType(f.dataType))
+    val partition = partitions.toSeq.map { tr =>
+      val src = tr.references()(0).fieldNames()(0)
+      tr.name() match {
+        case "identity"     => src -> "identity"
+        case "days" | "day" => src -> "day"
+        case other => sys.error(s"unsupported partition transform $other")
+      }
+    }
+    val props = properties.asScala.toMap -
+      "provider" - "location" - "owner" // Spark-injected reserved keys
+    GraftTableHandle(
+      GraftTable.create(org.apache.spark.sql.SparkSession.active, loc,
+        (ident.namespace() :+ ident.name()).mkString("."), fields,
+        partition, props),
+      fullName(ident))
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter graft tables via GraftTable (addColumn/renameColumn/...)")
+  /** ALTER TABLE graft.db.t ADD/RENAME/DROP COLUMN, SET TBLPROPERTIES. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = graftTable(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested columns unsupported")
+        t.addColumn(a.fieldNames()(0), FieldDef.nameType(a.dataType()))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested columns unsupported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested columns unsupported")
+        t.dropColumn(d.fieldNames()(0))
+      case p: TableChange.SetProperty =>
+        t.setProperties(Map(p.property() -> p.value()))
+      case other =>
+        throw new UnsupportedOperationException(s"table change $other")
+    }
+    GraftTableHandle(t, fullName(ident))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("dropTable")
+    location(ident).filter(MetadataIO.exists) match {
+      case None => false
+      case Some(loc) =>
+        val root = Paths.get(loc)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        true
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable")

@@ -1,0 +1,49 @@
+package graft.catalog
+
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.catalog.{Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import graft.engine.GraftTable
+import graft.tableformat.Snapshot
+
+/** DSv2 Table handle for a graft table: carries identity, schema,
+  * partitioning, and properties so Spark's analyzer can resolve
+  * relations, DESCRIBE, and column references — but declares NO
+  * capabilities. Scans and writes are NOT served through the DSv2
+  * Batch API: [[ResolveGraftRelations]] swaps the relation for the
+  * engine's read plan and insert nodes for engine write commands,
+  * which keeps field-id mapping, positional deletes, and snapshot
+  * selection on the one proven code path.
+  *
+  * `pinnedSnapshot` is set when the handle came from time-travel
+  * resolution (VERSION AS OF / TIMESTAMP AS OF).
+  */
+final case class GraftTableHandle(table: GraftTable, tableName: String,
+    pinnedSnapshot: Option[Snapshot] = None) extends Table {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    table.meta.currentSchema.toStructType
+
+  override def partitioning(): Array[Transform] = {
+    val m = table.meta
+    m.currentSpec.fields.map { pf =>
+      val src = m.currentSchema.fieldById(pf.sourceId)
+        .map(_.name).getOrElse(pf.name)
+      pf.transform match {
+        case "identity" => Expressions.identity(src)
+        case "day"      => Expressions.days(src)
+        case other      => Expressions.identity(other)
+      }
+    }.toArray
+  }
+
+  override def properties(): java.util.Map[String, String] =
+    Collections.unmodifiableMap(table.meta.properties.asJava)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.emptySet()
+}

@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def expressionOf(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Catalyst Expression -> Column (for SQL-DML conditions handed to
+    * the engine API).
+    */
+  def columnOf(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** LogicalPlan -> DataFrame (Dataset.ofRows is private[sql]). */
+  def dfFromPlan(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -88,6 +88,83 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(tbls.toSet == Set("t1", "t2"))
   }
 
+  test("SQL DDL lifecycle: CREATE, DESCRIBE, ALTER, DROP") {
+    val cat = freshCat()
+    cat.createDatabase("ddl")
+    spark.sql("""CREATE TABLE graft.ddl.emp (
+                |  id BIGINT, name STRING, added_at TIMESTAMP)
+                |PARTITIONED BY (days(added_at))
+                |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    val t = cat.table("ddl", "emp")
+    assert(t.meta.currentSchema.fieldNames == Vector("id", "name", "added_at"))
+    assert(t.meta.currentSpec.fields.map(_.transform) == Vector("day"))
+    assert(t.meta.properties("write.delete.mode") == "merge-on-read")
+    // DESCRIBE through the catalog handle
+    val desc = spark.sql("DESCRIBE TABLE graft.ddl.emp").collect()
+      .map(_.getString(0))
+    assert(desc.contains("id") && desc.contains("added_at"))
+    // ALTER: rename + add + drop through Spark's DDL
+    spark.sql("ALTER TABLE graft.ddl.emp RENAME COLUMN name TO full_name")
+    spark.sql("ALTER TABLE graft.ddl.emp ADD COLUMN age INT")
+    spark.sql("ALTER TABLE graft.ddl.emp DROP COLUMN added_at")
+    assert(cat.table("ddl", "emp").meta.currentSchema.fieldNames ==
+      Vector("id", "full_name", "age"))
+    spark.sql("ALTER TABLE graft.ddl.emp SET TBLPROPERTIES ('graft.owner'='me')")
+    assert(cat.table("ddl", "emp").meta.properties("graft.owner") == "me")
+    spark.sql("DROP TABLE graft.ddl.emp")
+    assert(!cat.tableExists("ddl", "emp"))
+  }
+
+  test("SQL DML: INSERT INTO VALUES, UPDATE, DELETE, INSERT OVERWRITE") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createDatabase("dml")
+    spark.sql("CREATE TABLE graft.dml.t3 (id BIGINT, name STRING, age INT)")
+    // INSERT INTO ... VALUES (reference cells 11/22/27)
+    spark.sql("""INSERT INTO graft.dml.t3 VALUES
+                |  (1, 'x', 30), (2, 'y', 40), (3, 'z', 50)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.t3").head().getLong(0) == 3)
+    // UPDATE ... SET ... WHERE (reference cell 24)
+    spark.sql("UPDATE graft.dml.t3 SET age = 31 WHERE id = 1")
+    assert(spark.sql("SELECT age FROM graft.dml.t3 WHERE id = 1")
+      .head().getInt(0) == 31)
+    // expression assignment referencing columns
+    spark.sql("UPDATE graft.dml.t3 SET age = age + 100 WHERE name = 'y'")
+    assert(spark.sql("SELECT age FROM graft.dml.t3 WHERE id = 2")
+      .head().getInt(0) == 140)
+    // DELETE FROM ... WHERE (reference cell 11)
+    spark.sql("DELETE FROM graft.dml.t3 WHERE id = 3")
+    assert(spark.sql("SELECT id FROM graft.dml.t3 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // snapshots accumulated: create+insert+2 updates+delete = 4 data ops
+    val t = cat.table("dml", "t3")
+    assert(t.meta.snapshots.size == 4)
+    // INSERT with explicit columns, then INSERT OVERWRITE
+    spark.sql("INSERT INTO graft.dml.t3 (id, name, age) VALUES (9, 'w', 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.dml.t3").head().getLong(0) == 3)
+    spark.sql("INSERT OVERWRITE graft.dml.t3 VALUES (7, 'only', 70)")
+    assert(spark.sql("SELECT id, name FROM graft.dml.t3").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "only")))
+    // time travel still sees the pre-overwrite generation
+    val prev = t.meta.snapshots.takeRight(2).head
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.dml.t3 VERSION AS OF ${prev.snapshotId}")
+      .head().getLong(0) == 3)
+  }
+
+  test("SQL DML honors merge-on-read mode") {
+    val cat = freshCat()
+    cat.createDatabase("mor")
+    spark.sql("""CREATE TABLE graft.mor.t (id BIGINT, v STRING)
+                |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("DELETE FROM graft.mor.t WHERE id = 2")
+    val t = cat.table("mor", "t")
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty,
+      "SQL DELETE wrote positional delete files")
+    assert(spark.sql("SELECT count(*) FROM graft.mor.t").head().getLong(0) == 2)
+  }
+
   test("unknown table stays unresolved and errors through Spark") {
     freshCat()
     val e = intercept[Exception](spark.sql("SELECT * FROM graft.db.nope").collect())
