@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, LogicalPlan, ReplaceTableAsSelect, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{StringType, TimestampType}
@@ -63,6 +63,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           "static PARTITION clauses are not supported; graft partitioning is hidden")
         GraftInsertCommand(h.table.location, i.query, i.overwrite,
           i.userSpecifiedCols)
+      case c: CreateTableAsSelect if resolvedGraftIdent(c.name).isDefined =>
+        ctasCommand(c.name, c.partitioning, c.query, c.tableSpec,
+          replace = false)
+      case r: ReplaceTableAsSelect if resolvedGraftIdent(r.name).isDefined =>
+        ctasCommand(r.name, r.partitioning, r.query, r.tableSpec,
+          replace = true)
       case DeleteFromTable(rel, cond) if handleOf(rel).isDefined =>
         GraftDeleteCommand(handleOf(rel).get.table.location, cond)
       case UpdateTable(rel, assignments, cond) if handleOf(rel).isDefined =>
@@ -100,6 +106,38 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case u: UnresolvedRelation if isGraft(u) =>
         withTable(u)(_.read()).getOrElse(u)
     }
+
+  private def resolvedGraftIdent(name: LogicalPlan): Option[(String, String)] =
+    name match {
+      case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+          _: GraftNamespaceCatalog, ident) if ident.namespace().length == 1 =>
+        Some(ident.namespace()(0) -> ident.name())
+      case _ => None
+    }
+
+  private def ctasCommand(name: LogicalPlan,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      query: LogicalPlan,
+      tableSpec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase,
+      replace: Boolean): LogicalPlan = {
+    val (db, tbl) = resolvedGraftIdent(name).get
+    val w = warehouse.getOrElse(sys.error("spark.graft.warehouse not set"))
+    val loc = java.nio.file.Paths.get(w, db, tbl).toString
+    val partition = partitioning.map { tr =>
+      val src = tr.references()(0).fieldNames()(0)
+      tr.name() match {
+        case "identity"     => src -> "identity"
+        case "days" | "day" => src -> "day"
+        case other => sys.error(s"unsupported partition transform $other")
+      }
+    }
+    val props = tableSpec match {
+      case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+        ts.properties
+      case _ => Map.empty[String, String]
+    }
+    GraftCtasCommand(loc, s"$db.$tbl", query, partition, props, replace)
+  }
 
   private def handleOf(plan: LogicalPlan): Option[GraftTableHandle] =
     plan match {

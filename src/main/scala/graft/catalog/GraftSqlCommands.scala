@@ -60,6 +60,25 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
   }
 }
 
+/** CREATE TABLE ... AS SELECT / REPLACE TABLE ... AS SELECT
+  * (reference cells 68 and 13).
+  */
+final case class GraftCtasCommand(location: String, tableName: String,
+    query: LogicalPlan, partition: Seq[(String, String)],
+    properties: Map[String, String], replace: Boolean)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = graftshim.dfFromPlan(session, query)
+    if (replace) GraftTable.replaceAs(session, location, df)
+    else GraftTable.createAs(session, location, tableName, df,
+      partition, properties)
+    Seq.empty
+  }
+}
+
 /** DELETE FROM graft.db.t WHERE cond. */
 final case class GraftDeleteCommand(location: String,
     condition: Expression) extends LeafRunnableCommand {

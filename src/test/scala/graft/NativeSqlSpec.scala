@@ -165,6 +165,27 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.mor.t").head().getLong(0) == 2)
   }
 
+  test("SQL CTAS and REPLACE TABLE AS SELECT (reference cells 68/13)") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createDatabase("ctas")
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "x").createOrReplaceTempView("src_rows")
+    spark.sql("""CREATE TABLE graft.ctas.t1 AS
+                |SELECT id, name FROM src_rows WHERE x > 10""".stripMargin)
+    assert(spark.sql("SELECT id FROM graft.ctas.t1 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    val t = cat.table("ctas", "t1")
+    assert(t.meta.currentSchema.fieldNames == Vector("id", "name"))
+    // REPLACE: new schema + contents, history preserved
+    spark.sql("""REPLACE TABLE graft.ctas.t1 AS
+                |SELECT id, x FROM src_rows WHERE x <= 20""".stripMargin)
+    val t2 = cat.table("ctas", "t1")
+    assert(t2.read().columns.toSeq == Seq("id", "x"))
+    assert(t2.read().count() == 2)
+    assert(t2.meta.snapshots.size == 2)
+  }
+
   test("unknown table stays unresolved and errors through Spark") {
     freshCat()
     val e = intercept[Exception](spark.sql("SELECT * FROM graft.db.nope").collect())
