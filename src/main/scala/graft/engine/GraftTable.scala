@@ -286,11 +286,33 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def update(cond: Column, assignments: Map[String, Column]): GraftTable =
     if (updateMode == "merge-on-read") mergeOnReadDml(cond, Some(assignments))
-    else rewriteMatching(cond, "overwrite", df => {
-      assignments.foldLeft(df) { case (d, (c, v)) =>
-        d.withColumn(c, when(cond, v).otherwise(col(s"`$c`")))
+    else rewriteMatching(cond, "overwrite",
+      df => applyAssignments(df, Some(cond), assignments))
+
+  /** SQL UPDATE semantics: the WHERE condition and EVERY assignment RHS
+    * evaluate against the ORIGINAL row, so all output columns are
+    * computed in one simultaneous select. (Sequential withColumn would
+    * feed later assignments already-mutated columns: `SET a = b, b = a`
+    * must swap, not copy — and Map iteration order would make the
+    * corruption nondeterministic.)
+    */
+  private def applyAssignments(df: DataFrame, cond: Option[Column],
+      assignments: Map[String, Column]): DataFrame = {
+    val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }
+    require(byLower.size == assignments.size,
+      s"duplicate UPDATE targets (case-insensitive): ${assignments.keys.mkString(", ")}")
+    val present = df.columns.map(_.toLowerCase).toSet
+    val unknown = byLower.keySet -- present
+    require(unknown.isEmpty, s"UPDATE targets not in table: ${unknown.mkString(", ")}")
+    df.select(df.columns.map { c =>
+      byLower.get(c.toLowerCase) match {
+        case Some(v) =>
+          cond.map(w => when(w, v).otherwise(col(s"`$c`")))
+            .getOrElse(v).cast(df.schema(c).dataType).as(c)
+        case None => col(s"`$c`")
       }
-    })
+    }: _*)
+  }
 
   private def deleteMode: String =
     meta.properties.getOrElse("write.delete.mode", "copy-on-write")
@@ -331,9 +353,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val (dataFiles, op) = assignments match {
         case None => (snap.files, "delete")
         case Some(as) =>
-          val updated = as.foldLeft(matched.drop("_g_path", "_g_pos")) {
-            case (d, (c, v)) => d.withColumn(c, v)
-          }
+          // rows are already cond-filtered; assignments still evaluate
+          // simultaneously against the original row (see applyAssignments)
+          val updated = applyAssignments(
+            matched.drop("_g_path", "_g_pos"), None, as)
           (snap.files ++ writeFiles(m, updated), "overwrite")
       }
       commitSnapshot(m, op, dataFiles, snap.deleteFiles ++ delEntries)

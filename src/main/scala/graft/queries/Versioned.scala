@@ -305,6 +305,34 @@ object Versioned {
         FROM supplier WHERE NOT (s_acctbal < 0.0) ORDER BY s_suppkey
       """)),
 
+    // Multi-column UPDATE (M-U): one RHS reads another ASSIGNED column —
+    // SQL semantics say every RHS evaluates against the ORIGINAL row
+    // (round-2 verdict item 1; sequential withColumn would corrupt this).
+    QueryDef(
+      "q58_multi_column_update",
+      (s, d) => {
+        val loc = setupOnce("q58", d) {
+          val l = scratch("mcu")
+          GraftTable.createAs(s, l, "nation_u", Tables.nation(s, d))
+            .update(col("n_nationkey") < 10, Map(
+              "n_name" -> concat(col("n_name"), lit("_"),
+                col("n_regionkey").cast("string")),
+              "n_regionkey" -> (col("n_nationkey") + col("n_regionkey"))))
+          l
+        }
+        GraftTable.load(s, loc).read().orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey < 10
+                    THEN n_name || '_' || CAST(n_regionkey AS VARCHAR)
+                    ELSE n_name END AS n_name,
+               CAST(CASE WHEN n_nationkey < 10
+                    THEN n_nationkey + n_regionkey
+                    ELSE n_regionkey END AS INT) AS n_regionkey
+        FROM nation ORDER BY n_nationkey
+      """)),
+
     // ADD COLUMN null-fill (D3): old files surface the new column as NULL.
     QueryDef(
       "q36_add_column",

@@ -90,6 +90,29 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 31), (2L, 40), (3L, 50)))
   }
 
+  test("CoW update: multi-column assignments see the ORIGINAL row") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "swap",
+      Seq("id" -> "long", "a" -> "string", "b" -> "string"))
+    t.append(Seq((1L, "a1", "b1"), (2L, "a2", "b2")).toDF("id", "a", "b"))
+    // SET a = b, b = a must SWAP (SQL semantics), not copy b into both
+    t.update(col("id") === 1L, Map("a" -> col("b"), "b" -> col("a")))
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "b1", "a1"), (2L, "a2", "b2")))
+    // RHS referencing another ASSIGNED column also reads the original
+    t.update(col("id") === 2L,
+      Map("a" -> concat(col("a"), lit("+"), col("b")), "b" -> col("a")))
+    val got2 = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got2.toSeq == Seq((1L, "b1", "a1"), (2L, "a2+b2", "a2")))
+    // a WHERE referencing an assigned column evaluates pre-mutation
+    t.update(col("b") === "a1", Map("b" -> lit("seen"), "a" -> col("b")))
+    val got3 = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got3.toSeq == Seq((1L, "a1", "seen"), (2L, "a2+b2", "a2")))
+  }
+
   test("time travel by version and by time") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))

@@ -57,6 +57,18 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 31), (2L, 40), (3L, 50), (4L, 60)))
   }
 
+  test("MoR update: multi-column assignments see the ORIGINAL row") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "swapm",
+      Seq("id" -> "long", "a" -> "string", "b" -> "string"),
+      properties = Map("write.update.mode" -> "merge-on-read"))
+    t.append(Seq((1L, "a1", "b1"), (2L, "a2", "b2")).toDF("id", "a", "b"))
+    t.update(col("id") === 1L, Map("a" -> col("b"), "b" -> col("a")))
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "b1", "a1"), (2L, "a2", "b2")))
+  }
+
   test("MoR deletes accumulate; time travel sees pre-delete state") {
     import spark.implicits._
     val t = morTable()
