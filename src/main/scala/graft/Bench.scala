@@ -29,7 +29,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob: comma-separated substrings to bench a subset while
+    // iterating on one operator (driver runs always leave this unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = graft.queries.Registry.all.sortBy(_.name)
+      .filter(q => only.forall(_.exists(q.name.contains)))
     // one untimed warmup pass at the TARGET scale: pays codegen/JIT,
     // first-at-scale shuffle costs, and the one-time scratch-table
     // builds of `needsSetup` queries — measured times are steady-state

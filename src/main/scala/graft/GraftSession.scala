@@ -34,6 +34,16 @@ object GraftSession {
       // evicts them in sessions running many distinct queries, forcing
       // multi-second Janino recompiles on every execution
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // InferFiltersFromGenerate turns explode(f(x)) into
+      // `size(f(x)) > 0 AND isnotnull(f(x))` filters which predicate
+      // pushdown then inlines BELOW exchanges — for the pipeline tier's
+      // shingle/token explodes that re-evaluates the library's most
+      // expensive (interpreted higher-order) expressions per row on the
+      // narrow pre-shuffle side, for zero pruning benefit (the Generate
+      // drops empty arrays itself). Measured 2-10x on the dedup
+      // operators at bench scale.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // bound driver-side status bookkeeping: long sessions executing
       // thousands of heavy queries otherwise accumulate job/stage/task
       // state and degrade progressively

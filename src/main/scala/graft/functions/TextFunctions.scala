@@ -47,25 +47,31 @@ object TextFunctions {
 
   val MersennePrime: Long = 2147483647L // 2^31 - 1
 
-  /** MinHash signature: for each (a,b) permutation, min over the
-    * element hashes of (a*h + b) mod p. Permutations are derived from
-    * `seed` by a splitmix-style LCG — fully deterministic across runs
-    * and executors.
+  /** MinHash signatures for a whole corpus in ONE aggregation pass:
+    * `exploded` is (id, elementHash) rows — one per (doc, element) —
+    * and the output is one row per id with columns m0..m{n-1}, where
+    * mi = min over the doc's element hashes of (a_i*h + b_i) mod p.
+    *
+    * Why grouped and not per-row: Spark's `aggregate` higher-order
+    * function is CodegenFallback (interpreted), so n per-row array
+    * traversals cost n interpreted passes over every element — the
+    * round-2 bench's dominant term. A groupBy with n `min` aggregates
+    * is whole-stage-codegen'd with map-side partial aggregation: each
+    * element is touched once, and the shuffle carries one (id,
+    * n longs) row per document per input partition.
+    *
+    * Permutations derive from `seed` via splitmix64 — deterministic
+    * across runs, executors, and cluster sizes.
     */
-  def minhashSignature(elems: Column, numHashes: Int, seed: Long = 42L): Column =
-    minhashSignatureOfHashes(transform(elems, e => hash31(e)), numHashes, seed)
-
-  /** Same, over an already-materialized hash column — pass the hashes
-    * through a real column (withColumn) so the per-element hashing runs
-    * once, not once per permutation expression.
-    */
-  def minhashSignatureOfHashes(hashes: Column, numHashes: Int,
-      seed: Long = 42L): Column = {
-    val perms = permutations(numHashes, seed)
-    array(perms.map { case (a, b) =>
-      aggregate(hashes, lit(MersennePrime),
-        (acc, h) => least(acc, pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
+  def minhashSignaturesGrouped(exploded: org.apache.spark.sql.DataFrame,
+      idCol: String, hashCol: String, numHashes: Int,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val h = col(hashCol)
+    val aggs = permutations(numHashes, seed).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(h * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Deterministic (a, b) pairs in [1, p) / [0, p). */
@@ -85,16 +91,18 @@ object TextFunctions {
     }
   }
 
-  /** LSH band keys for a MinHash signature: hash of each r-row band.
-    * Two docs land in the same (band, key) bucket iff a band of their
-    * signatures agrees — the classic banding scheme, so candidate
+  /** LSH band keys over grouped signature columns m0..m{n-1} (the
+    * shape [[minhashSignaturesGrouped]] emits): hash of each r-column
+    * band. Two docs land in the same (band, key) bucket iff a band of
+    * their signatures agrees — the classic banding scheme, so candidate
     * generation is a bucket equi-join, never all-pairs.
     */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def lshBandKeys(bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
-          slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("key"))
+          (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*),
+          lit(b)).as("key"))
     }: _*)
 
   /** 64-bit SimHash over a token array: per bit, sign of the sum of
@@ -105,8 +113,12 @@ object TextFunctions {
   def simhash(toks: Column): Column =
     simhashOfHashes(transform(toks, t => xxhash64(t)))
 
-  /** Same, over a materialized token-hash column (see
-    * minhashSignatureOfHashes for why).
+  /** Same, over a materialized token-hash column. NOTE: this per-row
+    * form runs 64 interpreted `aggregate` passes (higher-order
+    * functions are CodegenFallback) — it exists as the independent
+    * reference implementation for tests; the corpus-scale path is the
+    * grouped one inside Dedup.nearDupSimhash, pinned bit-identical to
+    * this in PipelineSpec.
     */
   def simhashOfHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { j =>

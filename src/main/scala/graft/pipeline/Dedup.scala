@@ -25,18 +25,40 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Token k-shingle sets per document: (id, shingle_set).
+  /** Token k-shingle sets per document: (id, shingle_set). Documents
+    * shorter than k get an EMPTY set (they can never near-dup); callers
+    * explode `sh`, which drops them with no filter.
     *
-    * Tokens materialize as a column BEFORE shingling: a lambda that
-    * references an enclosing non-attribute expression re-evaluates it
-    * per array element (the split would run ~|tokens| times per row —
-    * measured 10x slowdown at bench scale).
+    * Two hard-won plan rules live here:
+    *   - tokens materialize as a column BEFORE shingling: a lambda that
+    *     references an enclosing non-attribute expression re-evaluates
+    *     it per array element (the split would run ~|tokens| times per
+    *     row — measured 10x at bench scale);
+    *   - NO filter over `sh`: predicate pushdown re-inlines the entire
+    *     shingle expression into a Filter below the projection — the
+    *     most expensive expression in the library, evaluated twice
+    *     (and, after a repartition, on the un-spread side of the
+    *     exchange).
+    * Shingling is interpreted per-element work (higher-order functions
+    * are CodegenFallback), so a small input that plans fewer scan
+    * partitions than cores (bench files are one parquet row group)
+    * serializes it — spread it first; at real scale inputs have far
+    * more partitions than cores and this is a no-op.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    spread(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shingles(col("toks"), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+
+  /** Round-robin repartition to full parallelism — ONLY when the plan
+    * has fewer partitions than cores (small-file artifact). Explicit
+    * numPartitions, so AQE never coalesces it back.
+    */
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** COMPLETE near-dup pairs by exact n-gram Jaccard >= threshold.
     *
@@ -90,22 +112,44 @@ object Dedup {
     * join volume is bucket-local — the scale path when the full
     * inverted index is too hot. Signature is deterministic (seeded
     * permutations), so results are stable across runs/cluster sizes.
+    *
+    * Round-3 shape (the round-2 bench had this 4x slower than the
+    * EXACT inverted-index path it exists to beat):
+    *   - all 64 permutation minima come from ONE codegen'd groupBy
+    *     pass over exploded shingle hashes (map-side combined), not 64
+    *     interpreted per-row `aggregate` traversals;
+    *   - verification uses the count-shared-shingles identity (see
+    *     nearDupJaccard) — candidate pairs join the exploded index on
+    *     small (id, n, shingle) rows; the wide shingle ARRAYS are
+    *     never shuffled at all.
+    * The exploded index feeds signatures and both verification sides
+    * from one definition; recomputing it per consumer is a narrow
+    * projection + split, measured cheaper than caching string arrays
+    * (round-2 note) and embarrassingly parallel at any scale.
     */
   def nearDupMinhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    // deliberately NOT cached: the sets are consumed three times
-    // (signatures + both verification sides), but recomputing the
-    // shingle projection is ~1s/10k docs while columnar-caching string
-    // arrays costs more than it saves and its eviction churn under
-    // memory pressure measured 20x worse than recompute
+    require(threshold > 0.0, "threshold must be positive (pairs sharing " +
+      "no shingle are dropped before verification)")
     val sets = shingleSets(docs, idCol, textCol, k)
-    val sigs = sets
-      .withColumn("hv", transform(col("sh"), s => hash31(s)))
-      .withColumn("sig",
-        minhashSignatureOfHashes(col("hv"), bands * rowsPerBand, seed))
+    // shingle STRINGS never leave the scan stage: the index carries the
+    // full 64-bit xxhash64 (collision odds ~1e-10 at 1e9 shingles), the
+    // signature's 31-bit hash derives from it by pmod, and verification
+    // counts shared 64-bit values — every shuffle is (long, long) rows
+    // the exploded index feeds signatures AND both verification sides;
+    // it is NOT cached: with shingling spread and evaluated once (see
+    // shingleSets), recomputing this narrow projection per consumer is
+    // cheaper than cache residency + eviction churn (round-2 note),
+    // and keeps the operator stateless for callers
+    val inv = sets.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+      .select(col("id"), col("n"), xxhash64(col("s")).as("hv"))
+    val sigs = minhashSignaturesGrouped(
+      inv.select(col("id"), pmod(col("hv"), lit(MersennePrime)).as("h")),
+      "id", "h", bands * rowsPerBand, seed)
     val buckets = sigs.select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        explode(lshBandKeys(bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -113,9 +157,13 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand
-      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .join(inv.select(col("id").as("id1"), col("n").as("na"), col("hv")), "id1")
+      .join(inv.select(col("id").as("id2"), col("n").as("nb"), col("hv")),
+        Seq("id2", "hv"))
+      .groupBy("id1", "id2", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -128,10 +176,23 @@ object Dedup {
   def nearDupSimhash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunk scheme is complete only for hamming <= 3")
-    val fps = docs
-      .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => xxhash64(t)).as("hv"))
-      .select(col("id"), simhashOfHashes(col("hv")).as("fp"))
+    // one codegen'd pass (same reasoning as minhashSignaturesGrouped):
+    // exploded token hashes -> 64 per-bit vote sums in a single
+    // map-side-combined groupBy; bit j of the fingerprint is the
+    // majority vote 2*s_j > count  (== sum of +-1 votes > 0), exactly
+    // TextFunctions.simhashOfHashes — pinned bit-identical to it in
+    // PipelineSpec's brute-force comparison
+    val hashed = spread(docs)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val voteSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    val fpExpr = (0 until 64).map(j =>
+      when(col(s"s$j") * 2 > col("cnt"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fps = hashed.groupBy("id")
+      .agg(count(lit(1)).as("cnt"), voteSums: _*)
+      .select(col("id"), fpExpr.as("fp"))
     val chunks = fps.select(col("id"), col("fp"),
         explode(simhashChunks(col("fp"))).as("c"))
       .select(col("id"), col("fp"), col("c.chunk").as("chunk"),
