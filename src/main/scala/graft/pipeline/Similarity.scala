@@ -51,7 +51,13 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH signature (one long, numPlanes <= 63 bits). */
+  /** Sign-bit LSH signature (one long, numPlanes <= 63 bits). NOTE:
+    * this per-row form runs one interpreted `aggregate` pass PER plane
+    * (higher-order functions are CodegenFallback) — it exists as the
+    * independent reference implementation for tests; the corpus-scale
+    * path is [[planeDots]], pinned sign-identical to this in
+    * PipelineSpec.
+    */
   def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit(_)): _*)
@@ -59,6 +65,27 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All `planes.size` dot products per row in ONE pass: posexplode the
+    * vector, look up each plane's weight for that position in a literal
+    * plane matrix (GetArrayItem — codegen'd), one map-side-combined
+    * `sum` per plane. Output is one row per id with columns d0..d{n-1}.
+    *
+    * Why grouped and not per-row: `aggregate(zip_with(...))` per plane
+    * is n interpreted traversals of every vector — the round-2 bench's
+    * 13x-slower-than-brute-force root cause. Here each vector element
+    * is touched once in whole-stage codegen and the shuffle carries one
+    * (id, n doubles) row per document per input partition.
+    */
+  def planeDots(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Array[Double]]): DataFrame = {
+    val aggs = planes.zipWithIndex.map { case (p, j) =>
+      val w = element_at(array(p.map(lit(_)): _*), col("pos") + 1)
+      sum(col("x").cast("double") * w).as(s"d$j")
+    }
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Approximate top-k via multi-table hyperplane LSH: `numTables`
     * independent tables of `planesPerTable` sign bits; candidates are
@@ -68,31 +95,44 @@ object Similarity {
     * slice vs the exact path's full corpus scan per query batch.
     * (This is the IVF/LSH "scale path" the brute-force operator pairs
     * with; both are deterministic given `seed`.)
+    *
+    * When it pays off: signature cost is numTables*planesPerTable dots
+    * per corpus row, brute force is |queries| dots per corpus row — LSH
+    * only wins when the query batch is much larger than the plane count
+    * (or the corpus is re-probed across batches with signatures
+    * persisted). For a handful of queries, use [[cosineTopK]].
     */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planesPerTable: Int = 4, numTables: Int = 16,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val tables = (0 until numTables).map(t =>
-      t -> hyperplanes(planesPerTable, dim, seed + t))
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), col(vec),
-        explode(array(tables.map { case (t, planes) =>
-          struct(lit(t).as("table"),
-            lshSignature(col(vec), planes).as("bucket"))
-        }: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table").as("table"),
+    // flat plane matrix: table t owns dots d[t*m .. t*m+m-1] — same
+    // per-table seeds as before, so buckets are unchanged
+    val allPlanes = (0 until numTables)
+      .flatMap(t => hyperplanes(planesPerTable, dim, seed + t))
+    // (id, table, bucket) ONLY — the round-2 plan exploded every vector
+    // 16x through the shuffle; vectors now rejoin for candidates alone
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val tb = (0 until numTables).map { t =>
+        val b = (0 until planesPerTable).map { i =>
+          when(col(s"d${t * planesPerTable + i}") >= 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("table"), b.as("bucket"))
+      }
+      planeDots(df, id, vec, allPlanes)
+        .select(col(id), explode(array(tb: _*)).as("tb"))
+        .select(col(id), col("tb.table").as("table"),
           col("tb.bucket").as("bucket"))
-    val c = bucketed(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv")
-    val q = bucketed(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
-    val scored = c.join(broadcast(q),
-        c("table") === q("table") && c("bucket") === q("bucket") &&
-          col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .dropDuplicates("query_id", "neighbor_id")
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cand = bucketed(Dedup.spread(c), "neighbor_id", "cv")
+      .join(broadcast(bucketed(q, "query_id", "qv")), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

@@ -85,6 +85,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall $recall < 0.6")
   }
 
+  test("grouped planeDots signs match the per-row lshSignature reference") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
+    val planes = Similarity.hyperplanes(8, 64, seed = 7L)
+    val perRow = emb.select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), planes).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val sig = (0 until 8).map(j =>
+      when(col(s"d$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val grouped = Similarity.planeDots(emb, "vec_id", "embedding", planes)
+      .select(col("vec_id"), sig.as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(grouped == perRow)
+    assert(perRow.nonEmpty)
+  }
+
   test("cosine is exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1f, 0f), Array(0f, 1f), 0.0),
