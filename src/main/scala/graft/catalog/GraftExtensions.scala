@@ -82,17 +82,15 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           case Some(s) => h.table.readAsOfVersion(s.snapshotId)
           case None    => h.table.read()
         }
-        val newPlan = df.queryExecution.analyzed
-        // parents are already bound to the relation's attribute ids:
-        // alias the fresh read's output back onto them, by name
-        val byName = newPlan.output.map(a => a.name.toLowerCase -> a).toMap
-        val aliases = r.output.map { o =>
-          val n = byName.getOrElse(o.name.toLowerCase,
-            sys.error(s"column ${o.name} missing from graft read of ${h.name()}"))
-          org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
-            exprId = o.exprId, qualifier = o.qualifier)
-        }
-        org.apache.spark.sql.catalyst.plans.logical.Project(aliases, newPlan)
+        rebind(r, df.queryExecution.analyzed)
+
+      // ---- metadata tables: graft.db.t.history etc. (suffix handles
+      // served by the catalog) — swap for the prepared metadata plan
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftMetadataTableHandle] =>
+        rebind(r,
+          r.table.asInstanceOf[GraftMetadataTableHandle].df
+            .queryExecution.analyzed)
 
       // ---- fallbacks: extension installed without the catalog plugin
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isGraft(u) =>
@@ -106,6 +104,24 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case u: UnresolvedRelation if isGraft(u) =>
         withTable(u)(_.read()).getOrElse(u)
     }
+
+  /** Parents are already bound to the relation's attribute ids: alias
+    * the fresh read's output back onto them — exact name first, then
+    * case-insensitive (unquoted SQL idents fold; rename can create
+    * columns differing only in case, which must not collide).
+    */
+  private def rebind(r: DataSourceV2Relation,
+      newPlan: LogicalPlan): LogicalPlan = {
+    val exact = newPlan.output.map(a => a.name -> a).toMap
+    val ci = newPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val aliases = r.output.map { o =>
+      val n = exact.getOrElse(o.name, ci.getOrElse(o.name.toLowerCase,
+        sys.error(s"column ${o.name} missing from graft read of ${r.table.name()}")))
+      org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
+        exprId = o.exprId, qualifier = o.qualifier)
+    }
+    org.apache.spark.sql.catalyst.plans.logical.Project(aliases, newPlan)
+  }
 
   private def resolvedGraftIdent(name: LogicalPlan): Option[(String, String)] =
     name match {

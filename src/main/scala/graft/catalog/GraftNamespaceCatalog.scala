@@ -100,7 +100,41 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
     (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
 
   override def loadTable(ident: Identifier): Table =
-    GraftTableHandle(graftTable(ident), fullName(ident))
+    location(ident).filter(MetadataIO.exists) match {
+      case Some(loc) =>
+        GraftTableHandle(GraftTable.load(
+          org.apache.spark.sql.SparkSession.active, loc), fullName(ident))
+      case None =>
+        metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
+
+  /** SQL-addressable metadata tables: `graft.db.t.history` parses as
+    * namespace [db, t] + name `history` — when the prefix is a real
+    * graft table and the name a metadata suffix, serve that table's
+    * metadata DataFrame. `changes` is the changelog of the latest
+    * commit (the reference's create_changelog_view, notebook cell 32,
+    * as a table-valued suffix instead of a stored procedure).
+    */
+  private def metadataTable(ident: Identifier): Option[Table] =
+    if (ident.namespace().length != 2) None
+    else {
+      val parent =
+        Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
+      location(parent).filter(MetadataIO.exists).flatMap { loc =>
+        val t = GraftTable.load(org.apache.spark.sql.SparkSession.active, loc)
+        val df = ident.name().toLowerCase match {
+          case "history"              => Some(t.history)
+          case "snapshots"            => Some(t.snapshotsDf)
+          case "metadata_log_entries" => Some(t.metadataLogEntries)
+          case "refs"                 => Some(t.refs)
+          case "files"                => Some(t.filesDf)
+          case "changes" =>
+            t.meta.currentSnapshot.map(c => t.changelog(c.parentId, c.snapshotId))
+          case _ => None
+        }
+        df.map(GraftMetadataTableHandle(_, fullName(ident)))
+      }
+    }
 
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = graftTable(ident)

@@ -47,3 +47,19 @@ final case class GraftTableHandle(table: GraftTable, tableName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     Collections.emptySet()
 }
+
+/** DSv2 handle for a metadata table addressed by SQL suffix —
+  * `graft.db.t.{history,snapshots,metadata_log_entries,refs,files,
+  * changes}` (reference: apiv15.py:80, notebook cells 16-17/31-35 query
+  * `iceberg.employee_db.t.history` and a changelog view through SQL).
+  * Carries the already-built driver-side DataFrame (these are all
+  * O(#snapshots) except `changes`, whose plan is the manifest-diff
+  * changelog); [[ResolveGraftRelations]] swaps the relation for it.
+  */
+final case class GraftMetadataTableHandle(df: org.apache.spark.sql.DataFrame,
+    tableName: String) extends Table {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.emptySet()
+}

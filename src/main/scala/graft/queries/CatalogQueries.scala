@@ -104,6 +104,84 @@ object CatalogQueries {
       Some("""
         SELECT s_suppkey, s_name FROM supplier
         WHERE s_suppkey <= 50 ORDER BY s_suppkey
+      """)),
+
+    // SQL-addressable metadata tables (M1-M4 + M3's oracle): the
+    // reference's most common metadata access is
+    // `iceberg.employee_db.t.history` through SQL (apiv15.py:80,
+    // notebook cells 16-17). Snapshot ids/timestamps are
+    // nondeterministic; the operation sequence, ancestry flags, and
+    // commit counts are not — oracle against literal VALUES.
+    QueryDef(
+      "q59_sql_metadata_tables",
+      (s, d) => {
+        val wh = setupOnce("q59", d) {
+          val w = scratch("sqlmeta")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val t = cat.createTableAs("db1", "region_m", Tables.region(s, d))
+          t.append(Tables.region(s, d))
+          t.delete(col("r_regionkey") === 0)
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          WITH snaps AS (
+            SELECT row_number() OVER (PARTITION BY 1
+                     ORDER BY committed_at, snapshot_id) AS seq, operation
+            FROM graft.db1.region_m.snapshots),
+          h AS (
+            SELECT count(*) AS n_history,
+                   sum(CASE WHEN is_current_ancestor THEN 1 ELSE 0 END)
+                     AS n_ancestors
+            FROM graft.db1.region_m.history),
+          m AS (
+            SELECT count(*) AS n_meta
+            FROM graft.db1.region_m.metadata_log_entries),
+          r AS (SELECT name AS ref_name, type AS ref_type
+                FROM graft.db1.region_m.refs)
+          SELECT seq, operation, n_history, n_ancestors, n_meta,
+                 ref_name, ref_type
+          FROM snaps CROSS JOIN h CROSS JOIN m CROSS JOIN r
+          ORDER BY seq""")
+      },
+      Some("""
+        SELECT seq, operation,
+               CAST(3 AS BIGINT) AS n_history, CAST(3 AS BIGINT) AS n_ancestors,
+               CAST(4 AS BIGINT) AS n_meta,
+               'main' AS ref_name, 'BRANCH' AS ref_type
+        FROM (VALUES (1, 'append'), (2, 'append'), (3, 'delete'))
+             AS t(seq, operation)
+        ORDER BY seq
+      """)),
+
+    // Changelog through SQL (M5 via the `changes` suffix — the
+    // reference's create_changelog_view, notebook cells 32-35, filters
+    // _change_type through SQL): last commit appends the odd nations,
+    // so `changes` must surface exactly those rows as inserts.
+    QueryDef(
+      "q60_sql_changelog",
+      (s, d) => {
+        val wh = setupOnce("q60", d) {
+          val w = scratch("sqlcdc")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val n = Tables.nation(s, d)
+          val t = cat.createTableAs("db1", "nation_c",
+            n.filter(col("n_nationkey") % 2 === 0))
+          t.append(n.filter(col("n_nationkey") % 2 === 1))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT n_nationkey, n_name, _change_type
+          FROM graft.db1.nation_c.changes
+          WHERE _change_type = 'insert'
+          ORDER BY n_nationkey""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, 'insert' AS _change_type
+        FROM nation WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey
       """))
   )
 }

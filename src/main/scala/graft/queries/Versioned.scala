@@ -256,7 +256,10 @@ object Versioned {
           l
         }
         val t = GraftTable.load(s, loc)
-        val w = Window.orderBy(col("committed_at"), col("snapshot_id"))
+        // constant partition: input is O(#snapshots) rows, and an empty
+        // partition spec makes WindowExec warn into every bench log
+        val w = Window.partitionBy(lit(1))
+          .orderBy(col("committed_at"), col("snapshot_id"))
         val snaps = t.snapshotsDf
           .withColumn("seq", row_number().over(w))
           .select(col("seq"), col("operation"))

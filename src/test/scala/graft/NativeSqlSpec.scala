@@ -186,6 +186,57 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(t2.meta.snapshots.size == 2)
   }
 
+  test("metadata tables resolve through SQL suffix idents") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("meta", "t", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    t.delete(col("id") === 1L)
+    // history / snapshots / refs / metadata_log_entries / files
+    val ops = spark.sql(
+      """SELECT operation FROM graft.meta.t.snapshots
+        |ORDER BY committed_at, snapshot_id""".stripMargin)
+      .as[String].collect().toSeq
+    assert(ops == Seq("append", "append", "delete"))
+    assert(spark.sql("SELECT count(*) FROM graft.meta.t.history")
+      .head().getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.meta.t.history WHERE is_current_ancestor")
+      .head().getLong(0) == 3)
+    val refs = spark.sql("SELECT name, type FROM graft.meta.t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("main", "BRANCH")))
+    assert(spark.sql("SELECT count(*) FROM graft.meta.t.metadata_log_entries")
+      .head().getLong(0) >= 3)
+    assert(spark.sql("SELECT sum(record_count) FROM graft.meta.t.files")
+      .head().getLong(0) == 2)
+    // joins between a metadata table and the data table work
+    val n = spark.sql(
+      """SELECT count(*) FROM graft.meta.t d
+        |CROSS JOIN graft.meta.t.refs r WHERE r.name = 'main'""".stripMargin)
+      .head().getLong(0)
+    assert(n == 2)
+  }
+
+  test("changes suffix serves the latest commit's changelog via SQL") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("cdc", "t", Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val got = spark.sql(
+      """SELECT id, v, _change_type FROM graft.cdc.t.changes ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((3L, "c", "insert")))
+    // a delete commit surfaces as _change_type=delete
+    t.delete(col("id") === 1L)
+    val del = spark.sql(
+      """SELECT id, _change_type FROM graft.cdc.t.changes ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(del.toSeq == Seq((1L, "delete")))
+  }
+
   test("unknown table stays unresolved and errors through Spark") {
     freshCat()
     val e = intercept[Exception](spark.sql("SELECT * FROM graft.db.nope").collect())
