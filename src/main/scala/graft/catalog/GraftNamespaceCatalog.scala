@@ -114,6 +114,13 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
     * metadata DataFrame. `changes` is the changelog of the latest
     * commit (the reference's create_changelog_view, notebook cell 32,
     * as a table-valued suffix instead of a stored procedure).
+    *
+    * Deliberate asymmetry (documented, matches Iceberg): metadata
+    * suffixes resolve through loadTable only — tableExists/listTables
+    * cover REAL tables, so `SHOW TABLES` never lists five phantom
+    * suffixes per table and existence checks answer for data tables.
+    * An unknown suffix on an existing table names no metadata relation
+    * and correctly falls through to NoSuchTableException.
     */
   private def metadataTable(ident: Identifier): Option[Table] =
     if (ident.namespace().length != 2) None
@@ -129,7 +136,14 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
           case "refs"                 => Some(t.refs)
           case "files"                => Some(t.filesDf)
           case "changes" =>
-            t.meta.currentSnapshot.map(c => t.changelog(c.parentId, c.snapshotId))
+            // a table that exists but has no commits has no changelog —
+            // falling through would misreport "table not found"
+            Some(t.meta.currentSnapshot match {
+              case Some(c) => t.changelog(c.parentId, c.snapshotId)
+              case None => throw new IllegalStateException(
+                s"table ${fullName(parent)} has no snapshots yet: " +
+                  "changelog 'changes' is undefined until the first commit")
+            })
           case _ => None
         }
         df.map(GraftMetadataTableHandle(_, fullName(ident)))

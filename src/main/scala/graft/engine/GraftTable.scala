@@ -298,14 +298,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   private def applyAssignments(df: DataFrame, cond: Option[Column],
       assignments: Map[String, Column]): DataFrame = {
-    val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }
-    require(byLower.size == assignments.size,
-      s"duplicate UPDATE targets (case-insensitive): ${assignments.keys.mkString(", ")}")
-    val present = df.columns.map(_.toLowerCase).toSet
-    val unknown = byLower.keySet -- present
-    require(unknown.isEmpty, s"UPDATE targets not in table: ${unknown.mkString(", ")}")
+    // resolve each target to exactly ONE schema column: exact name
+    // first, case-insensitive only when unambiguous. A blanket lowercase
+    // fold would silently write BOTH `a` and `A` on a table whose
+    // columns differ only in case (reachable after RENAME COLUMN).
+    def resolve(k: String): String =
+      if (df.columns.contains(k)) k
+      else df.columns.filter(_.equalsIgnoreCase(k)) match {
+        case Array(one) => one
+        case Array()    => sys.error(s"UPDATE target not in table: $k")
+        case many => sys.error(
+          s"UPDATE target '$k' is ambiguous: ${many.mkString(", ")}")
+      }
+    val resolved = assignments.map { case (k, v) => resolve(k) -> v }
+    require(resolved.size == assignments.size,
+      s"duplicate UPDATE targets: ${assignments.keys.mkString(", ")}")
     df.select(df.columns.map { c =>
-      byLower.get(c.toLowerCase) match {
+      resolved.get(c) match {
         case Some(v) =>
           cond.map(w => when(w, v).otherwise(col(s"`$c`")))
             .getOrElse(v).cast(df.schema(c).dataType).as(c)

@@ -51,13 +51,22 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shingles(col("toks"), k).as("sh"))
 
-  /** Round-robin repartition to full parallelism — ONLY when the plan
-    * has fewer partitions than cores (small-file artifact). Explicit
-    * numPartitions, so AQE never coalesces it back.
+  /** Round-robin repartition to full parallelism — ONLY when the scan
+    * would plan fewer partitions than cores (small-file artifact).
+    * Partition count is ESTIMATED from logical-plan stats (file bytes /
+    * maxPartitionBytes) — never `.rdd`, which forces physical planning
+    * and under AQE can eagerly run upstream shuffle stages that the
+    * real query then recomputes. Explicit numPartitions, so AQE never
+    * coalesces it back; unknown-size sources (stats = default huge)
+    * estimate high and are left untouched.
     */
   private[pipeline] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    val estParts =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPB + 1
+    if (estParts < p) df.repartition(p) else df
   }
 
   /** COMPLETE near-dup pairs by exact n-gram Jaccard >= threshold.
@@ -148,17 +157,26 @@ object Dedup {
     val sigs = minhashSignaturesGrouped(
       inv.select(col("id"), pmod(col("hv"), lit(MersennePrime)).as("h")),
       "id", "h", bands * rowsPerBand, seed)
+    // every join below pins SHUFFLE_MERGE, same treatment as the q41
+    // index self-join (see nearDupJaccard): the band-bucket and shared-
+    // hash keys are skewed, and AQE's size-based strategy choice flaps
+    // on them — measured 20x run-to-run variance in long sessions
+    // (round-3 driver bench 110.8s vs 5.5s isolated, same commit).
+    // SMJ is the stable, spill-safe plan at any scale; hints are placed
+    // so every hinted subtree ends under a join (no dangling-hint logs)
     val buckets = sigs.select(col("id"),
         explode(lshBandKeys(bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .hint("SHUFFLE_MERGE")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    val invJ = inv.hint("SHUFFLE_MERGE")
     cand
-      .join(inv.select(col("id").as("id1"), col("n").as("na"), col("hv")), "id1")
-      .join(inv.select(col("id").as("id2"), col("n").as("nb"), col("hv")),
+      .join(invJ.select(col("id").as("id1"), col("n").as("na"), col("hv")), "id1")
+      .join(invJ.select(col("id").as("id2"), col("n").as("nb"), col("hv")),
         Seq("id2", "hv"))
       .groupBy("id1", "id2", "na", "nb")
       .agg(count(lit(1)).as("inter"))

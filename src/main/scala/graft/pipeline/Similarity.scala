@@ -79,11 +79,22 @@ object Similarity {
     */
   def planeDots(df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Array[Double]]): DataFrame = {
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "planes must share one dim")
+    // a vector whose length != dim must fail LOUDLY: element_at past the
+    // plane end yields null, sum skips it, and the dot silently becomes
+    // a partial sum — one codegen'd size check per row, not per element.
+    // (Bucket determinism is up to FP summation order: grouped sums add
+    // in partition order, so a dot within ~1e-16 of 0 may flip sign.)
+    val checked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"embedding length != $dim: id="), col(idCol).cast("string"),
+        lit(" len="), size(col(vecCol)).cast("string"))))
     val aggs = planes.zipWithIndex.map { case (p, j) =>
       val w = element_at(array(p.map(lit(_)): _*), col("pos") + 1)
       sum(col("x").cast("double") * w).as(s"d$j")
     }
-    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+    df.select(col(idCol), posexplode(checked).as(Seq("pos", "x")))
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

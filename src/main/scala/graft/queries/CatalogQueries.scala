@@ -125,11 +125,21 @@ object CatalogQueries {
           w
         }
         s.conf.set("spark.graft.warehouse", wh)
+        // rank via a theta self-join over the O(#snapshots) metadata
+        // rows: seq = how many commits are <= this one. A row_number
+        // window here would be unpartitioned (Spark folds a constant
+        // PARTITION BY away) and warn WindowExec into every bench log
         s.sql("""
-          WITH snaps AS (
-            SELECT row_number() OVER (PARTITION BY 1
-                     ORDER BY committed_at, snapshot_id) AS seq, operation
+          WITH s0 AS (
+            SELECT snapshot_id, committed_at, operation
             FROM graft.db1.region_m.snapshots),
+          snaps AS (
+            SELECT x.operation, CAST(count(*) AS INT) AS seq
+            FROM s0 x JOIN s0 y
+              ON y.committed_at < x.committed_at
+              OR (y.committed_at = x.committed_at
+                  AND y.snapshot_id <= x.snapshot_id)
+            GROUP BY x.snapshot_id, x.operation),
           h AS (
             SELECT count(*) AS n_history,
                    sum(CASE WHEN is_current_ancestor THEN 1 ELSE 0 END)
@@ -182,6 +192,78 @@ object CatalogQueries {
       Some("""
         SELECT n_nationkey, n_name, 'insert' AS _change_type
         FROM nation WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey
+      """)),
+
+    // current_timestamp() through native SQL INSERT (the reference's
+    // own insert idiom, notebook cells 11/22/27: `VALUES (1, 'Alice',
+    // current_timestamp())`), read back through a deterministic
+    // projection: the timestamp is non-reproducible, its presence and
+    // plausibility flags are not.
+    QueryDef(
+      "q61_insert_current_timestamp",
+      (s, d) => {
+        val wh = setupOnce("q61", d) {
+          val w = scratch("inserts")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          s.conf.set("spark.graft.warehouse", w)
+          s.sql("""CREATE TABLE graft.db1.people_t
+                  |  (id INT, name STRING, added_at TIMESTAMP)""".stripMargin)
+          s.sql("""INSERT INTO graft.db1.people_t VALUES
+                  |  (1, 'Alice', current_timestamp()),
+                  |  (2, 'Bob',   current_timestamp()),
+                  |  (3, 'Carol', current_timestamp())""".stripMargin)
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT id, name,
+                 added_at IS NOT NULL AS ts_set,
+                 added_at <= current_timestamp() AS ts_past
+          FROM graft.db1.people_t ORDER BY id""")
+      },
+      Some("""
+        SELECT id, name, CAST(1 AS BOOLEAN) AS ts_set,
+               CAST(1 AS BOOLEAN) AS ts_past
+        FROM (VALUES (1, 'Alice'), (2, 'Bob'), (3, 'Carol')) AS t(id, name)
+        ORDER BY id
+      """)),
+
+    // SHOW TABLES + DESCRIBE through the catalog plugin (D7/D8 — the
+    // reference's most-typed commands after SELECT, notebook cells
+    // 2/4/5/15), oracled against literal VALUES: table listings and
+    // column rows are fully determined by the setup.
+    QueryDef(
+      "q62_show_describe",
+      (s, d) => {
+        val wh = setupOnce("q62", d) {
+          val w = scratch("showdesc")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("dbx")
+          cat.createTableAs("dbx", "region_d", Tables.region(s, d))
+          cat.createTableAs("dbx", "nation_d",
+            Tables.nation(s, d).select("n_nationkey", "n_name"))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        val shown = s.sql("SHOW TABLES IN graft.dbx")
+          .select(lit("table").as("kind"), col("tableName").as("name"),
+            lit("").as("type"))
+        // keep only the column rows: section markers/blank separators
+        // are presentation, not catalog facts
+        val desc = s.sql("DESCRIBE TABLE graft.dbx.region_d")
+          .filter(col("col_name") =!= "" && !col("col_name").startsWith("#"))
+          .select(lit("column").as("kind"), col("col_name").as("name"),
+            col("data_type").as("type"))
+        shown.unionByName(desc).orderBy(col("kind"), col("name"))
+      },
+      Some("""
+        SELECT kind, name, type FROM (VALUES
+          ('column', 'r_name',      'string'),
+          ('column', 'r_regionkey', 'int'),
+          ('table',  'nation_d',    ''),
+          ('table',  'region_d',    '')) AS t(kind, name, type)
+        ORDER BY kind, name
       """))
   )
 }

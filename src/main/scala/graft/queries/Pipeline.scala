@@ -108,6 +108,35 @@ object Pipeline {
           |      CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= 0.5
           |ORDER BY id1, id2""".stripMargin)),
 
+    // ---- Capped-index Jaccard: q41's operator in its MANDATORY 100-TB
+    //      configuration — ubiquitous shingles (df > cap) are dropped
+    //      from the inverted index, collapsing the O(Σ df²) hot-key
+    //      blowup while pairs that share any rare shingle still verify.
+    //      The cap is deterministic, so this one is fully oracle-able:
+    //      `inter` counts shared RARE shingles on both engines. --------
+    QueryDef(
+      "q63_near_dup_jaccard_capped",
+      (s, d) =>
+        Dedup.nearDupJaccard(nearDupCorpus(s, d), "doc_id", "text",
+            k = 3, threshold = 0.5, maxShingleDf = Some(32))
+          .orderBy(col("id1"), col("id2")),
+      Some(nearDupCorpusSql +
+        """, inv AS (
+          |  SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shingled
+          |), rare AS (
+          |  SELECT s FROM inv GROUP BY s HAVING count(*) <= 32
+          |), capped AS (
+          |  SELECT i.doc_id, i.n, i.s FROM inv i JOIN rare r USING (s)
+          |)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |       CAST(count(*) AS DOUBLE) /
+          |       CAST(a.n + b.n - count(*) AS DOUBLE) AS jaccard
+          |FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+          |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+          |HAVING CAST(count(*) AS DOUBLE) /
+          |       CAST(a.n + b.n - count(*) AS DOUBLE) >= 0.5
+          |ORDER BY id1, id2""".stripMargin)),
+
     // ---- MinHash + banded LSH (xxhash64: not oracle-expressible; exact
     //      recall asserted in PipelineSpec) ------------------------------
     QueryDef(

@@ -247,7 +247,6 @@ object Versioned {
     QueryDef(
       "q55_metadata_tables",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val loc = setupOnce("q55", d) {
           val l = scratch("metat")
           val t = GraftTable.createAs(s, l, "region_v", Tables.region(s, d))
@@ -256,13 +255,17 @@ object Versioned {
           l
         }
         val t = GraftTable.load(s, loc)
-        // constant partition: input is O(#snapshots) rows, and an empty
-        // partition spec makes WindowExec warn into every bench log
-        val w = Window.partitionBy(lit(1))
-          .orderBy(col("committed_at"), col("snapshot_id"))
-        val snaps = t.snapshotsDf
-          .withColumn("seq", row_number().over(w))
-          .select(col("seq"), col("operation"))
+        // the commit sequence comes straight from table metadata —
+        // already driver-side and O(#snapshots); a row_number window
+        // over the unpartitioned 3-row frame (even with a constant
+        // PARTITION BY, which Spark folds away) warns WindowExec into
+        // every bench log
+        import s.implicits._
+        val snaps = t.meta.snapshots
+          .sortBy(x => (x.timestampMs, x.snapshotId))
+          .zipWithIndex
+          .map { case (sn, i) => (i + 1, sn.operation) }
+          .toDF("seq", "operation")
         val hist = t.history
           .agg(count(lit(1)).as("n_history"),
             sum(when(col("is_current_ancestor"), 1L).otherwise(0L)).as("n_ancestors"))

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.engine.GraftTable
+
+/** Structured Streaming SOURCE over a graft table: tail a versioned
+  * table as a stream of its appended snapshots — the streaming twin of
+  * `GraftTable.readAppendsBetween` and the capability the reference
+  * approximates by re-reading its changelog after each commit
+  * (Pyspark_Notebook.ipynb cells 32-35).
+  *
+  * Offsets are POSITIONS IN THE SNAPSHOT LOG (1-based count of
+  * commits), not snapshot ids: log positions are monotonic while ids
+  * are random, and a micro-batch (start, end] maps to
+  * `readAppendsBetween(log(start-1).id, log(end-1).id)` — a
+  * metadata-only file selection reading exactly the files added by the
+  * covered commits.
+  *
+  * Scale design: each micro-batch plans from the manifest (no
+  * directory listing, no state proportional to table size); the batch
+  * DataFrame is a plain pruned parquet scan, so pushdown/partitioning
+  * behave exactly as in batch. Semantics guards inherited from
+  * readAppendsBetween: a non-append commit (CoW rewrite, compaction)
+  * inside a batch range fails loudly rather than re-delivering
+  * rewritten rows; consumers resync via `changelog()`. Snapshot
+  * expiration invalidates open checkpoints (log positions shift) —
+  * documented, same constraint as Iceberg's incremental read.
+  */
+final class GraftTableStreamSource(spark: SparkSession, location: String)
+    extends Source {
+
+  private val table = GraftTable.load(spark, location)
+
+  override val schema: StructType = table.meta.currentSchema.toStructType
+
+  /** Latest offset = number of committed snapshots (None until the
+    * first commit). Metadata read only — called once per trigger.
+    */
+  override def getOffset: Option[OffsetV1] = {
+    val n = table.meta.snapshotLog.size
+    if (n == 0) None else Some(LongOffset(n.toLong))
+  }
+
+  /** Rows appended by commits in log positions (start, end]. */
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val m = table.meta
+    val from = start.map(asLong).getOrElse(0L).toInt
+    val to = asLong(end).toInt
+    require(to >= 1 && to <= m.snapshotLog.size,
+      s"offset $to out of range (snapshot log has ${m.snapshotLog.size} " +
+        "entries — expired snapshots invalidate streaming checkpoints)")
+    val fromId =
+      if (from == 0) None else Some(m.snapshotLog(from - 1).snapshotId)
+    val toId = m.snapshotLog(to - 1).snapshotId
+    org.apache.spark.sql.graftshim.streamingDfFromBatch(spark,
+      table.readAppendsBetween(fromId, toId))
+  }
+
+  /** Checkpointed offsets come back as SerializedOffset json. */
+  private def asLong(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format("graft-table").option("path", loc).load()`
+  * (short name via META-INF/services; streaming-only — batch reads go
+  * through GraftTable / the catalog).
+  */
+final class GraftTableStreamProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def loc(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("graft-table stream requires option 'path' (table location)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftTable.load(sqlContext.sparkSession, loc(parameters))
+      .meta.currentSchema.toStructType)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableStreamSource(sqlContext.sparkSession, loc(parameters))
+}
+
+object GraftTableStream {
+
+  /** Streaming read of a graft table's appended snapshots. */
+  def read(spark: SparkSession, location: String): DataFrame =
+    spark.readStream.format("graft-table").option("path", location).load()
+}

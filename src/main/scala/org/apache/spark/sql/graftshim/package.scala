@@ -22,4 +22,15 @@ package object graftshim {
   def dfFromPlan(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Batch DataFrame -> streaming-marked DataFrame. DSv1 streaming
+    * Sources must return micro-batches whose plan has isStreaming=true
+    * (MicroBatchExecution asserts it); Spark's own FileStreamSource
+    * does exactly this via internalCreateDataFrame, which is
+    * private[sql].
+    */
+  def streamingDfFromBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = true)
 }

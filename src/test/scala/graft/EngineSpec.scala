@@ -113,6 +113,27 @@ class EngineSpec extends AnyFunSuite {
     assert(got3.toSeq == Seq((1L, "a1", "seen"), (2L, "a2+b2", "a2")))
   }
 
+  test("UPDATE targets resolve case-insensitively to exactly one column") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "ci",
+      Seq("id" -> "long", "Name" -> "string"))
+    t.append(Seq((1L, "x"), (2L, "y")).toDF("id", "Name"))
+    // differently-cased target resolves to the single matching column
+    t.update(col("id") === 1L, Map("NAME" -> lit("z")))
+    assert(t.read().orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("z", "y"))
+    // unknown target fails loudly
+    val ex = intercept[RuntimeException] {
+      t.update(col("id") === 1L, Map("nope" -> lit("q")))
+    }
+    assert(ex.getMessage.contains("not in table"))
+    // two keys folding onto one column = duplicate targets
+    val dup = intercept[IllegalArgumentException] {
+      t.update(col("id") === 1L, Map("name" -> lit("a"), "NAME" -> lit("b")))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+  }
+
   test("time travel by version and by time") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))

@@ -54,6 +54,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("capped-index Jaccard: no-op at generous cap, subset + recall at tight cap") {
+    import spark.implicits._
+    val corpus = docsWithNearDups()
+    val uncapped = Dedup.nearDupJaccard(corpus, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty, "fixture must contain near-dups")
+    // a cap above every shingle's df must not change anything
+    val loose = Dedup.nearDupJaccard(corpus, "doc_id", "text",
+        k = 3, threshold = 0.5, maxShingleDf = Some(1000000))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(loose == uncapped)
+    // a tight cap only SHRINKS the capped intersection count, so capped
+    // results are a subset of the complete pairs; on the fixture (near-
+    // dups share many distinct, hence rare, shingles) recall stays high
+    val tight = Dedup.nearDupJaccard(corpus, "doc_id", "text",
+        k = 3, threshold = 0.5, maxShingleDf = Some(32))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(uncapped))
+    val recall = tight.size.toDouble / uncapped.size
+    assert(recall >= 0.8, s"capped recall $recall < 0.8 " +
+      s"(${tight.size}/${uncapped.size})")
+  }
+
   test("simhash chunk-bucketing is complete for hamming <= 3 (vs brute force)") {
     import spark.implicits._
     val corpus = docsWithNearDups()

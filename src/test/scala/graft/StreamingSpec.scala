@@ -60,6 +60,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count() > tumbling)
   }
 
+  test("graft-table stream: drain over a table with two appends equals batch read") {
+    import graft.engine.GraftTable
+    import graft.streaming.GraftTableStream
+    val loc = Files.createTempDirectory("graft-tstream").toString
+    val n = Tables.nation(spark, "/root/testdata/sf0.001")
+    val t = GraftTable.createAs(spark, loc, "nation_s",
+      n.filter(col("n_nationkey") % 2 === 0))
+    t.append(n.filter(col("n_nationkey") % 2 === 1))
+    val stream = GraftTableStream.read(spark, loc)
+    assert(stream.isStreaming)
+    EventStream.runToMemory(spark, stream, "graft_stream", outputMode = "append")
+    val got = spark.table("graft_stream")
+    val want = t.read()
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("graft-table stream resumes from checkpoint, delivering only new appends") {
+    import graft.engine.GraftTable
+    import graft.streaming.GraftTableStream
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = Files.createTempDirectory("graft-tstream2").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    val n = Tables.nation(spark, "/root/testdata/sf0.001")
+    val t = GraftTable.createAs(spark, loc, "nation_s2",
+      n.filter(col("n_nationkey") % 2 === 0))
+    def drain(): Unit = {
+      val q = GraftTableStream.read(spark, loc).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val evens = spark.read.parquet(out).count()
+    assert(evens == n.filter(col("n_nationkey") % 2 === 0).count())
+    t.append(n.filter(col("n_nationkey") % 2 === 1))
+    drain() // checkpointed offset: second drain must append ONLY the odds
+    val all = spark.read.parquet(out)
+    assert(all.count() == n.count())
+    assert(all.exceptAll(n).isEmpty && n.exceptAll(all).isEmpty)
+  }
+
+  test("graft-table stream fails loudly across a non-append commit") {
+    import graft.engine.GraftTable
+    import graft.streaming.GraftTableStream
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val loc = Files.createTempDirectory("graft-tstream3").toString
+    val n = Tables.nation(spark, "/root/testdata/sf0.001")
+    val t = GraftTable.createAs(spark, loc, "nation_s3", n)
+    t.delete(col("n_nationkey") === 0) // CoW rewrite inside the range
+    val ex = intercept[StreamingQueryException] {
+      val q = GraftTableStream.read(spark, loc).writeStream
+        .format("memory").queryName("graft_stream_bad")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(ex.getMessage.contains("not append") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not append")))
+  }
+
   test("mapGroupsWithState sessionizer accumulates per-user state") {
     val stream = EventStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 2)
     EventStream.runToMemory(spark,
