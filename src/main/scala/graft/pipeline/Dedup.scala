@@ -48,7 +48,17 @@ object Dedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
     spread(df)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      // coalesce makes `toks` (hence `sh` and size(sh)) NON-NULLABLE:
+      // downstream joins/filters infer isnotnull constraints on these,
+      // and for a nullable column Catalyst pushes that filter to the
+      // scan with the ENTIRE shingle expression re-inlined — the most
+      // expensive expression in the library evaluated a second time per
+      // row per join side (seen in q41's physical plan). Non-nullable
+      // folds the constraint away. Semantics: null text tokenizes to
+      // an empty array, which was already the shingle result for it.
+      .select(col(idCol).as("id"),
+        coalesce(tokens(col(textCol)), array().cast("array<string>"))
+          .as("toks"))
       .select(col("id"), shingles(col("toks"), k).as("sh"))
 
   /** Round-robin repartition to full parallelism — ONLY when the scan
@@ -95,15 +105,34 @@ object Dedup {
       explode(col("sh")).as("s"))
     val inv1 = maxShingleDf match {
       case Some(cap) =>
-        val rare = inv0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        inv0.join(rare, "s")
+        // df-filter via a window over the shingle key, NOT a groupBy +
+        // join-back: that shape evaluates the shingle expression (the
+        // most expensive one in the library) TWICE — once to count dfs
+        // and once for the index — measured 1.4x the UNCAPPED time at
+        // sf0.1. The window is one pass: shuffle by `s` (the same
+        // partitioning the self-join below needs), count the partition,
+        // filter. Honest scale note: the cap pays off on Zipfian real
+        // corpora where the df head carries most of Σ df²; on the
+        // synthetic bench fixture dfs are uniformly moderate (median 17,
+        // max 47 at sf0.1), so cap=32 prunes only ~4% of join work while
+        // keeping recall 0.999 — the operator exists for the
+        // distribution shape production corpora actually have.
+        import org.apache.spark.sql.expressions.Window
+        inv0.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+          .filter(col("df") <= cap).drop("df")
       case None => inv0
     }
     // pin sort-merge for the index self-join: the skewed hot-shingle
     // key makes AQE's size-based strategy choice flap (measured up to
-    // 10x run-to-run variance); SMJ is the stable, spill-safe plan
-    val inv = inv1.hint("SHUFFLE_MERGE")
+    // 10x run-to-run variance); SMJ is the stable, spill-safe plan.
+    // The explicit repartition by the JOIN KEY makes both self-join
+    // sides consume one identical exchange: the shuffle-stage cache
+    // materializes the index (shingling included) ONCE and the second
+    // side is a ReusedExchange — without it each side re-evaluated the
+    // whole shingle pipeline (measured 3.5x at sf0.1). The capped
+    // branch already ends in a window exchange on the same key.
+    val pre = if (maxShingleDf.isDefined) inv1 else inv1.repartition(col("s"))
+    val inv = pre.hint("SHUFFLE_MERGE")
     inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
