@@ -180,9 +180,16 @@ object Dedup {
     // shingleSets), recomputing this narrow projection per consumer is
     // cheaper than cache residency + eviction churn (round-2 note),
     // and keeps the operator stateless for callers
+    // the exploded index feeds THREE consumers (signatures + both
+    // verification sides) with three different downstream keys — the
+    // trailing repartition materializes one shuffle stage that all
+    // three reuse (ReusedExchange), so the shingle pipeline runs once
+    // per corpus, not once per consumer. One extra narrow (long,long)
+    // shuffle buys 2 fewer shingling passes.
     val inv = sets.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
       .select(col("id"), col("n"), xxhash64(col("s")).as("hv"))
+      .repartition(col("hv"))
     val sigs = minhashSignaturesGrouped(
       inv.select(col("id"), pmod(col("hv"), lit(MersennePrime)).as("h")),
       "id", "h", bands * rowsPerBand, seed)
@@ -240,10 +247,16 @@ object Dedup {
     val fps = hashed.groupBy("id")
       .agg(count(lit(1)).as("cnt"), voteSums: _*)
       .select(col("id"), fpExpr.as("fp"))
+    // same exchange-sharing + pinning treatment as the Jaccard/MinHash
+    // self-joins: pre-shuffle by the join key so both sides reuse one
+    // materialized stage (fingerprints computed once), and pin SMJ so
+    // AQE's strategy choice can't flap on the skewed 16-bit chunk key
     val chunks = fps.select(col("id"), col("fp"),
         explode(simhashChunks(col("fp"))).as("c"))
       .select(col("id"), col("fp"), col("c.chunk").as("chunk"),
         col("c.value").as("value"))
+      .repartition(col("chunk"), col("value"))
+      .hint("SHUFFLE_MERGE")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
           col("a.id") < col("b.id"))

@@ -355,6 +355,77 @@ object Versioned {
       Some("""
         SELECT p_partkey, p_name, p_size, CAST(NULL AS VARCHAR) AS grade
         FROM part ORDER BY p_partkey
+      """)),
+
+    // SET TBLPROPERTIES (D6) + schema-change provenance (H4): properties
+    // round-trip through metadata commits, and each schema evolution
+    // records what changed under graft.schema-log.<id> — the reference's
+    // schema_api_mapping.json side-file folded into table metadata.
+    QueryDef(
+      "q64_set_tblproperties",
+      (s, d) => {
+        val loc = setupOnce("q64", d) {
+          val l = scratch("props")
+          val t = GraftTable.createAs(s, l, "region_p", Tables.region(s, d))
+          t.setProperties(Map("graft.owner" -> "analytics",
+            "commit.retention-days" -> "30"))
+          t.renameColumn("r_name", "region_name")
+          l
+        }
+        val m = GraftTable.load(s, loc).meta
+        import s.implicits._
+        Seq("commit.retention-days", "format-version", "graft.owner",
+            "graft.schema-log.1")
+          .map(k => (k, m.properties.getOrElse(k, "")))
+          .toDF("property", "value")
+          .orderBy(col("property"))
+      },
+      Some("""
+        SELECT property, value FROM (VALUES
+          ('commit.retention-days', '30'),
+          ('format-version', '2'),
+          ('graft.owner', 'analytics'),
+          ('graft.schema-log.1', 'rename-column r_name->region_name'))
+          AS t(property, value)
+        ORDER BY property
+      """)),
+
+    // Deterministic column resolution (H5 — the reference's LLM matcher
+    // apiv15.py:378-394 replaced by exact -> field-id history ->
+    // Levenshtein): every decision surface (match via exact/history/
+    // edit-distance, no-match) is reproducible, so it oracles as VALUES.
+    QueryDef(
+      "q65_column_resolver",
+      (s, d) => {
+        val loc = setupOnce("q65", d) {
+          val l = scratch("resolver")
+          GraftTable.createAs(s, l, "nation_r",
+            Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"))
+            .renameColumn("n_name", "nation_label")
+          l
+        }
+        val m = GraftTable.load(s, loc).meta
+        import s.implicits._
+        import graft.api.ColumnResolver
+        Seq("nation_label", "n_name", "n_regionkei", "zzz_not_a_col")
+          .map { r =>
+            ColumnResolver.resolve(m, r) match {
+              case ColumnResolver.Resolved(n, via) => (r, n, via)
+              case ColumnResolver.Ambiguous(cs)    => (r, cs.mkString(","), "ambiguous")
+              case ColumnResolver.NoMatch          => (r, "", "no_match")
+            }
+          }
+          .toDF("requested", "resolved", "via")
+          .orderBy(col("requested"))
+      },
+      Some("""
+        SELECT requested, resolved, via FROM (VALUES
+          ('n_name',        'nation_label', 'history'),
+          ('n_regionkei',   'n_regionkey',  'levenshtein:1'),
+          ('nation_label',  'nation_label', 'exact'),
+          ('zzz_not_a_col', '',             'no_match'))
+          AS t(requested, resolved, via)
+        ORDER BY requested
       """))
   )
 }
