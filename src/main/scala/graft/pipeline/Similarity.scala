@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, types}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,11 +90,30 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"embedding length != $dim: id="), col(idCol).cast("string"),
         lit(" len="), size(col(vecCol)).cast("string"))))
-    val aggs = planes.zipWithIndex.map { case (p, j) =>
-      val w = element_at(array(p.map(lit(_)): _*), col("pos") + 1)
-      sum(col("x").cast("double") * w).as(s"d$j")
+    // the plane matrix travels as DATA (a dim-row LocalRelation,
+    // broadcast-joined on the exploded position), NOT as plan literals:
+    // per-plane `array(lit, lit, …)` built an expression tree of
+    // numPlanes*dim Literal nodes (64x64 -> ~1.3 MiB task binaries), and
+    // a shared typedlit was worse — optimizer copies break reference
+    // identity, so every aggregate serialized its own boxed 4096-double
+    // payload (measured 23 MiB task binaries). With the weights in a
+    // broadcast relation the plan size is independent of plane count;
+    // the join is a 64-row broadcast hash build with no row blowup
+    // (one wide weight row per position).
+    val spark = df.sparkSession
+    val planeSchema = types.StructType(
+      types.StructField("pos", types.IntegerType, nullable = false) +:
+        planes.indices.map(j =>
+          types.StructField(s"w$j", types.DoubleType, nullable = false)))
+    val planeRows: java.util.List[Row] = java.util.Arrays.asList(
+      (0 until dim).map(p =>
+        Row.fromSeq(p +: planes.map(_(p)).toVector)): _*)
+    val planesDf = spark.createDataFrame(planeRows, planeSchema)
+    val aggs = planes.indices.map { j =>
+      sum(col("x").cast("double") * col(s"w$j")).as(s"d$j")
     }
     df.select(col(idCol), posexplode(checked).as(Seq("pos", "x")))
+      .join(broadcast(planesDf), "pos")
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -141,8 +160,16 @@ object Similarity {
       .join(broadcast(bucketed(q, "query_id", "qv")), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val scored = cand
-      .join(c, "neighbor_id")
+    // the candidate set is ids-only and bounded by |queries| x bucket
+    // occupancy — if the queries fit a broadcast (this operator's
+    // contract), so does cand. Pin it broadcast so the corpus-side
+    // verification join is a broadcast hash join streaming one corpus
+    // scan: left to AQE, the strategy choice flapped in long sessions
+    // (round-4 driver full-suite 11.7s vs 2.8s isolated, same commit —
+    // the exact q42 instability round 3 fixed in Dedup) by shuffling
+    // the full corpus WITH vectors when the size estimate drifted.
+    val scored = c
+      .join(broadcast(cand), "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
