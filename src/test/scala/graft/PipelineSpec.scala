@@ -78,6 +78,42 @@ class PipelineSpec extends AnyFunSuite {
       s"(${tight.size}/${uncapped.size})")
   }
 
+  test("df cap collapses the hot-key candidate blowup on a Zipf-skewed slice") {
+    import spark.implicits._
+    // Zipf-shaped corpus: a boilerplate header appears in EVERY doc (the
+    // df head — df = 200), each pair of docs shares a unique tail (df =
+    // 2). This is the distribution the capped index exists for: without
+    // the cap every pair of docs is a candidate through the boilerplate
+    // shingles; with it, only pairs sharing rare content collide.
+    val boiler = "common header text shared across every document in corpus"
+    val docs = (0 until 200).map { i =>
+      val pair = i / 2
+      val tail = (0 until 20).map(t => s"tok${pair}x$t").mkString(" ")
+      (i.toLong, s"$boiler unique body $pair $tail")
+    }.toDF("doc_id", "text")
+    def pairs(threshold: Double, cap: Option[Int]): Set[(Long, Long)] =
+      Dedup.nearDupJaccard(docs, "doc_id", "text", k = 3,
+          threshold = threshold, maxShingleDf = cap)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // threshold ~0 surfaces every candidate pair the index generates
+    val uncappedCand = pairs(1e-9, None)
+    val cappedCand = pairs(1e-9, Some(16))
+    assert(uncappedCand.size == 200 * 199 / 2,
+      s"every doc pair shares boilerplate: ${uncappedCand.size}")
+    assert(cappedCand.subsetOf(uncappedCand))
+    // the measured payoff: candidate volume collapses ~200x (19900 ->
+    // the 100 truly-related pairs) because the df>cap head is pruned
+    assert(cappedCand.size * 20 <= uncappedCand.size,
+      s"cap must collapse candidates: ${cappedCand.size} vs ${uncappedCand.size}")
+    // and the capped operator still FINDS the near-dups: recall vs the
+    // complete result at the real threshold
+    val uncapped = pairs(0.5, None)
+    val capped = pairs(0.5, Some(16))
+    assert(uncapped.size == 100, s"fixture has 100 true dup pairs: ${uncapped.size}")
+    val recall = capped.intersect(uncapped).size.toDouble / uncapped.size
+    assert(recall >= 0.8, s"capped recall $recall < 0.8")
+  }
+
   test("simhash chunk-bucketing is complete for hamming <= 3 (vs brute force)") {
     import spark.implicits._
     val corpus = docsWithNearDups()
