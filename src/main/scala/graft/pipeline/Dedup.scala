@@ -228,6 +228,68 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Embedding-cosine near-dup, COMPLETE variant: every pair of rows
+    * whose embedding cosine >= threshold. All-pairs by construction —
+    * the oracle-exact baseline, quadratic in corpus size (the join has
+    * no equi key, so it plans as a broadcast nested loop). Use
+    * [[nearDupEmbeddingLsh]] at scale; this exists as its correctness
+    * anchor and for endpoint-sized slices.
+    */
+  import graft.functions.VectorFunctions.dotF
+
+  def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    // norms once per VECTOR (linear), not per pair (quadratic); the
+    // pair dot is the native FloatVectorDot expression — the built-in
+    // higher-order form ran interpreted at ~35us/pair, which DOMINATED
+    // this operator (17s for 320k pairs at sf0.1; 0.9s of that was the
+    // join)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (dotF(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, scale path: candidates are pairs
+    * sharing a hyperplane-LSH bucket in ANY of `numTables` tables
+    * (the same bucketing as [[Similarity.cosineTopKLsh]]), verified by
+    * exact cosine — so no false positives vs [[nearDupEmbedding]], and
+    * recall rises with numTables (PipelineSpec pins it vs the exact
+    * variant). Join volume is bucket-local: at 100 TB each (table,
+    * bucket) key holds a small slice of the corpus instead of the
+    * quadratic all-pairs, and the same pin+reuse treatment as the
+    * other dedup self-joins keeps the plan stable: one exchange by the
+    * bucket key feeds both self-join sides, SMJ pinned everywhere.
+    */
+  def nearDupEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planesPerTable: Int = 4, numTables: Int = 16,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+    val buckets = Similarity.lshBuckets(spread(v), "id", "v",
+        planesPerTable, numTables, dim, seed)
+      .repartition(col("table"), col("bucket"))
+      .hint("SHUFFLE_MERGE")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val vj = v.hint("SHUFFLE_MERGE")
+    cand
+      .join(vj.select(col("id").as("id1"), col("v").as("va"),
+        col("nrm").as("na")), "id1")
+      .join(vj.select(col("id").as("id2"), col("v").as("vb"),
+        col("nrm").as("nb")), "id2")
+      .select(col("id1"), col("id2"),
+        (dotF(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** SimHash near-dup: 64-bit fingerprints, candidates = pairs sharing
     * one of four 16-bit chunks (pigeonhole-complete for hamming <= 3),
     * verified by exact hamming distance. Candidate join is chunk-value

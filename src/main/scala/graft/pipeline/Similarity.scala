@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two float arrays. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Double-precision cosine similarity of two float arrays. Backed by
+    * the native [[graft.functions.FloatVectorDot]] expression: the
+    * higher-order `aggregate(zip_with(...))` form it replaces is
+    * CodegenFallback (~35us/pair interpreted) with identical summation
+    * order, so results are bit-equal and the scan is codegen'd.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineF(a, b)
 
   /** Exact brute-force top-k: for each row of `queries`, the k nearest
     * corpus rows by cosine. Queries are broadcast (they are small by
@@ -132,28 +133,37 @@ object Similarity {
     * (or the corpus is re-probed across batches with signatures
     * persisted). For a handful of queries, use [[cosineTopK]].
     */
+  /** Multi-table hyperplane LSH bucket assignments: one (id, table,
+    * bucket) row per table — the shared candidate-generation front end
+    * of [[cosineTopKLsh]] and [[Dedup.nearDupEmbeddingLsh]]. Only ids
+    * and two small ints leave this stage; vectors rejoin later for the
+    * candidates alone (the round-2 plan exploded every vector 16x
+    * through the shuffle). Deterministic given `seed`.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planesPerTable: Int = 4, numTables: Int = 16, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    // flat plane matrix: table t owns dots d[t*m .. t*m+m-1]
+    val allPlanes = (0 until numTables)
+      .flatMap(t => hyperplanes(planesPerTable, dim, seed + t))
+    val tb = (0 until numTables).map { t =>
+      val b = (0 until planesPerTable).map { i =>
+        when(col(s"d${t * planesPerTable + i}") >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), b.as("bucket"))
+    }
+    planeDots(df, idCol, vecCol, allPlanes)
+      .select(col(idCol), explode(array(tb: _*)).as("tb"))
+      .select(col(idCol), col("tb.table").as("table"),
+        col("tb.bucket").as("bucket"))
+  }
+
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planesPerTable: Int = 4, numTables: Int = 16,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    // flat plane matrix: table t owns dots d[t*m .. t*m+m-1] — same
-    // per-table seeds as before, so buckets are unchanged
-    val allPlanes = (0 until numTables)
-      .flatMap(t => hyperplanes(planesPerTable, dim, seed + t))
-    // (id, table, bucket) ONLY — the round-2 plan exploded every vector
-    // 16x through the shuffle; vectors now rejoin for candidates alone
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
-      val tb = (0 until numTables).map { t =>
-        val b = (0 until planesPerTable).map { i =>
-          when(col(s"d${t * planesPerTable + i}") >= 0, lit(1L << i))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(t).as("table"), b.as("bucket"))
-      }
-      planeDots(df, id, vec, allPlanes)
-        .select(col(id), explode(array(tb: _*)).as("tb"))
-        .select(col(id), col("tb.table").as("table"),
-          col("tb.bucket").as("bucket"))
-    }
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      lshBuckets(df, id, vec, planesPerTable, numTables, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cand = bucketed(Dedup.spread(c), "neighbor_id", "cv")

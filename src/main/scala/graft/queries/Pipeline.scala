@@ -350,6 +350,49 @@ object Pipeline {
             col("height"), col("duration_ms"), col("f0"), col("f1"))
           .orderBy(col("asset_id"))
       },
+      None),
+
+    // ---- Embedding-cosine near-dup, exact (the oracle baseline) --------
+    // all-pairs on an 800-vector slice: quadratic by design — the
+    // correctness anchor for the LSH-bucketed variant below. Threshold
+    // margin at 0.4 is ~1e-5 on this slice, ~100x the engines'
+    // float->double cosine disagreement (same rationale as q47's ranks);
+    // reported sim rounded coarse for hash safety.
+    QueryDef(
+      "q70_embedding_near_dup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).filter(col("vec_id") < 800)
+        Dedup.nearDupEmbedding(emb, "vec_id", "embedding", threshold = 0.4)
+          .select(col("id1"), col("id2"), round(col("sim"), 2).as("sim"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""
+        WITH e AS (SELECT * FROM embeddings WHERE vec_id < 800),
+        p AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 CAST(list_cosine_similarity(a.embedding, b.embedding)
+                      AS DOUBLE) AS sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id1, id2, round(sim, 2) AS sim
+        FROM p WHERE sim >= 0.4
+        ORDER BY id1, id2
+      """)),
+
+    // ---- Embedding-cosine near-dup, LSH-bucketed (the scale path) ------
+    // full corpus; candidates from shared hyperplane buckets, verified
+    // by exact cosine (no false positives). Hyperplane signs are not
+    // reproducible in DuckDB -> rows-only here; recall vs the exact
+    // variant is pinned in PipelineSpec.
+    QueryDef(
+      "q71_embedding_near_dup_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Dedup.nearDupEmbeddingLsh(emb, "vec_id", "embedding",
+            threshold = 0.4)
+          .select(col("id1"), col("id2"), round(col("sim"), 2).as("sim"))
+          .orderBy(col("id1"), col("id2"))
+      },
       None)
   )
 }

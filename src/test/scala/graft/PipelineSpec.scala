@@ -130,6 +130,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must contain simhash near-dups")
   }
 
+  test("embedding near-dup LSH: subset of exact pairs, high recall") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Dedup.nearDupEmbedding(emb, "vec_id", "embedding", 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain cosine near-dups at 0.4")
+    val lsh = Dedup.nearDupEmbeddingLsh(emb, "vec_id", "embedding", 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // exact-cosine verification => no false positives
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"embedding LSH recall $recall < 0.8 " +
+      s"(${lsh.size}/${exact.size})")
+  }
+
   test("ANN LSH: reasonable recall vs brute-force cosine top-k") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
