@@ -118,21 +118,6 @@ object Similarity {
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Approximate top-k via multi-table hyperplane LSH: `numTables`
-    * independent tables of `planesPerTable` sign bits; candidates are
-    * rows sharing (table, bucket) with the query in ANY table, then
-    * exact cosine ranks the candidates. Recall rises with tables,
-    * join volume stays bucket-local — at 100 TB each bucket is a tiny
-    * slice vs the exact path's full corpus scan per query batch.
-    * (This is the IVF/LSH "scale path" the brute-force operator pairs
-    * with; both are deterministic given `seed`.)
-    *
-    * When it pays off: signature cost is numTables*planesPerTable dots
-    * per corpus row, brute force is |queries| dots per corpus row — LSH
-    * only wins when the query batch is much larger than the plane count
-    * (or the corpus is re-probed across batches with signatures
-    * persisted). For a handful of queries, use [[cosineTopK]].
-    */
   /** Multi-table hyperplane LSH bucket assignments: one (id, table,
     * bucket) row per table — the shared candidate-generation front end
     * of [[cosineTopKLsh]] and [[Dedup.nearDupEmbeddingLsh]]. Only ids
@@ -159,6 +144,21 @@ object Similarity {
         col("tb.bucket").as("bucket"))
   }
 
+  /** Approximate top-k via multi-table hyperplane LSH: `numTables`
+    * independent tables of `planesPerTable` sign bits; candidates are
+    * rows sharing (table, bucket) with the query in ANY table, then
+    * exact cosine ranks the candidates. Recall rises with tables,
+    * join volume stays bucket-local — at 100 TB each bucket is a tiny
+    * slice vs the exact path's full corpus scan per query batch.
+    * (One of the two scale paths the brute-force operator pairs with,
+    * next to [[cosineTopKIvf]]; deterministic given `seed`.)
+    *
+    * When it pays off: signature cost is numTables*planesPerTable dots
+    * per corpus row, brute force is |queries| dots per corpus row — LSH
+    * only wins when the query batch is much larger than the plane count
+    * (or the corpus is re-probed across batches with signatures
+    * persisted). For a handful of queries, use [[cosineTopK]].
+    */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planesPerTable: Int = 4, numTables: Int = 16,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
@@ -178,6 +178,127 @@ object Similarity {
     // (round-4 driver full-suite 11.7s vs 2.8s isolated, same commit —
     // the exact q42 instability round 3 fixed in Dedup) by shuffling
     // the full corpus WITH vectors when the size estimate drifted.
+    val scored = c
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  import graft.functions.VectorFunctions.dotF
+
+  /** Centroids as a broadcastable (cluster, c, cnrm) relation — the IVF
+    * codebook travels as DATA, never as plan literals (same lesson as
+    * the plane matrix: literal payloads bloat task binaries).
+    */
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Array[Float]]): DataFrame = {
+    val schema = types.StructType(Seq(
+      types.StructField("cluster", types.IntegerType, nullable = false),
+      types.StructField("c", types.ArrayType(types.FloatType, false), false)))
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      cents.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }: _*)
+    spark.createDataFrame(rows, schema)
+      .withColumn("cnrm", sqrt(dotF(col("c"), col("c"))))
+  }
+
+  /** Nearest centroid per row by cosine: a k-row broadcast cross join +
+    * codegen'd dots + one max_by per id. Ties break toward the lowest
+    * cluster id, so assignment is deterministic given the codebook.
+    */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("id"), col("cluster"),
+        (dotF(col("v"), col("c")) / (col("nrm") * col("cnrm"))).as("sim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cluster"),
+        struct(col("sim"), -col("cluster"))).as("cluster"))
+
+  /** Spherical k-means codebook over the corpus: `iters` Lloyd rounds,
+    * deterministically seeded (initial centroids are the `nlist` corpus
+    * vectors with the smallest xxhash64(id, seed)). The model state
+    * collected to the driver is nlist x dim floats — an endpoint-sized
+    * codebook, the one legitimate driver-side artifact of IVF (the
+    * corpus-sized work: assignment and per-cluster means, stays in
+    * map-side-combined DataFrame aggregations).
+    *
+    * Caveat (documented, not hidden): per-cluster means sum floating
+    * point in partition order, so codebooks can differ at ~1e-16 across
+    * cluster layouts; boundary vectors may then land in a different
+    * cell. IVF recall is therefore pinned statistically in PipelineSpec
+    * rather than oracled.
+    */
+  def ivfCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 2, seed: Long = 42L): Seq[Array[Float]] = {
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+    var cents: Seq[Array[Float]] =
+      v.select(col("v"), xxhash64(col("id"), lit(seed)).as("h"))
+        .orderBy(col("h")).limit(nlist)
+        .collect().map(_.getSeq[Float](0).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assign(v, centroidDf(spark, cents))
+      val means = assigned.join(v, "id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Approximate top-k via IVF: corpus rows are indexed by nearest
+    * codebook cell, each query probes its `nprobe` closest cells, and
+    * exact cosine ranks the candidates — the second scale path next to
+    * [[cosineTopKLsh]]. The candidate join is cell-local (an equi join
+    * on the cluster id), so at 100 TB each probe touches ~nprobe/nlist
+    * of the corpus instead of all of it; the codebook is nlist x dim
+    * floats broadcast to every task. Same pinning as the LSH path:
+    * query-side relations and the id-only candidate set are broadcast,
+    * the corpus is streamed.
+    */
+  def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroidDf(spark,
+      ivfCodebook(corpus, idCol, vecCol, nlist, iters, seed))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cAssigned = assign(
+      Dedup.spread(c).select(col("neighbor_id").as("id"), col("cv").as("v"))
+        .withColumn("nrm", sqrt(dotF(col("v"), col("v")))), cents)
+      .select(col("id").as("neighbor_id"), col("cluster"))
+    // nprobe nearest cells per query (not just the top one) — recall
+    // insurance for queries near cell boundaries
+    val qProbes = q
+      .withColumn("nrm", sqrt(dotF(col("qv"), col("qv"))))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        (dotF(col("qv"), col("c")) / (col("nrm") * col("cnrm"))).as("sim"),
+        col("cluster"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cluster"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val cand = cAssigned.join(broadcast(qProbes), "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
     val scored = c
       .join(broadcast(cand), "neighbor_id")
       .join(broadcast(q), "query_id")

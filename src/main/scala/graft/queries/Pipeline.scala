@@ -393,6 +393,22 @@ object Pipeline {
           .select(col("id1"), col("id2"), round(col("sim"), 2).as("sim"))
           .orderBy(col("id1"), col("id2"))
       },
+      None),
+
+    // ---- IVF ANN: k-means cells + nprobe search ------------------------
+    // the second ANN scale path (cell-local candidate join vs q48's
+    // bucket-local). Float-mean codebooks are partition-order sensitive
+    // at ~1e-16 -> rows-only; recall vs exact pinned in PipelineSpec.
+    QueryDef(
+      "q72_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.cosineTopKIvf(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 2).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
       None)
   )
 }

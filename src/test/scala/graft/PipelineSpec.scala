@@ -160,6 +160,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall $recall < 0.6")
   }
 
+  test("ANN IVF: reasonable recall vs brute-force cosine top-k") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.cosineTopKIvf(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // nprobe=4 of nlist=16 cells searches ~1/4 of the corpus; the
+    // fixture is near-random (weak 5th neighbors, cos ~0.29), i.e. has
+    // NO cluster structure for the quantizer to exploit, so recall ~
+    // probed fraction is the honest floor (measured 0.52)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.45, s"IVF recall $recall < 0.45")
+    // correctness anchor: probing EVERY cell must reproduce brute force
+    // exactly, codebook jitter and all — the approximation lives only
+    // in which cells are skipped
+    val full = Similarity.cosineTopKIvf(emb, q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe IVF must equal exact top-k")
+  }
+
   test("grouped planeDots signs match the per-row lshSignature reference") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
