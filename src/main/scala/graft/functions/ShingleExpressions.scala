@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.graftshim
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word k-shingles of a text column as ONE native expression.
+  *
+  * Semantically identical — byte-for-byte — to the composed built-in
+  * form `shingles(tokens(text), k)` (TextFunctions), because it calls
+  * the same UTF8String primitives those built-ins bottom out in:
+  * `trim()` (what StringTrim evaluates), `split("\s+", -1)` (what
+  * StringSplit evaluates, trailing-empty semantics included),
+  * `concatWs` (what ConcatWs evaluates), and first-occurrence dedup
+  * (what array_distinct does). PipelineSpec pins the equivalence on the
+  * bench corpus, and the DuckDB oracles for q41/q63 keep hash-matching.
+  *
+  * Why it exists: the composed form evaluates an interpreted
+  * `transform` lambda per window with a fresh `slice` + `concat_ws`
+  * allocation each — per-ELEMENT interpreted dispatch, repeatedly
+  * measured as the most expensive expression in the library (the
+  * comments in Dedup.shingleSets exist to keep Catalyst from ever
+  * evaluating it twice). This expression does one pass per ROW in a
+  * single JVM method: scan, window, dedup, emit. It is CodegenFallback
+  * (one boxed call per row), which is noise next to the per-element
+  * interpretation it replaces.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  // null text -> EMPTY set, exactly like the composed form (size(null)
+  // is null, so its `when` guard falls through to the empty branch);
+  // non-nullable output lets Catalyst fold downstream isnotnull
+  // constraints away instead of re-inlining this expression below
+  // exchanges (the q41 plan trap documented in Dedup.shingleSets)
+  override def nullable: Boolean = false
+
+  private val space = UTF8String.fromString(" ")
+  private val splitPattern = UTF8String.fromString("\\s+")
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) empty else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].trim().split(splitPattern, -1)
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i <= n - k) {
+      val window = new Array[UTF8String](k)
+      System.arraycopy(toks, i, window, 0, k)
+      seen.add(UTF8String.concatWs(space, window: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object ShingleExpressions {
+
+  /** Column API: distinct word k-shingles straight from text —
+    * equivalent to `shingles(tokens(text), k)`, one pass per row.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    graftshim.columnOf(WordShingles(graftshim.expressionOf(text), k))
+}

@@ -48,18 +48,16 @@ object Dedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
     spread(df)
-      // coalesce makes `toks` (hence `sh` and size(sh)) NON-NULLABLE:
-      // downstream joins/filters infer isnotnull constraints on these,
-      // and for a nullable column Catalyst pushes that filter to the
-      // scan with the ENTIRE shingle expression re-inlined — the most
-      // expensive expression in the library evaluated a second time per
-      // row per join side (seen in q41's physical plan). Non-nullable
-      // folds the constraint away. Semantics: null text tokenizes to
-      // an empty array, which was already the shingle result for it.
+      // one native pass per row (WordShingles) instead of the composed
+      // tokens -> transform/slice/concat chain, whose per-element
+      // interpreted dispatch was the most expensive expression in the
+      // library; byte-identical output including null -> empty set, and
+      // non-nullable by construction — so the isnotnull-constraint
+      // re-inlining trap this projection used to defend against with a
+      // coalesce (see the expression's scaladoc) cannot arise.
       .select(col(idCol).as("id"),
-        coalesce(tokens(col(textCol)), array().cast("array<string>"))
-          .as("toks"))
-      .select(col("id"), shingles(col("toks"), k).as("sh"))
+        graft.functions.ShingleExpressions.wordShingles(col(textCol), k)
+          .as("sh"))
 
   /** Round-robin repartition to full parallelism — ONLY when the scan
     * would plan fewer partitions than cores (small-file artifact).

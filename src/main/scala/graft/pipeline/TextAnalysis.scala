@@ -99,8 +99,9 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), shingles(col("toks"), k).as("sh"))
+    docs.select(col(idCol),
+        graft.functions.ShingleExpressions.wordShingles(col(textCol), k)
+          .as("sh"))
       .select(col(idCol),
         array_min(transform(col("sh"), s => md5(s))).as("fingerprint"),
         size(col("sh")).as("n_shingles"))

@@ -114,6 +114,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"capped recall $recall < 0.8")
   }
 
+  test("WordShingles is byte-identical to the composed built-in form") {
+    import spark.implicits._
+    // bench corpus + adversarial edges: empty, whitespace-only, interior
+    // tabs/newlines (trailing-empty split semantics), shorter than k,
+    // repeated shingles (distinct order), null
+    val edges = Seq((900001L, ""), (900002L, "   "), (900003L, "a\tb\nc d"),
+      (900004L, "one two"), (900005L, "x y x y x y x y"),
+      (900006L, "\ttab first")).toDF("doc_id", "text")
+      .unionByName(Seq((900007L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val corpus = docsWithNearDups().unionByName(edges)
+    val composed = corpus.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val native = corpus.select(col("doc_id"),
+      graft.functions.ShingleExpressions.wordShingles(col("text"), 3).as("sh"))
+    val c = composed.as[(Long, Seq[String])].collect().toMap
+    val n = native.as[(Long, Seq[String])].collect().toMap
+    assert(n.keySet == c.keySet)
+    // includes the null-text row: both forms yield the empty set
+    n.keySet.foreach { id =>
+      assert(n(id) == c(id), s"doc $id: native=${n(id)} composed=${c(id)}")
+    }
+  }
+
   test("simhash chunk-bucketing is complete for hamming <= 3 (vs brute force)") {
     import spark.implicits._
     val corpus = docsWithNearDups()
