@@ -398,6 +398,41 @@ object Relational {
         FROM events
         GROUP BY 1, 2
         ORDER BY hour, event_type
+      """)),
+
+    // ---- Correlated subqueries (scalar + EXISTS) -------------------------
+    // Catalyst decorrelates both into joins (the scalar subquery into an
+    // aggregate-then-join, EXISTS into a left-semi); no hand-written
+    // join needed, and the plan scales like any grouped join. Threshold
+    // margin: prices are ~1e4 apart while cross-engine avg drift is
+    // ~1e-10, so the > comparison cannot flip between engines.
+    QueryDef(
+      "q73_correlated_subquery",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("q73_orders")
+        Tables.customer(s, d).createOrReplaceTempView("q73_customer")
+        s.sql("""
+          SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+          FROM q73_customer c JOIN q73_orders o ON o.o_custkey = c.c_custkey
+          WHERE o.o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                                  FROM q73_orders o2
+                                  WHERE o2.o_custkey = c.c_custkey)
+            AND EXISTS (SELECT 1 FROM q73_orders o3
+                        WHERE o3.o_custkey = c.c_custkey
+                          AND o3.o_orderstatus = 'F')
+          ORDER BY c.c_custkey, o.o_orderkey
+        """)
+      },
+      Some("""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = c.c_custkey)
+          AND EXISTS (SELECT 1 FROM orders o3
+                      WHERE o3.o_custkey = c.c_custkey
+                        AND o3.o_orderstatus = 'F')
+        ORDER BY c.c_custkey, o.o_orderkey
       """))
   )
 }

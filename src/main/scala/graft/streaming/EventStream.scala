@@ -51,6 +51,20 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("avg_value"))
 
+  /** Streaming exact dedup: drop repeated keys within the watermark
+    * horizon — the streaming twin of Dedup.exact for ingest pipelines
+    * (re-delivered events, at-least-once sources). State holds one
+    * entry per distinct key seen inside the horizon and evicts as
+    * event time advances, so state is O(keys per horizon), not
+    * O(stream); duplicates farther apart than the watermark are a
+    * batch-dedup concern (Dedup.exact over the landed table).
+    */
+  def dedupeWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class SessionState(count: Long, totalValue: Double,
       lastTs: Long)
   final case class SessionUpdate(user_id: Long, n_events: Long,

@@ -60,6 +60,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count() > tumbling)
   }
 
+  test("streaming dedup within watermark drops re-delivered events") {
+    // duplicate every event (a re-delivering at-least-once source):
+    // after the watermarked dedup, each event_id survives exactly once
+    val dupDir = Files.createTempDirectory("graft-stream-dup").toString
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    base.unionByName(base).repartition(6)
+      .write.mode("overwrite").parquet(dupDir)
+    // files hold arbitrary ts order, so micro-batches arrive wildly out
+    // of event-time order: the watermark must exceed the fixture's full
+    // span or out-of-order batches are dropped as late (the operator's
+    // real contract — horizon >= max re-delivery delay)
+    val stream = EventStream.readEvents(spark, dupDir, maxFilesPerTrigger = 2)
+    EventStream.runToMemory(spark,
+      EventStream.dedupeWithinWatermark(stream, Seq("event_id"), "90 days"),
+      "deduped", outputMode = "append")
+    val got = spark.table("deduped")
+    assert(got.count() == base.count(),
+      s"each event once: ${got.count()} vs ${base.count()}")
+    assert(got.groupBy("event_id").count()
+      .filter(col("count") > 1).isEmpty, "no key survives twice")
+  }
+
   test("graft-table stream: drain over a table with two appends equals batch read") {
     import graft.engine.GraftTable
     import graft.streaming.GraftTableStream
