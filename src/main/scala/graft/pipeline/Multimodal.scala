@@ -48,6 +48,15 @@ object Multimodal {
       val h = bytesHash(payload)
       Array.tabulate(dim)(i => (Math.floorMod(h * (i + 1), 1000L) / 1000.0f))
     }
+    /** STUB resize: output bytes shrink with the pixel-area ratio (a
+      * real codec would decode, scale, re-encode); strided sampling
+      * keeps it a pure deterministic function of (payload, scale).
+      */
+    def resize(payload: Array[Byte], scale: Double): Array[Byte] = {
+      val outLen = math.max(1, (payload.length * scale * scale).toInt)
+      Array.tabulate(outLen)(i =>
+        payload((i.toLong * payload.length / outLen).toInt))
+    }
     private def bytesHash(b: Array[Byte]): Long =
       b.foldLeft(1125899906842597L)((acc, x) => acc * 31 + x)
   }
@@ -85,6 +94,31 @@ object Multimodal {
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
       it.map(a => AssetFeatures(a.asset_id, StubDecoder.features(a.payload, dim)))
+    }
+  }
+
+  final case class ResizedImage(asset_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Resize image assets into a bounding box, aspect-preserving,
+    * partition-local; images already inside the box pass through at
+    * scale 1. The byte transform is [[StubDecoder.resize]] — swapping
+    * in a real codec changes only that body, the plumbing (kind filter,
+    * batch shape, envelope schema) is the production shape.
+    */
+  def resizeImages(spark: SparkSession, assets: DataFrame,
+      maxW: Int = 256, maxH: Int = 256): Dataset[ResizedImage] = {
+    import spark.implicits._
+    assets.as[Asset].filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        val (w, h) = StubDecoder.dims(a.payload)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / w, maxH.toDouble / h))
+        ResizedImage(a.asset_id,
+          math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt),
+          StubDecoder.resize(a.payload, scale))
+      }
     }
   }
 

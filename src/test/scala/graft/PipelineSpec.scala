@@ -261,5 +261,24 @@ class PipelineSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(spark, assets, n = 4)
     val perAsset = frames.groupBy("asset_id").count().collect()
     assert(perAsset.nonEmpty && perAsset.forall(_.getLong(1) == 4L))
+    // resize: fits the box, preserves aspect within rounding, shrinks
+    // payload with pixel area, deterministic
+    val dims = meta1.filter(_.kind == "image").map(m =>
+      m.asset_id -> ((m.width, m.height))).toMap
+    val resized = Multimodal.resizeImages(spark, assets, 256, 256)
+      .collect().sortBy(_.asset_id)
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (w, h) = dims(r.asset_id)
+      assert(r.width <= 256 && r.height <= 256 && r.width >= 1 && r.height >= 1)
+      val want = math.min(1.0, math.min(256.0 / w, 256.0 / h))
+      assert(math.abs(r.width.toDouble / w - want) <= 1.0 / w &&
+        math.abs(r.height.toDouble / h - want) <= 1.0 / h,
+        s"aspect drift for asset ${r.asset_id}")
+    }
+    val resized2 = Multimodal.resizeImages(spark, assets, 256, 256)
+      .collect().sortBy(_.asset_id)
+    assert(resized.map(_.payload.toSeq).toSeq ==
+      resized2.map(_.payload.toSeq).toSeq, "resize must be deterministic")
   }
 }
