@@ -390,6 +390,54 @@ object Versioned {
         ORDER BY property
       """)),
 
+    // Maintenance end-to-end (compaction + snapshot expiry): rewriting
+    // small files into compacted ones and expiring old snapshots must
+    // not change query results — the oracle is plain SQL over the
+    // source parquet, so any row lost or duplicated by maintenance
+    // hash-mismatches.
+    QueryDef(
+      "q74_compaction",
+      (s, d) => {
+        val loc = setupOnce("q74", d) {
+          val l = scratch("compact")
+          val n = Tables.nation(s, d)
+          val t = GraftTable.createAs(s, l, "nation_c",
+            n.filter(col("n_nationkey") % 3 === 0))
+          t.append(n.filter(col("n_nationkey") % 3 === 1))
+          t.append(n.filter(col("n_nationkey") % 3 === 2))
+          t.rewriteDataFiles()
+          t.expireSnapshots(keepLast = 1)
+          require(t.meta.snapshots.size == 1,
+            s"expiry must leave 1 snapshot, got ${t.meta.snapshots.size}")
+          l
+        }
+        GraftTable.load(s, loc).read().orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT * FROM nation ORDER BY n_nationkey
+      """)),
+
+    // Branch/tag reads: a tag pins the snapshot it was created at, so
+    // reading it after later appends returns the tagged state — the
+    // refs model (M4) exercised through the read path, not just listed.
+    QueryDef(
+      "q75_tag_read",
+      (s, d) => {
+        val loc = setupOnce("q75", d) {
+          val l = scratch("tag")
+          val n = Tables.nation(s, d)
+          val t = GraftTable.createAs(s, l, "nation_t",
+            n.filter(col("n_nationkey") < 10))
+          t.createTag("v1")
+          t.append(n.filter(col("n_nationkey") >= 10))
+          l
+        }
+        GraftTable.load(s, loc).readRef("v1").orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey
+      """)),
+
     // Deterministic column resolution (H5 — the reference's LLM matcher
     // apiv15.py:378-394 replaced by exact -> field-id history ->
     // Levenshtein): every decision surface (match via exact/history/
