@@ -127,15 +127,25 @@ object Dedup {
         // case demonstrates the hot-key collapse production corpora see.
         val hot = part.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("s")
+        // known cost, measured and accepted: AQE's stage cache does NOT
+        // reuse this subtree between the two self-join sides (it does
+        // for the uncapped path, PlanSpec-asserted) — with a broadcast
+        // join inside the subtree and the verification aggregate above,
+        // the sides stop canonical-matching after adaptive replanning,
+        // so shingling and the df count run once per side. Bisected:
+        // join-only consumers reuse; adding the top agg breaks it; a
+        // trailing repartition is collapsed and changes nothing. Even
+        // so this shape beats the round-4 window-df pass 2.5x at sf0.1
+        // (the window buffered every shingle group — the unbounded-
+        // memory hazard the cap exists to prevent), and recomputing a
+        // narrow fixed-width index is embarrassingly parallel at scale
+        // while a buffering window is not.
         part.join(broadcast(hot), Seq("s"), "left_anti")
       case None => part
     }
     // pin sort-merge for the index self-join: the skewed hot-shingle
     // key makes AQE's size-based strategy choice flap (measured up to
-    // 10x run-to-run variance); SMJ is the stable, spill-safe plan. The
-    // broadcast-hash anti join preserves the streamed side's
-    // partitioning, so the capped variant's self-join still reuses the
-    // one exchange and only sorts.
+    // 10x run-to-run variance); SMJ is the stable, spill-safe plan.
     val inv = inv1.hint("SHUFFLE_MERGE")
     inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -84,6 +84,43 @@ class PlanSpec extends AnyFunSuite {
     assert(full.inputFiles.length == 3)
   }
 
+  test("dedup self-joins stay pinned: SMJ, shared exchange, anti-join cap") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => (i.toLong, s"alpha beta gamma delta $i"))
+      .toDF("doc_id", "text")
+    // uncapped: both self-join sides consume ONE materialized index
+    // exchange (reuse appears in the FINALIZED adaptive plan)
+    val un = graft.pipeline.Dedup.nearDupJaccard(docs, "doc_id", "text")
+    un.collect()
+    val pu = plan(un)
+    assert(pu.contains("isFinalPlan=true"))
+    assert(pu.contains("SortMergeJoin"), s"index self-join must be SMJ:\n$pu")
+    assert(pu.contains("ReusedExchange"),
+      s"self-join sides must share the index exchange:\n$pu")
+    // capped: strategy still pinned, df-cap is a broadcast anti join
+    // (AQE does not stage-reuse this subtree — documented limitation in
+    // Dedup.nearDupJaccard — so no ReusedExchange assertion here)
+    val cap = graft.pipeline.Dedup.nearDupJaccard(
+      docs, "doc_id", "text", maxShingleDf = Some(8))
+    cap.collect()
+    val pc = plan(cap)
+    assert(pc.contains("SortMergeJoin"), s"capped self-join must be SMJ:\n$pc")
+    assert(pc.contains("LeftAnti") && pc.contains("BroadcastHashJoin"),
+      s"df cap must be a broadcast anti join:\n$pc")
+  }
+
+  test("ANN verification joins are broadcast; corpus is never shuffle-joined") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.pipeline.Similarity.cosineTopKLsh(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3))
+    // query buckets, candidate set, and query vectors all broadcast —
+    // the round-4 flap was AQE shuffling the corpus WITH vectors here
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus shuffle join in the ANN path:\n$p")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"bucket + verification joins must broadcast:\n$p")
+  }
+
   test("JSON metadata documents read as DataFrames (S4)") {
     import spark.implicits._
     val t = GraftTable.create(spark,
