@@ -127,20 +127,29 @@ object Dedup {
         // case demonstrates the hot-key collapse production corpora see.
         val hot = part.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("s")
+        // the anti join is SMJ, NOT broadcast: `hot` is every distinct
+        // shingle with df > cap, and on a billion-document corpus at
+        // cap=32 that is tens of millions of keys — "few" as a fraction
+        // of index ROWS (the Zipf head), unbounded as a KEY SET, so a
+        // broadcast would collect it to the driver and die exactly in
+        // the at-scale configuration the cap exists for. Both sides
+        // already hash-partition by s from the same exchange, so the
+        // SMJ anti adds sorts the downstream self-join needs anyway.
+        //
         // known cost, measured and accepted: AQE's stage cache does NOT
         // reuse this subtree between the two self-join sides (it does
-        // for the uncapped path, PlanSpec-asserted) — with a broadcast
+        // for the uncapped path, PlanSpec-asserted) — with a nested
         // join inside the subtree and the verification aggregate above,
         // the sides stop canonical-matching after adaptive replanning,
         // so shingling and the df count run once per side. Bisected:
-        // join-only consumers reuse; adding the top agg breaks it; a
-        // trailing repartition is collapsed and changes nothing. Even
-        // so this shape beats the round-4 window-df pass 2.5x at sf0.1
-        // (the window buffered every shingle group — the unbounded-
-        // memory hazard the cap exists to prevent), and recomputing a
-        // narrow fixed-width index is embarrassingly parallel at scale
-        // while a buffering window is not.
-        part.join(broadcast(hot), Seq("s"), "left_anti")
+        // join-only consumers reuse; adding the top agg breaks it;
+        // broadcast-vs-SMJ anti and a trailing repartition change
+        // nothing. Even so this shape beats the round-4 window-df pass
+        // 2.5x at sf0.1 (the window buffered every shingle group — the
+        // unbounded-memory hazard the cap exists to prevent), and
+        // recomputing a narrow fixed-width index is embarrassingly
+        // parallel at scale while a buffering window is not.
+        part.join(hot.hint("SHUFFLE_MERGE"), Seq("s"), "left_anti")
       case None => part
     }
     // pin sort-merge for the index self-join: the skewed hot-shingle
@@ -323,10 +332,16 @@ object Dedup {
     val fps = hashed.groupBy("id")
       .agg(count(lit(1)).as("cnt"), voteSums: _*)
       .select(col("id"), fpExpr.as("fp"))
-    // same exchange-sharing + pinning treatment as the Jaccard/MinHash
-    // self-joins: pre-shuffle by the join key so both sides reuse one
-    // materialized stage (fingerprints computed once), and pin SMJ so
-    // AQE's strategy choice can't flap on the skewed 16-bit chunk key
+    // pinned SMJ like the Jaccard/MinHash self-joins, so AQE's strategy
+    // choice can't flap on the skewed 16-bit chunk key. Honest plan
+    // note: unlike the uncapped Jaccard index (ReusedExchange,
+    // PlanSpec-asserted) and the MinHash pipeline (3 reuses), AQE does
+    // NOT stage-reuse this subtree between the self-join sides — the
+    // nested fingerprint aggregation under the top distinct defeats the
+    // stage cache (same limitation documented for the capped index
+    // above), so the vote-sum agg runs once per side. Fingerprints are
+    // one narrow row per doc; the recompute is bounded and parallel,
+    // and the repartition still pins the join's partitioning.
     val chunks = fps.select(col("id"), col("fp"),
         explode(simhashChunks(col("fp"))).as("c"))
       .select(col("id"), col("fp"), col("c.chunk").as("chunk"),

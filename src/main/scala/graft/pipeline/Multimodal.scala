@@ -52,11 +52,13 @@ object Multimodal {
       * real codec would decode, scale, re-encode); strided sampling
       * keeps it a pure deterministic function of (payload, scale).
       */
-    def resize(payload: Array[Byte], scale: Double): Array[Byte] = {
-      val outLen = math.max(1, (payload.length * scale * scale).toInt)
-      Array.tabulate(outLen)(i =>
-        payload((i.toLong * payload.length / outLen).toInt))
-    }
+    def resize(payload: Array[Byte], scale: Double): Array[Byte] =
+      if (payload.isEmpty) payload // empty-text assets stay empty
+      else {
+        val outLen = math.max(1, (payload.length * scale * scale).toInt)
+        Array.tabulate(outLen)(i =>
+          payload((i.toLong * payload.length / outLen).toInt))
+      }
     private def bytesHash(b: Array[Byte]): Long =
       b.foldLeft(1125899906842597L)((acc, x) => acc * 31 + x)
   }

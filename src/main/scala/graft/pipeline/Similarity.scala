@@ -26,6 +26,43 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosineF(a, b)
 
+  import graft.functions.VectorFunctions.dotF
+
+  // norms once per VECTOR (linear), never per pair: scoring computes
+  // ONE codegen'd dot per candidate — `cosine()` inline would run 3
+  // dots per pair and recompute both norms quadratically. Same formula,
+  // same operand order, so sim values are bit-equal to cosine().
+  private def withCorpusNorm(c: DataFrame): DataFrame =
+    c.withColumn("cnrm", sqrt(dotF(col("cv"), col("cv"))))
+  private def withQueryNorm(q: DataFrame): DataFrame =
+    q.withColumn("qnrm", sqrt(dotF(col("qv"), col("qv"))))
+  private val simExpr: Column =
+    dotF(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))
+
+  /** Shared ranking tail: top k per query by sim, neighbor-id
+    * tie-broken, fixed output schema.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic per-query candidate bound: keeps the verification
+    * broadcast at |queries| x cap rows no matter how hot the corpus's
+    * buckets/cells are — without it, bucket occupancy (which scales
+    * with the CORPUS, not the query set) could push the candidate set
+    * past broadcast limits on a large corpus. Order by neighbor_id so
+    * the bound is reproducible; when it binds, recall degrades
+    * gracefully instead of the job failing.
+    */
+  private def capPerQuery(cand: DataFrame, cap: Int): DataFrame =
+    cand.withColumn("cr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("neighbor_id"))))
+      .filter(col("cr") <= cap).drop("cr")
+
   /** Exact brute-force top-k: for each row of `queries`, the k nearest
     * corpus rows by cosine. Queries are broadcast (they are small by
     * assumption); the corpus is scanned once.
@@ -34,13 +71,11 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    val scored = withCorpusNorm(c)
+      .join(broadcast(withQueryNorm(q)),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", simExpr)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random hyperplanes: `numPlanes` x `dim` doubles from
@@ -161,32 +196,29 @@ object Similarity {
     */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planesPerTable: Int = 4, numTables: Int = 16,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L,
+      maxCandidatesPerQuery: Int = 10000): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       lshBuckets(df, id, vec, planesPerTable, numTables, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cand = bucketed(Dedup.spread(c), "neighbor_id", "cv")
-      .join(broadcast(bucketed(q, "query_id", "qv")), Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
-    // the candidate set is ids-only and bounded by |queries| x bucket
-    // occupancy — if the queries fit a broadcast (this operator's
-    // contract), so does cand. Pin it broadcast so the corpus-side
-    // verification join is a broadcast hash join streaming one corpus
-    // scan: left to AQE, the strategy choice flapped in long sessions
-    // (round-4 driver full-suite 11.7s vs 2.8s isolated, same commit —
-    // the exact q42 instability round 3 fixed in Dedup) by shuffling
+    val cand = capPerQuery(
+      bucketed(Dedup.spread(c), "neighbor_id", "cv")
+        .join(broadcast(bucketed(q, "query_id", "qv")), Seq("table", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct(),
+      maxCandidatesPerQuery)
+    // candidates are ids-only and bounded at |queries| x cap (see
+    // capPerQuery), so the verification joins pin broadcast and stream
+    // ONE corpus scan. Left to AQE, the strategy choice flapped in long
+    // sessions (round-4 driver full-suite 11.7s vs 2.8s isolated, same
+    // commit — the q42 instability round 3 fixed in Dedup) by shuffling
     // the full corpus WITH vectors when the size estimate drifted.
-    val scored = c
+    val scored = withCorpusNorm(c)
       .join(broadcast(cand), "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .join(broadcast(withQueryNorm(q)), "query_id")
+      .withColumn("sim", simExpr)
+    topKPerQuery(scored, k)
   }
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
@@ -274,7 +306,8 @@ object Similarity {
     */
   def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 2, seed: Long = 42L): DataFrame = {
+      iters: Int = 2, seed: Long = 42L,
+      maxCandidatesPerQuery: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     val cents = centroidDf(spark,
       ivfCodebook(corpus, idCol, vecCol, nlist, iters, seed))
@@ -296,17 +329,15 @@ object Similarity {
         .orderBy(col("sim").desc, col("cluster"))))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("cluster"))
-    val cand = cAssigned.join(broadcast(qProbes), "cluster")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
-    val scored = c
+    val cand = capPerQuery(
+      cAssigned.join(broadcast(qProbes), "cluster")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct(),
+      maxCandidatesPerQuery)
+    val scored = withCorpusNorm(c)
       .join(broadcast(cand), "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .join(broadcast(withQueryNorm(q)), "query_id")
+      .withColumn("sim", simExpr)
+    topKPerQuery(scored, k)
   }
 }

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.catalog.GraftCatalog
@@ -13,14 +12,7 @@ import graft.catalog.GraftCatalog
   */
 object CatalogQueries {
 
-  private def scratch(prefix: String): String =
-    Files.createTempDirectory(s"graft-$prefix").toString
-
-  private val built =
-    new scala.collection.concurrent.TrieMap[(String, String), AnyRef]
-
-  private def setupOnce[T <: AnyRef](name: String, d: String)(f: => T): T =
-    built.getOrElseUpdate((name, d), f).asInstanceOf[T]
+  import Scratch.{dir => scratch, setupOnce}
 
   val all: Seq[QueryDef] = Seq(
 

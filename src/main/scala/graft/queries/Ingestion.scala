@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ingest.CsvIngest
@@ -17,18 +16,14 @@ import graft.ingest.CsvIngest
   */
 object Ingestion {
 
-  private def scratch(prefix: String): String =
-    Files.createTempDirectory(s"graft-$prefix").toString
-
-  private val built =
-    new scala.collection.concurrent.TrieMap[String, String]
+  import Scratch.{dir => scratch, setupOnce}
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q51_csv_ingest",
       (s, d) => {
         // CSV written once per scale; repeat invocations measure ingest
-        val dir = built.getOrElseUpdate(d, {
+        val dir = setupOnce("q51", d) {
           import s.implicits._
           val dir0 = scratch("csv")
           val src = Tables.orders(s, d).select(
@@ -38,7 +33,7 @@ object Ingestion {
               .toDF("k", "d")) // malformed rows must coerce to NULL
           src.coalesce(1).write.option("header", "true").mode("overwrite").csv(dir0)
           dir0
-        })
+        }
         CsvIngest.readCsv(s, dir, dateCols = Seq("d"))
           .select(col("k").cast("long").as("k"), col("d"))
           .orderBy(col("k"))
