@@ -46,15 +46,23 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   def listDatabases(): Seq[String] =
     if (!Files.isDirectory(Paths.get(warehouse))) Nil
-    else Files.list(Paths.get(warehouse)).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(Paths.get(warehouse)) // must close: directory fd
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
 
   def listTables(db: String): Seq[String] = {
     val d = Paths.get(warehouse, db)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala
-      .filter(p => MetadataIO.exists(p.toString))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(d) // must close: directory fd
+      try s.iterator().asScala
+        .filter(p => MetadataIO.exists(p.toString))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
   }
 
   def showDatabases(): DataFrame = {

@@ -65,10 +65,10 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           i.userSpecifiedCols)
       case c: CreateTableAsSelect if resolvedGraftIdent(c.name).isDefined =>
         ctasCommand(c.name, c.partitioning, c.query, c.tableSpec,
-          replace = false)
+          replace = false, ifNotExists = c.ignoreIfExists, orCreate = false)
       case r: ReplaceTableAsSelect if resolvedGraftIdent(r.name).isDefined =>
         ctasCommand(r.name, r.partitioning, r.query, r.tableSpec,
-          replace = true)
+          replace = true, ifNotExists = false, orCreate = r.orCreate)
       case DeleteFromTable(rel, cond) if handleOf(rel).isDefined =>
         GraftDeleteCommand(handleOf(rel).get.table.location, cond)
       case UpdateTable(rel, assignments, cond) if handleOf(rel).isDefined =>
@@ -135,7 +135,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
       query: LogicalPlan,
       tableSpec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase,
-      replace: Boolean): LogicalPlan = {
+      replace: Boolean, ifNotExists: Boolean, orCreate: Boolean): LogicalPlan = {
     val (db, tbl) = resolvedGraftIdent(name).get
     val w = warehouse.getOrElse(sys.error("spark.graft.warehouse not set"))
     val loc = java.nio.file.Paths.get(w, db, tbl).toString
@@ -152,7 +152,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         ts.properties
       case _ => Map.empty[String, String]
     }
-    GraftCtasCommand(loc, s"$db.$tbl", query, partition, props, replace)
+    GraftCtasCommand(loc, s"$db.$tbl", query, partition, props, replace,
+      ifNotExists, orCreate)
   }
 
   private def handleOf(plan: LogicalPlan): Option[GraftTableHandle] =
@@ -167,8 +168,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     }
 
   private def assignName(key: Expression): String = key match {
-    case a: AttributeReference  => a.name
-    case u: UnresolvedAttribute => u.nameParts.last
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute if u.nameParts.length == 1 => u.nameParts.head
+    case u: UnresolvedAttribute =>
+      // flattening `SET s.x = …` to `x` would silently overwrite an
+      // unrelated top-level column whenever one shares the leaf name
+      sys.error(s"nested UPDATE targets are unsupported: ${u.nameParts.mkString(".")}")
     case other => sys.error(s"unsupported UPDATE target $other")
   }
 

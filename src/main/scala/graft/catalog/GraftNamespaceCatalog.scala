@@ -43,8 +43,12 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
     warehouse.map { w =>
       val root = Paths.get(w)
       if (!Files.isDirectory(root)) Array.empty[Array[String]]
-      else Files.list(root).iterator().asScala.filter(Files.isDirectory(_))
-        .map(p => Array(p.getFileName.toString)).toArray
+      else {
+        val s = Files.list(root) // must close: holds a directory fd
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(p => Array(p.getFileName.toString)).toArray
+        finally s.close()
+      }
     }.getOrElse(Array.empty)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -78,14 +82,29 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
     warehouse.map { w =>
       val d = Paths.get(w, namespace.mkString("/"))
       if (!Files.isDirectory(d)) Array.empty[Identifier]
-      else Files.list(d).iterator().asScala
-        .filter(p => MetadataIO.exists(p.toString))
-        .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+      else {
+        val s = Files.list(d) // must close: holds a directory fd
+        try s.iterator().asScala
+          .filter(p => MetadataIO.exists(p.toString))
+          .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+        finally s.close()
+      }
     }.getOrElse(Array.empty)
 
-  private def location(ident: Identifier): Option[String] =
-    warehouse.map(w =>
-      Paths.get(w, (ident.namespace() :+ ident.name()).mkString("/")).toString)
+  // identifier parts become filesystem path segments: reject anything
+  // that could traverse out of the warehouse (backticked idents can
+  // contain '..' or '/'; dropTable recursively DELETES at the resolved
+  // location, so escape here is destructive, not just wrong)
+  private def safePart(p: String): Boolean =
+    p.nonEmpty && p != "." && p != ".." &&
+      !p.contains("/") && !p.contains("\\")
+
+  private def location(ident: Identifier): Option[String] = {
+    val parts = ident.namespace() :+ ident.name()
+    require(parts.forall(safePart),
+      s"illegal identifier part in ${parts.mkString(".")}")
+    warehouse.map(w => Paths.get(w, parts.mkString("/")).toString)
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     location(ident).exists(MetadataIO.exists)
@@ -216,8 +235,9 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
       case None => false
       case Some(loc) =>
         val root = Paths.get(loc)
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        val s = Files.walk(root) // must close: holds directory fds
+        val paths = try s.iterator().asScala.toSeq.reverse finally s.close()
+        paths.foreach(Files.deleteIfExists(_))
         true
     }
 

@@ -41,19 +41,23 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
     // an explicit column list names the query's positional output
     // (VALUES rows arrive as col1, col2, ...)
     if (columnNames.nonEmpty) {
+      // an explicit column list names the query's positional output
+      // (VALUES rows arrive as col1, col2, ...), then maps BY NAME onto
+      // the table schema; partial lists are unsupported (no null-fill)
       require(df.columns.length == columnNames.length,
         s"INSERT column list has ${columnNames.length} names, " +
           s"query provides ${df.columns.length} columns")
-      df = df.toDF(columnNames: _*)
-    }
-    if (df.columns.toSeq != target) {
-      if (df.columns.toSeq.sorted == target.sorted)
-        df = df.select(target.map(n => col(s"`$n`")): _*) // reorder by name
-      else {
-        require(df.columns.length == target.length,
-          s"INSERT provides ${df.columns.length} columns, table has ${target.length}")
-        df = df.toDF(target: _*) // positional
-      }
+      require(columnNames.sorted == target.sorted,
+        s"INSERT column list (${columnNames.mkString(", ")}) must name " +
+          s"every table column (${target.mkString(", ")})")
+      df = df.toDF(columnNames: _*).select(target.map(n => col(s"`$n`")): _*)
+    } else {
+      // SQL INSERT INTO without a column list is POSITIONAL — never
+      // reorder by name, even when the query's names permute the
+      // table's (matching Spark's own semantics for every other table)
+      require(df.columns.length == target.length,
+        s"INSERT provides ${df.columns.length} columns, table has ${target.length}")
+      df = df.toDF(target: _*)
     }
     if (overwrite) t.overwrite(df) else t.append(df)
     Seq.empty
@@ -65,16 +69,31 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
   */
 final case class GraftCtasCommand(location: String, tableName: String,
     query: LogicalPlan, partition: Seq[(String, String)],
-    properties: Map[String, String], replace: Boolean)
+    properties: Map[String, String], replace: Boolean,
+    ifNotExists: Boolean, orCreate: Boolean)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(session: SparkSession): Seq[Row] = {
     val df = graftshim.dfFromPlan(session, query)
-    if (replace) GraftTable.replaceAs(session, location, df)
-    else GraftTable.createAs(session, location, tableName, df,
-      partition, properties)
+    val exists = graft.tableformat.MetadataIO.exists(location)
+    if (replace) {
+      // CREATE OR REPLACE on a missing table creates; plain REPLACE
+      // errors (SQL semantics); an explicit PARTITIONED BY /
+      // TBLPROPERTIES carries into the replacement spec
+      if (exists) GraftTable.replaceAs(session, location, df,
+        partition, properties)
+      else if (orCreate) GraftTable.createAs(session, location, tableName,
+        df, partition, properties)
+      else sys.error(s"REPLACE TABLE: no table at $location " +
+        "(use CREATE OR REPLACE TABLE)")
+    } else if (exists && ifNotExists) {
+      () // CREATE TABLE IF NOT EXISTS on an existing table: no-op
+    } else {
+      GraftTable.createAs(session, location, tableName, df,
+        partition, properties)
+    }
     Seq.empty
   }
 }
@@ -97,6 +116,11 @@ final case class GraftUpdateCommand(location: String,
     import org.apache.spark.sql.functions.lit
     val cond = condition.map(c => graftshim.columnOf(GraftSqlCommands.unbind(c)))
       .getOrElse(lit(true))
+    // duplicates must error BEFORE the map collapses them last-wins
+    val dupes = assignments.map(_._1).groupBy(identity)
+      .collect { case (n, g) if g.size > 1 => n }
+    require(dupes.isEmpty,
+      s"duplicate UPDATE targets: ${dupes.mkString(", ")}")
     val as = assignments.map { case (name, value) =>
       name -> graftshim.columnOf(GraftSqlCommands.unbind(value))
     }.toMap

@@ -31,8 +31,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   // ------------------------------------------------------------------ read
 
-  /** Current-snapshot read, mapped to the current schema. */
-  def read(): DataFrame = readSnapshot(meta, meta.currentSnapshot)
+  /** Current-snapshot read, mapped to the current schema. `meta` is
+    * read ONCE — two reads could pair an old schema list with a newer
+    * snapshot if a commit lands in between, defeating the atomic hint
+    * swap's torn-read protection.
+    */
+  def read(): DataFrame = {
+    val m = meta
+    readSnapshot(m, m.currentSnapshot)
+  }
 
   /** Time travel by wall-clock (reference: FOR SYSTEM_TIME AS OF,
     * apiv15.py:154-157).
@@ -92,14 +99,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           .drop("_g_path", "_g_pos")
     }
 
-  /** Data read with per-row provenance for MoR: absolute file path +
-    * row index from the parquet reader's metadata columns.
+  /** Field-id mapped read core: group files by written schema, read
+    * each group with its write-time schema, rename/null-fill to the
+    * current schema, union; `extra` appends provenance columns inside
+    * each scan (so `_metadata` references bind to the right relation).
+    * Dropped columns vanish; added columns null-fill; renamed columns
+    * follow their field-id (SURVEY §7 risk 1). Callers handle the
+    * empty-file-list case (their provenance placeholders differ).
     */
-  private def readFilesTagged(m: TableMetadata, files: Vector[DataFileEntry]): DataFrame = {
+  private def mappedRead(m: TableMetadata, files: Vector[DataFileEntry],
+      extra: Seq[Column]): DataFrame = {
     val cur = m.currentSchema
-    if (files.isEmpty)
-      return emptyDf(m).withColumn("_g_path", lit(""))
-        .withColumn("_g_pos", lit(0L))
     val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
     bySchema.map { case (sid, fs) =>
       val written = m.schemaById(sid)
@@ -111,11 +121,41 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           case Some(w) => col(s"`${w.name}`").cast(f.sparkType).as(f.name)
           case None    => lit(null).cast(f.sparkType).as(f.name)
         }
-      } ++ Seq(col("_metadata.file_path").as("_g_path"),
-        col("_metadata.row_index").as("_g_pos"))
+      } ++ extra
       raw.select(cols: _*)
     }.reduce(_ unionByName _)
   }
+
+  private def readFiles(m: TableMetadata, files: Vector[DataFileEntry]): DataFrame =
+    if (files.isEmpty) emptyDf(m) else mappedRead(m, files, Nil)
+
+  /** Data read with per-row provenance for MoR: file path + row index
+    * from the parquet reader's metadata columns.
+    */
+  private def readFilesTagged(m: TableMetadata, files: Vector[DataFileEntry]): DataFrame =
+    if (files.isEmpty)
+      emptyDf(m).withColumn("_g_path", lit("")).withColumn("_g_pos", lit(0L))
+    else mappedRead(m, files,
+      Seq(col("_metadata.file_path").as("_g_path"),
+        col("_metadata.row_index").as("_g_pos")))
+
+  private def readFilesWithName(m: TableMetadata,
+      files: Vector[DataFileEntry]): DataFrame =
+    if (files.isEmpty) emptyDf(m).withColumn("_graft_file", lit(""))
+    else mappedRead(m, files, Seq(input_file_name().as("_graft_file")))
+
+  /** Location-relative form of a data-file path or URI: everything from
+    * the last "/data/" boundary on. Data and delete files always live
+    * under `<location>/data/<uuid>/…` and Spark percent-escapes '/'
+    * inside partition values, so the last literal "/data/" is the
+    * table's data root — making the result independent of where the
+    * table directory is mounted. Positional delete files store keys in
+    * this form, and BOTH join sides normalize again on read (so
+    * pre-existing absolute keys still match): absolute keys would
+    * silently resurrect MoR-deleted rows if the table directory moved.
+    */
+  private def relDataPath(c: Column): Column =
+    regexp_replace(c, "^.*/data/", "data/")
 
   private def applyDeletes(tagged: DataFrame,
       deletes: Vector[DataFileEntry]): DataFrame = {
@@ -124,33 +164,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .schema("file_path STRING, pos BIGINT")
       .parquet(deletes.map(f => s"$location/${f.path}"): _*)
     tagged.join(broadcast(delDf),
-      tagged("_g_path") === delDf("file_path") && tagged("_g_pos") === delDf("pos"),
+      relDataPath(tagged("_g_path")) === relDataPath(delDf("file_path")) &&
+        tagged("_g_pos") === delDf("pos"),
       "left_anti")
-  }
-
-  /** Field-id mapped read: group files by written schema, read each group
-    * with its write-time schema, rename/null-fill to the current schema,
-    * union. Dropped columns vanish; added columns null-fill; renamed
-    * columns follow their field-id (SURVEY §7 risk 1).
-    */
-  private def readFiles(m: TableMetadata, files: Vector[DataFileEntry]): DataFrame = {
-    val cur = m.currentSchema
-    if (files.isEmpty) return emptyDf(m)
-    val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
-    val parts = bySchema.map { case (sid, fs) =>
-      val written = m.schemaById(sid)
-        .getOrElse(sys.error(s"schema $sid missing from metadata"))
-      val raw = spark.read.schema(written.toStructType)
-        .parquet(fs.map(f => s"$location/${f.path}"): _*)
-      val cols = cur.fields.map { f =>
-        written.fieldById(f.id) match {
-          case Some(w) => col(s"`${w.name}`").cast(f.sparkType).as(f.name)
-          case None    => lit(null).cast(f.sparkType).as(f.name)
-        }
-      }
-      raw.select(cols: _*)
-    }
-    parts.reduce(_ unionByName _)
   }
 
   // ----------------------------------------------------------------- write
@@ -218,7 +234,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val pvals = rel.split("/").toSeq
         .filter(_.contains("=")).map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          k.stripPrefix("_p_") -> java.net.URLDecoder.decode(v, "UTF-8")
+          k.stripPrefix("_p_") -> unescapePathName(v)
         }.toMap
       // one footer open per file yields row count AND column min/max —
       // the stats that let DML prune candidate files metadata-only
@@ -232,12 +248,40 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Inverse of Spark's Hive-style partition-path escaping: only %XX
+    * sequences decode; every other char — including '+', which Spark
+    * never escapes — passes through verbatim. java.net.URLDecoder is
+    * WRONG here: it is application/x-www-form-urlencoded and turns '+'
+    * into a space, so a partition value like "C++" would round-trip as
+    * "C  " and metadata pruning would silently drop its files.
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def listParquet(dir: String): Vector[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) Vector.empty
-    else Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(_.toString).toVector.sorted
+    else {
+      val stream = Files.walk(root) // must close: walk holds directory fds
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(_.toString).toVector.sorted
+      finally stream.close()
+    }
   }
 
   private def readFooter(path: String): ParquetFooterStats =
@@ -276,18 +320,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * rows where cond evaluates to NULL survive (plain `!cond` would drop
     * them — silent data loss).
     */
-  def delete(cond: Column): GraftTable =
-    if (deleteMode == "merge-on-read") mergeOnReadDml(cond, None)
-    else rewriteMatching(cond, "delete", identity)
+  def delete(cond: Column): GraftTable = {
+    // one metadata read: mode and the snapshot the DML operates on must
+    // come from the SAME version (same torn-read rule as read())
+    val m = meta
+    if (deleteMode(m) == "merge-on-read") mergeOnReadDml(m, cond, None)
+    else rewriteMatching(m, cond, "delete", identity)
+  }
 
   /** UPDATE t SET ... WHERE cond (reference: cells 19/24; SURVEY M-U).
     * Merge-on-read plans as delete-matched + append-updated (what the
     * reference's `write.update.mode=merge-on-read` does physically).
     */
-  def update(cond: Column, assignments: Map[String, Column]): GraftTable =
-    if (updateMode == "merge-on-read") mergeOnReadDml(cond, Some(assignments))
-    else rewriteMatching(cond, "overwrite",
+  def update(cond: Column, assignments: Map[String, Column]): GraftTable = {
+    val m = meta
+    if (updateMode(m) == "merge-on-read") mergeOnReadDml(m, cond, Some(assignments))
+    else rewriteMatching(m, cond, "overwrite",
       df => applyAssignments(df, Some(cond), assignments))
+  }
 
   /** SQL UPDATE semantics: the WHERE condition and EVERY assignment RHS
     * evaluate against the ORIGINAL row, so all output columns are
@@ -323,11 +373,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }: _*)
   }
 
-  private def deleteMode: String =
-    meta.properties.getOrElse("write.delete.mode", "copy-on-write")
-  private def updateMode: String =
-    meta.properties.getOrElse("write.update.mode",
-      meta.properties.getOrElse("write.delete.mode", "copy-on-write"))
+  private def deleteMode(m: TableMetadata): String =
+    m.properties.getOrElse("write.delete.mode", "copy-on-write")
+  private def updateMode(m: TableMetadata): String =
+    m.properties.getOrElse("write.update.mode",
+      m.properties.getOrElse("write.delete.mode", "copy-on-write"))
 
   /** Merge-on-read row-level DML: stats-pruned candidate scan finds
     * matching rows; their (file_path, row_index) pairs land in a new
@@ -336,9 +386,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * O(matched rows), the read cost an anti-join against (small,
     * broadcast) delete files until `rewriteDataFiles()` compacts.
     */
-  private def mergeOnReadDml(cond: Column,
+  private def mergeOnReadDml(m: TableMetadata, cond: Column,
       assignments: Option[Map[String, Column]]): GraftTable = {
-    val m = meta
     val snap = m.currentSnapshot.getOrElse(return this)
     val candidates = StatsPruning.candidates(m, snap.files, exprOf(cond))
     if (candidates.isEmpty) return this
@@ -347,7 +396,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val live = applyDeletes(readFilesTagged(m, candidates), snap.deleteFiles)
     val matched = live.filter(cond).cache()
     try {
-      val delRows = matched.select(col("_g_path").as("file_path"),
+      val delRows = matched.select(
+        relDataPath(col("_g_path")).as("file_path"),
         col("_g_pos").as("pos"))
       if (delRows.isEmpty) return this
       val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
@@ -392,9 +442,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * containing matching rows; only those are rewritten (minus deleted /
     * with updated rows); all other files carry over untouched.
     */
-  private def rewriteMatching(cond: Column, op: String,
+  private def rewriteMatching(m: TableMetadata, cond: Column, op: String,
       transform: DataFrame => DataFrame): GraftTable = {
-    val m = meta
     val snap = m.currentSnapshot.getOrElse(return this)
     val candidates = StatsPruning.candidates(m, snap.files, exprOf(cond))
     if (candidates.isEmpty) return this
@@ -433,26 +482,6 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         if (uri.getScheme != null) Paths.get(uri).toString else p
       } catch { case _: Exception => p }
     Paths.get(decoded).toAbsolutePath.normalize.toString
-  }
-
-  private def readFilesWithName(m: TableMetadata,
-      files: Vector[DataFileEntry]): DataFrame = {
-    val cur = m.currentSchema
-    if (files.isEmpty)
-      return emptyDf(m).withColumn("_graft_file", lit(""))
-    val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
-    bySchema.map { case (sid, fs) =>
-      val written = m.schemaById(sid).get
-      val raw = spark.read.schema(written.toStructType)
-        .parquet(fs.map(f => s"$location/${f.path}"): _*)
-      val cols = cur.fields.map { f =>
-        written.fieldById(f.id) match {
-          case Some(w) => col(s"`${w.name}`").cast(f.sparkType).as(f.name)
-          case None    => lit(null).cast(f.sparkType).as(f.name)
-        }
-      } :+ input_file_name().as("_graft_file")
-      raw.select(cols: _*)
-    }.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------------------------ DDL
@@ -772,9 +801,15 @@ object GraftTable {
   }
 
   /** REPLACE TABLE AS SELECT (reference S7, cell 13): new schema from the
-    * query, contents replaced, history preserved.
+    * query, contents replaced, history preserved. With no PARTITIONED BY
+    * the new spec is unpartitioned (reference `table` metadata has
+    * identity -> unpartitioned spec history); an explicit `partition`
+    * becomes the new spec, resolved against the NEW schema. `properties`
+    * merge over the existing ones.
     */
-  def replaceAs(spark: SparkSession, location: String, df: DataFrame): GraftTable = {
+  def replaceAs(spark: SparkSession, location: String, df: DataFrame,
+      partition: Seq[(String, String)] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
     val t = load(spark, location)
     val m = t.meta
     val next = VersionedSchema(m.schemas.map(_.schemaId).max + 1,
@@ -785,12 +820,22 @@ object GraftTable {
           case None => FieldDef(m.nextFieldId + i, f.name, FieldDef.nameType(f.dataType))
         }
       })
+    val nextSpecId = m.currentSpecId + 1
+    val pfs = partition.map { case (src, tr) =>
+      val f = next.fieldByName(src)
+        .getOrElse(sys.error(s"partition source $src missing from new schema"))
+      val pname = tr match {
+        case "identity" => src
+        case "day"      => s"${src}_day"
+        case other      => sys.error(s"unknown transform $other")
+      }
+      PartitionField(f.id, tr, pname)
+    }
     MetadataIO.commit(m.copy(
       currentSchemaId = next.schemaId, schemas = m.schemas :+ next,
-      // spec evolution: REPLACE drops partitioning (reference `table`
-      // metadata has identity -> unpartitioned spec history)
-      currentSpecId = m.currentSpecId + 1,
-      partitionSpecs = m.partitionSpecs :+ PartitionSpec(m.currentSpecId + 1, Vector.empty)))
+      currentSpecId = nextSpecId,
+      partitionSpecs = m.partitionSpecs :+ PartitionSpec(nextSpecId, pfs.toVector),
+      properties = m.properties ++ properties))
     t.overwrite(df)
     t
   }

@@ -258,6 +258,25 @@ class EngineSpec extends AnyFunSuite {
       .select("n").as[Long].collect().toSeq == Seq(20L))
   }
 
+  test("partition values with '+' round-trip the manifest (no URL decode)") {
+    import spark.implicits._
+    // Spark's Hive-style path escaping leaves '+' unescaped;
+    // URLDecoder-style decoding would record "C  " and pruning would
+    // silently drop the file
+    val t = GraftTable.create(spark, tmp(), "t",
+      Seq("lang" -> "string", "n" -> "long"),
+      partition = Seq("lang" -> "identity"))
+    t.append(Seq(("C++", 1L), ("a+b=c", 2L), ("go", 3L)).toDF("lang", "n"))
+    val pvals = t.meta.currentSnapshot.get.files
+      .flatMap(_.partitionValues.get("lang")).toSet
+    assert(pvals == Set("C++", "a+b=c", "go"), s"manifest recorded $pvals")
+    assert(t.readPruned(_.get("lang").contains("C++"))
+      .select("n").as[Long].collect().toSeq == Seq(1L))
+    t.delete(col("lang") === "a+b=c")
+    assert(t.read().select("lang").as[String].collect().sorted.toSeq ==
+      Seq("C++", "go"))
+  }
+
   test("stats pruning: targeted DELETE considers only candidate files") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "t",

@@ -93,6 +93,31 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 31), (3L, 51), (4L, 61)))
   }
 
+  test("MoR deletes survive relocating the table directory") {
+    import spark.implicits._
+    val t = morTable()
+    t.delete(col("id") === 2L)
+    assert(t.read().count() == 3)
+    // copy the whole table tree to a new path (different mount point,
+    // warehouse migration, backup restore) — positional delete keys are
+    // location-relative, so deleted rows must NOT resurrect
+    import scala.jdk.CollectionConverters._
+    val dst = Files.createTempDirectory("graft-mor-moved").toString
+    val src = java.nio.file.Paths.get(t.location)
+    val walk = java.nio.file.Files.walk(src)
+    try walk.iterator().asScala.toSeq.foreach { p =>
+      val to = java.nio.file.Paths.get(dst).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(to)
+      else java.nio.file.Files.copy(p, to)
+    } finally walk.close()
+    val moved = GraftTable.load(spark, dst)
+    assert(moved.read().count() == 3,
+      "deleted row resurrected after relocation")
+    assert(moved.read().select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L))
+  }
+
   test("CoW delete on a table with existing positional deletes") {
     import spark.implicits._
     val t = morTable()

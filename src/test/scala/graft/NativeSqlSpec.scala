@@ -186,6 +186,65 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(t2.meta.snapshots.size == 2)
   }
 
+  test("INSERT INTO is positional; explicit column lists map by name") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "pos", Seq("a" -> "long", "b" -> "long"))
+    t.append(Seq((0L, 100L)).toDF("a", "b"))
+    // source columns NAMED like a permutation of the table's must still
+    // insert positionally (SQL semantics; matches every other Spark table)
+    spark.sql("INSERT INTO graft.db.pos SELECT 1L AS b, 2L AS a")
+    assert(spark.sql("SELECT a, b FROM graft.db.pos WHERE a = 1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // an explicit column list names the VALUES positionally, then maps
+    // by name onto the table
+    spark.sql("INSERT INTO graft.db.pos (b, a) VALUES (30L, 3L)")
+    assert(spark.sql("SELECT a, b FROM graft.db.pos WHERE a = 3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 30L)))
+  }
+
+  test("UPDATE rejects duplicate and nested SET targets") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "u", Seq("a" -> "long", "b" -> "long"))
+    t.append(Seq((1L, 2L)).toDF("a", "b"))
+    val dup = intercept[Exception](
+      spark.sql("UPDATE graft.db.u SET a = 5, a = 6"))
+    assert(dup.getMessage.contains("duplicate UPDATE targets"))
+    val nested = intercept[Exception](
+      spark.sql("UPDATE graft.db.u SET s.a = 5"))
+    assert(nested.getMessage.contains("nested UPDATE targets") ||
+      nested.getMessage.toLowerCase.contains("cannot resolve"))
+    // table unchanged after both rejections
+    assert(spark.sql("SELECT a, b FROM graft.db.u").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("CTAS flags: IF NOT EXISTS no-ops, CREATE OR REPLACE creates, REPLACE keeps PARTITIONED BY") {
+    val cat = freshCat()
+    val t = cat.createTable("db", "flags", Seq("id" -> "long"))
+    import spark.implicits._
+    t.append(Seq(7L).toDF("id"))
+    // IF NOT EXISTS on an existing table: no-op, contents untouched
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.db.flags AS SELECT 99L AS id")
+    assert(spark.sql("SELECT id FROM graft.db.flags").as[Long]
+      .collect().toSeq == Seq(7L))
+    // plain REPLACE on a missing table errors; OR REPLACE creates it
+    val missing = intercept[Exception](
+      spark.sql("REPLACE TABLE graft.db.nope AS SELECT 1L AS id"))
+    assert(missing.getMessage.contains("no table at"))
+    spark.sql("CREATE OR REPLACE TABLE graft.db.made AS SELECT 5L AS id")
+    assert(spark.sql("SELECT id FROM graft.db.made").as[Long]
+      .collect().toSeq == Seq(5L))
+    // REPLACE with an explicit PARTITIONED BY keeps the partitioning
+    spark.sql("""CREATE OR REPLACE TABLE graft.db.flags
+      PARTITIONED BY (id) AS SELECT 8L AS id""")
+    val spec = graft.engine.GraftTable.load(spark,
+      java.nio.file.Paths.get(cat.warehouse, "db", "flags").toString)
+      .meta.currentSpec
+    assert(spec.fields.map(f => (f.transform, f.name)) == Vector(("identity", "id")))
+  }
+
   test("metadata tables resolve through SQL suffix idents") {
     import spark.implicits._
     val cat = freshCat()
