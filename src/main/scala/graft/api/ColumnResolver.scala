@@ -27,10 +27,14 @@ object ColumnResolver {
     val current = meta.currentSchema.fieldNames
     if (current.contains(requested)) return Resolved(requested, "exact")
     SchemaHistory.resolve(meta, requested) match {
-      case SchemaHistory.Current(n)       => return Resolved(n, "history")
+      // Current is unreachable here (the exact check above is the same
+      // comparison); only historical renames fall through to "history"
       case SchemaHistory.Renamed(n, _, _) => return Resolved(n, "history")
       case _                              => ()
     }
+    // a schema with zero columns (all dropped) has no nearest name —
+    // `.min` of nothing would throw where the contract says NoMatch
+    if (current.isEmpty) return NoMatch
     val scored = current.map(c =>
       c -> levenshtein(requested.toLowerCase, c.toLowerCase))
     val best = scored.map(_._2).min

@@ -108,8 +108,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * empty-file-list case (their provenance placeholders differ).
     */
   private def mappedRead(m: TableMetadata, files: Vector[DataFileEntry],
-      extra: Seq[Column]): DataFrame = {
-    val cur = m.currentSchema
+      extra: Seq[Column],
+      target: Option[graft.tableformat.VersionedSchema] = None): DataFrame = {
+    val cur = target.getOrElse(m.currentSchema)
     val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
     bySchema.map { case (sid, fs) =>
       val written = m.schemaById(sid)
@@ -727,7 +728,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * consumers resync via changelog() across such commits).
     */
   def readAppendsBetween(fromSnapshotId: Option[Long],
-      toSnapshotId: Long): DataFrame = {
+      toSnapshotId: Long,
+      targetSchema: Option[graft.tableformat.VersionedSchema] = None): DataFrame = {
     val m = meta
     val toSnap = m.snapshotById(toSnapshotId)
       .getOrElse(sys.error(s"no snapshot $toSnapshotId"))
@@ -746,7 +748,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(fromSnapshotId.isEmpty || cur.isDefined,
       s"$fromSnapshotId is not an ancestor of $toSnapshotId")
     val fromPaths = fromSnap.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-    readFiles(m, toSnap.files.filterNot(f => fromPaths(f.path)))
+    val added = toSnap.files.filterNot(f => fromPaths(f.path))
+    // a caller-pinned target schema (the streaming source binds its
+    // schema at construction) maps files by field-id onto THAT shape
+    // even after mid-stream evolution; default = current schema
+    targetSchema match {
+      case Some(ts) =>
+        if (added.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            ts.toStructType)
+        else mappedRead(m, added, Nil, Some(ts))
+      case None => readFiles(m, added)
+    }
   }
 
   /** Changelog of the latest commit, registered as `<name>_changes`

@@ -30,11 +30,15 @@ object TextFunctions {
 
   /** Exact Jaccard similarity of two (distinct-element) arrays — an
     * integer/integer ratio, so Spark and any oracle engine compute the
-    * bit-identical double.
+    * bit-identical double. Two EMPTY sets yield NULL (undefined), not
+    * the ANSI DIVIDE_BY_ZERO error Spark 4 raises by default.
     */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(null).cast("double"))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        union.cast("double"))
+  }
 
   /** Count of tokens matched by a marker set (lang-ID / stopword use). */
   def markerCount(toks: Column, markers: Seq[String]): Column =

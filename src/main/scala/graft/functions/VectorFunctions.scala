@@ -90,9 +90,18 @@ object VectorFunctions {
     graftshim.columnOf(FloatVectorDot(
       graftshim.expressionOf(a), graftshim.expressionOf(b)))
 
+  /** Ratio that yields NULL on a zero denominator instead of the ANSI
+    * DIVIDE_BY_ZERO error (Spark 4 defaults to ANSI mode): cosine of a
+    * zero vector is undefined, and one empty-document embedding must
+    * not abort a corpus-wide scan. NULL sims drop out of `>= threshold`
+    * filters and sort last in top-k rankings.
+    */
+  def safeRatio(num: Column, den: Column): Column =
+    F.when(den === 0.0, F.lit(null).cast("double")).otherwise(num / den)
+
   /** Double-precision cosine similarity of two float arrays — one
-    * codegen'd pass per dot, norms in double.
+    * codegen'd pass per dot, norms in double; NULL for zero vectors.
     */
   def cosineF(a: Column, b: Column): Column =
-    dotF(a, b) / (F.sqrt(dotF(a, a)) * F.sqrt(dotF(b, b)))
+    safeRatio(dotF(a, b), F.sqrt(dotF(a, a)) * F.sqrt(dotF(b, b)))
 }

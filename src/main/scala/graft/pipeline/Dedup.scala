@@ -265,8 +265,9 @@ object Dedup {
       .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        (dotF(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm"))).as("sim"))
+        graft.functions.VectorFunctions.safeRatio(
+          dotF(col("a.v"), col("b.v")),
+          col("a.nrm") * col("b.nrm")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -302,8 +303,9 @@ object Dedup {
       .join(vj.select(col("id").as("id2"), col("v").as("vb"),
         col("nrm").as("nb")), "id2")
       .select(col("id1"), col("id2"),
-        (dotF(col("va"), col("vb")) /
-          (col("na") * col("nb"))).as("sim"))
+        graft.functions.VectorFunctions.safeRatio(
+          dotF(col("va"), col("vb")),
+          col("na") * col("nb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

@@ -37,7 +37,8 @@ object Similarity {
   private def withQueryNorm(q: DataFrame): DataFrame =
     q.withColumn("qnrm", sqrt(dotF(col("qv"), col("qv"))))
   private val simExpr: Column =
-    dotF(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))
+    graft.functions.VectorFunctions.safeRatio(
+      dotF(col("qv"), col("cv")), col("qnrm") * col("cnrm"))
 
   /** Shared ranking tail: top k per query by sim, neighbor-id
     * tie-broken, fixed output schema.
@@ -247,7 +248,8 @@ object Similarity {
   private def assign(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .select(col("id"), col("cluster"),
-        (dotF(col("v"), col("c")) / (col("nrm") * col("cnrm"))).as("sim"))
+        graft.functions.VectorFunctions.safeRatio(dotF(col("v"), col("c")),
+          col("nrm") * col("cnrm")).as("sim"))
       .groupBy(col("id"))
       .agg(max_by(col("cluster"),
         struct(col("sim"), -col("cluster"))).as("cluster"))
@@ -323,7 +325,8 @@ object Similarity {
       .withColumn("nrm", sqrt(dotF(col("qv"), col("qv"))))
       .crossJoin(broadcast(cents))
       .select(col("query_id"),
-        (dotF(col("qv"), col("c")) / (col("nrm") * col("cnrm"))).as("sim"),
+        graft.functions.VectorFunctions.safeRatio(dotF(col("qv"), col("c")),
+          col("nrm") * col("cnrm")).as("sim"),
         col("cluster"))
       .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("cluster"))))

@@ -21,9 +21,12 @@ import graft.engine.GraftTable
   * covered commits.
   *
   * Scale design: each micro-batch plans from the manifest (no
-  * directory listing, no state proportional to table size); the batch
-  * DataFrame is a plain pruned parquet scan, so pushdown/partitioning
-  * behave exactly as in batch. Semantics guards inherited from
+  * directory listing, no state proportional to table size). Honest
+  * caveat: the DSv1 Source contract compiles each batch through
+  * `queryExecution.toRdd` (a LogicalRDD barrier), so the streaming
+  * query's OWN projections/filters do not push into the per-batch
+  * parquet scan — each batch reads the appended files' full rows; the
+  * file SELECTION is still metadata-exact. Semantics guards inherited from
   * readAppendsBetween: a non-append commit (CoW rewrite, compaction)
   * inside a batch range fails loudly rather than re-delivering
   * rewritten rows; consumers resync via `changelog()`. Snapshot
@@ -35,7 +38,14 @@ final class GraftTableStreamSource(spark: SparkSession, location: String)
 
   private val table = GraftTable.load(spark, location)
 
-  override val schema: StructType = table.meta.currentSchema.toStructType
+  // the stream's schema binds at construction: every micro-batch maps
+  // onto THIS shape by field-id, so mid-stream evolution (rename, drop,
+  // add) keeps delivering the declared columns instead of silently
+  // re-labelling new-schema columns positionally (MicroBatchExecution
+  // rebinds batch output to the declared schema by position)
+  private val boundSchema = table.meta.currentSchema
+
+  override val schema: StructType = boundSchema.toStructType
 
   /** Latest offset = number of committed snapshots (None until the
     * first commit). Metadata read only — called once per trigger.
@@ -57,7 +67,7 @@ final class GraftTableStreamSource(spark: SparkSession, location: String)
       if (from == 0) None else Some(m.snapshotLog(from - 1).snapshotId)
     val toId = m.snapshotLog(to - 1).snapshotId
     org.apache.spark.sql.graftshim.streamingDfFromBatch(spark,
-      table.readAppendsBetween(fromId, toId))
+      table.readAppendsBetween(fromId, toId, Some(boundSchema)))
   }
 
   /** Checkpointed offsets come back as SerializedOffset json. */

@@ -233,6 +233,21 @@ class PipelineSpec extends AnyFunSuite {
     got.foreach { case (s, want) => assert(math.abs(s - want) < 1e-12) }
   }
 
+  test("zero vectors yield NULL cosine, not an ANSI divide-by-zero error") {
+    import spark.implicits._
+    val df = Seq((Array(0f, 0f), Array(1f, 2f)),
+      (Array(0f, 0f), Array(0f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("s"))
+      .collect().map(r => r.isNullAt(0)).toSeq
+    assert(got == Seq(true, true))
+    // and a zero embedding in a corpus must not abort near-dup scans
+    val emb = Seq((1L, Array.fill(64)(1f)), (2L, Array.fill(64)(1f)),
+      (3L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.nearDupEmbedding(emb, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("quality score bounds and lang-id determinism") {
     import spark.implicits._
     val f = TextAnalysis.docFeatures(

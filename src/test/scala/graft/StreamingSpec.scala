@@ -100,6 +100,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("graft-table stream keeps its bound schema across mid-stream evolution") {
+    import graft.engine.GraftTable
+    import org.apache.spark.sql.Row
+    val loc = Files.createTempDirectory("graft-evstream").toString
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, loc, "ev",
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "n"))
+    // schema evolves AFTER the source would bind: rename keeps the
+    // field-id, a new column appears, and new data arrives under the
+    // new schema — the stream must keep serving (id, name, n) by
+    // field-id, not silently re-label new-schema columns positionally
+    val src = new graft.streaming.GraftTableStreamSource(spark, loc)
+    val bound = t.meta.currentSchema
+    t.renameColumn("name", "label")
+    t.addColumn("extra", "string")
+    t.append(Seq((3L, "c", 30L, "x")).toDF("id", "label", "n", "extra"))
+    // the source's batches keep the declared (bound) columns
+    val end = src.getOffset.get
+    val batch = src.getBatch(None, end)
+    assert(batch.schema.fieldNames.toSeq == Seq("id", "name", "n"))
+    // and the pinned-schema read maps post-evolution files by field-id
+    // (the streaming frame itself cannot be collected outside a query)
+    val lastId = t.meta.currentSnapshot.get.snapshotId
+    val rows = t.readAppendsBetween(None, lastId, Some(bound))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      s"field-id mapping must survive evolution: $rows")
+  }
+
   test("graft-table stream resumes from checkpoint, delivering only new appends") {
     import graft.engine.GraftTable
     import graft.streaming.GraftTableStream
