@@ -38,10 +38,26 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = GraftSession.builder(s"local[$cpus]", Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
+    // a FIXED tmpfs dir, wiped on startup: a fresh temp dir per run
+    // would leak RAM-resident shuffle files across crashed runs. Only
+    // used when tmpfs has real headroom — on hosts with the common
+    // 64MB /dev/shm default, spills would hit ENOSPC and queries that
+    // pass on disk would be reported failed
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isWritable(shm))
-      builder.config("spark.local.dir",
-        java.nio.file.Files.createTempDirectory(shm, "graft-bench").toString)
+    if (java.nio.file.Files.isWritable(shm) &&
+        shm.toFile.getUsableSpace > (8L << 30)) {
+      val d = shm.resolve("graft-bench-local")
+      if (java.nio.file.Files.exists(d)) {
+        val w = java.nio.file.Files.walk(d)
+        val paths = try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toSeq.reverse
+        } finally w.close()
+        paths.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      java.nio.file.Files.createDirectories(d)
+      builder.config("spark.local.dir", d.toString)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev knob: comma-separated substrings to bench a subset while
@@ -55,7 +71,13 @@ object Bench {
     // builds of `needsSetup` queries — measured times are steady-state
     // operator throughput
     queries.foreach { q =>
-      try run(q.fn(spark, sfDir)) catch { case _: Throwable => () }
+      try run(q.fn(spark, sfDir)) catch {
+        // swallow only NON-fatal warmup failures (the measured pass
+        // reports them properly); an OOM/linkage error means the JVM
+        // is no longer trustworthy to measure on — propagate
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup ${q.name}: ${e.getMessage}")
+      }
     }
     // warmup-pass caches are garbage during measurement: drop them so
     // measured queries run against a clean store, as a fresh job would

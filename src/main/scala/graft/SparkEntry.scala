@@ -17,7 +17,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
+    // margins are handled at definition sites — a second stripMargin
+    // here would corrupt any future oracle line starting with '|'
     Registry.all.collect { case q if q.oracle.isDefined =>
-      q.name -> q.oracle.get.trim.stripMargin
+      q.name -> q.oracle.get.trim
     }.toMap
 }

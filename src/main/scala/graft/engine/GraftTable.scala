@@ -291,7 +291,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def commitSnapshot(m: TableMetadata, op: String,
       files: Vector[DataFileEntry],
       deleteFiles: Vector[DataFileEntry] = Vector.empty): Unit = {
-    val now = System.currentTimeMillis()
+    // STRICTLY monotonic per table: two commits inside one wall-clock
+    // millisecond would otherwise tie on timestampMs, and every
+    // consumer that orders history (snapshots/history views, snapshot
+    // expiry's keep-set, commit-sequence queries) would fall back to
+    // the RANDOM snapshot id — nondeterministic commit order observed
+    // as flaky oracle mismatches
+    val now = math.max(System.currentTimeMillis(),
+      m.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
     val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
     val snap = Snapshot(
       snapshotId = id, parentId = m.currentSnapshotId, timestampMs = now,

@@ -134,6 +134,17 @@ class EngineSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("duplicate"))
   }
 
+  test("commit timestamps are strictly monotonic per table") {
+    import spark.implicits._
+    // rapid commits can land in one wall-clock millisecond; history
+    // order must never fall back to the random snapshot id
+    val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
+    (1 to 5).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    val ts = t.meta.snapshots.map(_.timestampMs)
+    assert(ts == ts.sorted && ts.distinct.size == ts.size,
+      s"timestamps must be strictly increasing: $ts")
+  }
+
   test("time travel by version and by time") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "t", Seq("id" -> "long"))
