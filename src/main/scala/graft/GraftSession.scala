@@ -55,6 +55,10 @@ object GraftSession {
       // OF) — a no-op until spark.graft.warehouse points at a warehouse;
       // the catalog plugin claims the name, the rule supplies the plan
       .config("spark.sql.catalog.graft", "graft.catalog.GraftNamespaceCatalog")
+      // observability: warn when the ANN candidate cap binds (recall
+      // degrades by design, but never silently)
+      .config("spark.sql.queryExecutionListeners",
+        "graft.pipeline.CapBindingListener")
       .withExtensions(new graft.catalog.GraftExtensions)
   }
 }

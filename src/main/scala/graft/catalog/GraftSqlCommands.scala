@@ -34,23 +34,40 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val t = GraftTable.load(session, location)
     var df = graftshim.dfFromPlan(session, query)
-    val target = t.meta.currentSchema.fieldNames
-    // an explicit column list names the query's positional output
-    // (VALUES rows arrive as col1, col2, ...)
+    val fields = t.meta.currentSchema.fields
+    val target = fields.map(_.name)
     if (columnNames.nonEmpty) {
       // an explicit column list names the query's positional output
       // (VALUES rows arrive as col1, col2, ...), then maps BY NAME onto
-      // the table schema; partial lists are unsupported (no null-fill)
+      // the table schema; columns NOT named null-fill (standard SQL /
+      // Spark semantics for tables without DEFAULTs). Resolution is
+      // exact-name first, case-insensitive only when unambiguous (same
+      // rule as UPDATE targets — rename can create case-only twins).
       require(df.columns.length == columnNames.length,
         s"INSERT column list has ${columnNames.length} names, " +
           s"query provides ${df.columns.length} columns")
-      require(columnNames.sorted == target.sorted,
-        s"INSERT column list (${columnNames.mkString(", ")}) must name " +
-          s"every table column (${target.mkString(", ")})")
-      df = df.toDF(columnNames: _*).select(target.map(n => col(s"`$n`")): _*)
+      def resolve(k: String): String =
+        fields.find(_.name == k).map(_.name).getOrElse(
+          fields.filter(_.name.equalsIgnoreCase(k)) match {
+            case Vector(one) => one.name
+            case Vector() => sys.error(s"INSERT column '$k' not in table " +
+              s"(${target.mkString(", ")})")
+            case many => sys.error(s"INSERT column '$k' is ambiguous: " +
+              many.map(_.name).mkString(", "))
+          })
+      val resolved = columnNames.map(resolve)
+      val dupes = resolved.groupBy(identity)
+        .collect { case (n, g) if g.size > 1 => n }
+      require(dupes.isEmpty,
+        s"duplicate INSERT columns: ${dupes.mkString(", ")}")
+      val provided = resolved.toSet
+      df = df.toDF(resolved: _*).select(fields.map { f =>
+        if (provided(f.name)) col(s"`${f.name}`")
+        else lit(null).cast(f.sparkType).as(f.name)
+      }: _*)
     } else {
       // SQL INSERT INTO without a column list is POSITIONAL — never
       // reorder by name, even when the query's names permute the

@@ -55,14 +55,38 @@ object Similarity {
     * broadcast at |queries| x cap rows no matter how hot the corpus's
     * buckets/cells are — without it, bucket occupancy (which scales
     * with the CORPUS, not the query set) could push the candidate set
-    * past broadcast limits on a large corpus. Order by neighbor_id so
-    * the bound is reproducible; when it binds, recall degrades
-    * gracefully instead of the job failing.
+    * past broadcast limits on a large corpus.
+    *
+    * The cap cuts by RELEVANCE, not id: callers pass a cheap proxy
+    * (LSH: agreeing-table votes, descending; IVF: probe rank,
+    * ascending) so a binding cap keeps the most-promising candidates —
+    * an id-ordered cut was uncorrelated with similarity and degraded
+    * recall invisibly on hot buckets (round-5/6 advice). neighbor_id
+    * stays as the final tiebreak so the bound is reproducible.
+    *
+    * Binding is OBSERVABLE: a CollectMetrics node counts dropped
+    * candidates and affected queries; [[CapBindingListener]] (installed
+    * by GraftSession) logs a warning whenever the cap actually bound,
+    * so silently degraded recall can't happen. The metrics aggregate
+    * rides the existing scan — no extra action or shuffle.
     */
-  private def capPerQuery(cand: DataFrame, cap: Int): DataFrame =
+  private def capPerQuery(cand: DataFrame, cap: Int,
+      relevance: Column*): DataFrame =
     cand.withColumn("cr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("neighbor_id"))))
-      .filter(col("cr") <= cap).drop("cr")
+        Window.partitionBy(col("query_id"))
+          .orderBy(relevance :+ col("neighbor_id").asc: _*)))
+      .observe(CapMetricName,
+        sum(when(col("cr") > cap, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_candidates"),
+        // rank cap+1 occurs exactly once per capped query (DISTINCT
+        // aggregates are not allowed in observed metrics)
+        sum(when(col("cr") === cap + 1, lit(1L)).otherwise(lit(0L)))
+          .as("capped_queries"))
+      .filter(col("cr") <= cap)
+      .select(col("query_id"), col("neighbor_id"))
+
+  /** Name of the cap-binding observation ([[capPerQuery]]). */
+  val CapMetricName = "graft.ann.cap"
 
   /** Exact brute-force top-k: for each row of `queries`, the k nearest
     * corpus rows by cosine. Queries are broadcast (they are small by
@@ -203,12 +227,17 @@ object Similarity {
       lshBuckets(df, id, vec, planesPerTable, numTables, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // votes = number of tables whose bucket both sides share — the
+    // relevance proxy for a binding cap (more agreeing tables = higher
+    // collision probability = likely-nearer neighbor). The groupBy has
+    // the same shuffle shape as the distinct it replaces.
     val cand = capPerQuery(
       bucketed(Dedup.spread(c), "neighbor_id", "cv")
         .join(broadcast(bucketed(q, "query_id", "qv")), Seq("table", "bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id").distinct(),
-      maxCandidatesPerQuery)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(count(lit(1)).as("votes")),
+      maxCandidatesPerQuery, col("votes").desc)
     // candidates are ids-only and bounded at |queries| x cap (see
     // capPerQuery), so the verification joins pin broadcast and stream
     // ONE corpus scan. Left to AQE, the strategy choice flapped in long
@@ -331,12 +360,15 @@ object Similarity {
       .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("cluster"))))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("cluster"))
+      .select(col("query_id"), col("cluster"), col("pr"))
+    // each corpus row sits in exactly one cell, so (query, neighbor)
+    // pairs are already unique — probe rank (how close the neighbor's
+    // cell is to the query) is the relevance proxy for a binding cap
     val cand = capPerQuery(
       cAssigned.join(broadcast(qProbes), "cluster")
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id").distinct(),
-      maxCandidatesPerQuery)
+        .select(col("query_id"), col("neighbor_id"), col("pr")),
+      maxCandidatesPerQuery, col("pr").asc)
     val scored = withCorpusNorm(c)
       .join(broadcast(cand), "neighbor_id")
       .join(broadcast(withQueryNorm(q)), "query_id")

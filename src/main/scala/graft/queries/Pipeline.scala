@@ -217,11 +217,21 @@ object Pipeline {
       """)),
 
     // ---- Heuristic language ID -----------------------------------------
+    // three-projection shape: tokens once, the four marker counts once
+    // (as materialized columns), argmax over attribute refs — inlining
+    // langId(tokens(text)) duplicated every count ~6x through the CASE
+    // and re-ran the split per copy (round-5/6 verdict item)
     QueryDef(
       "q46_lang_id",
       (s, d) =>
-        docs(s, d).select(col("doc_id"), col("lang"),
-            TextAnalysis.langId(tokens(col("text"))).as("predicted"))
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+          .select(Seq(col("doc_id"), col("lang")) ++
+            TextAnalysis.langScores(col("toks"))
+              .map { case (l, c) => c.as(s"s_$l") }: _*)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langIdFromScores(TextAnalysis.LangMarkers
+              .map { case (l, _) => l -> col(s"s_$l") }).as("predicted"))
           .orderBy(col("doc_id")),
       Some("""
         WITH f AS (
@@ -351,6 +361,26 @@ object Pipeline {
           .orderBy(col("asset_id"))
       },
       None),
+
+    // ---- Multimodal metadata half, hash-matched -------------------------
+    // the envelope (asset_id, kind, n_bytes) is pure plumbing — no stub
+    // math — so it oracles exactly: kind is the doc_id%3 round-robin,
+    // n_bytes the UTF-8 payload length. The stub-derived fields
+    // (width/height/duration/features) stay rows-only in q50.
+    QueryDef(
+      "q50a_multimodal_meta",
+      (s, d) => {
+        val assets = Multimodal.assetsFromDocs(docs(s, d), "doc_id", "text")
+        Multimodal.decodeMeta(s, assets).toDF()
+          .select(col("asset_id"), col("kind"), col("n_bytes"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS asset_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents ORDER BY asset_id
+      """)),
 
     // ---- Embedding-cosine near-dup, exact (the oracle baseline) --------
     // all-pairs on an 800-vector slice: quadratic by design — the

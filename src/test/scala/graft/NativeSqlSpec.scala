@@ -201,6 +201,18 @@ class NativeSqlSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.db.pos (b, a) VALUES (30L, 3L)")
     assert(spark.sql("SELECT a, b FROM graft.db.pos WHERE a = 3").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 30L)))
+    // PARTIAL column list: unnamed columns null-fill (SQL semantics)
+    spark.sql("INSERT INTO graft.db.pos (a) VALUES (4L)")
+    assert(spark.sql("SELECT a, b FROM graft.db.pos WHERE a = 4").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toSeq == Seq((4L, null)))
+    // unknown and duplicate names still fail loudly
+    val bad = intercept[Exception](
+      spark.sql("INSERT INTO graft.db.pos (nope) VALUES (5L)"))
+    assert(bad.getMessage.contains("not in table"))
+    val dup = intercept[Exception](
+      spark.sql("INSERT INTO graft.db.pos (a, a) VALUES (5L, 6L)"))
+    assert(dup.getMessage.contains("duplicate INSERT columns"))
   }
 
   test("UPDATE rejects duplicate and nested SET targets") {

@@ -184,6 +184,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall $recall < 0.6")
   }
 
+  test("binding candidate cap cuts by relevance and is observable") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // cap of 40 binds hard here: default LSH tables yield hundreds of
+    // candidates per query on this corpus
+    val capped = Similarity.cosineTopKLsh(emb, q, "vec_id", "embedding", 5,
+      maxCandidatesPerQuery = 40)
+    // collect capped ITSELF (a derived .select would execute its own
+    // QueryExecution and leave capped's observed metrics empty)
+    val got = capped.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    // the votes-ordered cut keeps the most-promising candidates: even
+    // at 40 of ~hundreds, recall must stay meaningful (an id-ordered
+    // cut is uncorrelated with similarity and collapses toward
+    // cap/corpus odds)
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"relevance-capped recall $recall < 0.3")
+    // binding must be observable: the CollectMetrics observation on the
+    // candidate scan records dropped rows + affected queries
+    val m = capped.queryExecution.observedMetrics(Similarity.CapMetricName)
+    assert(m.getAs[Long]("dropped_candidates") > 0L,
+      s"cap at 40 must bind on this fixture: $m")
+    assert(m.getAs[Long]("capped_queries") > 0L, s"$m")
+  }
+
   test("ANN IVF: reasonable recall vs brute-force cosine top-k") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

@@ -122,6 +122,21 @@ class PlanSpec extends AnyFunSuite {
       s"bucket + verification joins must broadcast:\n$p")
   }
 
+  test("q46 langId evaluates each marker count once (no CASE re-inlining)") {
+    val q46 = graft.queries.Registry.all.find(_.name == "q46_lang_id").get
+    val p = q46.fn(spark, sf).queryExecution.optimizedPlan.toString
+    // each language's marker filter must appear exactly once in the
+    // optimized plan — the inlined form duplicated every count ~6x
+    // through the argmax CASE, re-running the interpreted array filter
+    // (and the split feeding it) per copy
+    for (marker <- Seq("der,die,das", "el,la,los", "le,la,les")) {
+      val n = p.sliding(marker.length).count(_ == marker)
+      assert(n == 1, s"marker list '$marker' appears $n times (want 1):\n$p")
+    }
+    assert(p.sliding("split(".length).count(_ == "split(") == 1,
+      s"tokenization must run once:\n$p")
+  }
+
   test("JSON metadata documents read as DataFrames (S4)") {
     import spark.implicits._
     val t = GraftTable.create(spark,
