@@ -181,15 +181,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def commitWrite(df: DataFrame, op: String, carryOver: Boolean,
       keepFiles: Vector[DataFileEntry] = Vector.empty): GraftTable = {
     val m = meta
+    // data files are written ONCE, outside the retry loop — only the
+    // metadata transform re-runs on a commit conflict
     val written = writeFiles(m, df)
-    val carried =
-      if (carryOver) m.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ keepFiles
-      else keepFiles
-    // appends carry existing positional deletes; overwrite resets them
-    val carriedDeletes =
-      if (carryOver) m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
-      else Vector.empty
-    commitSnapshot(m, op, carried ++ written, carriedDeletes)
+    MetadataIO.commitRetry(location) { cur =>
+      // append REBASES unconditionally: its new files are disjoint from
+      // whatever the current snapshot holds, so carrying the LATEST
+      // files/deletes is always correct — even across a concurrent
+      // schema change, since every file maps by its own schemaId.
+      // overwrite replaces contents whole (its result doesn't depend on
+      // the base snapshot), so it rebases trivially and resets deletes.
+      val carried =
+        if (carryOver) cur.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ keepFiles
+        else keepFiles
+      val carriedDeletes =
+        if (carryOver) cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+        else Vector.empty
+      withSnapshot(cur, op, carried ++ written, carriedDeletes)
+    }
     this
   }
 
@@ -288,9 +297,30 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def readFooter(path: String): ParquetFooterStats =
     ParquetFooterStats.read(path, spark.sessionState.newHadoopConf())
 
+  /** Commit a rewrite-style snapshot (CoW DELETE/UPDATE, MoR DML,
+    * compaction) computed against base metadata `m`. These ops
+    * REFERENCED the base snapshot's files (rewrote or anti-joined
+    * them), so a concurrent data commit is a genuine conflict: the
+    * retry absorbs metadata-level races (properties, refs, schema) but
+    * fails loudly when the snapshot itself moved — rebasing would
+    * silently drop the racing writer's rows.
+    */
   private def commitSnapshot(m: TableMetadata, op: String,
       files: Vector[DataFileEntry],
-      deleteFiles: Vector[DataFileEntry] = Vector.empty): Unit = {
+      deleteFiles: Vector[DataFileEntry] = Vector.empty): Unit =
+    MetadataIO.commitRetry(location) { cur =>
+      require(cur.currentSnapshotId == m.currentSnapshotId,
+        s"concurrent commit: snapshot advanced from ${m.currentSnapshotId}" +
+          s" to ${cur.currentSnapshotId} during $op — re-run the operation")
+      withSnapshot(cur, op, files, deleteFiles)
+    }
+
+  /** New-snapshot metadata transform — pure function of `cur`, safe to
+    * re-run inside the optimistic-commit retry loop.
+    */
+  private def withSnapshot(cur: TableMetadata, op: String,
+      files: Vector[DataFileEntry],
+      deleteFiles: Vector[DataFileEntry]): TableMetadata = {
     // STRICTLY monotonic per table: two commits inside one wall-clock
     // millisecond would otherwise tie on timestampMs, and every
     // consumer that orders history (snapshots/history views, snapshot
@@ -298,11 +328,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // the RANDOM snapshot id — nondeterministic commit order observed
     // as flaky oracle mismatches
     val now = math.max(System.currentTimeMillis(),
-      m.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
+      cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
     val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
     val snap = Snapshot(
-      snapshotId = id, parentId = m.currentSnapshotId, timestampMs = now,
-      operation = op, schemaId = m.currentSchemaId, specId = m.currentSpecId,
+      snapshotId = id, parentId = cur.currentSnapshotId, timestampMs = now,
+      operation = op, schemaId = cur.currentSchemaId,
+      specId = cur.currentSpecId,
       files = files,
       summary = Map(
         "total-records" -> files.map(_.recordCount).sum.toString,
@@ -310,10 +341,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         "total-delete-files" -> deleteFiles.size.toString,
         "total-position-deletes" -> deleteFiles.map(_.recordCount).sum.toString),
       deleteFiles = deleteFiles)
-    MetadataIO.commit(m.copy(
+    cur.copy(
       currentSnapshotId = Some(id),
-      snapshots = m.snapshots :+ snap,
-      snapshotLog = m.snapshotLog :+ SnapshotLogEntry(now, id)))
+      snapshots = cur.snapshots :+ snap,
+      snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, id))
   }
 
   // ------------------------------------------------------- row-level DML
@@ -524,18 +555,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * metadata: schema-id -> what changed).
     */
   private def evolveSchema(op: String)(f: TableMetadata => Vector[FieldDef]): GraftTable = {
-    val m = meta
-    val next = VersionedSchema(m.schemas.map(_.schemaId).max + 1, f(m))
-    MetadataIO.commit(m.copy(currentSchemaId = next.schemaId,
-      schemas = m.schemas :+ next,
-      properties = m.properties +
-        (s"graft.schema-log.${next.schemaId}" -> op)))
+    // f re-runs against the freshest metadata on a commit conflict, so
+    // its own preconditions (column exists / doesn't) re-validate too
+    MetadataIO.commitRetry(location) { cur =>
+      val next = VersionedSchema(cur.schemas.map(_.schemaId).max + 1, f(cur))
+      cur.copy(currentSchemaId = next.schemaId,
+        schemas = cur.schemas :+ next,
+        properties = cur.properties +
+          (s"graft.schema-log.${next.schemaId}" -> op))
+    }
     this
   }
 
   def setProperties(props: Map[String, String]): GraftTable = {
-    val m = meta
-    MetadataIO.commit(m.copy(properties = m.properties ++ props))
+    MetadataIO.commitRetry(location)(cur =>
+      cur.copy(properties = cur.properties ++ props))
     this
   }
 
@@ -560,13 +594,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def expireSnapshots(keepLast: Int): GraftTable = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val m = meta
-    val pinned = m.refs.map(_.snapshotId).toSet ++ m.currentSnapshotId
-    val keep = m.snapshots.sortBy(-_.timestampMs).take(keepLast)
-      .map(_.snapshotId).toSet ++ pinned
-    MetadataIO.commit(m.copy(
-      snapshots = m.snapshots.filter(s => keep(s.snapshotId)),
-      snapshotLog = m.snapshotLog.filter(e => keep(e.snapshotId))))
+    MetadataIO.commitRetry(location) { cur =>
+      val pinned = cur.refs.map(_.snapshotId).toSet ++ cur.currentSnapshotId
+      val keep = cur.snapshots.sortBy(-_.timestampMs).take(keepLast)
+        .map(_.snapshotId).toSet ++ pinned
+      cur.copy(
+        snapshots = cur.snapshots.filter(s => keep(s.snapshotId)),
+        snapshotLog = cur.snapshotLog.filter(e => keep(e.snapshotId)))
+    }
     this
   }
 
@@ -597,18 +632,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     addRef(name, "BRANCH", snapshotId)
 
   private def addRef(name: String, tpe: String, snapshotId: Option[Long]): GraftTable = {
-    val m = meta
-    require(name != "main" && !m.refs.exists(_.name == name), s"ref $name exists")
-    val id = snapshotId.orElse(m.currentSnapshotId)
-      .getOrElse(sys.error("no snapshot to reference"))
-    require(m.snapshotById(id).isDefined, s"no snapshot $id")
-    MetadataIO.commit(m.copy(refs = m.refs :+ TableRef(name, tpe, id)))
+    MetadataIO.commitRetry(location) { cur =>
+      require(name != "main" && !cur.refs.exists(_.name == name), s"ref $name exists")
+      val id = snapshotId.orElse(cur.currentSnapshotId)
+        .getOrElse(sys.error("no snapshot to reference"))
+      require(cur.snapshotById(id).isDefined, s"no snapshot $id")
+      cur.copy(refs = cur.refs :+ TableRef(name, tpe, id))
+    }
     this
   }
 
   def dropRef(name: String): GraftTable = {
-    val m = meta
-    MetadataIO.commit(m.copy(refs = m.refs.filterNot(_.name == name)))
+    MetadataIO.commitRetry(location)(cur =>
+      cur.copy(refs = cur.refs.filterNot(_.name == name)))
     this
   }
 
@@ -832,31 +868,33 @@ object GraftTable {
       partition: Seq[(String, String)] = Nil,
       properties: Map[String, String] = Map.empty): GraftTable = {
     val t = load(spark, location)
-    val m = t.meta
-    val next = VersionedSchema(m.schemas.map(_.schemaId).max + 1,
-      df.schema.fields.toVector.zipWithIndex.map { case (f, i) =>
-        // reuse field-ids for same-name fields, allocate for new ones
-        m.currentSchema.fieldByName(f.name) match {
-          case Some(existing) => existing.copy(dataType = FieldDef.nameType(f.dataType))
-          case None => FieldDef(m.nextFieldId + i, f.name, FieldDef.nameType(f.dataType))
+    // whole transform re-runs against fresh metadata on commit conflict
+    MetadataIO.commitRetry(location) { m =>
+      val next = VersionedSchema(m.schemas.map(_.schemaId).max + 1,
+        df.schema.fields.toVector.zipWithIndex.map { case (f, i) =>
+          // reuse field-ids for same-name fields, allocate for new ones
+          m.currentSchema.fieldByName(f.name) match {
+            case Some(existing) => existing.copy(dataType = FieldDef.nameType(f.dataType))
+            case None => FieldDef(m.nextFieldId + i, f.name, FieldDef.nameType(f.dataType))
+          }
+        })
+      val nextSpecId = m.currentSpecId + 1
+      val pfs = partition.map { case (src, tr) =>
+        val f = next.fieldByName(src)
+          .getOrElse(sys.error(s"partition source $src missing from new schema"))
+        val pname = tr match {
+          case "identity" => src
+          case "day"      => s"${src}_day"
+          case other      => sys.error(s"unknown transform $other")
         }
-      })
-    val nextSpecId = m.currentSpecId + 1
-    val pfs = partition.map { case (src, tr) =>
-      val f = next.fieldByName(src)
-        .getOrElse(sys.error(s"partition source $src missing from new schema"))
-      val pname = tr match {
-        case "identity" => src
-        case "day"      => s"${src}_day"
-        case other      => sys.error(s"unknown transform $other")
+        PartitionField(f.id, tr, pname)
       }
-      PartitionField(f.id, tr, pname)
+      m.copy(
+        currentSchemaId = next.schemaId, schemas = m.schemas :+ next,
+        currentSpecId = nextSpecId,
+        partitionSpecs = m.partitionSpecs :+ PartitionSpec(nextSpecId, pfs.toVector),
+        properties = m.properties ++ properties)
     }
-    MetadataIO.commit(m.copy(
-      currentSchemaId = next.schemaId, schemas = m.schemas :+ next,
-      currentSpecId = nextSpecId,
-      partitionSpecs = m.partitionSpecs :+ PartitionSpec(nextSpecId, pfs.toVector),
-      properties = m.properties ++ properties))
     t.overwrite(df)
     t
   }

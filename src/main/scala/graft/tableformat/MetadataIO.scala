@@ -1,6 +1,6 @@
 package graft.tableformat
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -9,21 +9,50 @@ import org.json4s.jackson.Serialization
   * version-hint.text (the reference's layout — apiv15.py:41-43 reads the
   * hint, then v{N}.metadata.json; SURVEY.md H1).
   *
-  * Commits are last-step-atomic: the new metadata JSON is fully written
-  * before the hint is swapped via atomic move, so a reader never observes
-  * a torn document. Single-writer assumption (as in the reference,
-  * single-user local catalog) — documented, not enforced.
+  * Concurrency model — OPTIMISTIC, never last-writer-wins:
+  *   - each version file is claimed atomically (content fully written to
+  *     a temp file, then hard-linked into place: link(2) fails if the
+  *     target exists, so a visible vN.metadata.json is always complete
+  *     AND uniquely owned). Two writers racing from the same base both
+  *     try to claim v(N+1); exactly one wins, the loser sees
+  *     [[CommitConflictException]];
+  *   - [[commitRetry]] is the read-transform-write loop DML/DDL commit
+  *     through: on conflict the transform re-runs against the freshly
+  *     read metadata, so rebase policy lives with the operation (appends
+  *     rebase unconditionally; rewrites require the base snapshot
+  *     unchanged — see GraftTable.commitSnapshot);
+  *   - the hint file is exactly that — a hint. It swaps atomically and
+  *     only ever ADVANCES under this writer, but a racing pair can still
+  *     land hint writes out of order, so [[currentVersion]] probes
+  *     forward from the hint to the highest version actually claimed
+  *     (O(1) probes when the hint is current; readers therefore never
+  *     miss a committed snapshot behind a stale hint).
+  *
+  * The reference is a single Flask process over a local catalog
+  * (apiv15.py:24-25) and never hits this; a multi-writer deployment
+  * does, immediately.
   */
 object MetadataIO {
   implicit private val formats: Formats = DefaultFormats
+
+  /** A racing writer claimed the version this commit targeted. */
+  final class CommitConflictException(location: String, version: Int)
+      extends RuntimeException(
+        s"concurrent commit: v$version already claimed under $location")
 
   private def metadataDir(location: String): Path = Paths.get(location, "metadata")
   private def hintPath(location: String): Path =
     metadataDir(location).resolve("version-hint.text")
 
+  /** Highest committed version: hint, then probe forward past any
+    * versions whose hint write lost an ordering race.
+    */
   def currentVersion(location: String): Option[Int] = {
     val p = hintPath(location)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
+    if (!Files.exists(p)) return None
+    var v = Files.readString(p).trim.toInt
+    while (Files.exists(metadataPath(location, v + 1))) v += 1
+    Some(v)
   }
 
   def metadataPath(location: String, version: Int): Path =
@@ -42,8 +71,10 @@ object MetadataIO {
 
   def exists(location: String): Boolean = Files.exists(hintPath(location))
 
-  /** Write metadata as the next version and swap the hint atomically.
-    * Returns the committed version number.
+  /** Single-attempt commit: claim the next version atomically, then
+    * advance the hint. Throws [[CommitConflictException]] if a racing
+    * writer claimed the version first — callers that can rebase use
+    * [[commitRetry]] instead.
     */
   def commit(meta: TableMetadata): Int = {
     val dir = metadataDir(meta.location)
@@ -51,16 +82,61 @@ object MetadataIO {
     val next = currentVersion(meta.location).getOrElse(0) + 1
     val withLog = meta.copy(metadataLog = meta.metadataLog :+
       MetadataLogEntry(System.currentTimeMillis(), s"v$next.metadata.json"))
-    // CREATE_NEW: two writers racing from the same base version both try
-    // to write v(N+1) — the loser fails loudly instead of clobbering
-    // (commits are last-writer-FAILS, never last-writer-wins)
-    Files.writeString(metadataPath(meta.location, next),
-      Serialization.writePretty(withLog),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    val tmp = dir.resolve(s".version-hint.$next.tmp")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, hintPath(meta.location),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // write-then-link: the temp file carries the COMPLETE document
+    // before the link makes it visible, and link(2) is an atomic
+    // create-if-absent — a reader can never observe a torn vN file and
+    // a racing writer can never silently clobber one
+    val tmp = Files.createTempFile(dir, s".v$next-", ".json.tmp")
+    try {
+      Files.writeString(tmp, Serialization.writePretty(withLog))
+      try Files.createLink(metadataPath(meta.location, next), tmp)
+      catch {
+        case _: FileAlreadyExistsException =>
+          throw new CommitConflictException(meta.location, next)
+      }
+    } finally Files.deleteIfExists(tmp)
+    advanceHint(meta.location, next)
     next
+  }
+
+  /** Optimistic read-transform-write: `transform` re-runs against the
+    * latest metadata on every attempt, so each operation's rebase
+    * policy (or refusal — throwing from `transform` aborts the loop)
+    * decides what a concurrent commit means for it. Snapshots are never
+    * lost: the commit either lands on top of the racing one or fails
+    * loudly after `attempts` conflicts.
+    */
+  def commitRetry(location: String, attempts: Int = 20)(
+      transform: TableMetadata => TableMetadata): Int = {
+    var n = 0
+    while (true) {
+      val cur = read(location)
+      try return commit(transform(cur))
+      catch {
+        case e: CommitConflictException =>
+          n += 1
+          if (n >= attempts) throw e
+          // jittered exponential backoff de-synchronizes symmetric
+          // racers (two writers in lockstep could otherwise trade
+          // conflicts for many rounds)
+          Thread.sleep(1L + scala.util.Random.nextInt(1 << math.min(n, 5)))
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Atomic hint swap that only ever advances this hint. A racing pair
+    * can still interleave check-and-move; the forward probe in
+    * [[currentVersion]] heals any transient regression.
+    */
+  private def advanceHint(location: String, next: Int): Unit = {
+    val p = hintPath(location)
+    val stale = Files.exists(p) && Files.readString(p).trim.toInt >= next
+    if (!stale) {
+      val tmp = metadataDir(location).resolve(s".version-hint.$next.tmp")
+      Files.writeString(tmp, next.toString)
+      Files.move(tmp, p,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 }

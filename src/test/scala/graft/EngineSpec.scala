@@ -378,6 +378,36 @@ class EngineSpec extends AnyFunSuite {
     assert(t.meta.properties("format-version") == "2")
   }
 
+  test("concurrent appends from two threads never lose a snapshot") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "race",
+      Seq("id" -> "long", "writer" -> "string"))
+    val n = 4
+    @volatile var failure: Option[Throwable] = None
+    def appender(tag: String): Thread = new Thread(() => {
+      try {
+        val mine = GraftTable.load(spark, loc)
+        for (i <- 0 until n)
+          mine.append(Seq((i.toLong, tag)).toDF("id", "writer"))
+      } catch { case e: Throwable => failure = Some(e) }
+    })
+    val (t1, t2) = (appender("w1"), appender("w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    failure.foreach(e => fail(s"appender failed: $e"))
+    val m = t.meta
+    // every append landed as its own snapshot and no rows were lost
+    assert(m.snapshots.size == 2 * n, s"lost snapshots: ${m.snapshots.size}")
+    assert(t.read().count() == 2 * n)
+    // the parent chain from current reaches every snapshot (appends
+    // rebased onto each other, never forked or overwrote)
+    val chain = Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (id, s.parentId))
+      case None     => None
+    }.toSeq
+    assert(chain.size == 2 * n, s"broken parent chain: ${chain.size}")
+  }
+
   test("schema evolution golden replay: reference `test` table (6 schemas)") {
     import spark.implicits._
     // create(id int, name string, added_at ts) -> rename name->new_name

@@ -42,6 +42,37 @@ class TableFormatSpec extends AnyFunSuite {
       Vector("v1.metadata.json", "v2.metadata.json", "v3.metadata.json"))
   }
 
+  test("optimistic commits: two racing writers never lose an update") {
+    val loc = tmp()
+    MetadataIO.commit(TableMetadata.create("t", loc, Seq("a" -> "int")))
+    val n = 20
+    def bump(tag: String): Thread = new Thread(() => {
+      for (i <- 0 until n)
+        MetadataIO.commitRetry(loc)(cur =>
+          cur.copy(properties = cur.properties + (s"$tag-$i" -> "x")))
+    })
+    val (t1, t2) = (bump("w1"), bump("w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val m = MetadataIO.read(loc)
+    for (tag <- Seq("w1", "w2"); i <- 0 until n)
+      assert(m.properties.contains(s"$tag-$i"), s"lost commit $tag-$i")
+    // every commit claimed its own version; none were clobbered
+    assert(MetadataIO.currentVersion(loc).contains(1 + 2 * n))
+    assert(m.metadataLog.size == 1 + 2 * n)
+  }
+
+  test("single-attempt commit conflicts loudly instead of clobbering") {
+    val loc = tmp()
+    MetadataIO.commit(TableMetadata.create("t", loc, Seq("a" -> "int")))
+    val base = MetadataIO.read(loc) // both writers start from v1
+    MetadataIO.commit(base.copy(properties = base.properties + ("w1" -> "x")))
+    intercept[MetadataIO.CommitConflictException] {
+      MetadataIO.commit(base.copy(properties = base.properties + ("w2" -> "x")))
+    }
+    // the winner's commit is intact
+    assert(MetadataIO.read(loc).properties.contains("w1"))
+  }
+
   test("resolve: current name, renamed name, never-existed") {
     val loc = tmp()
     // mirror reference employee: schema 0 'Phone' -> schema 1 'Phone number'
