@@ -58,6 +58,10 @@ object MetadataIO {
   def metadataPath(location: String, version: Int): Path =
     metadataDir(location).resolve(s"v$version.metadata.json")
 
+  private def versionOfLogFile(e: MetadataLogEntry): Int =
+    e.file.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+      .getOrElse(sys.error(s"unparseable metadata log entry ${e.file}"))
+
   def read(location: String): TableMetadata = {
     val v = currentVersion(location)
       .getOrElse(sys.error(s"no version-hint.text under $location"))
@@ -66,7 +70,14 @@ object MetadataIO {
 
   def readVersion(location: String, version: Int): TableMetadata = {
     val json = Files.readString(metadataPath(location, version))
-    JsonMethods.parse(json).extract[TableMetadata]
+    val m = JsonMethods.parse(json).extract[TableMetadata]
+    // lineage heal: commit() claims (last metadataLog version)+1, so a
+    // document whose log predates the file it was read from (hand-
+    // written or externally imported metadata) must surface its true
+    // read version or its next commit would target an old, taken slot
+    if (m.metadataLog.lastOption.exists(e => versionOfLogFile(e) >= version)) m
+    else m.copy(metadataLog = m.metadataLog :+
+      MetadataLogEntry(System.currentTimeMillis(), s"v$version.metadata.json"))
   }
 
   def exists(location: String): Boolean = Files.exists(hintPath(location))
@@ -79,7 +90,13 @@ object MetadataIO {
   def commit(meta: TableMetadata): Int = {
     val dir = metadataDir(meta.location)
     Files.createDirectories(dir)
-    val next = currentVersion(meta.location).getOrElse(0) + 1
+    // The claim version comes from the metadata's OWN lineage — the last
+    // metadataLog entry is the version this document was read at — NOT
+    // from currentVersion(): deriving it from the directory would let a
+    // writer that read vN claim v(N+2) after a racer landed v(N+1),
+    // committing a document that silently drops the racer's changes
+    // (the exact lost update the claim protocol exists to prevent).
+    val next = meta.metadataLog.lastOption.map(versionOfLogFile).getOrElse(0) + 1
     val withLog = meta.copy(metadataLog = meta.metadataLog :+
       MetadataLogEntry(System.currentTimeMillis(), s"v$next.metadata.json"))
     // write-then-link: the temp file carries the COMPLETE document
