@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, LogicalPlan, ReplaceTableAsSelect, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, ReplaceTableAsSelect, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{StringType, TimestampType}
@@ -74,6 +74,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case UpdateTable(rel, assignments, cond) if handleOf(rel).isDefined =>
         val as = assignments.map(a => assignName(a.key) -> a.value)
         GraftUpdateCommand(handleOf(rel).get.table.location, as, cond)
+      case mit: MergeIntoTable if handleOf(mit.targetTable).isDefined =>
+        mergeCommand(mit)
 
       // ---- scans: swap the capability-less handle for the engine read
       case r: DataSourceV2Relation if handleOf(r).isDefined =>
@@ -154,6 +156,53 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     }
     GraftCtasCommand(loc, s"$db.$tbl", query, partition, props, replace,
       ifNotExists, orCreate)
+  }
+
+  /** MERGE INTO: capture the statement whole. Target-side attribute
+    * references are remapped to alias-qualified UnresolvedAttributes so
+    * they re-resolve against the engine's fresh tagged read; source
+    * references stay bound to the captured source plan (its exprIds
+    * survive the command's re-analysis verbatim). Clause order is
+    * preserved — the engine applies first-TRUE-condition-wins.
+    */
+  private def mergeCommand(mit: MergeIntoTable): LogicalPlan = {
+    require(!mit.withSchemaEvolution,
+      "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft tables")
+    val h = handleOf(mit.targetTable).get
+    val alias = mit.targetTable match {
+      case SubqueryAlias(id, _) => id.name
+      case _                    => h.tableName.split('.').last
+    }
+    val tgtIds = mit.targetTable.output.map(_.exprId).toSet
+    def remap(e: Expression): Expression = e.transform {
+      case a: AttributeReference if tgtIds.contains(a.exprId) =>
+        UnresolvedAttribute(Seq(alias, a.name))
+    }
+    // assignment keys are target columns: accept `x` and `alias.x`;
+    // anything deeper would be a nested write (unsupported, like UPDATE)
+    def keyName(e: Expression): String = e match {
+      case a: AttributeReference => a.name
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(one)                                  => one
+        case Seq(q, one) if q.equalsIgnoreCase(alias)  => one
+        case parts => sys.error(
+          s"unsupported MERGE assignment target ${parts.mkString(".")}")
+      }
+      case other => sys.error(s"unsupported MERGE assignment target $other")
+    }
+    def conv(a: MergeAction): MergeActionSpec = a match {
+      case UpdateAction(c, as, _) =>
+        MergeUpdateSpec(c.map(remap), as.map(x => keyName(x.key) -> remap(x.value)))
+      case UpdateStarAction(c) => MergeUpdateAllSpec(c.map(remap))
+      case DeleteAction(c)     => MergeDeleteSpec(c.map(remap))
+      case InsertAction(c, as) =>
+        MergeInsertSpec(c.map(remap), as.map(x => keyName(x.key) -> remap(x.value)))
+      case InsertStarAction(c) => MergeInsertAllSpec(c.map(remap))
+      case other => sys.error(s"unsupported MERGE action $other")
+    }
+    GraftMergeCommand(h.table.location, alias, mit.sourceTable,
+      MergeExprHolder(remap(mit.mergeCondition)), mit.matchedActions.map(conv),
+      mit.notMatchedActions.map(conv), mit.notMatchedBySourceActions.map(conv))
   }
 
   private def handleOf(plan: LogicalPlan): Option[GraftTableHandle] =

@@ -115,6 +115,68 @@ final case class GraftCtasCommand(location: String, tableName: String,
   }
 }
 
+/** MERGE action specs captured from a MergeIntoTable statement at
+  * resolution time: target references were remapped to alias-qualified
+  * UnresolvedAttributes (they re-resolve against the engine's fresh
+  * tagged read), source references stay bound to the captured source
+  * plan, which the command re-analyzes verbatim.
+  */
+/** Opaque expression holder: the captured merge condition deliberately
+  * contains alias-qualified UnresolvedAttributes (they resolve inside
+  * the engine's joins at run time, not in this plan), so it must stay
+  * out of QueryPlan.expressions — a bare Expression field would be
+  * walked by checkAnalysis and rejected as unresolved.
+  */
+final case class MergeExprHolder(expr: Expression)
+
+sealed trait MergeActionSpec
+final case class MergeUpdateSpec(condition: Option[Expression],
+    assignments: Seq[(String, Expression)]) extends MergeActionSpec
+final case class MergeUpdateAllSpec(condition: Option[Expression]) extends MergeActionSpec
+final case class MergeDeleteSpec(condition: Option[Expression]) extends MergeActionSpec
+final case class MergeInsertSpec(condition: Option[Expression],
+    assignments: Seq[(String, Expression)]) extends MergeActionSpec
+final case class MergeInsertAllSpec(condition: Option[Expression]) extends MergeActionSpec
+
+/** MERGE INTO graft.db.t [AS alias] USING src ON cond WHEN ... */
+final case class GraftMergeCommand(location: String, targetAlias: String,
+    source: LogicalPlan, condition: MergeExprHolder,
+    matched: Seq[MergeActionSpec], notMatched: Seq[MergeActionSpec],
+    notMatchedBySource: Seq[MergeActionSpec]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.Column
+    import graft.engine._
+    val srcDf = graftshim.dfFromPlan(session, source)
+    def toCol(e: Expression): Column = graftshim.columnOf(e)
+    def assigns(as: Seq[(String, Expression)]): Map[String, Column] = {
+      // duplicates must error BEFORE the map collapses them last-wins
+      val dupes = as.map(_._1).groupBy(identity)
+        .collect { case (n, g) if g.size > 1 => n }
+      require(dupes.isEmpty,
+        s"duplicate MERGE assignment targets: ${dupes.mkString(", ")}")
+      as.map { case (k, v) => k -> toCol(v) }.toMap
+    }
+    def matchedClause(a: MergeActionSpec): MergeMatchedClause = a match {
+      case MergeUpdateSpec(c, as) => MergeUpdateClause(c.map(toCol), assigns(as))
+      case MergeUpdateAllSpec(c)  => MergeUpdateAllClause(c.map(toCol))
+      case MergeDeleteSpec(c)     => MergeDeleteClause(c.map(toCol))
+      case other => sys.error(s"INSERT is only valid WHEN NOT MATCHED: $other")
+    }
+    def insertClause(a: MergeActionSpec): MergeInsertClause = a match {
+      case MergeInsertSpec(c, as) => MergeInsertValuesClause(c.map(toCol), assigns(as))
+      case MergeInsertAllSpec(c)  => MergeInsertAllClause(c.map(toCol))
+      case other => sys.error(s"only INSERT is valid WHEN NOT MATCHED: $other")
+    }
+    GraftTable.load(session, location).merge(srcDf, toCol(condition.expr),
+      matched.map(matchedClause), notMatched.map(insertClause),
+      notMatchedBySource.map(matchedClause), Some(targetAlias))
+    Seq.empty
+  }
+}
+
 /** DELETE FROM graft.db.t WHERE cond. */
 final case class GraftDeleteCommand(location: String,
     condition: Expression) extends LeafRunnableCommand {

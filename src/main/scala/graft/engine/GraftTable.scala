@@ -417,6 +417,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def updateMode(m: TableMetadata): String =
     m.properties.getOrElse("write.update.mode",
       m.properties.getOrElse("write.delete.mode", "copy-on-write"))
+  private def mergeMode(m: TableMetadata): String =
+    m.properties.getOrElse("write.merge.mode",
+      m.properties.getOrElse("write.delete.mode", "copy-on-write"))
 
   /** Merge-on-read row-level DML: stats-pruned candidate scan finds
     * matching rows; their (file_path, row_index) pairs land in a new
@@ -460,6 +463,255 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       commitSnapshot(m, op, dataFiles, snap.deleteFiles ++ delEntries)
       this
     } finally matched.unpersist()
+  }
+
+  // ------------------------------------------------------------ MERGE INTO
+
+  /** MERGE INTO this table USING `source` ON `on` (reference: the MoR
+    * write modes its notebook sets in cell 18, Pyspark_Notebook.ipynb:557,
+    * exist for exactly this DML; Iceberg's MERGE is the reference
+    * surface). Mode from `write.merge.mode` (falls back to
+    * `write.delete.mode`; default copy-on-write).
+    *
+    * SQL semantics:
+    *   - clauses evaluate in the given order; the FIRST clause whose
+    *     condition is TRUE applies; NULL/false conditions fall through;
+    *     a row no clause claims is kept unchanged;
+    *   - a target row matching MORE than one source row is a cardinality
+    *     violation (ISO SQL) — checked and failed loudly whenever
+    *     matched clauses exist, since the row's update/delete would be
+    *     nondeterministic;
+    *   - insert clauses see SOURCE columns only; not-matched-by-source
+    *     clauses see TARGET columns only; matched clauses see both
+    *     (qualify with `targetAlias` / the source's alias on collision).
+    *
+    * Scale design: copy-on-write rewrites ONLY files containing matched
+    * rows — found with one join that aggregates just row ids (the
+    * source is joined, never collected; AQE broadcasts a small source) —
+    * unless not-matched-by-source clauses force a whole-table pass by
+    * definition. Merge-on-read writes positional deletes for changed
+    * rows and appends updated copies + inserts, never rewriting data
+    * files. Inserts come from one anti join against the live target.
+    */
+  def merge(source: DataFrame, on: Column,
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[MergeInsertClause],
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil,
+      targetAlias: Option[String] = None): GraftTable = {
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE requires at least one WHEN clause")
+    val m = meta
+    val cur = m.currentSchema
+    Seq("_g_path", "_g_pos", "__graft_action").foreach(c =>
+      require(!source.columns.contains(c),
+        s"merge source may not contain reserved column $c"))
+
+    // resolve an assignment / insert target to exactly one schema column
+    // (exact-then-unambiguous-case-insensitive — the UPDATE-target rule)
+    def resolveKey(k: String): String =
+      cur.fields.find(_.name == k).map(_.name).getOrElse(
+        cur.fields.filter(_.name.equalsIgnoreCase(k)) match {
+          case Vector(one) => one.name
+          case Vector()    => sys.error(s"MERGE target column not in table: $k")
+          case many => sys.error(
+            s"MERGE target column '$k' is ambiguous: ${many.map(_.name).mkString(", ")}")
+        })
+
+    // UPDATE SET * / INSERT *: by-name from the source handle's own
+    // columns — unambiguous even when target names collide in the join
+    def starAssignments: Map[String, Column] = cur.fields.map { f =>
+      val s = source.columns.find(_ == f.name).orElse(
+        source.columns.filter(_.equalsIgnoreCase(f.name)) match {
+          case Array(one) => Some(one)
+          case _          => None
+        }).getOrElse(sys.error(s"MERGE *: source has no column ${f.name}"))
+      f.name -> source(s"`$s`")
+    }.toMap
+
+    def norm(c: MergeMatchedClause): (Option[Column], Option[Map[String, Column]]) =
+      c match {
+        case MergeUpdateClause(cond, as) =>
+          (cond, Some(as.map { case (k, v) => resolveKey(k) -> v }))
+        case MergeUpdateAllClause(cond) => (cond, Some(starAssignments))
+        case MergeDeleteClause(cond)    => (cond, None)
+      }
+    val mClauses = matched.map(norm)
+    val nmsClauses = notMatchedBySource.map(norm)
+    val insClauses: Seq[(Option[Column], Map[String, Column])] = notMatched.map {
+      case MergeInsertValuesClause(cond, as) =>
+        (cond, as.map { case (k, v) => resolveKey(k) -> v })
+      case MergeInsertAllClause(cond) => (cond, starAssignments)
+    }
+
+    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+    def aliased(df: DataFrame): DataFrame =
+      targetAlias.map(df.alias).getOrElse(df)
+    def liveOf(fs: Vector[DataFileEntry]): DataFrame =
+      applyDeletes(readFilesTagged(m, fs), dels0)
+
+    // first clause whose condition is TRUE wins; -1 = no clause applies
+    def actionIdx(cs: Seq[(Option[Column], Any)]): Column =
+      cs.zipWithIndex.foldRight(lit(-1)) { case (((cond, _), i), els) =>
+        when(cond.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+
+    // project a row carrying __graft_action to the schema: the winning
+    // update clause's assignments apply, everything else passes through
+    // from the ORIGINAL row (`t` = the tagged target handle)
+    def selectUpdated(dfWithIdx: DataFrame,
+        cs: Seq[(Option[Column], Option[Map[String, Column]])],
+        t: DataFrame): DataFrame = {
+      val updates = cs.zipWithIndex.collect { case ((_, Some(as)), i) => (i, as) }
+      dfWithIdx.select(cur.fields.map { f =>
+        val orig: Column = t(s"`${f.name}`")
+        updates.foldRight(orig) { case ((i, as), els) =>
+          as.get(f.name) match {
+            case Some(v) => when(col("__graft_action") === i, v).otherwise(els)
+            case None    => els
+          }
+        }.cast(f.sparkType).as(f.name)
+      }: _*)
+    }
+
+    def applyMatched(df: DataFrame,
+        cs: Seq[(Option[Column], Option[Map[String, Column]])],
+        t: DataFrame): DataFrame = {
+      val withIdx = df.withColumn("__graft_action", actionIdx(cs))
+      val deletes = cs.zipWithIndex.collect { case ((_, None), i) => i }
+      val kept =
+        if (deletes.isEmpty) withIdx
+        else withIdx.filter(!col("__graft_action").isin(deletes.map(Int.box): _*))
+      selectUpdated(kept, cs, t)
+    }
+
+    def buildInserts(srcRows: DataFrame): DataFrame = {
+      val withIdx = srcRows.withColumn("__graft_action", actionIdx(insClauses))
+        .filter(col("__graft_action") >= 0)
+      withIdx.select(cur.fields.map { f =>
+        insClauses.zipWithIndex.foldRight(lit(null): Column) {
+          case (((_, as), i), els) => as.get(f.name) match {
+            case Some(v) => when(col("__graft_action") === i, v).otherwise(els)
+            case None    => els
+          }
+        }.cast(f.sparkType).as(f.name)
+      }: _*)
+    }
+
+    val liveAll = aliased(liveOf(files0))
+    val needRewrite = (mClauses.nonEmpty || nmsClauses.nonEmpty) && files0.nonEmpty
+
+    // matched-row id aggregation: the ISO cardinality gate, and the
+    // touched-file set that keeps copy-on-write at file granularity
+    var touched = Vector.empty[DataFileEntry]
+    if (needRewrite) {
+      if (mClauses.nonEmpty) {
+        val byRow = liveAll.join(source, on, "inner")
+          .groupBy(col("_g_path"), col("_g_pos"))
+          .agg(count(lit(1)).as("__graft_n"))
+          .persist()
+        try {
+          require(byRow.filter(col("__graft_n") > 1).isEmpty,
+            "MERGE cardinality violation: a target row matched more than one source row")
+          val paths = byRow.select(relDataPath(col("_g_path")).as("p"))
+            .distinct().collect().map(_.getString(0)).toSet
+          touched =
+            if (nmsClauses.nonEmpty) files0 // every file may hold unmatched rows
+            else files0.filter(f => paths(f.path))
+        } finally byRow.unpersist()
+      } else touched = files0
+    }
+
+    val inserted: Option[DataFrame] =
+      if (insClauses.isEmpty) None
+      else Some(buildInserts(source.join(liveAll, on, "left_anti")))
+
+    if (mergeMode(m) == "merge-on-read" && needRewrite && touched.nonEmpty) {
+      // -------- merge-on-read: positional deletes + appended copies
+      def morPart(rows: DataFrame,
+          cs: Seq[(Option[Column], Option[Map[String, Column]])],
+          t: DataFrame): (DataFrame, Option[DataFrame]) = {
+        val withIdx = rows.withColumn("__graft_action", actionIdx(cs))
+          .filter(col("__graft_action") >= 0)
+        val delRows = withIdx.select(
+          relDataPath(t("_g_path")).as("file_path"), t("_g_pos").as("pos"))
+        val updated =
+          if (cs.forall(_._2.isEmpty)) None // delete-only clause list
+          else {
+            val up = cs.zipWithIndex.collect { case ((_, Some(_)), i) => Int.box(i) }
+            Some(selectUpdated(
+              withIdx.filter(col("__graft_action").isin(up: _*)), cs, t))
+          }
+        (delRows, updated)
+      }
+      val liveT = aliased(liveOf(touched))
+      val matchedPart =
+        if (mClauses.isEmpty) None
+        else Some(morPart(liveT.join(source, on, "inner"), mClauses, liveT))
+      val nmsPart =
+        if (nmsClauses.isEmpty) None
+        else Some(morPart(liveAll.join(source, on, "left_anti"), nmsClauses, liveAll))
+      val delRows = Seq(matchedPart, nmsPart).flatten.map(_._1)
+        .reduce(_ unionByName _).persist()
+      try {
+        val newData = (Seq(matchedPart, nmsPart).flatten.flatMap(_._2) ++ inserted)
+          .reduceOption(_ unionByName _)
+        if (delRows.isEmpty && newData.forall(_.isEmpty)) return this
+        val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
+        val delEntries =
+          if (delRows.isEmpty) Vector.empty[DataFileEntry]
+          else {
+            val delRel = s"data/${UUID.randomUUID().toString}-deletes"
+            val delAbs = s"$location/$delRel"
+            delRows.write.mode("errorifexists").option("compression", codec)
+              .parquet(delAbs)
+            listParquet(delAbs).map { abs =>
+              val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
+              DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
+            }
+          }
+        val written = newData.map(d => writeFiles(m, d)).getOrElse(Vector.empty)
+        commitSnapshot(m, "overwrite", files0 ++ written, dels0 ++ delEntries)
+      } finally delRows.unpersist()
+      this
+    } else {
+      // -------- copy-on-write (also the empty-table / insert-only path)
+      val survivors: Option[DataFrame] =
+        if (!needRewrite || touched.isEmpty) None
+        else {
+          val liveT = aliased(liveOf(touched))
+          val matchedPart =
+            if (mClauses.isEmpty)
+              // no matched clauses: matched rows pass through unchanged;
+              // semi join keeps exactly one copy per target row
+              liveT.join(source, on, "left_semi")
+                .select(cur.fields.map(f => liveT(s"`${f.name}`")): _*)
+            else applyMatched(liveT.join(source, on, "inner"), mClauses, liveT)
+          val unmatchedPart = {
+            val um = liveT.join(source, on, "left_anti")
+            if (nmsClauses.isEmpty)
+              um.select(cur.fields.map(f => liveT(s"`${f.name}`")): _*)
+            else applyMatched(um, nmsClauses, liveT)
+          }
+          Some(matchedPart.unionByName(unmatchedPart))
+        }
+      val newRows = (survivors, inserted) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b)             => a.orElse(b)
+      }
+      newRows match {
+        case None => this
+        case Some(rows) =>
+          // pure-insert merges skip the commit when nothing inserts
+          // (matching DELETE/UPDATE's no-match convention)
+          if (survivors.isEmpty && rows.isEmpty) this
+          else {
+            val untouchedF = files0.filterNot(touched.contains)
+            commitSnapshot(m, "overwrite", untouchedF ++ writeFiles(m, rows), dels0)
+            this
+          }
+      }
+    }
   }
 
   /** Files that could contain rows matching cond, decided purely from

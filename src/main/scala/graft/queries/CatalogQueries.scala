@@ -221,6 +221,77 @@ object CatalogQueries {
         ORDER BY id
       """)),
 
+    // MERGE INTO through native SQL (copy-on-write): matched rows split
+    // update-vs-delete on a source predicate, unmatched source rows
+    // insert with a partial column list (o_orderstatus null-fills) —
+    // the one Iceberg-standard DML the reference's MoR table properties
+    // (notebook cell 18) exist for. First-TRUE-clause-wins ordering and
+    // the ISO cardinality gate are covered in NativeSqlSpec; this query
+    // pushes the end state through the DuckDB oracle.
+    QueryDef(
+      "q76_merge_into",
+      (s, d) => {
+        val wh = setupOnce("q76", d) {
+          val w = scratch("merge")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val orders = Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          cat.createTableAs("db1", "orders_m",
+            orders.filter(col("o_orderkey") % 4 <= 1))
+          s.conf.set("spark.graft.warehouse", w)
+          Tables.orders(s, d)
+            .filter(col("o_orderkey") % 4 === 1 || col("o_orderkey") % 4 === 2)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .createOrReplaceTempView("q76_src")
+          s.sql("""
+            MERGE INTO graft.db1.orders_m t
+            USING q76_src s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_custkey % 2 = 0 THEN
+              UPDATE SET o_totalprice = s.o_totalprice + 10.0,
+                         t.o_orderstatus = 'U'
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.o_custkey % 2 = 0 THEN
+              INSERT (o_orderkey, o_custkey, o_totalprice)
+              VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)""")
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT o_orderkey, o_custkey,
+                 round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+          FROM graft.db1.orders_m ORDER BY o_orderkey""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 4 <= 1),
+        s AS (
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders WHERE o_orderkey % 4 IN (1, 2)),
+        kept AS (
+          SELECT t.o_orderkey, t.o_custkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL
+                      THEN s.o_totalprice + 10.0 ELSE t.o_totalprice
+                 END AS o_totalprice,
+                 CASE WHEN s.o_orderkey IS NOT NULL
+                      THEN 'U' ELSE t.o_orderstatus
+                 END AS o_orderstatus
+          FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+          WHERE s.o_orderkey IS NULL OR s.o_custkey % 2 = 0),
+        ins AS (
+          SELECT s.o_orderkey, s.o_custkey, s.o_totalprice,
+                 CAST(NULL AS VARCHAR) AS o_orderstatus
+          FROM s
+          WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t)
+            AND s.o_custkey % 2 = 0)
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+               o_orderstatus
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        ORDER BY o_orderkey
+      """)),
+
     // SHOW TABLES + DESCRIBE through the catalog plugin (D7/D8 — the
     // reference's most-typed commands after SELECT, notebook cells
     // 2/4/5/15), oracled against literal VALUES: table listings and

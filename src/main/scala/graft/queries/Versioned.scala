@@ -430,6 +430,61 @@ object Versioned {
         SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey
       """)),
 
+    // MERGE INTO, merge-on-read (M-M + the reference's
+    // write.merge.mode=merge-on-read property, notebook cell 18):
+    // matched rows split update-vs-delete across ordered clauses,
+    // unmatched source rows insert — all landing as positional deletes
+    // + appended copies, no data-file rewrite (MergeOnReadSpec pins the
+    // file-level behavior; this query pushes the end state through the
+    // DuckDB oracle).
+    QueryDef(
+      "q77_merge_mor",
+      (s, d) => {
+        val loc = setupOnce("q77", d) {
+          val l = scratch("mergemor")
+          val sup = Tables.supplier(s, d)
+            .select("s_suppkey", "s_name", "s_acctbal")
+          val t = GraftTable.createAs(s, l, "supplier_m", sup,
+            properties = Map("write.merge.mode" -> "merge-on-read"))
+          val existing = sup.filter(col("s_suppkey") % 3 =!= 0)
+            .select(col("s_suppkey").as("src_key"),
+              (col("s_acctbal") + 100.0).as("src_bal"))
+          val fresh = sup.filter(col("s_suppkey") % 3 === 0)
+            .select((col("s_suppkey") + 1000000L).as("src_key"),
+              col("s_acctbal").as("src_bal"))
+          import graft.engine._
+          t.merge(existing.unionByName(fresh),
+            col("s_suppkey") === col("src_key"),
+            matched = Seq(
+              MergeUpdateClause(Some(col("src_key") % 3 === 1),
+                Map("s_acctbal" -> col("src_bal"))),
+              MergeDeleteClause(None)),
+            notMatched = Seq(
+              MergeInsertValuesClause(None, Map(
+                "s_suppkey" -> col("src_key"),
+                "s_name"    -> lit("new"),
+                "s_acctbal" -> col("src_bal")))))
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        WITH kept AS (
+          SELECT s_suppkey, s_name,
+                 CASE WHEN s_suppkey % 3 = 1 THEN s_acctbal + 100.0
+                      ELSE s_acctbal END AS s_acctbal
+          FROM supplier WHERE s_suppkey % 3 <> 2),
+        ins AS (
+          SELECT s_suppkey + 1000000 AS s_suppkey, 'new' AS s_name,
+                 s_acctbal FROM supplier WHERE s_suppkey % 3 = 0)
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        ORDER BY s_suppkey
+      """)),
+
     // Deterministic column resolution (H5 — the reference's LLM matcher
     // apiv15.py:378-394 replaced by exact -> field-id history ->
     // Levenshtein): every decision surface (match via exact/history/

@@ -426,4 +426,66 @@ class EngineSpec extends AnyFunSuite {
     assert(ageIds.size == 2, s"re-added age must get a fresh field-id, got $ageIds")
     assert(m.currentSchema.fieldNames == Vector("id", "name", "added_at", "birthday", "age"))
   }
+
+  test("CoW MERGE rewrites only files containing matched rows") {
+    import spark.implicits._
+    import graft.engine._
+    val t = GraftTable.create(spark, tmp(), "mg",
+      Seq("id" -> "long", "v" -> "int"))
+    t.append(Seq((1L, 1), (2L, 2)).toDF("id", "v").coalesce(1))
+    t.append(Seq((10L, 10), (11L, 11)).toDF("id", "v").coalesce(1))
+    val before = t.meta.currentSnapshot.get.files.map(_.path)
+    assert(before.size == 2)
+    val src = Seq((1L, 100)).toDF("sid", "sv")
+    t.merge(src, col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Nil)
+    val after = t.meta.currentSnapshot.get.files.map(_.path)
+    // the file holding ids 10/11 carries over untouched; the matched
+    // file is rewritten
+    assert(after.toSet.intersect(before.toSet).size == 1,
+      s"expected exactly one untouched file, before=$before after=$after")
+    assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 100), (2L, 2), (10L, 10), (11L, 11)))
+  }
+
+  test("MERGE on an empty table takes the insert path; no-op merges skip commits") {
+    import spark.implicits._
+    import graft.engine._
+    val t = GraftTable.create(spark, tmp(), "mg2",
+      Seq("id" -> "long", "v" -> "int"))
+    val src = Seq((1L, 1), (2L, 2)).toDF("sid", "sv")
+    t.merge(src, col("id") === col("sid"),
+      matched = Seq(MergeDeleteClause(None)),
+      notMatched = Seq(MergeInsertValuesClause(Some(col("sv") > 1),
+        Map("id" -> col("sid"), "v" -> col("sv")))))
+    assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
+    val snaps = t.meta.snapshots.size
+    // every source row now matches and no clause applies to any row:
+    // nothing changes, no snapshot commits
+    t.merge(Seq((2L, 0)).toDF("sid", "sv"), col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(Some(col("sv") > 99), Map("v" -> col("sv")))),
+      notMatched = Seq(MergeInsertValuesClause(Some(col("sv") > 99),
+        Map("id" -> col("sid"), "v" -> col("sv")))))
+    assert(t.meta.snapshots.size == snaps + 1 ||
+      t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
+    // matched rows with NO applicable clause survive unchanged exactly once
+    assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
+  }
+
+  test("MERGE with only NOT MATCHED BY SOURCE dedupes multi-matched rows") {
+    import spark.implicits._
+    import graft.engine._
+    val t = GraftTable.create(spark, tmp(), "mg3",
+      Seq("id" -> "long", "v" -> "int"))
+    t.append(Seq((1L, 1), (2L, 2)).toDF("id", "v"))
+    // two source rows match id=1; with no matched clauses that must NOT
+    // duplicate the row, and no cardinality error applies
+    val src = Seq((1L, 0), (1L, 0)).toDF("sid", "sv")
+    t.merge(src, col("id") === col("sid"),
+      matched = Nil, notMatched = Nil,
+      notMatchedBySource = Seq(MergeDeleteClause(None)))
+    assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 1)))
+  }
 }

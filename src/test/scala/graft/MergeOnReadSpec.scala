@@ -183,4 +183,32 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.refs.count() == 2)
     intercept[RuntimeException](t.readRef("nope"))
   }
+
+  test("MoR MERGE: positional deletes + appended copies, no data rewrite") {
+    import spark.implicits._
+    import graft.engine._
+    val t = GraftTable.create(spark, tmp(), "m3",
+      Seq("id" -> "long", "v" -> "int"),
+      properties = Map("write.merge.mode" -> "merge-on-read"))
+    t.append(Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "v"))
+    val dataBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    val src = Seq((2L, 20), (3L, -1), (4L, 40)).toDF("sid", "sv")
+    t.merge(src, col("id") === col("sid"),
+      matched = Seq(
+        MergeUpdateClause(Some(col("sv") > 0), Map("v" -> col("sv"))),
+        MergeDeleteClause(None)),
+      notMatched = Seq(MergeInsertValuesClause(None,
+        Map("id" -> col("sid"), "v" -> col("sv")))))
+    val snap = t.meta.currentSnapshot.get
+    assert(dataBefore.subsetOf(snap.files.map(_.path).toSet),
+      "MoR merge must not rewrite original data files")
+    assert(snap.deleteFiles.nonEmpty, "positional delete file written")
+    // updated copy of 2, 3 deleted, 4 inserted; originals of 2/3 hidden
+    assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 1), (2L, 20), (4L, 40)))
+    // a second MoR DML on top of the merge applies existing deletes first
+    t.delete(col("id") === 4L)
+    assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 1), (2L, 20)))
+  }
 }

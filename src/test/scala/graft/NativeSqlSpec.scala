@@ -314,4 +314,64 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("nope") ||
       e.getMessage.toLowerCase.contains("not found"))
   }
+
+  test("MERGE INTO: ordered clauses — update, delete, conditional insert") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "acct",
+      Seq("id" -> "long", "bal" -> "double", "note" -> "string"))
+    t.append(Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("id", "bal", "note"))
+    Seq((2L, 5.0), (3L, -1.0), (4L, 40.0), (5L, -9.0)).toDF("id", "amount")
+      .createOrReplaceTempView("m_src")
+    spark.sql("""
+      MERGE INTO graft.db.acct t
+      USING m_src s ON t.id = s.id
+      WHEN MATCHED AND s.amount > 0 THEN UPDATE SET bal = t.bal + s.amount
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.amount > 0 THEN INSERT (id, bal) VALUES (s.id, s.amount)""")
+    val got = spark.sql("SELECT id, bal, note FROM graft.db.acct ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    // 1 untouched; 2 updated (first clause wins); 3 deleted (second);
+    // 4 inserted with note null-filled; 5 filtered by the insert condition
+    assert(got == Seq((1L, 10.0, "a"), (2L, 25.0, "b"), (4L, 40.0, null)))
+    assert(t.meta.currentSnapshot.get.operation == "overwrite")
+  }
+
+  test("MERGE INTO: UPDATE SET * / INSERT * and NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "star", Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "old1"), (2L, "old2"), (9L, "stale")).toDF("id", "v"))
+    Seq((1L, "new1"), (5L, "new5")).toDF("id", "v")
+      .createOrReplaceTempView("star_src")
+    spark.sql("""
+      MERGE INTO graft.db.star t
+      USING star_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.id > 5 THEN DELETE""")
+    val got = spark.sql("SELECT id, v FROM graft.db.star ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "new1"), (2L, "old2"), (5L, "new5")))
+  }
+
+  test("MERGE INTO: multiple source matches for one target row fail loudly") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "card", Seq("id" -> "long", "v" -> "int"))
+    t.append(Seq((1L, 0), (2L, 0)).toDF("id", "v"))
+    Seq((1L, 10), (1L, 20)).toDF("id", "nv").createOrReplaceTempView("card_src")
+    val e = intercept[Throwable] {
+      spark.sql("""
+        MERGE INTO graft.db.card t USING card_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("cardinality")), msgs(e).mkString(" | "))
+    // the failed merge committed nothing
+    assert(spark.sql("SELECT sum(v) FROM graft.db.card").head().getLong(0) == 0L)
+  }
 }
