@@ -178,6 +178,40 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
   def overwrite(df: DataFrame): GraftTable = commitWrite(df, "overwrite", carryOver = false)
 
+  /** Idempotent append keyed by a monotonically increasing marker — the
+    * exactly-once primitive under [[graft.streaming.GraftTableSink]]:
+    * the rows AND the marker property commit in ONE metadata commit, so
+    * a replayed micro-batch (same or lower marker) is a no-op instead
+    * of a duplicate append. Returns whether rows were committed.
+    */
+  def appendIfNewMarker(df: DataFrame, markerKey: String,
+      markerValue: Long): Boolean = {
+    val m = meta
+    def seen(t: TableMetadata): Boolean =
+      t.properties.get(markerKey).exists(_.toLong >= markerValue)
+    if (seen(m)) return false // common replay path: skip before writing files
+    val written = writeFiles(m, df)
+    final class Dup extends RuntimeException
+    try {
+      MetadataIO.commitRetry(location) { cur =>
+        // re-validate inside the transform: a racing writer of the same
+        // marker stream may have landed between the check and the commit
+        if (seen(cur)) throw new Dup
+        val carried = cur.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+        val carriedDeletes =
+          cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+        withSnapshot(cur, "append", carried ++ written, carriedDeletes)
+          .copy(properties = cur.properties + (markerKey -> markerValue.toString))
+      }
+      true
+    } catch {
+      case _: Dup =>
+        // lost the marker race: reclaim our staged (uncommitted) files
+        written.foreach(f => Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        false
+    }
+  }
+
   private def commitWrite(df: DataFrame, op: String, carryOver: Boolean,
       keepFiles: Vector[DataFileEntry] = Vector.empty): GraftTable = {
     val m = meta
@@ -871,6 +905,50 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans
+  }
+
+  /** Iceberg's rollback_to_snapshot: make an ANCESTOR of the current
+    * snapshot current again. Metadata-only — no snapshot is created or
+    * destroyed; the abandoned commits stay readable (time travel,
+    * audit) until expiry. Rolling to a non-ancestor is a different
+    * operation by design — see [[setCurrentSnapshot]].
+    */
+  def rollbackTo(snapshotId: Long): GraftTable =
+    movePointer(snapshotId, requireAncestor = true)
+
+  /** Iceberg's rollback_to_timestamp: roll back to the snapshot that
+    * was current at `tsMs`.
+    */
+  def rollbackToTime(tsMs: Long): GraftTable = {
+    val snap = meta.snapshotAsOfTime(tsMs)
+      .getOrElse(sys.error(s"no snapshot at or before $tsMs"))
+    movePointer(snap.snapshotId, requireAncestor = true)
+  }
+
+  /** Iceberg's set_current_snapshot: move the pointer to ANY retained
+    * snapshot, ancestry notwithstanding (e.g. back onto an abandoned
+    * line after a bad rollback).
+    */
+  def setCurrentSnapshot(snapshotId: Long): GraftTable =
+    movePointer(snapshotId, requireAncestor = false)
+
+  private def movePointer(snapshotId: Long, requireAncestor: Boolean): GraftTable = {
+    MetadataIO.commitRetry(location) { cur =>
+      require(cur.snapshotById(snapshotId).isDefined, s"no snapshot $snapshotId")
+      if (requireAncestor)
+        require(currentAncestors(cur).contains(snapshotId),
+          s"snapshot $snapshotId is not an ancestor of the current snapshot " +
+            s"${cur.currentSnapshotId.getOrElse(-1L)}; use setCurrentSnapshot " +
+            "to move onto another line")
+      // same strict monotonicity as withSnapshot: history consumers
+      // order by timestamp, and the roll-back entry must sort after
+      // every existing one
+      val now = math.max(System.currentTimeMillis(),
+        cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
+      cur.copy(currentSnapshotId = Some(snapshotId),
+        snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, snapshotId))
+    }
+    this
   }
 
   // -------------------------------------------------------- branch/tag refs

@@ -430,6 +430,30 @@ object Versioned {
         SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey
       """)),
 
+    // Snapshot rollback (Iceberg rollback_to_snapshot): a bad append is
+    // undone by moving the pointer back to its parent — metadata-only,
+    // nothing rewritten, the bad snapshot stays readable for audit. The
+    // current read must surface only pre-append rows, while VERSION AS
+    // OF the abandoned snapshot still works (asserted in EngineSpec).
+    QueryDef(
+      "q78_rollback",
+      (s, d) => {
+        val loc = setupOnce("q78", d) {
+          val l = scratch("rollback")
+          val n = Tables.nation(s, d)
+          val t = GraftTable.createAs(s, l, "nation_rb",
+            n.filter(col("n_nationkey") < 10))
+          val good = t.meta.currentSnapshot.get.snapshotId
+          t.append(n.filter(col("n_nationkey") >= 10)) // the "bad" append
+          t.rollbackTo(good)
+          l
+        }
+        GraftTable.load(s, loc).read().orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey
+      """)),
+
     // MERGE INTO, merge-on-read (M-M + the reference's
     // write.merge.mode=merge-on-read property, notebook cell 18):
     // matched rows split update-vs-delete across ordered clauses,

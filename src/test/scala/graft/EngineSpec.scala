@@ -473,6 +473,30 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
   }
 
+  test("rollback and set-current-snapshot move the pointer, keep history") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "rb", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    val v1 = t.meta.currentSnapshot.get.snapshotId
+    t.append(Seq(3L).toDF("id"))
+    val v2 = t.meta.currentSnapshot.get.snapshotId
+    t.rollbackTo(v1)
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the abandoned snapshot stays readable and no snapshot was created
+    assert(t.readAsOfVersion(v2).count() == 3)
+    assert(t.meta.snapshots.size == 2)
+    // v2 is no longer an ancestor: rollback refuses, set-current moves
+    intercept[IllegalArgumentException](t.rollbackTo(v2))
+    t.setCurrentSnapshot(v2)
+    assert(t.read().count() == 3)
+    // rollback_to_timestamp lands on the snapshot current at that time
+    t.rollbackToTime(t.meta.snapshotById(v1).get.timestampMs)
+    assert(t.read().count() == 2)
+    intercept[IllegalArgumentException](t.rollbackTo(999L))
+    // the history view records each pointer move in order
+    assert(t.history.count() == 5) // 2 commits + rollback + set + rollback
+  }
+
   test("MERGE with only NOT MATCHED BY SOURCE dedupes multi-matched rows") {
     import spark.implicits._
     import graft.engine._
