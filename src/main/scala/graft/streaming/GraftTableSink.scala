@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.engine.GraftTable
+
+/** Structured Streaming SINK for graft tables — the writing twin of
+  * [[GraftTableStreamSource]], completing the loop the reference
+  * approximates with repeated batch INSERTs (Pyspark_Notebook.ipynb
+  * cells 11/22/27):
+  *
+  *   df.writeStream
+  *     .foreachBatch(GraftTableSink.appendBatch(table, "events"))
+  *     .option("checkpointLocation", ...)
+  *     .start()
+  *
+  * Exactly-once across micro-batch replays: foreachBatch re-delivers
+  * the in-flight batch after a checkpoint restart, so each batch
+  * commits its rows AND its batch id (as table property
+  * `graft.streaming.<name>.batch-id`) in ONE atomic metadata commit
+  * ([[GraftTable.appendIfNewMarker]]); a replayed or stale batch id is
+  * a no-op. One writer per (table, name) stream — concurrent OTHER
+  * writers (batch appends, DML) are absorbed by the optimistic-commit
+  * rebase, like any append.
+  *
+  * Scale design: a micro-batch append touches only its own new files —
+  * commit cost is O(batch), independent of table size.
+  */
+object GraftTableSink {
+
+  /** foreachBatch function appending each micro-batch to `table`,
+    * idempotent per `name`'s batch-id watermark.
+    */
+  def appendBatch(table: GraftTable, name: String): (DataFrame, Long) => Unit = {
+    require(name.nonEmpty, "sink name must be non-empty")
+    (batch: DataFrame, batchId: Long) => {
+      table.appendIfNewMarker(batch, s"graft.streaming.$name.batch-id", batchId)
+      ()
+    }
+  }
+}

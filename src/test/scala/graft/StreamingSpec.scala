@@ -175,6 +175,42 @@ class StreamingSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("not append")))
   }
 
+  test("graft-table sink: streaming appends land as snapshots, replays are no-ops") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import graft.streaming.GraftTableSink
+    val loc = Files.createTempDirectory("graft-tsink").toString
+    val t = GraftTable.create(spark, loc, "sink_t",
+      Seq("id" -> "long", "v" -> "string"))
+    val fn = GraftTableSink.appendBatch(t, "q")
+    // micro-batches 0 and 1 commit rows + batch-id watermark atomically
+    fn(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    fn(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(t.read().count() == 3)
+    assert(t.meta.properties("graft.streaming.q.batch-id") == "1")
+    // a checkpoint-restart replay of batch 1 must not duplicate rows
+    fn(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(t.read().count() == 3)
+    assert(t.meta.snapshots.size == 2)
+    // the next batch proceeds normally and survives interleaved DML
+    t.delete(col("id") === 1L)
+    fn(Seq((4L, "d")).toDF("id", "v"), 2L)
+    assert(t.read().orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(2L, 3L, 4L))
+    // end-to-end through a real streaming query
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    src.addData(100L, 101L)
+    val q = src.toDF().select(col("value").as("id"),
+        lit("s").as("v"))
+      .writeStream
+      .foreachBatch(GraftTableSink.appendBatch(t, "q2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(t.read().count() == 5)
+    assert(t.meta.properties.contains("graft.streaming.q2.batch-id"))
+  }
+
   test("mapGroupsWithState sessionizer accumulates per-user state") {
     val stream = EventStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 2)
     EventStream.runToMemory(spark,
