@@ -865,9 +865,32 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * snapshot (deletes applied) into fresh files; positional delete
     * files stop being needed and the read path returns to plain scans.
     */
-  def rewriteDataFiles(): GraftTable = {
+  def rewriteDataFiles(): GraftTable = rewriteDataFiles(Nil)
+
+  /** Compaction with cluster-by (Iceberg's rewrite_data_files with a
+    * sort strategy): range-repartition + sort on `sortBy` before
+    * writing, so each output file covers a DISJOINT slice of the sort
+    * key and the recorded min/max bounds turn StatsPruning's candidate
+    * discovery into near-exact file selection. At 100 TB this is the
+    * difference between a point DELETE/filter touching one file and
+    * touching every file whose accidental key range overlaps.
+    */
+  def rewriteDataFiles(sortBy: Seq[String], targetFiles: Int = 0): GraftTable = {
     val m = meta
-    val df = read()
+    sortBy.foreach(c => require(m.currentSchema.fieldByName(c).isDefined,
+      s"sort column $c not in schema"))
+    val df0 = read()
+    val df =
+      if (sortBy.isEmpty) df0
+      else {
+        val cols = sortBy.map(c => col(s"`$c`"))
+        // explicit targetFiles pins the output layout; otherwise the
+        // range shuffle sizes itself (shuffle partitions / AQE)
+        val ranged =
+          if (targetFiles > 0) df0.repartitionByRange(targetFiles, cols: _*)
+          else df0.repartitionByRange(cols: _*)
+        ranged.sortWithinPartitions(cols: _*)
+      }
     val written = writeFiles(m, df)
     commitSnapshot(m, "replace", written, Vector.empty)
     this
@@ -977,6 +1000,68 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       cur.copy(refs = cur.refs.filterNot(_.name == name)))
     this
   }
+
+  /** Append onto a BRANCH head without touching main — the staging half
+    * of write-audit-publish: stage commits on a branch, audit them via
+    * [[readRef]], publish with [[fastForward]]. The branch snapshot's
+    * parent is the branch head, the ref advances, and main's pointer
+    * and snapshot log stay untouched.
+    */
+  def appendToBranch(branch: String, df: DataFrame): GraftTable = {
+    val m = meta
+    val written = writeFiles(m, df)
+    MetadataIO.commitRetry(location) { cur =>
+      val ref = branchRef(cur, branch)
+      val head = cur.snapshotById(ref.snapshotId)
+        .getOrElse(sys.error(s"branch $branch head ${ref.snapshotId} expired"))
+      val now = math.max(System.currentTimeMillis(),
+        cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
+      val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
+      val snap = Snapshot(
+        snapshotId = id, parentId = Some(ref.snapshotId), timestampMs = now,
+        operation = "append", schemaId = cur.currentSchemaId,
+        specId = cur.currentSpecId,
+        files = head.files ++ written,
+        summary = Map(
+          "total-records" -> (head.files ++ written).map(_.recordCount).sum.toString,
+          "total-data-files" -> (head.files ++ written).size.toString,
+          "total-delete-files" -> head.deleteFiles.size.toString,
+          "total-position-deletes" -> head.deleteFiles.map(_.recordCount).sum.toString),
+        deleteFiles = head.deleteFiles)
+      cur.copy(
+        snapshots = cur.snapshots :+ snap,
+        refs = cur.refs.map(r =>
+          if (r.name == branch) r.copy(snapshotId = id) else r))
+    }
+    this
+  }
+
+  /** Publish a branch: fast-forward main's pointer to the branch head.
+    * Requires the current snapshot to be an ancestor of the branch head
+    * (true fast-forward — anything else would silently drop main-line
+    * commits; rebase explicitly instead).
+    */
+  def fastForward(branch: String): GraftTable = {
+    MetadataIO.commitRetry(location) { cur =>
+      val ref = branchRef(cur, branch)
+      val lineage = Iterator.unfold(Option(ref.snapshotId)) {
+        case Some(id) => cur.snapshotById(id).map(s => (id, s.parentId))
+        case None     => None
+      }.toSet
+      require(cur.currentSnapshotId.forall(lineage.contains),
+        s"main ${cur.currentSnapshotId.getOrElse(-1L)} is not an ancestor of " +
+          s"branch $branch head ${ref.snapshotId}: not a fast-forward")
+      val now = math.max(System.currentTimeMillis(),
+        cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
+      cur.copy(currentSnapshotId = Some(ref.snapshotId),
+        snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, ref.snapshotId))
+    }
+    this
+  }
+
+  private def branchRef(cur: TableMetadata, branch: String): TableRef =
+    cur.refs.find(r => r.name == branch && r.refType == "BRANCH")
+      .getOrElse(sys.error(s"no branch $branch"))
 
   /** Read the snapshot a ref points at (VERSION AS OF by name). */
   def readRef(name: String): DataFrame = {

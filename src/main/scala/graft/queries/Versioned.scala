@@ -430,6 +430,62 @@ object Versioned {
         SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey
       """)),
 
+    // Sorted (clustered) compaction: rewrite_data_files with a sort key
+    // range-partitions the table so per-file min/max bounds are
+    // disjoint — point predicates prune to one file (EngineSpec pins
+    // the candidate-count collapse; here the oracle pins that the
+    // clustered rewrite changed NOTHING semantically).
+    QueryDef(
+      "q79_sorted_compaction",
+      (s, d) => {
+        val loc = setupOnce("q79", d) {
+          val l = scratch("sortcompact")
+          val c = Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          val t = GraftTable.createAs(s, l, "cust_sc",
+            c.filter(col("c_custkey") % 2 === 0))
+          t.append(c.filter(col("c_custkey") % 2 === 1))
+          t.rewriteDataFiles(sortBy = Seq("c_custkey"))
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .filter(col("c_custkey") <= 100)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+        FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+      """)),
+
+    // Branch write-audit-publish (M4 refs made WRITABLE): stage commits
+    // on a branch while main serves the audited state, then publish by
+    // fast-forwarding main onto the branch head — the WAP pattern a
+    // training-data pipeline uses to gate data quality.
+    QueryDef(
+      "q80_branch_wap",
+      (s, d) => {
+        val loc = setupOnce("q80", d) {
+          val l = scratch("wap")
+          val n = Tables.nation(s, d)
+          val t = GraftTable.createAs(s, l, "nation_wap",
+            n.filter(col("n_nationkey") < 10))
+          t.createBranch("staging")
+          t.appendToBranch("staging", n.filter(
+            col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+          t.appendToBranch("staging", n.filter(col("n_nationkey") >= 20))
+          require(t.read().count() < t.readRef("staging").count(),
+            "main must lag the branch before publish")
+          t.fastForward("staging")
+          l
+        }
+        GraftTable.load(s, loc).read().orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT * FROM nation ORDER BY n_nationkey
+      """)),
+
     // Snapshot rollback (Iceberg rollback_to_snapshot): a bad append is
     // undone by moving the pointer back to its parent — metadata-only,
     // nothing rewritten, the bad snapshot stays readable for audit. The

@@ -473,6 +473,27 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
   }
 
+  test("sorted compaction makes stats pruning near-exact") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "sc", Seq("id" -> "long", "v" -> "int"))
+    // interleaved appends: every file's id range overlaps every other,
+    // so a point predicate can prune nothing
+    val ids = (0L until 400L)
+    t.append(ids.filter(_ % 4 == 0).map(i => (i, 0)).toDF("id", "v").coalesce(1))
+    t.append(ids.filter(_ % 4 == 1).map(i => (i, 1)).toDF("id", "v").coalesce(1))
+    t.append(ids.filter(_ % 4 == 2).map(i => (i, 2)).toDF("id", "v").coalesce(1))
+    t.append(ids.filter(_ % 4 == 3).map(i => (i, 3)).toDF("id", "v").coalesce(1))
+    assert(t.candidateFiles(col("id") === 7L).size == 4, "overlapping ranges: no pruning")
+    t.rewriteDataFiles(sortBy = Seq("id"), targetFiles = 4)
+    val after = t.candidateFiles(col("id") === 7L)
+    assert(t.meta.currentSnapshot.get.files.size > 1, "compaction kept multiple files")
+    assert(after.size == 1, s"disjoint sorted ranges must prune to one file, got ${after.size}")
+    // contents unchanged by the clustered rewrite
+    assert(t.read().as[(Long, Int)].collect().sorted.toSeq ==
+      ids.map(i => (i, (i % 4).toInt)).toSeq)
+    intercept[IllegalArgumentException](t.rewriteDataFiles(sortBy = Seq("nope")))
+  }
+
   test("rollback and set-current-snapshot move the pointer, keep history") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "rb", Seq("id" -> "long"))

@@ -184,6 +184,29 @@ class MergeOnReadSpec extends AnyFunSuite {
     intercept[RuntimeException](t.readRef("nope"))
   }
 
+  test("branch writes + fast-forward: write-audit-publish") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "wap", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.createBranch("audit")
+    // stage two commits on the branch: main stays untouched
+    t.appendToBranch("audit", Seq(3L).toDF("id"))
+    t.appendToBranch("audit", Seq(4L).toDF("id"))
+    assert(t.read().count() == 2, "main unchanged while staging")
+    assert(t.readRef("audit").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // publish: main fast-forwards to the branch head
+    t.fastForward("audit")
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a diverged main refuses to fast-forward (would drop commits)
+    t.append(Seq(5L).toDF("id"))
+    intercept[IllegalArgumentException](t.fastForward("audit"))
+    intercept[RuntimeException](t.appendToBranch("nope", Seq(9L).toDF("id")))
+    // tags are not writable branches
+    t.createTag("v1")
+    intercept[RuntimeException](t.appendToBranch("v1", Seq(9L).toDF("id")))
+  }
+
   test("MoR MERGE: positional deletes + appended copies, no data rewrite") {
     import spark.implicits._
     import graft.engine._
