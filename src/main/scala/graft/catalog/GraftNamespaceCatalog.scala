@@ -24,9 +24,19 @@ import graft.tableformat.{FieldDef, MetadataIO}
   * the identifier first and fails with REQUIRES_SINGLE_PART_NAMESPACE
   * before any resolution rule runs.
   */
-class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
+class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
+
+  // -------- procedures (CALL graft.system.*) --------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(() => warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   private def warehouse: Option[String] =
     Option(org.apache.spark.sql.SparkSession.active)
@@ -154,6 +164,7 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces {
           case "metadata_log_entries" => Some(t.metadataLogEntries)
           case "refs"                 => Some(t.refs)
           case "files"                => Some(t.filesDf)
+          case "partitions"           => Some(t.partitionsDf)
           case "changes" =>
             // a table that exists but has no commits has no changelog —
             // falling through would misreport "table not found"

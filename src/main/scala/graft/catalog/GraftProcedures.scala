@@ -1,0 +1,110 @@
+package graft.catalog
+
+import java.util.Collections
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import graft.engine.GraftTable
+
+/** Maintenance procedures served under `CALL graft.system.*` through
+  * Spark's OWN procedure machinery (DSv2 ProcedureCatalog, Spark 4) —
+  * the SQL surface Iceberg exposes as `CALL catalog.system.*`:
+  *
+  *   CALL graft.system.rollback_to_snapshot('db.t', <snapshot_id>)
+  *   CALL graft.system.rollback_to_timestamp('db.t', <epoch_millis>)
+  *   CALL graft.system.set_current_snapshot('db.t', <snapshot_id>)
+  *   CALL graft.system.expire_snapshots('db.t', <keep_last>)
+  *   CALL graft.system.rewrite_data_files('db.t' [, 'sortCol1,sortCol2'])
+  *   CALL graft.system.remove_orphan_files('db.t')
+  *   CALL graft.system.fast_forward('db.t', '<branch>')
+  *   CALL graft.system.create_branch('db.t', '<name>')
+  *   CALL graft.system.create_tag('db.t', '<name>')
+  *
+  * Each delegates to the one engine implementation in [[GraftTable]];
+  * no procedure returns rows (maintenance results are observable
+  * through the metadata tables).
+  */
+object GraftProcedures {
+
+  private def table(warehouse: () => Option[String], ref: String): GraftTable = {
+    val w = warehouse().getOrElse(sys.error("spark.graft.warehouse not set"))
+    ref.split('.') match {
+      case Array(db, tbl) =>
+        GraftTable.load(SparkSession.active,
+          java.nio.file.Paths.get(w, db, tbl).toString)
+      case _ => sys.error(s"procedure table argument must be 'db.table', got '$ref'")
+    }
+  }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+
+  private final case class Def(name: String, params: Seq[ProcedureParameter],
+      run: (() => Option[String], InternalRow) => Unit)
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  private val defs: Seq[Def] = Seq(
+    Def("rollback_to_snapshot",
+      Seq(in("table", StringType), in("snapshot_id", LongType)),
+      (w, r) => table(w, str(r, 0)).rollbackTo(r.getLong(1))),
+    Def("rollback_to_timestamp",
+      Seq(in("table", StringType), in("timestamp_ms", LongType)),
+      (w, r) => table(w, str(r, 0)).rollbackToTime(r.getLong(1))),
+    Def("set_current_snapshot",
+      Seq(in("table", StringType), in("snapshot_id", LongType)),
+      (w, r) => table(w, str(r, 0)).setCurrentSnapshot(r.getLong(1))),
+    Def("expire_snapshots",
+      Seq(in("table", StringType), in("keep_last", IntegerType)),
+      (w, r) => table(w, str(r, 0)).expireSnapshots(r.getInt(1))),
+    Def("rewrite_data_files",
+      Seq(in("table", StringType),
+        ProcedureParameter.in("sort_by", StringType).defaultValue("''").build()),
+      (w, r) => {
+        val sortBy =
+          if (r.isNullAt(1) || str(r, 1).trim.isEmpty) Nil
+          else str(r, 1).split(',').map(_.trim).toSeq
+        table(w, str(r, 0)).rewriteDataFiles(sortBy)
+      }),
+    Def("remove_orphan_files",
+      Seq(in("table", StringType)),
+      (w, r) => { table(w, str(r, 0)).removeOrphanFiles(); () }),
+    Def("fast_forward",
+      Seq(in("table", StringType), in("branch", StringType)),
+      (w, r) => table(w, str(r, 0)).fastForward(str(r, 1))),
+    Def("create_branch",
+      Seq(in("table", StringType), in("name", StringType)),
+      (w, r) => table(w, str(r, 0)).createBranch(str(r, 1))),
+    Def("create_tag",
+      Seq(in("table", StringType), in("name", StringType)),
+      (w, r) => table(w, str(r, 0)).createTag(str(r, 1))))
+
+  def load(warehouse: () => Option[String], ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    val d = defs.find(_.name.equalsIgnoreCase(ident.name()))
+      .getOrElse(sys.error(s"unknown procedure ${ident.name()}; " +
+        s"available: ${defs.map(_.name).mkString(", ")}"))
+    new UnboundProcedure {
+      override def name(): String = d.name
+      override def description(): String = s"graft maintenance: ${d.name}"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = d.name
+        override def description(): String = s"graft maintenance: ${d.name}"
+        override def parameters(): Array[ProcedureParameter] = d.params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          d.run(warehouse, input)
+          Collections.emptyIterator()
+        }
+      }
+    }
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      defs.map(d => Identifier.of(Array("system"), d.name)).toArray
+    else Array.empty
+}

@@ -315,6 +315,34 @@ class NativeSqlSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("CALL graft.system.* procedures drive maintenance through SQL") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "proc", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    val v1 = t.meta.currentSnapshot.get.snapshotId
+    t.append(Seq(3L).toDF("id"))
+    // rollback through Spark's own CALL machinery
+    spark.sql(s"CALL graft.system.rollback_to_snapshot('db.proc', $v1)")
+    assert(t.read().count() == 2)
+    spark.sql("CALL graft.system.create_branch('db.proc', 'stage')")
+    t.appendToBranch("stage", Seq(7L).toDF("id"))
+    spark.sql("CALL graft.system.fast_forward('db.proc', 'stage')")
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L))
+    // clustered compaction with the optional sort argument, then expiry
+    spark.sql("CALL graft.system.rewrite_data_files('db.proc', 'id')")
+    spark.sql("CALL graft.system.expire_snapshots('db.proc', 1)")
+    // keep-set: the compacted current snapshot + the stage ref's pin
+    assert(t.meta.snapshots.size == 2)
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L))
+    spark.sql("CALL graft.system.remove_orphan_files('db.proc')")
+    assert(t.read().count() == 3)
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.nope('db.proc')"))
+    assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
+      e.getMessage.contains("unknown procedure"))
+  }
+
   test("MERGE INTO: ordered clauses — update, delete, conditional insert") {
     import spark.implicits._
     val cat = freshCat()
