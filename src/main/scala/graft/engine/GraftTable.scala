@@ -74,6 +74,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Partition-pruned read: keeps only files whose recorded partition
     * values pass `keep`. Metadata-only pruning — at 100 TB this is the
     * difference between scanning a day and scanning the table.
+    *
+    * Mixed-spec caution: after [[setPartitionSpec]] older files carry
+    * the layout they were written with (possibly no values at all), so
+    * `keep` MUST treat an absent key as "keep" (`pv.get(k).forall(...)`,
+    * not `.exists(...)`) — a file whose layout can't prove exclusion
+    * must be read.
     */
   def readPruned(keep: Map[String, String] => Boolean): DataFrame = {
     val m = meta
@@ -859,6 +865,56 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** ALTER COLUMN TYPE (Iceberg type promotion): same field-id, wider
+    * type; files written under the old type read through the field-id
+    * mapping's cast. Only safe widenings are allowed — a lossy change
+    * would silently corrupt historical files at read time.
+    */
+  def alterColumnType(name: String, newType: String): GraftTable =
+    evolveSchema(s"alter-column-type $name->$newType") { m =>
+      val f = m.currentSchema.fieldByName(name)
+        .getOrElse(sys.error(s"no column $name"))
+      val widenings = Set(
+        ("int", "long"), ("int", "double"), ("long", "double"),
+        ("float", "double"), ("int", "decimal"), ("long", "decimal"),
+        ("date", "timestamp"))
+      require(f.dataType == newType ||
+        widenings.contains((f.dataType, newType.takeWhile(_ != '('))),
+        s"unsafe type change ${f.dataType} -> $newType; only widening promotions are allowed")
+      m.currentSchema.fields.map(x =>
+        if (x.id == f.id) x.copy(dataType = newType) else x)
+    }
+
+  /** Partition spec evolution (Iceberg's ALTER TABLE ... WRITE ORDERED/
+    * PARTITIONED BY): NEW files land under the new layout, existing
+    * files keep the layout they were written with — partition values
+    * are recorded per file in the manifest, so pruning works across
+    * mixed specs without rewriting anything.
+    */
+  def setPartitionSpec(partition: Seq[(String, String)]): GraftTable = {
+    MetadataIO.commitRetry(location) { cur =>
+      val schema = cur.schemas.find(_.schemaId == cur.currentSchemaId)
+        .getOrElse(sys.error(s"schema ${cur.currentSchemaId} missing"))
+      val pfs = partition.map { case (src, tr) =>
+        val f = schema.fieldByName(src)
+          .getOrElse(sys.error(s"partition source $src missing"))
+        val pname = tr match {
+          case "identity" => src
+          case "day"      => s"${src}_day"
+          case other      => sys.error(s"unknown partition transform $other")
+        }
+        PartitionField(f.id, tr, pname)
+      }
+      val nextId = cur.partitionSpecs.map(_.specId).max + 1
+      cur.copy(currentSpecId = nextId,
+        partitionSpecs = cur.partitionSpecs :+ PartitionSpec(nextId, pfs.toVector),
+        properties = cur.properties +
+          (s"graft.spec-log.$nextId" ->
+            partition.map(p => s"${p._2}(${p._1})").mkString(",")))
+    }
+    this
+  }
+
   // ----------------------------------------------------- maintenance ops
 
   /** Compaction (Iceberg's rewrite_data_files): materialize the current
@@ -1126,6 +1182,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
       .map(f => (f.path, f.recordCount, f.schemaId, f.partitionValues))
       .toDF("file_path", "record_count", "schema_id", "partition_values")
+  }
+
+  /** t.partitions (Iceberg's partitions metadata table): per-partition
+    * record and file counts straight from the manifest — O(#files)
+    * metadata, zero data I/O, which is how a 100 TB table answers
+    * "how big is each day" without scanning a byte.
+    */
+  def partitionsDf: DataFrame = {
+    val m = meta
+    m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+      .groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) =>
+        (pv, fs.map(_.recordCount).sum, fs.size.toLong)
+      }
+      .toDF("partition", "record_count", "file_count")
   }
 
   /** Changelog between two snapshots: multiset diff with _change_type

@@ -221,6 +221,35 @@ object CatalogQueries {
         ORDER BY id
       """)),
 
+    // Partitions metadata table (Iceberg's `partitions`): per-partition
+    // record counts answered from the manifest alone — zero data I/O —
+    // queried through the SQL suffix and oracled against a real
+    // aggregation over the source rows.
+    QueryDef(
+      "q81_partitions_metadata",
+      (s, d) => {
+        val wh = setupOnce("q81", d) {
+          val w = scratch("partsmeta")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val ev = Tables.events(s, d)
+            .select("event_id", "ts", "event_type", "value")
+          cat.createTableAs("db1", "events_p", ev,
+            partition = Seq("ts" -> "day"))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT partition['ts_day'] AS day, record_count
+          FROM graft.db1.events_p.partitions
+          ORDER BY day""")
+      },
+      Some("""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(count(*) AS BIGINT) AS record_count
+        FROM events GROUP BY 1 ORDER BY day
+      """)),
+
     // MERGE INTO through native SQL (copy-on-write): matched rows split
     // update-vs-delete on a source predicate, unmatched source rows
     // insert with a partial column list (o_orderstatus null-fills) —

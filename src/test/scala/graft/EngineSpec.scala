@@ -473,6 +473,41 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
   }
 
+  test("column type widening: old files read through the field-id cast") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "wide",
+      Seq("id" -> "long", "v" -> "int"))
+    t.append(Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    t.alterColumnType("v", "long")
+    t.append(Seq((3L, 30L)).toDF("id", "v"))
+    val got = t.read().orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(t.read().schema("v").dataType.typeName == "long")
+    // narrowing would corrupt historical reads: refused
+    intercept[IllegalArgumentException](t.alterColumnType("v", "int"))
+    // the same field-id spans both types (promotion, not drop+add)
+    assert(t.meta.schemas.flatMap(_.fields.filter(_.name == "v").map(_.id))
+      .distinct.size == 1)
+  }
+
+  test("partition spec evolution: mixed layouts prune without rewrites") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "specs",
+      Seq("id" -> "long", "typ" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "typ")) // unpartitioned files
+    t.setPartitionSpec(Seq("typ" -> "identity"))
+    t.append(Seq((3L, "a"), (4L, "b")).toDF("id", "typ")) // identity layout
+    val m = t.meta
+    assert(m.partitionSpecs.size == 2 && m.currentSpecId == 1)
+    val files = m.currentSnapshot.get.files
+    assert(files.exists(_.partitionValues.isEmpty), "old layout kept")
+    assert(files.exists(_.partitionValues.get("typ").contains("a")), "new layout applied")
+    // absent-key-keeps semantics: old files can't prove exclusion
+    val pruned = t.readPruned(pv => pv.get("typ").forall(_ == "a"))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.read().count() == 4)
+  }
+
   test("sorted compaction makes stats pruning near-exact") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "sc", Seq("id" -> "long", "v" -> "int"))
