@@ -70,10 +70,10 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         ctasCommand(r.name, r.partitioning, r.query, r.tableSpec,
           replace = true, ifNotExists = false, orCreate = r.orCreate)
       case DeleteFromTable(rel, cond) if handleOf(rel).isDefined =>
-        GraftDeleteCommand(handleOf(rel).get.table.location, cond)
+        GraftDeleteCommand(handleOf(rel).get.table.location, ExprHolder(cond))
       case UpdateTable(rel, assignments, cond) if handleOf(rel).isDefined =>
         val as = assignments.map(a => assignName(a.key) -> a.value)
-        GraftUpdateCommand(handleOf(rel).get.table.location, as, cond)
+        GraftUpdateCommand(handleOf(rel).get.table.location, as, cond.map(ExprHolder))
       case mit: MergeIntoTable if handleOf(mit.targetTable).isDefined =>
         mergeCommand(mit)
 
@@ -201,7 +201,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case other => sys.error(s"unsupported MERGE action $other")
     }
     GraftMergeCommand(h.table.location, alias, mit.sourceTable,
-      MergeExprHolder(remap(mit.mergeCondition)), mit.matchedActions.map(conv),
+      ExprHolder(remap(mit.mergeCondition)), mit.matchedActions.map(conv),
       mit.notMatchedActions.map(conv), mit.notMatchedBySourceActions.map(conv))
   }
 

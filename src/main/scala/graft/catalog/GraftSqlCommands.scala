@@ -24,6 +24,22 @@ object GraftSqlCommands {
 
   def unbind(e: Expression): Expression = e.transform {
     case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+      s.withNewPlan(unbindPlan(s.plan))
+  }
+
+  /** Correlated subqueries carry OUTER references to the original
+    * relation INSIDE their plan (not in the outer expression tree, so
+    * `transform` never reaches them). Unwrap them back to bare names:
+    * the analyzer re-resolves a name that doesn't bind inside the
+    * subquery against the outer scope and re-wraps it — the exact path
+    * freshly-parsed SQL takes.
+    */
+  private def unbindPlan(p: LogicalPlan): LogicalPlan = p.transformAllExpressions {
+    case org.apache.spark.sql.catalyst.expressions.OuterReference(a: AttributeReference) =>
+      UnresolvedAttribute(Seq(a.name))
+    case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+      s.withNewPlan(unbindPlan(s.plan))
   }
 }
 
@@ -115,20 +131,22 @@ final case class GraftCtasCommand(location: String, tableName: String,
   }
 }
 
+/** Opaque expression holder: captured DML conditions deliberately
+  * defer resolution (alias-qualified UnresolvedAttributes that bind
+  * inside the engine's own plans at run time) and may carry IN/EXISTS
+  * subqueries that are only legal in the positions the engine puts
+  * them (Filter). A bare Expression field on a command would be walked
+  * by checkAnalysis and rejected on both counts — the holder keeps it
+  * out of QueryPlan.expressions.
+  */
+final case class ExprHolder(expr: Expression)
+
 /** MERGE action specs captured from a MergeIntoTable statement at
   * resolution time: target references were remapped to alias-qualified
   * UnresolvedAttributes (they re-resolve against the engine's fresh
   * tagged read), source references stay bound to the captured source
   * plan, which the command re-analyzes verbatim.
   */
-/** Opaque expression holder: the captured merge condition deliberately
-  * contains alias-qualified UnresolvedAttributes (they resolve inside
-  * the engine's joins at run time, not in this plan), so it must stay
-  * out of QueryPlan.expressions — a bare Expression field would be
-  * walked by checkAnalysis and rejected as unresolved.
-  */
-final case class MergeExprHolder(expr: Expression)
-
 sealed trait MergeActionSpec
 final case class MergeUpdateSpec(condition: Option[Expression],
     assignments: Seq[(String, Expression)]) extends MergeActionSpec
@@ -140,7 +158,7 @@ final case class MergeInsertAllSpec(condition: Option[Expression]) extends Merge
 
 /** MERGE INTO graft.db.t [AS alias] USING src ON cond WHEN ... */
 final case class GraftMergeCommand(location: String, targetAlias: String,
-    source: LogicalPlan, condition: MergeExprHolder,
+    source: LogicalPlan, condition: ExprHolder,
     matched: Seq[MergeActionSpec], notMatched: Seq[MergeActionSpec],
     notMatchedBySource: Seq[MergeActionSpec]) extends LeafRunnableCommand {
 
@@ -179,10 +197,10 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
 
 /** DELETE FROM graft.db.t WHERE cond. */
 final case class GraftDeleteCommand(location: String,
-    condition: Expression) extends LeafRunnableCommand {
+    condition: ExprHolder) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     GraftTable.load(session, location)
-      .delete(graftshim.columnOf(GraftSqlCommands.unbind(condition)))
+      .delete(graftshim.columnOf(GraftSqlCommands.unbind(condition.expr)))
     Seq.empty
   }
 }
@@ -190,10 +208,10 @@ final case class GraftDeleteCommand(location: String,
 /** UPDATE graft.db.t SET ... [WHERE cond]. */
 final case class GraftUpdateCommand(location: String,
     assignments: Seq[(String, Expression)],
-    condition: Option[Expression]) extends LeafRunnableCommand {
+    condition: Option[ExprHolder]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
-    val cond = condition.map(c => graftshim.columnOf(GraftSqlCommands.unbind(c)))
+    val cond = condition.map(c => graftshim.columnOf(GraftSqlCommands.unbind(c.expr)))
       .getOrElse(lit(true))
     // duplicates must error BEFORE the map collapses them last-wins
     val dupes = assignments.map(_._1).groupBy(identity)

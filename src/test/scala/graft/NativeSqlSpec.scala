@@ -315,6 +315,24 @@ class NativeSqlSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("DML conditions accept IN and correlated EXISTS subqueries") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "sq", Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val keys = cat.createTable("db", "keys", Seq("k" -> "long"))
+    keys.append(Seq(1L, 3L).toDF("k"))
+    // uncorrelated IN: outer value sits in the captured expression tree
+    spark.sql(
+      "DELETE FROM graft.db.sq WHERE id IN (SELECT k FROM graft.db.keys)")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L))
+    // correlated EXISTS: the outer reference lives INSIDE the subquery
+    // plan and must re-resolve against the fresh read (unbindPlan)
+    spark.sql("""UPDATE graft.db.sq SET v = 'z'
+                 WHERE EXISTS (SELECT 1 FROM graft.db.keys WHERE k = id - 1)""")
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((2L, "z")))
+  }
+
   test("CALL graft.system.* procedures drive maintenance through SQL") {
     import spark.implicits._
     val cat = freshCat()
