@@ -387,6 +387,92 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, id))
   }
 
+  /** Idempotent UPSERT keyed by `keyCols` — the CDC-apply primitive
+    * under [[graft.streaming.GraftTableSink.upsertBatch]]: rows in the
+    * batch REPLACE same-key rows in the table (merge-on-read: one
+    * positional delete file hides the old copies, the batch appends),
+    * and the whole apply — delete entries, data files, and the
+    * batch-id marker — lands in ONE metadata commit, so a replayed
+    * batch is a no-op.
+    *
+    * Scale design: candidate files are pruned METADATA-ONLY by the
+    * batch's key range against per-file min/max bounds before any I/O
+    * (a clustered table keeps this near-exact); the batch's distinct
+    * keys then semi-join (broadcast — a micro-batch is small by
+    * construction) against only those files to find doomed row
+    * positions. Cost is O(batch + overlapping files), independent of
+    * table size.
+    */
+  def upsertIfNewMarker(df: DataFrame, keyCols: Seq[String],
+      markerKey: String, markerValue: Long): Boolean = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val m = meta
+    keyCols.foreach(k => require(m.currentSchema.fieldByName(k).isDefined,
+      s"upsert key $k not in schema"))
+    def seen(t: TableMetadata): Boolean =
+      t.properties.get(markerKey).exists(_.toLong >= markerValue)
+    if (seen(m)) return false
+    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+
+    val delEntries: Vector[DataFileEntry] =
+      if (files0.isEmpty) Vector.empty
+      else {
+        // metadata-only candidate pruning on the first key's bounds
+        val keyDf = df.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
+        val bounded = {
+          val r = keyDf.agg(min(col(s"`${keyCols.head}`")).as("lo"),
+            max(col(s"`${keyCols.head}`")).as("hi")).head()
+          if (r.isNullAt(0)) Vector.empty
+          else StatsPruning.candidates(m, files0, exprOf(
+            col(s"`${keyCols.head}`") >= lit(r.get(0)) &&
+              col(s"`${keyCols.head}`") <= lit(r.get(1))))
+        }
+        if (bounded.isEmpty) Vector.empty
+        else {
+          val live = applyDeletes(readFilesTagged(m, bounded), dels0)
+          val doomed = live.join(broadcast(keyDf),
+              keyCols.map(k => live(s"`$k`") === keyDf(s"`$k`")).reduce(_ && _),
+              "left_semi")
+            .select(relDataPath(col("_g_path")).as("file_path"),
+              col("_g_pos").as("pos"))
+          if (doomed.isEmpty) Vector.empty
+          else {
+            val codec = m.properties.getOrElse(
+              "write.parquet.compression-codec", "zstd")
+            val delRel = s"data/${UUID.randomUUID().toString}-deletes"
+            val delAbs = s"$location/$delRel"
+            doomed.write.mode("errorifexists").option("compression", codec)
+              .parquet(delAbs)
+            listParquet(delAbs).map { abs =>
+              val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
+              DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
+            }
+          }
+        }
+      }
+    val written = writeFiles(m, df)
+    final class Dup extends RuntimeException
+    try {
+      MetadataIO.commitRetry(location) { cur =>
+        if (seen(cur)) throw new Dup
+        // the doomed positions were computed against THIS snapshot:
+        // a concurrent data commit is a genuine conflict (same rule as
+        // commitSnapshot), absorbed only for metadata-level races
+        require(cur.currentSnapshotId == m.currentSnapshotId,
+          s"concurrent commit during upsert $markerKey=$markerValue — re-run")
+        withSnapshot(cur, "overwrite", files0 ++ written, dels0 ++ delEntries)
+          .copy(properties = cur.properties + (markerKey -> markerValue.toString))
+      }
+      true
+    } catch {
+      case _: Dup =>
+        (written ++ delEntries).foreach(f =>
+          Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        false
+    }
+  }
+
   // ------------------------------------------------------- row-level DML
 
   /** DELETE FROM t WHERE cond — mode chosen by `write.delete.mode`

@@ -430,6 +430,40 @@ object Versioned {
         SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey
       """)),
 
+    // Streaming CDC upsert (the sink's engine primitive): batch 2's
+    // rows replace same-key rows from batch 1 via merge-on-read
+    // positional deletes, batch-id watermark committed atomically with
+    // the apply — the "latest version of every document" ingest shape a
+    // training-data pipeline runs against dedup'd corpora.
+    QueryDef(
+      "q82_streaming_upsert",
+      (s, d) => {
+        val loc = setupOnce("q82", d) {
+          val l = scratch("upsert")
+          val sup = Tables.supplier(s, d)
+            .select("s_suppkey", "s_name", "s_acctbal")
+          val t = GraftTable.createAs(s, l, "supplier_cdc", sup)
+          val batch2 = sup.filter(col("s_suppkey") % 3 === 0)
+            .withColumn("s_acctbal", col("s_acctbal") + 500.0)
+          t.upsertIfNewMarker(batch2, Seq("s_suppkey"),
+            "graft.streaming.cdc.batch-id", 1L)
+          // a replay of the same batch must change nothing
+          t.upsertIfNewMarker(batch2, Seq("s_suppkey"),
+            "graft.streaming.cdc.batch-id", 1L)
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name,
+               round(CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 500.0
+                          ELSE s_acctbal END, 2) AS s_acctbal
+        FROM supplier ORDER BY s_suppkey
+      """)),
+
     // Sorted (clustered) compaction: rewrite_data_files with a sort key
     // range-partitions the table so per-file min/max bounds are
     // disjoint — point predicates prune to one file (EngineSpec pins

@@ -37,4 +37,21 @@ object GraftTableSink {
       ()
     }
   }
+
+  /** foreachBatch function UPSERTING each micro-batch by `keyCols` —
+    * streaming CDC apply: batch rows replace same-key table rows
+    * (merge-on-read positional deletes + append), the whole apply +
+    * batch-id watermark in one atomic commit, replays no-ops. The
+    * batch must carry at most one row per key (aggregate upstream —
+    * e.g. `latest by timestamp` — before the sink).
+    */
+  def upsertBatch(table: GraftTable, keyCols: Seq[String],
+      name: String): (DataFrame, Long) => Unit = {
+    require(name.nonEmpty, "sink name must be non-empty")
+    (batch: DataFrame, batchId: Long) => {
+      table.upsertIfNewMarker(batch, keyCols,
+        s"graft.streaming.$name.batch-id", batchId)
+      ()
+    }
+  }
 }

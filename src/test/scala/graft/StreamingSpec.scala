@@ -211,6 +211,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.meta.properties.contains("graft.streaming.q2.batch-id"))
   }
 
+  test("graft-table sink: streaming upsert replaces same-key rows, replays no-op") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import graft.streaming.GraftTableSink
+    val loc = Files.createTempDirectory("graft-upsert").toString
+    val t = GraftTable.create(spark, loc, "cdc_t",
+      Seq("id" -> "long", "v" -> "string"))
+    val up = GraftTableSink.upsertBatch(t, Seq("id"), "cdc")
+    up(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val dataAfter0 = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    up(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), 1L)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // merge-on-read: batch 0's files survive, the old copy of id=2 is
+    // hidden by a positional delete
+    val snap = t.meta.currentSnapshot.get
+    assert(dataAfter0.subsetOf(snap.files.map(_.path).toSet))
+    assert(snap.deleteFiles.nonEmpty)
+    // checkpoint-restart replay of batch 1: nothing changes
+    val snapsBefore = t.meta.snapshots.size
+    up(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), 1L)
+    assert(t.meta.snapshots.size == snapsBefore)
+    assert(t.read().count() == 3)
+    // keys outside every file's range prune to a pure append
+    up(Seq((100L, "z")).toDF("id", "v"), 2L)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (100L, "z")))
+  }
+
   test("mapGroupsWithState sessionizer accumulates per-user state") {
     val stream = EventStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 2)
     EventStream.runToMemory(spark,
