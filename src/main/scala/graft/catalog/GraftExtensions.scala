@@ -76,6 +76,10 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         GraftUpdateCommand(handleOf(rel).get.table.location, as, cond.map(ExprHolder))
       case mit: MergeIntoTable if handleOf(mit.targetTable).isDefined =>
         mergeCommand(mit)
+      // TRUNCATE resolves its target as ResolvedTable, not a relation
+      case tr: org.apache.spark.sql.catalyst.plans.logical.TruncateTable
+          if resolvedHandleOf(tr.table).isDefined =>
+        GraftTruncateCommand(resolvedHandleOf(tr.table).get.table.location)
 
       // ---- scans: swap the capability-less handle for the engine read
       case r: DataSourceV2Relation if handleOf(r).isDefined =>
@@ -204,6 +208,16 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       ExprHolder(remap(mit.mergeCondition)), mit.matchedActions.map(conv),
       mit.notMatchedActions.map(conv), mit.notMatchedBySourceActions.map(conv))
   }
+
+  private def resolvedHandleOf(plan: LogicalPlan): Option[GraftTableHandle] =
+    plan match {
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+        r.table match {
+          case h: GraftTableHandle => Some(h)
+          case _                   => None
+        }
+      case _ => None
+    }
 
   private def handleOf(plan: LogicalPlan): Option[GraftTableHandle] =
     plan match {

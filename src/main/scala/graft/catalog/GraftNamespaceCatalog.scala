@@ -235,6 +235,9 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
         t.dropColumn(d.fieldNames()(0))
       case p: TableChange.SetProperty =>
         t.setProperties(Map(p.property() -> p.value()))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1, "nested columns unsupported")
+        t.alterColumnType(u.fieldNames()(0), FieldDef.nameType(u.newDataType()))
       case other =>
         throw new UnsupportedOperationException(s"table change $other")
     }

@@ -195,6 +195,15 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
   }
 }
 
+/** TRUNCATE TABLE graft.db.t — empty snapshot, history kept. */
+final case class GraftTruncateCommand(location: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftTable.load(session, location).truncate()
+    Seq.empty
+  }
+}
+
 /** DELETE FROM graft.db.t WHERE cond. */
 final case class GraftDeleteCommand(location: String,
     condition: ExprHolder) extends LeafRunnableCommand {

@@ -387,6 +387,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, id))
   }
 
+  /** TRUNCATE TABLE: a new EMPTY snapshot — metadata-only (no file
+    * I/O), history preserved, so the pre-truncate state stays readable
+    * via time travel until expiry. Rebases trivially on conflict: the
+    * result doesn't depend on the base snapshot.
+    */
+  def truncate(): GraftTable = {
+    MetadataIO.commitRetry(location)(cur =>
+      withSnapshot(cur, "overwrite", Vector.empty, Vector.empty))
+    this
+  }
+
   /** Idempotent UPSERT keyed by `keyCols` — the CDC-apply primitive
     * under [[graft.streaming.GraftTableSink.upsertBatch]]: rows in the
     * batch REPLACE same-key rows in the table (merge-on-read: one

@@ -315,6 +315,22 @@ class NativeSqlSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("TRUNCATE TABLE and ALTER COLUMN TYPE through native SQL") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "trnc", Seq("id" -> "long", "v" -> "int"))
+    t.append(Seq((1L, 1), (2L, 2)).toDF("id", "v"))
+    val v1 = t.meta.currentSnapshot.get.snapshotId
+    // type widening via SQL DDL: old files read through the cast
+    spark.sql("ALTER TABLE graft.db.trnc ALTER COLUMN v TYPE BIGINT")
+    assert(spark.table("graft.db.trnc").schema("v").dataType.typeName == "long")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.trnc").head().getLong(0) == 3L)
+    // truncate: empty current, history intact
+    spark.sql("TRUNCATE TABLE graft.db.trnc")
+    assert(spark.table("graft.db.trnc").count() == 0)
+    assert(t.readAsOfVersion(v1).count() == 2)
+  }
+
   test("DML conditions accept IN and correlated EXISTS subqueries") {
     import spark.implicits._
     val cat = freshCat()
