@@ -86,7 +86,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     m.currentSnapshot match {
       case None => emptyDf(m)
       case Some(s) =>
-        readFiles(m, s.files.filter(f => keep(f.partitionValues)))
+        val kept = s.files.filter(f => keep(f.partitionValues))
+        // positional deletes apply to pruned reads too — skipping them
+        // would resurrect MoR-deleted rows in every pruned query
+        if (s.deleteFiles.isEmpty) readFiles(m, kept)
+        else applyDeletes(readFilesTagged(m, kept), s.deleteFiles)
+          .drop("_g_path", "_g_pos")
     }
   }
 

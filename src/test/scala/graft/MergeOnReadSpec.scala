@@ -184,6 +184,28 @@ class MergeOnReadSpec extends AnyFunSuite {
     intercept[RuntimeException](t.readRef("nope"))
   }
 
+  test("MERGE respects schema evolution and pre-existing MoR deletes") {
+    import spark.implicits._
+    import graft.engine._
+    val t = GraftTable.create(spark, tmp(), "evm",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.merge.mode" -> "merge-on-read",
+        "write.delete.mode" -> "merge-on-read"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.delete(col("id") === 3L) // positional delete hides row 3
+    t.renameColumn("v", "val") // files on disk still say "v"
+    val src = Seq((2L, "B"), (3L, "X"), (4L, "d")).toDF("sid", "sv")
+    t.merge(src, col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("val" -> col("sv")))),
+      notMatched = Seq(MergeInsertValuesClause(None,
+        Map("id" -> col("sid"), "val" -> col("sv")))))
+    // the MoR-deleted row 3 must NOT match (no resurrection) — its
+    // source row takes the NOT MATCHED path and inserts fresh
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "X"), (4L, "d")))
+    assert(t.read().columns.toSeq == Seq("id", "val"))
+  }
+
   test("branch writes + fast-forward: write-audit-publish") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "wap", Seq("id" -> "long"))

@@ -240,6 +240,27 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "B"), (3L, "c"), (100L, "z")))
   }
 
+  test("upsert on a hidden-partitioned table records the layout") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import graft.streaming.GraftTableSink
+    val loc = Files.createTempDirectory("graft-upsert-part").toString
+    val t = GraftTable.create(spark, loc, "cdc_p",
+      Seq("id" -> "long", "typ" -> "string", "v" -> "string"),
+      partition = Seq("typ" -> "identity"))
+    val up = GraftTableSink.upsertBatch(t, Seq("id"), "p")
+    up(Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "typ", "v"), 0L)
+    up(Seq((2L, "y", "B")).toDF("id", "typ", "v"), 1L)
+    // every data file carries its partition value in the manifest
+    assert(t.meta.currentSnapshot.get.files.forall(
+      _.partitionValues.contains("typ")))
+    assert(t.read().orderBy("id").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "x", "a"), (2L, "y", "B")))
+    // metadata partition pruning still works over upserted data
+    val pruned = t.readPruned(pv => pv.get("typ").forall(_ == "y"))
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("mapGroupsWithState sessionizer accumulates per-user state") {
     val stream = EventStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 2)
     EventStream.runToMemory(spark,
