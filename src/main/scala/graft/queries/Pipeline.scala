@@ -345,6 +345,102 @@ object Pipeline {
         FROM sh ORDER BY doc_id
       """)),
 
+    // ---- Domain-mixture sampling ----------------------------------------
+    // deterministic weighted keep per language (the "mix 30% web, 50%
+    // books" curation step): id % 10 < weight(lang). No RNG — re-runs
+    // keep exactly the same rows — and the filter pushes into the scan.
+    QueryDef(
+      "q83_domain_mixture",
+      (s, d) => {
+        val sampled = graft.pipeline.Curation.sampleMixture(
+          docs(s, d), "doc_id", "lang",
+          Map("en" -> 8, "de" -> 5, "fr" -> 4, "es" -> 3, "zh" -> 2))
+        sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(length(col("text")).cast("long")).as("chars_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(length(text)) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE doc_id % 10 < CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 5
+                                      WHEN 'fr' THEN 4 WHEN 'es' THEN 3
+                                      WHEN 'zh' THEN 2 ELSE 0 END
+        GROUP BY lang ORDER BY lang
+      """)),
+
+    // ---- PII redaction ---------------------------------------------------
+    // synthetic emails/phone runs appended per doc (the corpus itself is
+    // clean), then redacted with portable regex — removed_chars pins that
+    // both engines redacted the SAME spans, redacted_tail the rewrite.
+    QueryDef(
+      "q84_pii_redaction",
+      (s, d) => {
+        val withPii = docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com tel 55512"), lpad(col("doc_id").cast("string"), 5, "0"))
+            .as("dirty"))
+        withPii.select(col("doc_id"),
+            graft.pipeline.Curation.redactPii(col("dirty")).as("clean"),
+            col("dirty"))
+          .select(col("doc_id"),
+            (length(col("dirty")) - length(col("clean"))).as("removed_chars"),
+            // the redacted suffix is always ' contact <EMAIL> tel <NUM>'
+            substring(col("clean"), -26, 26).as("redacted_tail"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                   '@example.com tel 55512' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                   AS dirty
+          FROM documents),
+        r AS (
+          SELECT doc_id, dirty,
+                 regexp_replace(regexp_replace(dirty,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{7,}', '<NUM>', 'g') AS clean
+          FROM p)
+        SELECT doc_id,
+               CAST(length(dirty) - length(clean) AS INT) AS removed_chars,
+               right(clean, 26) AS redacted_tail
+        FROM r ORDER BY doc_id
+      """)),
+
+    // ---- Token-budget packing --------------------------------------------
+    // context-window bucketing via a per-language running token count
+    // (concat-then-chunk pretokenization): parallel across partitions,
+    // streaming within one — the at-scale form packs per (domain, shard).
+    QueryDef(
+      "q85_token_packing",
+      (s, d) => {
+        val withTokens = docs(s, d).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).as("n_tokens"))
+        graft.pipeline.Curation.packTokens(withTokens,
+            "lang", "doc_id", "n_tokens", budget = 512)
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bucket_tokens"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+          FROM documents),
+        b AS (
+          SELECT lang,
+                 CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id) - n_tokens) / 512) AS INT) AS bucket,
+                 n_tokens
+          FROM t)
+        SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+        FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+      """)),
+
     // ---- Multimodal plumbing: binary assets -> decode stub -> features -
     QueryDef(
       "q50_multimodal_features",

@@ -325,4 +325,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.map(_.payload.toSeq).toSeq ==
       resized2.map(_.payload.toSeq).toSeq, "resize must be deterministic")
   }
+
+  test("curation: deterministic mixture sampling and token packing") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val df = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10)).toDF("id", "dom", "nt")
+    // domains without a weight drop; sampling is a pure function of id
+    val s1 = Curation.sampleMixture(df, "id", "dom", Map("a" -> 5))
+    assert(s1.select("dom").distinct().as[String].collect().toSeq == Seq("a"))
+    assert(s1.count() == 30) // even ids with id%10 in {0,2,4}
+    assert(Curation.sampleMixture(df, "id", "dom", Map("a" -> 5))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      s1.select("id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException](
+      Curation.sampleMixture(df, "id", "dom", Map("a" -> 11)))
+    // packing: 10-token docs into a 25 budget never exceed 3 per bucket
+    val packed = Curation.packTokens(
+      df.filter(col("dom") === "a"), "dom", "id", "nt", 25)
+    assert(packed.groupBy("bucket").count()
+      .select("count").as[Long].collect().forall(_ <= 3))
+    // an oversized doc occupies its cumulative bucket; the next doc
+    // lands after it, not on top of it
+    val big = Seq(("x", 1L, 100), ("x", 2L, 10)).toDF("dom", "id", "nt")
+    val pb = Curation.packTokens(big, "dom", "id", "nt", 25)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(pb(1L) == 0 && pb(2L) == 4)
+  }
 }
