@@ -182,9 +182,18 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = graftTable(ident)
-    val snap = t.meta.snapshotById(version.toLong)
-      .getOrElse(throw new NoSuchTableException(ident))
-    GraftTableHandle(t, fullName(ident), Some(snap))
+    val m = t.meta
+    // VERSION AS OF accepts a snapshot id OR a ref name (Iceberg's
+    // branch/tag time travel: VERSION AS OF 'audit-tag')
+    val snap = version.toLongOption match {
+      case Some(id) => m.snapshotById(id)
+      case None =>
+        m.refs.find(_.name == version)
+          .flatMap(r => m.snapshotById(r.snapshotId))
+          .orElse(if (version == "main") m.currentSnapshot else None)
+    }
+    GraftTableHandle(t, fullName(ident),
+      Some(snap.getOrElse(throw new NoSuchTableException(ident))))
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {

@@ -184,6 +184,23 @@ class MergeOnReadSpec extends AnyFunSuite {
     intercept[RuntimeException](t.readRef("nope"))
   }
 
+  test("concurrent branch appends never lose a commit") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "race", Seq("id" -> "long"))
+    t.append(Seq(0L).toDF("id"))
+    t.createBranch("b")
+    val n = 5
+    def writer(offset: Long): Thread = new Thread(() => {
+      for (i <- 0 until n)
+        t.appendToBranch("b", Seq(offset + i).toDF("id"))
+    })
+    val (w1, w2) = (writer(100L), writer(200L))
+    w1.start(); w2.start(); w1.join(); w2.join()
+    // every append is on the branch exactly once; main untouched
+    assert(t.readRef("b").count() == 1 + 2 * n)
+    assert(t.read().count() == 1)
+  }
+
   test("MERGE respects schema evolution and pre-existing MoR deletes") {
     import spark.implicits._
     import graft.engine._

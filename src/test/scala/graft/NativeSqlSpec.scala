@@ -315,6 +315,24 @@ class NativeSqlSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("VERSION AS OF accepts ref names; SHOW PROCEDURES lists system") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "reft", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    t.createTag("v1.0")
+    t.append(Seq(3L).toDF("id"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.reft VERSION AS OF 'v1.0'")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.reft VERSION AS OF 'main'")
+      .head().getLong(0) == 3L)
+    val procs = spark.sql("SHOW PROCEDURES IN graft.system")
+      .collect().map(_.toString).mkString
+    assert(procs.contains("rollback_to_snapshot") && procs.contains("fast_forward"))
+  }
+
   test("TRUNCATE TABLE and ALTER COLUMN TYPE through native SQL") {
     import spark.implicits._
     val cat = freshCat()
