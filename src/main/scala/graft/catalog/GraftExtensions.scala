@@ -76,6 +76,24 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         GraftUpdateCommand(handleOf(rel).get.table.location, as, cond.map(ExprHolder))
       case mit: MergeIntoTable if handleOf(mit.targetTable).isDefined =>
         mergeCommand(mit)
+      // DataFrameWriterV2: df.writeTo("graft.db.t").append()/.overwrite()
+      case a: org.apache.spark.sql.catalyst.plans.logical.AppendData
+          if handleOf(a.table).isDefined =>
+        val cols =
+          if (a.isByName) a.query.output.map(_.name) else Seq.empty[String]
+        GraftInsertCommand(handleOf(a.table).get.table.location, a.query,
+          overwrite = false, cols)
+      case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+          if handleOf(o.table).isDefined =>
+        require(o.deleteExpr == Literal(true) || o.deleteExpr.foldable &&
+          o.deleteExpr.eval(null) == true,
+          "partial writeTo().overwrite(cond) is not supported; " +
+            "use DELETE + append or overwrite(lit(true))")
+        val cols =
+          if (o.isByName) o.query.output.map(_.name) else Seq.empty[String]
+        GraftInsertCommand(handleOf(o.table).get.table.location, o.query,
+          overwrite = true, cols)
+
       // TRUNCATE resolves its target as ResolvedTable, not a relation
       case tr: org.apache.spark.sql.catalyst.plans.logical.TruncateTable
           if resolvedHandleOf(tr.table).isDefined =>

@@ -315,6 +315,24 @@ class NativeSqlSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("DataFrameWriterV2: writeTo append and overwrite route to the engine") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "w2", Seq("id" -> "long", "v" -> "string"))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").writeTo("graft.db.w2").append()
+    // by-name: permuted columns land correctly, missing ones null-fill
+    Seq(("c", 3L)).toDF("v", "id").writeTo("graft.db.w2").append()
+    assert(spark.table("graft.db.w2").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq((9L, "z")).toDF("id", "v").writeTo("graft.db.w2").overwrite(lit(true))
+    assert(spark.table("graft.db.w2").as[(Long, String)].collect().toSeq ==
+      Seq((9L, "z")))
+    assert(t.meta.snapshots.size == 3)
+    val e = intercept[Exception](Seq((1L, "x")).toDF("id", "v")
+      .writeTo("graft.db.w2").overwrite(col("id") === 1L))
+    assert(e.getMessage.contains("partial writeTo"))
+  }
+
   test("VERSION AS OF accepts ref names; SHOW PROCEDURES lists system") {
     import spark.implicits._
     val cat = freshCat()
