@@ -184,6 +184,27 @@ class MergeOnReadSpec extends AnyFunSuite {
     intercept[RuntimeException](t.readRef("nope"))
   }
 
+  test("concurrent marker appends from different streams never lose rows") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "mstreams", Seq("id" -> "long"))
+    val n = 5
+    def writer(stream: String, offset: Long): Thread = new Thread(() => {
+      for (i <- 0 until n)
+        t.appendIfNewMarker(Seq(offset + i).toDF("id"),
+          s"graft.streaming.$stream.batch-id", i.toLong)
+    })
+    val (w1, w2) = (writer("s1", 100L), writer("s2", 200L))
+    w1.start(); w2.start(); w1.join(); w2.join()
+    // both streams' batches all landed; each stream's watermark is final
+    assert(t.read().count() == 2L * n)
+    assert(t.meta.properties("graft.streaming.s1.batch-id") == (n - 1).toString)
+    assert(t.meta.properties("graft.streaming.s2.batch-id") == (n - 1).toString)
+    // a replay of either stream's last batch is still a no-op
+    assert(!t.appendIfNewMarker(Seq(999L).toDF("id"),
+      "graft.streaming.s1.batch-id", (n - 1).toLong))
+    assert(t.read().count() == 2L * n)
+  }
+
   test("concurrent branch appends never lose a commit") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "race", Seq("id" -> "long"))
