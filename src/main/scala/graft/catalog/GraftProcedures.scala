@@ -68,6 +68,10 @@ object GraftProcedures {
           else str(r, 1).split(',').map(_.trim).toSeq
         table(w, str(r, 0)).rewriteDataFiles(sortBy)
       }),
+    Def("rewrite_data_files_zorder",
+      Seq(in("table", StringType), in("zorder_by", StringType)),
+      (w, r) => table(w, str(r, 0)).rewriteDataFilesZOrder(
+        str(r, 1).split(',').map(_.trim).toSeq)),
     Def("remove_orphan_files",
       Seq(in("table", StringType)),
       (w, r) => { table(w, str(r, 0)).removeOrphanFiles(); () }),

@@ -1054,6 +1054,42 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Z-ORDER compaction (Iceberg's rewrite_data_files with a zorder
+    * strategy): cluster on SEVERAL columns at once by sorting on the
+    * bit-interleaved bucket key, so each output file covers a small
+    * hyper-rectangle of the clustered space and stats pruning works
+    * for predicates on ANY clustered column — `rewriteDataFiles(sortBy)`
+    * only ever prunes the leading sort column. Numeric/date columns
+    * only (bucketing needs an arithmetic range).
+    */
+  def rewriteDataFilesZOrder(cols: Seq[String],
+      targetFiles: Int = 0): GraftTable = {
+    require(cols.size >= 2, "Z-order needs at least two columns (use rewriteDataFiles(sortBy) for one)")
+    val m = meta
+    cols.foreach(c => require(m.currentSchema.fieldByName(c).isDefined,
+      s"z-order column $c not in schema"))
+    val df0 = read()
+    // one tiny agg for global ranges; the key itself is pure codegen
+    val aggs = cols.flatMap(c => Seq(min(col(s"`$c`").cast("double")),
+      max(col(s"`$c`").cast("double"))))
+    val stats = df0.agg(aggs.head, aggs.tail: _*).head()
+    val bits = ZOrder.bitsFor(cols.size)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        (if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i),
+          if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1))
+      ZOrder.bucket(col(s"`$c`"), lo, hi, bits)
+    }
+    val z = ZOrder.interleave(buckets, bits)
+    val keyed = df0.withColumn("__graft_z", z)
+    val ranged =
+      if (targetFiles > 0) keyed.repartitionByRange(targetFiles, col("__graft_z"))
+      else keyed.repartitionByRange(col("__graft_z"))
+    val out = ranged.sortWithinPartitions(col("__graft_z")).drop("__graft_z")
+    commitSnapshot(m, "replace", writeFiles(m, out), Vector.empty)
+    this
+  }
+
   /** Expire snapshots (Iceberg's expire_snapshots): keep the most
     * recent `keepLast` plus anything a ref points at; history/metadata
     * stay bounded as the table ages. Metadata-only — data files are

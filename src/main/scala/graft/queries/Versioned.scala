@@ -493,6 +493,35 @@ object Versioned {
         FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
       """)),
 
+    // Z-order compaction: multi-column clustering via the interleaved
+    // bucket key — point predicates prune on EVERY clustered column
+    // (EngineSpec pins the candidate-file collapse on both dimensions;
+    // the oracle pins that clustering changed nothing semantically).
+    QueryDef(
+      "q86_zorder_compaction",
+      (s, d) => {
+        val loc = setupOnce("q86", d) {
+          val l = scratch("zorder")
+          val li = Tables.lineitem(s, d)
+            .select("l_orderkey", "l_partkey", "l_quantity")
+            .filter(col("l_orderkey") <= 5000)
+          val t = GraftTable.createAs(s, l, "lineitem_z", li)
+          t.rewriteDataFilesZOrder(Seq("l_orderkey", "l_partkey"))
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .filter(col("l_orderkey") <= 100 && col("l_partkey") <= 500)
+          .select(col("l_orderkey"), col("l_partkey"),
+            round(col("l_quantity"), 2).as("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""
+        SELECT l_orderkey, l_partkey, round(l_quantity, 2) AS l_quantity
+        FROM lineitem
+        WHERE l_orderkey <= 100 AND l_partkey <= 500 AND l_orderkey <= 5000
+        ORDER BY l_orderkey, l_partkey, l_quantity
+      """)),
+
     // Branch write-audit-publish (M4 refs made WRITABLE): stage commits
     // on a branch while main serves the audited state, then publish by
     // fast-forwarding main onto the branch head — the WAP pattern a

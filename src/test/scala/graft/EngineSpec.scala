@@ -529,6 +529,33 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.rewriteDataFiles(sortBy = Seq("nope")))
   }
 
+  test("Z-order compaction prunes on every clustered column") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "zc",
+      Seq("x" -> "long", "y" -> "long"))
+    // full 64x64 grid: every (x, y); appended in row-major quarters so
+    // pre-compaction files span the whole y range
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    grid.grouped(1024).foreach(g => t.append(g.toDF("x", "y").coalesce(1)))
+    val total = t.meta.currentSnapshot.get.files.size
+    assert(t.candidateFiles(col("y") === 7L).size == total,
+      "row-major layout cannot prune on y")
+    t.rewriteDataFilesZOrder(Seq("x", "y"), targetFiles = 16)
+    val n = t.meta.currentSnapshot.get.files.size
+    assert(n > 4, s"compaction must keep several files, got $n")
+    val px = t.candidateFiles(col("x") === 5L).size
+    val py = t.candidateFiles(col("y") === 7L).size
+    assert(px < n && py < n,
+      s"z-order must prune on BOTH dimensions: x->$px, y->$py of $n")
+    // a 2-D point predicate intersects few hyper-rectangles
+    val pxy = t.candidateFiles(col("x") === 5L && col("y") === 7L).size
+    assert(pxy <= math.min(px, py))
+    // contents unchanged
+    assert(t.read().count() == 64L * 64L)
+    assert(t.read().distinct().count() == 64L * 64L)
+    intercept[IllegalArgumentException](t.rewriteDataFilesZOrder(Seq("x")))
+  }
+
   test("rollback and set-current-snapshot move the pointer, keep history") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "rb", Seq("id" -> "long"))
