@@ -34,12 +34,28 @@ object GraftSqlCommands {
     * the analyzer re-resolves a name that doesn't bind inside the
     * subquery against the outer scope and re-wraps it — the exact path
     * freshly-parsed SQL takes.
+    *
+    * Shadow guard: inner scope resolves FIRST, so if any node inside
+    * the subquery produces a same-named column, the bare name would
+    * silently capture there and the correlation would be lost (e.g.
+    * `keys.k = t.id` becoming `keys.k = keys.id`). The original
+    * qualifier cannot ride along — it names a relation that no longer
+    * exists in the engine's re-planned read — so fail loudly instead
+    * of corrupting the predicate.
     */
-  private def unbindPlan(p: LogicalPlan): LogicalPlan = p.transformAllExpressions {
-    case org.apache.spark.sql.catalyst.expressions.OuterReference(a: AttributeReference) =>
-      UnresolvedAttribute(Seq(a.name))
-    case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-      s.withNewPlan(unbindPlan(s.plan))
+  private def unbindPlan(p: LogicalPlan): LogicalPlan = {
+    lazy val innerNames: Set[String] =
+      p.collect { case n => n.output }.flatten.map(_.name.toLowerCase).toSet
+    p.transformAllExpressions {
+      case org.apache.spark.sql.catalyst.expressions.OuterReference(a: AttributeReference) =>
+        if (innerNames.contains(a.name.toLowerCase))
+          sys.error(s"correlated reference to '${a.name}' would be shadowed " +
+            "by a same-named column inside the subquery when the condition " +
+            "re-resolves; alias the inner column to a different name")
+        UnresolvedAttribute(Seq(a.name))
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.withNewPlan(unbindPlan(s.plan))
+    }
   }
 }
 

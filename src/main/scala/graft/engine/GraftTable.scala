@@ -431,44 +431,48 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
     val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
 
+    // a batch with two rows for one key would delete the old copy once
+    // and append BOTH rows — permanent duplicates in the exactly-once
+    // path. Fail loudly; dedupe upstream (e.g. latest-by-timestamp).
+    val keyDf = df.select(keyCols.map(k => col(s"`$k`")): _*).distinct().persist()
     val delEntries: Vector[DataFileEntry] =
-      if (files0.isEmpty) Vector.empty
-      else {
-        // metadata-only candidate pruning on the first key's bounds
-        val keyDf = df.select(keyCols.map(k => col(s"`$k`")): _*).distinct()
-        val bounded = {
-          val r = keyDf.agg(min(col(s"`${keyCols.head}`")).as("lo"),
-            max(col(s"`${keyCols.head}`")).as("hi")).head()
-          if (r.isNullAt(0)) Vector.empty
-          else StatsPruning.candidates(m, files0, exprOf(
-            col(s"`${keyCols.head}`") >= lit(r.get(0)) &&
-              col(s"`${keyCols.head}`") <= lit(r.get(1))))
-        }
-        if (bounded.isEmpty) Vector.empty
+      try {
+        val nKeys = keyDf.count()
+        require(nKeys == df.count(),
+          s"upsert batch has duplicate ${keyCols.mkString("/")} keys — " +
+            "aggregate to one row per key upstream")
+        if (files0.isEmpty || nKeys == 0) Vector.empty
         else {
-          val live = applyDeletes(readFilesTagged(m, bounded), dels0)
-          val doomed = live.join(broadcast(keyDf),
-              keyCols.map(k => live(s"`$k`") === keyDf(s"`$k`")).reduce(_ && _),
-              "left_semi")
-            .select(relDataPath(col("_g_path")).as("file_path"),
-              col("_g_pos").as("pos"))
-          if (doomed.isEmpty) Vector.empty
+          // metadata-only candidate pruning on the first key's bounds
+          val bounded = {
+            val r = keyDf.agg(min(col(s"`${keyCols.head}`")).as("lo"),
+              max(col(s"`${keyCols.head}`")).as("hi")).head()
+            if (r.isNullAt(0)) Vector.empty
+            else StatsPruning.candidates(m, files0, exprOf(
+              col(s"`${keyCols.head}`") >= lit(r.get(0)) &&
+                col(s"`${keyCols.head}`") <= lit(r.get(1))))
+          }
+          if (bounded.isEmpty) Vector.empty
           else {
-            val codec = m.properties.getOrElse(
-              "write.parquet.compression-codec", "zstd")
-            val delRel = s"data/${UUID.randomUUID().toString}-deletes"
-            val delAbs = s"$location/$delRel"
-            doomed.write.mode("errorifexists").option("compression", codec)
-              .parquet(delAbs)
-            listParquet(delAbs).map { abs =>
-              val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
-              DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
-            }
+            val live = applyDeletes(readFilesTagged(m, bounded), dels0)
+            val doomed = live.join(broadcast(keyDf),
+                keyCols.map(k => live(s"`$k`") === keyDf(s"`$k`")).reduce(_ && _),
+                "left_semi")
+              .select(relDataPath(col("_g_path")).as("file_path"),
+                col("_g_pos").as("pos"))
+              .persist() // consumed twice: emptiness gate + the write
+            try {
+              if (doomed.isEmpty) Vector.empty
+              else writeDeleteFile(m, doomed)
+            } finally doomed.unpersist()
           }
         }
-      }
+      } finally keyDf.unpersist()
     val written = writeFiles(m, df)
     final class Dup extends RuntimeException
+    def reclaimStaged(): Unit =
+      (written ++ delEntries).foreach(f =>
+        Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
     try {
       MetadataIO.commitRetry(location) { cur =>
         if (seen(cur)) throw new Dup
@@ -482,10 +486,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
       true
     } catch {
-      case _: Dup =>
-        (written ++ delEntries).foreach(f =>
-          Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
-        false
+      case _: Dup => reclaimStaged(); false
+      case scala.util.control.NonFatal(e) =>
+        // any failed commit (e.g. the concurrent-snapshot conflict) must
+        // not leave its staged files as orphans
+        reclaimStaged(); throw e
     }
   }
 
@@ -563,6 +568,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     m.properties.getOrElse("write.merge.mode",
       m.properties.getOrElse("write.delete.mode", "copy-on-write"))
 
+  /** Write a positional-delete parquet from (file_path, pos) rows and
+    * return its manifest entries — the one writer all merge-on-read
+    * paths (DML, MERGE, upsert) share.
+    */
+  private def writeDeleteFile(m: TableMetadata,
+      delRows: DataFrame): Vector[DataFileEntry] = {
+    val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
+    val delRel = s"data/${UUID.randomUUID().toString}-deletes"
+    val delAbs = s"$location/$delRel"
+    delRows.write.mode("errorifexists").option("compression", codec)
+      .parquet(delAbs)
+    listParquet(delAbs).map { abs =>
+      val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
+      DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
+    }
+  }
+
   /** Merge-on-read row-level DML: stats-pruned candidate scan finds
     * matching rows; their (file_path, row_index) pairs land in a new
     * positional delete file; UPDATE additionally appends the updated
@@ -584,15 +606,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         relDataPath(col("_g_path")).as("file_path"),
         col("_g_pos").as("pos"))
       if (delRows.isEmpty) return this
-      val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
-      val delRel = s"data/${UUID.randomUUID().toString}-deletes"
-      val delAbs = s"$location/$delRel"
-      delRows.write.mode("errorifexists").option("compression", codec)
-        .parquet(delAbs)
-      val delEntries = listParquet(delAbs).map { abs =>
-        val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
-        DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
-      }
+      val delEntries = writeDeleteFile(m, delRows)
       val (dataFiles, op) = assignments match {
         case None => (snap.files, "delete")
         case Some(as) =>
@@ -799,19 +813,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val newData = (Seq(matchedPart, nmsPart).flatten.flatMap(_._2) ++ inserted)
           .reduceOption(_ unionByName _)
         if (delRows.isEmpty && newData.forall(_.isEmpty)) return this
-        val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
         val delEntries =
           if (delRows.isEmpty) Vector.empty[DataFileEntry]
-          else {
-            val delRel = s"data/${UUID.randomUUID().toString}-deletes"
-            val delAbs = s"$location/$delRel"
-            delRows.write.mode("errorifexists").option("compression", codec)
-              .parquet(delAbs)
-            listParquet(delAbs).map { abs =>
-              val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
-              DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
-            }
-          }
+          else writeDeleteFile(m, delRows)
         val written = newData.map(d => writeFiles(m, d)).getOrElse(Vector.empty)
         commitSnapshot(m, "overwrite", files0 ++ written, dels0 ++ delEntries)
       } finally delRows.unpersist()
@@ -1059,15 +1063,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * bit-interleaved bucket key, so each output file covers a small
     * hyper-rectangle of the clustered space and stats pruning works
     * for predicates on ANY clustered column — `rewriteDataFiles(sortBy)`
-    * only ever prunes the leading sort column. Numeric/date columns
-    * only (bucketing needs an arithmetic range).
+    * only ever prunes the leading sort column. Numeric columns only —
+    * bucketing needs an arithmetic range (validated up front; a string
+    * column would otherwise degenerate silently to one bucket).
     */
   def rewriteDataFilesZOrder(cols: Seq[String],
       targetFiles: Int = 0): GraftTable = {
     require(cols.size >= 2, "Z-order needs at least two columns (use rewriteDataFiles(sortBy) for one)")
     val m = meta
-    cols.foreach(c => require(m.currentSchema.fieldByName(c).isDefined,
-      s"z-order column $c not in schema"))
+    val numeric = Set("int", "long", "float", "double")
+    cols.foreach { c =>
+      val f = m.currentSchema.fieldByName(c)
+        .getOrElse(sys.error(s"z-order column $c not in schema"))
+      require(numeric(f.dataType),
+        s"z-order column $c has type ${f.dataType}; only ${numeric.mkString("/")} supported")
+    }
     val df0 = read()
     // one tiny agg for global ranges; the key itself is pure codegen
     val aggs = cols.flatMap(c => Seq(min(col(s"`$c`").cast("double")),
@@ -1326,6 +1336,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * record and file counts straight from the manifest — O(#files)
     * metadata, zero data I/O, which is how a 100 TB table answers
     * "how big is each day" without scanning a byte.
+    *
+    * record_count is the DATA-FILE total (same as Iceberg's): rows
+    * hidden by merge-on-read positional deletes are still counted until
+    * compaction materializes them away — an estimate, not a live count.
     */
   def partitionsDf: DataFrame = {
     val m = meta

@@ -155,8 +155,18 @@ final case class TableMetadata(
   /** Snapshot visible at a wall-clock time: the latest snapshot with
     * timestampMs <= ts (reference: FOR SYSTEM_TIME AS OF, apiv15.py:154-157).
     */
+  /** The snapshot that was CURRENT on main at `tsMs` — resolved through
+    * the snapshot LOG (the main pointer's history), never the global
+    * snapshots list: staged branch commits and abandoned rollback lines
+    * live in `snapshots` too, and picking by creation time would leak
+    * unpublished branch data into `TIMESTAMP AS OF` (Iceberg's
+    * timestamp travel reads the snapshot log for the same reason).
+    * Rollbacks/fast-forwards append log entries, so this also answers
+    * "current at T" correctly across pointer moves.
+    */
   def snapshotAsOfTime(tsMs: Long): Option[Snapshot] =
-    snapshots.filter(_.timestampMs <= tsMs).sortBy(_.timestampMs).lastOption
+    snapshotLog.filter(_.timestampMs <= tsMs).sortBy(_.timestampMs).lastOption
+      .flatMap(e => snapshotById(e.snapshotId))
 
   /** Snapshot by exact id (reference: VERSION AS OF, notebook cell 45). */
   def snapshotById(id: Long): Option[Snapshot] =

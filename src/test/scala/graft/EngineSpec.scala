@@ -461,15 +461,24 @@ class EngineSpec extends AnyFunSuite {
         Map("id" -> col("sid"), "v" -> col("sv")))))
     assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
     val snaps = t.meta.snapshots.size
-    // every source row now matches and no clause applies to any row:
-    // nothing changes, no snapshot commits
+    // every source row matches but no clause's condition holds: the
+    // touched file is rewritten (one new snapshot — merge cannot know
+    // rows were untouched without evaluating them) and matched rows
+    // with NO applicable clause survive unchanged exactly once
     t.merge(Seq((2L, 0)).toDF("sid", "sv"), col("id") === col("sid"),
       matched = Seq(MergeUpdateClause(Some(col("sv") > 99), Map("v" -> col("sv")))),
       notMatched = Seq(MergeInsertValuesClause(Some(col("sv") > 99),
         Map("id" -> col("sid"), "v" -> col("sv")))))
-    assert(t.meta.snapshots.size == snaps + 1 ||
-      t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
-    // matched rows with NO applicable clause survive unchanged exactly once
+    assert(t.meta.snapshots.size == snaps + 1)
+    assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
+    // a merge whose source matches NOTHING and inserts nothing is a
+    // true no-op: no snapshot commits
+    val snaps2 = t.meta.snapshots.size
+    t.merge(Seq((999L, 0)).toDF("sid", "sv"), col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Seq(MergeInsertValuesClause(Some(col("sv") > 99),
+        Map("id" -> col("sid"), "v" -> col("sv")))))
+    assert(t.meta.snapshots.size == snaps2)
     assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq == Seq((2L, 2)))
   }
 

@@ -253,6 +253,10 @@ class MergeOnReadSpec extends AnyFunSuite {
     t.appendToBranch("audit", Seq(3L).toDF("id"))
     t.appendToBranch("audit", Seq(4L).toDF("id"))
     assert(t.read().count() == 2, "main unchanged while staging")
+    // staged snapshots are invisible to TIMESTAMP AS OF on main: time
+    // travel resolves through the pointer history, not creation times
+    assert(t.readAsOfTime(System.currentTimeMillis()).count() == 2,
+      "timestamp travel must not leak unpublished branch data")
     assert(t.readRef("audit").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L))
     // publish: main fast-forwards to the branch head

@@ -383,6 +383,19 @@ class NativeSqlSpec extends AnyFunSuite {
     spark.sql("""UPDATE graft.db.sq SET v = 'z'
                  WHERE EXISTS (SELECT 1 FROM graft.db.keys WHERE k = id - 1)""")
     assert(t.read().as[(Long, String)].collect().toSeq == Seq((2L, "z")))
+    // a correlated reference that a same-named INNER column would
+    // capture on re-resolution fails loudly instead of silently
+    // losing the correlation
+    val shadow = cat.createTable("db", "keys2",
+      Seq("k" -> "long", "id" -> "long"))
+    shadow.append(Seq((2L, 99L)).toDF("k", "id"))
+    val e = intercept[Exception](spark.sql(
+      """DELETE FROM graft.db.sq t
+         WHERE EXISTS (SELECT 1 FROM graft.db.keys2 WHERE keys2.k = t.id)"""))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("shadowed")), msgs(e).mkString(" | "))
+    assert(t.read().count() == 1) // nothing deleted
   }
 
   test("CALL graft.system.* procedures drive maintenance through SQL") {

@@ -238,6 +238,12 @@ class StreamingSpec extends AnyFunSuite {
     up(Seq((100L, "z")).toDF("id", "v"), 2L)
     assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "B"), (3L, "c"), (100L, "z")))
+    // a batch carrying two rows for one key would create permanent
+    // duplicates — rejected loudly, nothing committed
+    intercept[IllegalArgumentException](t.upsertIfNewMarker(
+      Seq((5L, "x"), (5L, "y")).toDF("id", "v"), Seq("id"),
+      "graft.streaming.cdc.batch-id", 99L))
+    assert(t.read().count() == 4)
   }
 
   test("upsert on a hidden-partitioned table records the layout") {

@@ -130,7 +130,10 @@ class TableFormatSpec extends AnyFunSuite {
       Snapshot(2L, Some(1L), 200L, "append", 0, 0, Vector.empty),
       Snapshot(3L, Some(2L), 300L, "delete", 0, 0, Vector.empty))
     val m = TableMetadata.create("t", tmp(), Seq("x" -> "int"))
-      .copy(snapshots = snaps, currentSnapshotId = Some(3L))
+      .copy(snapshots = snaps, currentSnapshotId = Some(3L),
+        // time travel resolves through the POINTER history, not the
+        // global snapshot list (branch/rollback isolation)
+        snapshotLog = snaps.map(s => SnapshotLogEntry(s.timestampMs, s.snapshotId)))
     assert(m.snapshotAsOfTime(50L).isEmpty)              // before first
     assert(m.snapshotAsOfTime(100L).map(_.snapshotId).contains(1L)) // exact
     assert(m.snapshotAsOfTime(250L).map(_.snapshotId).contains(2L)) // between
