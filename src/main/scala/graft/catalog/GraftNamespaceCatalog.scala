@@ -264,6 +264,24 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
         true
     }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("renameTable")
+  /** ALTER TABLE ... RENAME TO: one atomic directory move — manifest
+    * data-file paths are location-relative by design (see
+    * GraftTable.relDataPath), so only the metadata document's identity
+    * fields need rewriting, committed as a new version under the new
+    * location. History, snapshots, refs, and MoR delete files all
+    * survive the move untouched.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = location(oldIdent).filter(MetadataIO.exists)
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    val to = location(newIdent)
+      .getOrElse(sys.error("spark.graft.warehouse not set"))
+    require(!MetadataIO.exists(to),
+      s"table ${fullName(newIdent)} already exists")
+    Files.createDirectories(Paths.get(to).getParent)
+    Files.move(Paths.get(from), Paths.get(to),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    MetadataIO.commitRetry(to)(cur =>
+      cur.copy(name = fullName(newIdent), location = to))
+  }
 }

@@ -351,6 +351,26 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(procs.contains("rollback_to_snapshot") && procs.contains("fast_forward"))
   }
 
+  test("ALTER TABLE RENAME TO moves the table, history intact") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "r1", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    val v1 = t.meta.currentSnapshot.get.snapshotId
+    t.append(Seq(3L).toDF("id"))
+    spark.sql("ALTER TABLE graft.db.r1 RENAME TO db.r2")
+    assert(spark.table("graft.db.r2").count() == 3)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.r2 VERSION AS OF $v1")
+      .head().getLong(0) == 2L)
+    intercept[Exception](spark.table("graft.db.r1").collect())
+    // renaming onto an existing table refuses
+    cat.createTable("db", "r3", Seq("id" -> "long"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.r2 RENAME TO db.r3"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("TRUNCATE TABLE and ALTER COLUMN TYPE through native SQL") {
     import spark.implicits._
     val cat = freshCat()
