@@ -276,12 +276,14 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(oldIdent))
     val to = location(newIdent)
       .getOrElse(sys.error("spark.graft.warehouse not set"))
-    require(!MetadataIO.exists(to),
-      s"table ${fullName(newIdent)} already exists")
+    if (MetadataIO.exists(to)) // the AnalysisException the contract names
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
     Files.createDirectories(Paths.get(to).getParent)
     Files.move(Paths.get(from), Paths.get(to),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    MetadataIO.commitRetry(to)(cur =>
-      cur.copy(name = fullName(newIdent), location = to))
+    // metadata name stays catalog-free (db.table), matching createTable
+    MetadataIO.commitRetry(to)(cur => cur.copy(
+      name = (newIdent.namespace() :+ newIdent.name()).mkString("."),
+      location = to))
   }
 }

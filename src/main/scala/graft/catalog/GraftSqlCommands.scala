@@ -44,8 +44,11 @@ object GraftSqlCommands {
     * of corrupting the predicate.
     */
   private def unbindPlan(p: LogicalPlan): LogicalPlan = {
+    // capture risk comes from BASE relation columns (visible throughout
+    // the subquery's FROM scope) — a projection alias above the
+    // reference's position cannot shadow it and must not false-reject
     lazy val innerNames: Set[String] =
-      p.collect { case n => n.output }.flatten.map(_.name.toLowerCase).toSet
+      p.collectLeaves().flatMap(_.output).map(_.name.toLowerCase).toSet
     p.transformAllExpressions {
       case org.apache.spark.sql.catalyst.expressions.OuterReference(a: AttributeReference) =>
         if (innerNames.contains(a.name.toLowerCase))

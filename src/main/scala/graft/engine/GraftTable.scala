@@ -371,9 +371,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // consumer that orders history (snapshots/history views, snapshot
     // expiry's keep-set, commit-sequence queries) would fall back to
     // the RANDOM snapshot id — nondeterministic commit order observed
-    // as flaky oracle mismatches
-    val now = math.max(System.currentTimeMillis(),
-      cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
+    // as flaky oracle mismatches. The max spans the snapshot LOG too:
+    // pointer moves (rollback/fast-forward) append log-only entries,
+    // and a data commit in the same millisecond must sort AFTER them —
+    // snapshotAsOfTime is log-ordered.
+    val now = math.max(System.currentTimeMillis(), math.max(
+      cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue),
+      cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(Long.MinValue)) + 1)
     val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
     val snap = Snapshot(
       snapshotId = id, parentId = cur.currentSnapshotId, timestampMs = now,
@@ -433,15 +437,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
     // a batch with two rows for one key would delete the old copy once
     // and append BOTH rows — permanent duplicates in the exactly-once
-    // path. Fail loudly; dedupe upstream (e.g. latest-by-timestamp).
+    // path. Fail loudly (one key-only job); dedupe upstream.
+    require(df.groupBy(keyCols.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+      s"upsert batch has duplicate ${keyCols.mkString("/")} keys — " +
+        "aggregate to one row per key upstream")
     val keyDf = df.select(keyCols.map(k => col(s"`$k`")): _*).distinct().persist()
     val delEntries: Vector[DataFileEntry] =
       try {
-        val nKeys = keyDf.count()
-        require(nKeys == df.count(),
-          s"upsert batch has duplicate ${keyCols.mkString("/")} keys — " +
-            "aggregate to one row per key upstream")
-        if (files0.isEmpty || nKeys == 0) Vector.empty
+        if (files0.isEmpty) Vector.empty
         else {
           // metadata-only candidate pruning on the first key's bounds
           val bounded = {
@@ -468,7 +472,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           }
         }
       } finally keyDf.unpersist()
-    val written = writeFiles(m, df)
+    // a failure writing the DATA files must reclaim the already-staged
+    // delete file too — no path may strand orphans
+    val written =
+      try writeFiles(m, df)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          delEntries.foreach(f =>
+            Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+          throw e
+      }
     final class Dup extends RuntimeException
     def reclaimStaged(): Unit =
       (written ++ delEntries).foreach(f =>
@@ -1071,12 +1084,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       targetFiles: Int = 0): GraftTable = {
     require(cols.size >= 2, "Z-order needs at least two columns (use rewriteDataFiles(sortBy) for one)")
     val m = meta
-    val numeric = Set("int", "long", "float", "double")
+    // every type Spark can cast to double for range bucketing (date
+    // cannot; strings would degenerate silently to one bucket)
+    def bucketable(dt: String): Boolean =
+      Set("int", "long", "float", "double", "timestamp")(dt) ||
+        dt.startsWith("decimal")
     cols.foreach { c =>
       val f = m.currentSchema.fieldByName(c)
         .getOrElse(sys.error(s"z-order column $c not in schema"))
-      require(numeric(f.dataType),
-        s"z-order column $c has type ${f.dataType}; only ${numeric.mkString("/")} supported")
+      require(bucketable(f.dataType),
+        s"z-order column $c has type ${f.dataType}; " +
+          "only int/long/float/double/timestamp/decimal columns cluster")
     }
     val df0 = read()
     // one tiny agg for global ranges; the key itself is pure codegen

@@ -69,7 +69,12 @@ class MergeDifferentialSpec extends AnyFunSuite {
       notMatched = Seq(
         MergeInsertValuesClause(Some(pmod(col("sv"), lit(2)) === ci),
           Map("id" -> col("sid"), "v" -> col("sv")))))
-    val got = t.read().as[(Long, Int)].collect().toMap
+    val rows = t.read().as[(Long, Int)].collect()
+    // cardinality first: toMap would silently swallow duplicate keys —
+    // the classic CoW re-emit bug this spec exists to catch
+    assert(rows.length == expected.size,
+      s"seed=$seed mode=$mode: ${rows.length} rows, expected ${expected.size}")
+    val got = rows.toMap
     assert(got == expected,
       s"seed=$seed mode=$mode cm=$cm cd=$cd ci=$ci\n" +
         s"missing=${(expected.toSet -- got.toSet).toSeq.sortBy(_._1)}\n" +
