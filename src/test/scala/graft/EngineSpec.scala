@@ -563,6 +563,16 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().count() == 64L * 64L)
     assert(t.read().distinct().count() == 64L * 64L)
     intercept[IllegalArgumentException](t.rewriteDataFilesZOrder(Seq("x")))
+    // timestamp columns bucket via the double cast; strings refuse loudly
+    val t2 = GraftTable.create(spark, tmp(), "zts",
+      Seq("ts" -> "timestamp", "v" -> "long", "s" -> "string"))
+    t2.append(Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"),
+      (java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 2L, "b"))
+      .toDF("ts", "v", "s"))
+    t2.rewriteDataFilesZOrder(Seq("ts", "v"))
+    assert(t2.read().count() == 2)
+    intercept[IllegalArgumentException](t2.rewriteDataFilesZOrder(Seq("s", "v")))
   }
 
   test("rollback and set-current-snapshot move the pointer, keep history") {
