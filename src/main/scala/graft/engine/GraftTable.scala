@@ -90,8 +90,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         // positional deletes apply to pruned reads too — skipping them
         // would resurrect MoR-deleted rows in every pruned query
         if (s.deleteFiles.isEmpty) readFiles(m, kept)
-        else applyDeletes(readFilesTagged(m, kept), s.deleteFiles)
-          .drop("_g_path", "_g_pos")
+        else liveRows(m, s, kept).drop("_g_path", "_g_pos")
     }
   }
 
@@ -104,10 +103,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       case None => emptyDf(m)
       case Some(s) if s.deleteFiles.isEmpty => readFiles(m, s.files)
       case Some(s) =>
-        // merge-on-read: anti-join positional delete rows; delete files
+        // merge-on-read: positional deletes anti-join by (path, pos),
+        // equality deletes by key value + sequence; both delete sides
         // are small relative to data, so they broadcast
-        applyDeletes(readFilesTagged(m, s.files), s.deleteFiles)
-          .drop("_g_path", "_g_pos")
+        liveRows(m, s, s.files).drop("_g_path", "_g_pos")
     }
 
   /** Field-id mapped read core: group files by written schema, read
@@ -171,15 +170,67 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   private def applyDeletes(tagged: DataFrame,
       deletes: Vector[DataFileEntry]): DataFrame = {
-    if (deletes.isEmpty) return tagged
+    val pos = deletes.filter(_.equalityIds.isEmpty) // positional kind only
+    if (pos.isEmpty) return tagged
     val delDf = spark.read
       .schema("file_path STRING, pos BIGINT")
-      .parquet(deletes.map(f => s"$location/${f.path}"): _*)
+      .parquet(pos.map(f => s"$location/${f.path}"): _*)
     tagged.join(broadcast(delDf),
       relDataPath(tagged("_g_path")) === relDataPath(delDf("file_path")) &&
         tagged("_g_pos") === delDf("pos"),
       "left_anti")
   }
+
+  /** Apply EQUALITY deletes: hide every data row whose key columns
+    * equal a delete row's and whose file was committed STRICTLY before
+    * the delete (seq rule — the batch committed with the delete
+    * survives it). Delete-file key columns are stored under field-id
+    * names (`_k_<id>`), so key-column renames can't break the match;
+    * per-file sequences reach the data rows through a tiny broadcast
+    * path→seq lookup. Anti joins broadcast the (small, micro-batch-
+    * sized) delete rows; compaction reclaims them.
+    */
+  private def applyEqDeletes(m: TableMetadata, tagged: DataFrame,
+      files: Vector[DataFileEntry],
+      deletes: Vector[DataFileEntry]): DataFrame = {
+    val eq = deletes.filter(_.equalityIds.nonEmpty)
+    if (eq.isEmpty) return tagged
+    val seqDf = spark.createDataFrame(
+      files.map(f => (f.path, f.seq))).toDF("__sf_path", "_g_seq")
+    val withSeq = tagged.join(broadcast(seqDf),
+      relDataPath(tagged("_g_path")) === seqDf("__sf_path"), "left")
+      .drop("__sf_path")
+    val applied = eq.groupBy(_.equalityIds).foldLeft(withSeq) {
+      case (df, (ids, fs)) =>
+        val keyFields = ids.map(id => m.currentSchema.fieldById(id)
+          .getOrElse(sys.error(s"equality-delete key field $id was dropped; " +
+            "compact the table before dropping key columns")))
+        val delSchema = org.apache.spark.sql.types.StructType(
+          ids.zip(keyFields).map { case (id, f) =>
+            org.apache.spark.sql.types.StructField(s"_k_$id", f.sparkType)
+          })
+        val delAll = fs.map(f =>
+            spark.read.schema(delSchema).parquet(s"$location/${f.path}")
+              .withColumn("__del_seq", lit(f.seq)))
+          .reduce(_ unionByName _)
+        val keysEqual = ids.zip(keyFields).map { case (id, f) =>
+          df(s"`${f.name}`") <=> delAll(s"_k_$id")
+        }.reduce(_ && _)
+        df.join(broadcast(delAll),
+          keysEqual && df("_g_seq") < delAll("__del_seq"), "left_anti")
+    }
+    applied.drop("_g_seq")
+  }
+
+  /** Live (delete-applied) tagged rows of `files` under snapshot
+    * `snap` — the ONE read every DML/merge/upsert path uses, so no
+    * writer can ever resurrect a row hidden by either delete kind.
+    */
+  private def liveRows(m: TableMetadata, snap: Snapshot,
+      files: Vector[DataFileEntry]): DataFrame =
+    applyEqDeletes(m,
+      applyDeletes(readFilesTagged(m, files), snap.deleteFiles),
+      files, snap.deleteFiles)
 
   // ----------------------------------------------------------------- write
 
@@ -379,21 +430,35 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue),
       cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(Long.MinValue)) + 1)
     val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
+    // commit sequencing: files appearing for the FIRST time get the next
+    // sequence number; carried files keep theirs. Equality deletes hide
+    // only strictly-older sequences, so a batch committed WITH an
+    // equality delete survives it.
+    val nextSeq = cur.lastSequence + 1
+    val knownPaths = cur.currentSnapshot
+      .map(s => (s.files ++ s.deleteFiles).map(_.path).toSet)
+      .getOrElse(Set.empty)
+    def sequenced(fs: Vector[DataFileEntry]) =
+      fs.map(f => if (knownPaths(f.path)) f else f.copy(seq = nextSeq))
+    val seqFiles = sequenced(files)
+    val seqDeletes = sequenced(deleteFiles)
     val snap = Snapshot(
       snapshotId = id, parentId = cur.currentSnapshotId, timestampMs = now,
       operation = op, schemaId = cur.currentSchemaId,
       specId = cur.currentSpecId,
-      files = files,
+      files = seqFiles,
       summary = Map(
-        "total-records" -> files.map(_.recordCount).sum.toString,
-        "total-data-files" -> files.size.toString,
-        "total-delete-files" -> deleteFiles.size.toString,
-        "total-position-deletes" -> deleteFiles.map(_.recordCount).sum.toString),
-      deleteFiles = deleteFiles)
+        "total-records" -> seqFiles.map(_.recordCount).sum.toString,
+        "total-data-files" -> seqFiles.size.toString,
+        "total-delete-files" -> seqDeletes.size.toString,
+        "total-position-deletes" -> seqDeletes.filter(_.equalityIds.isEmpty)
+          .map(_.recordCount).sum.toString),
+      deleteFiles = seqDeletes)
     cur.copy(
       currentSnapshotId = Some(id),
       snapshots = cur.snapshots :+ snap,
-      snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, id))
+      snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, id),
+      lastSequence = nextSeq)
   }
 
   /** TRUNCATE TABLE: a new EMPTY snapshot — metadata-only (no file
@@ -458,7 +523,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           }
           if (bounded.isEmpty) Vector.empty
           else {
-            val live = applyDeletes(readFilesTagged(m, bounded), dels0)
+            val live = m.currentSnapshot
+              .map(sn => liveRows(m, sn, bounded))
+              .getOrElse(readFilesTagged(m, bounded))
             val doomed = live.join(broadcast(keyDf),
                 keyCols.map(k => live(s"`$k`") === keyDf(s"`$k`")).reduce(_ && _),
                 "left_semi")
@@ -585,8 +652,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * return its manifest entries — the one writer all merge-on-read
     * paths (DML, MERGE, upsert) share.
     */
-  private def writeDeleteFile(m: TableMetadata,
-      delRows: DataFrame): Vector[DataFileEntry] = {
+  private def writeDeleteFile(m: TableMetadata, delRows: DataFrame,
+      equalityIds: Vector[Int] = Vector.empty): Vector[DataFileEntry] = {
     val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
     val delRel = s"data/${UUID.randomUUID().toString}-deletes"
     val delAbs = s"$location/$delRel"
@@ -594,7 +661,67 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .parquet(delAbs)
     listParquet(delAbs).map { abs =>
       val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
-      DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId)
+      DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId,
+        equalityIds = equalityIds)
+    }
+  }
+
+  /** O(batch)-commit CDC apply: the EQUALITY-delete variant of
+    * [[upsertIfNewMarker]]. No join against existing data at write
+    * time at all — the batch's rows, ONE equality-delete file holding
+    * the batch's keys (stored under field-id names, rename-proof), and
+    * the batch-id marker commit together; readers hide every OLDER row
+    * with equal keys (seq rule) until compaction materializes the
+    * table. The write-side trade: commits are O(batch) regardless of
+    * how many files hold replaced keys, while reads pay one extra
+    * broadcast anti-join per accumulated delete file — exactly
+    * Iceberg's equality-delete contract (what Flink CDC writes).
+    */
+  def upsertEqIfNewMarker(df: DataFrame, keyCols: Seq[String],
+      markerKey: String, markerValue: Long): Boolean = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val m = meta
+    val ids = keyCols.map(k => m.currentSchema.fieldByName(k)
+      .getOrElse(sys.error(s"upsert key $k not in schema")).id).toVector
+    def seen(t: TableMetadata): Boolean =
+      t.properties.get(markerKey).exists(_.toLong >= markerValue)
+    if (seen(m)) return false
+    require(df.groupBy(keyCols.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+      s"upsert batch has duplicate ${keyCols.mkString("/")} keys — " +
+        "aggregate to one row per key upstream")
+    val keyRows = df.select(keyCols.zip(ids).map { case (k, id) =>
+      col(s"`$k`").as(s"_k_$id")
+    }: _*).distinct()
+    val delEntries = writeDeleteFile(m, keyRows, equalityIds = ids)
+    val written =
+      try writeFiles(m, df)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          delEntries.foreach(f =>
+            Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+          throw e
+      }
+    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+    final class Dup extends RuntimeException
+    def reclaimStaged(): Unit =
+      (written ++ delEntries).foreach(f =>
+        Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+    try {
+      MetadataIO.commitRetry(location) { cur =>
+        if (seen(cur)) throw new Dup
+        // value-keyed deletes make concurrent writers ambiguous (which
+        // copy of a key wins?) — same strictness as the positional path
+        require(cur.currentSnapshotId == m.currentSnapshotId,
+          s"concurrent commit during upsert $markerKey=$markerValue — re-run")
+        withSnapshot(cur, "overwrite", files0 ++ written, dels0 ++ delEntries)
+          .copy(properties = cur.properties + (markerKey -> markerValue.toString))
+      }
+      true
+    } catch {
+      case _: Dup => reclaimStaged(); false
+      case scala.util.control.NonFatal(e) => reclaimStaged(); throw e
     }
   }
 
@@ -612,7 +739,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     if (candidates.isEmpty) return this
     // existing deletes must apply first: an already-deleted row must not
     // be re-deleted (harmless) or re-updated (row resurrection!)
-    val live = applyDeletes(readFilesTagged(m, candidates), snap.deleteFiles)
+    val live = liveRows(m, snap, candidates)
     val matched = live.filter(cond).cache()
     try {
       val delRows = matched.select(
@@ -717,7 +844,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     def aliased(df: DataFrame): DataFrame =
       targetAlias.map(df.alias).getOrElse(df)
     def liveOf(fs: Vector[DataFileEntry]): DataFrame =
-      applyDeletes(readFilesTagged(m, fs), dels0)
+      m.currentSnapshot.map(sn => liveRows(m, sn, fs))
+        .getOrElse(readFilesTagged(m, fs))
 
     // first clause whose condition is TRUE wins; -1 = no clause applies
     def actionIdx(cs: Seq[(Option[Column], Any)]): Column =
@@ -909,8 +1037,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // already removed (tables can switch write modes between commits)
     val survivors0 =
       if (snap.deleteFiles.isEmpty) readFiles(m, touched)
-      else applyDeletes(readFilesTagged(m, touched), snap.deleteFiles)
-        .drop("_g_path", "_g_pos")
+      else liveRows(m, snap, touched).drop("_g_path", "_g_pos")
     val survivors = op match {
       // keep rows where cond is not TRUE (NULL-safe: NULL keeps the row)
       case "delete" => survivors0.filter(!coalesce(cond, lit(false)))

@@ -464,6 +464,39 @@ object Versioned {
         FROM supplier ORDER BY s_suppkey
       """)),
 
+    // Equality-delete CDC upsert (format-v2's second MoR delete kind):
+    // O(batch) commits — no write-time join — with the key match
+    // deferred to readers under the strict sequence rule. Same visible
+    // semantics as q82's positional variant, so the same oracle shape.
+    QueryDef(
+      "q87_eq_upsert",
+      (s, d) => {
+        val loc = setupOnce("q87", d) {
+          val l = scratch("equpsert")
+          val sup = Tables.supplier(s, d)
+            .select("s_suppkey", "s_name", "s_acctbal")
+          val t = GraftTable.createAs(s, l, "supplier_eq", sup)
+          val batch2 = sup.filter(col("s_suppkey") % 3 === 0)
+            .withColumn("s_acctbal", col("s_acctbal") + 500.0)
+          t.upsertEqIfNewMarker(batch2, Seq("s_suppkey"),
+            "graft.streaming.eqcdc.batch-id", 1L)
+          // replay must change nothing
+          t.upsertEqIfNewMarker(batch2, Seq("s_suppkey"),
+            "graft.streaming.eqcdc.batch-id", 1L)
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name,
+               round(CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 500.0
+                          ELSE s_acctbal END, 2) AS s_acctbal
+        FROM supplier ORDER BY s_suppkey
+      """)),
+
     // Sorted (clustered) compaction: rewrite_data_files with a sort key
     // range-partitions the table so per-file min/max bounds are
     // disjoint — point predicates prune to one file (EngineSpec pins

@@ -54,4 +54,20 @@ object GraftTableSink {
       ()
     }
   }
+
+  /** The EQUALITY-delete upsert variant: commits are O(batch) — no join
+    * against existing data at write time (the key match defers to
+    * readers; compact periodically to reclaim read cost). Prefer this
+    * for high-frequency CDC streams, [[upsertBatch]] when reads
+    * dominate between compactions.
+    */
+  def upsertBatchEq(table: GraftTable, keyCols: Seq[String],
+      name: String): (DataFrame, Long) => Unit = {
+    require(name.nonEmpty, "sink name must be non-empty")
+    (batch: DataFrame, batchId: Long) => {
+      table.upsertEqIfNewMarker(batch, keyCols,
+        s"graft.streaming.$name.batch-id", batchId)
+      ()
+    }
+  }
 }

@@ -90,15 +90,27 @@ final case class PartitionSpec(specId: Int, fields: Vector[PartitionField])
 final case class DataFileEntry(path: String, recordCount: Long,
     schemaId: Int, partitionValues: Map[String, String] = Map.empty,
     lowerBounds: Map[String, String] = Map.empty,
-    upperBounds: Map[String, String] = Map.empty)
+    upperBounds: Map[String, String] = Map.empty,
+    // commit sequence, assigned at the file's FIRST commit (0 = written
+    // before sequencing existed). Equality deletes apply only to data
+    // files with a STRICTLY SMALLER sequence — the same-commit batch
+    // that carries the delete must not delete itself (Iceberg's
+    // sequence-number rule).
+    seq: Long = 0L,
+    // field-ids of the equality-delete key columns; non-empty marks a
+    // deleteFiles entry as an EQUALITY delete (rows keyed by value, not
+    // position — Iceberg format-v2's second delete kind)
+    equalityIds: Vector[Int] = Vector.empty)
 
 /** A committed table version: full file list + provenance.
   * operation: "append" | "overwrite" | "delete" | "replace".
   *
-  * deleteFiles are POSITIONAL delete files (merge-on-read, the
-  * reference's `write.delete.mode=merge-on-read` with on-disk
-  * `*-deletes.parquet` — format-v2 semantics): parquet of
-  * (file_path, pos) rows that readers anti-join against data rows.
+  * deleteFiles hold both merge-on-read delete kinds (the reference's
+  * `write.delete.mode=merge-on-read` with on-disk `*-deletes.parquet`
+  * — format-v2 semantics): POSITIONAL entries (equalityIds empty) are
+  * parquet of (file_path, pos) rows anti-joined against data rows;
+  * EQUALITY entries (equalityIds set) are parquet of key-column rows
+  * that hide every OLDER (smaller-seq) data row with equal keys.
   * Empty under copy-on-write.
   */
 final case class Snapshot(snapshotId: Long, parentId: Option[Long],
@@ -133,7 +145,10 @@ final case class TableMetadata(
     snapshotLog: Vector[SnapshotLogEntry],
     metadataLog: Vector[MetadataLogEntry],
     properties: Map[String, String],
-    refs: Vector[TableRef] = Vector.empty) {
+    refs: Vector[TableRef] = Vector.empty,
+    // monotonic commit-sequence counter backing DataFileEntry.seq
+    // (0 for documents written before sequencing existed)
+    lastSequence: Long = 0L) {
 
   def currentSchema: VersionedSchema =
     schemas.find(_.schemaId == currentSchemaId)
