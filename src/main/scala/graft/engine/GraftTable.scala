@@ -195,30 +195,44 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       deletes: Vector[DataFileEntry]): DataFrame = {
     val eq = deletes.filter(_.equalityIds.nonEmpty)
     if (eq.isEmpty) return tagged
+    Seq("_g_seq", "__sf_path", "__del_seq").foreach(c =>
+      require(m.currentSchema.fieldByName(c).isEmpty,
+        s"column name $c is reserved by the equality-delete read path"))
     val seqDf = spark.createDataFrame(
       files.map(f => (f.path, f.seq))).toDF("__sf_path", "_g_seq")
     val withSeq = tagged.join(broadcast(seqDf),
       relDataPath(tagged("_g_path")) === seqDf("__sf_path"), "left")
       .drop("__sf_path")
-    val applied = eq.groupBy(_.equalityIds).foldLeft(withSeq) {
-      case (df, (ids, fs)) =>
+    // group by (key set, write schema): each delete file is read with
+    // its WRITE-TIME key types then cast to the current type — exactly
+    // how mappedRead treats data files, so type widening on a key
+    // column cannot break existing delete files
+    val applied = eq.groupBy(f => (f.equalityIds, f.schemaId))
+      .foldLeft(withSeq) { case (df, ((ids, schemaId), fs)) =>
+        val written = m.schemaById(schemaId)
+          .getOrElse(sys.error(s"schema $schemaId missing from metadata"))
         val keyFields = ids.map(id => m.currentSchema.fieldById(id)
           .getOrElse(sys.error(s"equality-delete key field $id was dropped; " +
             "compact the table before dropping key columns")))
         val delSchema = org.apache.spark.sql.types.StructType(
-          ids.zip(keyFields).map { case (id, f) =>
-            org.apache.spark.sql.types.StructField(s"_k_$id", f.sparkType)
+          ids.map { id =>
+            val w = written.fieldById(id)
+              .getOrElse(sys.error(s"field $id missing from schema $schemaId"))
+            org.apache.spark.sql.types.StructField(s"_k_$id", w.sparkType)
           })
         val delAll = fs.map(f =>
             spark.read.schema(delSchema).parquet(s"$location/${f.path}")
               .withColumn("__del_seq", lit(f.seq)))
           .reduce(_ unionByName _)
+          .select(ids.zip(keyFields).map { case (id, f) =>
+            col(s"_k_$id").cast(f.sparkType).as(s"_k_$id")
+          } :+ col("__del_seq"): _*)
         val keysEqual = ids.zip(keyFields).map { case (id, f) =>
           df(s"`${f.name}`") <=> delAll(s"_k_$id")
         }.reduce(_ && _)
         df.join(broadcast(delAll),
           keysEqual && df("_g_seq") < delAll("__del_seq"), "left_anti")
-    }
+      }
     applied.drop("_g_seq")
   }
 
@@ -488,7 +502,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * positions. Cost is O(batch + overlapping files), independent of
     * table size.
     */
-  def upsertIfNewMarker(df: DataFrame, keyCols: Seq[String],
+  def upsertIfNewMarker(dfIn: DataFrame, keyCols: Seq[String],
       markerKey: String, markerValue: Long): Boolean = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     val m = meta
@@ -497,6 +511,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     def seen(t: TableMetadata): Boolean =
       t.properties.get(markerKey).exists(_.toLong >= markerValue)
     if (seen(m)) return false
+    // pin the batch across its consumers (dup gate, key bounds, doomed
+    // join, data write): a recomputed non-deterministic batch could
+    // otherwise delete positions that do not match the appended rows
+    val df = dfIn.persist()
+    try upsertPositional(m, df, keyCols, markerKey, markerValue, seen)
+    finally df.unpersist()
+  }
+
+  private def upsertPositional(m: TableMetadata, df: DataFrame,
+      keyCols: Seq[String], markerKey: String, markerValue: Long,
+      seen: TableMetadata => Boolean): Boolean = {
     val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
     val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
 
@@ -523,9 +548,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           }
           if (bounded.isEmpty) Vector.empty
           else {
-            val live = m.currentSnapshot
-              .map(sn => liveRows(m, sn, bounded))
-              .getOrElse(readFilesTagged(m, bounded))
+            // files0 non-empty here, so the snapshot exists
+            val live = liveRows(m, m.currentSnapshot.get, bounded)
             val doomed = live.join(broadcast(keyDf),
                 keyCols.map(k => live(s"`$k`") === keyDf(s"`$k`")).reduce(_ && _),
                 "left_semi")
@@ -677,23 +701,47 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * broadcast anti-join per accumulated delete file — exactly
     * Iceberg's equality-delete contract (what Flink CDC writes).
     */
-  def upsertEqIfNewMarker(df: DataFrame, keyCols: Seq[String],
+  def upsertEqIfNewMarker(dfIn: DataFrame, keyCols: Seq[String],
       markerKey: String, markerValue: Long): Boolean = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     val m = meta
-    val ids = keyCols.map(k => m.currentSchema.fieldByName(k)
-      .getOrElse(sys.error(s"upsert key $k not in schema")).id).toVector
+    val fields = keyCols.map(k => m.currentSchema.fieldByName(k)
+      .getOrElse(sys.error(s"upsert key $k not in schema")))
+    val ids = fields.map(_.id).toVector
     def seen(t: TableMetadata): Boolean =
       t.properties.get(markerKey).exists(_.toLong >= markerValue)
     if (seen(m)) return false
-    require(df.groupBy(keyCols.map(k => col(s"`$k`")): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
-      s"upsert batch has duplicate ${keyCols.mkString("/")} keys — " +
-        "aggregate to one row per key upstream")
-    val keyRows = df.select(keyCols.zip(ids).map { case (k, id) =>
-      col(s"`$k`").as(s"_k_$id")
-    }: _*).distinct()
-    val delEntries = writeDeleteFile(m, keyRows, equalityIds = ids)
+    // pin the batch: it feeds three jobs (dup check, delete keys, data
+    // write) and a recomputation that produced different rows would
+    // commit delete keys that do not match the appended data
+    val df = dfIn.persist()
+    try {
+      require(df.groupBy(keyCols.map(k => col(s"`$k`")): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+        s"upsert batch has duplicate ${keyCols.mkString("/")} keys — " +
+          "aggregate to one row per key upstream")
+      upsertEqCommit(m, df, keyCols, fields, ids, markerKey, markerValue,
+        seen)
+    } finally df.unpersist()
+  }
+
+  private def upsertEqCommit(m: TableMetadata, df: DataFrame,
+      keyCols: Seq[String], fields: Seq[FieldDef], ids: Vector[Int],
+      markerKey: String, markerValue: Long,
+      seen: TableMetadata => Boolean): Boolean = {
+    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+    // keys cast to the TABLE'S types (writeFiles casts the data rows the
+    // same way — a long-typed batch against an int column must not
+    // commit an unreadable INT64 delete file); no delete file at all
+    // when there are no older rows to hide or the batch is empty
+    val delEntries: Vector[DataFileEntry] =
+      if (files0.isEmpty || df.isEmpty) Vector.empty
+      else writeDeleteFile(m,
+        df.select(keyCols.zip(fields).map { case (k, f) =>
+          col(s"`$k`").cast(f.sparkType).as(s"_k_${f.id}")
+        }: _*).distinct(),
+        equalityIds = ids)
     val written =
       try writeFiles(m, df)
       catch {
@@ -702,8 +750,6 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
           throw e
       }
-    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
-    val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
     final class Dup extends RuntimeException
     def reclaimStaged(): Unit =
       (written ++ delEntries).foreach(f =>
@@ -844,6 +890,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     def aliased(df: DataFrame): DataFrame =
       targetAlias.map(df.alias).getOrElse(df)
     def liveOf(fs: Vector[DataFileEntry]): DataFrame =
+      // only called with files of the current snapshot; the empty-table
+      // path reads an empty tagged frame with no deletes to apply
       m.currentSnapshot.map(sn => liveRows(m, sn, fs))
         .getOrElse(readFilesTagged(m, fs))
 
@@ -1073,7 +1121,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** ALTER TABLE DROP COLUMN (reference: apiv15.py:122; SURVEY D4). */
   def dropColumn(name: String): GraftTable =
     evolveSchema(s"drop-column $name") { m =>
-      require(m.currentSchema.fieldByName(name).isDefined, s"no column $name")
+      val f = m.currentSchema.fieldByName(name)
+        .getOrElse(sys.error(s"no column $name"))
+      // dropping a live equality-delete key would make every read —
+      // including the compaction that could fix it — fail on the
+      // unresolvable field-id: refuse while any retained snapshot's
+      // delete files still key on it
+      require(!m.snapshots.exists(_.deleteFiles.exists(_.equalityIds
+          .contains(f.id))),
+        s"column $name is an equality-delete key in retained snapshots; " +
+          "compact (rewriteDataFiles) and expire those snapshots first")
       m.currentSchema.fields.filterNot(_.name == name)
     }
 
@@ -1366,19 +1423,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val now = math.max(System.currentTimeMillis(),
         cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
       val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
+      // branch commits sequence like main ones: a seq-0 file would be
+      // wrongly hidden by every pre-existing equality delete
+      val nextSeq = cur.lastSequence + 1
+      val newFiles = written.map(_.copy(seq = nextSeq))
+      val allFiles = head.files ++ newFiles
       val snap = Snapshot(
         snapshotId = id, parentId = Some(ref.snapshotId), timestampMs = now,
         operation = "append", schemaId = cur.currentSchemaId,
         specId = cur.currentSpecId,
-        files = head.files ++ written,
+        files = allFiles,
         summary = Map(
-          "total-records" -> (head.files ++ written).map(_.recordCount).sum.toString,
-          "total-data-files" -> (head.files ++ written).size.toString,
+          "total-records" -> allFiles.map(_.recordCount).sum.toString,
+          "total-data-files" -> allFiles.size.toString,
           "total-delete-files" -> head.deleteFiles.size.toString,
-          "total-position-deletes" -> head.deleteFiles.map(_.recordCount).sum.toString),
+          "total-position-deletes" -> head.deleteFiles
+            .filter(_.equalityIds.isEmpty).map(_.recordCount).sum.toString),
         deleteFiles = head.deleteFiles)
       cur.copy(
         snapshots = cur.snapshots :+ snap,
+        lastSequence = nextSeq,
         refs = cur.refs.map(r =>
           if (r.name == branch) r.copy(snapshotId = id) else r))
     }
