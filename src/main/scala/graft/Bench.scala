@@ -218,7 +218,16 @@ object Bench {
       java.nio.file.Files.writeString(dir.resolve("bench-evidence.json"),
         evidence + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val contract = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(contract)
+    // belt-and-braces against any stdout mangling between this JVM and
+    // the driver's parser (logger prefixes, tail truncation): the same
+    // contract line is always readable from a file
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target", "bench-contract.json"),
+        contract + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     // the run-dir is RAM: reclaim it now rather than waiting for the
     // 2h age-based reaper in some future run
