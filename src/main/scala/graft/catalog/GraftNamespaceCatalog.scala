@@ -184,14 +184,14 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
     val t = graftTable(ident)
     val m = t.meta
     // VERSION AS OF accepts a snapshot id OR a ref name (Iceberg's
-    // branch/tag time travel: VERSION AS OF 'audit-tag')
-    val snap = version.toLongOption match {
-      case Some(id) => m.snapshotById(id)
-      case None =>
-        m.refs.find(_.name == version)
-          .flatMap(r => m.snapshotById(r.snapshotId))
-          .orElse(if (version == "main") m.currentSnapshot else None)
-    }
+    // branch/tag time travel: VERSION AS OF 'audit-tag'). A numeric
+    // string that matches no snapshot falls back to ref lookup, so an
+    // all-digit branch/tag name stays addressable.
+    def byRef: Option[graft.tableformat.Snapshot] =
+      m.refs.find(_.name == version)
+        .flatMap(r => m.snapshotById(r.snapshotId))
+        .orElse(if (version == "main") m.currentSnapshot else None)
+    val snap = version.toLongOption.flatMap(m.snapshotById).orElse(byRef)
     GraftTableHandle(t, fullName(ident),
       Some(snap.getOrElse(throw new NoSuchTableException(ident))))
   }
@@ -279,8 +279,18 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
     if (MetadataIO.exists(to)) // the AnalysisException the contract names
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
     Files.createDirectories(Paths.get(to).getParent)
+    // atomic destination claim: two concurrent renames (or a rename
+    // racing createTable) to one target must not both pass the exists
+    // check and clobber — createDirectory is the claim, and rename(2)
+    // then replaces the empty claim dir atomically
+    try Files.createDirectory(Paths.get(to))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    }
     Files.move(Paths.get(from), Paths.get(to),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // metadata name stays catalog-free (db.table), matching createTable
     MetadataIO.commitRetry(to)(cur => cur.copy(
       name = (newIdent.namespace() :+ newIdent.name()).mkString("."),

@@ -285,6 +285,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         // lost the marker race: reclaim our staged (uncommitted) files
         written.foreach(f => Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
         false
+      case scala.util.control.NonFatal(e) =>
+        // any other commit failure (e.g. conflict retries exhausted)
+        // must also reclaim the staged files — they are unreferenced by
+        // any snapshot and would otherwise orphan, unlike the upsert
+        // paths which already clean up on every failure
+        written.foreach(f => Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        throw e
     }
   }
 
@@ -537,21 +544,38 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       try {
         if (files0.isEmpty) Vector.empty
         else {
-          // metadata-only candidate pruning on the first key's bounds
+          // metadata-only candidate pruning on the first key's bounds.
+          // NULL-aware: min/max ignore NULL keys, and parquet bounds
+          // exclude NULLs, so a batch containing NULL keys must widen
+          // the predicate with IS NULL (StatsPruning conservatively
+          // keeps every file for IsNull) — the eq-delete variant
+          // replaces NULL-keyed rows, and the two upserts advertise the
+          // same visible semantics
+          val kHead = col(s"`${keyCols.head}`")
           val bounded = {
-            val r = keyDf.agg(min(col(s"`${keyCols.head}`")).as("lo"),
-              max(col(s"`${keyCols.head}`")).as("hi")).head()
-            if (r.isNullAt(0)) Vector.empty
-            else StatsPruning.candidates(m, files0, exprOf(
-              col(s"`${keyCols.head}`") >= lit(r.get(0)) &&
-                col(s"`${keyCols.head}`") <= lit(r.get(1))))
+            val r = keyDf.agg(min(kHead).as("lo"), max(kHead).as("hi"),
+              max(kHead.isNull).as("hasNull")).head()
+            val hasNull = !r.isNullAt(2) && r.getBoolean(2)
+            val range =
+              if (r.isNullAt(0)) None
+              else Some(kHead >= lit(r.get(0)) && kHead <= lit(r.get(1)))
+            val pred = (range, hasNull) match {
+              case (Some(p), true)  => Some(p || kHead.isNull)
+              case (Some(p), false) => Some(p)
+              case (None, true)     => Some(kHead.isNull)
+              case (None, false)    => None // empty batch
+            }
+            pred.map(p => StatsPruning.candidates(m, files0, exprOf(p)))
+              .getOrElse(Vector.empty)
           }
           if (bounded.isEmpty) Vector.empty
           else {
             // files0 non-empty here, so the snapshot exists
             val live = liveRows(m, m.currentSnapshot.get, bounded)
+            // null-safe equality: a NULL-keyed batch row replaces the
+            // old NULL-keyed row, matching the eq-delete read path
             val doomed = live.join(broadcast(keyDf),
-                keyCols.map(k => live(s"`$k`") === keyDf(s"`$k`")).reduce(_ && _),
+                keyCols.map(k => live(s"`$k`") <=> keyDf(s"`$k`")).reduce(_ && _),
                 "left_semi")
               .select(relDataPath(col("_g_path")).as("file_path"),
                 col("_g_pos").as("pos"))
@@ -1041,7 +1065,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           // (matching DELETE/UPDATE's no-match convention)
           if (survivors.isEmpty && rows.isEmpty) this
           else {
-            val untouchedF = files0.filterNot(touched.contains)
+            // set-keyed by path: Vector.contains inside a per-file
+            // filter is O(F·T) — quadratic when NOT MATCHED BY SOURCE
+            // touches every file of a million-file table
+            val touchedPaths = touched.iterator.map(_.path).toSet
+            val untouchedF = files0.filterNot(f => touchedPaths(f.path))
             commitSnapshot(m, "overwrite", untouchedF ++ writeFiles(m, rows), dels0)
             this
           }
@@ -1078,9 +1106,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .select(col("_graft_file")).distinct().collect()
       .map(r => normalizePath(r.getString(0))).toSet
     if (touchedAbs.isEmpty) return this
-    val touched = snap.files.filter(f =>
+    // one partition pass keyed on the path set (never Vector.contains
+    // per file — that's O(F·T) on wide DML)
+    val (touched, untouched) = snap.files.partition(f =>
       touchedAbs.contains(normalizePath(s"$location/${f.path}")))
-    val untouched = snap.files.filterNot(touched.contains)
     // rewriting a file must not resurrect rows a positional delete
     // already removed (tables can switch write modes between commits)
     val survivors0 =
@@ -1177,13 +1206,31 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     evolveSchema(s"alter-column-type $name->$newType") { m =>
       val f = m.currentSchema.fieldByName(name)
         .getOrElse(sys.error(s"no column $name"))
-      val widenings = Set(
-        ("int", "long"), ("int", "double"), ("long", "double"),
-        ("float", "double"), ("int", "decimal"), ("long", "decimal"),
-        ("date", "timestamp"))
-      require(f.dataType == newType ||
-        widenings.contains((f.dataType, newType.takeWhile(_ != '('))),
-        s"unsafe type change ${f.dataType} -> $newType; only widening promotions are allowed")
+      def decimalOf(t: String): Option[(Int, Int)] =
+        if (t.startsWith("decimal(") && t.endsWith(")"))
+          t.stripPrefix("decimal(").stripSuffix(")").split(",") match {
+            case Array(p, s) => p.trim.toIntOption.zip(s.trim.toIntOption)
+            case _           => None
+          }
+        else None
+      val safe = f.dataType == newType || ((f.dataType, newType) match {
+        // int fits a double's 53-bit mantissa exactly; long does NOT
+        // (lossy above 2^53), so long->double is deliberately absent
+        case ("int", "long") | ("int", "double") |
+             ("float", "double") | ("date", "timestamp") => true
+        // int/long -> decimal must hold every historical value exactly:
+        // scale 0 and enough integer digits (int needs 10, long 19) —
+        // comparing only the base name would accept decimal(3,2) and
+        // silently null historical values through the read-time cast
+        case ("int", t)  => decimalOf(t).exists { case (p, s) => s == 0 && p >= 10 }
+        case ("long", t) => decimalOf(t).exists { case (p, s) => s == 0 && p >= 19 }
+        // decimal widening: same scale, precision may only grow
+        case (o, t) => decimalOf(o).zip(decimalOf(t)).exists {
+          case ((p0, s0), (p1, s1)) => s1 == s0 && p1 >= p0
+        }
+      })
+      require(safe,
+        s"unsafe type change ${f.dataType} -> $newType; only lossless widening promotions are allowed")
       m.currentSchema.fields.map(x =>
         if (x.id == f.id) x.copy(dataType = newType) else x)
     }

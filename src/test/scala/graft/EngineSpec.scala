@@ -494,6 +494,18 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().schema("v").dataType.typeName == "long")
     // narrowing would corrupt historical reads: refused
     intercept[IllegalArgumentException](t.alterColumnType("v", "int"))
+    // lossy promotions refused: long->double drops precision above
+    // 2^53; a decimal without enough integer digits would null
+    // historical values through the read-time cast
+    intercept[IllegalArgumentException](t.alterColumnType("v", "double"))
+    intercept[IllegalArgumentException](t.alterColumnType("v", "decimal(10,0)"))
+    intercept[IllegalArgumentException](t.alterColumnType("v", "decimal(20,2)"))
+    t.alterColumnType("v", "decimal(19,0)") // long needs 19 integer digits
+    assert(t.read().schema("v").dataType.typeName == "decimal(19,0)")
+    t.alterColumnType("v", "decimal(25,0)") // precision may only grow
+    intercept[IllegalArgumentException](t.alterColumnType("v", "decimal(25,2)"))
+    assert(t.read().orderBy("id").collect().map(_.get(1).toString).toSeq ==
+      Seq("10", "20", "30"))
     // the same field-id spans both types (promotion, not drop+add)
     assert(t.meta.schemas.flatMap(_.fields.filter(_.name == "v").map(_.id))
       .distinct.size == 1)

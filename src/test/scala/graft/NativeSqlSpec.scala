@@ -346,6 +346,13 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graft.db.reft VERSION AS OF 'main'")
       .head().getLong(0) == 3L)
+    // an all-digit ref name must still resolve: snapshot-id lookup
+    // misses, then falls back to the ref
+    t.createTag("2024")
+    t.append(Seq(4L).toDF("id"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.reft VERSION AS OF '2024'")
+      .head().getLong(0) == 3L)
     val procs = spark.sql("SHOW PROCEDURES IN graft.system")
       .collect().map(_.toString).mkString
     assert(procs.contains("rollback_to_snapshot") && procs.contains("fast_forward"))

@@ -244,6 +244,14 @@ class StreamingSpec extends AnyFunSuite {
       Seq((5L, "x"), (5L, "y")).toDF("id", "v"), Seq("id"),
       "graft.streaming.cdc.batch-id", 99L))
     assert(t.read().count() == 4)
+    // NULL keys are null-safe (<=>): a NULL-keyed batch row REPLACES
+    // the old NULL-keyed row — same semantics as the eq-delete variant
+    up(Seq((Option.empty[java.lang.Long], "n1")).toDF("id", "v"), 3L)
+    up(Seq((Option.empty[java.lang.Long], "n2")).toDF("id", "v"), 4L)
+    val nulls = t.read().filter(col("id").isNull)
+      .select("v").as[String].collect().toSeq
+    assert(nulls == Seq("n2"))
+    assert(t.read().count() == 5)
   }
 
   test("upsert on a hidden-partitioned table records the layout") {
