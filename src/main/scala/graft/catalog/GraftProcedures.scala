@@ -18,6 +18,7 @@ import graft.engine.GraftTable
   *   CALL graft.system.set_current_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.expire_snapshots('db.t', <keep_last>)
   *   CALL graft.system.rewrite_data_files('db.t' [, 'sortCol1,sortCol2'])
+  *   CALL graft.system.rewrite_delete_files('db.t' [, <target_files>])
   *   CALL graft.system.remove_orphan_files('db.t')
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.create_branch('db.t', '<name>')
@@ -72,6 +73,12 @@ object GraftProcedures {
       Seq(in("table", StringType), in("zorder_by", StringType)),
       (w, r) => table(w, str(r, 0)).rewriteDataFilesZOrder(
         str(r, 1).split(',').map(_.trim).toSeq)),
+    Def("rewrite_delete_files",
+      Seq(in("table", StringType),
+        ProcedureParameter.in("target_files", IntegerType)
+          .defaultValue("0").build()),
+      (w, r) => table(w, str(r, 0)).rewriteDeleteFiles(
+        if (r.isNullAt(1)) 0 else r.getInt(1))),
     Def("remove_orphan_files",
       Seq(in("table", StringType)),
       (w, r) => { table(w, str(r, 0)).removeOrphanFiles(); () }),

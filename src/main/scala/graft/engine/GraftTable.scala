@@ -209,24 +209,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // column cannot break existing delete files
     val applied = eq.groupBy(f => (f.equalityIds, f.schemaId))
       .foldLeft(withSeq) { case (df, ((ids, schemaId), fs)) =>
-        val written = m.schemaById(schemaId)
-          .getOrElse(sys.error(s"schema $schemaId missing from metadata"))
-        val keyFields = ids.map(id => m.currentSchema.fieldById(id)
-          .getOrElse(sys.error(s"equality-delete key field $id was dropped; " +
-            "compact the table before dropping key columns")))
-        val delSchema = org.apache.spark.sql.types.StructType(
-          ids.map { id =>
-            val w = written.fieldById(id)
-              .getOrElse(sys.error(s"field $id missing from schema $schemaId"))
-            org.apache.spark.sql.types.StructField(s"_k_$id", w.sparkType)
-          })
-        val delAll = fs.map(f =>
-            spark.read.schema(delSchema).parquet(s"$location/${f.path}")
-              .withColumn("__del_seq", lit(f.seq)))
-          .reduce(_ unionByName _)
-          .select(ids.zip(keyFields).map { case (id, f) =>
-            col(s"_k_$id").cast(f.sparkType).as(s"_k_$id")
-          } :+ col("__del_seq"): _*)
+        val (delAll, keyFields) = readEqGroup(m, ids, schemaId, fs)
         val keysEqual = ids.zip(keyFields).map { case (id, f) =>
           df(s"`${f.name}`") <=> delAll(s"_k_$id")
         }.reduce(_ && _)
@@ -234,6 +217,35 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           keysEqual && df("_g_seq") < delAll("__del_seq"), "left_anti")
       }
     applied.drop("_g_seq")
+  }
+
+  /** One equality-delete group's rows (`_k_<id>` key columns cast to
+    * the CURRENT key types + `__del_seq`) and the current key fields —
+    * shared by the read path's anti-join and delete-file maintenance's
+    * semi-join.
+    */
+  private def readEqGroup(m: TableMetadata, ids: Vector[Int],
+      schemaId: Int, fs: Vector[DataFileEntry])
+      : (DataFrame, Seq[FieldDef]) = {
+    val written = m.schemaById(schemaId)
+      .getOrElse(sys.error(s"schema $schemaId missing from metadata"))
+    val keyFields = ids.map(id => m.currentSchema.fieldById(id)
+      .getOrElse(sys.error(s"equality-delete key field $id was dropped; " +
+        "compact the table before dropping key columns")))
+    val delSchema = org.apache.spark.sql.types.StructType(
+      ids.map { id =>
+        val w = written.fieldById(id)
+          .getOrElse(sys.error(s"field $id missing from schema $schemaId"))
+        org.apache.spark.sql.types.StructField(s"_k_$id", w.sparkType)
+      })
+    val delAll = fs.map(f =>
+        spark.read.schema(delSchema).parquet(s"$location/${f.path}")
+          .withColumn("__del_seq", lit(f.seq)))
+      .reduce(_ unionByName _)
+      .select(ids.zip(keyFields).map { case (id, f) =>
+        col(s"_k_$id").cast(f.sparkType).as(s"_k_$id")
+      } :+ col("__del_seq"): _*)
+    (delAll, keyFields)
   }
 
   /** Live (delete-applied) tagged rows of `files` under snapshot
@@ -1299,6 +1311,111 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
     val written = writeFiles(m, df)
     commitSnapshot(m, "replace", written, Vector.empty)
+    this
+  }
+
+  /** Delete-file maintenance (Iceberg's `rewrite_position_delete_files`
+    * plus equality→positional conversion): compact every accumulated
+    * delete file into minimal POSITIONAL form WITHOUT rewriting any
+    * data file.
+    *
+    *   - positional delete rows whose target data file left the
+    *     current snapshot are dead — dropped;
+    *   - equality deletes are materialized into positions: one scan
+    *     restricted to data files old enough to be affected (seq rule)
+    *     and column-pruned to the key columns finds the hidden rows'
+    *     (file, pos) pairs; the value-keyed files then disappear,
+    *     taking their one-read-time-anti-join-per-group with them;
+    *   - survivors compact into range-sorted positional files — the
+    *     read path pays ONE broadcast anti-join total afterwards.
+    *
+    * The intended user is a long-running CDC stream
+    * ([[upsertEqIfNewMarker]]): until now only a full
+    * `rewriteDataFiles()` — rewriting ALL data — reclaimed its
+    * per-batch delete files. Cost here: one key-column scan of
+    * affected files, one delete-row shuffle O(deleted rows), zero data
+    * writes — at 100 TB that is metadata-scale, not data-scale.
+    */
+  def rewriteDeleteFiles(targetFiles: Int = 0): GraftTable = {
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(return this)
+    if (snap.deleteFiles.isEmpty) return this
+    val pos = snap.deleteFiles.filter(_.equalityIds.isEmpty)
+    val eq = snap.deleteFiles.filter(_.equalityIds.nonEmpty)
+
+    // surviving positional rows: normalize and drop dead pointers with
+    // a semi-join against the live file list (broadcast: the manifest
+    // already lives on the driver, so the path list is driver-scale)
+    val posRows: Option[DataFrame] =
+      if (pos.isEmpty) None
+      else {
+        val raw = spark.read.schema("file_path STRING, pos BIGINT")
+          .parquet(pos.map(f => s"$location/${f.path}"): _*)
+          .select(relDataPath(col("file_path")).as("file_path"), col("pos"))
+        val live = spark.createDataFrame(snap.files.map(f => Tuple1(f.path)))
+          .toDF("__live_path")
+        Some(raw.join(broadcast(live),
+          raw("file_path") === live("__live_path"), "left_semi"))
+      }
+
+    // equality deletes → positions: semi-join (vs the read path's
+    // anti-join) over the same per-group delete rows and seq rule
+    val eqRows: Option[DataFrame] =
+      if (eq.isEmpty) None
+      else {
+        val affected = snap.files.filter(_.seq < eq.map(_.seq).max)
+        if (affected.isEmpty) None
+        else {
+          val tagged = readFilesTagged(m, affected)
+          val seqDf = spark.createDataFrame(
+            affected.map(f => (f.path, f.seq))).toDF("__sf_path", "_g_seq")
+          val withSeq = tagged.join(broadcast(seqDf),
+            relDataPath(tagged("_g_path")) === seqDf("__sf_path"), "left")
+            .drop("__sf_path")
+          eq.groupBy(f => (f.equalityIds, f.schemaId)).toSeq
+            .map { case ((ids, schemaId), fs) =>
+              val (delAll, keyFields) = readEqGroup(m, ids, schemaId, fs)
+              val keysEqual = ids.zip(keyFields).map { case (id, f) =>
+                withSeq(s"`${f.name}`") <=> delAll(s"_k_$id")
+              }.reduce(_ && _)
+              withSeq.join(broadcast(delAll),
+                  keysEqual && withSeq("_g_seq") < delAll("__del_seq"),
+                  "left_semi")
+                .select(relDataPath(col("_g_path")).as("file_path"),
+                  col("_g_pos").as("pos"))
+            }
+            .reduceOption(_ unionByName _)
+        }
+      }
+
+    val newDeletes: Vector[DataFileEntry] =
+      (posRows.toSeq ++ eqRows.toSeq).reduceOption(_ unionByName _) match {
+        case None => Vector.empty
+        case Some(rows0) =>
+          // distinct: a row hidden by BOTH kinds must land once
+          val rows = rows0.distinct().persist()
+          try {
+            if (rows.isEmpty) Vector.empty
+            else {
+              // delete rows at 100 TB can be billions — never force one
+              // file; range-partition by (file, pos) so each output file
+              // covers a contiguous, well-compressed slice (explicit
+              // targetFiles pins the layout, else AQE sizes the shuffle)
+              val keys = Seq(col("file_path"), col("pos"))
+              val ranged =
+                if (targetFiles > 0) rows.repartitionByRange(targetFiles, keys: _*)
+                else rows.repartitionByRange(keys: _*)
+              writeDeleteFile(m, ranged.sortWithinPartitions(keys: _*))
+            }
+          } finally rows.unpersist()
+      }
+    try commitSnapshot(m, "replace", snap.files, newDeletes)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        newDeletes.foreach(f =>
+          Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        throw e
+    }
     this
   }
 

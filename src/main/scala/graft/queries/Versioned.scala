@@ -497,6 +497,46 @@ object Versioned {
         FROM supplier ORDER BY s_suppkey
       """)),
 
+    // Delete-file maintenance (rewrite_position_delete_files +
+    // equality→positional conversion): a CDC chain leaves one
+    // value-keyed delete file per batch — each an extra read-time
+    // anti-join — and this compacts them into ONE positional set
+    // without touching any data file. The oracle pins that maintenance
+    // changed NOTHING semantically.
+    QueryDef(
+      "q88_delete_file_maintenance",
+      (s, d) => {
+        val loc = setupOnce("q88", d) {
+          val l = scratch("delmaint")
+          val sup = Tables.supplier(s, d)
+            .select("s_suppkey", "s_name", "s_acctbal")
+          val t = GraftTable.createAs(s, l, "supplier_dm", sup)
+          val b1 = sup.filter(col("s_suppkey") % 3 === 0)
+            .withColumn("s_acctbal", col("s_acctbal") + 500.0)
+          t.upsertEqIfNewMarker(b1, Seq("s_suppkey"),
+            "graft.streaming.dm.batch-id", 1L)
+          // read-modify-write second batch, the realistic CDC shape
+          val b2 = t.read().filter(col("s_suppkey") % 5 === 0)
+            .withColumn("s_acctbal", col("s_acctbal") + 300.0)
+          t.upsertEqIfNewMarker(b2, Seq("s_suppkey"),
+            "graft.streaming.dm.batch-id", 2L)
+          t.rewriteDeleteFiles()
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal"), 2).as("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name,
+               round(s_acctbal
+                 + CASE WHEN s_suppkey % 3 = 0 THEN 500.0 ELSE 0 END
+                 + CASE WHEN s_suppkey % 5 = 0 THEN 300.0 ELSE 0 END,
+                 2) AS s_acctbal
+        FROM supplier ORDER BY s_suppkey
+      """)),
+
     // Sorted (clustered) compaction: rewrite_data_files with a sort key
     // range-partitions the table so per-file min/max bounds are
     // disjoint — point predicates prune to one file (EngineSpec pins

@@ -131,4 +131,72 @@ class EqualityDeleteSpec extends AnyFunSuite {
     assert(t.readAsOfVersion(pre.snapshotId).orderBy("id")
       .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "B")))
   }
+
+  private def antiJoins(df: org.apache.spark.sql.DataFrame): Int =
+    "LeftAnti".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("rewrite_delete_files: both kinds compact to positional, no data rewrite") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "eqm",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    // one TWO-row file (5 live + 6 soon-deleted) — the dead-pointer
+    // scenario below needs a rewrite of a file that still has a live
+    // positional delete row pointing into it
+    t.append(Seq((5L, "e"), (6L, "f")).toDF("id", "v").repartition(1))
+    val up = GraftTableSink.upsertBatchEq(t, Seq("id"), "m")
+    up(Seq((2L, "b1")).toDF("id", "v"), 0L)
+    // a schema change between batches forces a SECOND eq-delete group
+    // (same key ids, different write schema) — one more read anti-join
+    t.renameColumn("id", "doc_id")
+    val up2 = GraftTableSink.upsertBatchEq(t, Seq("doc_id"), "m2")
+    up2(Seq((3L, "c1")).toDF("doc_id", "v"), 0L)
+    // plus positional deletes from MoR DML
+    t.delete(col("v").isin("d", "f"))
+    val snap0 = t.meta.currentSnapshot.get
+    assert(snap0.deleteFiles.count(_.equalityIds.nonEmpty) == 2)
+    assert(snap0.deleteFiles.count(_.equalityIds.isEmpty) >= 1)
+    val expect = Seq((1L, "a"), (2L, "b1"), (3L, "c1"), (5L, "e"))
+    assert(t.read().orderBy("doc_id").as[(Long, String)].collect().toSeq == expect)
+    // read plan before: anti-joins for 2 eq groups + the positional set
+    // (Catalyst may clone anti-joins through the schema-group Union, so
+    // compare counts rather than pin an absolute node total)
+    val joinsBefore = antiJoins(t.read())
+    assert(joinsBefore >= 3)
+    assert(t.read().queryExecution.executedPlan.toString.contains("_k_"))
+
+    t.rewriteDeleteFiles()
+    val snap1 = t.meta.currentSnapshot.get
+    // data files untouched — only the delete-file set changed
+    assert(snap1.files.map(_.path) == snap0.files.map(_.path))
+    assert(snap1.deleteFiles.nonEmpty && snap1.deleteFiles.forall(_.equalityIds.isEmpty))
+    assert(t.read().orderBy("doc_id").as[(Long, String)].collect().toSeq == expect)
+    // the per-group eq anti-joins (and their seq join) are gone: no
+    // equality-key or delete-seq attributes remain — only the single
+    // positional delete set is joined (its node may be cloned through
+    // the schema-group Union, so absolute node counts are not pinned)
+    val planAfter = t.read().queryExecution.executedPlan.toString
+    assert(!planAfter.contains("_k_") && !planAfter.contains("__del_seq"))
+    assert(!planAfter.contains("LeftOuter"), "seq-lookup join must be gone")
+    // the compacted rows are exactly the hidden positions: old copies
+    // of keys 2 and 3, and the deleted rows 4 and 6
+    assert(snap1.deleteFiles.map(_.recordCount).sum == 4)
+
+    // dead-pointer reclaim: a copy-on-write UPDATE of id=5 rewrites the
+    // two-row file, stranding the delete row that pointed at id=6's
+    // position in it...
+    t.setProperties(Map("write.update.mode" -> "copy-on-write"))
+    t.update(col("doc_id") === 5L, Map("v" -> lit("e2")))
+    val expect2 = Seq((1L, "a"), (2L, "b1"), (3L, "c1"), (5L, "e2"))
+    assert(t.read().orderBy("doc_id").as[(Long, String)].collect().toSeq == expect2)
+    // ...so a second maintenance pass drops it and stays correct
+    t.rewriteDeleteFiles()
+    assert(t.read().orderBy("doc_id").as[(Long, String)].collect().toSeq == expect2)
+    val snap2 = t.meta.currentSnapshot.get
+    assert(snap2.deleteFiles.map(_.recordCount).sum == 3)
+    // idempotent on an already-compacted table
+    t.rewriteDeleteFiles()
+    assert(t.read().orderBy("doc_id").as[(Long, String)].collect().toSeq == expect2)
+  }
 }

@@ -453,6 +453,28 @@ class NativeSqlSpec extends AnyFunSuite {
       e.getMessage.contains("unknown procedure"))
   }
 
+  test("CALL graft.system.rewrite_delete_files compacts CDC deletes via SQL") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "cdcm", Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.upsertEqIfNewMarker(Seq((2L, "B")).toDF("id", "v"), Seq("id"), "m", 0L)
+    t.upsertEqIfNewMarker(Seq((3L, "C")).toDF("id", "v"), Seq("id"), "m", 1L)
+    assert(t.meta.currentSnapshot.get.deleteFiles
+      .count(_.equalityIds.nonEmpty) == 2)
+    spark.sql("CALL graft.system.rewrite_delete_files('db.cdcm')")
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty &&
+      snap.deleteFiles.forall(_.equalityIds.isEmpty))
+    assert(spark.table("graft.db.cdcm").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C")))
+    // the optional target_files argument pins the output layout
+    spark.sql("CALL graft.system.rewrite_delete_files('db.cdcm', 1)")
+    assert(t.meta.currentSnapshot.get.deleteFiles.size == 1)
+    assert(spark.table("graft.db.cdcm").count() == 3)
+  }
+
   test("MERGE INTO: ordered clauses — update, delete, conditional insert") {
     import spark.implicits._
     val cat = freshCat()
