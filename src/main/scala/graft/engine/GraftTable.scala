@@ -1424,37 +1424,80 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * bit-interleaved bucket key, so each output file covers a small
     * hyper-rectangle of the clustered space and stats pruning works
     * for predicates on ANY clustered column — `rewriteDataFiles(sortBy)`
-    * only ever prunes the leading sort column. Numeric columns only —
-    * bucketing needs an arithmetic range (validated up front; a string
-    * column would otherwise degenerate silently to one bucket).
+    * only ever prunes the leading sort column.
+    *
+    * Arithmetic types (int/long/float/double/timestamp/decimal) bucket
+    * equal-width from one global min/max agg — stats-free, pure
+    * codegen. String and date columns bucket by RANK: one bounded
+    * sample pass (mirroring Spark's own RangePartitioner) yields
+    * boundary values, and the bucket id is a boundary-comparison
+    * chain — so `(domain, date)`, the most common real clustering
+    * key, works. Other types are refused up front (an unorderable
+    * column would degenerate silently to one bucket).
     */
   def rewriteDataFilesZOrder(cols: Seq[String],
       targetFiles: Int = 0): GraftTable = {
     require(cols.size >= 2, "Z-order needs at least two columns (use rewriteDataFiles(sortBy) for one)")
     val m = meta
-    // every type Spark can cast to double for range bucketing (date
-    // cannot; strings would degenerate silently to one bucket)
-    def bucketable(dt: String): Boolean =
+    def arithmetic(dt: String): Boolean =
       Set("int", "long", "float", "double", "timestamp")(dt) ||
         dt.startsWith("decimal")
-    cols.foreach { c =>
-      val f = m.currentSchema.fieldByName(c)
-        .getOrElse(sys.error(s"z-order column $c not in schema"))
-      require(bucketable(f.dataType),
-        s"z-order column $c has type ${f.dataType}; " +
-          "only int/long/float/double/timestamp/decimal columns cluster")
-    }
+    def rankBased(dt: String): Boolean = dt == "string" || dt == "date"
+    val fields = cols.map(c => m.currentSchema.fieldByName(c)
+      .getOrElse(sys.error(s"z-order column $c not in schema")))
+    fields.foreach(f => require(
+      arithmetic(f.dataType) || rankBased(f.dataType),
+      s"z-order column ${f.name} has type ${f.dataType}; " +
+        "int/long/float/double/timestamp/decimal cluster arithmetically, " +
+        "string/date by rank"))
     val df0 = read()
-    // one tiny agg for global ranges; the key itself is pure codegen
-    val aggs = cols.flatMap(c => Seq(min(col(s"`$c`").cast("double")),
-      max(col(s"`$c`").cast("double"))))
-    val stats = df0.agg(aggs.head, aggs.tail: _*).head()
-    val bits = ZOrder.bitsFor(cols.size)
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) =
-        (if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i),
-          if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1))
-      ZOrder.bucket(col(s"`$c`"), lo, hi, bits)
+    val rankCols = fields.filter(f => rankBased(f.dataType)).map(_.name)
+    // rank buckets are a comparison chain per boundary, so cap their
+    // resolution at 8 bits (256 buckets/dim — ample for file-level
+    // clustering); pure-arithmetic keys keep the full width
+    val bits =
+      if (rankCols.isEmpty) ZOrder.bitsFor(cols.size)
+      else math.min(ZOrder.bitsFor(cols.size), 8)
+    val n = 1 << bits
+    // ONE bounded sample pass covers every rank column (≤32·n rows to
+    // the driver — RangePartitioner-sized, independent of table size);
+    // fixed seed keeps the layout deterministic across reruns
+    val rankBoundaries: Map[String, Vector[Any]] =
+      if (rankCols.isEmpty) Map.empty
+      else {
+        val sample = df0.select(rankCols.map(c => col(s"`$c`")): _*)
+          .rdd.takeSample(withReplacement = false, num = 32 * n, seed = 42L)
+        rankCols.zipWithIndex.map { case (c, i) =>
+          val vs = sample.iterator.map(_.get(i)).filter(_ != null).toVector
+            .sortWith((a, b) => ZOrder.cmpSampled(a, b) < 0)
+          val bnd =
+            if (vs.isEmpty) Vector.empty[Any]
+            else (1 until n).map(j =>
+              vs(((j.toLong * vs.size) / n).toInt.min(vs.size - 1)))
+              .distinct.toVector
+          c -> bnd
+        }.toMap
+      }
+    // one tiny agg for the arithmetic columns' global ranges
+    val arithCols = fields.filter(f => arithmetic(f.dataType)).map(_.name)
+    val arithRange: Map[String, (Double, Double)] =
+      if (arithCols.isEmpty) Map.empty
+      else {
+        val aggs = arithCols.flatMap(c => Seq(
+          min(col(s"`$c`").cast("double")), max(col(s"`$c`").cast("double"))))
+        val stats = df0.agg(aggs.head, aggs.tail: _*).head()
+        arithCols.zipWithIndex.map { case (c, i) =>
+          c -> ((if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)),
+            (if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    val buckets = fields.map { f =>
+      if (rankBased(f.dataType))
+        ZOrder.rankBucket(col(s"`${f.name}`"), rankBoundaries(f.name))
+      else {
+        val (lo, hi) = arithRange(f.name)
+        ZOrder.bucket(col(s"`${f.name}`"), lo, hi, bits)
+      }
     }
     val z = ZOrder.interleave(buckets, bits)
     val keyed = df0.withColumn("__graft_z", z)

@@ -35,6 +35,27 @@ object ZOrder {
     least(greatest(b, lit(0.0)), lit((n - 1).toDouble)).cast("long")
   }
 
+  /** Rank bucket id: the count of sampled boundaries <= v — an
+    * ordered boundary-comparison fold that works for any ORDERABLE
+    * type (string, date) where equal-width arithmetic can't. This is
+    * the Iceberg/Delta rank-variant trade: one bounded sample pass
+    * buys skew resistance and lifts the numeric-only restriction.
+    * Chain length = boundaries.size (≤255 at 8 bits), all CaseWhen
+    * adds — whole-stage codegen fuses it. Nulls land in bucket 0
+    * (null >= b is null → otherwise(0)), matching [[bucket]].
+    */
+  def rankBucket(c: Column, boundaries: Seq[Any]): Column =
+    boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(c >= lit(b), lit(1L)).otherwise(lit(0L))
+    }
+
+  /** Driver-side ordering for sampled boundary values. */
+  def cmpSampled(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String)               => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case _ => sys.error(s"unorderable z-order sample ${a.getClass}")
+  }
+
   /** Interleave bit i of bucket column c into position k*i + c. */
   def interleave(buckets: Seq[Column], bits: Int): Column = {
     val k = buckets.size

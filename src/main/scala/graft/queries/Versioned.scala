@@ -595,6 +595,43 @@ object Versioned {
         ORDER BY l_orderkey, l_partkey, l_quantity
       """)),
 
+    // Rank-based Z-order: (string, date) — the (domain, date) layout a
+    // web corpus actually clusters by. Boundary values come from one
+    // bounded sample pass; the oracle pins that the rewrite changed
+    // NOTHING semantically while EngineSpec pins the pruning collapse.
+    QueryDef(
+      "q89_zorder_rank",
+      (s, d) => {
+        val loc = setupOnce("q89", d) {
+          val l = scratch("zrank")
+          val o = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              // source parquet carries timestamps; the clustered table
+              // uses a true DATE column (the rank path under test)
+              col("o_orderdate").cast("date").as("o_orderdate"),
+              col("o_totalprice"))
+            .filter(col("o_orderkey") <= 20000)
+          val t = GraftTable.createAs(s, l, "orders_zr", o)
+          t.rewriteDataFilesZOrder(Seq("o_orderpriority", "o_orderdate"))
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") < lit("1996-01-01").cast("date"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+          AND o_orderkey <= 20000
+        ORDER BY o_orderkey
+      """)),
+
     // Branch write-audit-publish (M4 refs made WRITABLE): stage commits
     // on a branch while main serves the audited state, then publish by
     // fast-forwarding main onto the branch head — the WAP pattern a

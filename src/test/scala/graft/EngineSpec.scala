@@ -575,16 +575,47 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().count() == 64L * 64L)
     assert(t.read().distinct().count() == 64L * 64L)
     intercept[IllegalArgumentException](t.rewriteDataFilesZOrder(Seq("x")))
-    // timestamp columns bucket via the double cast; strings refuse loudly
+    // timestamp columns bucket via the double cast; strings now
+    // cluster by rank; unorderable types still refuse loudly
     val t2 = GraftTable.create(spark, tmp(), "zts",
-      Seq("ts" -> "timestamp", "v" -> "long", "s" -> "string"))
+      Seq("ts" -> "timestamp", "v" -> "long", "s" -> "string",
+        "b" -> "boolean"))
     t2.append(Seq(
-      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"),
-      (java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 2L, "b"))
-      .toDF("ts", "v", "s"))
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", true),
+      (java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 2L, "b", false))
+      .toDF("ts", "v", "s", "b"))
     t2.rewriteDataFilesZOrder(Seq("ts", "v"))
     assert(t2.read().count() == 2)
-    intercept[IllegalArgumentException](t2.rewriteDataFilesZOrder(Seq("s", "v")))
+    t2.rewriteDataFilesZOrder(Seq("s", "v"))
+    assert(t2.read().count() == 2)
+    intercept[IllegalArgumentException](t2.rewriteDataFilesZOrder(Seq("b", "v")))
+  }
+
+  test("rank-based Z-order clusters string and date columns and prunes both") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "zr",
+      Seq("domain" -> "string", "d" -> "date", "v" -> "long"))
+    // 32 domains x 64 days, appended in domain-major slices so
+    // pre-compaction files span the whole date range
+    val rows = for (dom <- 0 until 32; day <- 0 until 64) yield
+      (f"site$dom%02d.example", java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(day)), dom * 64L + day)
+    rows.grouped(512).foreach(g =>
+      t.append(g.toDF("domain", "d", "v").coalesce(1)))
+    val total = t.meta.currentSnapshot.get.files.size
+    assert(t.candidateFiles(col("d") === lit("2024-01-08").cast("date")).size == total,
+      "domain-major layout cannot prune on date")
+    t.rewriteDataFilesZOrder(Seq("domain", "d"), targetFiles = 16)
+    val n = t.meta.currentSnapshot.get.files.size
+    assert(n > 4, s"compaction must keep several files, got $n")
+    val pd = t.candidateFiles(col("domain") === "site05.example").size
+    val pt = t.candidateFiles(col("d") === lit("2024-01-08").cast("date")).size
+    assert(pd < n && pt < n,
+      s"rank z-order must prune on BOTH dimensions: domain->$pd, date->$pt of $n")
+    // contents unchanged by the rewrite
+    assert(t.read().count() == rows.size)
+    assert(t.read().select(sum(col("v"))).head().getLong(0) ==
+      rows.map(_._3).sum)
   }
 
   test("rollback and set-current-snapshot move the pointer, keep history") {
