@@ -19,6 +19,8 @@ import graft.engine.GraftTable
   *   CALL graft.system.expire_snapshots('db.t', <keep_last>)
   *   CALL graft.system.rewrite_data_files('db.t' [, 'sortCol1,sortCol2'])
   *   CALL graft.system.rewrite_delete_files('db.t' [, <target_files>])
+  *   CALL graft.system.upsert('db.t', '<source view>', 'k1,k2',
+  *     '<marker_key>', <marker_value> [, 'positional'|'equality'])
   *   CALL graft.system.remove_orphan_files('db.t')
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.create_branch('db.t', '<name>')
@@ -73,6 +75,31 @@ object GraftProcedures {
       Seq(in("table", StringType), in("zorder_by", StringType)),
       (w, r) => table(w, str(r, 0)).rewriteDataFilesZOrder(
         str(r, 1).split(',').map(_.trim).toSeq)),
+    Def("upsert",
+      Seq(in("table", StringType), in("source", StringType),
+        in("keys", StringType), in("marker_key", StringType),
+        in("marker_value", LongType),
+        ProcedureParameter.in("mode", StringType)
+          .defaultValue("'positional'").build()),
+      (w, r) => {
+        val t = table(w, str(r, 0))
+        // the batch arrives as a registered table/temp view name — the
+        // SQL-native stand-in for the API's DataFrame argument
+        val df = SparkSession.active.table(str(r, 1))
+        val keys = str(r, 2).split(',').map(_.trim).toSeq
+        val markerKey = str(r, 3)
+        val markerValue = r.getLong(4)
+        val mode = if (r.isNullAt(5)) "positional" else str(r, 5)
+        mode match {
+          case "positional" =>
+            t.upsertIfNewMarker(df, keys, markerKey, markerValue)
+          case "equality" =>
+            t.upsertEqIfNewMarker(df, keys, markerKey, markerValue)
+          case other => sys.error(
+            s"unknown upsert mode '$other'; use 'positional' or 'equality'")
+        }
+        ()
+      }),
     Def("rewrite_delete_files",
       Seq(in("table", StringType),
         ProcedureParameter.in("target_files", IntegerType)

@@ -1788,9 +1788,18 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .getOrElse(sys.error(s"no snapshot $id (expired?)")))
     if (toSnap.deleteFiles.nonEmpty || fromSnap.exists(_.deleteFiles.nonEmpty)) {
       // merge-on-read snapshots: positional deletes break the
-      // "carried file = identical rows" invariant, so diff the
-      // materialized (delete-applied) snapshots. Correct always;
-      // the metadata-only fast path below covers the CoW common case.
+      // "carried file = identical rows" invariant. When the range is
+      // purely ACCRETIVE — data and delete files only ADDED, the CDC
+      // upsert / MoR DML common case — the diff is computable from the
+      // delta files alone; otherwise diff the materialized snapshots
+      // (correct always).
+      val accretive = fromSnap.exists { fs =>
+        val toP = toSnap.files.map(_.path).toSet
+        val toD = toSnap.deleteFiles.map(_.path).toSet
+        fs.files.forall(f => toP(f.path)) &&
+          fs.deleteFiles.forall(f => toD(f.path))
+      }
+      if (accretive) return changelogAccretive(m, fromSnap.get, toSnap)
       val newDf = readSnapshot(m, Some(toSnap))
       val oldDf = fromSnap.map(s => readSnapshot(m, Some(s))).getOrElse(emptyDf(m))
       return newDf.exceptAll(oldDf).withColumn("_change_type", lit("insert"))
@@ -1809,6 +1818,86 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val deletes =
       if (added.isEmpty) removedDf
       else removedDf.exceptAll(addedDf)
+    inserts.withColumn("_change_type", lit("insert"))
+      .unionByName(deletes.withColumn("_change_type", lit("delete")))
+  }
+
+  /** Changelog fast path for an ACCRETIVE merge-on-read range (no data
+    * or delete file removed between the snapshots):
+    *
+    *   inserts = live rows (under TO's full delete set, seq rules
+    *             included) of the ADDED data files — an added-then-
+    *             deleted-within-the-range row correctly nets out;
+    *   deletes = rows of FROM's files, visible under FROM's delete
+    *             set, hidden by a NEW delete file: positional hits
+    *             come from a semi-join against the new delete rows
+    *             reading ONLY the files those rows reference (the
+    *             referenced-path list is manifest-bounded), equality
+    *             hits from the per-group key semi-join under the seq
+    *             rule, restricted to files old enough to be affected.
+    *
+    * No exceptAll, no scan of unchanged files — at 100 TB a CDC
+    * consumer pays O(delta), not O(table), per poll.
+    */
+  private def changelogAccretive(m: TableMetadata, fromSnap: Snapshot,
+      toSnap: Snapshot): DataFrame = {
+    val fromPaths = fromSnap.files.map(_.path).toSet
+    val fromDelPaths = fromSnap.deleteFiles.map(_.path).toSet
+    val addedData = toSnap.files.filterNot(f => fromPaths(f.path))
+    val newDels = toSnap.deleteFiles.filterNot(f => fromDelPaths(f.path))
+    val newPos = newDels.filter(_.equalityIds.isEmpty)
+    val newEq = newDels.filter(_.equalityIds.nonEmpty)
+    val inserts =
+      if (addedData.isEmpty) emptyDf(m)
+      else liveRows(m, toSnap, addedData).drop("_g_path", "_g_pos")
+    val posDeletes: Option[DataFrame] =
+      if (newPos.isEmpty) None
+      else {
+        val delDf = spark.read.schema("file_path STRING, pos BIGINT")
+          .parquet(newPos.map(f => s"$location/${f.path}"): _*)
+        val refd = delDf.select(relDataPath(col("file_path")).as("p"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val files = fromSnap.files.filter(f => refd(f.path))
+        if (files.isEmpty) None
+        else {
+          val live = liveRows(m, fromSnap, files)
+          Some(live.join(broadcast(delDf),
+            relDataPath(live("_g_path")) === relDataPath(delDf("file_path")) &&
+              live("_g_pos") === delDf("pos"), "left_semi"))
+        }
+      }
+    val eqDeletes: Option[DataFrame] =
+      if (newEq.isEmpty) None
+      else {
+        val affected = fromSnap.files.filter(_.seq < newEq.map(_.seq).max)
+        if (affected.isEmpty) None
+        else {
+          val live = liveRows(m, fromSnap, affected)
+          val seqDf = spark.createDataFrame(
+            affected.map(f => (f.path, f.seq))).toDF("__sf_path", "_g_seq")
+          val withSeq = live.join(broadcast(seqDf),
+            relDataPath(live("_g_path")) === seqDf("__sf_path"), "left")
+            .drop("__sf_path")
+          newEq.groupBy(f => (f.equalityIds, f.schemaId)).toSeq
+            .map { case ((ids, schemaId), fs) =>
+              val (delAll, keyFields) = readEqGroup(m, ids, schemaId, fs)
+              val keysEqual = ids.zip(keyFields).map { case (id, f) =>
+                withSeq(s"`${f.name}`") <=> delAll(s"_k_$id")
+              }.reduce(_ && _)
+              withSeq.join(broadcast(delAll),
+                keysEqual && withSeq("_g_seq") < delAll("__del_seq"),
+                "left_semi")
+            }
+            .reduceOption(_ unionByName _).map(_.drop("_g_seq"))
+        }
+      }
+    // a row hidden by BOTH new delete kinds must surface once: dedupe
+    // by physical position before dropping the tags
+    val deletes = (posDeletes.toSeq ++ eqDeletes.toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.dropDuplicates(Seq("_g_path", "_g_pos"))
+        .drop("_g_path", "_g_pos"))
+      .getOrElse(emptyDf(m))
     inserts.withColumn("_change_type", lit("insert"))
       .unionByName(deletes.withColumn("_change_type", lit("delete")))
   }

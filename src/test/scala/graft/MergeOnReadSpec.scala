@@ -137,6 +137,45 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(ch == Set((4L, "delete")))
   }
 
+  test("accretive changelog fast path: delta files only, no exceptAll") {
+    import spark.implicits._
+    val t = morTable()
+    val from = t.meta.currentSnapshot.get.snapshotId
+    // accretive range: MoR positional delete + eq-delete upsert +
+    // plain append + an added-then-deleted row that must net out
+    t.delete(col("id") === 2L)
+    t.upsertEqIfNewMarker(Seq((3L, "c2", 51)).toDF("id", "name", "age"),
+      Seq("id"), "m", 0L)
+    t.append(Seq((5L, "e", 70)).toDF("id", "name", "age"))
+    t.append(Seq((6L, "f", 80)).toDF("id", "name", "age"))
+    t.delete(col("id") === 6L)
+    val to = t.meta.currentSnapshot.get.snapshotId
+    val ch = t.changelog(Some(from), to)
+    // the fast path diffs delta files alone — no materialized
+    // two-snapshot exceptAll anywhere in the plan
+    assert(!ch.queryExecution.executedPlan.toString.contains("Except"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val got = rows(ch)
+    assert(got == Set(
+      (2L, "b", 40, "delete"), (3L, "c", 50, "delete"),
+      (3L, "c2", 51, "insert"), (5L, "e", 70, "insert")))
+    // differential: identical to the materialized two-snapshot diff
+    val newDf = t.readAsOfVersion(to)
+    val oldDf = t.readAsOfVersion(from)
+    val exp = rows(newDf.exceptAll(oldDf)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(oldDf.exceptAll(newDf)
+        .withColumn("_change_type", lit("delete"))))
+    assert(got == exp)
+    // a non-accretive range (compaction removed files) falls back to
+    // the materialized path and reports the same logical diff
+    t.rewriteDataFiles()
+    val to2 = t.meta.currentSnapshot.get.snapshotId
+    assert(rows(t.changelog(Some(from), to2)) == got)
+  }
+
   test("rewriteDataFiles compacts away delete files") {
     import spark.implicits._
     val t = morTable()

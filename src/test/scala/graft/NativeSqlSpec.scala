@@ -453,6 +453,37 @@ class NativeSqlSpec extends AnyFunSuite {
       e.getMessage.contains("unknown procedure"))
   }
 
+  test("CALL graft.system.upsert drives the CDC engine paths via SQL") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "upst", Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").createOrReplaceTempView("batch1")
+    spark.sql(
+      "CALL graft.system.upsert('db.upst', 'batch1', 'id', 'cdc.batch', 1)")
+    assert(spark.table("graft.db.upst").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // replayed marker: a no-op, no new snapshot
+    val snaps = t.meta.snapshots.size
+    spark.sql(
+      "CALL graft.system.upsert('db.upst', 'batch1', 'id', 'cdc.batch', 1)")
+    assert(t.meta.snapshots.size == snaps)
+    // equality mode writes a value-keyed delete file (O(batch) commit)
+    Seq((3L, "C2"), (4L, "d")).toDF("id", "v").createOrReplaceTempView("batch2")
+    spark.sql("CALL graft.system.upsert('db.upst', 'batch2', 'id', " +
+      "'cdc.batch', 2, 'equality')")
+    assert(t.meta.currentSnapshot.get.deleteFiles.exists(_.equalityIds.nonEmpty))
+    assert(spark.table("graft.db.upst").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C2"), (4L, "d")))
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.upsert('db.upst', 'batch2', 'id', 'cdc.batch', 3, 'nope')"))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("unknown upsert mode")))
+  }
+
   test("CALL graft.system.rewrite_delete_files compacts CDC deletes via SQL") {
     import spark.implicits._
     val cat = freshCat()
