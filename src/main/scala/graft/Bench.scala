@@ -50,6 +50,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     to target/bench-evidence.json for post-hoc reads), and the
   *     compact contract line — qNN-keyed `queries`, ~1 KB — prints
   *     LAST, so the tail window always retains it whole;
+  *   - cross-round comparisons are only valid IN-SUITE: isolated
+  *     runs of a single query are dominated by JVM/codegen warmth
+  *     (observed: the same query's passes improving 15.3→3.5→3.0→2.3 s
+  *     within one fresh-JVM run), and suite composition shifts the
+  *     JIT state ahead of any given query. The round-7 "drift" on the
+  *     Jaccard tier (q41 1.64→2.78 s, q63 1.71→3.44 s, code
+  *     untouched) adjudicates as exactly this: a round-8 full-suite
+  *     rerun on a quiet host measured q41 at 1.17 s — BELOW its
+  *     round-6 level — and q63 at 2.19 s with the q63≈q41-shape
+  *     criterion intact. Plan shapes are pinned by PlanSpec, not by
+  *     wall-clock deltas.
   *   - failures never masquerade as timings: per-query `ok` flags and
   *     an `errors` list ride along in the JSON. Non-fatal per-query
   *     errors are recorded and the run continues; a fatal error (OOM,

@@ -238,9 +238,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           .getOrElse(sys.error(s"field $id missing from schema $schemaId"))
         org.apache.spark.sql.types.StructField(s"_k_$id", w.sparkType)
       })
-    val delAll = fs.map(f =>
-        spark.read.schema(delSchema).parquet(s"$location/${f.path}")
-          .withColumn("__del_seq", lit(f.seq)))
+    // ONE scan per distinct sequence, not per file: a multi-part
+    // delete commit lands several same-seq entries, and a per-file
+    // union would bloat the plan with one FileScan job each (measured
+    // >1s of pure job overhead per 32-part batch at sf0.1)
+    val delAll = fs.groupBy(_.seq).toSeq.map { case (seq, sfs) =>
+        spark.read.schema(delSchema)
+          .parquet(sfs.map(f => s"$location/${f.path}"): _*)
+          .withColumn("__del_seq", lit(seq))
+      }
       .reduce(_ unionByName _)
       .select(ids.zip(keyFields).map { case (id, f) =>
         col(s"_k_$id").cast(f.sparkType).as(s"_k_$id")
@@ -776,7 +782,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       else writeDeleteFile(m,
         df.select(keyCols.zip(fields).map { case (k, f) =>
           col(s"`$k`").cast(f.sparkType).as(s"_k_${f.id}")
-        }: _*).distinct(),
+        }: _*).distinct()
+          // micro-batch keys are small by construction: ONE delete
+          // file per batch keeps the manifest O(#batches), not
+          // O(#batches * shuffle partitions)
+          .coalesce(1),
         equalityIds = ids)
     val written =
       try writeFiles(m, df)
