@@ -43,6 +43,40 @@ object Curation {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{7,}", "<NUM>")
 
+  /** Benchmark decontamination — the n-gram overlap filter every
+    * training pipeline runs before training (GPT-3's 13-gram rule):
+    * drop corpus documents sharing ANY word n-gram with a benchmark
+    * document, so eval sets can't leak into training data.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT n-grams and
+    * BROADCASTS (benchmarks are eval-set-sized by construction, not
+    * corpus-sized); the corpus side explodes its shingles in one
+    * codegen'd projection and LEFT ANTI semi-probes the broadcast —
+    * the corpus is never shuffled, never collected, and a document
+    * short-circuits out of the probe on its first hit. Lowercasing is
+    * the only normalization (decontamination wants high precision;
+    * callers wanting stemmed/fuzzy matching should pre-normalize both
+    * sides the same way).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    require(n >= 2, "decontamination n-gram size must be >= 2")
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val benchGrams = benchmark
+      .select(explode(shingles(tokens(lower(col(benchTextCol))), n))
+        .as("__gram"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol),
+        explode(shingles(tokens(lower(col(textCol))), n)).as("__gram"))
+      .join(broadcast(benchGrams), "__gram")
+      .select(idCol).distinct()
+    // hit ids broadcast too: contaminated docs are a small fraction by
+    // construction (eval leakage, typically well under 1%), and an
+    // unhinted anti-join would shuffle the whole corpus instead
+    docs.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
+
   /** Token-budget packing: assign each document to a context-window
     * bucket via a running token count per `partCol` — the
     * concat-then-chunk pretokenization shape (a document straddling a

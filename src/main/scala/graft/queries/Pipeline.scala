@@ -441,6 +441,42 @@ object Pipeline {
         FROM b GROUP BY lang, bucket ORDER BY lang, bucket
       """)),
 
+    // ---- Benchmark decontamination ---------------------------------------
+    // the n-gram overlap filter run before training (GPT-3's 13-gram
+    // rule, n=8 here so the synthetic near-dup pairs actually overlap):
+    // every fifth document plays the benchmark, the rest the corpus;
+    // corpus docs sharing any 8-gram with the benchmark drop. Benchmark
+    // grams broadcast; the corpus is never shuffled.
+    QueryDef(
+      "q90_decontamination",
+      (s, d) => {
+        val all = docs(s, d)
+        val corpus = all.filter(col("doc_id") % 5 =!= 0)
+        val bench = all.filter(col("doc_id") % 5 === 0)
+        graft.pipeline.Curation.decontaminate(
+            corpus, "doc_id", "text", bench, "text", n = 8)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+          WHERE len(w) >= 8),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+        hits AS (
+          SELECT DISTINCT doc_id FROM grams
+          WHERE doc_id % 5 <> 0 AND g IN (SELECT g FROM bench))
+        SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+        ORDER BY doc_id
+      """)),
+
     // ---- Multimodal plumbing: binary assets -> decode stub -> features -
     QueryDef(
       "q50_multimodal_features",

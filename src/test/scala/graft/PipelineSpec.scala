@@ -352,4 +352,36 @@ class PipelineSpec extends AnyFunSuite {
       .select("id", "bucket").as[(Long, Int)].collect().toMap
     assert(pb(1L) == 0 && pb(2L) == 4)
   }
+
+  test("decontamination drops exactly the n-gram-overlapping docs") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a completely different sentence with no overlap at all"),
+      (3L, "prefix words then the quick brown fox jumps over the lazy dog"),
+      (4L, "short doc"), // shorter than n: can never be contaminated
+      (5L, "The QUICK brown fox JUMPS over the lazy dog casing")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "we evaluate on the quick brown fox jumps over the lazy dog")
+    ).toDF("bid", "btext")
+    val survivors = Curation.decontaminate(
+        corpus, "doc_id", "text", bench, "btext", n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1, 3 share the 8-gram; 5 shares it too after lowercasing; 2 and
+    // the shorter-than-n doc 4 survive
+    assert(survivors == Seq(2L, 4L))
+    // n larger than every overlap: nothing drops
+    assert(Curation.decontaminate(corpus, "doc_id", "text", bench, "btext",
+      n = 12).count() == 5)
+    // plan: benchmark grams and hit ids broadcast — the corpus is
+    // never shuffled (no exchange other than the two broadcasts)
+    val plan = Curation.decontaminate(corpus, "doc_id", "text", bench,
+      "btext", n = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    intercept[IllegalArgumentException](
+      Curation.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 1))
+  }
 }
