@@ -97,8 +97,22 @@ object MetadataIO {
     // committing a document that silently drops the racer's changes
     // (the exact lost update the claim protocol exists to prevent).
     val next = meta.metadataLog.lastOption.map(versionOfLogFile).getOrElse(0) + 1
-    val withLog = meta.copy(metadataLog = meta.metadataLog :+
-      MetadataLogEntry(System.currentTimeMillis(), s"v$next.metadata.json"))
+    val fullLog = meta.metadataLog :+
+      MetadataLogEntry(System.currentTimeMillis(), s"v$next.metadata.json")
+    // bounded metadata history (Iceberg's
+    // write.metadata.previous-versions-max, default 100): a long-running
+    // CDC table commits forever, and an unbounded log means every
+    // commit rewrites an ever-growing document. Trimming keeps the
+    // NEWEST entries, so the claim protocol above (next = last entry's
+    // version + 1) is unaffected.
+    val maxPrev = meta.properties
+      .get("write.metadata.previous-versions-max")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(100)
+    val keptLog =
+      if (fullLog.size > maxPrev + 1) fullLog.takeRight(maxPrev + 1)
+      else fullLog
+    val dropped = fullLog.dropRight(keptLog.size)
+    val withLog = meta.copy(metadataLog = keptLog)
     // write-then-link: the temp file carries the COMPLETE document
     // before the link makes it visible, and link(2) is an atomic
     // create-if-absent — a reader can never observe a torn vN file and
@@ -113,6 +127,20 @@ object MetadataIO {
       }
     } finally Files.deleteIfExists(tmp)
     advanceHint(meta.location, next)
+    // after the commit is visible: physically delete trimmed-out
+    // metadata documents when opted in (Iceberg's
+    // write.metadata.delete-after-commit.enabled). Time travel by
+    // SNAPSHOT is unaffected — snapshots live in the current document;
+    // only readVersion() of the deleted document numbers stops working,
+    // the same trade Iceberg makes. Best-effort: a failed unlink leaves
+    // an orphan document, never a broken table.
+    if (meta.properties.get("write.metadata.delete-after-commit.enabled")
+        .contains("true"))
+      dropped.foreach { e =>
+        try Files.deleteIfExists(
+          metadataPath(meta.location, versionOfLogFile(e)))
+        catch { case _: java.io.IOException => () }
+      }
     next
   }
 

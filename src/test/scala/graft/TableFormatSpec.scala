@@ -42,6 +42,37 @@ class TableFormatSpec extends AnyFunSuite {
       Vector("v1.metadata.json", "v2.metadata.json", "v3.metadata.json"))
   }
 
+  test("bounded metadata history: log trims, old documents deleted when enabled") {
+    val loc = tmp()
+    val m0 = TableMetadata.create("t", loc, Seq("a" -> "int"))
+    MetadataIO.commit(m0.copy(properties = m0.properties +
+      ("write.metadata.previous-versions-max" -> "3") +
+      ("write.metadata.delete-after-commit.enabled" -> "true")))
+    (1 to 10).foreach(_ => MetadataIO.commit(MetadataIO.read(loc)))
+    assert(MetadataIO.currentVersion(loc).contains(11))
+    val m = MetadataIO.read(loc)
+    // log keeps the newest (maxPrev + 1) entries; versions stay exact
+    assert(m.metadataLog.map(_.file) == Vector(
+      "v8.metadata.json", "v9.metadata.json",
+      "v10.metadata.json", "v11.metadata.json"))
+    // trimmed-out documents are physically gone, kept ones readable
+    assert(!Files.exists(MetadataIO.metadataPath(loc, 7)))
+    assert(!Files.exists(MetadataIO.metadataPath(loc, 1)))
+    assert(Files.exists(MetadataIO.metadataPath(loc, 8)))
+    assert(MetadataIO.readVersion(loc, 8).metadataLog.nonEmpty)
+    // next commit still claims version 12 (lineage from the LAST entry)
+    MetadataIO.commit(MetadataIO.read(loc))
+    assert(MetadataIO.currentVersion(loc).contains(12))
+    // without the delete opt-in the log still trims but files remain
+    val loc2 = tmp()
+    val n0 = TableMetadata.create("t2", loc2, Seq("a" -> "int"))
+    MetadataIO.commit(n0.copy(properties = n0.properties +
+      ("write.metadata.previous-versions-max" -> "2")))
+    (1 to 5).foreach(_ => MetadataIO.commit(MetadataIO.read(loc2)))
+    assert(MetadataIO.read(loc2).metadataLog.size == 3)
+    assert(Files.exists(MetadataIO.metadataPath(loc2, 1)))
+  }
+
   test("optimistic commits: two racing writers never lose an update") {
     val loc = tmp()
     MetadataIO.commit(TableMetadata.create("t", loc, Seq("a" -> "int")))
