@@ -33,8 +33,11 @@ import graft.engine.GraftTable
   * expiration invalidates open checkpoints (log positions shift) —
   * documented, same constraint as Iceberg's incremental read.
   */
-final class GraftTableStreamSource(spark: SparkSession, location: String)
-    extends Source {
+final class GraftTableStreamSource(spark: SparkSession, location: String,
+    mode: String = "appends") extends Source {
+
+  require(mode == "appends" || mode == "changes",
+    s"graft-table stream mode must be 'appends' or 'changes', got '$mode'")
 
   private val table = GraftTable.load(spark, location)
 
@@ -45,7 +48,9 @@ final class GraftTableStreamSource(spark: SparkSession, location: String)
   // rebinds batch output to the declared schema by position)
   private val boundSchema = table.meta.currentSchema
 
-  override val schema: StructType = boundSchema.toStructType
+  override val schema: StructType =
+    if (mode == "changes") GraftTableStream.changesSchema(boundSchema)
+    else boundSchema.toStructType
 
   /** Latest offset = number of committed snapshots (None until the
     * first commit). Metadata read only — called once per trigger.
@@ -66,8 +71,26 @@ final class GraftTableStreamSource(spark: SparkSession, location: String)
     val fromId =
       if (from == 0) None else Some(m.snapshotLog(from - 1).snapshotId)
     val toId = m.snapshotLog(to - 1).snapshotId
-    org.apache.spark.sql.graftshim.streamingDfFromBatch(spark,
-      table.readAppendsBetween(fromId, toId, Some(boundSchema)))
+    val batch =
+      if (mode == "changes") {
+        // per-range changelog (_change_type insert/delete): the CDC
+        // consumer shape `readAppendsBetween` refuses (it cannot cross
+        // rewrites). The first batch (from = 0) is the initial load —
+        // current state as inserts — exactly Delta CDF's convention.
+        // Accretive ranges (CDC upsert / MoR DML commits) diff from
+        // delta files only; columns re-bind to the declared schema by
+        // FIELD-ID so mid-stream renames keep delivering them.
+        import org.apache.spark.sql.functions.col
+        val cur = m.currentSchema
+        val cols = boundSchema.fields.map { f =>
+          val liveName = cur.fieldById(f.id).getOrElse(sys.error(
+            s"stream-bound column ${f.name} (field-id ${f.id}) was " +
+              "dropped mid-stream")).name
+          col(s"`$liveName`").cast(f.sparkType).as(f.name)
+        } :+ col("_change_type")
+        table.changelog(fromId, toId).select(cols: _*)
+      } else table.readAppendsBetween(fromId, toId, Some(boundSchema))
+    org.apache.spark.sql.graftshim.streamingDfFromBatch(spark, batch)
   }
 
   /** Checkpointed offsets come back as SerializedOffset json. */
@@ -92,16 +115,24 @@ final class GraftTableStreamProvider
     parameters.getOrElse("path",
       sys.error("graft-table stream requires option 'path' (table location)"))
 
+  private def mode(parameters: Map[String, String]): String =
+    parameters.getOrElse("mode", "appends")
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), GraftTable.load(sqlContext.sparkSession, loc(parameters))
-      .meta.currentSchema.toStructType)
+      parameters: Map[String, String]): (String, StructType) = {
+    val s = GraftTable.load(sqlContext.sparkSession, loc(parameters))
+      .meta.currentSchema
+    (shortName(),
+      if (mode(parameters) == "changes") GraftTableStream.changesSchema(s)
+      else s.toStructType)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftTableStreamSource(sqlContext.sparkSession, loc(parameters))
+    new GraftTableStreamSource(sqlContext.sparkSession, loc(parameters),
+      mode(parameters))
 }
 
 object GraftTableStream {
@@ -109,4 +140,18 @@ object GraftTableStream {
   /** Streaming read of a graft table's appended snapshots. */
   def read(spark: SparkSession, location: String): DataFrame =
     spark.readStream.format("graft-table").option("path", location).load()
+
+  /** Streaming CDC read: per-batch changelog rows with `_change_type`
+    * insert/delete — the consumer shape for tables written by the CDC
+    * upsert paths, whose non-append commits `read` refuses to cross.
+    */
+  def readChanges(spark: SparkSession, location: String): DataFrame =
+    spark.readStream.format("graft-table").option("path", location)
+      .option("mode", "changes").load()
+
+  private[streaming] def changesSchema(
+      s: graft.tableformat.VersionedSchema): StructType =
+    StructType(s.toStructType.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
 }

@@ -157,6 +157,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.exceptAll(n).isEmpty && n.exceptAll(all).isEmpty)
   }
 
+  test("graft-table changes stream delivers CDC rows across upsert commits") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import graft.streaming.{GraftTableSink, GraftTableStream}
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = Files.createTempDirectory("graft-cstream").toString
+    val ckpt = Files.createTempDirectory("graft-cckpt").toString
+    val t = GraftTable.create(spark, loc, "cdc_src",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def drain(): Unit = {
+      val q = GraftTableStream.readChanges(spark, loc).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getString(2)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      ()
+    }
+    // first drain = initial load: current state as inserts
+    drain()
+    assert(buf.toSet == Set((1L, "a", "insert"), (2L, "b", "insert")))
+    buf.clear()
+    // CDC commits: eq upsert replaces id=2, MoR delete removes id=1 —
+    // the checkpointed second drain must deliver ONLY the delta, via
+    // the accretive fast path (no rewrites crossed, no loud failure
+    // like the appends-mode stream)
+    val up = GraftTableSink.upsertBatchEq(t, Seq("id"), "cs")
+    up(Seq((2L, "B")).toDF("id", "v"), 0L)
+    t.delete(col("id") === 1L)
+    drain()
+    assert(buf.toSet == Set(
+      (2L, "b", "delete"), (2L, "B", "insert"), (1L, "a", "delete")))
+    buf.clear()
+    // replay with the same checkpoint and no new commits: nothing
+    drain()
+    assert(buf.isEmpty)
+  }
+
   test("graft-table stream fails loudly across a non-append commit") {
     import graft.engine.GraftTable
     import graft.streaming.GraftTableStream
