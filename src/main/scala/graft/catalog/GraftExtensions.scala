@@ -163,14 +163,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     val (db, tbl) = resolvedGraftIdent(name).get
     val w = warehouse.getOrElse(sys.error("spark.graft.warehouse not set"))
     val loc = java.nio.file.Paths.get(w, db, tbl).toString
-    val partition = partitioning.map { tr =>
-      val src = tr.references()(0).fieldNames()(0)
-      tr.name() match {
-        case "identity"     => src -> "identity"
-        case "days" | "day" => src -> "day"
-        case other => sys.error(s"unsupported partition transform $other")
-      }
-    }
+    val partition =
+      partitioning.map(graft.engine.PartitionTransforms.fromV2)
     val props = tableSpec match {
       case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
         ts.properties

@@ -212,14 +212,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       sys.error("set spark.graft.warehouse to create graft tables via SQL"))
     val fields = schema.fields.toSeq.map(f =>
       f.name -> FieldDef.nameType(f.dataType))
-    val partition = partitions.toSeq.map { tr =>
-      val src = tr.references()(0).fieldNames()(0)
-      tr.name() match {
-        case "identity"     => src -> "identity"
-        case "days" | "day" => src -> "day"
-        case other => sys.error(s"unsupported partition transform $other")
-      }
-    }
+    val partition =
+      partitions.toSeq.map(graft.engine.PartitionTransforms.fromV2)
     val props = properties.asScala.toMap -
       "provider" - "location" - "owner" // Spark-injected reserved keys
     GraftTableHandle(

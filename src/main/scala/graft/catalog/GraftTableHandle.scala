@@ -33,11 +33,7 @@ final case class GraftTableHandle(table: GraftTable, tableName: String,
     m.currentSpec.fields.map { pf =>
       val src = m.currentSchema.fieldById(pf.sourceId)
         .map(_.name).getOrElse(pf.name)
-      pf.transform match {
-        case "identity" => Expressions.identity(src)
-        case "day"      => Expressions.days(src)
-        case other      => Expressions.identity(other)
-      }
+      graft.engine.PartitionTransforms.toV2(pf.transform, src)
     }.toArray
   }
 

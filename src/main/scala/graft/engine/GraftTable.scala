@@ -356,11 +356,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     def partExpr(pf: PartitionField): Column = {
       val src = cur.fieldById(pf.sourceId)
         .getOrElse(sys.error(s"partition source field ${pf.sourceId} missing"))
-      pf.transform match {
-        case "identity" => col(s"`${src.name}`").cast("string")
-        case "day"      => date_format(col(s"`${src.name}`"), "yyyy-MM-dd")
-        case other      => sys.error(s"unknown partition transform $other")
-      }
+      PartitionTransforms.column(pf.transform, col(s"`${src.name}`"), src.dataType)
     }
     if (spec.fields.isEmpty) {
       aligned.write.mode("errorifexists").option("compression", codec)
@@ -1270,12 +1266,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val pfs = partition.map { case (src, tr) =>
         val f = schema.fieldByName(src)
           .getOrElse(sys.error(s"partition source $src missing"))
-        val pname = tr match {
-          case "identity" => src
-          case "day"      => s"${src}_day"
-          case other      => sys.error(s"unknown partition transform $other")
-        }
-        PartitionField(f.id, tr, pname)
+        PartitionTransforms.validate(tr, f.dataType)
+        PartitionField(f.id, tr, PartitionTransforms.defaultName(src, tr))
       }
       val nextId = cur.partitionSpecs.map(_.specId).max + 1
       cur.copy(currentSpecId = nextId,
@@ -1987,12 +1979,8 @@ object GraftTable {
     val pfs = partition.map { case (src, tr) =>
       val f = m.currentSchema.fieldByName(src)
         .getOrElse(sys.error(s"partition source $src missing"))
-      val pname = tr match {
-        case "identity" => src
-        case "day"      => s"${src}_day"
-        case other      => sys.error(s"unknown transform $other")
-      }
-      PartitionField(f.id, tr, pname)
+      PartitionTransforms.validate(tr, f.dataType)
+      PartitionField(f.id, tr, PartitionTransforms.defaultName(src, tr))
     }
     m = m.copy(partitionSpecs = Vector(PartitionSpec(0, pfs.toVector)))
     MetadataIO.commit(m)
@@ -2035,12 +2023,8 @@ object GraftTable {
       val pfs = partition.map { case (src, tr) =>
         val f = next.fieldByName(src)
           .getOrElse(sys.error(s"partition source $src missing from new schema"))
-        val pname = tr match {
-          case "identity" => src
-          case "day"      => s"${src}_day"
-          case other      => sys.error(s"unknown transform $other")
-        }
-        PartitionField(f.id, tr, pname)
+        PartitionTransforms.validate(tr, f.dataType)
+        PartitionField(f.id, tr, PartitionTransforms.defaultName(src, tr))
       }
       m.copy(
         currentSchemaId = next.schemaId, schemas = m.schemas :+ next,

@@ -214,6 +214,52 @@ class EngineSpec extends AnyFunSuite {
     assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("transform set: bucket/truncate/month/year layouts + literal agreement") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.engine.PartitionTransforms
+    val t = GraftTable.create(spark, tmp(), "tr",
+      Seq("id" -> "long", "domain" -> "string", "added_at" -> "timestamp"),
+      partition = Seq("id" -> "bucket(8)", "domain" -> "truncate(3)",
+        "added_at" -> "month"))
+    val rows = Seq(
+      (7L, "alpha.org", java.sql.Timestamp.valueOf("2025-02-23 10:00:00")),
+      (8L, "alphabet.com", java.sql.Timestamp.valueOf("2025-03-01 00:00:00")),
+      (9L, "beta.io", java.sql.Timestamp.valueOf("2025-03-15 23:59:59")))
+    t.append(rows.toDF("id", "domain", "added_at"))
+    // every recorded value equals the driver-side transform of the same
+    // literal — the pairing pruning depends on
+    val byBucket = t.meta.currentSnapshot.get.files
+      .flatMap(f => f.partitionValues.get("id_bucket")).toSet
+    assert(rows.map(r => PartitionTransforms.ofLiteral(
+      "bucket(8)", "long", Literal(r._1)).get).toSet == byBucket)
+    val byTrunc = t.meta.currentSnapshot.get.files
+      .flatMap(_.partitionValues.get("domain_trunc")).toSet
+    assert(byTrunc == Set("alp", "bet"))
+    assert(PartitionTransforms.ofLiteral("truncate(3)", "string",
+      Literal.create(org.apache.spark.unsafe.types.UTF8String
+        .fromString("alphabet.com"),
+        org.apache.spark.sql.types.StringType)).contains("alp"))
+    val byMonth = t.meta.currentSnapshot.get.files
+      .flatMap(_.partitionValues.get("added_at_month")).toSet
+    assert(byMonth == Set("2025-02", "2025-03"))
+    // negative ints truncate FLOORED (Iceberg semantics)
+    assert(PartitionTransforms.ofLiteral("truncate(10)", "long",
+      Literal(-7L)).contains("-10"))
+    // rows all come back, partition cols stay hidden
+    assert(t.read().count() == 3)
+    assert(t.read().columns.toSeq == Seq("id", "domain", "added_at"))
+    // incompatible transform/type pairs are rejected at DDL time
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), "bad",
+        Seq("s" -> "string"), partition = Seq("s" -> "month"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), "bad2",
+        Seq("d" -> "double"), partition = Seq("d" -> "truncate(2)"))
+    }
+  }
+
   test("identity partitioning") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "t2",

@@ -88,6 +88,34 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(tbls.toSet == Set("t1", "t2"))
   }
 
+  test("PARTITIONED BY accepts the full transform set in SQL") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createDatabase("tf")
+    spark.sql("""CREATE TABLE graft.tf.docs (
+                |  id BIGINT, domain STRING, added_at TIMESTAMP)
+                |PARTITIONED BY (bucket(8, id), truncate(4, domain),
+                |                months(added_at))""".stripMargin)
+    val t = cat.table("tf", "docs")
+    assert(t.meta.currentSpec.fields.map(_.transform) ==
+      Vector("bucket(8)", "truncate(4)", "month"))
+    spark.sql("""INSERT INTO graft.tf.docs VALUES
+      (1, 'example.com', TIMESTAMP'2025-01-03 08:00:00'),
+      (2, 'example.org', TIMESTAMP'2025-02-11 09:30:00')""")
+    val pv = cat.table("tf", "docs").meta.currentSnapshot.get.files
+      .flatMap(_.partitionValues.get("added_at_month")).toSet
+    assert(pv == Set("2025-01", "2025-02"))
+    assert(spark.sql("SELECT domain FROM graft.tf.docs ORDER BY id")
+      .as[String].collect().toSeq == Seq("example.com", "example.org"))
+    // round-trips back out through the DSv2 handle (DESCRIBE partitioning)
+    val part = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftNamespaceCatalog]
+    // loadTable → partitioning() must not throw and must carry 3 fields
+    val h = part.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("tf"), "docs"))
+    assert(h.partitioning().length == 3)
+  }
+
   test("SQL DDL lifecycle: CREATE, DESCRIBE, ALTER, DROP") {
     val cat = freshCat()
     cat.createDatabase("ddl")
