@@ -99,6 +99,24 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if resolvedHandleOf(tr.table).isDefined =>
         GraftTruncateCommand(resolvedHandleOf(tr.table).get.table.location)
 
+      // ---- filtered scans: the WHERE condition reaches the engine,
+      // ---- which prunes candidate files metadata-only (partition
+      // ---- transforms + manifest bounds) BEFORE the scan plan is
+      // ---- built. Spark's Filter node stays above — pruning only
+      // ---- shrinks the file list, the predicate still executes.
+      // ---- (Top-down traversal: this case must see the Filter before
+      // ---- the bare-relation case below swaps its child.)
+      case fl @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+          if handleOf(child).exists(_.pinnedSnapshot.isEmpty) =>
+        val h = handleOf(child).get
+        val swapped = rebind(relationIn(child),
+          h.table.readPrunedBy(cond).queryExecution.analyzed)
+        val newChild = child match {
+          case s: SubqueryAlias => s.copy(child = swapped)
+          case _                => swapped
+        }
+        fl.copy(child = newChild)
+
       // ---- scans: swap the capability-less handle for the engine read
       case r: DataSourceV2Relation if handleOf(r).isDefined =>
         val h = handleOf(r).get
@@ -240,6 +258,16 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           case _                   => None
         }
       case _ => None
+    }
+
+  /** The DSv2 relation node under optional SubqueryAlias wrapping —
+    * callers have already checked handleOf(plan).isDefined.
+    */
+  private def relationIn(plan: LogicalPlan): DataSourceV2Relation =
+    plan match {
+      case s: SubqueryAlias           => relationIn(s.child)
+      case r: DataSourceV2Relation    => r
+      case other => sys.error(s"no graft relation under $other")
     }
 
   private def assignName(key: Expression): String = key match {

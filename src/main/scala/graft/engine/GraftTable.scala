@@ -94,6 +94,34 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Filter-pruned read: the predicate decides file candidacy
+    * METADATA-ONLY — partition transforms veto whole partitions
+    * ([[PartitionPruning]]: `WHERE ts >= X` prunes a `month(ts)`
+    * layout, `WHERE id = k` prunes `bucket(N, id)`), then manifest
+    * min/max bounds veto files inside the survivors ([[StatsPruning]]).
+    * The filter itself still runs — pruning only shrinks the scan, so
+    * its tri-state conservatism can never change results. This is the
+    * path the SQL rule routes `WHERE` through; at 100 TB it is the
+    * difference between opening a day's files and opening the table's.
+    */
+  def readWhere(cond: Column): DataFrame =
+    readPrunedBy(exprOf(cond)).filter(cond)
+
+  /** The scan half of [[readWhere]] — no residual filter applied;
+    * callers (the resolution rule keeps Spark's own Filter node above)
+    * must apply `cond` themselves.
+    */
+  private[graft] def readPrunedBy(cond: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
+    val m = meta
+    m.currentSnapshot match {
+      case None => emptyDf(m)
+      case Some(s) =>
+        val kept = pruneCandidates(m, s.files, cond)
+        if (s.deleteFiles.isEmpty) readFiles(m, kept)
+        else liveRows(m, s, kept).drop("_g_path", "_g_pos")
+    }
+  }
+
   private def emptyDf(m: TableMetadata): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       m.currentSchema.toStructType)
@@ -579,7 +607,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
               case (None, true)     => Some(kHead.isNull)
               case (None, false)    => None // empty batch
             }
-            pred.map(p => StatsPruning.candidates(m, files0, exprOf(p)))
+            pred.map(p => pruneCandidates(m, files0, exprOf(p)))
               .getOrElse(Vector.empty)
           }
           if (bounded.isEmpty) Vector.empty
@@ -823,7 +851,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def mergeOnReadDml(m: TableMetadata, cond: Column,
       assignments: Option[Map[String, Column]]): GraftTable = {
     val snap = m.currentSnapshot.getOrElse(return this)
-    val candidates = StatsPruning.candidates(m, snap.files, exprOf(cond))
+    val candidates = pruneCandidates(m, snap.files, exprOf(cond))
     if (candidates.isEmpty) return this
     // existing deletes must apply first: an already-deleted row must not
     // be re-deleted (harmless) or re-updated (row resurrection!)
@@ -1101,13 +1129,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def candidateFiles(cond: Column): Vector[DataFileEntry] = {
     val m = meta
-    m.currentSnapshot.map(s => StatsPruning.candidates(m, s.files, exprOf(cond)))
+    m.currentSnapshot.map(s => pruneCandidates(m, s.files, exprOf(cond)))
       .getOrElse(Vector.empty)
   }
 
   /** Column -> Catalyst Expression (Spark 4 columns are ColumnNode-backed). */
   private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graftshim.expressionOf(c)
+
+  /** Metadata-only candidate discovery for DML and pruned reads:
+    * partition-transform veto first (cheapest, whole partitions), then
+    * manifest min/max bounds. Both strictly conservative.
+    */
+  private def pruneCandidates(m: TableMetadata, files: Vector[DataFileEntry],
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Vector[DataFileEntry] =
+    StatsPruning.candidates(m, PartitionPruning.candidates(m, files, e), e)
 
   /** Metadata stats pruning narrows to candidate files; one
     * predicate-pushed scan over ONLY those finds the files actually
@@ -1117,7 +1153,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def rewriteMatching(m: TableMetadata, cond: Column, op: String,
       transform: DataFrame => DataFrame): GraftTable = {
     val snap = m.currentSnapshot.getOrElse(return this)
-    val candidates = StatsPruning.candidates(m, snap.files, exprOf(cond))
+    val candidates = pruneCandidates(m, snap.files, exprOf(cond))
     if (candidates.isEmpty) return this
     val withFile = readFilesWithName(m, candidates)
     val touchedAbs = withFile.filter(cond)

@@ -87,8 +87,15 @@ object StatsPruning {
 
   private def litOf(e: Expression): Option[Literal] = e match {
     case l: Literal => Some(l)
-    case c: Cast if c.foldable && c.resolved =>
-      try Some(Literal(c.eval(null), c.dataType)) catch { case _: Exception => None }
+    case c: Cast if c.child.foldable =>
+      // a pre-analysis Cast (Column DSL) has no timeZoneId yet and so
+      // reports unresolved — bind the session zone, as analysis would
+      val bound = if (c.timeZoneId.isEmpty)
+        c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      else c
+      if (!bound.resolved) None
+      else try Some(Literal(bound.eval(null), bound.dataType))
+      catch { case _: Exception => None }
     case _ => None
   }
 

@@ -152,6 +152,40 @@ object Versioned {
         GROUP BY event_type ORDER BY event_type
       """)),
 
+    // Transform-aware AUTOMATIC pruning (the hidden-partitioning
+    // payoff): the query names only data columns; day(ts) range-prunes
+    // whole days and bucket(8, event_id) eq-prunes to at most three of
+    // eight buckets per surviving day — all decided from manifest
+    // partition values before the scan plan exists (readWhere; the SQL
+    // WHERE path routes through the same pruner).
+    QueryDef(
+      "q91_transform_prune",
+      (s, d) => {
+        val loc = setupOnce("q91", d) {
+          val l = scratch("tprune")
+          val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+          GraftTable.createAs(s, l, "events_tb", ev,
+            partition = Seq("ts" -> "day", "event_id" -> "bucket(8)"))
+          l
+        }
+        GraftTable.load(s, loc)
+          .readWhere(
+            col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-11 00:00:00").cast("timestamp") &&
+            col("event_id").isin(1500L, 2024L, 3000L))
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 2).as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, event_type, round(value, 2) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+          AND event_id IN (1500, 2024, 3000)
+        ORDER BY event_id
+      """)),
+
     // Time travel by wall-clock (T1): FOR SYSTEM_TIME AS OF the first
     // snapshot's commit time sees only the first snapshot's rows.
     QueryDef(

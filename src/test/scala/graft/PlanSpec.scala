@@ -84,6 +84,65 @@ class PlanSpec extends AnyFunSuite {
     assert(full.inputFiles.length == 3)
   }
 
+  test("transform-aware pruning: range through month(), eq through bucket()") {
+    import spark.implicits._
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft-plan").toString, "tp",
+      Seq("id" -> "long", "added_at" -> "timestamp"),
+      partition = Seq("added_at" -> "month", "id" -> "bucket(4)"))
+    t.append((1 to 12).map(mn =>
+        (mn.toLong, java.sql.Timestamp.valueOf(f"2025-$mn%02d-10 08:00:00")))
+      .toDF("id", "added_at"))
+    val total = t.read().inputFiles.length
+    assert(total >= 12, "one file per month at minimum")
+    // the query never names a partition column — hidden partitioning
+    val q = t.readWhere(col("added_at") >= lit("2025-11-01").cast("timestamp"))
+    assert(q.inputFiles.length < total / 3,
+      s"month() range prune: ${q.inputFiles.length} of $total")
+    assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    // bucket eq-prune: only files of id's bucket survive
+    val b = t.readWhere(col("id") === 7L)
+    assert(b.inputFiles.length < total / 2,
+      s"bucket() eq prune: ${b.inputFiles.length} of $total")
+    assert(b.select("id").as[Long].collect().toSeq == Seq(7L))
+    // order can't push through bucket: at the PARTITION layer a range
+    // on id keeps every file (manifest bounds may still prune — that's
+    // StatsPruning's composed, separate veto)
+    val m = t.meta
+    val all = m.currentSnapshot.get.files
+    val kept = graft.engine.PartitionPruning.candidates(m, all,
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("id"),
+        org.apache.spark.sql.catalyst.expressions.Literal(7L)))
+    assert(kept.length == all.length, "bucket must not range-prune")
+    assert(t.readWhere(col("id") >= 7L).select("id").as[Long]
+      .collect().sorted.toSeq == (7L to 12L))
+  }
+
+  test("SQL WHERE prunes graft scans through the resolution rule") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-plan-wh").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.createTable("pp", "ev",
+      Seq("id" -> "long", "added_at" -> "timestamp"),
+      partition = Seq("added_at" -> "day"))
+    t.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-02-23 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2025-02-24 11:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2025-02-25 09:00:00"))).toDF("id", "added_at"))
+    val q = spark.sql(
+      "SELECT id FROM graft.pp.ev WHERE added_at = TIMESTAMP'2025-02-24 11:00:00'")
+    assert(q.inputFiles.length == 1,
+      s"SQL WHERE should file-prune: read ${q.inputFiles.length} of 3")
+    assert(q.as[Long].collect().toSeq == Seq(2L))
+    // manifest BOUNDS prune even without partitioning: id is not a
+    // partition column, but per-file min/max excludes the others
+    val qb = spark.sql("SELECT id FROM graft.pp.ev WHERE id = 3")
+    assert(qb.inputFiles.length == 1,
+      s"bounds prune through SQL: read ${qb.inputFiles.length} of 3")
+    assert(qb.as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("dedup self-joins stay pinned: SMJ, shared exchange, anti-join cap") {
     import spark.implicits._
     val docs = (0 until 60).map(i => (i.toLong, s"alpha beta gamma delta $i"))
