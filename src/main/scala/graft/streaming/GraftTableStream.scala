@@ -34,12 +34,50 @@ import graft.engine.GraftTable
   * documented, same constraint as Iceberg's incremental read.
   */
 final class GraftTableStreamSource(spark: SparkSession, location: String,
-    mode: String = "appends") extends Source {
+    mode: String = "appends", maxSnapshotsPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   require(mode == "appends" || mode == "changes",
     s"graft-table stream mode must be 'appends' or 'changes', got '$mode'")
+  require(maxSnapshotsPerTrigger.forall(_ > 0),
+    "maxSnapshotsPerTrigger must be positive")
 
   private val table = GraftTable.load(spark, location)
+
+  /** Admission control (Kafka's maxOffsetsPerTrigger, in snapshots): a
+    * capped source must never offer an offset BELOW what a previous run
+    * already committed — the V1 contract hands the source no committed
+    * floor, so the floor is persisted in the source's own checkpoint
+    * dir (`metadataPath`, the FileStreamSource pattern): every planned
+    * batch records its end position, planning runs before commit, so
+    * the recovered floor is always >= the committed offset and capping
+    * from it can never regress the stream. Caveat (documented): with
+    * Trigger.AvailableNow/Once a V1 source runs ONE batch, so a capped
+    * query should drive with ProcessingTime until caught up.
+    */
+  private val floorFile: Option[java.nio.file.Path] =
+    maxSnapshotsPerTrigger.flatMap(_ => metadataPath).map { mp =>
+      val dir = java.nio.file.Paths.get(mp)
+      java.nio.file.Files.createDirectories(dir)
+      dir.resolve("graft-offset-floor")
+    }
+
+  private var floor: Long = floorFile match {
+    case Some(p) if java.nio.file.Files.exists(p) =>
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+    case _ => 0L
+  }
+
+  private def recordFloor(end: Long): Unit = if (end > floor) {
+    floor = end
+    floorFile.foreach { p =>
+      val tmp = p.resolveSibling(s"${p.getFileName}.tmp")
+      java.nio.file.Files.write(tmp, end.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 
   // the stream's schema binds at construction: every micro-batch maps
   // onto THIS shape by field-id, so mid-stream evolution (rename, drop,
@@ -56,8 +94,12 @@ final class GraftTableStreamSource(spark: SparkSession, location: String,
     * first commit). Metadata read only — called once per trigger.
     */
   override def getOffset: Option[OffsetV1] = {
-    val n = table.meta.snapshotLog.size
-    if (n == 0) None else Some(LongOffset(n.toLong))
+    val n = table.meta.snapshotLog.size.toLong
+    val capped = maxSnapshotsPerTrigger match {
+      case Some(max) => math.min(n, floor + max)
+      case None      => n
+    }
+    if (capped == 0) None else Some(LongOffset(capped))
   }
 
   /** Rows appended by commits in log positions (start, end]. */
@@ -65,6 +107,7 @@ final class GraftTableStreamSource(spark: SparkSession, location: String,
     val m = table.meta
     val from = start.map(asLong).getOrElse(0L).toInt
     val to = asLong(end).toInt
+    recordFloor(to.toLong)
     require(to >= 1 && to <= m.snapshotLog.size,
       s"offset $to out of range (snapshot log has ${m.snapshotLog.size} " +
         "entries — expired snapshots invalidate streaming checkpoints)")
@@ -132,7 +175,10 @@ final class GraftTableStreamProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftTableStreamSource(sqlContext.sparkSession, loc(parameters),
-      mode(parameters))
+      mode(parameters),
+      parameters.get("maxSnapshotsPerTrigger").map(_.toInt)
+        .orElse(parameters.get("maxsnapshotspertrigger").map(_.toInt)),
+      Some(metadataPath))
 }
 
 object GraftTableStream {

@@ -203,6 +203,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.isEmpty)
   }
 
+  test("maxSnapshotsPerTrigger paces the graft-table stream and survives restart") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = Files.createTempDirectory("graft-rate").toString
+    val ckpt = Files.createTempDirectory("graft-rate-ckpt").toString
+    val t = GraftTable.create(spark, loc, "rated", Seq("id" -> "long"))
+    (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def drain(until: => Boolean): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("path", loc).option("maxSnapshotsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.synchronized {
+            batches += id -> df.select("id").as[Long].collect().toSeq
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (!batches.synchronized(until) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q.stop(); q.awaitTermination(30000)
+      ()
+    }
+    def seen: Set[Long] = batches.flatMap(_._2).toSet
+    drain(seen == Set(1L, 2L, 3L))
+    // one snapshot per micro-batch: 3 snapshots -> 3 one-row batches
+    assert(batches.size == 3, s"expected 3 paced batches, got $batches")
+    assert(batches.forall(_._2.size == 1), s"pacing violated: $batches")
+    batches.clear()
+    // restart with a backlog: the persisted floor caps from at or above
+    // the committed position, not from zero — so the stream stays paced
+    // (never >1 snapshot per batch) and at most the one uncommitted
+    // batch replays (at-least-once foreachBatch, as in any restart)
+    (4L to 5L).foreach(i => t.append(Seq(i).toDF("id")))
+    drain(Set(4L, 5L).subsetOf(seen))
+    assert(batches.forall(_._2.size <= 1), s"pacing violated: $batches")
+    assert(batches.flatMap(_._2).forall(_ >= 3L),
+      s"committed snapshots re-delivered: $batches")
+  }
+
   test("graft-table stream fails loudly across a non-append commit") {
     import graft.engine.GraftTable
     import graft.streaming.GraftTableStream
