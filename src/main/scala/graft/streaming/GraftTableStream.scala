@@ -57,7 +57,15 @@ final class GraftTableStreamSource(spark: SparkSession, location: String,
     */
   private val floorFile: Option[java.nio.file.Path] =
     maxSnapshotsPerTrigger.flatMap(_ => metadataPath).map { mp =>
-      val dir = java.nio.file.Paths.get(mp)
+      // metadataPath arrives as a URI (file:/...): resolve it as one,
+      // or Paths.get would treat the whole string as a RELATIVE path
+      val dir =
+        if (mp.contains(":/")) java.nio.file.Paths.get(java.net.URI.create(
+          // bare "file:/x" URIs need the authority form for Paths.get
+          if (mp.startsWith("file:/") && !mp.startsWith("file:///"))
+            "file://" + mp.stripPrefix("file:")
+          else mp))
+        else java.nio.file.Paths.get(mp)
       java.nio.file.Files.createDirectories(dir)
       dir.resolve("graft-offset-floor")
     }
