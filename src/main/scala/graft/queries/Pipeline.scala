@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline query surface over the `documents` and
   * `embeddings` fixtures: dedup (exact / complete n-gram Jaccard /
@@ -62,6 +62,36 @@ object Pipeline {
       |                        for i in range(1, len(toks) - 1)]) AS sh
       |  FROM corpus WHERE len(toks) >= 3
       |)""".stripMargin
+
+  /** q41's exact-Jaccard pairs extended to connected components for
+    * the DuckDB oracle: bidirected edges + a recursive reachability
+    * closure (fine at oracle scale; the ENGINE runs large-star /
+    * small-star instead — a transitive closure materializes
+    * O(n * cluster-size) rows and is exactly what you can't do at
+    * 100 TB). `WITH RECURSIVE` governs the whole CTE chain.
+    */
+  private val dupClusterSqlPrefix =
+    nearDupCorpusSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, inv AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM shingled
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2
+        |  FROM cand
+        |  JOIN shingled x ON x.doc_id = id1
+        |  JOIN shingled y ON y.doc_id = id2
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id1 AS u, id2 AS v FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), reach AS (
+        |  SELECT u AS a, v AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+        |)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -571,6 +601,51 @@ object Pipeline {
             round(col("sim"), 2).as("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None)
+      None),
+
+    // ---- Duplicate clusters: connected components over near-dup pairs -
+    // near-dup similarity is not transitive (A~B, B~C, A!~C), so pair
+    // output alone under-deduplicates; this collapses q41's exact
+    // Jaccard pairs into components via alternating large-star /
+    // small-star (Clusters.dupClusters). Oracled with a recursive
+    // reachability CTE in DuckDB — both engines label each node with
+    // its component's minimum id.
+    QueryDef(
+      "q92_dup_clusters",
+      (s, d) => Clusters.dupClusters(
+          Dedup.nearDupJaccard(nearDupCorpus(s, d), "doc_id", "text",
+            k = 3, threshold = 0.5),
+          "id1", "id2")
+        .orderBy(col("id")),
+      Some(dupClusterSqlPrefix +
+        """
+          |SELECT a AS id, least(a, min(b)) AS cluster
+          |FROM reach GROUP BY a
+          |ORDER BY id""".stripMargin)),
+
+    // ---- Cluster dedup: one representative per duplicate cluster -------
+    // the step a real pipeline runs after q92: minimum-id member of
+    // each cluster survives, other members drop, documents in no pair
+    // pass through. The doomed set joins as an equi anti-join (never a
+    // broadcast — on crawl corpora it is a large corpus fraction).
+    QueryDef(
+      "q93_cluster_dedup",
+      (s, d) => {
+        val corpus = nearDupCorpus(s, d)
+        Clusters.dedupByCluster(corpus, "doc_id",
+            Dedup.nearDupJaccard(corpus, "doc_id", "text",
+              k = 3, threshold = 0.5),
+            "id1", "id2")
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(dupClusterSqlPrefix +
+        """, labels AS (
+          |  SELECT a AS id, least(a, min(b)) AS cluster
+          |  FROM reach GROUP BY a
+          |)
+          |SELECT c.doc_id FROM corpus c
+          |WHERE c.doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+          |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Correctness of the LLM-pipeline tier. The xxhash64-based operators
   * (MinHash-LSH, SimHash, hyperplane ANN) have no DuckDB oracle, so
@@ -383,5 +383,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
     intercept[IllegalArgumentException](
       Curation.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 1))
+  }
+
+  test("connected components: a 64-node chain collapses to one min-labeled cluster") {
+    import spark.implicits._
+    // worst case for min-label propagation (rounds = diameter); the
+    // alternating star algorithm must converge in O(log^2 n) rounds
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Clusters.dupClusters(edges, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 64L).toSet)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("connected components match driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 500
+    // duplicated + reversed + self-loop edges exercise canonicalization
+    val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+      Seq((5L, 5L), (17L, 3L), (3L, 17L), (17L, 3L))
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.groupBy(x => find(x.toInt)).values.flatMap { ms =>
+      val m = ms.min; ms.map(_ -> m)
+    }.toMap
+    val got = Clusters.dupClusters(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("dedupByCluster keeps min-id representative, passes untouched docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("doc_id", "text")
+    // 1~2, 2~3 but never 1~3: non-transitive pairs must still collapse
+    val pairs = Seq((2L, 1L), (2L, 3L)).toDF("id1", "id2")
+    val kept = Clusters.dedupByCluster(docs, "doc_id", pairs, "id1", "id2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L))
+    // empty pair set: everything survives
+    val none = pairs.filter(lit(false))
+    assert(Clusters.dedupByCluster(docs, "doc_id", none, "id1", "id2")
+      .count() == 4)
   }
 }
