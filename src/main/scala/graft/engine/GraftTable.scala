@@ -365,10 +365,79 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Cluster rows before the physical write, per table properties
+    * (Iceberg's write-distribution surface — the at-scale answer to
+    * the small-files problem: without it, a partitioned append writes
+    * one file per (task x partition-value), so a 1000-task insert into
+    * a 365-day table can emit 365,000 tiny files per batch):
+    *
+    *   - `write.distribution-mode`:
+    *       `none`  (default) — rows stay where the upstream plan put
+    *               them; correct for already-clustered pipelines;
+    *       `hash`  — hash-repartition by the partition transform
+    *               columns, so each partition value lands on exactly
+    *               one task (files per batch = #distinct values, not
+    *               tasks x values); unpartitioned tables fall back to
+    *               the sort-order columns as the clustering key;
+    *       `range` — range-repartition by partition + sort-order
+    *               columns: total ordering across tasks, so file
+    *               min/max bounds tile without overlap and stats
+    *               pruning degenerates to a binary search.
+    *   - `write.sort-order` (comma-separated columns, ascending):
+    *       sortWithinPartitions after distribution — rows arrive at
+    *       the parquet writer grouped by partition value (one open
+    *       file at a time, not one writer per value) and sorted, so
+    *       every file carries tight min/max bounds.
+    *   - `write.target-file-size-bytes`: sizes the repartition width
+    *       from the plan's size estimate (advisory: logical stats
+    *       overestimate zstd-compressed parquet, erring toward more,
+    *       smaller files). Applies only under hash/range — `none`
+    *       deliberately never injects a shuffle.
+    *
+    * Write-side only: every writer (append, CoW/MoR DML, MERGE,
+    * streaming sink) funnels through [[writeFiles]], so one hook
+    * covers the library. Compaction has its own explicit layouts
+    * (`rewriteDataFiles` sort / Z-order), which override this.
+    */
+  private def applyWriteDistribution(m: TableMetadata, df: DataFrame,
+      partCols: Seq[Column]): DataFrame = {
+    val mode = m.properties.getOrElse("write.distribution-mode", "none")
+    require(Set("none", "hash", "range")(mode),
+      s"unknown write.distribution-mode: $mode (none|hash|range)")
+    val sortCols = m.properties.get("write.sort-order").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(n => col(s"`$n`"))
+    val nParts: Option[Int] =
+      m.properties.get("write.target-file-size-bytes").map { t =>
+        val target = t.toLong
+        require(target > 0, s"write.target-file-size-bytes must be positive: $t")
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        (est / target).min(1 << 20).toInt + 1
+      }
+    val keys = mode match {
+      case "hash" => if (partCols.nonEmpty) partCols else sortCols
+      case "range" => partCols ++ sortCols
+      case _ => Nil
+    }
+    val keyed = (mode, keys) match {
+      case ("none", _) | (_, Nil) => df
+      case ("hash", ks) =>
+        nParts.map(n => df.repartition(n, ks: _*))
+          .getOrElse(df.repartition(ks: _*))
+      case ("range", ks) =>
+        nParts.map(n => df.repartitionByRange(n, ks: _*))
+          .getOrElse(df.repartitionByRange(ks: _*))
+    }
+    if (sortCols.isEmpty) keyed
+    else keyed.sortWithinPartitions((partCols ++ sortCols): _*)
+  }
+
   /** Write df under the current schema/spec into a unique staging dir;
     * return manifest entries. Partition transforms materialize as `_p_*`
     * layout columns (removed from file contents by partitionBy, recorded
-    * in the manifest from the path).
+    * in the manifest from the path). Rows are clustered first per the
+    * `write.distribution-mode` / `write.sort-order` table properties
+    * ([[applyWriteDistribution]]).
     */
   private def writeFiles(m: TableMetadata, df: DataFrame): Vector[DataFileEntry] = {
     val cur = m.currentSchema
@@ -387,12 +456,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       PartitionTransforms.column(pf.transform, col(s"`${src.name}`"), src.dataType)
     }
     if (spec.fields.isEmpty) {
-      aligned.write.mode("errorifexists").option("compression", codec)
+      applyWriteDistribution(m, aligned, Nil)
+        .write.mode("errorifexists").option("compression", codec)
         .parquet(stagingAbs)
     } else {
       val out = spec.fields.foldLeft(aligned)((d, pf) =>
         d.withColumn(s"_p_${pf.name}", partExpr(pf)))
-      out.write.mode("errorifexists")
+      applyWriteDistribution(m, out,
+          spec.fields.map(pf => col(s"`_p_${pf.name}`")))
+        .write.mode("errorifexists")
         .partitionBy(spec.fields.map(pf => s"_p_${pf.name}"): _*)
         .option("compression", codec)
         .parquet(stagingAbs)

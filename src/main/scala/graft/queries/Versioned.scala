@@ -808,6 +808,41 @@ object Versioned {
           ('zzz_not_a_col', '',             'no_match'))
           AS t(requested, resolved, via)
         ORDER BY requested
+      """)),
+
+    // Write distribution: the table's properties cluster every append
+    // (hash by partition value + within-file sort on ts) so a
+    // multi-task insert emits one file per partition value with tight
+    // ts bounds, instead of tasks x values small files. The oracle
+    // pins that clustering is PURELY physical — read-back content is
+    // byte-identical to the unclustered relation; EngineSpec pins the
+    // file-count collapse and the non-overlapping bounds.
+    QueryDef(
+      "q94_write_distribution",
+      (s, d) => {
+        val loc = setupOnce("q94", d) {
+          val l = scratch("wdist")
+          val ev = Tables.events(s, d)
+            .select("event_id", "ts", "event_type", "value")
+          GraftTable.createAs(s, l, "events_wd", ev,
+            partition = Seq("event_type" -> "identity"),
+            properties = Map(
+              "write.distribution-mode" -> "hash",
+              "write.sort-order" -> "ts"))
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+            min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total,
+               CAST(min(ts) AS TIMESTAMP) AS first_ts,
+               CAST(max(ts) AS TIMESTAMP) AS last_ts
+        FROM events GROUP BY event_type ORDER BY event_type
       """))
   )
 }

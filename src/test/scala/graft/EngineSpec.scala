@@ -703,4 +703,61 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().orderBy("id").as[(Long, Int)].collect().toSeq ==
       Seq((1L, 1)))
   }
+
+  test("write.distribution-mode=hash: one file per partition value, same rows") {
+    import spark.implicits._
+    def build(props: Map[String, String]): (GraftTable, Int) = {
+      val t = GraftTable.create(spark, tmp(), "dist",
+        Seq("id" -> "long", "cat" -> "string"),
+        partition = Seq("cat" -> "identity"), properties = props)
+      // 4 input tasks x 3 partition values: the un-clustered write
+      // fans out to up to 12 files, the hash-clustered one to 3
+      val df = (1L to 120L).map(i => (i, s"c${i % 3}")).toDF("id", "cat")
+        .repartition(4)
+      t.append(df)
+      (t, t.meta.currentSnapshot.get.files.size)
+    }
+    val (tn, filesNone) = build(Map.empty)
+    val (th, filesHash) = build(Map("write.distribution-mode" -> "hash"))
+    assert(filesHash == 3, s"expected one file per partition value, got $filesHash")
+    assert(filesNone > filesHash, s"unclustered write produced $filesNone files")
+    assert(tn.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      th.read().orderBy("id").as[(Long, String)].collect().toSeq)
+  }
+
+  test("write.distribution-mode=range + sort-order: non-overlapping sorted file bounds") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "rng",
+      Seq("id" -> "long", "v" -> "int"),
+      properties = Map(
+        "write.distribution-mode" -> "range",
+        "write.sort-order" -> "id",
+        // force several output files from one small append
+        "write.target-file-size-bytes" -> "4096"))
+    val df = (1L to 50000L).map(i => (i, (i % 97).toInt)).toDF("id", "v")
+      .repartition(4) // scrambled input order
+    t.append(df)
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.size > 1, "target-file-size must split the append")
+    val idFid = t.meta.currentSchema.fieldByName("id").get.id.toString
+    val ranges = files.map(f =>
+      (f.lowerBounds(idFid).toLong, f.upperBounds(idFid).toLong))
+      .sortBy(_._1)
+    // range distribution + within-partition sort => bounds tile:
+    // every file's min is strictly above the previous file's max
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+    assert(t.read().as[(Long, Int)].collect().map(_._1).sorted.toSeq ==
+      (1L to 50000L))
+  }
+
+  test("unknown write.distribution-mode fails loudly") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "bad",
+      Seq("id" -> "long"),
+      properties = Map("write.distribution-mode" -> "cluster"))
+    intercept[IllegalArgumentException](t.append(Seq(1L).toDF("id")))
+  }
 }
