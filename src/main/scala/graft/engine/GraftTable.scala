@@ -485,7 +485,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           nameToId.get(n).map(id => id.toString -> v)
         }
       DataFileEntry(rel, footer.rowCount, m.currentSchemaId, pvals,
-        lowerBounds = byId(footer.lower), upperBounds = byId(footer.upper))
+        lowerBounds = byId(footer.lower), upperBounds = byId(footer.upper),
+        fileSizeBytes = Files.size(Paths.get(abs)))
     }
   }
 
@@ -582,12 +583,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       operation = op, schemaId = cur.currentSchemaId,
       specId = cur.currentSpecId,
       files = seqFiles,
-      summary = Map(
-        "total-records" -> seqFiles.map(_.recordCount).sum.toString,
-        "total-data-files" -> seqFiles.size.toString,
-        "total-delete-files" -> seqDeletes.size.toString,
-        "total-position-deletes" -> seqDeletes.filter(_.equalityIds.isEmpty)
-          .map(_.recordCount).sum.toString),
+      summary = {
+        // added-* keys (Iceberg snapshot-summary convention) make
+        // incremental consumers O(1) per snapshot: streaming admission
+        // reads the byte/row cost of admitting a commit from the
+        // summary instead of diffing file vectors at every trigger
+        val added = seqFiles.filter(f => !knownPaths(f.path))
+        Map(
+          "total-records" -> seqFiles.map(_.recordCount).sum.toString,
+          "total-data-files" -> seqFiles.size.toString,
+          "total-files-size-bytes" -> seqFiles.map(_.fileSizeBytes).sum.toString,
+          "total-delete-files" -> seqDeletes.size.toString,
+          "total-position-deletes" -> seqDeletes.filter(_.equalityIds.isEmpty)
+            .map(_.recordCount).sum.toString,
+          "added-data-files" -> added.size.toString,
+          "added-records" -> added.map(_.recordCount).sum.toString,
+          "added-files-size-bytes" -> added.map(_.fileSizeBytes).sum.toString)
+      },
       deleteFiles = seqDeletes)
     cur.copy(
       currentSnapshotId = Some(id),
@@ -824,7 +836,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     listParquet(delAbs).map { abs =>
       val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
       DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId,
-        equalityIds = equalityIds)
+        equalityIds = equalityIds,
+        fileSizeBytes = Files.size(Paths.get(abs)))
     }
   }
 
@@ -1753,9 +1766,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         summary = Map(
           "total-records" -> allFiles.map(_.recordCount).sum.toString,
           "total-data-files" -> allFiles.size.toString,
+          "total-files-size-bytes" -> allFiles.map(_.fileSizeBytes).sum.toString,
           "total-delete-files" -> head.deleteFiles.size.toString,
           "total-position-deletes" -> head.deleteFiles
-            .filter(_.equalityIds.isEmpty).map(_.recordCount).sum.toString),
+            .filter(_.equalityIds.isEmpty).map(_.recordCount).sum.toString,
+          "added-data-files" -> newFiles.size.toString,
+          "added-records" -> newFiles.map(_.recordCount).sum.toString,
+          "added-files-size-bytes" -> newFiles.map(_.fileSizeBytes).sum.toString),
         deleteFiles = head.deleteFiles)
       cur.copy(
         snapshots = cur.snapshots :+ snap,
@@ -1854,8 +1871,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def filesDf: DataFrame = {
     val m = meta
     m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
-      .map(f => (f.path, f.recordCount, f.schemaId, f.partitionValues))
-      .toDF("file_path", "record_count", "schema_id", "partition_values")
+      .map(f => (f.path, f.recordCount, f.fileSizeBytes, f.schemaId,
+        f.partitionValues))
+      .toDF("file_path", "record_count", "file_size_bytes", "schema_id",
+        "partition_values")
   }
 
   /** t.partitions (Iceberg's partitions metadata table): per-partition
@@ -1872,9 +1891,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
       .groupBy(_.partitionValues).toSeq
       .map { case (pv, fs) =>
-        (pv, fs.map(_.recordCount).sum, fs.size.toLong)
+        (pv, fs.map(_.recordCount).sum, fs.size.toLong,
+          fs.map(_.fileSizeBytes).sum)
       }
-      .toDF("partition", "record_count", "file_count")
+      .toDF("partition", "record_count", "file_count", "total_size_bytes")
   }
 
   /** Changelog between two snapshots: multiset diff with _change_type

@@ -35,28 +35,39 @@ import graft.engine.GraftTable
   */
 final class GraftTableStreamSource(spark: SparkSession, location: String,
     mode: String = "appends", maxSnapshotsPerTrigger: Option[Int] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None) extends Source {
 
   require(mode == "appends" || mode == "changes",
     s"graft-table stream mode must be 'appends' or 'changes', got '$mode'")
   require(maxSnapshotsPerTrigger.forall(_ > 0),
     "maxSnapshotsPerTrigger must be positive")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    "maxBytesPerTrigger must be positive")
+  require(maxRowsPerTrigger.forall(_ > 0),
+    "maxRowsPerTrigger must be positive")
 
   private val table = GraftTable.load(spark, location)
 
-  /** Admission control (Kafka's maxOffsetsPerTrigger, in snapshots): a
-    * capped source must never offer an offset BELOW what a previous run
-    * already committed — the V1 contract hands the source no committed
-    * floor, so the floor is persisted in the source's own checkpoint
-    * dir (`metadataPath`, the FileStreamSource pattern): every planned
-    * batch records its end position, planning runs before commit, so
-    * the recovered floor is always >= the committed offset and capping
-    * from it can never regress the stream. Caveat (documented): with
+  private def capped: Boolean = maxSnapshotsPerTrigger.isDefined ||
+    maxBytesPerTrigger.isDefined || maxRowsPerTrigger.isDefined
+
+  /** Admission control (Kafka's maxOffsetsPerTrigger; here in
+    * snapshots, data-file bytes, or rows — Delta offers the same
+    * maxBytes/maxFiles pair): a capped source must never offer an
+    * offset BELOW what a previous run already committed — the V1
+    * contract hands the source no committed floor, so the floor is
+    * persisted in the source's own checkpoint dir (`metadataPath`, the
+    * FileStreamSource pattern): every planned batch records its end
+    * position, planning runs before commit, so the recovered floor is
+    * always >= the committed offset and capping from it can never
+    * regress the stream. Caveat (documented): with
     * Trigger.AvailableNow/Once a V1 source runs ONE batch, so a capped
     * query should drive with ProcessingTime until caught up.
     */
   private val floorFile: Option[java.nio.file.Path] =
-    maxSnapshotsPerTrigger.flatMap(_ => metadataPath).map { mp =>
+    (if (capped) metadataPath else None).map { mp =>
       // metadataPath arrives as a URI (file:/...): resolve it as one,
       // or Paths.get would treat the whole string as a RELATIVE path
       val dir =
@@ -99,15 +110,56 @@ final class GraftTableStreamSource(spark: SparkSession, location: String,
     else boundSchema.toStructType
 
   /** Latest offset = number of committed snapshots (None until the
-    * first commit). Metadata read only — called once per trigger.
+    * first commit). Metadata read only — called once per trigger; the
+    * byte/row caps read each candidate commit's cost from its
+    * snapshot summary (`added-files-size-bytes` / `added-records`,
+    * O(1) per snapshot), falling back to a parent-path-set diff for
+    * manifests written before summaries carried added-* keys.
     */
   override def getOffset: Option[OffsetV1] = {
-    val n = table.meta.snapshotLog.size.toLong
-    val capped = maxSnapshotsPerTrigger match {
-      case Some(max) => math.min(n, floor + max)
-      case None      => n
+    val m = table.meta
+    val n = m.snapshotLog.size.toLong
+    val end = if (!capped) n else admit(m, n)
+    if (end == 0) None else Some(LongOffset(end))
+  }
+
+  /** Cost of admitting one commit: (data-file bytes, rows) added. */
+  private def addedCost(m: graft.tableformat.TableMetadata,
+      snap: graft.tableformat.Snapshot): (Long, Long) = {
+    (snap.summary.get("added-files-size-bytes").map(_.toLong),
+      snap.summary.get("added-records").map(_.toLong)) match {
+      case (Some(b), Some(r)) => (b, r)
+      case _ =>
+        val parentPaths = snap.parentId.flatMap(m.snapshotById)
+          .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+        val added = snap.files.filterNot(f => parentPaths(f.path))
+        (added.map(_.fileSizeBytes).sum, added.map(_.recordCount).sum)
     }
-    if (capped == 0) None else Some(LongOffset(capped))
+  }
+
+  /** Walk log positions above the floor, admitting commits while every
+    * configured cap holds. A single commit larger than a cap is still
+    * admitted ALONE (snapshot granularity is the admission unit —
+    * refusing it would stall the stream forever); pointer-move log
+    * entries (rollback/fast-forward re-point to existing snapshots)
+    * cost their original commit's summary, an acceptable estimate for
+    * pacing.
+    */
+  private def admit(m: graft.tableformat.TableMetadata, n: Long): Long = {
+    var end = floor
+    var snaps = 0
+    var bytes = 0L
+    var rows = 0L
+    while (end < n) {
+      val (b, r) = m.snapshotById(m.snapshotLog(end.toInt).snapshotId)
+        .map(addedCost(m, _)).getOrElse((0L, 0L))
+      val fits = maxSnapshotsPerTrigger.forall(snaps + 1 <= _) &&
+        maxBytesPerTrigger.forall(bytes + b <= _) &&
+        maxRowsPerTrigger.forall(rows + r <= _)
+      if (!fits) return if (snaps == 0) end + 1 else end
+      end += 1; snaps += 1; bytes += b; rows += r
+    }
+    end
   }
 
   /** Rows appended by commits in log positions (start, end]. */
@@ -184,9 +236,15 @@ final class GraftTableStreamProvider
       parameters: Map[String, String]): Source =
     new GraftTableStreamSource(sqlContext.sparkSession, loc(parameters),
       mode(parameters),
-      parameters.get("maxSnapshotsPerTrigger").map(_.toInt)
-        .orElse(parameters.get("maxsnapshotspertrigger").map(_.toInt)),
-      Some(metadataPath))
+      opt(parameters, "maxSnapshotsPerTrigger").map(_.toInt),
+      Some(metadataPath),
+      opt(parameters, "maxBytesPerTrigger").map(_.toLong),
+      opt(parameters, "maxRowsPerTrigger").map(_.toLong))
+
+  // DataSource options arrive case-preserved from .option() but are
+  // case-insensitive by Spark convention
+  private def opt(parameters: Map[String, String], name: String) =
+    parameters.get(name).orElse(parameters.get(name.toLowerCase))
 }
 
 object GraftTableStream {

@@ -91,6 +91,11 @@ final case class DataFileEntry(path: String, recordCount: Long,
     schemaId: Int, partitionValues: Map[String, String] = Map.empty,
     lowerBounds: Map[String, String] = Map.empty,
     upperBounds: Map[String, String] = Map.empty,
+    // on-disk bytes (Iceberg's file_size_in_bytes), recorded at write
+    // time; 0 = written before sizes existed in the manifest. Feeds
+    // size-based planning (streaming byte admission, files/partitions
+    // metadata tables) without touching storage.
+    fileSizeBytes: Long = 0L,
     // commit sequence, assigned at the file's FIRST commit (0 = written
     // before sequencing existed). Equality deletes apply only to data
     // files with a STRICTLY SMALLER sequence — the same-commit batch

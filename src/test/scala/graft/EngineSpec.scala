@@ -753,6 +753,24 @@ class EngineSpec extends AnyFunSuite {
       (1L to 50000L))
   }
 
+  test("manifest records file sizes; snapshot summary carries added-* keys") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "sz", Seq("id" -> "long"))
+    t.append((1L to 100L).toDF("id"))
+    t.append((101L to 110L).toDF("id"))
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.forall(_.fileSizeBytes > 0), s"sizes missing: $files")
+    val s = t.meta.currentSnapshot.get.summary
+    assert(s("added-records") == "10")
+    assert(s("total-records") == "110")
+    assert(s("added-files-size-bytes").toLong > 0)
+    assert(s("total-files-size-bytes").toLong ==
+      files.map(_.fileSizeBytes).sum)
+    val fdf = t.filesDf
+    assert(fdf.columns.contains("file_size_bytes"))
+    assert(fdf.agg(min(col("file_size_bytes"))).head().getLong(0) > 0)
+  }
+
   test("unknown write.distribution-mode fails loudly") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "bad",

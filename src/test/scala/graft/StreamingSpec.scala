@@ -248,6 +248,47 @@ class StreamingSpec extends AnyFunSuite {
       s"committed snapshots re-delivered: $batches")
   }
 
+  test("maxRowsPerTrigger / maxBytesPerTrigger pace by commit cost") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = Files.createTempDirectory("graft-rate2").toString
+    val t = GraftTable.create(spark, loc, "rated2", Seq("id" -> "long"))
+    t.append((1L to 2L).toDF("id"))
+    t.append((3L to 4L).toDF("id"))
+    t.append((5L to 9L).toDF("id"))
+    t.append(Seq(10L).toDF("id"))
+    def drain(opts: Map[String, String]): Seq[Seq[Long]] = {
+      val ckpt = Files.createTempDirectory("graft-rate2-ckpt").toString
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      val reader = spark.readStream.format("graft-table").option("path", loc)
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized {
+            batches += df.select("id").as[Long].collect().sorted.toSeq
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0L)).start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (!batches.synchronized(
+          batches.flatten.toSet == (1L to 10L).toSet) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q.stop(); q.awaitTermination(30000)
+      batches.synchronized(batches.filter(_.nonEmpty).toSeq)
+    }
+    // rows cap 4: commits of 2+2 rows coalesce, the 5-row commit is
+    // over the cap but admits ALONE (progress guarantee), then 1
+    assert(drain(Map("maxRowsPerTrigger" -> "4")) ==
+      Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L, 9L), Seq(10L)))
+    // bytes cap 1: every commit exceeds it, so each admits alone —
+    // byte-based pacing at snapshot granularity
+    assert(drain(Map("maxBytesPerTrigger" -> "1")) ==
+      Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L, 7L, 8L, 9L), Seq(10L)))
+  }
+
   test("graft-table stream fails loudly across a non-append commit") {
     import graft.engine.GraftTable
     import graft.streaming.GraftTableStream
