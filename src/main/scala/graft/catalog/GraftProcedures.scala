@@ -17,7 +17,12 @@ import graft.engine.GraftTable
   *   CALL graft.system.rollback_to_timestamp('db.t', <epoch_millis>)
   *   CALL graft.system.set_current_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.expire_snapshots('db.t', <keep_last>)
+  *   CALL graft.system.expire_snapshots_older_than('db.t', <epoch_millis>
+  *     [, <retain_last>])
   *   CALL graft.system.rewrite_data_files('db.t' [, 'sortCol1,sortCol2'])
+  *   CALL graft.system.rewrite_data_files_binpack('db.t'
+  *     [, <min_file_size_bytes>, <target_file_size_bytes>,
+  *        <min_input_files>])
   *   CALL graft.system.rewrite_delete_files('db.t' [, <target_files>])
   *   CALL graft.system.upsert('db.t', '<source view>', 'k1,k2',
   *     '<marker_key>', <marker_value> [, 'positional'|'equality'])
@@ -62,6 +67,24 @@ object GraftProcedures {
     Def("expire_snapshots",
       Seq(in("table", StringType), in("keep_last", IntegerType)),
       (w, r) => table(w, str(r, 0)).expireSnapshots(r.getInt(1))),
+    Def("expire_snapshots_older_than",
+      Seq(in("table", StringType), in("older_than_ms", LongType),
+        ProcedureParameter.in("retain_last", IntegerType)
+          .defaultValue("1").build()),
+      (w, r) => table(w, str(r, 0)).expireSnapshots(r.getLong(1),
+        if (r.isNullAt(2)) 1 else r.getInt(2))),
+    Def("rewrite_data_files_binpack",
+      Seq(in("table", StringType),
+        ProcedureParameter.in("min_file_size_bytes", LongType)
+          .defaultValue((32L << 20).toString).build(),
+        ProcedureParameter.in("target_file_size_bytes", LongType)
+          .defaultValue((128L << 20).toString).build(),
+        ProcedureParameter.in("min_input_files", IntegerType)
+          .defaultValue("2").build()),
+      (w, r) => table(w, str(r, 0)).rewriteDataFilesBinpack(
+        if (r.isNullAt(1)) 32L << 20 else r.getLong(1),
+        if (r.isNullAt(2)) 128L << 20 else r.getLong(2),
+        if (r.isNullAt(3)) 2 else r.getInt(3))),
     Def("rewrite_data_files",
       Seq(in("table", StringType),
         ProcedureParameter.in("sort_by", StringType).defaultValue("''").build()),

@@ -1408,6 +1408,64 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def rewriteDataFiles(): GraftTable = rewriteDataFiles(Nil)
 
+  /** Size-based compaction (Iceberg's rewrite_data_files BINPACK
+    * strategy — the default maintenance op): rewrite ONLY the small
+    * files, pack them to `targetFileSizeBytes`, and carry everything
+    * else over untouched. At 100 TB this is the difference between a
+    * nightly maintenance job that touches the 0.1% of partitions a
+    * streaming writer fragmented and a full-table rewrite: selection
+    * is metadata-only (manifest file sizes), grouped per partition,
+    * and a partition contributes only when it has at least
+    * `minInputFiles` sub-threshold files (one small file compacts to
+    * itself — wasted I/O).
+    *
+    * Merge-on-read interaction: selected rows are read with ALL
+    * deletes applied (materializing them into the rewrite), and every
+    * delete file is carried for the untouched data files — positional
+    * entries pointing at replaced paths match nothing, and equality
+    * deletes skip the rewritten rows because the new files sequence
+    * AFTER them (strictly-older rule). `rewriteDeleteFiles()` reclaims
+    * the dead delete entries separately.
+    */
+  def rewriteDataFilesBinpack(minFileSizeBytes: Long = 32L << 20,
+      targetFileSizeBytes: Long = 128L << 20,
+      minInputFiles: Int = 2): GraftTable = {
+    require(minFileSizeBytes > 0, "minFileSizeBytes must be positive")
+    require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
+    require(minInputFiles >= 2,
+      "minInputFiles must be >= 2 (one file compacts to itself)")
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(return this)
+    val selected = snap.files
+      .filter(f => f.fileSizeBytes > 0 && f.fileSizeBytes < minFileSizeBytes)
+      .groupBy(_.partitionValues).filter(_._2.size >= minInputFiles)
+      .values.flatten.toVector
+    if (selected.isEmpty) return this
+    val rows =
+      if (snap.deleteFiles.isEmpty) readFiles(m, selected)
+      else liveRows(m, snap, selected).drop("_g_path", "_g_pos")
+    val written =
+      if (m.currentSpec.fields.isEmpty) {
+        // size the pack from real on-disk bytes (the manifest), not
+        // plan stats — output lands near the target compressed size
+        val nOut = math.max(1L,
+          selected.map(_.fileSizeBytes).sum / targetFileSizeBytes + 1).toInt
+        writeFiles(m, rows.repartition(nOut))
+      } else {
+        // partitioned: reuse the write-distribution hook — hash by
+        // partition value re-coalesces each fragmented partition into
+        // its own task(s); inherited write.sort-order still applies
+        writeFiles(m.copy(properties = m.properties ++ Map(
+          "write.distribution-mode" -> "hash",
+          "write.target-file-size-bytes" -> targetFileSizeBytes.toString)),
+          rows)
+      }
+    val selPaths = selected.map(_.path).toSet
+    val carried = snap.files.filterNot(f => selPaths(f.path))
+    commitSnapshot(m, "replace", carried ++ written, snap.deleteFiles)
+    this
+  }
+
   /** Compaction with cluster-by (Iceberg's rewrite_data_files with a
     * sort strategy): range-repartition + sort on `sortBy` before
     * writing, so each output file covers a DISJOINT slice of the sort
@@ -1643,6 +1701,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val pinned = cur.refs.map(_.snapshotId).toSet ++ cur.currentSnapshotId
       val keep = cur.snapshots.sortBy(-_.timestampMs).take(keepLast)
         .map(_.snapshotId).toSet ++ pinned
+      cur.copy(
+        snapshots = cur.snapshots.filter(s => keep(s.snapshotId)),
+        snapshotLog = cur.snapshotLog.filter(e => keep(e.snapshotId)))
+    }
+    this
+  }
+
+  /** Time-based expiry (Iceberg's expire_snapshots older_than +
+    * retain_last): drop snapshots committed strictly before
+    * `olderThanMs`, always retaining the newest `retainLast`, every
+    * ref target, and the current snapshot. The retention-policy form
+    * of [[expireSnapshots]] — "keep 7 days" instead of "keep N".
+    */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int): GraftTable = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    MetadataIO.commitRetry(location) { cur =>
+      val pinned = cur.refs.map(_.snapshotId).toSet ++ cur.currentSnapshotId
+      val keep = cur.snapshots.filter(_.timestampMs >= olderThanMs)
+        .map(_.snapshotId).toSet ++
+        cur.snapshots.sortBy(-_.timestampMs).take(retainLast)
+          .map(_.snapshotId).toSet ++ pinned
       cur.copy(
         snapshots = cur.snapshots.filter(s => keep(s.snapshotId)),
         snapshotLog = cur.snapshotLog.filter(e => keep(e.snapshotId)))

@@ -843,6 +843,35 @@ object Versioned {
                CAST(min(ts) AS TIMESTAMP) AS first_ts,
                CAST(max(ts) AS TIMESTAMP) AS last_ts
         FROM events GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // Binpack maintenance: three fragmented appends + a deleting
+    // rewrite, then size-based compaction packs the small files
+    // (selection is manifest-metadata only). The oracle pins that the
+    // pack changed NOTHING semantically; EngineSpec pins the file-count
+    // collapse, partition selectivity, and MoR-delete materialization.
+    QueryDef(
+      "q95_binpack_compaction",
+      (s, d) => {
+        val loc = setupOnce("q95", d) {
+          val l = scratch("binpack")
+          val n = Tables.nation(s, d)
+          val t = GraftTable.createAs(s, l, "nation_bp",
+            n.filter(col("n_nationkey") < 10))
+          t.append(n.filter(col("n_nationkey") >= 10 &&
+            col("n_nationkey") < 20))
+          t.append(n.filter(col("n_nationkey") >= 20))
+          t.delete(col("n_nationkey") % 7 === 0)
+          t.rewriteDataFilesBinpack()
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_nationkey % 7 <> 0 ORDER BY n_nationkey
       """))
   )
 }

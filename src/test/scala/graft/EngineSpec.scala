@@ -771,6 +771,68 @@ class EngineSpec extends AnyFunSuite {
     assert(fdf.agg(min(col("file_size_bytes"))).head().getLong(0) > 0)
   }
 
+  test("binpack compaction packs small files, leaves compacted state alone") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "bp", Seq("id" -> "long"))
+    (0 until 4).foreach(i =>
+      t.append(((i * 10L) until (i * 10L + 10L)).toDF("id")))
+    // each append fans out over the local cores: many small files
+    assert(t.meta.currentSnapshot.get.files.size >= 4)
+    t.rewriteDataFilesBinpack() // every file far below the 32 MiB default
+    assert(t.meta.currentSnapshot.get.files.size == 1)
+    assert(t.read().as[Long].collect().sorted.toSeq ==
+      (0 until 4).flatMap(i => (i * 10L) until (i * 10L + 10L)))
+    // one file per group: below minInputFiles, nothing to pack — no-op
+    val snaps = t.meta.snapshots.size
+    t.rewriteDataFilesBinpack()
+    assert(t.meta.snapshots.size == snaps)
+  }
+
+  test("binpack is partition-selective and materializes MoR deletes for rewritten files only") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "bpp",
+      Seq("id" -> "long", "cat" -> "string"),
+      partition = Seq("cat" -> "identity"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    // cat=a fragmented across 3 appends; cat=b a single file
+    (0 until 3).foreach(i =>
+      t.append(Seq((i * 2L, "a"), (i * 2L + 1L, "a")).toDF("id", "cat")))
+    t.append((100L to 105L).map((_, "b")).toDF("id", "cat").repartition(1))
+    t.delete(col("id") === 1L) // MoR: delete file against a small 'a' file
+    t.delete(col("id") === 100L) // MoR: delete file against the 'b' file
+    val before = t.meta.currentSnapshot.get
+    val bPaths = before.files.filter(_.partitionValues("cat") == "b")
+      .map(_.path).toSet
+    t.rewriteDataFilesBinpack()
+    val after = t.meta.currentSnapshot.get
+    // 'a' packed to one file; 'b' (one file, below minInputFiles) untouched
+    assert(after.files.filter(_.partitionValues("cat") == "a").size == 1)
+    assert(after.files.filter(_.partitionValues("cat") == "b")
+      .map(_.path).toSet == bPaths)
+    // delete files carried: 'b' still masks 100; 'a' materialized its delete
+    assert(after.deleteFiles.nonEmpty)
+    assert(t.read().as[(Long, String)].collect().sorted.toSeq ==
+      Seq((0L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"),
+        (101L, "b"), (102L, "b"), (103L, "b"), (104L, "b"), (105L, "b")))
+  }
+
+  test("expireSnapshots older_than keeps the time window plus retain_last") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "exp", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    t.append(Seq(2L).toDF("id"))
+    t.append(Seq(3L).toDF("id"))
+    val snaps = t.meta.snapshots.sortBy(_.timestampMs)
+    t.expireSnapshots(olderThanMs = snaps(1).timestampMs, retainLast = 1)
+    val left = t.meta.snapshots.map(_.snapshotId).toSet
+    assert(left == snaps.drop(1).map(_.snapshotId).toSet)
+    assert(t.read().count() == 3)
+    // even with everything outside the window, retain_last floors it
+    t.expireSnapshots(olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(t.meta.snapshots.map(_.snapshotId) ==
+      Vector(snaps.last.snapshotId))
+  }
+
   test("unknown write.distribution-mode fails loudly") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "bad",

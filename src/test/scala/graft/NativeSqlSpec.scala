@@ -475,6 +475,16 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L))
     spark.sql("CALL graft.system.remove_orphan_files('db.proc')")
     assert(t.read().count() == 3)
+    // size-based maintenance: binpack re-packs the table's small files
+    t.append(Seq(9L).toDF("id"))
+    spark.sql("CALL graft.system.rewrite_data_files_binpack('db.proc')")
+    assert(t.meta.currentSnapshot.get.files.size == 1)
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L, 9L))
+    // time-based expiry: everything before now goes, retain_last floors
+    spark.sql("CALL graft.system.expire_snapshots_older_than('db.proc', " +
+      s"${System.currentTimeMillis() + 60000}, 1)")
+    assert(t.meta.snapshots.size >= 1)
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L, 9L))
     val e = intercept[Exception](
       spark.sql("CALL graft.system.nope('db.proc')"))
     assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
