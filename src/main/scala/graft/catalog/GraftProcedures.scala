@@ -28,6 +28,7 @@ import graft.engine.GraftTable
   *     '<marker_key>', <marker_value> [, 'positional'|'equality'])
   *   CALL graft.system.remove_orphan_files('db.t')
   *   CALL graft.system.fast_forward('db.t', '<branch>')
+  *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.create_branch('db.t', '<name>')
   *   CALL graft.system.create_tag('db.t', '<name>')
   *
@@ -135,6 +136,9 @@ object GraftProcedures {
     Def("fast_forward",
       Seq(in("table", StringType), in("branch", StringType)),
       (w, r) => table(w, str(r, 0)).fastForward(str(r, 1))),
+    Def("cherrypick_snapshot",
+      Seq(in("table", StringType), in("snapshot_id", LongType)),
+      (w, r) => table(w, str(r, 0)).cherrypickSnapshot(r.getLong(1))),
     Def("create_branch",
       Seq(in("table", StringType), in("name", StringType)),
       (w, r) => table(w, str(r, 0)).createBranch(str(r, 1))),

@@ -1885,6 +1885,68 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Publish ONE staged append onto the current head even after main
+    * has moved — Iceberg's cherrypick_snapshot, the general half of
+    * write-audit-publish ([[fastForward]] covers only the main-never-
+    * moved case). The picked snapshot's ADDED files (diff vs its
+    * parent, by path — no data is read or rewritten) are re-committed
+    * as a NEW append whose parent is today's head. The added files get
+    * a fresh sequence number: the rows logically commit now, so
+    * equality deletes that landed on main after the staging commit
+    * must not hide them (same rule a fresh append would follow).
+    * Restricted to `operation == "append"` snapshots — cherry-picking
+    * a delete/overwrite can't be expressed as a file-list union.
+    */
+  def cherrypickSnapshot(snapshotId: Long): GraftTable = {
+    MetadataIO.commitRetry(location) { cur =>
+      val snap = cur.snapshotById(snapshotId)
+        .getOrElse(sys.error(s"no snapshot $snapshotId"))
+      require(snap.operation == "append",
+        s"cherrypick supports append snapshots only; $snapshotId is " +
+          s"'${snap.operation}'")
+      val parentPaths: Set[String] = snap.parentId match {
+        case Some(pid) => cur.snapshotById(pid)
+          .getOrElse(sys.error(
+            s"parent $pid of $snapshotId expired; cannot isolate its appends"))
+          .files.map(_.path).toSet
+        case None => Set.empty
+      }
+      val added = snap.files.filterNot(f => parentPaths(f.path))
+      val head = cur.currentSnapshot
+      val headPaths = head.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      require(!added.exists(f => headPaths(f.path)),
+        s"snapshot $snapshotId is already reachable from the current head " +
+          "(duplicate publish)")
+      val now = math.max(System.currentTimeMillis(),
+        cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
+      val nextSeq = cur.lastSequence + 1
+      val picked = added.map(_.copy(seq = nextSeq))
+      val allFiles = head.map(_.files).getOrElse(Vector.empty) ++ picked
+      val dels = head.map(_.deleteFiles).getOrElse(Vector.empty)
+      val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
+      val pub = Snapshot(
+        snapshotId = id, parentId = cur.currentSnapshotId, timestampMs = now,
+        operation = "append", schemaId = cur.currentSchemaId,
+        specId = cur.currentSpecId, files = allFiles,
+        summary = Map(
+          "total-records" -> allFiles.map(_.recordCount).sum.toString,
+          "total-data-files" -> allFiles.size.toString,
+          "total-files-size-bytes" -> allFiles.map(_.fileSizeBytes).sum.toString,
+          "total-delete-files" -> dels.size.toString,
+          "added-data-files" -> picked.size.toString,
+          "added-records" -> picked.map(_.recordCount).sum.toString,
+          "added-files-size-bytes" -> picked.map(_.fileSizeBytes).sum.toString,
+          "source-snapshot-id" -> snapshotId.toString),
+        deleteFiles = dels)
+      cur.copy(
+        snapshots = cur.snapshots :+ pub,
+        currentSnapshotId = Some(id),
+        lastSequence = nextSeq,
+        snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, id))
+    }
+    this
+  }
+
   private def branchRef(cur: TableMetadata, branch: String): TableRef =
     cur.refs.find(r => r.name == branch && r.refType == "BRANCH")
       .getOrElse(sys.error(s"no branch $branch"))
