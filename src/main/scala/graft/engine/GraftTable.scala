@@ -1473,6 +1473,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * discovery into near-exact file selection. At 100 TB this is the
     * difference between a point DELETE/filter touching one file and
     * touching every file whose accidental key range overlaps.
+    *
+    * Merge-on-read interaction (the contract [[rewriteDataFilesBinpack]]
+    * documents for the partial case, stated here for the full one):
+    * `read()` materializes EVERY positional and equality delete into
+    * the rewritten rows, so the commit carries NO delete files — after
+    * a full rewrite the read path is plain scans again. Pinned by
+    * MergeOnReadSpec ("full rewrite materializes deletes away...").
     */
   def rewriteDataFiles(sortBy: Seq[String], targetFiles: Int = 0): GraftTable = {
     val m = meta
@@ -1623,14 +1630,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     def arithmetic(dt: String): Boolean =
       Set("int", "long", "float", "double", "timestamp")(dt) ||
         dt.startsWith("decimal")
-    def rankBased(dt: String): Boolean = dt == "string" || dt == "date"
+    // ntz can't cast to double (no instant semantics), so it clusters
+    // by rank like the other merely-ORDERABLE types
+    def rankBased(dt: String): Boolean =
+      dt == "string" || dt == "date" || dt == "timestamp_ntz"
     val fields = cols.map(c => m.currentSchema.fieldByName(c)
       .getOrElse(sys.error(s"z-order column $c not in schema")))
     fields.foreach(f => require(
       arithmetic(f.dataType) || rankBased(f.dataType),
       s"z-order column ${f.name} has type ${f.dataType}; " +
         "int/long/float/double/timestamp/decimal cluster arithmetically, " +
-        "string/date by rank"))
+        "string/date/timestamp_ntz by rank"))
     val df0 = read()
     val rankCols = fields.filter(f => rankBased(f.dataType)).map(_.name)
     // rank buckets are a comparison chain per boundary, so cap their
@@ -1913,12 +1923,35 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
       val added = snap.files.filterNot(f => parentPaths(f.path))
       val head = cur.currentSnapshot
+      // Duplicate-publish guard, lineage-based (Iceberg's
+      // CherrypickAncestorCommitException): path overlap alone is not
+      // enough — if the picked snapshot was already published and its
+      // files were since rewritten by compaction or removed by DELETE,
+      // the head no longer shares any path with it, yet re-committing
+      // would duplicate/resurrect those rows. Walk the head's ancestry
+      // and reject both the snapshot itself and any commit that already
+      // published it (summary source-snapshot-id).
+      val ancestry = Iterator.unfold(cur.currentSnapshotId) {
+        _.flatMap(cur.snapshotById).map(s => (s, s.parentId))
+      }.toVector
+      require(!ancestry.exists(_.snapshotId == snapshotId),
+        s"snapshot $snapshotId is already an ancestor of the current head " +
+          "(duplicate publish)")
+      require(!ancestry.exists(
+          _.summary.get("source-snapshot-id").contains(snapshotId.toString)),
+        s"snapshot $snapshotId was already cherry-picked onto this lineage " +
+          "(duplicate publish)")
       val headPaths = head.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
       require(!added.exists(f => headPaths(f.path)),
         s"snapshot $snapshotId is already reachable from the current head " +
           "(duplicate publish)")
-      val now = math.max(System.currentTimeMillis(),
-        cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue) + 1)
+      // monotonic over the snapshot LOG too (same rule as withSnapshot):
+      // a pointer move in the same millisecond bumps its log entry past
+      // the snapshots' max, and this commit must sort after it or
+      // snapshotAsOfTime would hide the cherrypick
+      val now = math.max(System.currentTimeMillis(), math.max(
+        cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue),
+        cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(Long.MinValue)) + 1)
       val nextSeq = cur.lastSequence + 1
       val picked = added.map(_.copy(seq = nextSeq))
       val allFiles = head.map(_.files).getOrElse(Vector.empty) ++ picked
@@ -1936,6 +1969,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           "added-data-files" -> picked.size.toString,
           "added-records" -> picked.map(_.recordCount).sum.toString,
           "added-files-size-bytes" -> picked.map(_.fileSizeBytes).sum.toString,
+          "total-position-deletes" ->
+            dels.filter(_.equalityIds.isEmpty).map(_.recordCount).sum.toString,
           "source-snapshot-id" -> snapshotId.toString),
         deleteFiles = dels)
       cur.copy(

@@ -66,16 +66,22 @@ object PartitionTransforms {
     */
   def validate(tr: String, dataType: String): Unit = {
     val (kind, arg) = parse(tr)
-    def temporal = dataType == "date" || dataType == "timestamp"
+    // timestamp_ntz is a first-class temporal source: the fixtures ship
+    // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+    // surfaces as TIMESTAMP_NTZ — rejecting it here would make the
+    // reference's own `PARTITIONED BY (day(added_at))` unusable.
+    def ts = dataType == "timestamp" || dataType == "timestamp_ntz"
+    def temporal = dataType == "date" || ts
     kind match {
       case "identity" => ()
       case "year" | "month" | "day" =>
         require(temporal, s"$kind() needs a date/timestamp source, got $dataType")
       case "hour" =>
-        require(dataType == "timestamp", s"hour() needs a timestamp source, got $dataType")
+        require(ts, s"hour() needs a timestamp source, got $dataType")
       case "bucket" =>
         require(arg.isDefined, "bucket needs a width: bucket(N)")
-        require(Set("int", "long", "string", "date", "timestamp")(dataType),
+        require(Set("int", "long", "string", "date", "timestamp",
+            "timestamp_ntz")(dataType),
           s"bucket() over $dataType is not supported")
       case "truncate" =>
         require(arg.isDefined, "truncate needs a width: truncate(W)")
@@ -125,6 +131,12 @@ object PartitionTransforms {
       case (TimestampType, t: Long) => Some(t)
       case _                        => None
     }
+    // NTZ micros are a separate domain: a TZ literal's instant-micros
+    // shift by the zone offset, so cross-flavor literals never map
+    def asNtzMicros: Option[Long] = (l.dataType, l.value) match {
+      case (TimestampNTZType, t: Long) => Some(t)
+      case _                           => None
+    }
     def asLong: Option[Long] = l.value match {
       case n: Int => Some(n.toLong); case n: Long => Some(n)
       case n: Short => Some(n.toLong); case n: Byte => Some(n.toLong)
@@ -143,6 +155,14 @@ object PartitionTransforms {
         val zone = java.time.ZoneId.of(SQLConf.get.sessionLocalTimeZone)
         java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
           .atZone(zone)
+      }
+      case "timestamp_ntz" => asNtzMicros.map { us =>
+        // NTZ micros ARE the wall clock — format in UTC, NOT the session
+        // zone (ntz has no zone; the write side's date_format(ntz) also
+        // renders the wall clock: the implicit NTZ→TZ cast and the
+        // formatter both use the session zone, so they cancel)
+        java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
+          .atZone(java.time.ZoneOffset.UTC)
       }
       case _ => None
     }
@@ -168,7 +188,8 @@ object PartitionTransforms {
         val ok = (dataType, l.dataType) match {
           case ("int", IntegerType) | ("long", LongType) |
                ("string", StringType) | ("date", DateType) |
-               ("timestamp", TimestampType) => true
+               ("timestamp", TimestampType) |
+               ("timestamp_ntz", TimestampNTZType) => true
           case _ => false
         }
         if (!ok) None

@@ -135,7 +135,8 @@ object StatsPruning {
       try Some(BigDecimal(raw)) catch { case _: Exception => None }
     case "string"    => Some(raw)
     case "date"      => raw.toIntOption
-    case "timestamp" => raw.toLongOption
+    // both timestamp flavors record INT64 micros in the footer
+    case "timestamp" | "timestamp_ntz" => raw.toLongOption
     case _           => None
   }
 
@@ -176,6 +177,13 @@ object StatsPruning {
       (l.dataType, l.value) match {
         case (TimestampType, t: Long) => Some(t)
         case _                        => None
+      }
+    case "timestamp_ntz" =>
+      (l.dataType, l.value) match {
+        // NTZ micros compare against NTZ micros only — a TZ literal's
+        // instant is a different domain (would shift by the zone offset)
+        case (TimestampNTZType, t: Long) => Some(t)
+        case _                           => None
       }
     case _ => None
   }

@@ -53,6 +53,9 @@ object ZOrder {
   def cmpSampled(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String)               => x.compareTo(y)
     case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    // timestamp_ntz rows surface as LocalDateTime (no java8API flag)
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) =>
+      x.compareTo(y)
     case _ => sys.error(s"unorderable z-order sample ${a.getClass}")
   }
 

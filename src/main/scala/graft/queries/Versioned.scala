@@ -872,6 +872,56 @@ object Versioned {
       Some("""
         SELECT n_nationkey, n_name, n_regionkey FROM nation
         WHERE n_nationkey % 7 <> 0 ORDER BY n_nationkey
+      """)),
+
+    // Streaming CDC end-to-end (the `changes` stream mode, until now
+    // unit-only): a create + MoR delete + append sequence replayed
+    // through the graft-table stream — the first drain delivers the
+    // initial state as inserts (Delta CDF's convention), the second
+    // delivers exactly the delta from the checkpointed offset via the
+    // accretive changelog fast path (delete file + data files only
+    // ADDED; nothing rewritten, nothing re-read). The drained rows are
+    // pinned against plain SQL over the source parquet.
+    QueryDef(
+      "q96_streaming_changes",
+      (s, d) => {
+        val out = setupOnce("q96", d) {
+          val tl = scratch("cdcchanges")
+          val outDir = s"${scratch("cdcchanges-out")}/rows"
+          val ckpt = scratch("cdcchanges-ckpt")
+          val n = Tables.nation(s, d)
+          val t = GraftTable.createAs(s, tl, "nation_cs",
+            n.filter(col("n_nationkey") < 10),
+            properties = Map("write.delete.mode" -> "merge-on-read"))
+          def drain(): Unit = {
+            val q = graft.streaming.GraftTableStream.readChanges(s, tl)
+              .writeStream.format("parquet").option("path", outDir)
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          drain() // initial load: current state as inserts
+          t.delete(col("n_nationkey") % 3 === 0)
+          t.append(n.filter(col("n_nationkey") >= 10 &&
+            col("n_nationkey") < 15))
+          drain() // delta only: MoR-deleted keys + appended rows
+          outDir
+        }
+        s.read.parquet(out)
+          .orderBy(col("n_nationkey"), col("_change_type"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
+          FROM nation WHERE n_nationkey < 10
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+          FROM nation WHERE n_nationkey < 10 AND n_nationkey % 3 = 0
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
+          FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15
+        ) ORDER BY n_nationkey, _change_type
       """))
   )
 }

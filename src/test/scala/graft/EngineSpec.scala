@@ -688,6 +688,36 @@ class EngineSpec extends AnyFunSuite {
     assert(t.history.count() == 5) // 2 commits + rollback + set + rollback
   }
 
+  test("cherrypick publishes a staged append once; lineage rejects replays") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "cp", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    // write-audit-publish where main MOVED after staging: fastForward
+    // refuses (not an ancestor), cherrypick re-commits the staged files
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq(2L).toDF("id"))
+    val staged = t.meta.refs.find(_.name == "audit").get.snapshotId
+    t.append(Seq(3L).toDF("id"))
+    val mainAppend = t.meta.currentSnapshotId.get
+    intercept[IllegalArgumentException](t.fastForward("audit"))
+    t.cherrypickSnapshot(staged)
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // immediate replay: caught by the source-snapshot-id lineage guard
+    val e1 = intercept[Exception](t.cherrypickSnapshot(staged))
+    assert(e1.getMessage.contains("duplicate publish"))
+    // the ADVICE scenario: compaction rewrites every data file path, so
+    // a path-overlap check alone would let the replay duplicate rows —
+    // the lineage walk must still reject it
+    t.rewriteDataFiles()
+    assert(t.read().count() == 3)
+    val e2 = intercept[Exception](t.cherrypickSnapshot(staged))
+    assert(e2.getMessage.contains("duplicate publish"))
+    // an append that IS an ancestor of the head is likewise a no-op replay
+    val e3 = intercept[Exception](t.cherrypickSnapshot(mainAppend))
+    assert(e3.getMessage.contains("duplicate publish"))
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("MERGE with only NOT MATCHED BY SOURCE dedupes multi-matched rows") {
     import spark.implicits._
     import graft.engine._

@@ -190,6 +190,37 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(t.readAsOfVersion(parent).count() == 3)
   }
 
+  test("full rewrite materializes deletes away; binpack carries them") {
+    // the two compaction paths' MoR contracts, side by side: a FULL
+    // rewrite (sorted or not) reads every row with positional AND
+    // equality deletes applied and commits zero delete files; binpack
+    // rewrites only selected files and must CARRY the delete files for
+    // the ones it didn't touch
+    import spark.implicits._
+    val t = morTable()
+    t.delete(col("id") === 2L)                        // positional
+    t.upsertEqIfNewMarker(Seq((3L, "c2", 51)).toDF("id", "name", "age"),
+      Seq("id"), "mor.full-rw.batch", 1L)             // equality + append
+    assert(t.meta.currentSnapshot.get.deleteFiles.size == 2)
+    val expect = Seq((1L, "a", 30), (3L, "c2", 51), (4L, "d", 60))
+    t.rewriteDataFiles(sortBy = Seq("id"))
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.isEmpty,
+      "full rewrite must not carry delete files — they are materialized")
+    assert(t.read().orderBy("id").as[(Long, String, Int)].collect().toSeq
+      == expect)
+    // binpack on a fresh copy: untouched files keep needing the deletes
+    val b = morTable()
+    b.delete(col("id") === 2L)
+    b.upsertEqIfNewMarker(Seq((3L, "c2", 51)).toDF("id", "name", "age"),
+      Seq("id"), "mor.binpack.batch", 1L)
+    b.rewriteDataFilesBinpack(minFileSizeBytes = 1L)  // selects nothing
+    assert(b.meta.currentSnapshot.get.deleteFiles.size == 2,
+      "binpack with no selection must carry every delete file")
+    assert(b.read().orderBy("id").as[(Long, String, Int)].collect().toSeq
+      == expect)
+  }
+
   test("expireSnapshots + removeOrphanFiles reclaim history and disk") {
     import spark.implicits._
     val t = morTable()
