@@ -144,7 +144,62 @@ object GraftProcedures {
       (w, r) => table(w, str(r, 0)).createBranch(str(r, 1))),
     Def("create_tag",
       Seq(in("table", StringType), in("name", StringType)),
-      (w, r) => table(w, str(r, 0)).createTag(str(r, 1))))
+      (w, r) => table(w, str(r, 0)).createTag(str(r, 1))),
+    // Partition-spec evolution (Iceberg's ALTER TABLE ... ADD/DROP
+    // PARTITION FIELD, expressed as one declarative call): `spec` is a
+    // comma list in Iceberg's transform syntax — "day(ts)",
+    // "bucket(8, id)", "truncate(4, name)", bare "id" = identity; the
+    // empty string unpartitions. New files land under the new layout,
+    // existing files keep theirs (values are per-file in the manifest,
+    // so mixed-spec pruning needs no rewrite).
+    Def("set_partition_spec",
+      Seq(in("table", StringType), in("spec", StringType)),
+      (w, r) => {
+        table(w, str(r, 0)).setPartitionSpec(parseSpec(str(r, 1)))
+        ()
+      }))
+
+  /** "day(ts), bucket(8, id), name" -> Seq(ts->day, id->bucket(8),
+    * name->identity). Split on top-level commas only.
+    */
+  def parseSpec(spec: String): Seq[(String, String)] = {
+    val s = spec.trim
+    if (s.isEmpty) return Nil
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => items += s.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    require(depth == 0, s"unbalanced parens in partition spec '$spec'")
+    items += s.substring(start)
+    items.map(_.trim).filter(_.nonEmpty).map { item =>
+      val i = item.indexOf('(')
+      if (i < 0) item -> "identity"
+      else {
+        require(item.endsWith(")"), s"malformed transform '$item'")
+        val name = item.substring(0, i).trim.toLowerCase
+        val args = item.substring(i + 1, item.length - 1)
+          .split(',').map(_.trim).toSeq
+        name match {
+          case "identity" =>
+            require(args.size == 1, s"identity takes one column: '$item'")
+            args.head -> "identity"
+          case "year" | "years" | "month" | "months" | "day" | "days" |
+               "hour" | "hours" =>
+            require(args.size == 1, s"$name takes one column: '$item'")
+            args.head -> name.stripSuffix("s")
+          case "bucket" | "truncate" =>
+            require(args.size == 2 && args.head.toIntOption.isDefined,
+              s"$name takes (N, column): '$item'")
+            args(1) -> s"$name(${args.head})"
+          case other => sys.error(s"unknown partition transform '$other'")
+        }
+      }
+    }.toSeq
+  }
 
   def load(warehouse: () => Option[String], ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")),

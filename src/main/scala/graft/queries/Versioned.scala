@@ -922,6 +922,87 @@ object Versioned {
           SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
           FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15
         ) ORDER BY n_nationkey, _change_type
+      """)),
+
+    // Partition-spec evolution (the reference's `table` metadata carries
+    // two specs after REPLACE TABLE — here evolved LIVE, Iceberg's
+    // ALTER TABLE ... PARTITION FIELD): half the rows land under
+    // day(ts), the spec evolves to identity(event_type), the other half
+    // lands under the new layout, and ONE query prunes across both —
+    // day files by the ts range, event_type files by the equality —
+    // with no rewrite in between. The oracle pins that mixed-spec reads
+    // lose nothing.
+    QueryDef(
+      "q97_spec_evolution",
+      (s, d) => {
+        val loc = setupOnce("q97", d) {
+          val l = scratch("specevo")
+          val ev = Tables.events(s, d)
+            .select("event_id", "ts", "event_type", "value")
+          val t = GraftTable.createAs(s, l, "events_se",
+            ev.filter(col("event_id") % 2 === 0),
+            partition = Seq("ts" -> "day"))
+          t.setPartitionSpec(Seq("event_type" -> "identity"))
+          t.append(ev.filter(col("event_id") % 2 === 1))
+          l
+        }
+        GraftTable.load(s, loc)
+          .readWhere(
+            col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-08 00:00:00").cast("timestamp") &&
+            col("event_type") === "click")
+          .select(col("event_id"), round(col("value"), 2).as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, round(value, 2) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+          AND event_type = 'click'
+        ORDER BY event_id
+      """)),
+
+    // Structured Streaming windowed aggregation, oracled (StreamingSpec
+    // pins stream==batch in units; this puts the STREAMING path itself
+    // through the driver's DuckDB gate): the events table tails through
+    // the graft-table stream into a tumbling-window count/sum in
+    // complete mode, and the drained result must equal a plain batch
+    // GROUP BY over the source parquet. window('1 hour') aligns to the
+    // epoch hour, i.e. date_trunc('hour'). Complete mode + memory sink
+    // is the deterministic REPLAY harness only (state bounded by
+    // #windows x #types, ~3.6k rows here); the production shape —
+    // append mode + watermark, unbounded input — is what StreamingSpec
+    // drives.
+    QueryDef(
+      "q98_streaming_window",
+      (s, d) => {
+        val out = setupOnce("q98", d) {
+          val tl = scratch("swin")
+          val outP = s"${scratch("swin-out")}/rows"
+          val ev = Tables.events(s, d)
+            .select("event_id", "ts", "event_type", "value")
+          GraftTable.createAs(s, tl, "events_sw", ev)
+          val agg = graft.streaming.GraftTableStream.read(s, tl)
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+            .select(col("window.start").as("h"), col("event_type"),
+              col("n"), round(col("sv"), 2).as("total"))
+          val q = agg.writeStream.format("memory").queryName("q98_sink")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table("q98_sink").coalesce(1).write.mode("overwrite").parquet(outP)
+          outP
+        }
+        s.read.parquet(out).orderBy(col("h"), col("event_type"))
+      },
+      Some("""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2 ORDER BY h, event_type
       """))
   )
 }

@@ -688,6 +688,22 @@ class EngineSpec extends AnyFunSuite {
     assert(t.history.count() == 5) // 2 commits + rollback + set + rollback
   }
 
+  test("partitions metadata table: record_count, file_count, total_size") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "pm",
+      Seq("id" -> "long", "g" -> "string"),
+      partition = Seq("g" -> "identity"))
+    t.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g").coalesce(1))
+    t.append(Seq((4L, "a")).toDF("id", "g").coalesce(1))
+    val rows = t.partitionsDf
+      .select(col("partition")("g").as("g"), col("record_count"),
+        col("file_count"), col("total_size_bytes"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // manifest-only answer: per-partition row totals, file counts, bytes
+    assert(rows.map(r => (r._1, r._2, r._3)) == Seq(("a", 3L, 2L), ("b", 1L, 1L)))
+    assert(rows.forall(_._4 > 0L), "total_size_bytes must come from the manifest")
+  }
+
   test("cherrypick publishes a staged append once; lineage rejects replays") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "cp", Seq("id" -> "long"))

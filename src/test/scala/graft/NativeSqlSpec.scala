@@ -522,6 +522,36 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("unknown upsert mode")))
   }
 
+  test("CALL graft.system.set_partition_spec evolves the layout in place") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "spev",
+      Seq("id" -> "long", "typ" -> "string"),
+      partition = Seq("id" -> "identity"))
+    t.append(Seq((1L, "ann"), (2L, "bo")).toDF("id", "typ"))
+    spark.sql(
+      "CALL graft.system.set_partition_spec('db.spev', 'truncate(1, typ)')")
+    t.append(Seq((3L, "anna"), (4L, "bob")).toDF("id", "typ"))
+    // old files keep the identity layout, new ones land under truncate
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.exists(_.partitionValues.contains("id")))
+    assert(files.exists(_.partitionValues.contains("typ_trunc")))
+    assert(spark.table("graft.db.spev").count() == 4)
+    // the Iceberg transform syntax parses in all its shapes
+    assert(graft.catalog.GraftProcedures
+      .parseSpec("day(ts), bucket(8, id), name, truncate(4, v)") ==
+      Seq("ts" -> "day", "id" -> "bucket(8)", "name" -> "identity",
+        "v" -> "truncate(4)"))
+    assert(graft.catalog.GraftProcedures.parseSpec("hours(ts)") ==
+      Seq("ts" -> "hour"))
+    assert(graft.catalog.GraftProcedures.parseSpec("") == Nil)
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    val bad = intercept[Exception](spark.sql(
+      "CALL graft.system.set_partition_spec('db.spev', 'wat(id)')"))
+    assert(msgs(bad).exists(_.contains("unknown partition transform")))
+  }
+
   test("CALL graft.system.rewrite_delete_files compacts CDC deletes via SQL") {
     import spark.implicits._
     val cat = freshCat()
