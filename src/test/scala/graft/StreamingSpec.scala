@@ -203,6 +203,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.isEmpty)
   }
 
+  test("changes stream re-binds CDC columns by field-id across a rename") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    val loc = Files.createTempDirectory("graft-cev").toString
+    val t = GraftTable.createAs(spark, loc, "cev",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    val src = new graft.streaming.GraftTableStreamSource(spark, loc,
+      mode = "changes")
+    val o1 = src.getOffset.get
+    assert(src.getBatch(None, o1).schema.fieldNames.toSeq ==
+      Seq("id", "name", "_change_type"))
+    // mid-stream evolution: rename, then CDC commits under the NEW name
+    t.renameColumn("name", "label")
+    t.delete(col("id") === 1L)
+    t.append(Seq((3L, "c")).toDF("id", "label"))
+    val o2 = src.getOffset.get
+    // the CDC slice spans post-rename commits, yet the delivered columns
+    // keep the BOUND name — resolved by field-id against the live schema
+    // (analysis of the rebinding select throws here if the mapping broke)
+    assert(src.getBatch(Some(o1), o2).schema.fieldNames.toSeq ==
+      Seq("id", "name", "_change_type"))
+    // a bound column dropped mid-stream must fail loudly, not re-label
+    t.dropColumn("label")
+    t.append(Seq(Tuple1(4L)).toDF("id"))
+    val o3 = src.getOffset.get
+    val e = intercept[Exception](src.getBatch(Some(o2), o3))
+    assert(e.getMessage.contains("dropped mid-stream"))
+  }
+
   test("maxSnapshotsPerTrigger paces the graft-table stream and survives restart") {
     import spark.implicits._
     import graft.engine.GraftTable
