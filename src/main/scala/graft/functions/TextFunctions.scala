@@ -28,6 +28,22 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
+  /** xxhash64 of each word k-shingle. Same shingle set as [[shingles]]
+    * (pinned elementwise-equal in units), but the joined string dies
+    * inside the codegen'd projection — only the 8-byte hash reaches any
+    * exchange, distinct, or broadcast. For set-overlap consumers
+    * (decontamination) this shrinks the data movement ~10x; the price
+    * is the 64-bit collision rate, negligible against a benchmark-sized
+    * gram set (expected false hits ~ |corpus grams| x |bench grams| /
+    * 2^64, and the error direction is conservative — a collision DROPS
+    * a clean document, never leaks a contaminated one).
+    */
+  def shingleHashes(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Exact Jaccard similarity of two (distinct-element) arrays — an
     * integer/integer ratio, so Spark and any oracle engine compute the
     * bit-identical double. Two EMPTY sets yield NULL (undefined), not

@@ -53,7 +53,12 @@ object Curation {
     * corpus-sized); the corpus side explodes its shingles in one
     * codegen'd projection and LEFT ANTI semi-probes the broadcast —
     * the corpus is never shuffled, never collected, and a document
-    * short-circuits out of the probe on its first hit. Lowercasing is
+    * short-circuits out of the probe on its first hit. Both sides
+    * match on the 64-BIT HASH of the gram, not the string: only 8-byte
+    * keys reach the bench-side distinct/broadcast and the probe
+    * (~10x smaller than 13-word strings), and the collision error is
+    * both negligible and conservative (see
+    * [[graft.functions.TextFunctions.shingleHashes]]). Lowercasing is
     * the only normalization (decontamination wants high precision;
     * callers wanting stemmed/fuzzy matching should pre-normalize both
     * sides the same way).
@@ -61,14 +66,14 @@ object Curation {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
     require(n >= 2, "decontamination n-gram size must be >= 2")
-    import graft.functions.TextFunctions.{shingles, tokens}
+    import graft.functions.TextFunctions.{shingleHashes, tokens}
     val benchGrams = benchmark
-      .select(explode(shingles(tokens(lower(col(benchTextCol))), n))
+      .select(explode(shingleHashes(tokens(lower(col(benchTextCol))), n))
         .as("__gram"))
       .distinct()
     val hits = docs
       .select(col(idCol),
-        explode(shingles(tokens(lower(col(textCol))), n)).as("__gram"))
+        explode(shingleHashes(tokens(lower(col(textCol))), n)).as("__gram"))
       .join(broadcast(benchGrams), "__gram")
       .select(idCol).distinct()
     // hit ids broadcast too: contaminated docs are a small fraction by

@@ -385,6 +385,25 @@ class PipelineSpec extends AnyFunSuite {
       Curation.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 1))
   }
 
+  test("shingleHashes is elementwise xxhash64 of shingles") {
+    import spark.implicits._
+    // the decontamination probe matches on these hashes: they must be
+    // exactly xxhash64 over the string shingle set (same order, same
+    // distinct semantics, same short-doc empty set)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "x y x y x y"), (3L, "too short"), (4L, "")
+    ).toDF("doc_id", "text")
+    val both = corpus.select(
+      TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+        .as("fused"),
+      transform(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3),
+        s => xxhash64(s)).as("composed"))
+    assert(both.filter(not(col("fused") === col("composed"))).isEmpty)
+    assert(both.count() == 4)
+  }
+
   test("connected components: a 64-node chain collapses to one min-labeled cluster") {
     import spark.implicits._
     // worst case for min-label propagation (rounds = diameter); the
