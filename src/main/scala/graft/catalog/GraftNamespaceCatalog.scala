@@ -164,6 +164,7 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
           case "metadata_log_entries" => Some(t.metadataLogEntries)
           case "refs"                 => Some(t.refs)
           case "files"                => Some(t.filesDf)
+          case "delete_files"         => Some(t.deleteFilesDf)
           case "partitions"           => Some(t.partitionsDf)
           case "changes" =>
             // a table that exists but has no commits has no changelog —

@@ -2053,6 +2053,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         "partition_values")
   }
 
+  /** t.delete_files (Iceberg's delete_files metadata table): the
+    * merge-on-read maintenance observable — which delete files the
+    * current snapshot carries, their kind (positional rows vs
+    * equality-keyed), how many rows each hides, and the sequence
+    * number governing which data files they apply to. Manifest-only;
+    * this is what a maintenance scheduler reads to decide when
+    * `rewrite_delete_files` is due, without scanning a byte.
+    */
+  def deleteFilesDf: DataFrame = {
+    val m = meta
+    m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+      .map(f => (f.path,
+        if (f.equalityIds.isEmpty) "positional" else "equality",
+        f.recordCount, f.fileSizeBytes, f.seq, f.equalityIds))
+      .toDF("file_path", "content", "record_count", "file_size_bytes",
+        "sequence_number", "equality_ids")
+  }
+
   /** t.partitions (Iceberg's partitions metadata table): per-partition
     * record and file counts straight from the manifest — O(#files)
     * metadata, zero data I/O, which is how a 100 TB table answers

@@ -356,6 +356,47 @@ object CatalogQueries {
           ('table',  'nation_d',    ''),
           ('table',  'region_d',    '')) AS t(kind, name, type)
         ORDER BY kind, name
+      """)),
+
+    // delete_files metadata table (Iceberg's `delete_files`): the MoR
+    // maintenance observable, answered from the manifest alone. After a
+    // deterministic CDC sequence — one equality upsert batch, one MoR
+    // positional DELETE — the per-kind hidden-row totals are pure
+    // functions of the source data, so plain SQL over the source
+    // parquet oracles the metadata table itself.
+    QueryDef(
+      "q99_delete_files_metadata",
+      (s, d) => {
+        val wh = setupOnce("q99", d) {
+          val w = scratch("delfilesmeta")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val sup = Tables.supplier(s, d)
+            .select("s_suppkey", "s_name", "s_acctbal")
+          val t = cat.createTableAs("db1", "supplier_df", sup)
+          t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+          val b1 = sup.filter(col("s_suppkey") % 3 === 0)
+            .withColumn("s_acctbal", col("s_acctbal") + 500.0)
+          t.upsertEqIfNewMarker(b1, Seq("s_suppkey"), "graft.q99.batch", 1L)
+          t.delete(col("s_suppkey") % 5 === 0)
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT content, CAST(sum(record_count) AS BIGINT) AS rows_hidden
+          FROM graft.db1.supplier_df.delete_files
+          GROUP BY content ORDER BY content""")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'equality' AS content,
+                 CAST(count(*) AS BIGINT) AS rows_hidden
+          FROM supplier WHERE s_suppkey % 3 = 0
+          UNION ALL
+          SELECT 'positional' AS content,
+                 CAST(count(*) AS BIGINT) AS rows_hidden
+          FROM supplier WHERE s_suppkey % 5 = 0
+        ) ORDER BY content
       """))
   )
 }
