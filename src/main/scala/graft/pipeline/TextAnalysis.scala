@@ -42,6 +42,42 @@ object TextAnalysis {
       markerCount(toks, Stopwords).as("n_stop"))
   }
 
+  /** Within-document repetition metrics — the filter family every
+    * pre-training pipeline runs to drop degenerate/boilerplate pages
+    * (documents dominated by one repeated token or by duplicated
+    * vocabulary): the fraction of the doc taken by its most frequent
+    * token and the duplicate-token fraction.
+    *
+    * Computed PER ROW with zero shuffle: once the token array is
+    * SORTED, equal tokens are adjacent, so the max token frequency is
+    * the longest equal-run — one codegen'd `aggregate` fold. At 100 TB
+    * this scores as a scan; the alternative (doc, token) groupBy would
+    * shuffle the entire tokenized corpus. Integer counts divide to
+    * doubles identically on any engine, so the metrics oracle exactly.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val sorted = sort_array(toks)
+    val maxFreq = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc("prev"), acc("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val n = size(toks).cast("long")
+    docs.select(col(idCol),
+      n.as("n_tokens"),
+      round(maxFreq.cast("double") / n.cast("double"), 4)
+        .as("max_tok_frac"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        n.cast("double"), 4).as("dup_tok_frac"))
+  }
+
   /** Corpus statistics grouped by the given columns: doc counts, token
     * totals, averages. Integer sums + int-ratio averages → oracle-exact.
     */

@@ -654,6 +654,34 @@ object Pipeline {
           |)
           |SELECT c.doc_id FROM corpus c
           |WHERE c.doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Within-document repetition filters ----------------------------
+    // the boilerplate/degenerate-page metrics (max-token fraction,
+    // duplicate-token fraction) computed as a zero-shuffle per-row fold
+    // over the SORTED token array — the oracle reproduces the same
+    // integer counts via unnest + group-by, pinning the run-length
+    // trick's math exactly.
+    QueryDef(
+      "q100_repetition",
+      (s, d) => TextAnalysis.repetitionStats(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents
+        ), g AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM c GROUP BY 1, 2
+        ), f AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                 count(*) AS d, max(cnt) AS m
+          FROM g GROUP BY 1
+        )
+        SELECT doc_id, n AS n_tokens,
+               round(CAST(m AS DOUBLE) / n, 4) AS max_tok_frac,
+               round(1 - CAST(d AS DOUBLE) / n, 4) AS dup_tok_frac
+        FROM f ORDER BY doc_id
+      """))
   )
 }

@@ -385,6 +385,24 @@ class PipelineSpec extends AnyFunSuite {
       Curation.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 1))
   }
 
+  test("repetitionStats: run-length fold equals hand-counted frequencies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam eggs"),   // max 4/5, distinct 2
+      (2L, "all tokens unique here now"), // max 1/5, distinct 5
+      (3L, "A a a B b"),                  // lowercased: a 3/5, distinct 2
+      (4L, "one")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 0.8, 0.6),
+      (2L, 5L, 0.2, 0.0),
+      (3L, 5L, 0.6, 0.6),
+      (4L, 1L, 1.0, 0.0)))
+  }
+
   test("shingleHashes is elementwise xxhash64 of shingles") {
     import spark.implicits._
     // the decontamination probe matches on these hashes: they must be
