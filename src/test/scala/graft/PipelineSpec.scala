@@ -401,6 +401,13 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 5L, 0.2, 0.0),
       (3L, 5L, 0.6, 0.6),
       (4L, 1L, 1.0, 0.0)))
+    // the scale contract: scoring is a pure projection — no exchange,
+    // no aggregation node; the corpus is scanned exactly once
+    val plan = graft.pipeline.TextAnalysis
+      .repetitionStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition scoring must not shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"repetition scoring must not aggregate:\n$plan")
   }
 
   test("shingleHashes is elementwise xxhash64 of shingles") {
