@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stall-adjudication flags ([[Bench.stallFlags]]) against
+  * the observation shapes the rounds actually produced, so the `"stalls"`
+  * map in the contract line keeps meaning what the header documents. The
+  * numbers below are the round-9 driver artifact's (BENCH_r09.json raw
+  * evidence) — the exact shapes that previously needed a judge rerun to
+  * adjudicate.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("quiet host: two agreeing passes with a slower warmup are unflagged") {
+    val f = Bench.stallFlags(measured = Seq(2.01, 2.05), warmup = 2.8,
+      escalations = 0)
+    assert(!f.flagged)
+    assert(f.spread < 1.1)
+    assert(!f.warmupWon)
+  }
+
+  test("warmup winning the pool flags the query (r9 q48 shape: recorded " +
+      "value was literally the warmup)") {
+    // q48 r9: warmup 4.54 s ran clean, then both measured passes (and two
+    // escalations) caught the interference window
+    val f = Bench.stallFlags(measured = Seq(6.9, 7.4, 6.1, 6.6),
+      warmup = 4.54, escalations = 2)
+    assert(f.flagged)
+    assert(f.warmupWon)
+    assert(f.escalated == 2)
+  }
+
+  test("pass spread >3x flags even when escalations recovered a good pass") {
+    // r9 q42 shape: warmup absorbed a 46.6 s stall, first pass stalled,
+    // escalation measured the real 2 s — best-of records 2.01 but the
+    // spread says the window was dirty
+    val f = Bench.stallFlags(measured = Seq(8.7, 2.01), warmup = 46.6,
+      escalations = 1)
+    assert(f.flagged)
+    assert(f.spread > 3.0)
+    assert(!f.warmupWon) // warmup itself stalled, it did not win
+  }
+
+  test("escalation alone flags, so a recovered record still carries " +
+      "evidence the loop fired") {
+    val f = Bench.stallFlags(measured = Seq(1.5, 1.52, 1.49), warmup = 2.0,
+      escalations = 1)
+    assert(f.flagged)
+    assert(f.escalated == 1)
+  }
+
+  test("single measured pass has spread 1 (no self-comparison)") {
+    val f = Bench.stallFlags(measured = Seq(3.2), warmup = 4.0,
+      escalations = 0)
+    assert(f.spread == 1.0)
+    assert(!f.flagged)
+  }
+
+  test("failed warmup (-1) never counts as winning") {
+    val f = Bench.stallFlags(measured = Seq(2.0, 2.1), warmup = -1.0,
+      escalations = 0)
+    assert(!f.warmupWon)
+    assert(!f.flagged)
+  }
+
+  test("no measured passes at all (every pass errored) stays unflagged — " +
+      "the errors list, not stalls, reports that") {
+    val f = Bench.stallFlags(measured = Seq.empty, warmup = 3.0,
+      escalations = 0)
+    assert(!f.flagged)
+  }
+}
