@@ -13,10 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantically identical — byte-for-byte — to the composed built-in
   * form `shingles(tokens(text), k)` (TextFunctions), because it calls
   * the same UTF8String primitives those built-ins bottom out in:
-  * `trim()` (what StringTrim evaluates), `split("\s+", -1)` (what
-  * StringSplit evaluates, trailing-empty semantics included),
-  * `concatWs` (what ConcatWs evaluates), and first-occurrence dedup
-  * (what array_distinct does). PipelineSpec pins the equivalence on the
+  * `split("\s+", -1)` (what StringSplit evaluates) with empty edge
+  * tokens dropped (what tokens' regex whitespace edge-trim produces —
+  * zero tokens for empty/whitespace-only text), `concatWs` (what
+  * ConcatWs evaluates), and first-occurrence dedup (what
+  * array_distinct does). PipelineSpec pins the equivalence on the
   * bench corpus, and the DuckDB oracles for q41/q63 keep hash-matching.
   *
   * Why it exists: the composed form evaluates an interpreted
@@ -61,7 +62,17 @@ case class WordShingles(child: Expression, k: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].trim().split(splitPattern, -1)
+    val raw = input.asInstanceOf[UTF8String].trim().split(splitPattern, -1)
+    // drop empty edge tokens: split's leading/trailing "" artifacts on
+    // text whose edge whitespace isn't plain spaces (UTF8String.trim
+    // strips only 0x20). Interior "" can't occur under "\s+", so this
+    // is byte-equivalent to TextFunctions.tokens' regex edge-trim —
+    // including whitespace-only text tokenizing to ZERO tokens.
+    val toks =
+      if (raw.length > 0 &&
+          (raw(0).numBytes == 0 || raw(raw.length - 1).numBytes == 0))
+        raw.filter(_.numBytes > 0)
+      else raw
     val n = toks.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)

@@ -16,8 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization; trim first so no empty edge tokens. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization; trim first so no empty edge tokens.
+    * Empty and whitespace-only text tokenize to the EMPTY array, not
+    * `[""]` — regex split on an empty string returns one empty token,
+    * which would count phantom tokens in every downstream stat (an
+    * empty document scoring n_tokens=1 with max_tok_frac=1.0 reads as
+    * maximally repetitive instead of contentless). NULL text stays
+    * NULL.
+    */
+  def tokens(text: Column): Column = {
+    // trim() strips only 0x20 spaces; leading tabs/newlines would
+    // survive it and split() would emit phantom "" edge tokens. The
+    // regex trim covers all whitespace and stays codegen'd (an
+    // array-level filter(_ =!= "") would be CodegenFallback in this
+    // hottest of paths).
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Distinct word k-shingles ("w1 w2 w3") of a token array. Documents
     * shorter than k yield an empty set (they can never near-dup).

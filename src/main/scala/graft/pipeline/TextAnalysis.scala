@@ -70,12 +70,16 @@ object TextAnalysis {
       },
       acc => acc("best"))
     val n = size(toks).cast("long")
+    // Empty/whitespace-only documents have ZERO tokens ([[tokens]]
+    // yields the empty array), and a repetition ratio over zero tokens
+    // is undefined: both ratios are NULL there, never 0/0's NaN (the
+    // oracle's LEFT JOIN reproduces the same NULLs).
     docs.select(col(idCol),
       n.as("n_tokens"),
-      round(maxFreq.cast("double") / n.cast("double"), 4)
+      when(n > 0, round(maxFreq.cast("double") / n.cast("double"), 4))
         .as("max_tok_frac"),
-      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
-        n.cast("double"), 4).as("dup_tok_frac"))
+      when(n > 0, round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        n.cast("double"), 4)).as("dup_tok_frac"))
   }
 
   /** Corpus statistics grouped by the given columns: doc counts, token

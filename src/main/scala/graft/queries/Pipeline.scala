@@ -48,7 +48,7 @@ object Pipeline {
 
   private val nearDupCorpusSql =
     """WITH base AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> '') AS toks
       |  FROM documents
       |), corpus AS (
       |  SELECT doc_id, toks FROM base
@@ -211,9 +211,9 @@ object Pipeline {
       Some("""
         WITH f AS (
           SELECT lang, source,
-                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                 len(list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> '')) AS n_tokens,
                  length(text) AS n_chars,
-                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> ''),
                      t -> list_contains(['the','a','of','and','to','in','is'], t)))
                    AS n_stop
           FROM documents
@@ -243,10 +243,10 @@ object Pipeline {
       Some("""
         WITH f AS (
           SELECT doc_id,
-                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                 len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                 len(list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> '')) AS n_tokens,
+                 len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> '')))
                    AS n_distinct,
-                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> ''),
                      t -> list_contains(['the','a','of','and','to','in','is'], t)))
                    AS n_stop
           FROM documents
@@ -281,7 +281,7 @@ object Pipeline {
       Some("""
         WITH f AS (
           SELECT doc_id, lang,
-                 regexp_split_to_array(trim(text), '\s+') AS toks
+                 list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> '') AS toks
           FROM documents
         ), sc AS (
           SELECT doc_id, lang,
@@ -373,7 +373,7 @@ object Pipeline {
       Some("""
         WITH f AS (
           SELECT doc_id, text,
-                 regexp_split_to_array(trim(text), '\s+') AS toks
+                 list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> '') AS toks
           FROM documents
         ), sh AS (
           SELECT doc_id, text, toks,
@@ -473,7 +473,7 @@ object Pipeline {
       Some("""
         WITH t AS (
           SELECT doc_id, lang,
-                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                 len(list_filter(regexp_split_to_array(text, '\s+'), t0 -> t0 <> '')) AS n_tokens
           FROM documents),
         b AS (
           SELECT lang,
@@ -506,7 +506,7 @@ object Pipeline {
       },
       Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t0 -> t0 <> '') AS w
           FROM documents),
         grams AS (
           SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
@@ -672,16 +672,22 @@ object Pipeline {
                  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
           FROM documents
         ), g AS (
-          SELECT doc_id, tok, count(*) AS cnt FROM c GROUP BY 1, 2
+          SELECT doc_id, tok, count(*) AS cnt FROM c
+          WHERE tok <> '' GROUP BY 1, 2
         ), f AS (
           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
                  count(*) AS d, max(cnt) AS m
           FROM g GROUP BY 1
         )
-        SELECT doc_id, n AS n_tokens,
-               round(CAST(m AS DOUBLE) / n, 4) AS max_tok_frac,
-               round(1 - CAST(d AS DOUBLE) / n, 4) AS dup_tok_frac
-        FROM f ORDER BY doc_id
+        -- LEFT JOIN keeps zero-token documents (empty/whitespace-only
+        -- text splits to only '' tokens, filtered above): they appear
+        -- with n_tokens = 0 and NULL ratios, matching the Spark side's
+        -- undefined-ratio semantics
+        SELECT d0.doc_id, COALESCE(f.n, 0) AS n_tokens,
+               round(CAST(f.m AS DOUBLE) / f.n, 4) AS max_tok_frac,
+               round(1 - CAST(f.d AS DOUBLE) / f.n, 4) AS dup_tok_frac
+        FROM documents d0 LEFT JOIN f USING (doc_id)
+        ORDER BY doc_id
       """))
   )
 }

@@ -410,6 +410,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"repetition scoring must not aggregate:\n$plan")
   }
 
+  test("repetitionStats: empty and whitespace-only documents score " +
+      "n_tokens=0 with NULL ratios, never NaN") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""), (2L, "   \t  \n "), (3L, "real text here")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, None, None),
+      (2L, 0L, None, None),
+      (3L, 3L, Some(0.3333), Some(0.0))))
+    // the same contract at the tokenizer: empty/whitespace-only text
+    // yields the EMPTY array (a regex split would return [""] and count
+    // one phantom token in every stat downstream)
+    val sizes = docs.select(size(TextFunctions.tokens(col("text"))))
+      .as[Int].collect().toSeq
+    assert(sizes == Seq(0, 0, 3))
+  }
+
   test("shingleHashes is elementwise xxhash64 of shingles") {
     import spark.implicits._
     // the decontamination probe matches on these hashes: they must be
