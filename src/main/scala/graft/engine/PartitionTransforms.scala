@@ -157,12 +157,22 @@ object PartitionTransforms {
           .atZone(zone)
       }
       case "timestamp_ntz" => asNtzMicros.map { us =>
-        // NTZ micros ARE the wall clock — format in UTC, NOT the session
-        // zone (ntz has no zone; the write side's date_format(ntz) also
-        // renders the wall clock: the implicit NTZ→TZ cast and the
-        // formatter both use the session zone, so they cancel)
-        java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
-          .atZone(java.time.ZoneOffset.UTC)
+        // NTZ micros ARE the wall clock, and the write side's
+        // date_format(ntz) round-trips it through the session zone
+        // (implicit NTZ→TZ cast interprets the wall clock in the
+        // session zone, then the formatter renders in it). For almost
+        // every instant the two cancel — but a wall clock inside a DST
+        // spring-forward GAP is shifted by the cast (java.time's
+        // atZone gap rule, which Spark's cast shares), so the recorded
+        // value is e.g. "...-03" for a "...-02:30" literal. Mapping
+        // the literal through the SAME round-trip keeps the prune
+        // exact instead of non-conservative.
+        val zone = java.time.ZoneId.of(SQLConf.get.sessionLocalTimeZone)
+        java.time.LocalDateTime
+          .ofEpochSecond(Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          .atZone(zone)
       }
       case _ => None
     }

@@ -80,6 +80,31 @@ class TimestampNtzSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("ntz DST-gap wall clock prunes exactly under a non-UTC session zone") {
+    // r9 ADVICE: a wall clock inside the spring-forward gap (2:30 AM on
+    // 2026-03-08 does not exist in America/Los_Angeles) is shifted by
+    // the write side's implicit NTZ→TZ cast, so hour() records "-03".
+    // The prune side must map the same literal through the same
+    // session-zone round-trip — the old UTC formatting produced "-02"
+    // and silently dropped the matching file.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      import spark.implicits._
+      val t = GraftTable.create(spark, tmp(), "ntz_gap",
+        Seq("id" -> "long", "ts" -> "timestamp_ntz"),
+        partition = Seq("ts" -> "hour"))
+      t.append(Seq((1L, LocalDateTime.parse("2026-03-08T02:30:00")))
+        .toDF("id", "ts"))
+      val pv = t.meta.currentSnapshot.get.files
+        .flatMap(_.partitionValues.get("ts_hour")).toSet
+      assert(pv == Set("2026-03-08-03"), s"gap encoding drifted: $pv")
+      val hit = t.candidateFiles(
+        col("ts") === lit("2026-03-08 02:30:00").cast("timestamp_ntz"))
+      assert(hit.size == 1, "gap literal must still reach its file")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("partition pruning over day(ntz) + bucket(ntz) with ntz literals") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "ntz_p",
