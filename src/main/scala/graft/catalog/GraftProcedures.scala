@@ -169,7 +169,12 @@ object GraftProcedures {
     var depth = 0; var start = 0
     s.zipWithIndex.foreach {
       case ('(', _) => depth += 1
-      case (')', _) => depth -= 1
+      case (')', _) =>
+        depth -= 1
+        // fail fast on a ')' with no matching '(' — "a)b(,c" balances
+        // back to 0 and would otherwise surface as a confusing
+        // "malformed transform" later
+        require(depth >= 0, s"unbalanced parens in partition spec '$spec'")
       case (',', i) if depth == 0 => items += s.substring(start, i); start = i + 1
       case _ => ()
     }

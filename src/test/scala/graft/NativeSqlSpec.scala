@@ -545,6 +545,12 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(graft.catalog.GraftProcedures.parseSpec("hours(ts)") ==
       Seq("ts" -> "hour"))
     assert(graft.catalog.GraftProcedures.parseSpec("") == Nil)
+    // a ')' with no matching '(' fails as unbalanced even when depth
+    // recovers to 0 by the end (r9 ADVICE: "a)b(,c" previously slipped
+    // through to a confusing "malformed transform" error)
+    val unb = intercept[IllegalArgumentException](
+      graft.catalog.GraftProcedures.parseSpec("a)b(,c"))
+    assert(unb.getMessage.contains("unbalanced parens"))
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
     val bad = intercept[Exception](spark.sql(
