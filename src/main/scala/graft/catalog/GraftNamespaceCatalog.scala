@@ -165,6 +165,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
           case "refs"                 => Some(t.refs)
           case "files"                => Some(t.filesDf)
           case "delete_files"         => Some(t.deleteFilesDf)
+          case "entries"              => Some(t.entriesDf)
+          case "manifests"            => Some(t.manifestsDf)
           case "partitions"           => Some(t.partitionsDf)
           case "changes" =>
             // a table that exists but has no commits has no changelog —

@@ -2063,12 +2063,87 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def deleteFilesDf: DataFrame = {
     val m = meta
+    // `content` uses Iceberg's integer codes (1 = position deletes,
+    // 2 = equality deletes — the spec's data_file.content field) so
+    // tools written against Iceberg's delete_files shape read this
+    // table unchanged; `kind` carries the human-readable label.
     m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
-      .map(f => (f.path,
-        if (f.equalityIds.isEmpty) "positional" else "equality",
-        f.recordCount, f.fileSizeBytes, f.seq, f.equalityIds))
-      .toDF("file_path", "content", "record_count", "file_size_bytes",
-        "sequence_number", "equality_ids")
+      .map { f =>
+        val eq = f.equalityIds.nonEmpty
+        (f.path, if (eq) 2 else 1, if (eq) "equality" else "positional",
+          f.recordCount, f.fileSizeBytes, f.seq, f.equalityIds)
+      }
+      .toDF("file_path", "content", "kind", "record_count",
+        "file_size_bytes", "sequence_number", "equality_ids")
+  }
+
+  /** t.entries (Iceberg's entries metadata table): one row per manifest
+    * entry of the CURRENT snapshot. status uses Iceberg's codes
+    * relative to this snapshot — 1 = ADDED by it, 0 = EXISTING
+    * (carried over); DELETED (2) entries exist only in historical
+    * manifests, which this format's embedded (single-level) manifests
+    * don't retain. content: 0 = data, 1 = position deletes,
+    * 2 = equality deletes (the spec's data_file.content codes).
+    * added_snapshot_id is resolved by first containment along the
+    * ancestor chain. Manifest-only: O(#snapshots x #files) driver
+    * work, zero data I/O.
+    */
+  def entriesDf: DataFrame = {
+    val m = meta
+    val snap = m.currentSnapshot
+    val parentPaths = snap.flatMap(_.parentId).flatMap(m.snapshotById)
+      .map(s => (s.files ++ s.deleteFiles).map(_.path).toSet)
+      .getOrElse(Set.empty[String])
+    val adder = snap.map(addedBy(m, _)).getOrElse(Map.empty[String, Long])
+    def rows(fs: Vector[DataFileEntry], content: DataFileEntry => Int) =
+      fs.map { f =>
+        (if (parentPaths(f.path)) 0 else 1, content(f),
+          adder.getOrElse(f.path, -1L), f.seq, f.path, f.recordCount,
+          f.fileSizeBytes, f.partitionValues)
+      }
+    val data = snap.map(_.files).getOrElse(Vector.empty)
+    val dels = snap.map(_.deleteFiles).getOrElse(Vector.empty)
+    (rows(data, _ => 0) ++
+      rows(dels, f => if (f.equalityIds.nonEmpty) 2 else 1))
+      .toDF("status", "content", "added_snapshot_id", "sequence_number",
+        "file_path", "record_count", "file_size_bytes", "partition_values")
+  }
+
+  /** t.manifests (Iceberg's manifests metadata table, re-keyed for an
+    * embedded manifest): this format stores the file list INSIDE the
+    * snapshot document, so the closest analogue of "one manifest file"
+    * is the group of current files first added by one commit — which
+    * shares one sequence number. One row per (content, sequence,
+    * adding snapshot) with the group's counts; there is no manifest
+    * path column because no separate manifest file exists (deliberate
+    * divergence, documented here). Manifest-only, zero data I/O.
+    */
+  def manifestsDf: DataFrame = {
+    val m = meta
+    entriesDf.groupBy(col("content"), col("sequence_number"),
+        col("added_snapshot_id"))
+      .agg(count(lit(1)).as("file_count"),
+        sum(col("record_count")).as("record_count"),
+        sum(col("file_size_bytes")).as("total_size_bytes"))
+  }
+
+  /** First-containment adder along the current ancestor chain:
+    * path -> snapshotId of the commit that introduced it.
+    */
+  private def addedBy(m: TableMetadata, snap: Snapshot): Map[String, Long] = {
+    var chain = List.empty[Snapshot]
+    var cur: Option[Snapshot] = Some(snap)
+    while (cur.isDefined) {
+      chain = cur.get :: chain // ends oldest-first
+      cur = cur.get.parentId.flatMap(m.snapshotById)
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    chain.foreach { s =>
+      (s.files ++ s.deleteFiles).foreach { f =>
+        if (!out.contains(f.path)) out(f.path) = s.snapshotId
+      }
+    }
+    out.toMap
   }
 
   /** t.partitions (Iceberg's partitions metadata table): per-partition
@@ -2102,6 +2177,52 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * (CoW DELETE/UPDATE) diffs the rewritten slice.
     */
   def changelog(fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame = {
+    val base = changelogRaw(fromSnapshotId, toSnapshotId)
+    // When the table declares CDC identity columns (`graft.cdc.key`,
+    // comma-separated — Iceberg's identifier fields), a delete and an
+    // insert carrying the same key within the range are one logical
+    // UPDATE: relabel them update_preimage / update_postimage (Iceberg
+    // changelog "compute updates" semantics) so downstream CDC
+    // consumers apply them as one operation instead of a drop+add.
+    meta.properties.get("graft.cdc.key")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map(pairUpdates(base, _)).getOrElse(base)
+  }
+
+  /** Pair delete+insert rows sharing a key into update pre/post images.
+    *
+    * Duplicate keys within a side (malformed under a declared unique
+    * key, but never silently wrong here) pair off by rank: the k-th
+    * delete of a key matches the k-th insert in deterministic
+    * whole-row order; leftovers keep their plain labels.
+    *
+    * Scale: two window passes + the relabel, all partitioned by the
+    * key over the CHANGELOG DELTA (O(changed rows), never O(table));
+    * the second window reuses the first's hash partitioning on a
+    * prefix-compatible key, and no join materializes.
+    */
+  private def pairUpdates(base: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dataCols = base.columns.filterNot(_ == "_change_type").toSeq
+    val rn = row_number().over(
+      Window.partitionBy((keys :+ "_change_type").map(col): _*)
+        .orderBy(dataCols.map(col): _*))
+    val sides = count(lit(1)).over(
+      Window.partitionBy((keys :+ "__rn").map(col): _*))
+    base.withColumn("__rn", rn)
+      .withColumn("__sides", sides)
+      .withColumn("_change_type",
+        when(col("__sides") === 2 && col("_change_type") === "delete",
+          lit("update_preimage"))
+          .when(col("__sides") === 2 && col("_change_type") === "insert",
+            lit("update_postimage"))
+          .otherwise(col("_change_type")))
+      .drop("__rn", "__sides")
+  }
+
+  private def changelogRaw(fromSnapshotId: Option[Long],
+      toSnapshotId: Long): DataFrame = {
     val m = meta
     val toSnap = m.snapshotById(toSnapshotId)
       .getOrElse(sys.error(s"no snapshot $toSnapshotId"))

@@ -14,6 +14,28 @@ object CatalogQueries {
 
   import Scratch.{dir => scratch, setupOnce}
 
+  /** Deterministic entries/manifests fixture shared by q102/q103
+    * (memoized once per scale under the q102 key; either query may run
+    * first): three single-file commits (seq 1-3) + one MoR positional
+    * delete (seq 4) over nation.
+    */
+  private def entriesWarehouse(s: org.apache.spark.sql.SparkSession,
+      d: String): String = setupOnce("q102", d) {
+    val w = scratch("entriesmeta")
+    val cat = new GraftCatalog(s, w)
+    cat.createDatabase("db1")
+    val n = Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val t = cat.createTableAs("db1", "nation_en",
+      n.filter(col("n_nationkey") < 10).coalesce(1))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.append(n.filter(col("n_nationkey") >= 10 &&
+      col("n_nationkey") < 20).coalesce(1))
+    t.append(n.filter(col("n_nationkey") >= 20).coalesce(1))
+    t.delete(col("n_nationkey") % 7 === 0)
+    w
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // SQL text over registered names, with a join + agg through spark.sql
@@ -382,21 +404,103 @@ object CatalogQueries {
           w
         }
         s.conf.set("spark.graft.warehouse", wh)
+        // content = Iceberg's integer codes (1 positional, 2 equality);
+        // kind = the readable label alongside
         s.sql("""
-          SELECT content, CAST(sum(record_count) AS BIGINT) AS rows_hidden
+          SELECT content, kind,
+                 CAST(sum(record_count) AS BIGINT) AS rows_hidden
           FROM graft.db1.supplier_df.delete_files
-          GROUP BY content ORDER BY content""")
+          GROUP BY content, kind ORDER BY content""")
       },
       Some("""
         SELECT * FROM (
-          SELECT 'equality' AS content,
-                 CAST(count(*) AS BIGINT) AS rows_hidden
-          FROM supplier WHERE s_suppkey % 3 = 0
-          UNION ALL
-          SELECT 'positional' AS content,
+          SELECT 1 AS content, 'positional' AS kind,
                  CAST(count(*) AS BIGINT) AS rows_hidden
           FROM supplier WHERE s_suppkey % 5 = 0
+          UNION ALL
+          SELECT 2 AS content, 'equality' AS kind,
+                 CAST(count(*) AS BIGINT) AS rows_hidden
+          FROM supplier WHERE s_suppkey % 3 = 0
         ) ORDER BY content
+      """)),
+
+    // entries metadata table (Iceberg's `entries`): the per-file
+    // manifest ledger of the current snapshot — status (added by this
+    // commit vs carried), content code, and commit sequence, straight
+    // from the embedded manifest. Deterministic build: three
+    // single-file appends (seq 1-3) + one MoR positional delete
+    // (seq 4), so every (status, content, sequence) group's row total
+    // is a pure function of the source nation table and plain SQL
+    // oracles the manifest itself.
+    QueryDef(
+      "q102_metadata_entries",
+      (s, d) => {
+        s.conf.set("spark.graft.warehouse", entriesWarehouse(s, d))
+        // file counts are asserted for DATA commits only (coalesced to
+        // one file each); a MoR delete's file count tracks the write's
+        // parallelism, not semantics — NULL on both sides
+        s.sql("""
+          SELECT status, content, sequence_number,
+                 CAST(sum(record_count) AS BIGINT) AS rows,
+                 CASE WHEN content = 0
+                      THEN CAST(count(*) AS BIGINT) END AS files
+          FROM graft.db1.nation_en.entries
+          GROUP BY status, content, sequence_number
+          ORDER BY sequence_number, content""")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 0 AS status, 0 AS content,
+                 CAST(1 AS BIGINT) AS sequence_number,
+                 CAST(count(*) AS BIGINT) AS rows,
+                 CAST(1 AS BIGINT) AS files
+          FROM nation WHERE n_nationkey < 10
+          UNION ALL
+          SELECT 0, 0, CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+          FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20
+          UNION ALL
+          SELECT 0, 0, CAST(3 AS BIGINT), CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+          FROM nation WHERE n_nationkey >= 20
+          UNION ALL
+          SELECT 1, 1, CAST(4 AS BIGINT), CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+          FROM nation WHERE n_nationkey % 7 = 0
+        ) ORDER BY sequence_number, content
+      """)),
+
+    // manifests metadata table: the commit-grouped rollup of `entries`
+    // (this format embeds the manifest in the snapshot, so "one
+    // manifest" = the files one commit added, sharing one sequence
+    // number). Same deterministic build as q102 via the shared
+    // scratch; the scheduler-facing numbers — files and rows per
+    // commit still live in the current snapshot — oracle from source
+    // SQL alone.
+    QueryDef(
+      "q103_metadata_manifests",
+      (s, d) => {
+        s.conf.set("spark.graft.warehouse", entriesWarehouse(s, d))
+        s.sql("""
+          SELECT content, sequence_number,
+                 CASE WHEN content = 0 THEN file_count END AS file_count,
+                 CAST(record_count AS BIGINT) AS rows
+          FROM graft.db1.nation_en.manifests
+          ORDER BY sequence_number, content""")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 0 AS content, CAST(1 AS BIGINT) AS sequence_number,
+                 CAST(1 AS BIGINT) AS file_count,
+                 CAST(count(*) AS BIGINT) AS rows
+          FROM nation WHERE n_nationkey < 10
+          UNION ALL
+          SELECT 0, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20
+          UNION ALL
+          SELECT 0, CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey >= 20
+          UNION ALL
+          SELECT 1, CAST(4 AS BIGINT), CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey % 7 = 0
+        ) ORDER BY sequence_number, content
       """))
   )
 }

@@ -1003,6 +1003,67 @@ object Versioned {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 2) AS total
         FROM events GROUP BY 1, 2 ORDER BY h, event_type
+      """)),
+
+    // CDC update pairing (Iceberg changelog "compute updates"): with
+    // identity columns declared (`graft.cdc.key`), a CoW UPDATE's
+    // delete+insert on the same key surfaces as ONE logical update —
+    // update_preimage / update_postimage — while unrelated deletes and
+    // appends keep their plain labels. Replayed end-to-end through the
+    // changes-mode stream (q96's harness) so the pairing is proven on
+    // the CDC path a consumer actually reads, and every drained row is
+    // pinned against plain SQL over the source parquet.
+    QueryDef(
+      "q101_cdc_update_pairing",
+      (s, d) => {
+        val out = setupOnce("q101", d) {
+          val tl = scratch("cdcpair")
+          val outDir = s"${scratch("cdcpair-out")}/rows"
+          val ckpt = scratch("cdcpair-ckpt")
+          val n = Tables.nation(s, d)
+            .select("n_nationkey", "n_name", "n_regionkey")
+          val t = GraftTable.createAs(s, tl, "nation_cp",
+            n.filter(col("n_nationkey") < 15),
+            properties = Map("graft.cdc.key" -> "n_nationkey"))
+          def drain(): Unit = {
+            val q = graft.streaming.GraftTableStream.readChanges(s, tl)
+              .writeStream.format("parquet").option("path", outDir)
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          drain() // initial load: current state as inserts
+          t.update(col("n_nationkey") % 4 === 0,
+            Map("n_name" -> concat(col("n_name"), lit("_v2"))))
+          t.delete(col("n_nationkey") === 13)
+          t.append(n.filter(col("n_nationkey") >= 15 &&
+            col("n_nationkey") < 18))
+          drain() // delta: paired updates + plain delete + plain inserts
+          outDir
+        }
+        s.read.parquet(out)
+          .orderBy(col("n_nationkey"), col("_change_type"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
+          FROM nation WHERE n_nationkey < 15
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey,
+                 'update_preimage' AS _change_type
+          FROM nation WHERE n_nationkey < 15 AND n_nationkey % 4 = 0
+          UNION ALL
+          SELECT n_nationkey, n_name || '_v2', n_regionkey,
+                 'update_postimage' AS _change_type
+          FROM nation WHERE n_nationkey < 15 AND n_nationkey % 4 = 0
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+          FROM nation WHERE n_nationkey = 13
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
+          FROM nation WHERE n_nationkey >= 15 AND n_nationkey < 18
+        ) ORDER BY n_nationkey, _change_type
       """))
   )
 }

@@ -192,6 +192,37 @@ class EngineSpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("insert"))
   }
 
+  test("changelog pairs delete+insert on a declared cdc key into " +
+      "update pre/post images") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "cdc",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("graft.cdc.key" -> "id"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // one commit rewriting id=2 (CoW update = delete old + insert new)
+    t.update(col("id") === 2L, Map("v" -> lit("B")))
+    val cur = t.meta.currentSnapshot.get
+    val got = t.changelog(cur.parentId, cur.snapshotId).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage")))
+    // unpaired rows keep plain labels: a delete with no matching insert
+    t.delete(col("id") === 1L)
+    val cur2 = t.meta.currentSnapshot.get
+    val del = t.changelog(cur2.parentId, cur2.snapshotId).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(del == Set((1L, "delete")))
+    // without the property, the same update stays delete+insert
+    val u = GraftTable.create(spark, tmp(), "nocdc",
+      Seq("id" -> "long", "v" -> "string"))
+    u.append(Seq((1L, "a")).toDF("id", "v"))
+    u.update(col("id") === 1L, Map("v" -> lit("A")))
+    val ucur = u.meta.currentSnapshot.get
+    assert(u.changelog(ucur.parentId, ucur.snapshotId)
+      .select("_change_type").as[String].collect().toSet ==
+      Set("insert", "delete"))
+  }
+
   test("hidden partitioning day(ts): layout + metadata pruning") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "ev",
@@ -452,6 +483,82 @@ class EngineSpec extends AnyFunSuite {
       case None     => None
     }.toSeq
     assert(chain.size == 2 * n, s"broken parent chain: ${chain.size}")
+  }
+
+  test("multi-writer race across the DML surface: appends + CoW deletes " +
+      "+ CoW updates land exactly once, history stays linear") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "race2",
+      Seq("id" -> "long", "src" -> "string"))
+    // seeds the row-level writers will target, so the final state is
+    // deterministic no matter how the race interleaves: the deleter
+    // removes -1..-nDel one commit at a time; the updater rewrites
+    // 10001..10000+nUpd
+    val (nDel, nUpd, nApp) = (4, 4, 5)
+    t.append(((1 to nDel).map(i => (-i.toLong, "seed")) ++
+      (1 to nUpd).map(i => (10000L + i, "seed"))).toDF("id", "src"))
+    @volatile var failure: Option[Throwable] = None
+    def guard(body: => Unit): Thread = new Thread(() => {
+      try body catch { case e: Throwable => failure = Some(e) }
+    })
+    // CoW row-level DML REFUSES a concurrent commit (its rewrite is
+    // computed against one base snapshot) — the documented contract is
+    // that the CALLER re-runs the whole operation; this wrapper is
+    // that caller
+    def retrying(op: GraftTable => Unit, mine: GraftTable): Unit = {
+      var done = false
+      while (!done) {
+        try { op(mine); done = true }
+        catch {
+          case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("concurrent commit") =>
+        }
+      }
+    }
+    // each writer drives its OWN SparkSession over the shared context —
+    // the two-jobs-on-one-cluster shape, not two handles in one session
+    val appenders = Seq("w1" -> 1000L, "w2" -> 2000L).map { case (tag, base) =>
+      guard {
+        val sess = spark.newSession()
+        import sess.implicits._
+        val mine = GraftTable.load(sess, loc)
+        for (i <- 0 until nApp)
+          mine.append(Seq((base + i, tag)).toDF("id", "src"))
+      }
+    }
+    val deleter = guard {
+      val mine = GraftTable.load(spark.newSession(), loc)
+      for (i <- 1 to nDel)
+        retrying(_.delete(col("id") === -i.toLong), mine)
+    }
+    val updater = guard {
+      val mine = GraftTable.load(spark.newSession(), loc)
+      for (i <- 1 to nUpd)
+        retrying(_.update(col("id") === (10000L + i),
+          Map("src" -> lit("updated"))), mine)
+    }
+    val threads = appenders ++ Seq(deleter, updater)
+    threads.foreach(_.start()); threads.foreach(_.join())
+    failure.foreach(e => fail(s"writer failed: $e"))
+    val m = t.meta
+    // exactly-once: every commit is its own snapshot — 1 seed +
+    // 2*nApp appends + nDel deletes + nUpd updates, none lost, none
+    // double-applied
+    assert(m.snapshots.size == 1 + 2 * nApp + nDel + nUpd,
+      s"snapshot count: ${m.snapshots.size}")
+    val rows = t.read().as[(Long, String)].collect().toSet
+    val expected =
+      (0 until nApp).flatMap(i => Seq((1000L + i, "w1"), (2000L + i, "w2")))
+        .toSet ++ (1 to nUpd).map(i => (10000L + i, "updated")).toSet
+    assert(rows == expected)
+    // linear history: the parent chain from current reaches EVERY
+    // snapshot (no fork, no overwrite)
+    val chain = Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (id, s.parentId))
+      case None     => None
+    }.toSeq
+    assert(chain.size == m.snapshots.size, s"forked history: ${chain.size}")
   }
 
   test("schema evolution golden replay: reference `test` table (6 schemas)") {
