@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the pipeline tier (round-9 verdict item 5): runs the
+  * three workhorse document operators — exact dedup, decontamination,
+  * within-document repetition scoring — over the sf fixture and over a
+  * FACTOR× self-similar blow-up of it, and reports the wall-time
+  * scaling factor per operator as one JSON line.
+  *
+  * What "pass" means: time(FACTOR×) / time(1×) stays ≲ linear
+  * (`ratio <= FACTOR * slack`), and the plan shape is IDENTICAL at
+  * both scales (no broadcast that only fits at the small scale, no
+  * join-strategy flip — the silent 100 TB killers). The plans are
+  * hashed on their join/exchange skeleton and compared.
+  *
+  * The blow-up corpus is deterministic: copy k of a document keeps its
+  * text for k < FACTOR/2 (real duplicate mass for dedup to find) and
+  * appends a copy-unique token otherwise (unique mass so dedup's
+  * output also scales). Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SOAK_FACTOR=10 \
+  *     sbt "runMain graft.Soak"
+  */
+object Soak {
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Join/exchange skeleton of the executed plan — the shape that must
+    * not flip between scales.
+    */
+  private def planShape(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .map(_.replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+        .trim)
+      .filter(l => l.contains("Join") || l.contains("Exchange") ||
+        l.contains("Aggregate"))
+      .mkString("\n")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", Some(cpus.toInt))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+    // FACTOR× corpus, written to scratch parquet so both measured runs
+    // read real files (not an in-memory union the optimizer can see
+    // through): ids offset per copy; half the copies duplicate text
+    // exactly, half append a copy-unique token
+    val soakDir = java.nio.file.Files.createTempDirectory("graft-soak")
+    val bigPath = s"$soakDir/documents10"
+    val copies = (0 until factor).map { k =>
+      val txt =
+        if (k < factor / 2) col("text")
+        else concat_ws(" ", col("text"), lit(s"soakcopy$k"))
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        txt.as("text"), col("lang"), col("source"))
+    }
+    copies.reduce(_ unionByName _).write.mode("overwrite").parquet(bigPath)
+    val big = spark.read.parquet(bigPath)
+
+    // benchmark set for decontamination: a fixed slice of the corpus
+    val bench = base.filter(col("doc_id") % 97 === 0)
+      .select(col("text").as("btext"))
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "exact_dedup" -> (d => graft.pipeline.Dedup.exact(d, "doc_id", "text")),
+      "decontaminate" -> (d => graft.pipeline.Curation
+        .decontaminate(d, "doc_id", "text", bench, "btext")),
+      "repetition" -> (d => graft.pipeline.TextAnalysis
+        .repetitionStats(d, "doc_id", "text")
+        .agg(sum(col("n_tokens")).as("t"),
+          avg(col("max_tok_frac")).as("m"))))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val debug = sys.env.contains("SPARK_GRAFT_SOAK_DEBUG")
+    val results = ops.map { case (name, op) =>
+      run(op(base)) // warm both code paths
+      val t1 = math.min(time(run(op(base))), time(run(op(base))))
+      val tN = math.min(time(run(op(big))), time(run(op(big))))
+      val (s1, sN) = (planShape(op(base)), planShape(op(big)))
+      if (debug && s1 != sN)
+        System.err.println(s"[soak] $name shape diff\n--- 1x\n$s1\n--- ${factor}x\n$sN")
+      val shapeSame = s1 == sN
+      val ratio = tN / math.max(t1, 1e-3)
+      (name, t1, tN, ratio, shapeSame)
+    }
+    val ok = results.forall { case (_, _, _, ratio, shapeSame) =>
+      shapeSame && ratio <= factor * 1.5
+    }
+    val json = results.map { case (n, t1, tN, r, s) =>
+      f""""$n":{"t1":$t1%.2f,"tN":$tN%.2f,"ratio":$r%.2f,"shape_stable":$s}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,"ops":$json,"linear_enough":$ok}""")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target", "soak.json"),
+        s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,"ops":$json,"linear_enough":$ok}""" + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    spark.stop()
+    // reclaim the scratch blow-up
+    try {
+      val w = java.nio.file.Files.walk(soakDir)
+      val ps = try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toSeq.reverse
+      } finally w.close()
+      ps.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: java.io.IOException => () }
+  }
+}

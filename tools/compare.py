@@ -45,6 +45,15 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # _errors.json records queries that THREW inside Verify. An oracled
+    # query also fails below on missing output, but a ROWS-ONLY query
+    # that threw would otherwise vanish from this report entirely.
+    err_path = os.path.join(out_dir, "_errors.json")
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: threw in Verify: {msg}")
+        if name not in oracles:
+            n_fail += 1  # oracled ones are counted by the loop below
     for name, sql in sorted(oracles.items()):
         spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not spark_files:
