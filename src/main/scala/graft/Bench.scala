@@ -106,8 +106,14 @@ object Bench {
       measured: Seq[Double], warmup: Double, escalations: Int): StallFlags = {
     val spread =
       if (measured.size >= 2) measured.max / measured.min.max(1e-9) else 1.0
+    // with a 1.2x margin: the warmup pays JIT and one-time setup, so
+    // even a 20% win over every steady-state pass is anomalous — but a
+    // few-percent win is ordinary run-to-run noise (observed live on a
+    // quiet host), and flagging it would put false pressure-positives
+    // in every artifact. The r9 q48 stall this flag exists for had the
+    // warmup 1.34x faster than the best measured pass.
     val warmupWon =
-      warmup > 0 && measured.nonEmpty && warmup < measured.min
+      warmup > 0.05 && measured.nonEmpty && measured.min > 1.2 * warmup
     StallFlags(escalations, warmupWon, spread)
   }
 

@@ -56,6 +56,16 @@ class BenchSpec extends AnyFunSuite {
     assert(!f.flagged)
   }
 
+  test("a marginal warmup win is noise, not a stall (1.5x margin)") {
+    // observed live: warmup 1% faster than both passes on a quiet
+    // host — must NOT flag, or every quiet artifact carries false
+    // pressure-positives
+    val f = Bench.stallFlags(measured = Seq(0.56, 0.57), warmup = 0.555,
+      escalations = 0)
+    assert(!f.warmupWon)
+    assert(!f.flagged)
+  }
+
   test("failed warmup (-1) never counts as winning") {
     val f = Bench.stallFlags(measured = Seq(2.0, 2.1), warmup = -1.0,
       escalations = 0)
