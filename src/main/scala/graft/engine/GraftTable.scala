@@ -2197,28 +2197,38 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * delete of a key matches the k-th insert in deterministic
     * whole-row order; leftovers keep their plain labels.
     *
-    * Scale: two window passes + the relabel, all partitioned by the
-    * key over the CHANGELOG DELTA (O(changed rows), never O(table));
-    * the second window reuses the first's hash partitioning on a
-    * prefix-compatible key, and no join materializes.
+    * Scale: every window below is partitioned by the KEY alone, so
+    * the whole pairing costs ONE exchange + one sort over the
+    * CHANGELOG DELTA (O(changed rows), never O(table)) — the ordered
+    * rank and the unbounded side-counts share the partitioning, and no
+    * join materializes. (Partitioning the rank by (key, change_type)
+    * would read more naturally but forces a second exchange.)
     */
   private def pairUpdates(base: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dataCols = base.columns.filterNot(_ == "_change_type").toSeq
-    val rn = row_number().over(
-      Window.partitionBy((keys :+ "_change_type").map(col): _*)
-        .orderBy(dataCols.map(col): _*))
-    val sides = count(lit(1)).over(
-      Window.partitionBy((keys :+ "__rn").map(col): _*))
-    base.withColumn("__rn", rn)
-      .withColumn("__sides", sides)
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val ordered = byKey.orderBy(
+      (col("_change_type") +: dataCols.map(col)): _*)
+    val isDel = col("_change_type") === "delete"
+    val isIns = col("_change_type") === "insert"
+    // per-type rank within the key, derived from one key-ordered rank:
+    // 'delete' sorts before 'insert', so inserts start at position
+    // (#deletes + 1); the k-th delete pairs with the k-th insert iff
+    // k <= min(#deletes, #inserts)
+    base
+      .withColumn("__rk", row_number().over(ordered))
+      .withColumn("__nd", sum(when(isDel, 1L).otherwise(0L)).over(byKey))
+      .withColumn("__ni", sum(when(isIns, 1L).otherwise(0L)).over(byKey))
+      .withColumn("__rt",
+        when(isDel, col("__rk")).otherwise(col("__rk") - col("__nd")))
       .withColumn("_change_type",
-        when(col("__sides") === 2 && col("_change_type") === "delete",
-          lit("update_preimage"))
-          .when(col("__sides") === 2 && col("_change_type") === "insert",
-            lit("update_postimage"))
+        when(col("__rt") <= least(col("__nd"), col("__ni")),
+          when(isDel, lit("update_preimage"))
+            .when(isIns, lit("update_postimage"))
+            .otherwise(col("_change_type")))
           .otherwise(col("_change_type")))
-      .drop("__rn", "__sides")
+      .drop("__rk", "__nd", "__ni", "__rt")
   }
 
   private def changelogRaw(fromSnapshotId: Option[Long],

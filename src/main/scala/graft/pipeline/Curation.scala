@@ -66,14 +66,17 @@ object Curation {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
     require(n >= 2, "decontamination n-gram size must be >= 2")
-    import graft.functions.TextFunctions.{shingleHashes, tokens}
+    // fused native form of shingleHashes(tokens(lower(text)), n): one
+    // pass per row instead of re-evaluating the token array once per
+    // shingle window (PipelineSpec pins hash-for-hash equivalence)
+    import graft.functions.ShingleExpressions.wordShingleHashes
     val benchGrams = benchmark
-      .select(explode(shingleHashes(tokens(lower(col(benchTextCol))), n))
+      .select(explode(wordShingleHashes(lower(col(benchTextCol)), n))
         .as("__gram"))
       .distinct()
     val hits = docs
       .select(col(idCol),
-        explode(shingleHashes(tokens(lower(col(textCol))), n)).as("__gram"))
+        explode(wordShingleHashes(lower(col(textCol)), n)).as("__gram"))
       .join(broadcast(benchGrams), "__gram")
       .select(idCol).distinct()
     // hit ids broadcast too: contaminated docs are a small fraction by

@@ -221,6 +221,38 @@ class EngineSpec extends AnyFunSuite {
     assert(u.changelog(ucur.parentId, ucur.snapshotId)
       .select("_change_type").as[String].collect().toSet ==
       Set("insert", "delete"))
+    // pairing is ONE exchange on the bare key over the delta — the
+    // ordered rank and the side-counts share the partitioning; a
+    // second pairing-stage shuffle (e.g. on (key, rank)) would double
+    // the delta movement at CDC scale
+    val plan = t.changelog(cur.parentId, cur.snapshotId)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("__rk#") ||
+      !plan.split("\n").exists(l => l.contains("Exchange") && l.contains("__")),
+      s"pairing must not shuffle on derived columns:\n$plan")
+  }
+
+  test("cdc pairing ranks duplicates: k-th delete pairs k-th insert, " +
+      "leftovers keep plain labels") {
+    import spark.implicits._
+    // malformed-but-possible input under a declared key: 2 deletes and
+    // 1 insert on one key in a single range — min-pairing must label
+    // one pair and leave the extra delete plain, deterministically
+    val t = GraftTable.create(spark, tmp(), "cdcdup",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("graft.cdc.key" -> "id"))
+    t.append(Seq((1L, "a"), (1L, "b"), (2L, "x")).toDF("id", "v"))
+    // one commit: CoW delete of both id=1 rows plus append of one new
+    // id=1 row — overwrite expresses that as one snapshot
+    t.overwrite(Seq((1L, "c"), (2L, "x")).toDF("id", "v"))
+    val cur = t.meta.currentSnapshot.get
+    val got = t.changelog(cur.parentId, cur.snapshotId).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // deterministic whole-row order: delete "a" ranks 1 and pairs the
+    // single insert "c"; delete "b" ranks 2 and stays a plain delete
+    assert(got == Set(
+      (1L, "a", "update_preimage"), (1L, "c", "update_postimage"),
+      (1L, "b", "delete")))
   }
 
   test("hidden partitioning day(ts): layout + metadata pruning") {

@@ -451,6 +451,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(both.count() == 4)
   }
 
+  test("native WordShingleHashes is hash-for-hash the composed " +
+      "shingleHashes(tokens(text), k)") {
+    import spark.implicits._
+    // decontamination now runs the fused one-pass expression; every
+    // hash, its order, the distinct semantics, the short-doc and
+    // whitespace-edge cases must stay bit-identical to the composed
+    // built-in form — including XXH64's default seed 42
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .unionByName(Seq(
+        (900001L, "x y x y x y x y"), (900002L, "too short"),
+        (900003L, ""), (900004L, "   \t  "), (900005L, "a b c a b c a b c"),
+        (900006L, "\ttab first then words enough for one shingle")
+      ).toDF("doc_id", "text"))
+    val both = corpus.select(
+      graft.functions.ShingleExpressions.wordShingleHashes(col("text"), 13)
+        .as("native"),
+      TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 13)
+        .as("composed"))
+    assert(both.filter(not(col("native") === col("composed"))).isEmpty)
+    assert(both.count() > 500)
+  }
+
   test("connected components: a 64-node chain collapses to one min-labeled cluster") {
     import spark.implicits._
     // worst case for min-label propagation (rounds = diameter); the
