@@ -167,6 +167,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
           case "delete_files"         => Some(t.deleteFilesDf)
           case "entries"              => Some(t.entriesDf)
           case "manifests"            => Some(t.manifestsDf)
+          case "all_data_files"       => Some(t.allDataFilesDf)
+          case "all_delete_files"     => Some(t.allDeleteFilesDf)
           case "partitions"           => Some(t.partitionsDf)
           case "changes" =>
             // a table that exists but has no commits has no changelog —

@@ -2127,6 +2127,45 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         sum(col("file_size_bytes")).as("total_size_bytes"))
   }
 
+  /** t.all_data_files (Iceberg's all_data_files): every data file
+    * referenced by ANY retained snapshot — current files plus files a
+    * CoW rewrite or compaction replaced — distinct by path, with the
+    * commit sequence that introduced each. The "what did this table
+    * ever write that snapshot expiry hasn't reclaimed" view that
+    * orphan-file cleanup diffs against the object store. Manifest-only,
+    * zero data I/O.
+    */
+  def allDataFilesDf: DataFrame = {
+    val m = meta
+    allFilesRows(m.snapshots.map(_.files))
+      .toDF("file_path", "sequence_number", "record_count",
+        "file_size_bytes", "partition_values")
+  }
+
+  /** t.all_delete_files: the delete-file counterpart of
+    * [[allDataFilesDf]], with Iceberg's content codes (1 = position,
+    * 2 = equality).
+    */
+  def allDeleteFilesDf: DataFrame = {
+    val m = meta
+    val rows = m.snapshots.map(_.deleteFiles).flatten
+      .groupBy(_.path).toSeq
+      .map { case (_, fs) =>
+        val f = fs.head
+        (f.path, if (f.equalityIds.nonEmpty) 2 else 1, f.seq,
+          f.recordCount, f.fileSizeBytes)
+      }
+    rows.toDF("file_path", "content", "sequence_number", "record_count",
+      "file_size_bytes")
+  }
+
+  private def allFilesRows(perSnapshot: Seq[Vector[DataFileEntry]])
+      : Seq[(String, Long, Long, Long, Map[String, String])] =
+    perSnapshot.flatten.groupBy(_.path).toSeq.map { case (_, fs) =>
+      val f = fs.head
+      (f.path, f.seq, f.recordCount, f.fileSizeBytes, f.partitionValues)
+    }
+
   /** First-containment adder along the current ancestor chain:
     * path -> snapshotId of the commit that introduced it.
     */

@@ -501,6 +501,56 @@ object CatalogQueries {
           SELECT 1, CAST(4 AS BIGINT), CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT)
           FROM nation WHERE n_nationkey % 7 = 0
         ) ORDER BY sequence_number, content
+      """)),
+
+    // all_data_files metadata table (Iceberg's `all_data_files`): every
+    // data file ANY retained snapshot references — including files a
+    // CoW rewrite replaced, which the current-snapshot `files` table no
+    // longer shows. Deterministic build: three single-file appends
+    // (seq 1-3), then a COPY-ON-WRITE delete that rewrites all three
+    // (every range holds a key % 7 == 0) into seq-4 survivors. The
+    // per-sequence row totals — 3 original batches plus the rewritten
+    // remainder — are pure functions of nation, so source SQL oracles
+    // the union-of-history view itself.
+    QueryDef(
+      "q104_all_data_files",
+      (s, d) => {
+        val wh = setupOnce("q104", d) {
+          val w = scratch("alldatafiles")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val n = Tables.nation(s, d)
+            .select("n_nationkey", "n_name", "n_regionkey")
+          val t = cat.createTableAs("db1", "nation_adf",
+            n.filter(col("n_nationkey") < 10).coalesce(1))
+          t.append(n.filter(col("n_nationkey") >= 10 &&
+            col("n_nationkey") < 20).coalesce(1))
+          t.append(n.filter(col("n_nationkey") >= 20).coalesce(1))
+          t.delete(col("n_nationkey") % 7 === 0) // CoW: rewrites all 3
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT sequence_number,
+                 CAST(sum(record_count) AS BIGINT) AS rows
+          FROM graft.db1.nation_adf.all_data_files
+          GROUP BY sequence_number ORDER BY sequence_number""")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS sequence_number,
+                 CAST(count(*) AS BIGINT) AS rows
+          FROM nation WHERE n_nationkey < 10
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey >= 20
+          UNION ALL
+          SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey % 7 <> 0
+        ) ORDER BY sequence_number
       """))
   )
 }
