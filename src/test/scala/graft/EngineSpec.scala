@@ -232,6 +232,35 @@ class EngineSpec extends AnyFunSuite {
       s"pairing must not shuffle on derived columns:\n$plan")
   }
 
+  test("all_data_files / all_delete_files keep history the current " +
+      "views no longer show") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "adf",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.delete(col("id") % 2 === 0) // MoR: adds a positional delete file
+    val delPath = t.meta.currentSnapshot.get.deleteFiles.head.path
+    val dataPaths0 = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    // a FULL rewrite materializes the deletes away (binpack's partial
+    // contract carries them): current snapshot drops both the delete
+    // file and the original data files
+    t.rewriteDataFiles(Seq("id"))
+    val cur = t.meta.currentSnapshot.get
+    assert(cur.deleteFiles.isEmpty)
+    assert(cur.files.map(_.path).toSet.intersect(dataPaths0).isEmpty)
+    // ...but the union-of-history views still carry them
+    val allData = t.allDataFilesDf.select("file_path").as[String]
+      .collect().toSet
+    assert(dataPaths0.subsetOf(allData))
+    assert(cur.files.map(_.path).toSet.subsetOf(allData))
+    val allDel = t.allDeleteFilesDf
+      .select("file_path", "content").as[(String, Int)].collect().toSet
+    assert(allDel.contains((delPath, 1)), s"missing $delPath in $allDel")
+    // while the current-only views agree with the snapshot
+    assert(t.deleteFilesDf.count() == 0)
+  }
+
   test("cdc pairing ranks duplicates: k-th delete pairs k-th insert, " +
       "leftovers keep plain labels") {
     import spark.implicits._
