@@ -25,40 +25,6 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Token k-shingle sets per document: (id, shingle_set). Documents
-    * shorter than k get an EMPTY set (they can never near-dup); callers
-    * explode `sh`, which drops them with no filter.
-    *
-    * Two hard-won plan rules live here:
-    *   - tokens materialize as a column BEFORE shingling: a lambda that
-    *     references an enclosing non-attribute expression re-evaluates
-    *     it per array element (the split would run ~|tokens| times per
-    *     row — measured 10x at bench scale);
-    *   - NO filter over `sh`: predicate pushdown re-inlines the entire
-    *     shingle expression into a Filter below the projection — the
-    *     most expensive expression in the library, evaluated twice
-    *     (and, after a repartition, on the un-spread side of the
-    *     exchange).
-    * Shingling is interpreted per-element work (higher-order functions
-    * are CodegenFallback), so a small input that plans fewer scan
-    * partitions than cores (bench files are one parquet row group)
-    * serializes it — spread it first; at real scale inputs have far
-    * more partitions than cores and this is a no-op.
-    */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame =
-    spread(df)
-      // one native pass per row (WordShingles) instead of the composed
-      // tokens -> transform/slice/concat chain, whose per-element
-      // interpreted dispatch was the most expensive expression in the
-      // library; byte-identical output including null -> empty set, and
-      // non-nullable by construction — so the isnotnull-constraint
-      // re-inlining trap this projection used to defend against with a
-      // coalesce (see the expression's scaladoc) cannot arise.
-      .select(col(idCol).as("id"),
-        graft.functions.ShingleExpressions.wordShingles(col(textCol), k)
-          .as("sh"))
-
   /** Round-robin repartition to full parallelism — ONLY when the scan
     * would plan fewer partitions than cores (small-file artifact).
     * Partition count is ESTIMATED from logical-plan stats (file bytes /
@@ -91,7 +57,19 @@ object Dedup {
   def nearDupJaccard(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k)
+    // the index carries 64-bit shingle HASHES, not strings
+    // (WordShingleHashes — same one-pass tokenization as WordShingles,
+    // xxhash64 per window): every exchange, sort, and join comparison
+    // below runs on fixed 8-byte keys instead of variable ~20-40-byte
+    // text. |A ∩ B| via hash equality over-counts only on a 64-bit
+    // collision (odds ~1e-10 at 1e9 shingles — the same budget the
+    // MinHash index and the decontamination probe already accept);
+    // the string-shingle oracle stays value-identical at any fixture
+    // scale that can't produce one.
+    val sets = spread(docs)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExpressions.wordShingleHashes(
+          col(textCol), k).as("sh"))
     // carry |set| through the index so Jaccard needs NO join back to the
     // shingle arrays: for distinct-element sets, the equi-join emits one
     // row per SHARED shingle, so count(*) per pair IS |A ∩ B|, and
@@ -193,25 +171,27 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (pairs sharing " +
       "no shingle are dropped before verification)")
-    val sets = shingleSets(docs, idCol, textCol, k)
-    // shingle STRINGS never leave the scan stage: the index carries the
-    // full 64-bit xxhash64 (collision odds ~1e-10 at 1e9 shingles), the
-    // signature's 31-bit hash derives from it by pmod, and verification
-    // counts shared 64-bit values — every shuffle is (long, long) rows
-    // the exploded index feeds signatures AND both verification sides;
-    // it is NOT cached: with shingling spread and evaluated once (see
-    // shingleSets), recomputing this narrow projection per consumer is
-    // cheaper than cache residency + eviction churn (round-2 note),
-    // and keeps the operator stateless for callers
+    // shingle STRINGS never exist outside the per-row expression: the
+    // fused WordShingleHashes emits the distinct 64-bit xxhash64 set
+    // directly (collision odds ~1e-10 at 1e9 shingles), the
+    // signature's 31-bit hash derives from it by pmod, and
+    // verification counts shared 64-bit values — every shuffle is
+    // (long, long) rows.
     // the exploded index feeds THREE consumers (signatures + both
     // verification sides) with three different downstream keys — the
     // trailing repartition materializes one shuffle stage that all
     // three reuse (ReusedExchange), so the shingle pipeline runs once
     // per corpus, not once per consumer. One extra narrow (long,long)
-    // shuffle buys 2 fewer shingling passes.
-    val inv = sets.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
-      .select(col("id"), col("n"), xxhash64(col("s")).as("hv"))
+    // shuffle buys 2 fewer shingling passes. It is NOT cached:
+    // recomputing a narrow projection per consumer is cheaper than
+    // cache residency + eviction churn (round-2 note), and keeps the
+    // operator stateless for callers.
+    val inv = spread(docs)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExpressions.wordShingleHashes(
+          col(textCol), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("hv"))
       .repartition(col("hv"))
     val sigs = minhashSignaturesGrouped(
       inv.select(col("id"), pmod(col("hv"), lit(MersennePrime)).as("h")),
