@@ -85,6 +85,69 @@ object Curation {
     docs.join(broadcast(hits), Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level line deduplication — the boilerplate-removal pass
+    * web-scale pipelines run before document dedup (RefinedWeb /
+    * MassiveText drop any line repeated across enough pages: nav bars,
+    * cookie banners, "subscribe" footers). A line is removed from EVERY
+    * document when it appears in >= `minDf` distinct documents; output
+    * is the reassembled cleaned text plus per-doc removal counts.
+    *
+    * Scale shape — three exchanges, line TEXT rides exactly one:
+    *   1. the document-frequency side re-scans the corpus as a narrow
+    *      (id, line-hash) projection, partial-aggregates the distinct
+    *      (hash, id) pairs map-side, and exchanges only ~16-byte rows.
+    *      This is deliberately NOT a ReusedExchange off the wide probe
+    *      exchange: column pruning would be defeated and the df
+    *      consumer would shuffle-read the full line strings it never
+    *      looks at — a second embarrassingly-parallel scan plus a
+    *      fixed-width exchange beats re-reading a string-bearing
+    *      shuffle (same recompute-over-cache call as the MinHash
+    *      index, [[Dedup.nearDupMinhashLsh]]);
+    *   2. the probe side exchanges (id, pos, line, hash) once —
+    *      irreducible, since the output IS the cleaned text — and the
+    *      planner's ENSURE_REQUIREMENTS exchange stays AQE-coalescible;
+    *   3. one exchange by doc id reassembles kept lines in position
+    *      order.
+    * The hot set joins as a pinned SMJ, never a broadcast: lines with
+    * df >= minDf are few as a fraction of line INSTANCES (the Zipf
+    * head) but unbounded as a KEY SET on a crawl corpus — same
+    * rationale as the Jaccard df-cap ([[Dedup.nearDupJaccard]]).
+    * Matching on the 64-bit hash instead of the string keeps the df
+    * aggregate's state fixed-width; a collision can only over-remove
+    * one innocent line at ~1e-10 odds per billion distinct lines — the
+    * same bounded, conservative-direction budget the decontamination
+    * probe documents.
+    *
+    * Docs whose every line is boilerplate still appear (clean_text = "",
+    * n_removed = n_lines); within-doc repeats of a non-hot line are
+    * kept (this pass removes CROSS-document boilerplate — within-doc
+    * repetition is [[TextAnalysis.repetitionStats]]'s job).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would remove every line")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+      .withColumn("__k", xxhash64(col("__line")))
+    val hot = lines.groupBy(col("__k"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__k"), lit(true).as("__hot"))
+    val flagged = lines.join(hot.hint("SHUFFLE_MERGE"), Seq("__k"), "left")
+    flagged.groupBy(col("__id").as(idCol))
+      .agg(
+        // collect_list drops the nulls the `when` leaves on hot lines;
+        // array_sort on (pos, line) structs restores document order
+        // (pos is unique per doc, so the line never tie-breaks)
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line"))).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__hot"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Token-budget packing: assign each document to a context-window
     * bucket via a running token count per `partCol` — the
     * concat-then-chunk pretokenization shape (a document straddling a

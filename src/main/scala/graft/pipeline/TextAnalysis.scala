@@ -108,6 +108,68 @@ object TextAnalysis {
     round(lit(0.3) * lenScore + lit(0.4) * diversity + lit(0.3) * content, 6)
   }
 
+  /** Gopher-style quality RULESET (the public heuristics of Rae et al.
+    * 2021 §A1.1, reused by MassiveText descendants): hard keep/drop per
+    * document with per-rule reasons — the gate form of filtering, where
+    * [[qualityScore]] is the soft-score form. A document FAILS on:
+    *   - word count outside [minWords, maxWords]            → "n_words"
+    *   - mean word length outside [minMeanLen, maxMeanLen]  → "word_len"
+    *   - '#'/'...' symbols per word above maxSymbolRatio    → "symbols"
+    *   - words containing a letter below minAlphaFrac       → "alpha"
+    *   - fewer than minStopwords stopword hits              → "stopwords"
+    *   - duplicate-token fraction above maxDupFrac          → "dup_tokens"
+    * `keep` is true iff `reasons` is empty. Ratio rules are defined
+    * only when n_words > 0 — a zero-token document already fails
+    * "n_words", and its NULL ratios fire no phantom reasons.
+    *
+    * Two projections (features first, rules referencing them as
+    * attributes — the [[langScores]] CollapseProject note applies to
+    * the interpreted alpha-word filter), zero shuffle: the gate scales
+    * as a scan, and every metric is an integer ratio rounded to 4
+    * places so rules and output agree bit-for-bit with a SQL oracle.
+    * Symbol counts come from length deltas of codegen'd `replace`, not
+    * a regex — '#' and '...' are literal substrings on both engines.
+    */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2, maxDupFrac: Double = 0.3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val txt = col(textCol)
+    val feats = docs.select(col(idCol),
+      size(toks).as("n_words"),
+      aggregate(transform(toks, t => length(t)), lit(0),
+        (a, l) => a + l).as("__chars"),
+      (length(txt) - length(replace(txt, lit("#"), lit("")))).as("__sym_h"),
+      ((length(txt) - length(replace(txt, lit("..."), lit("")))) / 3)
+        .as("__sym_e"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).as("__alpha"),
+      markerCount(toks, Stopwords).as("n_stop"),
+      size(array_distinct(toks)).as("__dist"))
+    val n = col("n_words").cast("double")
+    val pos = col("n_words") > 0
+    val metrics = feats.select(col(idCol), col("n_words"), col("n_stop"),
+      when(pos, round(col("__chars") / n, 4)).as("mean_word_len"),
+      when(pos, round((col("__sym_h") + col("__sym_e")) / n, 4))
+        .as("symbol_ratio"),
+      when(pos, round(col("__alpha") / n, 4)).as("alpha_frac"),
+      when(pos, round(lit(1.0) - col("__dist") / n, 4)).as("dup_tok_frac"))
+    // rules evaluate the ROUNDED metrics so the emitted numbers and the
+    // keep flag can never disagree in a downstream audit
+    val reasons = concat_ws(",",
+      when(col("n_words") < minWords || col("n_words") > maxWords,
+        lit("n_words")),
+      when(col("mean_word_len") < minMeanLen ||
+        col("mean_word_len") > maxMeanLen, lit("word_len")),
+      when(col("symbol_ratio") > maxSymbolRatio, lit("symbols")),
+      when(col("alpha_frac") < minAlphaFrac, lit("alpha")),
+      when(col("n_stop") < minStopwords, lit("stopwords")),
+      when(col("dup_tok_frac") > maxDupFrac, lit("dup_tokens")))
+    metrics.select(col("*"), reasons.as("reasons"))
+      .withColumn("keep", col("reasons") === "")
+  }
+
   /** Per-language marker-count columns for langId — materialize these
     * in their OWN projection (`.select(..., langScores(toks).map(...))`)
     * so the argmax in [[langIdFromScores]] references them as

@@ -688,6 +688,143 @@ object Pipeline {
                round(1 - CAST(f.d AS DOUBLE) / f.n, 4) AS dup_tok_frac
         FROM documents d0 LEFT JOIN f USING (doc_id)
         ORDER BY doc_id
+      """)),
+
+    // ---- Corpus-level line dedup (boilerplate removal) -----------------
+    // RefinedWeb/MassiveText's pass: any line appearing in >= minDf
+    // distinct documents is boilerplate (nav bars, cookie banners) and
+    // is struck from every document. The fixture has no line structure
+    // (token-bag text), so the query builds it reproducibly on both
+    // sides: 10-token spans become lines, and a header/footer line is
+    // injected on doc_id % 2 / % 3 — those repeat across ~250/~167 of
+    // 500 docs and cross minDf = 50; organic spans stay unique and
+    // survive. Spark keys line movement on xxhash64; the string-keyed
+    // oracle is value-identical below any fixture scale that can
+    // produce a 64-bit collision (same budget as q90).
+    QueryDef(
+      "q105_line_dedup",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nl = greatest(lit(1), ceil(size(toks) / lit(10.0)).cast("int"))
+        val spans = transform(sequence(lit(0), nl - 1),
+          i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+        val withHdr = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(array(lit("subscribe to our newsletter")), spans))
+          .otherwise(spans)
+        val withFtr = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(withHdr, array(lit("all rights reserved"))))
+          .otherwise(withHdr)
+        val lined = docs(s, d).select(col("doc_id"),
+          concat_ws("\n", withFtr).as("text"))
+        graft.pipeline.Curation.dedupLines(lined, "doc_id", "text",
+          minDf = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), spanned AS (
+          SELECT doc_id,
+            list_transform(
+              range(0, greatest(1, CAST(ceil(len(toks)/10.0) AS INT))),
+              i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS ls0
+          FROM base
+        ), lined AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0
+              THEN (CASE WHEN doc_id % 2 = 0
+                      THEN ['subscribe to our newsletter'] || ls0
+                      ELSE ls0 END) || ['all rights reserved']
+              ELSE (CASE WHEN doc_id % 2 = 0
+                      THEN ['subscribe to our newsletter'] || ls0
+                      ELSE ls0 END) END) AS ls
+          FROM spanned
+        ), lines AS (
+          SELECT doc_id, unnest(ls) AS line,
+                 generate_subscripts(ls, 1) AS pos
+          FROM lined
+        ), df AS (
+          SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+        ), flagged AS (
+          SELECT l.doc_id, l.line, l.pos, (d.df >= 50) AS hot
+          FROM lines l JOIN df d USING (line)
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                          FILTER (WHERE NOT hot), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // ---- Gopher-style quality gate -------------------------------------
+    // the hard keep/drop ruleset (vs q45's soft score): every metric is
+    // an integer ratio rounded to 4 places and the rules evaluate the
+    // rounded values, so reasons/keep reproduce bit-for-bit in DuckDB.
+    // minWords = 20 splits the fixture (43 short docs fail; 112 fail
+    // stopwords) — the defaults' 50 would gate half the corpus on one
+    // rule and mask the others.
+    QueryDef(
+      "q106_gopher_filter",
+      (s, d) => TextAnalysis.gopherFilter(docs(s, d), "doc_id", "text",
+          minWords = 20)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             t0 -> t0 <> '') AS toks,
+                 length(text) - length(replace(text, '#', '')) AS sym_h,
+                 (length(text) - length(replace(text, '...', ''))) / 3
+                   AS sym_e
+          FROM documents
+        ), g AS (
+          SELECT doc_id, len(toks) AS n_words,
+                 list_sum(list_transform(toks, t -> length(t))) AS chars,
+                 sym_h, sym_e,
+                 len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+                 len(list_filter(toks,
+                     t -> list_contains(
+                       ['the','a','of','and','to','in','is'], t))) AS nstop,
+                 len(list_distinct(toks)) AS dist
+          FROM f
+        ), m AS (
+          SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                 CAST(nstop AS INT) AS n_stop,
+                 CASE WHEN n_words > 0
+                   THEN round(CAST(chars AS DOUBLE) / n_words, 4) END
+                   AS mean_word_len,
+                 CASE WHEN n_words > 0
+                   THEN round(CAST(sym_h + sym_e AS DOUBLE) / n_words, 4) END
+                   AS symbol_ratio,
+                 CASE WHEN n_words > 0
+                   THEN round(CAST(alpha AS DOUBLE) / n_words, 4) END
+                   AS alpha_frac,
+                 CASE WHEN n_words > 0
+                   THEN round(1.0 - CAST(dist AS DOUBLE) / n_words, 4) END
+                   AS dup_tok_frac
+          FROM g
+        ), r AS (
+          SELECT *, concat_ws(',',
+                 CASE WHEN n_words < 20 OR n_words > 100000
+                   THEN 'n_words' END,
+                 CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                   THEN 'word_len' END,
+                 CASE WHEN symbol_ratio > 0.1 THEN 'symbols' END,
+                 CASE WHEN alpha_frac < 0.8 THEN 'alpha' END,
+                 CASE WHEN n_stop < 2 THEN 'stopwords' END,
+                 CASE WHEN dup_tok_frac > 0.3 THEN 'dup_tokens' END)
+                 AS reasons
+          FROM m
+        )
+        SELECT doc_id, n_words, n_stop, mean_word_len, symbol_ratio,
+               alpha_frac, dup_tok_frac, reasons, (reasons = '') AS keep
+        FROM r ORDER BY doc_id
       """))
   )
 }

@@ -432,6 +432,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes == Seq(0, 0, 3))
   }
 
+  test("dedupLines: cross-document boilerplate struck everywhere, " +
+      "organic and within-doc repeats kept, all-removed docs survive") {
+    import spark.implicits._
+    val hdr = "subscribe now"
+    val docs = Seq(
+      (1L, s"$hdr\nalpha beta\nalpha beta"), // within-doc repeat kept
+      (2L, s"$hdr\ngamma delta"),
+      (3L, s"$hdr\nepsilon zeta"),
+      (4L, hdr),                             // all lines boilerplate
+      (5L, "eta theta")                      // untouched
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Curation
+      .dedupLines(docs, "doc_id", "text", minDf = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha beta\nalpha beta", 3L, 1L),
+      (2L, "gamma delta", 2L, 1L),
+      (3L, "epsilon zeta", 2L, 1L),
+      (4L, "", 1L, 1L),
+      (5L, "eta theta", 1L, 0L)))
+    // minDf boundary: the header's df is 4 (docs 1-4) — at minDf = 5
+    // it is one short of boilerplate and every line is kept
+    val kept = graft.pipeline.Curation
+      .dedupLines(docs, "doc_id", "text", minDf = 5)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(kept.forall(_._4 == 0L), s"df=4 < minDf=5 must keep all: $kept")
+    intercept[IllegalArgumentException](
+      graft.pipeline.Curation.dedupLines(docs, "doc_id", "text", minDf = 1))
+    // scale contract: the df-count side partial-aggregates the
+    // distinct (hash, id) pairs BEFORE its exchange (map-side combine
+    // on fixed-width rows — line strings must never ride that
+    // shuffle), and the hot probe is the pinned SMJ (unbounded key set
+    // — never a broadcast)
+    val planned = graft.pipeline.Curation
+      .dedupLines(docs, "doc_id", "text", minDf = 3)
+    planned.collect() // AQE finalizes the plan only at execution
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"hot probe must be SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"hot set is unbounded at scale — no broadcast:\n$plan")
+    // the partial (__k, __id) distinct-agg must sit UNDER a shuffle
+    // whose partition expression is __k alone, and that exchange's
+    // input must not carry __line
+    val dfExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange hashpartitioning(__k") && !l.contains("__line"))
+    assert(dfExchange.isDefined,
+      s"df-count exchange must be the narrow keyed one:\n$plan")
+  }
+
+  test("gopherFilter: each rule fires on its own trigger; zero-token " +
+      "docs fail n_words only, with NULL ratios and no phantom reasons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the deal is that we keep all of these good plain words here"),
+      (2L, ""),                                   // n_words + stopwords
+      (3L, "### ### ### the cats is boxing boxes here now"), // symbols+alpha
+      (4L, "the dog dog dog dog dog is barking barking loud"), // dup_tokens
+      (5L, "12 34 56 78 90 11 22 33 44 55")       // alpha + stopwords
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .gopherFilter(docs, "doc_id", "text", minWords = 5)
+      .select("doc_id", "reasons", "keep")
+      .orderBy("doc_id").as[(Long, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "", true),
+      (2L, "n_words,stopwords", false),
+      (3L, "symbols,alpha", false),
+      (4L, "dup_tokens", false),
+      (5L, "word_len,alpha,stopwords", false)), got.toString)
+    // zero-token ratios are NULL, not NaN/0
+    val row2 = graft.pipeline.TextAnalysis
+      .gopherFilter(docs, "doc_id", "text", minWords = 5)
+      .filter(col("doc_id") === 2)
+      .select("mean_word_len", "symbol_ratio", "alpha_frac", "dup_tok_frac")
+      .collect()(0)
+    assert((0 until 4).forall(row2.isNullAt), row2.toString)
+    // scale contract: pure projection — no exchange, no aggregate
+    val plan = graft.pipeline.TextAnalysis
+      .gopherFilter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality gate must not shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"quality gate must not aggregate:\n$plan")
+  }
+
   test("shingleHashes is elementwise xxhash64 of shingles") {
     import spark.implicits._
     // the decontamination probe matches on these hashes: they must be
