@@ -165,6 +165,7 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
           case "refs"                 => Some(t.refs)
           case "files"                => Some(t.filesDf)
           case "delete_files"         => Some(t.deleteFilesDf)
+          case "position_deletes"     => Some(t.positionDeletesDf)
           case "entries"              => Some(t.entriesDf)
           case "manifests"            => Some(t.manifestsDf)
           case "all_data_files"       => Some(t.allDataFilesDf)

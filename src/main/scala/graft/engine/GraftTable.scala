@@ -2077,6 +2077,36 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         "file_size_bytes", "sequence_number", "equality_ids")
   }
 
+  /** t.position_deletes (Iceberg's position_deletes metadata table):
+    * the actual positional tombstone ROWS of the current snapshot —
+    * one row per (target data file, position), with the delete file
+    * carrying it and that file's sequence number. Unlike the other
+    * metadata tables this one reads data (the delete parquets), as
+    * Iceberg's does: it plans as a DISTRIBUTED parquet scan with the
+    * carrier attached from the hidden `_metadata.file_path` column and
+    * the per-file sequence joined in as a broadcast — millions of
+    * tombstones never touch the driver. Iceberg's optional `row`
+    * column is omitted: this format's positional delete files store
+    * only (file_path, pos), never deleted-row content.
+    */
+  def positionDeletesDf: DataFrame = {
+    val m = meta
+    val pos = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+      .filter(_.equalityIds.isEmpty)
+    if (pos.isEmpty)
+      return Seq.empty[(String, Long, String, Long)]
+        .toDF("file_path", "pos", "delete_file_path", "sequence_number")
+    val seqByPath = pos.map(f => (f.path, f.seq))
+      .toDF("delete_file_path", "sequence_number")
+    spark.read.schema("file_path STRING, pos BIGINT")
+      .parquet(pos.map(f => s"$location/${f.path}"): _*)
+      .withColumn("delete_file_path",
+        regexp_replace(col("_metadata.file_path"), "^.*/data/", "data/"))
+      .join(broadcast(seqByPath), "delete_file_path")
+      .select(col("file_path"), col("pos"), col("delete_file_path"),
+        col("sequence_number"))
+  }
+
   /** t.entries (Iceberg's entries metadata table): one row per manifest
     * entry of the CURRENT snapshot. status uses Iceberg's codes
     * relative to this snapshot — 1 = ADDED by it, 0 = EXISTING
@@ -2533,3 +2563,4 @@ object GraftTable {
     new GraftTable(spark, location)
   }
 }
+

@@ -551,6 +551,46 @@ object CatalogQueries {
           SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT)
           FROM nation WHERE n_nationkey % 7 <> 0
         ) ORDER BY sequence_number
+      """)),
+
+    // position_deletes metadata table (Iceberg's `position_deletes`):
+    // the tombstone ROWS themselves, read as a distributed scan of the
+    // delete parquets. The fixture writes the table as ONE sorted data
+    // file (repartition(1) + sortWithinPartitions), so each tombstone's
+    // `pos` is exactly the 0-based rank of its key in suppkey order —
+    // a window function over the source parquet oracles the physical
+    // row positions the MoR delete recorded. (file_path is excluded:
+    // it carries a per-run scratch UUID; pos + sequence_number are the
+    // portable content.)
+    QueryDef(
+      "q107_position_deletes",
+      (s, d) => {
+        val wh = setupOnce("q107", d) {
+          val w = scratch("posdeletes")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+            .repartition(1).sortWithinPartitions("s_suppkey")
+          val t = cat.createTableAs("db1", "supplier_pd", sup)
+          t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+          t.delete(col("s_suppkey") % 5 === 0)
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT pos, sequence_number
+          FROM graft.db1.supplier_pd.position_deletes
+          ORDER BY pos""")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT s_suppkey,
+                 row_number() OVER (ORDER BY s_suppkey) - 1 AS pos
+          FROM supplier
+        )
+        SELECT CAST(pos AS BIGINT) AS pos,
+               CAST(2 AS BIGINT) AS sequence_number
+        FROM ranked WHERE s_suppkey % 5 = 0 ORDER BY pos
       """))
   )
 }

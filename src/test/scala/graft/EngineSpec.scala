@@ -259,6 +259,31 @@ class EngineSpec extends AnyFunSuite {
     assert(allDel.contains((delPath, 1)), s"missing $delPath in $allDel")
     // while the current-only views agree with the snapshot
     assert(t.deleteFilesDf.count() == 0)
+    assert(t.positionDeletesDf.count() == 0)
+  }
+
+  test("position_deletes lists each tombstone row with its carrier " +
+      "and sequence; empty without MoR deletes") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "posdel",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .orderBy("id").coalesce(1))
+    assert(t.positionDeletesDf.count() == 0)
+    t.delete(col("id") % 2 === 0)
+    val delPath = t.meta.currentSnapshot.get.deleteFiles.head.path
+    val delSeq = t.meta.currentSnapshot.get.deleteFiles.head.seq
+    val got = t.positionDeletesDf
+      .select("pos", "delete_file_path", "sequence_number")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    // one sorted single-file append: ids 2,4,6,8,10 sit at 0-based
+    // positions 1,3,5,7,9
+    assert(got.map(_._1) == Seq(1L, 3L, 5L, 7L, 9L), got.toString)
+    assert(got.forall(r => r._2 == delPath && r._3 == delSeq), got.toString)
+    // tombstone totals agree with the manifest-level delete_files view
+    assert(t.deleteFilesDf.filter(col("content") === 1)
+      .select(sum("record_count")).as[Long].collect().head == 5L)
   }
 
   test("cdc pairing ranks duplicates: k-th delete pairs k-th insert, " +
