@@ -77,7 +77,17 @@ object Soak {
       "repetition" -> (d => graft.pipeline.TextAnalysis
         .repetitionStats(d, "doc_id", "text")
         .agg(sum(col("n_tokens")).as("t"),
-          avg(col("max_tok_frac")).as("m"))))
+          avg(col("max_tok_frac")).as("m"))),
+      // the fixture's docs are single-line, so each exact-copy group in
+      // the blow-up is a duplicated "line" crossing minDf — the hot
+      // set, probe, and reassembly all do real work at both scales
+      "line_dedup" -> (d => graft.pipeline.Curation
+        .dedupLines(d, "doc_id", "text", minDf = 3)
+        .agg(sum(col("n_removed")).as("r"), count(lit(1)).as("n"))),
+      "quality_gate" -> (d => graft.pipeline.TextAnalysis
+        .gopherFilter(d, "doc_id", "text", minWords = 20)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          count(lit(1)).as("n"))))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
