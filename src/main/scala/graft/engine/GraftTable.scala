@@ -2043,14 +2043,29 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("name", "type", "snapshot_id")
   }
 
-  /** t.files — manifest listing for observability/debugging. */
+  /** t.files — manifest listing for observability/debugging.
+    * `lower_bounds`/`upper_bounds` surface the per-file column min/max
+    * the manifest already stores for stats pruning (Iceberg's files
+    * table exposes the same pair; ours are the human-readable string
+    * encodings the pruner consumes, not Iceberg's binary
+    * single-value serialization — readable by construction, so no
+    * separate readable_metrics view is needed). The manifest keys
+    * bounds by FIELD-ID (rename-proof); here they re-key to the
+    * CURRENT column names, so the view reads naturally and a renamed
+    * column's history stays attached to it. Bounds of since-dropped
+    * columns are omitted.
+    */
   def filesDf: DataFrame = {
     val m = meta
+    val idToName = m.currentSchema.fields
+      .map(f => f.id.toString -> f.name).toMap
+    def named(b: Map[String, String]): Map[String, String] =
+      b.flatMap { case (id, v) => idToName.get(id).map(_ -> v) }
     m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
       .map(f => (f.path, f.recordCount, f.fileSizeBytes, f.schemaId,
-        f.partitionValues))
+        f.partitionValues, named(f.lowerBounds), named(f.upperBounds)))
       .toDF("file_path", "record_count", "file_size_bytes", "schema_id",
-        "partition_values")
+        "partition_values", "lower_bounds", "upper_bounds")
   }
 
   /** t.delete_files (Iceberg's delete_files metadata table): the

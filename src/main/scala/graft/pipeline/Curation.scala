@@ -85,6 +85,38 @@ object Curation {
     docs.join(broadcast(hits), Seq(idCol), "left_anti")
   }
 
+  /** Deterministic train/val/test split assignment: each row's `split`
+    * label comes from the md5 of its (salted) id, cut at the
+    * cumulative fractions over 10,000 hash buckets. No RNG — re-runs,
+    * retries, and any repartitioning assign the SAME rows to the same
+    * split (a nondeterministic split leaks val into train on every
+    * rerun), and because membership depends only on the id, growing
+    * the corpus never moves an existing document between splits. md5
+    * (not xxhash64) keeps membership engine-portable: any system can
+    * recompute which split a document landed in. Integer bucket math,
+    * so engines agree bit-for-bit; the salt gives independent
+    * re-splits (fold assignment) from the same ids.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._2).forall(_ > 0), "fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long"),
+      lit(10000L))
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 10000).toInt)
+    val label = splits.init.zip(cuts.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (els, ((name, _), cut)) => when(bucket < cut, lit(name))
+          .otherwise(els)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Corpus-level line deduplication — the boilerplate-removal pass
     * web-scale pipelines run before document dedup (RefinedWeb /
     * MassiveText drop any line repeated across enough pages: nav bars,

@@ -591,6 +591,39 @@ object CatalogQueries {
         SELECT CAST(pos AS BIGINT) AS pos,
                CAST(2 AS BIGINT) AS sequence_number
         FROM ranked WHERE s_suppkey % 5 = 0 ORDER BY pos
+      """)),
+
+    // files metadata table with per-file column bounds: the manifest's
+    // stats-pruning min/max, re-keyed to current column names. Same
+    // deterministic build as q102 (three range-disjoint single-file
+    // appends; the MoR delete adds no data files), so each file's
+    // n_nationkey bounds are the range min/max of its source slice.
+    QueryDef(
+      "q109_files_bounds",
+      (s, d) => {
+        s.conf.set("spark.graft.warehouse", entriesWarehouse(s, d))
+        s.sql("""
+          SELECT CAST(lower_bounds['n_nationkey'] AS INT) AS lo,
+                 CAST(upper_bounds['n_nationkey'] AS INT) AS hi,
+                 CAST(record_count AS BIGINT) AS rows
+          FROM graft.db1.nation_en.files
+          ORDER BY lo""")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT CAST(min(n_nationkey) AS INT) AS lo,
+                 CAST(max(n_nationkey) AS INT) AS hi,
+                 CAST(count(*) AS BIGINT) AS rows
+          FROM nation WHERE n_nationkey < 10
+          UNION ALL
+          SELECT CAST(min(n_nationkey) AS INT), CAST(max(n_nationkey) AS INT),
+                 CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 20
+          UNION ALL
+          SELECT CAST(min(n_nationkey) AS INT), CAST(max(n_nationkey) AS INT),
+                 CAST(count(*) AS BIGINT)
+          FROM nation WHERE n_nationkey >= 20
+        ) ORDER BY lo
       """))
   )
 }

@@ -825,6 +825,29 @@ object Pipeline {
         SELECT doc_id, n_words, n_stop, mean_word_len, symbol_ratio,
                alpha_frac, dup_tok_frac, reasons, (reasons = '') AS keep
         FROM r ORDER BY doc_id
+      """)),
+
+    // ---- Deterministic split assignment --------------------------------
+    // train/val/test membership from md5(id) over 10,000 buckets: no
+    // RNG, stable under reruns and corpus growth, and portable — the
+    // oracle recomputes the exact same assignment from the same hash.
+    QueryDef(
+      "q108_split_assignment",
+      (s, d) => graft.pipeline.Curation.assignSplit(docs(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 10000 AS b
+          FROM documents)
+        ORDER BY doc_id
       """))
   )
 }

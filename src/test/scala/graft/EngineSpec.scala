@@ -1010,6 +1010,30 @@ class EngineSpec extends AnyFunSuite {
     assert(fdf.agg(min(col("file_size_bytes"))).head().getLong(0) > 0)
   }
 
+  test("filesDf bounds re-key to current column names and follow a " +
+      "rename; dropped columns' bounds are omitted") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "fbounds",
+      Seq("id" -> "long", "v" -> "string", "x" -> "long"))
+    t.append(Seq((5L, "a", 1L), (9L, "b", 2L)).toDF("id", "v", "x")
+      .coalesce(1))
+    def bounds(): Map[String, (String, String)] = {
+      val r = t.filesDf.select("lower_bounds", "upper_bounds").head()
+      val lo = r.getMap[String, String](0)
+      val hi = r.getMap[String, String](1)
+      lo.keys.map(k => k -> ((lo(k), hi(k)))).toMap
+    }
+    assert(bounds().get("id").contains(("5", "9")), bounds().toString)
+    // the manifest keys by field-id, so a rename moves the SAME bounds
+    // to the new name with no file rewrite
+    t.renameColumn("id", "doc_id")
+    assert(bounds().get("doc_id").contains(("5", "9")), bounds().toString)
+    assert(!bounds().contains("id"))
+    // a dropped column's bounds vanish from the view
+    t.dropColumn("x")
+    assert(!bounds().contains("x"), bounds().toString)
+  }
+
   test("binpack compaction packs small files, leaves compacted state alone") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "bp", Seq("id" -> "long"))

@@ -517,6 +517,35 @@ class PipelineSpec extends AnyFunSuite {
       s"quality gate must not aggregate:\n$plan")
   }
 
+  test("assignSplit: deterministic, exhaustive, near-target fractions; " +
+      "salt re-splits independently; bad fractions rejected") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = graft.pipeline.Curation.assignSplit(ids, "id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a.keySet == Set("train", "val", "test"), a.toString)
+    assert(a.values.sum == 2000)
+    // md5 is uniform: 2000 ids land within a few percent of target
+    assert(math.abs(a("train") - 1600L) < 100, a.toString)
+    // same input, same assignment — and repartitioning changes nothing
+    val b = graft.pipeline.Curation
+      .assignSplit(ids.repartition(7), "id", splits)
+      .as[(Long, String)].collect().toMap
+    val aRows = graft.pipeline.Curation.assignSplit(ids, "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(aRows == b)
+    // a salt produces a DIFFERENT (but still deterministic) assignment
+    val c = graft.pipeline.Curation
+      .assignSplit(ids, "id", splits, salt = "fold2")
+      .as[(Long, String)].collect().toMap
+    assert(c != aRows)
+    intercept[IllegalArgumentException](graft.pipeline.Curation
+      .assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](graft.pipeline.Curation
+      .assignSplit(ids, "id", Seq.empty))
+  }
+
   test("shingleHashes is elementwise xxhash64 of shingles") {
     import spark.implicits._
     // the decontamination probe matches on these hashes: they must be
