@@ -201,6 +201,41 @@ object TextAnalysis {
     */
   def langId(toks: Column): Column = langIdFromScores(langScores(toks))
 
+  /** Corpus-wide frequent n-gram mining: every lowercased word n-gram
+    * appearing in >= minDf distinct documents, with its document
+    * frequency — the statistic boilerplate detection, contamination
+    * audits, and tokenizer corpus studies start from.
+    *
+    * Two-pass scale shape (the string-recovery trick):
+    *   1. document frequency is counted on the 8-byte xxhash64 of the
+    *      gram — per-doc-distinct hashes explode straight into a
+    *      map-side-combined count, so the first exchange moves only
+    *      fixed-width (hash, count) rows, never gram text;
+    *   2. a second scan recovers the STRINGS of survivors only: gram
+    *      text joins the frequent-hash set, and AQE sizes that join at
+    *      runtime — with a high minDf the survivor set is the Zipf
+    *      head and broadcasts (gram strings never shuffle at all);
+    *      if a caller mines with a low minDf the set is large and the
+    *      planner falls back to a shuffled join, which is then
+    *      inherent (the output itself is corpus-sized).
+    * A 64-bit collision would merge two grams' counts (both reported,
+    * df summed) — the same bounded hash budget as the other 8-byte
+    * key paths, conservative for boilerplate mining.
+    */
+  def frequentNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 1 && minDf >= 1, "n and minDf must be positive")
+    import graft.functions.ShingleExpressions.{wordShingleHashes, wordShingles}
+    val hot = docs
+      .select(explode(wordShingleHashes(lower(col(textCol)), n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    docs.select(explode(wordShingles(lower(col(textCol)), n)).as("gram"))
+      .select(col("gram"), xxhash64(col("gram")).as("h"))
+      .join(hot, "h")
+      .groupBy(col("gram")).agg(max(col("df")).as("df"))
+  }
+
   /** Token counting, two tokenizers side by side: whitespace tokens and
     * a BPE-ish regex chunking (letter runs / digit runs / single other
     * marks) — the standard pre-tokenizer shape.

@@ -848,6 +848,33 @@ object Pipeline {
                    1, 8)) AS BIGINT) % 10000 AS b
           FROM documents)
         ORDER BY doc_id
+      """)),
+
+    // ---- Corpus-wide frequent n-gram mining ----------------------------
+    // df counted on 8-byte gram hashes (first exchange fixed-width);
+    // strings recovered for survivors only on a second scan. The
+    // string-keyed oracle is value-identical below hash-collision
+    // scale (same budget as q90/q105).
+    QueryDef(
+      "q110_frequent_ngrams",
+      (s, d) => TextAnalysis.frequentNgrams(docs(s, d), "doc_id", "text",
+          n = 3, minDf = 5)
+        .orderBy(col("gram")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), t0 -> t0 <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM toks WHERE len(t) >= 3
+        ), g AS (SELECT unnest(s) AS gram FROM sh)
+        SELECT gram, CAST(count(*) AS BIGINT) AS df
+        FROM g GROUP BY gram HAVING count(*) >= 5
+        ORDER BY gram
       """))
   )
 }

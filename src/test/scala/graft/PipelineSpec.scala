@@ -546,6 +546,35 @@ class PipelineSpec extends AnyFunSuite {
       .assignSplit(ids, "id", Seq.empty))
   }
 
+  test("frequentNgrams: document frequency of lowercased n-grams; " +
+      "within-doc repeats count once; below-threshold grams dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here now for more stuff click here now"), // dup in-doc
+      (2L, "CLICK HERE NOW please"),
+      (3L, "click here now thanks"),
+      (4L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .frequentNgrams(docs, "doc_id", "text", n = 3, minDf = 3)
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    // "click here now" appears in docs 1 (twice, counted once), 2
+    // (lowercased), 3 — df = 3; every other gram has df <= 2
+    assert(got == Seq(("click here now", 3L)), got.toString)
+    // the df-count side must exchange only fixed-width rows — gram
+    // strings appear in no hashpartitioned exchange on that branch
+    val planned = graft.pipeline.TextAnalysis
+      .frequentNgrams(docs, "doc_id", "text", n = 3, minDf = 3)
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    val countExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange hashpartitioning(h#") && !l.contains("gram"))
+    assert(countExchange.isDefined,
+      s"df count must shuffle hashes, not strings:\n$plan")
+    intercept[IllegalArgumentException](graft.pipeline.TextAnalysis
+      .frequentNgrams(docs, "doc_id", "text", n = 0, minDf = 1))
+  }
+
   test("shingleHashes is elementwise xxhash64 of shingles") {
     import spark.implicits._
     // the decontamination probe matches on these hashes: they must be
