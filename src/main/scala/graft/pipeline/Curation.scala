@@ -43,6 +43,24 @@ object Curation {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{7,}", "<NUM>")
 
+  /** Text normalization — the cleanup pass crawl pipelines apply
+    * before any token statistic (C4-style): strip control characters
+    * (keeping newline and tab), collapse space/tab runs to one space,
+    * strip spaces hugging a newline, collapse 3+ newlines to a
+    * paragraph break, trim. Four chained codegen'd regexp_replace
+    * passes over portable regexes (character classes + bounded
+    * repetition only — no lookarounds, same portability contract as
+    * [[redactPii]]); scales as a scan.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+          "[ \\t]+", " "),
+        " *\\n *", "\n"),
+      "\\n{3,}", "\n\n"))
+
   /** Benchmark decontamination — the n-gram overlap filter every
     * training pipeline runs before training (GPT-3's 13-gram rule):
     * drop corpus documents sharing ANY word n-gram with a benchmark

@@ -875,6 +875,36 @@ object Pipeline {
         SELECT gram, CAST(count(*) AS BIGINT) AS df
         FROM g GROUP BY gram HAVING count(*) >= 5
         ORDER BY gram
+      """)),
+
+    // ---- Text normalization (C4-style cleanup) -------------------------
+    // the fixture is clean, so the query dirties it deterministically
+    // (control char, doubled spaces, a newline run) and normalizes it
+    // back; the oracle mirrors the same regex chain (DuckDB needs the
+    // 'g' flag — its regexp_replace is first-match by default, Spark's
+    // is global).
+    QueryDef(
+      "q111_normalize_text",
+      (s, d) => {
+        val dirty = concat(lit("\u0001"),
+          regexp_replace(col("text"), " ", "  "), lit("\n\n\n\ntail"))
+        docs(s, d).select(col("doc_id"),
+            graft.pipeline.Curation.normalizeText(dirty).as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  chr(1) || regexp_replace(text, ' ', '  ', 'g') ||
+                    chr(10) || chr(10) || chr(10) || chr(10) || 'tail',
+                  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                '[ \t]+', ' ', 'g'),
+              ' *\n *', chr(10), 'g'),
+            '\n{3,}', chr(10) || chr(10), 'g')) AS clean
+        FROM documents ORDER BY doc_id
       """))
   )
 }

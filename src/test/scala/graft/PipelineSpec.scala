@@ -517,6 +517,25 @@ class PipelineSpec extends AnyFunSuite {
       s"quality gate must not aggregate:\n$plan")
   }
 
+  test("normalizeText: strips controls, collapses runs, CRLF becomes " +
+      "LF, and the pass is idempotent") {
+    import spark.implicits._
+    val in = Seq(
+      "\u0001a \t b\u0007c", // controls out, space/tab run to one
+      "line1\r\nline2",            // CR is a control: CRLF -> LF
+      "p1 \n \n\n\n p2",           // spaces around newlines, run to 2
+      "  already clean  ").toDF("t")
+    val out = in.select(graft.pipeline.Curation.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    assert(out == Seq("a bc", "line1\nline2", "p1\n\np2", "already clean"),
+      out.toString)
+    // idempotent: normalizing clean text changes nothing
+    val twice = in.select(graft.pipeline.Curation.normalizeText(
+      graft.pipeline.Curation.normalizeText(col("t")))).as[String]
+      .collect().toSeq
+    assert(twice == out)
+  }
+
   test("assignSplit: deterministic, exhaustive, near-target fractions; " +
       "salt re-splits independently; bad fractions rejected") {
     import spark.implicits._
