@@ -132,7 +132,11 @@ object Curation {
         case (els, ((name, _), cut)) => when(bucket < cut, lit(name))
           .otherwise(els)
       }
-    df.withColumn("split", label)
+    // a NULL id hashes to NULL and every `when` would fall through to
+    // the LAST split — a silent assignment. NULL ids get a NULL split
+    // instead: visible to the caller, never quietly in "test".
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null: String)).otherwise(label))
   }
 
   /** Corpus-level line deduplication — the boilerplate-removal pass

@@ -137,8 +137,13 @@ object TextAnalysis {
       minStopwords: Int = 2, maxDupFrac: Double = 0.3): DataFrame = {
     val toks = tokens(col(textCol))
     val txt = col(textCol)
+    // NULL text must FAIL the gate, not slip through it: size(NULL) is
+    // NULL, and a NULL word count would make every rule's `when` skip —
+    // concat_ws drops the NULLs and the doc would sail out with
+    // keep = true. Pinning n_words to 0 routes NULL text through the
+    // same "fails n_words, NULL ratios" contract as empty text.
     val feats = docs.select(col(idCol),
-      size(toks).as("n_words"),
+      coalesce(size(toks), lit(0)).as("n_words"),
       aggregate(transform(toks, t => length(t)), lit(0),
         (a, l) => a + l).as("__chars"),
       (length(txt) - length(replace(txt, lit("#"), lit("")))).as("__sym_h"),

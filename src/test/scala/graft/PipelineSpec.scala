@@ -491,6 +491,8 @@ class PipelineSpec extends AnyFunSuite {
       (4L, "the dog dog dog dog dog is barking barking loud"), // dup_tokens
       (5L, "12 34 56 78 90 11 22 33 44 55")       // alpha + stopwords
     ).toDF("doc_id", "text")
+      .unionByName(Seq((6L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")) // NULL text must FAIL, not slip through
     val got = graft.pipeline.TextAnalysis
       .gopherFilter(docs, "doc_id", "text", minWords = 5)
       .select("doc_id", "reasons", "keep")
@@ -500,7 +502,8 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "n_words,stopwords", false),
       (3L, "symbols,alpha", false),
       (4L, "dup_tokens", false),
-      (5L, "word_len,alpha,stopwords", false)), got.toString)
+      (5L, "word_len,alpha,stopwords", false),
+      (6L, "n_words", false)), got.toString)
     // zero-token ratios are NULL, not NaN/0
     val row2 = graft.pipeline.TextAnalysis
       .gopherFilter(docs, "doc_id", "text", minWords = 5)
@@ -563,6 +566,11 @@ class PipelineSpec extends AnyFunSuite {
       .assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4)))
     intercept[IllegalArgumentException](graft.pipeline.Curation
       .assignSplit(ids, "id", Seq.empty))
+    // a NULL id gets a NULL split — never silently the last label
+    val withNull = Seq(Some(1L), None).toDF("id")
+    val ns = graft.pipeline.Curation.assignSplit(withNull, "id", splits)
+      .as[(Option[Long], Option[String])].collect().toMap
+    assert(ns(None).isEmpty && ns(Some(1L)).nonEmpty, ns.toString)
   }
 
   test("frequentNgrams: document frequency of lowercased n-grams; " +
