@@ -25,6 +25,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup, ROW-PRESERVING form: returns the surviving rows
+    * themselves (smallest id per distinct content, with its text) in
+    * ONE shuffle — `min` over a (id, text) struct is lexicographic, so
+    * the min-id row rides the same map-side-combined aggregate that
+    * [[exact]] uses for group stats. This is the form a pipeline
+    * composes: downstream projections (splits, packing, export) chain
+    * onto the survivors without joining back to the corpus.
+    */
+  def exactKeepFirst(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(struct(col(idCol), col(textCol))).as("__r"))
+      .select(col(s"__r.$idCol").as(idCol), col(s"__r.$textCol").as(textCol))
+
   /** Round-robin repartition to full parallelism — ONLY when the scan
     * would plan fewer partitions than cores (small-file artifact).
     * Partition count is ESTIMATED from logical-plan stats (file bytes /

@@ -134,15 +134,19 @@ object TextAnalysis {
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
-      minStopwords: Int = 2, maxDupFrac: Double = 0.3): DataFrame = {
+      minStopwords: Int = 2, maxDupFrac: Double = 0.3,
+      keepInput: Boolean = false): DataFrame = {
     val toks = tokens(col(textCol))
     val txt = col(textCol)
+    val passthrough =
+      if (keepInput) docs.columns.filterNot(_ == idCol).map(col).toSeq
+      else Seq.empty
     // NULL text must FAIL the gate, not slip through it: size(NULL) is
     // NULL, and a NULL word count would make every rule's `when` skip —
     // concat_ws drops the NULLs and the doc would sail out with
     // keep = true. Pinning n_words to 0 routes NULL text through the
     // same "fails n_words, NULL ratios" contract as empty text.
-    val feats = docs.select(col(idCol),
+    val feats = docs.select((col(idCol) +: passthrough) ++ Seq(
       coalesce(size(toks), lit(0)).as("n_words"),
       aggregate(transform(toks, t => length(t)), lit(0),
         (a, l) => a + l).as("__chars"),
@@ -151,15 +155,17 @@ object TextAnalysis {
         .as("__sym_e"),
       size(filter(toks, t => t.rlike("[A-Za-z]"))).as("__alpha"),
       markerCount(toks, Stopwords).as("n_stop"),
-      size(array_distinct(toks)).as("__dist"))
+      size(array_distinct(toks)).as("__dist")): _*)
     val n = col("n_words").cast("double")
     val pos = col("n_words") > 0
-    val metrics = feats.select(col(idCol), col("n_words"), col("n_stop"),
+    val metrics = feats.select((col(idCol) +: passthrough) ++ Seq(
+      col("n_words"), col("n_stop"),
       when(pos, round(col("__chars") / n, 4)).as("mean_word_len"),
       when(pos, round((col("__sym_h") + col("__sym_e")) / n, 4))
         .as("symbol_ratio"),
       when(pos, round(col("__alpha") / n, 4)).as("alpha_frac"),
-      when(pos, round(lit(1.0) - col("__dist") / n, 4)).as("dup_tok_frac"))
+      when(pos, round(lit(1.0) - col("__dist") / n, 4))
+        .as("dup_tok_frac")): _*)
     // rules evaluate the ROUNDED metrics so the emitted numbers and the
     // keep flag can never disagree in a downstream audit
     val reasons = concat_ws(",",

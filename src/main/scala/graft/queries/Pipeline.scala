@@ -905,6 +905,84 @@ object Pipeline {
               ' *\n *', chr(10), 'g'),
             '\n{3,}', chr(10) || chr(10), 'g')) AS clean
         FROM documents ORDER BY doc_id
+      """)),
+
+    // ---- The composed curation pipeline, one job -----------------------
+    // normalize → quality gate → exact dedup (row-preserving) → split
+    // assignment, chained as ONE Spark plan: every per-doc stage is a
+    // projection that fuses into the dedup aggregate's map side, so the
+    // whole pipeline costs the dedup shuffle plus the output sort —
+    // TWO exchanges total at any corpus size (plan pinned in
+    // PipelineSpec). The oracle replays each stage in SQL.
+    QueryDef(
+      "q112_curation_pipeline",
+      (s, d) => {
+        val cleaned = dupCorpus(s, d).select(col("doc_id"),
+          graft.pipeline.Curation.normalizeText(col("text")).as("text"))
+        val gated = TextAnalysis.gopherFilter(cleaned, "doc_id", "text",
+            minWords = 20, maxDupFrac = 0.6, keepInput = true)
+          .filter(col("keep")).select(col("doc_id"), col("text"))
+        val unique = Dedup.exactKeepFirst(gated, "doc_id", "text")
+        graft.pipeline.Curation.assignSplit(unique, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+        ), cleaned AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                  '[ \t]+', ' ', 'g'),
+                ' *\n *', chr(10), 'g'),
+              '\n{3,}', chr(10) || chr(10), 'g')) AS text
+          FROM corpus
+        ), g AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             t0 -> t0 <> '') AS toks,
+                 length(text) - length(replace(text, '#', '')) AS sym_h,
+                 (length(text) - length(replace(text, '...', ''))) / 3
+                   AS sym_e
+          FROM cleaned
+        ), m AS (
+          SELECT doc_id, text, len(toks) AS n_words,
+                 list_sum(list_transform(toks, t -> length(t))) AS chars,
+                 sym_h, sym_e,
+                 len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+                 len(list_filter(toks,
+                     t -> list_contains(
+                       ['the','a','of','and','to','in','is'], t))) AS nstop,
+                 len(list_distinct(toks)) AS dist
+          FROM g
+        ), gated AS (
+          SELECT doc_id, text FROM m
+          WHERE n_words >= 20 AND n_words <= 100000
+            AND round(CAST(chars AS DOUBLE) / n_words, 4) BETWEEN 3.0 AND 10.0
+            AND round(CAST(sym_h + sym_e AS DOUBLE) / n_words, 4) <= 0.1
+            AND round(CAST(alpha AS DOUBLE) / n_words, 4) >= 0.8
+            AND nstop >= 2
+            AND round(1.0 - CAST(dist AS DOUBLE) / n_words, 4) <= 0.6
+        ), uniq AS (
+          SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+        )
+        SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 10000 AS b
+          FROM uniq)
+        ORDER BY doc_id
       """))
   )
 }

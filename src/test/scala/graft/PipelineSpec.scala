@@ -520,6 +520,36 @@ class PipelineSpec extends AnyFunSuite {
       s"quality gate must not aggregate:\n$plan")
   }
 
+  test("composed curation pipeline is one job with exactly two " +
+      "exchanges: the dedup aggregate and the output sort") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+        (i, s"the quick brown fox number ${i % 20} jumps over a lazy dog " +
+          "with plenty of ordinary filler words to pass the gate today"))
+      .toDF("doc_id", "text")
+    val cleaned = docs.select(col("doc_id"),
+      graft.pipeline.Curation.normalizeText(col("text")).as("text"))
+    val gated = TextAnalysis.gopherFilter(cleaned, "doc_id", "text",
+        minWords = 5, maxDupFrac = 0.8, keepInput = true)
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    val unique = Dedup.exactKeepFirst(gated, "doc_id", "text")
+    val out = graft.pipeline.Curation.assignSplit(unique, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    val rows = out.as[(Long, String)].collect()
+    // 60 docs, 20 distinct texts, min id survives each group: 1..20
+    assert(rows.map(_._1).toSeq == (1L to 20L), rows.mkString(","))
+    // every per-doc stage fused into the aggregate's map side: the
+    // whole pipeline plans the dedup hash exchange + the sort's range
+    // exchange, nothing else — no join, no extra shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this pipeline:\n$plan")
+  }
+
   test("normalizeText: strips controls, collapses runs, CRLF becomes " +
       "LF, and the pass is idempotent") {
     import spark.implicits._
