@@ -451,4 +451,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.isEmpty, "state must accumulate every event per user")
     assert(last.count() == want.count())
   }
+
+  test("curation projections run unchanged over a stream: normalize + " +
+      "quality gate on streaming docs equal their batch twin") {
+    // the per-doc curation stages are pure projections, so the SAME
+    // operator objects drop onto a readStream with no code change —
+    // the property that lets one pipeline definition serve both the
+    // backfill (batch) and the live tail (streaming)
+    val dir = Files.createTempDirectory("graft-stream-docs").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val cleaned = df.select(col("doc_id"),
+        graft.pipeline.Curation.normalizeText(col("text")).as("text"))
+      graft.pipeline.TextAnalysis.gopherFilter(cleaned, "doc_id", "text",
+        minWords = 20, maxDupFrac = 0.6)
+    }
+    EventStream.runToMemory(spark, curate(stream), "curated",
+      outputMode = "append")
+    val got = spark.table("curated").orderBy("doc_id").collect().toSeq
+    val want = curate(spark.read.parquet(dir)).orderBy("doc_id")
+      .collect().toSeq
+    assert(got == want, s"streaming gate diverged: ${got.size}/${want.size}")
+    assert(got.nonEmpty)
+  }
 }
