@@ -182,7 +182,8 @@ object Dedup {
     */
   def nearDupMinhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (pairs sharing " +
       "no shingle are dropped before verification)")
     // shingle STRINGS never exist outside the per-row expression: the
@@ -217,10 +218,30 @@ object Dedup {
     // (round-3 driver bench 110.8s vs 5.5s isolated, same commit).
     // SMJ is the stable, spill-safe plan at any scale; hints are placed
     // so every hinted subtree ends under a join (no dangling-hint logs)
-    val buckets = sigs.select(col("id"),
+    val buckets0 = sigs.select(col("id"),
         explode(lshBandKeys(bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .hint("SHUFFLE_MERGE")
+    // bucket-size cap — the MinHash twin of the Jaccard index's df cap:
+    // a mass-duplicate cluster (N copies of one page) lands its whole
+    // membership in ONE bucket of EVERY band, and the self-join below
+    // would emit N²/2 candidates per band — the quadratic blowup no
+    // cluster size survives. Buckets larger than the cap are dropped
+    // from candidate generation via the same SMJ anti shape as the
+    // Jaccard cap (oversized-key set is unbounded — never broadcast).
+    // Recall loss is confined to pairs whose EVERY shared bucket is
+    // oversized — i.e. mass-duplicate groups, which exact dedup
+    // upstream removes for a fraction of the cost; pairs sharing any
+    // normal-sized bucket still surface.
+    val buckets1 = maxBucketSize match {
+      case Some(cap) =>
+        val big = buckets0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bs"))
+          .filter(col("bs") > cap).select("band", "key")
+        buckets0.join(big.hint("SHUFFLE_MERGE"),
+          Seq("band", "key"), "left_anti")
+      case None => buckets0
+    }
+    val buckets = buckets1.hint("SHUFFLE_MERGE")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -278,13 +299,27 @@ object Dedup {
     */
   def nearDupEmbeddingLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planesPerTable: Int = 4, numTables: Int = 16,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
-    val buckets = Similarity.lshBuckets(spread(v), "id", "v",
+    val buckets0 = Similarity.lshBuckets(spread(v), "id", "v",
         planesPerTable, numTables, dim, seed)
       .repartition(col("table"), col("bucket"))
-      .hint("SHUFFLE_MERGE")
+    // same bucket-size cap as nearDupMinhashLsh (see there): identical
+    // or near-identical embedding clusters fill one bucket per table
+    // and go quadratic in the self-join; the capped members stay
+    // findable through any normal-sized bucket of another table.
+    val buckets1 = maxBucketSize match {
+      case Some(cap) =>
+        val big = buckets0.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("bs"))
+          .filter(col("bs") > cap).select("table", "bucket")
+        buckets0.join(big.hint("SHUFFLE_MERGE"),
+          Seq("table", "bucket"), "left_anti")
+      case None => buckets0
+    }
+    val buckets = buckets1.hint("SHUFFLE_MERGE")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -309,7 +344,7 @@ object Dedup {
     * bucketed.
     */
   def nearDupSimhash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "chunk scheme is complete only for hamming <= 3")
     // one codegen'd pass (same reasoning as minhashSignaturesGrouped):
     // exploded token hashes -> 64 per-bit vote sums in a single
@@ -338,12 +373,26 @@ object Dedup {
     // above), so the vote-sum agg runs once per side. Fingerprints are
     // one narrow row per doc; the recompute is bounded and parallel,
     // and the repartition still pins the join's partitioning.
-    val chunks = fps.select(col("id"), col("fp"),
+    val chunks0 = fps.select(col("id"), col("fp"),
         explode(simhashChunks(col("fp"))).as("c"))
       .select(col("id"), col("fp"), col("c.chunk").as("chunk"),
         col("c.value").as("value"))
       .repartition(col("chunk"), col("value"))
-      .hint("SHUFFLE_MERGE")
+    // same bucket-size cap as nearDupMinhashLsh: identical pages share
+    // a fingerprint, so one (chunk, value) bucket holds the whole
+    // cluster in all four chunks. NOTE the cap trades away the
+    // hamming <= 3 completeness guarantee for the capped clusters —
+    // callers wanting the pigeonhole proof leave it None.
+    val chunks1 = maxBucketSize match {
+      case Some(cap) =>
+        val big = chunks0.groupBy(col("chunk"), col("value"))
+          .agg(count(lit(1)).as("bs"))
+          .filter(col("bs") > cap).select("chunk", "value")
+        chunks0.join(big.hint("SHUFFLE_MERGE"),
+          Seq("chunk", "value"), "left_anti")
+      case None => chunks0
+    }
+    val chunks = chunks1.hint("SHUFFLE_MERGE")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
           col("a.id") < col("b.id"))

@@ -78,6 +78,38 @@ class PipelineSpec extends AnyFunSuite {
       s"(${tight.size}/${uncapped.size})")
   }
 
+  test("LSH bucket cap collapses the mass-duplicate blowup; pairs in " +
+      "normal buckets keep full recall") {
+    import spark.implicits._
+    // 60 copies of one page (the mass-dup cluster: one bucket per band
+    // holds all 60 -> 1770 candidate pairs per band uncapped) + 20
+    // near-dup pairs with distinct content (small buckets)
+    val copyText = "identical boilerplate page repeated across mirrors " +
+      "many many times with the same words in the same order every time"
+    val copies = (0 until 60).map(i => (i.toLong, copyText))
+    val pairs = (0 until 20).flatMap { p =>
+      val base = (0 until 25).map(t => s"tok${p}w$t").mkString(" ")
+      val trunc = (0 until 20).map(t => s"tok${p}w$t").mkString(" ")
+      Seq((1000L + p * 2, base), (1001L + p * 2, trunc))
+    }
+    val docs = (copies ++ pairs).toDF("doc_id", "text")
+    def run(cap: Option[Int]): Set[(Long, Long)] =
+      Dedup.nearDupMinhashLsh(docs, "doc_id", "text", k = 3,
+          threshold = 0.5, maxBucketSize = cap)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val uncapped = run(None)
+    val capped = run(Some(32))
+    // all 1770 identical-copy pairs surface uncapped; the cap removes
+    // exactly that cluster (its every bucket is oversized)...
+    assert(uncapped.count(p => p._1 < 100 && p._2 < 100) == 60 * 59 / 2)
+    assert(capped.count(p => p._1 < 100 && p._2 < 100) == 0)
+    // ...while every near-dup pair in a normal bucket is retained
+    val truePairs = (0 until 20).map(p => (1000L + p * 2, 1001L + p * 2)).toSet
+    assert(truePairs.subsetOf(uncapped))
+    assert(truePairs.intersect(capped).size == truePairs.size,
+      s"capped lost normal-bucket pairs: ${truePairs.diff(capped)}")
+  }
+
   test("df cap collapses the hot-key candidate blowup on a Zipf-skewed slice") {
     import spark.implicits._
     // Zipf-shaped corpus: a boilerplate header appears in EVERY doc (the
