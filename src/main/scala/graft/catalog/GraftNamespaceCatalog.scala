@@ -170,6 +170,7 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
           case "manifests"            => Some(t.manifestsDf)
           case "all_data_files"       => Some(t.allDataFilesDf)
           case "all_delete_files"     => Some(t.allDeleteFilesDf)
+          case "all_files"            => Some(t.allFilesDf)
           case "partitions"           => Some(t.partitionsDf)
           case "changes" =>
             // a table that exists but has no commits has no changelog —

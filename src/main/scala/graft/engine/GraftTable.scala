@@ -2204,6 +2204,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       "file_size_bytes")
   }
 
+  /** t.all_files (Iceberg's all_files): every data AND delete file any
+    * retained snapshot references, with the spec's content codes
+    * (0 = data, 1 = position deletes, 2 = equality deletes) — the
+    * union view Iceberg defines over the other two `all_` tables.
+    * Manifest-only, zero data I/O.
+    */
+  def allFilesDf: DataFrame = {
+    val data = allDataFilesDf.select(col("file_path"),
+      lit(0).as("content"), col("sequence_number"), col("record_count"),
+      col("file_size_bytes"))
+    data.unionByName(allDeleteFilesDf.select(col("file_path"),
+      col("content"), col("sequence_number"), col("record_count"),
+      col("file_size_bytes")))
+  }
+
   private def allFilesRows(perSnapshot: Seq[Vector[DataFileEntry]])
       : Seq[(String, Long, Long, Long, Map[String, String])] =
     perSnapshot.flatten.groupBy(_.path).toSeq.map { case (_, fs) =>

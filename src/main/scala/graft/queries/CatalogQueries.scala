@@ -36,6 +36,27 @@ object CatalogQueries {
     w
   }
 
+  /** Deterministic MoR delete-file fixture shared by q99/q113
+    * (memoized under the q99 key; either query may run first): CTAS
+    * (seq 1), one equality upsert batch (seq 2: data + equality delete
+    * file), one MoR positional delete (seq 3) over supplier.
+    */
+  private def delFilesWarehouse(s: org.apache.spark.sql.SparkSession,
+      d: String): String = setupOnce("q99", d) {
+    val w = scratch("delfilesmeta")
+    val cat = new GraftCatalog(s, w)
+    cat.createDatabase("db1")
+    val sup = Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val t = cat.createTableAs("db1", "supplier_df", sup)
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    val b1 = sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 500.0)
+    t.upsertEqIfNewMarker(b1, Seq("s_suppkey"), "graft.q99.batch", 1L)
+    t.delete(col("s_suppkey") % 5 === 0)
+    w
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // SQL text over registered names, with a join + agg through spark.sql
@@ -389,21 +410,7 @@ object CatalogQueries {
     QueryDef(
       "q99_delete_files_metadata",
       (s, d) => {
-        val wh = setupOnce("q99", d) {
-          val w = scratch("delfilesmeta")
-          val cat = new GraftCatalog(s, w)
-          cat.createDatabase("db1")
-          val sup = Tables.supplier(s, d)
-            .select("s_suppkey", "s_name", "s_acctbal")
-          val t = cat.createTableAs("db1", "supplier_df", sup)
-          t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
-          val b1 = sup.filter(col("s_suppkey") % 3 === 0)
-            .withColumn("s_acctbal", col("s_acctbal") + 500.0)
-          t.upsertEqIfNewMarker(b1, Seq("s_suppkey"), "graft.q99.batch", 1L)
-          t.delete(col("s_suppkey") % 5 === 0)
-          w
-        }
-        s.conf.set("spark.graft.warehouse", wh)
+        s.conf.set("spark.graft.warehouse", delFilesWarehouse(s, d))
         // content = Iceberg's integer codes (1 positional, 2 equality);
         // kind = the readable label alongside
         s.sql("""
@@ -624,6 +631,40 @@ object CatalogQueries {
                  CAST(count(*) AS BIGINT)
           FROM nation WHERE n_nationkey >= 20
         ) ORDER BY lo
+      """)),
+
+    // all_files metadata table (Iceberg's `all_files`): the union-of-
+    // history view over data AND delete files with the spec's content
+    // codes. Same fixture as q99 — each (content, sequence) group's
+    // row total is a pure function of supplier: CTAS data (0, 1),
+    // upsert batch data (0, 2) + its equality delete file (2, 2), MoR
+    // positional delete (1, 3).
+    QueryDef(
+      "q113_all_files",
+      (s, d) => {
+        s.conf.set("spark.graft.warehouse", delFilesWarehouse(s, d))
+        s.sql("""
+          SELECT content, sequence_number,
+                 CAST(sum(record_count) AS BIGINT) AS rows
+          FROM graft.db1.supplier_df.all_files
+          GROUP BY content, sequence_number
+          ORDER BY sequence_number, content""")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 0 AS content, CAST(1 AS BIGINT) AS sequence_number,
+                 CAST(count(*) AS BIGINT) AS rows
+          FROM supplier
+          UNION ALL
+          SELECT 0, CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM supplier WHERE s_suppkey % 3 = 0
+          UNION ALL
+          SELECT 2, CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM supplier WHERE s_suppkey % 3 = 0
+          UNION ALL
+          SELECT 1, CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
+          FROM supplier WHERE s_suppkey % 5 = 0
+        ) ORDER BY sequence_number, content
       """))
   )
 }
