@@ -138,6 +138,14 @@ object TextAnalysis {
       keepInput: Boolean = false): DataFrame = {
     val toks = tokens(col(textCol))
     val txt = col(textCol)
+    val reserved = Seq("n_words", "n_stop", "mean_word_len",
+      "symbol_ratio", "alpha_frac", "dup_tok_frac", "reasons", "keep")
+    if (keepInput) {
+      val clash = docs.columns.filterNot(_ == idCol).toSet
+        .intersect(reserved.toSet)
+      require(clash.isEmpty, "keepInput would shadow gate output " +
+        s"columns: ${clash.mkString(", ")} — rename them first")
+    }
     val passthrough =
       if (keepInput) docs.columns.filterNot(_ == idCol).map(col).toSeq
       else Seq.empty

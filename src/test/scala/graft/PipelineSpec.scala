@@ -536,6 +536,10 @@ class PipelineSpec extends AnyFunSuite {
       (4L, "dup_tokens", false),
       (5L, "word_len,alpha,stopwords", false),
       (6L, "n_words", false)), got.toString)
+    // keepInput refuses to shadow gate outputs
+    intercept[IllegalArgumentException](graft.pipeline.TextAnalysis
+      .gopherFilter(docs.withColumn("keep", lit(1)), "doc_id", "text",
+        keepInput = true))
     // zero-token ratios are NULL, not NaN/0
     val row2 = graft.pipeline.TextAnalysis
       .gopherFilter(docs, "doc_id", "text", minWords = 5)
