@@ -202,6 +202,33 @@ object Curation {
         sum(when(col("__hot"), 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Contamination REPORT — the audit complement of [[decontaminate]]:
+    * instead of dropping contaminated documents, emit each document's
+    * count of distinct word n-grams shared with the benchmark (docs
+    * with zero overlap are absent). Eval teams run this to grade HOW
+    * contaminated a corpus is and tune the n-gram rule before the
+    * destructive pass. Same scale shape as the filter: bench-side
+    * distinct 8-byte gram hashes broadcast, the corpus explodes
+    * through one codegen'd projection into a broadcast semi-probe and
+    * a map-side-combined count — the corpus never shuffles (the only
+    * exchange carries (id, count) partial aggregates).
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    require(n >= 2, "contamination n-gram size must be >= 2")
+    import graft.functions.ShingleExpressions.wordShingleHashes
+    val benchGrams = benchmark
+      .select(explode(wordShingleHashes(lower(col(benchTextCol)), n))
+        .as("__gram"))
+      .distinct()
+    docs
+      .select(col(idCol),
+        explode(wordShingleHashes(lower(col(textCol)), n)).as("__gram"))
+      .join(broadcast(benchGrams), "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Token-budget packing: assign each document to a context-window
     * bucket via a running token count per `partCol` — the
     * concat-then-chunk pretokenization shape (a document straddling a

@@ -522,6 +522,36 @@ object Pipeline {
         ORDER BY doc_id
       """)),
 
+    // ---- Contamination report (audit twin of q90) ----------------------
+    // per-document counts of DISTINCT shared n-grams instead of a drop:
+    // how contaminated, not just whether. Same broadcast-probe shape,
+    // same fixture split as q90; count semantics are distinct-per-doc
+    // (the hash set the probe consumes is distinct by construction).
+    QueryDef(
+      "q114_contamination_report",
+      (s, d) => {
+        val all = docs(s, d)
+        val corpus = all.filter(col("doc_id") % 5 =!= 0)
+        val bench = all.filter(col("doc_id") % 5 === 0)
+        graft.pipeline.Curation.contaminationReport(
+            corpus, "doc_id", "text", bench, "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t0 -> t0 <> '') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+          WHERE len(w) >= 8),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
+        SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams
+        FROM grams
+        WHERE doc_id % 5 <> 0 AND g IN (SELECT g FROM bench)
+        GROUP BY doc_id ORDER BY doc_id
+      """)),
+
     // ---- Multimodal plumbing: binary assets -> decode stub -> features -
     QueryDef(
       "q50_multimodal_features",

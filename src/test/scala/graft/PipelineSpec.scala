@@ -586,6 +586,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"no join belongs in this pipeline:\n$plan")
   }
 
+  test("contaminationReport is decontaminate's exact dual: reported " +
+      "docs == dropped docs, and counts match hand-derived overlap") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),  // shares 8-grams with bench doc
+      (2L, "totally different words here with no overlap at all now"),
+      (3L, "a b c d e f g h zz yy") // shares exactly one 8-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val report = graft.pipeline.Curation
+      .contaminationReport(corpus, "doc_id", "text", bench, "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    // doc 1: its three 8-grams all appear in the bench doc; doc 3:
+    // only "a..h"; doc 2: clean and absent
+    assert(report == Map(1L -> 3L, 3L -> 1L), report.toString)
+    val kept = graft.pipeline.Curation
+      .decontaminate(corpus, "doc_id", "text", bench, "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    assert(report.keySet == Set(1L, 3L) &&
+      (report.keySet ++ kept) == Set(1L, 2L, 3L),
+      "report must name exactly the docs the filter drops")
+  }
+
   test("normalizeText: strips controls, collapses runs, CRLF becomes " +
       "LF, and the pass is idempotent") {
     import spark.implicits._
