@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TemporalJoins
+
+/** Temporal join surface over the `events` fixture: backward as-of join
+  * (last-touch attribution) and interval/point range join (error-window
+  * correlation) — the two join shapes Spark has no native operator for
+  * and a naive SQL translation plans as a per-key quadratic join or a
+  * BroadcastNestedLoopJoin respectively. The implementations in
+  * [[graft.operators.TemporalJoins]] are one-shuffle linear plans; the
+  * oracles below spell out the naive SQL, so the correctness gate is
+  * exactly "the fast plan equals the obvious plan".
+  */
+object Temporal {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Backward as-of join (last-touch attribution) ------------------
+    // For every purchase, the same user's most recent click at-or-before
+    // the purchase instant. The union+running-last plan shuffles once on
+    // user_id; the oracle's LEFT JOIN + row_number is the quadratic
+    // reference semantics.
+    QueryDef(
+      "q115_asof_attribution",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts", rightPayload = Seq("event_id"))
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value"), 2).as("value"),
+            col("asof_event_id"), col("asof_ts"), col("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click'
+        ), j AS (
+          SELECT p.event_id, p.user_id, p.ts, p.value,
+                 c.event_id AS asof_event_id, c.ts AS asof_ts,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM p LEFT JOIN c
+            ON c.user_id = p.user_id AND c.ts <= p.ts
+        )
+        SELECT event_id, user_id, ts, round(value, 2) AS value,
+               asof_event_id, asof_ts,
+               CAST(date_diff('microsecond', asof_ts, ts) AS BIGINT)
+                 AS gap_us
+        FROM j WHERE rn = 1
+        ORDER BY event_id
+      """)),
+
+    // ---- Range join (points within an interval, no equi key) -----------
+    // Every purchase within +/- 1 hour of every error, across ALL users
+    // — deliberately keyless, the shape Spark plans as a nested-loop
+    // cross product. The bucketized plan meets each qualifying pair in
+    // exactly one 1-hour bucket.
+    QueryDef(
+      "q116_error_window_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("ts").as("error_ts"),
+            (col("ts") - expr("INTERVAL 1 HOUR")).as("win_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("win_end"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        TemporalJoins.rangeJoinPoints(errors, "win_start", "win_end",
+            purchases, "purchase_ts", bucketWidthMicros = 3600L * 1000000L)
+          .select(col("error_id"), col("error_ts"), col("purchase_id"),
+            col("purchase_ts"),
+            (unix_micros(col("purchase_ts")) -
+              unix_micros(col("error_ts"))).as("delta_us"))
+          .orderBy(col("error_id"), col("purchase_id"))
+      },
+      Some("""
+        SELECT e.event_id AS error_id, e.ts AS error_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               CAST(date_diff('microsecond', e.ts, p.ts) AS BIGINT)
+                 AS delta_us
+        FROM events e JOIN events p
+          ON e.event_type = 'error' AND p.event_type = 'purchase'
+         AND p.ts >= e.ts - INTERVAL 1 HOUR
+         AND p.ts <  e.ts + INTERVAL 1 HOUR
+        ORDER BY error_id, purchase_id
+      """)))
+}
