@@ -246,4 +246,60 @@ object Curation {
         floor((col("__cum") - col(nTokensCol)) / budget).cast("int"))
       .drop("__cum")
   }
+
+  /** Engine-portable uniform in [0, 1) from (salt, id): the top 32 md5
+    * bits over 2^32. Division by a power of two is exact in double, so
+    * any engine that can md5 reproduces the SAME u — the primitive
+    * under [[assignSplit]]'s buckets, [[upsampleByWeight]]'s fractional
+    * coin, and any future deterministic sampler.
+    */
+  def hashUniform(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / 4294967296.0
+
+  /** Deterministic sharded shuffle — the "global random order" pass
+    * that turns a curated corpus into a training stream. Direct
+    * ORDER BY rand() is both nondeterministic and, at 100 TB, a global
+    * sort; instead every row gets an md5 position key, the key's top
+    * bits pick one of `numShards` shards, and rows are ranked inside
+    *  their shard: one hash exchange + per-shard sort, fully
+    * reproducible (same seed → same order, any cluster layout), and
+    * any shard subset is already a uniform sample of the corpus.
+    * Readers stream shards in (shard, pos) order; epochs re-shuffle by
+    * changing the seed, never by re-moving bytes twice.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
+    df.withColumn("__key", key).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__key"), col(idCol))))
+      .drop("__key")
+  }
+
+  /** Weighted corpus replication — epoch mixing ("2.3 epochs of wiki,
+    * 0.5 of web"). Each row yields floor(w) copies plus one more when
+    * its deterministic coin ([[hashUniform]]) lands under frac(w), so
+    * the expected multiplicity is exactly w, the realized multiset is
+    * reproducible run-to-run, and E[output] matches the mixture spec
+    * without any global counting pass. A pure generate/explode over a
+    * scan — zero shuffles; rows with w < 1 act as deterministic
+    * down-sampling (0 or 1 copies). copy_id disambiguates replicas for
+    * downstream shuffling (feed [[shardShuffle]] on (id, copy_id) so
+    * replicas land in different shards, not adjacent).
+    */
+  def upsampleByWeight(df: DataFrame, idCol: String, weight: Column,
+      salt: String = ""): DataFrame = {
+    val base = floor(weight).cast("long")
+    val extra = (hashUniform(col(idCol), salt) < (weight - base))
+      .cast("long")
+    val copies = base + extra
+    df.withColumn("copy_id", explode(
+      when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
 }

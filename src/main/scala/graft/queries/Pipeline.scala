@@ -1013,6 +1013,71 @@ object Pipeline {
                    1, 8)) AS BIGINT) % 10000 AS b
           FROM uniq)
         ORDER BY doc_id
+      """)),
+
+    // ---- Deterministic sharded shuffle (training order) ----------------
+    // md5 position keys -> shard + within-shard rank: the reproducible
+    // replacement for ORDER BY rand() that never global-sorts. The
+    // oracle recomputes the identical md5 math, so both engines agree
+    // on every (shard, pos) bit-for-bit.
+    QueryDef(
+      "q117_shard_shuffle",
+      (s, d) => graft.pipeline.Curation.shardShuffle(
+          docs(s, d).select(col("doc_id"), col("source")), "doc_id",
+          numShards = 16, seed = 42L)
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+      Some("""
+        WITH k AS (
+          SELECT doc_id, source,
+                 md5(concat('42:', CAST(doc_id AS VARCHAR))) AS key
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, source, key,
+                 CAST(CAST(concat('0x', substr(key, 1, 8)) AS BIGINT) % 16
+                   AS INT) AS shard
+          FROM k
+        )
+        SELECT doc_id, source, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                 ORDER BY key, doc_id) AS INT) AS pos
+        FROM sh ORDER BY shard, pos
+      """)),
+
+    // ---- Weighted epoch mixing (corpus up-sampling) --------------------
+    // Per-source epoch weights in {0.5, 1.25, 2.0, 2.75, 3.5} (exact
+    // binary fractions, so the fractional coin compares identically in
+    // both engines): floor(w) copies + one more when the md5 coin lands
+    // under frac(w). Zero shuffles — a generate over a scan.
+    QueryDef(
+      "q118_epoch_mixture",
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 8).cast("int")
+        val w = lit(0.5) + (srcNum % 5).cast("double") * lit(0.75)
+        graft.pipeline.Curation.upsampleByWeight(
+            docs(s, d).select(col("doc_id"), col("source")), "doc_id", w,
+            salt = "mix1")
+          .select(col("doc_id"), col("source"), col("copy_id"))
+          .orderBy(col("doc_id"), col("copy_id"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(0.5 AS DOUBLE) +
+                   (CAST(substr(source, 4) AS INT) % 5) *
+                   CAST(0.75 AS DOUBLE) AS w,
+                 CAST(CAST(concat('0x', substr(md5(concat('mix1',
+                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+                   / 4294967296.0 AS u
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source,
+                 CAST(floor(w) AS BIGINT) +
+                   CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS copies
+          FROM b
+        )
+        SELECT doc_id, source, unnest(range(copies)) AS copy_id
+        FROM c ORDER BY doc_id, copy_id
       """))
   )
 }

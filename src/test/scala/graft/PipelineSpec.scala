@@ -782,4 +782,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(Clusters.dedupByCluster(docs, "doc_id", none, "id1", "id2")
       .count() == 4)
   }
+
+  test("shardShuffle: a permutation — deterministic, dense ranks, " +
+      "seed changes the order, one exchange") {
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val a = Curation.shardShuffle(docs, "doc_id", numShards = 8, seed = 1L)
+    val b = Curation.shardShuffle(docs, "doc_id", numShards = 8, seed = 1L)
+    val c = Curation.shardShuffle(docs, "doc_id", numShards = 8, seed = 2L)
+    // every row exactly once, shard in range, positions dense from 1
+    assert(a.count() === docs.count())
+    assert(a.select("doc_id").distinct().count() === docs.count())
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(perShard.count() === 0, "pos must be dense 1..n per shard")
+    // determinism + seed sensitivity
+    assert(a.exceptAll(b).isEmpty)
+    assert(c.exceptAll(a).count() > 0, "a new seed must reorder")
+    val p = a.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"shardShuffle must cost one exchange:\n$p")
+  }
+
+  test("upsampleByWeight: integer weights replicate exactly, fractional " +
+      "weights hit the expected count, zero-shuffle plan") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    // w = 2.0 exactly: 2 copies per row, copy_id 0 and 1
+    val twice = Curation.upsampleByWeight(docs, "doc_id", lit(2.0))
+    assert(twice.count() === 2 * n)
+    assert(twice.groupBy("doc_id").count().filter(col("count") =!= 2)
+      .count() === 0)
+    // w = 0.5: the deterministic coin keeps about half, 0 or 1 copies
+    val half = Curation.upsampleByWeight(docs, "doc_id", lit(0.5))
+    val kept = half.count()
+    assert(kept > n / 3 && kept < 2 * n / 3, s"kept $kept of $n")
+    assert(half.groupBy("doc_id").count().filter(col("count") > 1)
+      .count() === 0)
+    // reproducible: same salt same multiset; different salt differs
+    assert(Curation.upsampleByWeight(docs, "doc_id", lit(0.5))
+      .exceptAll(half).isEmpty)
+    val other = Curation.upsampleByWeight(docs, "doc_id", lit(0.5), "s2")
+    assert(other.select("doc_id").exceptAll(half.select("doc_id"))
+      .count() > 0)
+    val p = twice.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"upsample must be a generate over a scan:\n$p")
+  }
 }
