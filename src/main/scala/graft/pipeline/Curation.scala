@@ -302,4 +302,45 @@ object Curation {
       when(copies > 0, sequence(lit(0L), copies - 1))
         .otherwise(array().cast("array<bigint>"))))
   }
+
+  /** Quality-ordered token-budget selection: take documents in
+    * (score DESC, id ASC) order until the running token total would
+    * exceed `budget` — "the best B tokens of the corpus", the
+    * data-constrained-scaling selection step.
+    *
+    * The naive form is a GLOBAL ordered cumulative sum — one partition,
+    * a scale killer. This is the two-phase form with identical output:
+    * scores quantize to `bucketScale` buckets (floor is monotone, so
+    * (bucket DESC, score DESC, id) IS (score DESC, id)); per-bucket
+    * token totals aggregate map-side to a <= bucketScale-row relation
+    * whose prefix sum is driver-trivial; each doc then needs only its
+    * bucket's prefix plus a cumulative window PARTITIONED BY its own
+    * bucket. Cost: one map-side-combined agg over a tiny key space +
+    * one broadcast join + one per-bucket window — nothing global. A
+    * bucket is to the score axis what [[packTokens]]'s partCol is to
+    * the domain axis: the unit of bounded window state; size
+    * bucketScale so the densest score bucket fits an executor.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String,
+      nTokensCol: String, scoreCol: String, budget: Long,
+      bucketScale: Int = 1000): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(bucketScale > 0, "bucketScale must be positive")
+    val withB = df.withColumn("__bkt",
+      floor(col(scoreCol) * bucketScale).cast("long"))
+    val prefix = withB.groupBy(col("__bkt"))
+      .agg(sum(col(nTokensCol)).as("__btok"))
+      .withColumn("__before", coalesce(sum(col("__btok")).over(
+        Window.orderBy(col("__bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__before"))
+    val wIn = Window.partitionBy(col("__bkt"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(prefix), "__bkt")
+      .withColumn("cum_tokens",
+        col("__before") + sum(col(nTokensCol)).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__bkt", "__before")
+  }
 }

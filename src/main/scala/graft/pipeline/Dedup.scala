@@ -401,4 +401,43 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the
+    * embedding space, then inside each cluster drop every vector that
+    * has a LOWER-id cluster-mate with cosine >= threshold — one
+    * representative survives per semantic near-duplicate group without
+    * ever comparing across clusters. The keep rule is closed-form
+    * (no iteration): id x survives iff no kept-or-dropped y < x in its
+    * cluster is within the threshold, which equals "no y < x at all
+    * within threshold" — deterministic given the codebook.
+    *
+    * Scale shape: the candidate join is CLUSTER-LOCAL (equi-join on
+    * the cluster id, pinned SMJ on one exchange), so the quadratic
+    * term is bounded by the largest cell, not the corpus — size nlist
+    * ~ N/target_cell and the cost is N * cell, the same contract as
+    * the paper's FAISS clustering. Codebook floats are
+    * partition-order sensitive at ~1e-16 (see [[Similarity
+    * .ivfCodebook]]) so cluster boundaries aren't oracle-stable:
+    * the query runs rows-only, and PipelineSpec pins the nlist=1 case
+    * exactly equal to the [[nearDupEmbedding]]-derived keep set plus
+    * the clustered case a superset of it (clustering only ever
+    * REMOVES candidate pairs).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, safeRatio}
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+    val cents = Similarity.centroidDf(df.sparkSession,
+      Similarity.ivfCodebook(df, idCol, vecCol, nlist, iters, seed))
+    val assigned = Similarity.assign(spread(v), cents)
+    val m = v.join(assigned, "id").hint("SHUFFLE_MERGE")
+    val drops = m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(safeRatio(dotF(col("a.v"), col("b.v")),
+        col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.id").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -259,7 +259,7 @@ object Similarity {
     * codebook travels as DATA, never as plan literals (same lesson as
     * the plane matrix: literal payloads bloat task binaries).
     */
-  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+  private[pipeline] def centroidDf(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[Array[Float]]): DataFrame = {
     val schema = types.StructType(Seq(
       types.StructField("cluster", types.IntegerType, nullable = false),
@@ -274,7 +274,7 @@ object Similarity {
     * codegen'd dots + one max_by per id. Ties break toward the lowest
     * cluster id, so assignment is deterministic given the codebook.
     */
-  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
+  private[pipeline] def assign(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .select(col("id"), col("cluster"),
         graft.functions.VectorFunctions.safeRatio(dotF(col("v"), col("c")),

@@ -1078,6 +1078,71 @@ object Pipeline {
         )
         SELECT doc_id, source, unnest(range(copies)) AS copy_id
         FROM c ORDER BY doc_id, copy_id
+      """)),
+
+    // ---- Semantic dedup (SemDeDup: cluster, then prune in-cluster) -----
+    // k-means cells bound the quadratic term to the largest cell; the
+    // float codebook is partition-order sensitive -> rows-only, with
+    // the nlist=1 case pinned EXACTLY equal to the nearDupEmbedding
+    // keep set in PipelineSpec (and clustered keeps a superset).
+    QueryDef(
+      "q119_semantic_dedup",
+      (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.4, nlist = 16)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id")),
+      None),
+
+    // ---- Token-budget selection ("best B tokens") ----------------------
+    // quality-ordered cumulative token sum, two-phase (bucket prefix +
+    // per-bucket window) — the oracle is the naive single-partition
+    // global window, so the gate proves the distributed decomposition
+    // equals the obvious plan.
+    QueryDef(
+      "q120_token_budget",
+      (s, d) => {
+        val f = TextAnalysis.docFeatures(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"),
+            TextAnalysis.qualityScore(col("n_tokens"), col("n_distinct"),
+              col("n_stop")).as("quality"))
+        graft.pipeline.Curation.selectByTokenBudget(f, "doc_id",
+            "n_tokens", "quality", budget = 20000L)
+          .select(col("doc_id"), col("n_tokens"), col("quality"),
+            col("cum_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(text, '\s+'),
+                     t0 -> t0 <> '')) AS n_tokens,
+                 len(list_distinct(list_filter(
+                     regexp_split_to_array(text, '\s+'), t0 -> t0 <> '')))
+                   AS n_distinct,
+                 len(list_filter(list_filter(
+                     regexp_split_to_array(text, '\s+'), t0 -> t0 <> ''),
+                     t -> list_contains(['the','a','of','and','to','in','is'],
+                       t))) AS n_stop
+          FROM documents
+        ), q AS (
+          SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                 round(0.3 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                     + 0.4 * (CAST(n_distinct AS DOUBLE)
+                              / CAST(n_tokens AS DOUBLE))
+                     + 0.3 * (1.0 - CAST(n_stop AS DOUBLE)
+                              / CAST(n_tokens AS DOUBLE)),
+                   6) AS quality
+          FROM f
+        ), c AS (
+          SELECT doc_id, n_tokens, quality,
+                 CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+          FROM q
+        )
+        SELECT doc_id, n_tokens, quality, cum_tokens
+        FROM c WHERE cum_tokens <= 20000
+        ORDER BY doc_id
       """))
   )
 }

@@ -833,4 +833,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       s"upsample must be a generate over a scan:\n$p")
   }
+
+  test("semanticDedup: nlist=1 equals the exact nearDupEmbedding keep " +
+      "set; clustering keeps a superset") {
+    val emb = Tables.embeddings(spark, sf)
+    val dropped = Dedup.nearDupEmbedding(emb, "vec_id", "embedding", 0.4)
+      .select(col("id2").as("vec_id")).distinct()
+    val expectKeep = emb.select("vec_id").exceptAll(dropped)
+      .collect().map(_.getLong(0)).toSet
+    val one = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.4,
+        nlist = 1).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(one === expectKeep)
+    val clustered = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.4,
+        nlist = 8).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expectKeep.subsetOf(clustered),
+      "cluster-local pruning can only drop FEWER vectors than all-pairs")
+    assert(clustered.size < emb.count(), "the threshold must bite")
+  }
+
+  test("selectByTokenBudget: equals the naive global window at any " +
+      "bucketScale; inclusive boundary; zero budget empty") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Curation
+    val f = TextAnalysis.docFeatures(
+        Tables.documents(spark, sf), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        TextAnalysis.qualityScore(col("n_tokens"), col("n_distinct"),
+          col("n_stop")).as("quality"))
+    val naive = f.withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= 5000)
+      .select("doc_id", "cum_tokens")
+    for (scale <- Seq(1, 1000, 100000)) {
+      val got = Curation.selectByTokenBudget(f, "doc_id", "n_tokens",
+        "quality", budget = 5000L, bucketScale = scale)
+        .select("doc_id", "cum_tokens")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"bucketScale=$scale must not change the selection")
+    }
+    // the boundary document whose cum hits the budget exactly stays in
+    val total = Curation.selectByTokenBudget(f, "doc_id", "n_tokens",
+      "quality", budget = 5000L).agg(max("cum_tokens")).head.getLong(0)
+    assert(total <= 5000)
+    assert(Curation.selectByTokenBudget(f, "doc_id", "n_tokens",
+      "quality", budget = 0L).count() === 0)
+  }
 }
