@@ -343,4 +343,77 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .drop("__bkt", "__before")
   }
+
+  /** Hashed unigram+bigram features of a text column, exploded to one
+    * (id, bucket) row per feature OCCURRENCE (counts matter to the
+    * n-gram language models below, so no distinct). The bucket is the
+    * top 32 md5 bits mod `numBuckets` — engine-portable, like
+    * [[hashUniform]].
+    */
+  private def hashedFeatures(df: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(concat(toks, bi)).as("f"))
+      .select(col("id"), pmod(
+        conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
+        lit(numBuckets.toLong)).as("b"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): each raw
+    * document scores the log-likelihood ratio of a target-domain
+    * hashed-n-gram unigram model against the raw-corpus model,
+    * sum over its features of log(p_target(b) / p_raw(b)) with
+    * Laplace-`alpha` smoothing. High scores = "looks like the target
+    * domain"; feed the scores to [[selectByTokenBudget]] /
+    * [[upsampleByWeight]] for the resampling step.
+    *
+    * Scale shape: both models are map-side-combined counts over a
+    * <= `numBuckets` key space (tiny exchanges), their totals come
+    * from a window over that bucket-sized relation (never a
+    * driver-side collect), and scoring is one broadcast of the
+    * numBuckets-row log-ratio table against a feature scan + one
+    * map-side-combined sum per document. Two feature scans total
+    * (model + probe), zero wide exchanges. Documents with no tokens
+    * have no features and are absent from the output (score of an
+    * empty document is undefined, not 0).
+    */
+  def dsirScores(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, numBuckets: Int = 1024,
+      alpha: Double = 1.0): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros divide)")
+    val rCnt = hashedFeatures(raw, idCol, textCol, numBuckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    // the model side needs no document identity — a constant id keeps
+    // the exploded rows narrow (no text string riding along)
+    val tCnt = hashedFeatures(
+        target.select(lit(0L).as("__tid"), col(targetTextCol)),
+        "__tid", targetTextCol, numBuckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    // totals over the full outer bucket union (a target-only bucket
+    // still counts toward the target total); the window spans a
+    // <= numBuckets-row relation, so "global" is bounded by design
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val aB = alpha * numBuckets
+    val model = rCnt.join(tCnt, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .withColumn("rtot", sum(col("rc")).over(wAll))
+      .withColumn("ttot", sum(col("tc")).over(wAll))
+      .filter(col("rc") > 0) // probe buckets all come from raw
+      .select(col("b"),
+        (log((col("tc") + alpha) / (col("ttot") + aB)) -
+          log((col("rc") + alpha) / (col("rtot") + aB))).as("lr"))
+    hashedFeatures(raw, idCol, textCol, numBuckets)
+      .join(broadcast(model), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("dsir_score"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -1143,6 +1143,62 @@ object Pipeline {
         SELECT doc_id, n_tokens, quality, cum_tokens
         FROM c WHERE cum_tokens <= 20000
         ORDER BY doc_id
+      """)),
+
+    // ---- DSIR importance weights ---------------------------------------
+    // hashed unigram+bigram LM log-ratio of a target domain (src0-2)
+    // against the whole corpus. All the hashing is md5-bucket math, so
+    // the oracle replays the entire model bit-for-bit; the only double
+    // drift is the ln() ulp, absorbed by round(4).
+    QueryDef(
+      "q121_dsir_scores",
+      (s, d) => {
+        val all = docs(s, d)
+        val target = all.filter(col("source").isin("src0", "src1", "src2"))
+        graft.pipeline.Curation.dsirScores(all, "doc_id", "text",
+            target, "text", numBuckets = 1024, alpha = 1.0)
+          .select(col("doc_id"), col("n_feats"),
+            round(col("dsir_score"), 4).as("dsir_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t0 -> t0 <> '') AS w
+          FROM documents
+        ), uni AS (
+          SELECT doc_id, source, unnest(w) AS f FROM toks
+        ), bi AS (
+          SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS f
+          FROM toks, unnest(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2
+        ), feats AS (
+          SELECT doc_id, source,
+                 CAST(CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+                   % 1024 AS BIGINT) AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ), rawc AS (
+          SELECT b, count(*) AS rc FROM feats GROUP BY b
+        ), tgtc AS (
+          SELECT b, count(*) AS tc FROM feats
+          WHERE source IN ('src0', 'src1', 'src2') GROUP BY b
+        ), m AS (
+          SELECT COALESCE(r.b, t.b) AS b, COALESCE(rc, 0) AS rc,
+                 COALESCE(tc, 0) AS tc
+          FROM rawc r FULL JOIN tgtc t ON r.b = t.b
+        ), tot AS (
+          SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+                 CAST(sum(tc) AS BIGINT) AS ttot FROM m
+        ), lr AS (
+          SELECT b, ln((tc + 1.0) / (ttot + 1024.0))
+                   - ln((rc + 1.0) / (rtot + 1024.0)) AS lr
+          FROM m, tot WHERE rc > 0
+        )
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               round(sum(l.lr), 4) AS dsir_score
+        FROM feats f JOIN lr l USING (b)
+        GROUP BY f.doc_id ORDER BY f.doc_id
       """))
   )
 }

@@ -880,4 +880,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Curation.selectByTokenBudget(f, "doc_id", "n_tokens",
       "quality", budget = 0L).count() === 0)
   }
+
+  test("dsirScores: target-domain docs outscore the rest on average; " +
+      "empty docs absent; the model joins as a broadcast") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val raw = base.unionByName(
+      Seq((900001L, "", "en")).toDF("doc_id", "text", "lang"))
+    val target = base.filter(col("lang") === "de")
+    val scored = Curation.dsirScores(raw, "doc_id", "text", target, "text")
+    assert(scored.filter(col("doc_id") === 900001L).count() === 0,
+      "a zero-feature document has no defined score")
+    val byLang = scored.join(base, "doc_id")
+      .groupBy(col("lang") === "de")
+      .agg(avg(col("dsir_score")).as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"de target must outscore non-de: $byLang")
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-sized model must broadcast:\n$p")
+  }
 }
