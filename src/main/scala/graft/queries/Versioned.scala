@@ -1005,6 +1005,54 @@ object Versioned {
         FROM events GROUP BY 1, 2 ORDER BY h, event_type
       """)),
 
+    // Stream-stream interval join, oracled: purchases and clicks replay
+    // as two file-source streams, EventStream.intervalJoin pairs each
+    // purchase with the same user's clicks from the trailing hour, and
+    // the drained result is pinned against the plain inequality join in
+    // DuckDB. The span-sized watermark makes the replay lossless (the
+    // fixture arrives in arbitrary file order); the interval bound is
+    // what bounds state in production (see intervalJoin's doc).
+    QueryDef(
+      "q122_streaming_interval_join",
+      (s, d) => {
+        val out = setupOnce("q122", d) {
+          val src = scratch("ssj-src")
+          val outP = s"${scratch("ssj-out")}/rows"
+          Tables.events(s, d)
+            .select("event_id", "ts", "user_id", "event_type")
+            .repartition(6).write.mode("overwrite").parquet(src)
+          val stream = s.readStream.schema(
+            s.read.parquet(src).schema).parquet(src)
+          val purchases = stream.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("pts"))
+          val clicks = stream.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts"))
+          val q = graft.streaming.EventStream.intervalJoin(
+              purchases, clicks, "user_id", "pts", "cts",
+              watermark = "45 days")
+            .writeStream.format("memory").queryName("q122_sink")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table("q122_sink").select("purchase_id", "click_id", "pts",
+            "cts").coalesce(1).write.mode("overwrite").parquet(outP)
+          outP
+        }
+        s.read.parquet(out).orderBy(col("purchase_id"), col("click_id"))
+      },
+      Some("""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.ts AS pts, c.ts AS cts
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        ORDER BY purchase_id, click_id
+      """)),
+
     // CDC update pairing (Iceberg changelog "compute updates"): with
     // identity columns declared (`graft.cdc.key`), a CoW UPDATE's
     // delete+insert on the same key surfaces as ONE logical update —

@@ -65,6 +65,32 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join (streaming last-hour attribution):
+    * each LEFT event pairs with RIGHT events of the same key whose
+    * event time lies in [leftTs - maxGap, leftTs]. Both sides carry
+    * watermarks AND the join predicate carries the time bound —
+    * that pair is what lets Spark evict right-side state older than
+    * (watermark - maxGap) instead of buffering both streams forever;
+    * an unbounded-condition stream-stream join is a state leak by
+    * construction. Inner matches emit as soon as both rows arrive
+    * (append mode), so a drained stream equals the batch join exactly.
+    *
+    * Callers pre-project the two sides to disjoint column names; the
+    * join key is `keyCol` on both.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      watermark: String = "2 hours", maxGap: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark).as("l")
+    val r = right.withWatermark(rightTsCol, watermark).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTsCol") >=
+          col(s"l.$leftTsCol") - expr(s"INTERVAL $maxGap") &&
+        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   final case class SessionState(count: Long, totalValue: Double,
       lastTs: Long)
   final case class SessionUpdate(user_id: Long, n_events: Long,

@@ -452,6 +452,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.count() == want.count())
   }
 
+  test("stream-stream interval join drains to the exact batch join") {
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts")),
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts")))
+    val (lp, lc) = sides(EventStream.readEvents(spark, eventsDir,
+      maxFilesPerTrigger = 2))
+    // the file source replays the month-long fixture in ARBITRARY file
+    // order, so any watermark shorter than the span would (correctly)
+    // drop late rows; a span-sized watermark makes the drain lossless
+    // and the batch equality exact. Production uses a real disorder
+    // bound and accepts the documented late-row eviction.
+    EventStream.runToMemory(spark,
+      EventStream.intervalJoin(lp, lc, "user_id", "pts", "cts",
+        watermark = "45 days"),
+      "attributed", outputMode = "append")
+    val got = spark.table("attributed")
+      .select("purchase_id", "click_id")
+    val (bp, bc) = sides(Tables.events(spark, "/root/testdata/sf0.001"))
+    val want = bp.join(bc,
+        bp("user_id") === bc("user_id") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("cts") <= col("pts"))
+      .select("purchase_id", "click_id")
+    assert(got.count() > 0, "fixture must produce matches")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "drained stream join must equal the batch join")
+  }
+
   test("curation projections run unchanged over a stream: normalize + " +
       "quality gate on streaming docs equal their batch twin") {
     // the per-doc curation stages are pure projections, so the SAME
