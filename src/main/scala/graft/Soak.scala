@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale soak for the pipeline tier (round-9 verdict item 5): runs the
-  * three workhorse document operators — exact dedup, decontamination,
-  * within-document repetition scoring — over the sf fixture and over a
-  * FACTOR× self-similar blow-up of it, and reports the wall-time
-  * scaling factor per operator as one JSON line.
+  * workhorse document operators — exact dedup, decontamination,
+  * within-document repetition scoring, line dedup, the quality gate —
+  * plus the temporal joins (as-of, range) over the sf fixtures and
+  * over FACTOR× self-similar blow-ups of them, and reports the
+  * wall-time scaling factor per operator as one JSON line.
   *
   * What "pass" means: time(FACTOR×) / time(1×) stays ≲ linear
   * (`ratio <= FACTOR * slack`), and the plan shape is IDENTICAL at
@@ -89,15 +90,53 @@ object Soak {
         .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
           count(lit(1)).as("n"))))
 
+    // FACTOR× events for the temporal joins: each copy shifts time by
+    // k × 32 days (past the fixture's one-month span), so event DENSITY
+    // per window stays constant and both join outputs scale ×FACTOR —
+    // a same-span copy would grow the range join's OUTPUT
+    // quadratically and the ratio gate would measure the output, not
+    // the operator
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val bigEvPath = s"$soakDir/events10"
+    (0 until factor).map { k =>
+      evBase.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${k * 32} DAYS")).as("ts"),
+        col("user_id"), col("event_type"))
+    }.reduce(_ unionByName _).write.mode("overwrite").parquet(bigEvPath)
+    val bigEv = spark.read.parquet(bigEvPath)
+
+    val evOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "asof_join" -> { d =>
+        val p = d.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val c = d.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.operators.TemporalJoins.asofJoin(p, c, Seq("user_id"),
+          "ts", "ts", Seq("event_id"))
+      },
+      "range_join" -> { d =>
+        val e = d.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            (col("ts") - expr("INTERVAL 1 HOUR")).as("s"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+        val p = d.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("pts"))
+        graft.operators.TemporalJoins.rangeJoinPoints(e, "s", "e",
+          p, "pts", bucketWidthMicros = 3600L * 1000000L)
+      })
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val debug = sys.env.contains("SPARK_GRAFT_SOAK_DEBUG")
-    val results = ops.map { case (name, op) =>
-      run(op(base)) // warm both code paths
-      val t1 = math.min(time(run(op(base))), time(run(op(base))))
-      val tN = math.min(time(run(op(big))), time(run(op(big))))
-      val (s1, sN) = (planShape(op(base)), planShape(op(big)))
+    val jobs = ops.map { case (n, op) => (n, base, big, op) } ++
+      evOps.map { case (n, op) => (n, evBase, bigEv, op) }
+    val results = jobs.map { case (name, small, large, op) =>
+      run(op(small)) // warm both code paths
+      val t1 = math.min(time(run(op(small))), time(run(op(small))))
+      val tN = math.min(time(run(op(large))), time(run(op(large))))
+      val (s1, sN) = (planShape(op(small)), planShape(op(large)))
       if (debug && s1 != sN)
         System.err.println(s"[soak] $name shape diff\n--- 1x\n$s1\n--- ${factor}x\n$sN")
       val shapeSame = s1 == sN

@@ -166,6 +166,84 @@ case class WordShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** ALL word n-grams for n = 1..maxK of a text column, NON-distinct, as
+  * ONE native expression — the language-model feature multiset (DSIR
+  * counts occurrences, so dedup would change the model). Output order
+  * is all unigrams in position order, then all bigrams, ... — exactly
+  * the layout of `concat(tokens(text), shingles-without-distinct(2),
+  * ...)`, which PipelineSpec pins elementwise. Same tokenization as
+  * [[WordShingles]] (UTF8String split + edge-token drop).
+  *
+  * Why it exists: the composed `transform(sequence(...), i =>
+  * concat_ws(" ", slice(toks, i, k)))` runs an interpreted lambda with
+  * a fresh slice allocation per ELEMENT — measured at 12x the cost of
+  * the unigram scan on the DSIR feature path (3.7 s vs 0.3 s per scan
+  * at sf0.1). One boxed call per ROW replaces all of it.
+  */
+case class WordGrams(child: Expression, maxK: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxK >= 1, s"max gram size must be >= 1, got $maxK")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+  override def nullable: Boolean = false
+
+  private val space = UTF8String.fromString(" ")
+  private val splitPattern = UTF8String.fromString("\\s+")
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) empty else nullSafeEval(v)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].trim().split(splitPattern, -1)
+    val toks =
+      if (raw.length > 0 &&
+          (raw(0).numBytes == 0 || raw(raw.length - 1).numBytes == 0))
+        raw.filter(_.numBytes > 0)
+      else raw
+    val n = toks.length
+    if (n == 0) return empty
+    var total = 0
+    var k = 1
+    while (k <= maxK) { total += math.max(0, n - k + 1); k += 1 }
+    val out = new Array[Any](total)
+    var j = 0
+    k = 1
+    while (k <= maxK) {
+      if (k == 1) {
+        var i = 0
+        while (i < n) { out(j) = toks(i); j += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i <= n - k) {
+          val window = new Array[UTF8String](k)
+          System.arraycopy(toks, i, window, 0, k)
+          out(j) = UTF8String.concatWs(space, window: _*)
+          j += 1
+          i += 1
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
 
   /** Column API: distinct word k-shingles straight from text —
@@ -173,6 +251,12 @@ object ShingleExpressions {
     */
   def wordShingles(text: Column, k: Int): Column =
     graftshim.columnOf(WordShingles(graftshim.expressionOf(text), k))
+
+  /** Column API: all non-distinct 1..maxK word grams straight from
+    * text — the LM feature multiset, one pass per row.
+    */
+  def wordGrams(text: Column, maxK: Int): Column =
+    graftshim.columnOf(WordGrams(graftshim.expressionOf(text), maxK))
 
   /** Column API: distinct xxhash64 word-k-shingle hashes straight from
     * text — equivalent to `shingleHashes(tokens(text), k)`, one pass

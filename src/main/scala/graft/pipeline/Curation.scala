@@ -351,17 +351,13 @@ object Curation {
     * [[hashUniform]].
     */
   private def hashedFeatures(df: DataFrame, idCol: String,
-      textCol: String, numBuckets: Int): DataFrame = {
-    val toks = graft.functions.TextFunctions.tokens(lower(col(textCol)))
-    val bi = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), explode(concat(toks, bi)).as("f"))
+      textCol: String, numBuckets: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(
+        graft.functions.ShingleExpressions.wordGrams(lower(col(textCol)), 2))
+        .as("f"))
       .select(col("id"), pmod(
         conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
         lit(numBuckets.toLong)).as("b"))
-  }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): each raw

@@ -881,6 +881,27 @@ class PipelineSpec extends AnyFunSuite {
       "quality", budget = 0L).count() === 0)
   }
 
+  test("native WordGrams is elementwise the composed unigram+bigram " +
+      "multiset, edge cases included") {
+    import spark.implicits._
+    import graft.functions.ShingleExpressions.wordGrams
+    val edge = Seq((9000001L, ""), (9000002L, "   \t\n "), (9000003L, "one"),
+      (9000004L, "a b"), (9000005L, "a a a")).toDF("doc_id", "text")
+    val df = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(edge)
+    val toks = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val mismatches = df.select(
+        wordGrams(lower(col("text")), 2).as("fast"),
+        concat(toks, bi).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(mismatches.isEmpty,
+      "WordGrams must reproduce the composed form byte-for-byte")
+  }
+
   test("dsirScores: target-domain docs outscore the rest on average; " +
       "empty docs absent; the model joins as a broadcast") {
     import spark.implicits._
