@@ -35,24 +35,30 @@ import org.apache.spark.sql.types.StructType
   */
 object TemporalJoins {
 
-  /** Backward as-of join: for each left row, attach the right row with
-    * the greatest `rightTime` <= `leftTime` within the same `keys`
-    * group (inclusive, like DuckDB/Pandas ASOF). Right columns arrive
-    * prefixed with `rightPrefix`; unmatched left rows keep NULLs.
+  /** As-of join: for each left row, attach the nearest right row
+    * at-or-before (`direction = "backward"`, the default — DuckDB /
+    * pandas ASOF semantics) or at-or-after (`direction = "forward"`)
+    * its `leftTime`, within the same `keys` group. Right columns
+    * arrive prefixed with `rightPrefix`; unmatched left rows keep
+    * NULLs.
     *
     * Determinism: if several right rows share (keys, rightTime), the
     * one with the greatest `rightPayload` struct wins (documented
     * tiebreak, mirrored in oracles as ORDER BY payload DESC).
     *
-    * `toleranceMicros`: optional max allowed (leftTime - rightTime);
-    * staler matches are nulled out (the window still carries them —
-    * filtering AFTER the window keeps the scan single-pass).
+    * `toleranceMicros`: optional max allowed gap (leftTime - rightTime
+    * backward, rightTime - leftTime forward); staler matches are
+    * nulled out (the window still carries them — filtering AFTER the
+    * window keeps the scan single-pass).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPayload: Seq[String],
       toleranceMicros: Option[Long] = None,
-      rightPrefix: String = "asof_"): DataFrame = {
+      rightPrefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rCols = rightTime +: rightPayload
     val lrowType = StructType(left.schema.fields)
     val rp = right.select(
@@ -69,19 +75,27 @@ object TemporalJoins {
       .unionByName(lp)
     // Right rows (side 0) sort before left rows (side 1) at equal
     // timestamps, so an exactly-simultaneous right row is visible to
-    // the left row — the inclusive <= contract. Among equal-time right
-    // rows the payload struct orders them; left rows' null payload is
-    // irrelevant because __side already separates the sides.
+    // the left row — the inclusive contract in both directions. Among
+    // equal-time right rows the payload struct orders them (last()
+    // picks the greatest); left rows' null payload is irrelevant
+    // because __side already separates the sides. Forward is the same
+    // single-pass running-last, just over time DESCENDING: the nearest
+    // right at-or-after is the last right seen walking down from +inf.
+    val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__rpay").asc)
+      .orderBy(tOrd, col("__side").asc, col("__rpay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = mixed
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val gap =
+      if (direction == "backward")
+        unix_micros(col("__t")) - unix_micros(col("__match")(rightTime))
+      else
+        unix_micros(col("__match")(rightTime)) - unix_micros(col("__t"))
     val gated = toleranceMicros match {
       case Some(tol) => carried.withColumn("__match",
-        when(unix_micros(col("__t")) -
-          unix_micros(col("__match")(rightTime)) <= tol, col("__match")))
+        when(gap <= tol, col("__match")))
       case None => carried
     }
     gated.select(

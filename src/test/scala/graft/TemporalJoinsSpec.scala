@@ -73,6 +73,51 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (1L, 103L), (2L, 101L), (3L, -1L), (4L, -1L), (5L, -1L)))
   }
 
+  test("asofJoin forward: nearest at-or-after, tolerance, tie to " +
+      "greatest payload") {
+    val (left, right) = asofFixture()
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"),
+        "ts", "rts", Seq("rid"), direction = "forward")
+      .select("event_id", "asof_rid").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq === Seq(
+      (1L, 103L), // equal instant inclusive; tie -> greatest payload
+      (2L, 103L), // next right after 09:30 is the 10:00 pair
+      (3L, 101L), // first right at-or-after 08:00
+      (4L, -1L),  // u2 has nothing at-or-after 12:00
+      (5L, -1L)))
+    val tol = TemporalJoins.asofJoin(left, right, Seq("user_id"),
+        "ts", "rts", Seq("rid"), direction = "forward",
+        toleranceMicros = Some(45L * 60 * 1000000))
+      .select("event_id", "asof_rid").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // event 2 -> 10:00 is 30min ahead (fresh); event 3 -> 09:00 is
+    // 60min ahead (stale, nulled)
+    assert(tol.toSeq === Seq(
+      (1L, 103L), (2L, 103L), (3L, -1L), (4L, -1L), (5L, -1L)))
+  }
+
+  test("asofJoin forward matches the naive join+row_number on real events") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val fast = TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("event_id"), direction = "forward")
+      .select(col("event_id"), col("asof_event_id"))
+    val naive = purchases.as("p").join(clicks.as("c"),
+        col("c.user_id") === col("p.user_id") && col("c.ts") >= col("p.ts"),
+        "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p.event_id"))
+          .orderBy(col("c.ts").asc_nulls_last, col("c.event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("p.event_id").as("event_id"),
+        col("c.event_id").as("asof_event_id"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("asofJoin matches the naive join+row_number plan on real events") {
     val e = Tables.events(spark, sf)
     val purchases = e.filter(col("event_type") === "purchase")
