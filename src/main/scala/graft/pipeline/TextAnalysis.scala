@@ -97,6 +97,46 @@ object TextAnalysis {
         round(sum(col("n_stop")).cast("double") /
           sum(col("n_tokens")).cast("double"), 6).as("stopword_ratio"))
 
+  /** Sketch-based corpus profile — the form corpus profiling takes at
+    * 100 TB, where exact per-group distincts are their own shuffle of
+    * the whole tokenized corpus: HyperLogLog++ for distinct counts
+    * (content fingerprints ~= unique documents, exploded tokens =
+    * vocabulary) and a mergeable quantile sketch for the token-length
+    * distribution. Every aggregate here carries FIXED-size state that
+    * merges map-side — the exchange moves one sketch per (group,
+    * partition), never a row per document or token, regardless of
+    * corpus size. `rsd` is the HLL standard-error knob (state size ~
+    * 1/rsd^2).
+    *
+    * Accuracy is pinned in PipelineSpec against the exact twins
+    * ([[corpusStats]] / count-distinct): relative error <= 3*rsd for
+    * the distincts, quantiles within the exact neighboring ranks. Not
+    * oracle-able (HLL bucket layouts are engine-specific) — rows-only,
+    * the same pattern as the xxhash64 families.
+    */
+  def approxCorpusStats(docs: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String], rsd: Double = 0.02): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    // one generator pass: pos==0 (or the null row of an empty doc)
+    // gates the DOC-level columns so the explode doesn't weight each
+    // document by its token count in the doc-level sketches
+    val first = coalesce(col("pos"), lit(0)) === 0
+    docs.select(groupCols.map(col) :+ toks.as("toks"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        size(col("toks")).as("n_tokens"),
+        xxhash64(concat_ws(" ", col("toks"))).as("fp"),
+        posexplode_outer(col("toks")).as(Seq("pos", "tok"))): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        approx_count_distinct(when(first, col("fp")), rsd)
+          .as("approx_unique_docs"),
+        approx_count_distinct(col("tok"), rsd).as("approx_vocab"),
+        percentile_approx(when(first, col("n_tokens")), lit(0.5),
+          lit(10000)).as("p50_tokens"),
+        percentile_approx(when(first, col("n_tokens")), lit(0.95),
+          lit(10000)).as("p95_tokens"))
+  }
+
   /** Quality score in [0,1]: length saturation + vocabulary diversity +
     * non-stopword mass. Same closed formula on the oracle side; all
     * operands are integer ratios so the doubles agree exactly.

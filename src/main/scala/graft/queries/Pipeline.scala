@@ -1199,6 +1199,19 @@ object Pipeline {
                round(sum(l.lr), 4) AS dsir_score
         FROM feats f JOIN lr l USING (b)
         GROUP BY f.doc_id ORDER BY f.doc_id
-      """))
+      """)),
+
+    // ---- Sketch-based corpus profile -----------------------------------
+    // HLL distincts + mergeable quantiles: fixed-size aggregate state
+    // per group regardless of corpus size — the 100 TB profiling form.
+    // HLL bucket layouts are engine-specific -> rows-only; accuracy is
+    // pinned vs the exact twins in PipelineSpec (<= 3*rsd rel. error,
+    // quantiles inside the exact rank neighborhood).
+    QueryDef(
+      "q123_corpus_sketch",
+      (s, d) => TextAnalysis.approxCorpusStats(docs(s, d), "doc_id",
+          "text", Seq("lang"))
+        .orderBy(col("lang")),
+      None)
   )
 }

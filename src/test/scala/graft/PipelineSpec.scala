@@ -881,6 +881,44 @@ class PipelineSpec extends AnyFunSuite {
       "quality", budget = 0L).count() === 0)
   }
 
+  test("approxCorpusStats: sketch distincts within 3*rsd of exact, " +
+      "quantiles inside the exact rank neighborhood") {
+    val d = Tables.documents(spark, sf)
+    val rsd = 0.02
+    val got = TextAnalysis.approxCorpusStats(d, "doc_id", "text",
+        Seq("lang"), rsd)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    val toks = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val exact = d.select(col("lang"), toks.as("toks"))
+      .select(col("lang"), size(col("toks")).as("n"),
+        xxhash64(concat_ws(" ", col("toks"))).as("fp"), col("toks"))
+      .groupBy("lang")
+      .agg(countDistinct(col("fp")).as("docs"),
+        size(array_distinct(flatten(collect_list(col("toks")))))
+          .as("vocab"),
+        sort_array(collect_list(col("n"))).as("ns"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2).toLong, r.getSeq[Int](3))).toMap
+    assert(got.keySet === exact.keySet)
+    for ((lang, (aDocs, aVocab, p50, p95)) <- got) {
+      val (eDocs, eVocab, ns) = exact(lang)
+      assert(math.abs(aDocs - eDocs).toDouble / eDocs <= 3 * rsd,
+        s"$lang docs: $aDocs vs $eDocs")
+      assert(math.abs(aVocab - eVocab).toDouble / eVocab <= 3 * rsd,
+        s"$lang vocab: $aVocab vs $eVocab")
+      // a quantile estimate must be an observed value whose rank is in
+      // the +-5% neighborhood of the requested quantile
+      def rankOk(v: Int, q: Double): Boolean = {
+        val below = ns.count(_ < v).toDouble / ns.size
+        val atOrBelow = ns.count(_ <= v).toDouble / ns.size
+        below <= q + 0.05 && atOrBelow >= q - 0.05
+      }
+      assert(ns.contains(p50) && rankOk(p50, 0.5), s"$lang p50=$p50")
+      assert(ns.contains(p95) && rankOk(p95, 0.95), s"$lang p95=$p95")
+    }
+  }
+
   test("native WordGrams is elementwise the composed unigram+bigram " +
       "multiset, edge cases included") {
     import spark.implicits._
