@@ -344,6 +344,28 @@ object Curation {
       .drop("__bkt", "__before")
   }
 
+  /** Deterministic k-per-group sample: the k rows of each group whose
+    * md5 coin ([[hashUniform]]) is smallest — "5 example docs per
+    * source", eval-set carving, per-domain spot checks. No RNG: reruns
+    * and engines agree on the exact membership, and adding rows to a
+    * group only ever swaps members whose coins cross the k-th coin.
+    *
+    * Scale: the rank filter compiles to Spark's WindowGroupLimit
+    * (pinned in PipelineSpec) — each map task keeps only its local
+    * top-k per group BEFORE the exchange, so the shuffle carries
+    * ~k rows per (group, partition), not the group.
+    */
+  def sampleKPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__u", hashUniform(col(idCol), salt))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__u"), col(idCol))))
+      .filter(col("__rn") <= k)
+      .drop("__u", "__rn")
+  }
+
   /** Hashed unigram+bigram features of a text column, exploded to one
     * (id, bucket) row per feature OCCURRENCE (counts matter to the
     * n-gram language models below, so no distinct). The bucket is the

@@ -1212,6 +1212,32 @@ object Pipeline {
       (s, d) => TextAnalysis.approxCorpusStats(docs(s, d), "doc_id",
           "text", Seq("lang"))
         .orderBy(col("lang")),
-      None)
+      None),
+
+    // ---- Deterministic k-per-group sampling ----------------------------
+    // smallest-k md5 coins per source; WindowGroupLimit keeps the
+    // shuffle at ~k rows per (group, partition). Bit-for-bit oracled.
+    QueryDef(
+      "q124_sample_per_group",
+      (s, d) => graft.pipeline.Curation.sampleKPerGroup(
+          docs(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", k = 5, salt = "s124")
+        .orderBy(col("source"), col("doc_id")),
+      Some("""
+        WITH u AS (
+          SELECT doc_id, source,
+                 CAST(CAST(concat('0x', substr(md5(concat('s124',
+                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+                   / 4294967296.0 AS u
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY u, doc_id) AS rn
+          FROM u
+        )
+        SELECT doc_id, source FROM r WHERE rn <= 5
+        ORDER BY source, doc_id
+      """))
   )
 }

@@ -881,6 +881,27 @@ class PipelineSpec extends AnyFunSuite {
       "quality", budget = 0L).count() === 0)
   }
 
+  test("sampleKPerGroup: exactly k (or group size), deterministic, " +
+      "WindowGroupLimit in the plan") {
+    import graft.pipeline.Curation
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val got = Curation.sampleKPerGroup(d, "doc_id", "source", k = 3)
+    val sizes = got.groupBy("source").count()
+    val groupSizes = d.groupBy("source").count()
+      .withColumnRenamed("count", "full")
+    assert(sizes.join(groupSizes, "source")
+      .filter(col("count") =!= least(lit(3L), col("full"))).isEmpty,
+      "each group yields min(k, |group|) rows")
+    assert(got.exceptAll(
+      Curation.sampleKPerGroup(d, "doc_id", "source", k = 3)).isEmpty)
+    // a different salt picks a different sample
+    assert(Curation.sampleKPerGroup(d, "doc_id", "source", 3, "other")
+      .exceptAll(got).count() > 0)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push map-side top-k:\n$p")
+  }
+
   test("approxCorpusStats: sketch distincts within 3*rsd of exact, " +
       "quantiles inside the exact rank neighborhood") {
     val d = Tables.documents(spark, sf)
