@@ -131,4 +131,37 @@ object TemporalJoins {
         col(pointCol) < col(endCol))
       .drop("__bkt")
   }
+
+  /** Interval x interval overlap join: every (left, right) pair of
+    * half-open intervals with `lStart < rEnd AND rStart < lEnd`,
+    * optionally also matching on equality `keys`. Same binning as
+    * [[rangeJoinPoints]], but BOTH sides explode — so a pair can share
+    * many buckets. Instead of a post-join distinct (a full shuffle of
+    * the output), each pair is counted only in its OWNER bucket, the
+    * one holding max(lStart, rStart): exactly one bucket qualifies per
+    * pair (the later interval's first bucket is always a shared bucket
+    * of an overlapping pair), so the join emits each pair exactly once
+    * by construction.
+    */
+  def rangeJoinIntervals(left: DataFrame, lStartCol: String,
+      lEndCol: String, right: DataFrame, rStartCol: String,
+      rEndCol: String, bucketWidthMicros: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidthMicros > 0, "bucketWidthMicros must be positive")
+    val w = lit(bucketWidthMicros)
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s) < col(e))
+        .withColumn("__bkt", explode(sequence(
+          floor(unix_micros(col(s)) / w),
+          floor((unix_micros(col(e)) - 1) / w))))
+    val l = binned(left, lStartCol, lEndCol)
+    val r = binned(right, rStartCol, rEndCol)
+    l.join(r, Seq("__bkt") ++ keys)
+      .filter(col(lStartCol) < col(rEndCol) &&
+        col(rStartCol) < col(lEndCol) &&
+        col("__bkt") === floor(
+          greatest(unix_micros(col(lStartCol)),
+            unix_micros(col(rStartCol))) / w))
+      .drop("__bkt")
+  }
 }

@@ -99,5 +99,35 @@ object Temporal {
          AND p.ts >= e.ts - INTERVAL 1 HOUR
          AND p.ts <  e.ts + INTERVAL 1 HOUR
         ORDER BY error_id, purchase_id
+      """)),
+
+    // ---- Interval x interval overlap join ------------------------------
+    // error windows overlapping purchase sessions, keyless: both sides
+    // bin to 1-hour buckets and each pair is admitted only in the
+    // bucket of max(start, start) — exactly-once without a distinct.
+    QueryDef(
+      "q125_interval_overlap_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            (col("ts") - expr("INTERVAL 1 HOUR")).as("ls"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("le"))
+        val sessions = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("ts").as("rs"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("re"))
+        TemporalJoins.rangeJoinIntervals(errors, "ls", "le",
+            sessions, "rs", "re", bucketWidthMicros = 3600L * 1000000L)
+          .select(col("error_id"), col("purchase_id"))
+          .orderBy(col("error_id"), col("purchase_id"))
+      },
+      Some("""
+        SELECT e.event_id AS error_id, p.event_id AS purchase_id
+        FROM events e JOIN events p
+          ON e.event_type = 'error' AND p.event_type = 'purchase'
+         AND e.ts - INTERVAL 1 HOUR < p.ts + INTERVAL 30 MINUTE
+         AND p.ts < e.ts + INTERVAL 1 HOUR
+        ORDER BY error_id, purchase_id
       """)))
 }

@@ -198,6 +198,46 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "binning must meet each pair exactly once")
   }
 
+  test("rangeJoinIntervals: half-open overlap, touching excluded, " +
+      "owner-bucket dedup, keys respected") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, "k1", ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
+      (3L, "k2", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("lid", "k", "ls", "le")
+    val r = Seq(
+      (10L, "k1", ts("2024-01-01 10:30:00"), ts("2024-01-01 13:00:00")), // spans many buckets
+      (11L, "k1", ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")), // touches 1: excluded
+      (12L, "k2", ts("2024-01-01 10:59:59"), ts("2024-01-01 11:00:01"))
+    ).toDF("rid", "k", "rs", "re")
+    val got = TemporalJoins.rangeJoinIntervals(l, "ls", "le", r, "rs", "re",
+        bucketWidthMicros = 15L * 60 * 1000000, keys = Seq("k"))
+      .select("lid", "rid").orderBy("lid", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // pair (1,10) and (2,10) share MANY 15-min buckets — exactly once each
+    assert(got.toSeq === Seq((1L, 10L), (2L, 10L), (3L, 12L)))
+  }
+
+  test("rangeJoinIntervals matches the naive overlap join; no dupes") {
+    val e = Tables.events(spark, sf)
+    val l = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("lid"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("ls"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("le"))
+    val r = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("ts").as("rs"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("re"))
+    val fast = TemporalJoins.rangeJoinIntervals(l, "ls", "le", r, "rs",
+        "re", bucketWidthMicros = 3600L * 1000000)
+      .select("lid", "rid")
+    val naive = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() === fast.distinct().count(),
+      "owner-bucket rule must emit each pair exactly once")
+  }
+
   test("rangeJoinPoints plan: an equi join, never a nested-loop product") {
     val e = Tables.events(spark, sf)
     val errors = e.filter(col("event_type") === "error")
