@@ -61,7 +61,12 @@ object TemporalJoins {
       s"direction must be backward|forward, got $direction")
     val rCols = rightTime +: rightPayload
     val lrowType = StructType(left.schema.fields)
-    val rp = right.select(
+    // NULL-key right rows are dropped so a NULL never matches a NULL —
+    // equi-join semantics, not the window's null-grouping semantics
+    // (a window would co-partition NULL keys and happily pair them).
+    // NULL-key LEFT rows still come back, unmatched — left-join shape.
+    val rightKeyed = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    val rp = rightKeyed.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         struct(rCols.map(col): _*).as("__rpay")): _*)

@@ -73,6 +73,23 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (1L, 103L), (2L, 101L), (3L, -1L), (4L, -1L), (5L, -1L)))
   }
 
+  test("asofJoin: NULL keys never match (equi-join semantics), " +
+      "null-key left rows survive unmatched") {
+    import spark.implicits._
+    val left = Seq((1L, Option("u1"), ts("2024-01-01 10:00:00")),
+      (2L, None: Option[String], ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((101L, Option("u1"), ts("2024-01-01 09:00:00")),
+      (102L, None: Option[String], ts("2024-01-01 09:00:00")))
+      .toDF("rid", "user_id", "rts")
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"),
+        "ts", "rts", Seq("rid"))
+      .select("event_id", "asof_rid").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 101L), (2L, -1L)),
+      "a NULL key must not pair with a NULL-key right row")
+  }
+
   test("asofJoin forward: nearest at-or-after, tolerance, tie to " +
       "greatest payload") {
     val (left, right) = asofFixture()
