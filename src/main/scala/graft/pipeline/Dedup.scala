@@ -402,6 +402,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental exact dedup — the production shape: dedup a NEW batch
+    * against the fingerprints of everything already ingested, without
+    * re-touching the historical corpus. `seen` is the fingerprint
+    * relation accumulated so far (one md5 hex per distinct historical
+    * text — md5 so any engine can rebuild or audit the index);
+    * the result is the batch rows that are first-occurrences both
+    * within the batch (keep-first by id) and against history
+    * (anti-join on the fingerprint), plus their `fp` column so the
+    * caller appends exactly these rows' fingerprints back to the index
+    * (e.g. a graft table the stream sink upserts).
+    *
+    * Scale: one map-side-combined groupBy over the BATCH (small) and
+    * one anti-join against the index keyed on the 32-byte fingerprint
+    * — shuffle volume is O(batch + matching index slice), never
+    * O(corpus). The historical text itself is never read.
+    */
+  def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, fpCol: String): DataFrame = {
+    val fp = md5(col(textCol))
+    val firstInBatch = batch.withColumn("fp", fp)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+          .orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+    firstInBatch.join(
+      seen.select(col(fpCol).as("fp")).distinct(),
+      Seq("fp"), "left_anti")
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the
     * embedding space, then inside each cluster drop every vector that
     * has a LOWER-id cluster-mate with cosine >= threshold — one

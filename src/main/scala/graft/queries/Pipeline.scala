@@ -1238,6 +1238,44 @@ object Pipeline {
         )
         SELECT doc_id, source FROM r WHERE rn <= 5
         ORDER BY source, doc_id
+      """)),
+
+    // ---- Incremental exact dedup (batch vs history) --------------------
+    // a new batch (one-third fresh docs + replayed copies of history
+    // and of itself) deduped against the historical fingerprint index:
+    // in-batch keep-first, then anti-join on md5 — O(batch) work, the
+    // historical text is never read. Oracled end-to-end.
+    QueryDef(
+      "q126_incremental_dedup",
+      (s, d) => {
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        val old = all.filter(col("doc_id") % 3 =!= 0)
+        val batch = all.filter(col("doc_id") % 3 === 0)
+          .unionByName(all.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        val seen = old.select(md5(col("text")).as("fp"))
+        Dedup.exactIncremental(batch, "doc_id", "text", seen, "fp")
+          .select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH old AS (
+          SELECT text FROM documents WHERE doc_id % 3 <> 0
+        ), batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        ), fpd AS (
+          SELECT doc_id, md5(text) AS fp FROM batch
+        ), firsts AS (
+          SELECT doc_id, fp,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM fpd
+        )
+        SELECT doc_id, fp FROM firsts
+        WHERE rn = 1 AND fp NOT IN (SELECT md5(text) FROM old)
+        ORDER BY doc_id
       """))
   )
 }

@@ -881,6 +881,23 @@ class PipelineSpec extends AnyFunSuite {
       "quality", budget = 0L).count() === 0)
   }
 
+  test("exactIncremental: batch keep-first + history anti-join; " +
+      "emitted fps extend the index consistently") {
+    import spark.implicits._
+    val seen = Seq("old text").toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val batch = Seq((10L, "old text"), (11L, "fresh a"), (12L, "fresh a"),
+      (13L, "fresh b")).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, "doc_id", "text", seen, "fp")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L),
+      "history dupes and in-batch later copies must drop")
+    // feeding the emitted fps back makes a replay of the SAME batch empty
+    val seen2 = seen.unionByName(out.select("fp"))
+    assert(Dedup.exactIncremental(batch, "doc_id", "text", seen2, "fp")
+      .count() === 0, "the updated index must absorb the batch")
+  }
+
   test("sampleKPerGroup: exactly k (or group size), deterministic, " +
       "WindowGroupLimit in the plan") {
     import graft.pipeline.Curation
