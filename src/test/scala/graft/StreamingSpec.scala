@@ -452,6 +452,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.count() == want.count())
   }
 
+  test("streaming incremental dedup: fingerprint index as a graft " +
+      "table, one survivor per distinct text, replays absorbed") {
+    import graft.engine.GraftTable
+    import graft.pipeline.Dedup
+    val docsDir = Files.createTempDirectory("graft-incdedup-src").toString
+    // duplicated corpus split over files so texts recur ACROSS batches
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      .repartition(6).write.mode("overwrite").parquet(docsDir)
+    val loc = Files.createTempDirectory("graft-incdedup").toString
+    val spark0 = spark
+    import spark0.implicits._
+    val idx = GraftTable.createAs(spark, s"$loc/idx", "fp_index",
+      Seq.empty[String].toDF("fp"))
+    val kept = GraftTable.createAs(spark, s"$loc/kept", "kept_docs",
+      base.filter(lit(false)).withColumn("fp", md5(col("text"))))
+    val q = spark.readStream.schema(spark.read.parquet(docsDir).schema)
+      .option("maxFilesPerTrigger", 2).parquet(docsDir)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        val seen = idx.read()
+        val fresh = Dedup.exactIncremental(batch, "doc_id", "text",
+          seen, "fp")
+        // one commit per table; batch-id markers make replays no-ops
+        kept.appendIfNewMarker(fresh, "graft.streaming.kept.batch-id",
+          batchId)
+        idx.appendIfNewMarker(fresh.select("fp"),
+          "graft.streaming.idx.batch-id", batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = kept.read()
+    val nDistinct = base.select(md5(col("text"))).distinct().count()
+    assert(out.count() === nDistinct,
+      "exactly one survivor per distinct text across all batches")
+    assert(out.select("fp").distinct().count() === nDistinct)
+    assert(idx.read().count() === nDistinct, "index mirrors survivors")
+  }
+
   test("stream-stream interval join drains to the exact batch join") {
     def sides(df: org.apache.spark.sql.DataFrame) = (
       df.filter(col("event_type") === "purchase")
