@@ -180,6 +180,44 @@ object Dedup {
     * projection + split, measured cheaper than caching string arrays
     * (round-2 note) and embarrassingly parallel at any scale.
     */
+  /** Exploded distinct-shingle-hash inverted index of a corpus:
+    * (id, n = |shingle set|, hv = one 64-bit shingle hash per row),
+    * hv-partitioned. The shared substrate of the MinHash family —
+    * signatures derive from it, and Jaccard verification counts
+    * shared hv values on it. Also the PERSISTABLE half of the
+    * incremental index ([[nearDupMinhashIncremental]]).
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExpressions.wordShingleHashes(
+          col(textCol), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("hv"))
+      .repartition(col("hv"))
+
+  /** LSH band-bucket index of a corpus: (id, band, key) — one row per
+    * (doc, band). Deterministic given (k, bands, rowsPerBand, seed),
+    * so an index built yesterday buckets compatibly with a batch
+    * hashed today — the property [[nearDupMinhashIncremental]] rests
+    * on. The other persistable half of the incremental index.
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame =
+    bandsOf(shingleIndex(docs, idCol, textCol, k), bands, rowsPerBand, seed)
+
+  private def bandsOf(inv: DataFrame, bands: Int, rowsPerBand: Int,
+      seed: Long): DataFrame = {
+    val sigs = minhashSignaturesGrouped(
+      inv.select(col("id"), pmod(col("hv"), lit(MersennePrime)).as("h")),
+      "id", "h", bands * rowsPerBand, seed)
+    sigs.select(col("id"),
+        explode(lshBandKeys(bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   def nearDupMinhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L,
@@ -201,13 +239,7 @@ object Dedup {
     // recomputing a narrow projection per consumer is cheaper than
     // cache residency + eviction churn (round-2 note), and keeps the
     // operator stateless for callers.
-    val inv = spread(docs)
-      .select(col(idCol).as("id"),
-        graft.functions.ShingleExpressions.wordShingleHashes(
-          col(textCol), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("hv"))
-      .repartition(col("hv"))
+    val inv = shingleIndex(docs, idCol, textCol, k)
     val sigs = minhashSignaturesGrouped(
       inv.select(col("id"), pmod(col("hv"), lit(MersennePrime)).as("h")),
       "id", "h", bands * rowsPerBand, seed)
@@ -429,6 +461,60 @@ object Dedup {
     firstInBatch.join(
       seen.select(col(fpCol).as("fp")).distinct(),
       Seq("fp"), "left_anti")
+  }
+
+  /** Incremental MinHash near-dup — [[exactIncremental]]'s fuzzy twin:
+    * find every near-duplicate pair between a NEW batch and everything
+    * already indexed (plus within the batch itself) WITHOUT re-hashing
+    * the historical corpus. History is represented by its two
+    * persistable index relations — [[bandIndex]] (candidate
+    * generation) and [[shingleIndex]] (Jaccard verification) — built
+    * with the SAME (k, bands, rowsPerBand, seed); after the call the
+    * caller appends the batch's own index rows (also returned by those
+    * functions) to keep the index current.
+    *
+    * Output: (id1 = batch id, id2 = matched id — historical or
+    * batch-internal with id1 < id2, jaccard). Exactness contract
+    * (pinned in PipelineSpec): equals [[nearDupMinhashLsh]] run over
+    * history ∪ batch, restricted to pairs touching the batch —
+    * signatures are deterministic in the seed, so yesterday's buckets
+    * and today's agree.
+    *
+    * Scale: candidate joins are band-bucket equi-joins (batch side is
+    * small, the history side streams as SMJ — never broadcast, bucket
+    * keys are unbounded); verification joins the batch's shingles
+    * against the union index keyed on the 8-byte hash. Work is
+    * O(batch + touched index slice), never O(corpus).
+    */
+  def nearDupMinhashIncremental(batch: DataFrame, idCol: String,
+      textCol: String, histBands: DataFrame, histShingles: DataFrame,
+      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val inv = shingleIndex(batch, idCol, textCol, k)
+    val bBands = bandsOf(inv, bands, rowsPerBand, seed).hint("SHUFFLE_MERGE")
+    val hBands = histBands.hint("SHUFFLE_MERGE")
+    val candHist = bBands.as("a").join(hBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val candBatch = bBands.as("a").join(bBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val cand = candHist.unionByName(candBatch).distinct()
+    val allSh = inv.unionByName(histShingles).hint("SHUFFLE_MERGE")
+    val invJ = inv.hint("SHUFFLE_MERGE")
+    cand
+      .join(invJ.select(col("id").as("id1"), col("n").as("na"), col("hv")),
+        "id1")
+      .join(allSh.select(col("id").as("id2"), col("n").as("nb"), col("hv")),
+        Seq("id2", "hv"))
+      .groupBy("id1", "id2", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the

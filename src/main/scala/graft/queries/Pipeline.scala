@@ -1276,6 +1276,26 @@ object Pipeline {
         SELECT doc_id, fp FROM firsts
         WHERE rn = 1 AND fp NOT IN (SELECT md5(text) FROM old)
         ORDER BY doc_id
-      """))
+      """)),
+
+    // ---- Incremental MinHash near-dup (batch vs index) -----------------
+    // the fuzzy twin of q126: the batch probes yesterday's band +
+    // shingle index relations, never re-hashing history. xxhash64
+    // family -> rows-only; PipelineSpec pins it EQUAL to the full
+    // nearDupMinhashLsh run restricted to batch-touching pairs.
+    QueryDef(
+      "q127_incremental_near_dup",
+      (s, d) => {
+        val all = nearDupCorpus(s, d)
+        val hist = all.filter(col("doc_id") < 100000)
+        val batch = all.filter(col("doc_id") >= 100000)
+        Dedup.nearDupMinhashIncremental(batch, "doc_id", "text",
+            Dedup.bandIndex(hist, "doc_id", "text"),
+            Dedup.shingleIndex(hist, "doc_id", "text"))
+          .select(col("id1"), col("id2"),
+            round(col("jaccard"), 2).as("jaccard"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      None)
   )
 }

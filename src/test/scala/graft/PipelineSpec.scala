@@ -898,6 +898,26 @@ class PipelineSpec extends AnyFunSuite {
       .count() === 0, "the updated index must absorb the batch")
   }
 
+  test("nearDupMinhashIncremental equals the full batch run restricted " +
+      "to batch-touching pairs") {
+    val all = docsWithNearDups()
+    val hist = all.filter(col("doc_id") < 200)
+    val batch = all.filter(col("doc_id") >= 100000)
+    def norm(df: DataFrame) = df.select(
+        least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"),
+        round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = norm(Dedup.nearDupMinhashLsh(all, "doc_id", "text")
+      .filter(col("id1") >= 100000 || col("id2") >= 100000))
+    val inc = norm(Dedup.nearDupMinhashIncremental(batch, "doc_id", "text",
+      Dedup.bandIndex(hist, "doc_id", "text"),
+      Dedup.shingleIndex(hist, "doc_id", "text")))
+    assert(inc === full,
+      s"incremental minus full: ${inc -- full}; full minus incremental: ${full -- inc}")
+    assert(full.nonEmpty, "fixture must actually produce cross pairs")
+  }
+
   test("sampleKPerGroup: exactly k (or group size), deterministic, " +
       "WindowGroupLimit in the plan") {
     import graft.pipeline.Curation
