@@ -129,5 +129,45 @@ object Temporal {
          AND e.ts - INTERVAL 1 HOUR < p.ts + INTERVAL 30 MINUTE
          AND p.ts < e.ts + INTERVAL 1 HOUR
         ORDER BY error_id, purchase_id
+      """)),
+
+    // ---- Batch sessionization ------------------------------------------
+    // gap-based sessions per user (4h inactivity threshold), rolled up
+    // to per-session bounds/size/value. One exchange + one per-key
+    // sort (the open-marker lag and the numbering sum share a window).
+    QueryDef(
+      "q128_sessionization",
+      (s, d) => {
+        import graft.operators.Sessions
+        Sessions.sessionStats(ev(s, d), "user_id", "ts", "event_id",
+            maxGapMicros = 4L * 3600 * 1000000,
+            aggs = Seq(round(sum(col("value")), 2).as("total_value")))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+          FROM events
+        ), m AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN prev IS NULL
+                        OR date_diff('microsecond', prev, ts)
+                           > 14400000000 THEN 1
+                      ELSE 0 END AS opens
+          FROM o
+        ), se AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(opens) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM m
+        )
+        SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               round(sum(value), 2) AS total_value
+        FROM se GROUP BY 1, 2
+        ORDER BY user_id, session_seq
       """)))
 }

@@ -255,6 +255,32 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "owner-bucket rule must emit each pair exactly once")
   }
 
+  test("Sessions.sessionize: strict-gap opens, per-key numbering, " +
+      "one exchange") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:30:00")), // gap == 30m: SAME session
+      (3L, "u1", ts("2024-01-01 11:00:01")), // gap 30m+1s: new session
+      (4L, "u2", ts("2024-01-01 10:00:00"))  // keys are independent
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessions.sessionize(ev, "user_id", "ts", "event_id",
+        maxGapMicros = 30L * 60 * 1000000)
+      .select("event_id", "session_seq").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L)))
+    val p = Sessions.sessionize(ev, "user_id", "ts", "event_id", 1L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"both windows must share one exchange:\n$p")
+    // stats roll up consistently
+    val stats = Sessions.sessionStats(ev, "user_id", "ts", "event_id",
+      30L * 60 * 1000000)
+    assert(stats.agg(sum("n_events")).head.getLong(0) === 4L)
+    assert(stats.count() === 3L)
+  }
+
   test("rangeJoinPoints plan: an equi join, never a nested-loop product") {
     val e = Tables.events(spark, sf)
     val errors = e.filter(col("event_type") === "error")
