@@ -52,4 +52,39 @@ object Sessions {
       .groupBy(col(keyCol), col("session_seq"))
       .agg(all.head, all.tail: _*)
   }
+
+  /** Ordered funnel: for each key, the earliest time each step can be
+    * reached respecting step order — step i's time is the min event
+    * time of step i's type at-or-after step i-1's time (inclusive, so
+    * simultaneous events can satisfy consecutive steps). Output: one
+    * row per key that reached step 1, with `step_<i>_ts` columns
+    * (NULL once the funnel breaks — later steps are NULL too, by
+    * construction) and `depth` = number of steps reached.
+    *
+    * Scale: one filtered map-side-combined aggregation per step over
+    * the (key, ts) projection — K small shuffles of narrow rows for a
+    * K-step funnel, joined per key. No per-key event lists are ever
+    * collected (the collect_list fold would hold a hot key's whole
+    * history in one task).
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be unique")
+    def stepCol(i: Int) = s"step_${i + 1}_ts"
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as(stepCol(0)))
+    for (i <- 1 until steps.size) {
+      val reached = events.filter(col(typeCol) === steps(i))
+        .select(col(keyCol), col(tsCol))
+        .join(acc.select(col(keyCol), col(stepCol(i - 1))), keyCol)
+        .filter(col(tsCol) >= col(stepCol(i - 1)))
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as(stepCol(i)))
+      acc = acc.join(reached, Seq(keyCol), "left")
+    }
+    val depth = steps.indices.map(i =>
+      when(col(stepCol(i)).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("depth", depth)
+  }
 }

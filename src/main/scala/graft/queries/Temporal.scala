@@ -169,5 +169,45 @@ object Temporal {
                round(sum(value), 2) AS total_value
         FROM se GROUP BY 1, 2
         ORDER BY user_id, session_seq
+      """)),
+
+    // ---- Ordered funnel -------------------------------------------------
+    // earliest order-respecting reach times for signup -> view ->
+    // click -> purchase per user; one narrow aggregation per step,
+    // never a per-key event list. The oracle replays the same staged
+    // min-at-or-after construction.
+    QueryDef(
+      "q129_funnel",
+      (s, d) => graft.operators.Sessions.funnel(ev(s, d), "user_id",
+          "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("user_id")),
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS step_1_ts FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, min(e.ts) AS step_2_ts
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'view' AND e.ts >= s1.step_1_ts GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, min(e.ts) AS step_3_ts
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= s2.step_2_ts GROUP BY 1
+        ), s4 AS (
+          SELECT e.user_id, min(e.ts) AS step_4_ts
+          FROM events e JOIN s3 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= s3.step_3_ts
+          GROUP BY 1
+        )
+        SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+               s4.step_4_ts,
+               CAST(1 + (CASE WHEN s2.step_2_ts IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN s3.step_3_ts IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN s4.step_4_ts IS NOT NULL THEN 1 ELSE 0 END)
+                 AS INT) AS depth
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+                LEFT JOIN s4 USING (user_id)
+        ORDER BY user_id
       """)))
 }

@@ -281,6 +281,33 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(stats.count() === 3L)
   }
 
+  test("Sessions.funnel: order respected, breaks stay NULL, " +
+      "simultaneous steps allowed") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    val ev = Seq(
+      // u1 completes in order; the early 'b' before 'a' must be ignored
+      (1L, "u1", "b", ts("2024-01-01 09:00:00")),
+      (2L, "u1", "a", ts("2024-01-01 10:00:00")),
+      (3L, "u1", "b", ts("2024-01-01 11:00:00")),
+      (4L, "u1", "c", ts("2024-01-01 12:00:00")),
+      // u2 breaks at step b (its only b precedes a)
+      (5L, "u2", "b", ts("2024-01-01 09:00:00")),
+      (6L, "u2", "a", ts("2024-01-01 10:00:00")),
+      (7L, "u2", "c", ts("2024-01-01 11:00:00")),
+      // u3: a and b simultaneous — inclusive >= lets b count
+      (8L, "u3", "a", ts("2024-01-01 10:00:00")),
+      (9L, "u3", "b", ts("2024-01-01 10:00:00")),
+      // u4 never does step a: absent from the output entirely
+      (10L, "u4", "b", ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessions.funnel(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .select("user_id", "depth").orderBy("user_id")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq === Seq(("u1", 3), ("u2", 1), ("u3", 2)))
+  }
+
   test("rangeJoinPoints plan: an equi join, never a nested-loop product") {
     val e = Tables.events(spark, sf)
     val errors = e.filter(col("event_type") === "error")
