@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.TemporalJoins
 
@@ -209,5 +210,70 @@ object Temporal {
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
                 LEFT JOIN s4 USING (user_id)
         ORDER BY user_id
+      """)),
+
+    // ---- Rolling event-time aggregates ---------------------------------
+    // per-user trailing-hour count and mean over a RANGE frame on the
+    // event time — one exchange + per-key sort; RANGE peers make the
+    // result independent of tie order on both engines.
+    QueryDef(
+      "q130_rolling_aggregates",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000, 0)
+        ev(s, d).select(col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(avg(col("value")).over(w), 4).as("avg_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(avg(value) OVER w, 4) AS avg_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+      """)),
+
+    // ---- Cohort retention ----------------------------------------------
+    // users cohorted by first-activity week; one row per (cohort week,
+    // week offset) with the distinct users still active — two
+    // map-side-combined aggregations and a per-user join, no event
+    // ever carried past its (user, week) projection.
+    QueryDef(
+      "q131_cohort_retention",
+      (s, d) => {
+        val e = ev(s, d)
+        val cohorts = e.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        val active = e.select(col("user_id"),
+          date_trunc("week", col("ts")).as("week")).distinct()
+        active.join(cohorts, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("week").cast("date"),
+              col("cohort_week").cast("date")) / 7).cast("int")
+              .as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH cohorts AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                   AS cohort_week
+          FROM events GROUP BY 1
+        ), active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+          FROM events
+        )
+        SELECT c.cohort_week,
+               CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                 CAST(a.week AS DATE)) / 7 AS INT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM active a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset
       """)))
 }
