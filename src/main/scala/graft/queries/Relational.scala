@@ -433,6 +433,56 @@ object Relational {
                       WHERE o3.o_custkey = c.c_custkey
                         AND o3.o_orderstatus = 'F')
         ORDER BY c.c_custkey, o.o_orderkey
+      """)),
+
+    // ---- Semi-structured extraction (JSON column) ----------------------
+    // events.props is a JSON string; the Spark side parses it with a
+    // schema'd from_json (codegen'd, no UDF), the oracle with DuckDB's
+    // json extension — same extracted values, aggregated identically.
+    QueryDef(
+      "q132_json_extract",
+      (s, d) => {
+        import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+        val schema = StructType(Seq(StructField("k", IntegerType)))
+        Tables.events(s, d)
+          .select(col("event_type"),
+            from_json(col("props"), schema).getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            round(avg(col("k")), 4).as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               round(avg(k), 4) AS avg_k
+        FROM x GROUP BY 1 ORDER BY event_type
+      """)),
+
+    // ---- CUBE + grouping_id (SURVEY §2.4 completeness) -----------------
+    QueryDef(
+      "q133_cube",
+      (s, d) =>
+        li(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n"), grouping_id().as("gid"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first, col("gid")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST, gid
       """))
   )
 }
