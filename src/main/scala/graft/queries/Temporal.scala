@@ -275,5 +275,43 @@ object Temporal {
                CAST(count(*) AS BIGINT) AS n_users
         FROM active a JOIN cohorts c USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+      """)),
+
+    // ---- Time-series gap filling ---------------------------------------
+    // dense hourly spine over the observed range (sequence() exploded
+    // from ONE aggregate row — the spine is generated, never scanned),
+    // left-joined to the hourly counts so silent hours appear as 0 —
+    // the sparse->dense densification every reporting layer needs.
+    QueryDef(
+      "q134_gap_fill",
+      (s, d) => {
+        val e = ev(s, d).filter(col("event_type") === "error")
+        val counts = e.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val spine = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        spine.join(counts, Seq("h"), "left")
+          .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("h"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT ts FROM events WHERE event_type = 'error'
+        ), counts AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                 count(*) AS n
+          FROM e GROUP BY 1
+        ), spine AS (
+          SELECT unnest(generate_series(
+            CAST(date_trunc('hour', min(ts)) AS TIMESTAMP),
+            CAST(date_trunc('hour', max(ts)) AS TIMESTAMP),
+            INTERVAL 1 HOUR)) AS h
+          FROM e
+        )
+        SELECT s.h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM spine s LEFT JOIN counts c USING (h)
+        ORDER BY h
       """)))
 }
