@@ -517,6 +517,73 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Normalized vector relation (id, v, nrm) — the persistable
+    * verification half of the embedding incremental index
+    * ([[nearDupEmbeddingIncremental]]); norms computed once per
+    * vector, never per pair.
+    */
+  def vectorIndex(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+  }
+
+  /** Hyperplane-LSH bucket relation (id, table, bucket) — the
+    * persistable candidate-generation half of the embedding
+    * incremental index. Deterministic given (planesPerTable,
+    * numTables, dim, seed), so an index built yesterday buckets
+    * compatibly with vectors hashed today.
+    */
+  def embeddingBucketIndex(df: DataFrame, idCol: String, vecCol: String,
+      planesPerTable: Int = 4, numTables: Int = 16, dim: Int = 64,
+      seed: Long = 42L): DataFrame =
+    Similarity.lshBuckets(
+      spread(df.select(col(idCol).as("id"), col(vecCol).as("v"))),
+      "id", "v", planesPerTable, numTables, dim, seed)
+
+  /** Incremental embedding near-dup — the vector twin of
+    * [[nearDupMinhashIncremental]]: every cosine near-duplicate pair
+    * between a NEW batch and the indexed history (plus within the
+    * batch), probing the persistable [[embeddingBucketIndex]] /
+    * [[vectorIndex]] relations instead of re-hashing the corpus.
+    * Candidates are bucket-local (batch×history and batch self-join on
+    * the (table, bucket) key, distinct because a pair can collide in
+    * several tables), verification is the exact codegen'd dot — no
+    * false positives vs [[nearDupEmbedding]], recall as in
+    * [[nearDupEmbeddingLsh]]. Pinned in PipelineSpec equal to the full
+    * nearDupEmbeddingLsh run restricted to batch-touching pairs.
+    * Output: (id1 = batch id, id2 = matched id, sim).
+    */
+  def nearDupEmbeddingIncremental(batch: DataFrame, idCol: String,
+      vecCol: String, histBuckets: DataFrame, histVectors: DataFrame,
+      threshold: Double, planesPerTable: Int = 4, numTables: Int = 16,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, safeRatio}
+    val bVec = vectorIndex(batch, idCol, vecCol)
+    val bBuckets = embeddingBucketIndex(batch, idCol, vecCol,
+      planesPerTable, numTables, dim, seed).hint("SHUFFLE_MERGE")
+    val hBuckets = histBuckets.hint("SHUFFLE_MERGE")
+    val candHist = bBuckets.as("a").join(hBuckets.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val candBatch = bBuckets.as("a").join(bBuckets.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val cand = candHist.unionByName(candBatch).distinct()
+    val vAll = bVec.unionByName(histVectors).hint("SHUFFLE_MERGE")
+    cand
+      .join(bVec.hint("SHUFFLE_MERGE").select(col("id").as("id1"),
+        col("v").as("va"), col("nrm").as("na")), "id1")
+      .join(vAll.select(col("id").as("id2"), col("v").as("vb"),
+        col("nrm").as("nb")), "id2")
+      .select(col("id1"), col("id2"),
+        safeRatio(dotF(col("va"), col("vb")),
+          col("na") * col("nb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the
     * embedding space, then inside each cluster drop every vector that
     * has a LOWER-id cluster-mate with cosine >= threshold — one

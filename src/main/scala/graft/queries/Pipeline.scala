@@ -1278,6 +1278,26 @@ object Pipeline {
         ORDER BY doc_id
       """)),
 
+    // ---- Incremental embedding near-dup (batch vs index) ---------------
+    // the vector twin of q127: the batch probes yesterday's hyperplane
+    // bucket + vector index relations. Hyperplane signs -> rows-only;
+    // PipelineSpec pins it EQUAL to the full nearDupEmbeddingLsh run
+    // restricted to batch-touching pairs.
+    QueryDef(
+      "q135_incremental_embedding_dup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val hist = emb.filter(col("vec_id") % 2 === 0)
+        val batch = emb.filter(col("vec_id") % 2 =!= 0)
+        Dedup.nearDupEmbeddingIncremental(batch, "vec_id", "embedding",
+            Dedup.embeddingBucketIndex(hist, "vec_id", "embedding"),
+            Dedup.vectorIndex(hist, "vec_id", "embedding"),
+            threshold = 0.4)
+          .select(col("id1"), col("id2"), round(col("sim"), 2).as("sim"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      None),
+
     // ---- Incremental MinHash near-dup (batch vs index) -----------------
     // the fuzzy twin of q126: the batch probes yesterday's band +
     // shingle index relations, never re-hashing history. xxhash64

@@ -918,6 +918,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.nonEmpty, "fixture must actually produce cross pairs")
   }
 
+  test("nearDupEmbeddingIncremental equals the full LSH run restricted " +
+      "to batch-touching pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    def norm(df: DataFrame) = df.select(
+        least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"),
+        round(col("sim"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = norm(Dedup.nearDupEmbeddingLsh(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      .filter(col("id1") % 2 =!= 0 || col("id2") % 2 =!= 0))
+    val inc = norm(Dedup.nearDupEmbeddingIncremental(batch, "vec_id",
+      "embedding",
+      Dedup.embeddingBucketIndex(hist, "vec_id", "embedding"),
+      Dedup.vectorIndex(hist, "vec_id", "embedding"), threshold = 0.4))
+    assert(inc === full,
+      s"inc-only: ${inc -- full}; full-only: ${full -- inc}")
+    assert(full.nonEmpty, "fixture must produce batch-touching pairs")
+  }
+
   test("sampleKPerGroup: exactly k (or group size), deterministic, " +
       "WindowGroupLimit in the plan") {
     import graft.pipeline.Curation
