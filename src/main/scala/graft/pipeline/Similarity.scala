@@ -325,6 +325,132 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector
+    * space splits into `m` contiguous sub-spaces and each gets its own
+    * `k`-centroid spherical-k-means codebook — trained by reusing
+    * [[ivfCodebook]]'s Lloyd loop on the SLICED vector column, so the
+    * whole model is m small codebooks (m*k*(dim/m) floats, an
+    * endpoint-sized driver artifact like the IVF codebook).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
+      seed: Long = 42L): Seq[Seq[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m sub-spaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      ivfCodebook(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as("__sub")),
+        idCol, "__sub", nlist = k, iters = iters, seed = seed + j)
+    }
+  }
+
+  /** PQ encoding: each vector becomes m small codes (nearest centroid
+    * per sub-space) plus its TRUE norm — 1 byte per sub-space instead
+    * of 4*dim, the ~32x compression that lets a billion-vector index
+    * sit in cluster memory. Output: (id, codes array<int>, nrm).
+    * Deterministic given the codebooks (ties break to the lowest
+    * centroid id, same rule as [[assign]]).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Array[Float]]]): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    val spark = df.sparkSession
+    val dimSub = books.head.head.length
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+    // one cross join against the FLAT (subspace, centroid) relation —
+    // m*k rows broadcast — then one max_by per (id, subspace): encode
+    // is a single pass however many sub-spaces there are
+    val flat = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }
+    import spark.implicits._
+    val cents = flat.toDF("j", "ci", "c")
+      .withColumn("cnrm", sqrt(dotF(col("c"), col("c"))))
+    // Euclidean-optimal assignment: argmin ||x_j - c||^2 ==
+    // argmax (x_j . c - ||c||^2 / 2) — the objective that minimizes
+    // the ADC dot-product reconstruction error (a cosine assignment
+    // here picks directionally-close but magnitude-wrong centroids
+    // and measurably collapses recall)
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("nrm"), col("j"), col("ci"),
+        (dotF(slice(col("v"), col("j") * dimSub + 1, lit(dimSub)),
+          col("c")) - col("cnrm") * col("cnrm") / 2).as("s"))
+    scored.groupBy(col("id"), col("nrm"), col("j"))
+      .agg(max_by(col("ci"), struct(col("s"), -col("ci"))).as("ci"))
+      .groupBy(col("id"), col("nrm"))
+      .agg(array_sort(collect_list(struct(col("j"), col("ci")))).as("p"))
+      .select(col("id"),
+        transform(col("p"), e => e("ci")).as("codes"), col("nrm"))
+  }
+
+  /** Approximate cosine top-k by asymmetric distance computation over
+    * PQ codes: each query precomputes an m*k lookup table of partial
+    * dots against the codebooks (a broadcast of m*k rows per query),
+    * and a corpus row's approximate dot is the sum of its m table
+    * hits — the scan touches CODES (m bytes/vector), never the
+    * vectors. This is the memory-bound ANN path: the win is 32x fewer
+    * bytes per comparison, not fewer comparisons (compose with the
+    * IVF cell restriction of [[cosineTopKIvf]] when comparison COUNT
+    * is the bottleneck). Normalization uses the stored true corpus
+    * norms, so scores are approximate only through quantization.
+    * Accuracy is pinned statistically in PipelineSpec (recall vs
+    * [[cosineTopK]]; rows-only in the gate like the other float-mean
+    * paths).
+    */
+  /** `shortlistFactor`: ADC keeps k*factor candidates per query and the
+    * TRUE vectors of only that shortlist are fetched for an exact
+    * cosine re-rank — the standard PQ serving shape (codes prune, a
+    * bounded exact pass ranks). factor=1 skips the re-rank (pure ADC).
+    */
+  def cosineTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, codebookK: Int = 16,
+      dim: Int = 64, iters: Int = 2, seed: Long = 42L,
+      shortlistFactor: Int = 4): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    import graft.functions.VectorFunctions.dotF
+    val spark = corpus.sparkSession
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookK, dim,
+      iters, seed)
+    val dimSub = dim / m
+    val codes = pqEncode(corpus, idCol, vecCol, books)
+      .select(col("id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("j", "ci")), col("nrm"))
+    import spark.implicits._
+    val flat = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }
+    val cents = flat.toDF("j", "ci", "c")
+    // per-query LUT: partial dot of the query's j-th slice with every
+    // centroid of sub-space j — m*k rows per query, broadcast
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnrm", sqrt(dotF(col("qv"), col("qv"))))
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qnrm"), col("j"), col("ci"),
+        dotF(slice(col("qv"), col("j") * dimSub + 1, lit(dimSub)),
+          col("c")).as("pd"))
+    val scored = codes.join(broadcast(lut), Seq("j", "ci"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("qnrm"), col("nrm"))
+      .agg(sum(col("pd")).as("adot"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.safeRatio(col("adot"),
+          col("qnrm") * col("nrm")).as("sim"))
+    if (shortlistFactor == 1) topKPerQuery(scored, k)
+    else {
+      val shortlist = topKPerQuery(scored, k * shortlistFactor)
+        .select(col("query_id"), col("neighbor_id"))
+      val c = withCorpusNorm(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")))
+      val rescored = c.join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(withQueryNorm(q.select(col("query_id"),
+          col("qv")))), "query_id")
+        .withColumn("sim", simExpr)
+      topKPerQuery(rescored, k)
+    }
+  }
+
   /** Approximate top-k via IVF: corpus rows are indexed by nearest
     * codebook cell, each query probes its `nprobe` closest cells, and
     * exact cosine ranks the candidates — the second scale path next to

@@ -1278,6 +1278,24 @@ object Pipeline {
         ORDER BY doc_id
       """)),
 
+    // ---- PQ ANN: asymmetric-distance codes + exact re-rank -------------
+    // the memory-bound ANN path (codes are m bytes/vector, ~16x less
+    // than the floats); ADC shortlists, true vectors re-rank. Float
+    // k-means codebooks -> rows-only; recall pinned in PipelineSpec
+    // (0.91 re-ranked vs exact on the fixture).
+    QueryDef(
+      "q136_ann_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.cosineTopKPq(emb, queries, "vec_id", "embedding",
+            k = 5, m = 16, codebookK = 32, iters = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("sim"), 2).as("sim"))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      None),
+
     // ---- Incremental embedding near-dup (batch vs index) ---------------
     // the vector twin of q127: the batch probes yesterday's hyperplane
     // bucket + vector index relations. Hyperplane signs -> rows-only;

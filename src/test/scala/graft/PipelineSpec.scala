@@ -918,6 +918,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.nonEmpty, "fixture must actually produce cross pairs")
   }
 
+  test("PQ: deterministic codes, ADC recall vs exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    val c1 = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .select("id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c2 = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .select("id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 === c2, "encoding must be deterministic given the books")
+    assert(c1.values.forall(_.size == 8), "m codes per vector")
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(factor: Int): Double = {
+      val approx = Similarity.cosineTopKPq(emb, queries, "vec_id",
+          "embedding", k = 10, m = 16, codebookK = 32, iters = 3,
+          shortlistFactor = factor)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val adc = recallOf(1)
+    val refined = recallOf(4)
+    info(f"PQ recall@10: pure ADC $adc%.3f, shortlist re-rank $refined%.3f")
+    assert(adc >= 0.4,
+      f"ADC recall@10 $adc%.3f collapsed — quantization is broken")
+    assert(refined >= adc && refined >= 0.6,
+      f"re-ranked recall $refined%.3f must recover most of the exact set")
+  }
+
   test("nearDupEmbeddingIncremental equals the full LSH run restricted " +
       "to batch-touching pairs") {
     val emb = Tables.embeddings(spark, sf)
