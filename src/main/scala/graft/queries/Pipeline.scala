@@ -1282,7 +1282,7 @@ object Pipeline {
     // the memory-bound ANN path (codes are m bytes/vector, ~16x less
     // than the floats); ADC shortlists, true vectors re-rank. Float
     // k-means codebooks -> rows-only; recall pinned in PipelineSpec
-    // (0.91 re-ranked vs exact on the fixture).
+    // (0.92 re-ranked vs exact on the fixture).
     QueryDef(
       "q136_ann_pq",
       (s, d) => {
