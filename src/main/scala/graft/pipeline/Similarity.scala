@@ -540,4 +540,75 @@ object Similarity {
       .withColumn("sim", simExpr)
     topKPerQuery(scored, k)
   }
+
+  /** IVF-PQ — the production vector-index composition (FAISS's IVFPQ
+    * shape): the IVF coarse quantizer restricts WHICH vectors each
+    * query compares against (~nprobe/nlist of the corpus), and PQ
+    * codes bound HOW MANY BYTES each comparison touches (m bytes, not
+    * 4*dim floats); the ADC shortlist is re-ranked with true vectors
+    * exactly as in [[cosineTopKPq]]. This variant encodes raw vectors
+    * (not IVF residuals) — the simpler book-sharing form, documented
+    * deliberately: it keeps full-probe behavior EXACTLY equal to the
+    * plain PQ scan (the anchor PipelineSpec pins, the same
+    * full-probe==exact contract q72 uses for IVF).
+    */
+  def cosineTopKIvfPq(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, codebookK: Int = 16, dim: Int = 64,
+      iters: Int = 2, seed: Long = 42L,
+      shortlistFactor: Int = 4): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val spark = corpus.sparkSession
+    val coarse = centroidDf(spark,
+      ivfCodebook(corpus, idCol, vecCol, nlist, iters, seed))
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookK, dim,
+      iters, seed)
+    val dimSub = dim / m
+    val cAssigned = assign(
+      Dedup.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+        .withColumn("nrm", sqrt(dotF(col("v"), col("v")))), coarse)
+      .select(col("id"), col("cluster"))
+    val codes = pqEncode(corpus, idCol, vecCol, books)
+      .join(cAssigned, "id")
+      .select(col("id").as("neighbor_id"), col("cluster"),
+        posexplode(col("codes")).as(Seq("j", "ci")), col("nrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnrm", sqrt(dotF(col("qv"), col("qv"))))
+    val qProbes = q
+      .crossJoin(broadcast(coarse))
+      .select(col("query_id"),
+        graft.functions.VectorFunctions.safeRatio(dotF(col("qv"), col("c")),
+          col("qnrm") * col("cnrm")).as("sim"),
+        col("cluster"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cluster"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val lut = q.crossJoin(broadcast(flatBooks(spark, books)))
+      .select(col("query_id"), col("qnrm"), col("j"), col("ci"),
+        dotF(slice(col("qv"), col("j") * dimSub + 1, lit(dimSub)),
+          col("c")).as("pd"))
+    // the probed-cell restriction joins BEFORE the LUT: only codes in
+    // a query's nprobe cells are ever scored
+    val scored = codes.join(broadcast(qProbes), "cluster")
+      .join(broadcast(lut), Seq("query_id", "j", "ci"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("qnrm"), col("nrm"))
+      .agg(sum(col("pd")).as("adot"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.safeRatio(col("adot"),
+          col("qnrm") * col("nrm")).as("sim"))
+    if (shortlistFactor == 1) topKPerQuery(scored, k)
+    else {
+      val shortlist = topKPerQuery(scored, k * shortlistFactor)
+        .select(col("query_id"), col("neighbor_id"))
+      val c = withCorpusNorm(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")))
+      val rescored = c.join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(withQueryNorm(q.select(col("query_id"),
+          col("qv")))), "query_id")
+        .withColumn("sim", simExpr)
+      topKPerQuery(rescored, k)
+    }
+  }
 }

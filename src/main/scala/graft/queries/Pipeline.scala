@@ -1296,6 +1296,26 @@ object Pipeline {
       },
       None),
 
+    // ---- IVF-PQ ANN: cell restriction x byte-bounded comparisons -------
+    // the production composition: IVF bounds comparison COUNT
+    // (~nprobe/nlist of the corpus), PQ bounds comparison BYTES
+    // (m codes, not floats), exact re-rank on the shortlist. Float
+    // k-means -> rows-only; PipelineSpec pins full-probe == plain PQ
+    // exactly plus probed recall (0.70 at nprobe=4/8).
+    QueryDef(
+      "q137_ann_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.cosineTopKIvfPq(emb, queries, "vec_id", "embedding",
+            k = 5, nlist = 8, nprobe = 4, m = 16, codebookK = 32,
+            iters = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("sim"), 2).as("sim"))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      None),
+
     // ---- Incremental embedding near-dup (batch vs index) ---------------
     // the vector twin of q127: the batch probes yesterday's hyperplane
     // bucket + vector index relations. Hyperplane signs -> rows-only;

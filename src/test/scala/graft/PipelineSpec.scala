@@ -951,6 +951,29 @@ class PipelineSpec extends AnyFunSuite {
       f"re-ranked recall $refined%.3f must recover most of the exact set")
   }
 
+  test("IVF-PQ: full probe equals plain PQ exactly; probed recall holds") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = rows(Similarity.cosineTopKPq(emb, queries, "vec_id",
+      "embedding", k = 10, m = 16, codebookK = 32, iters = 3))
+    val fullProbe = rows(Similarity.cosineTopKIvfPq(emb, queries,
+      "vec_id", "embedding", k = 10, nlist = 8, nprobe = 8, m = 16,
+      codebookK = 32, iters = 3))
+    assert(fullProbe === pq,
+      "probing every cell must reproduce the plain PQ scan exactly")
+    val exact = rows(Similarity.cosineTopK(emb, queries, "vec_id",
+      "embedding", k = 10))
+    val probed = rows(Similarity.cosineTopKIvfPq(emb, queries, "vec_id",
+      "embedding", k = 10, nlist = 8, nprobe = 4, m = 16,
+      codebookK = 32, iters = 3))
+    val recall = (exact & probed).size.toDouble / exact.size
+    info(f"IVF-PQ recall@10 at nprobe=4/8 = $recall%.3f")
+    assert(recall >= 0.5, f"probed recall $recall%.3f collapsed")
+  }
+
   test("nearDupEmbeddingIncremental equals the full LSH run restricted " +
       "to batch-touching pairs") {
     val emb = Tables.embeddings(spark, sf)
