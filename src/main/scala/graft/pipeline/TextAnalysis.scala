@@ -306,6 +306,52 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol),
         lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_chunks"))
 
+  /** Context-window chunking: split each document into stride-spaced
+    * token windows of `chunkTokens` tokens overlapping by
+    * `overlapTokens` — the standard pre-training / RAG preparation
+    * step that turns variable-length documents into model-sized
+    * pieces while the overlap preserves cross-boundary context.
+    *
+    * Chunk k covers tokens [k*stride, k*stride + chunkTokens) with
+    * stride = chunkTokens - overlapTokens; the window count is the
+    * minimal number covering every token (1 + ceil((n-chunk)/stride)
+    * for n > chunk), so only the FINAL chunk may be short and no
+    * degenerate window fully contained in its predecessor is emitted.
+    * Empty/whitespace-only documents produce zero chunks.
+    *
+    * Scale: a pure projection + posexplode — ZERO shuffle, stays in
+    * whole-stage codegen end to end. At 100 TB this is a scan whose
+    * output feeds straight into tokenize/pack; the alternative
+    * (per-token explode + group back by chunk id) would shuffle the
+    * entire tokenized corpus. Output rows carry (id, chunk_id,
+    * start_token, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    // integer ceil((n-chunk)/stride); exact for any n that fits an
+    // int since doubles hold integers < 2^53
+    val extra = greatest(size(col("toks")) - chunkTokens, lit(0))
+    val nChunks = lit(1) + floor((extra + (stride - 1)) / stride)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      // sequence(0, -1) would generate a DESCENDING range, not an
+      // empty one — empty docs need the explicit empty array
+      .withColumn("chunks",
+        when(size(col("toks")) <= 0, array().cast("array<array<string>>"))
+          .otherwise(transform(sequence(lit(0), (nChunks - 1).cast("int")),
+            k => slice(col("toks"), k * stride + 1, lit(chunkTokens)))))
+      .select(col(idCol),
+        posexplode(col("chunks")).as(Seq("chunk_id", "chunk_toks")))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_token"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+  }
+
   /** Document fingerprint: min-md5 over word 3-shingles (a 1-hash
     * winnowing sketch) + shingle cardinality. String min over md5 hex is
     * engine-portable (md5 is everywhere; xxhash64 is not).

@@ -1354,6 +1354,45 @@ object Pipeline {
             round(col("jaccard"), 2).as("jaccard"))
           .orderBy(col("id1"), col("id2"))
       },
-      None)
+      None),
+
+    // ---- Context-window chunking ---------------------------------------
+    // pre-training/RAG preparation: stride-spaced 64-token windows with
+    // 16-token overlap. Zero-shuffle projection + posexplode; the
+    // oracle spells the same windows via range() + list_slice, pinning
+    // the window-count arithmetic and the boundary tokens exactly.
+    QueryDef(
+      "q138_chunking",
+      (s, d) => TextAnalysis.chunkDocuments(docs(s, d), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 0 THEN 0
+                      ELSE 1 + CAST(floor(
+                        (greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT)
+                 END AS n_chunks
+          FROM t
+        ), c AS (
+          SELECT doc_id, toks,
+                 CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+          FROM s
+        )
+        SELECT doc_id, chunk_id,
+               CAST(chunk_id * 48 AS INT) AS start_token,
+               CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64))
+                    AS INT) AS n_chunk_tokens,
+               array_to_string(
+                 list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64),
+                 ' ') AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_id
+      """))
   )
 }

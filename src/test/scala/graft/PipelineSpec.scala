@@ -1098,4 +1098,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the bucket-sized model must broadcast:\n$p")
   }
+
+  test("chunkDocuments: windows cover every token once per stride slot, " +
+      "overlap is exact, empty docs emit nothing, plan has no exchange") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 3 chunks of 10/s=8
+      (2L, "a b c"),                                  // shorter than chunk
+      (3L, ""), (4L, "   \t  "),                      // no tokens -> no rows
+      (5L, (1 to 18).map(i => s"u$i").mkString(" "))  // exactly 1+ceil(8/8)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 10, overlapTokens = 2)
+    val rows = got.as[(Long, Int, Int, Int, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    // doc 1: n=25, stride=8 -> starts 0,8,16; last chunk short (9 toks)
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0, 0, 10), (1, 8, 10), (2, 16, 9)))
+    // overlap: chunk k's first `overlap` tokens == chunk k-1's last ones
+    val c0 = d1(0)._5.split(" "); val c1 = d1(1)._5.split(" ")
+    assert(c0.takeRight(2).toSeq == c1.take(2).toSeq)
+    // reconstruction: dropping each chunk's overlap prefix (k>0) and
+    // concatenating rebuilds the document exactly — nothing lost or
+    // duplicated by the window arithmetic
+    val rebuilt = d1.flatMap(r =>
+      r._5.split(" ").drop(if (r._2 == 0) 0 else 2)).toSeq
+    assert(rebuilt == (1 to 25).map(i => s"t$i"))
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._4, r._5)).toSeq ==
+      Seq((0, 3, "a b c")))
+    assert(!rows.exists(r => r._1 == 3L || r._1 == 4L))
+    // n=18, chunk=10, stride=8: starts 0 and 8 — the second window ends
+    // exactly at the document end, no degenerate third window
+    assert(rows.filter(_._1 == 5L).map(_._3).toSeq == Seq(0, 8))
+    // zero-shuffle contract: chunking is a scan, not an exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }
