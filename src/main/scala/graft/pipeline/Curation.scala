@@ -366,6 +366,62 @@ object Curation {
       .drop("__u", "__rn")
   }
 
+  /** Per-stratum quality cut: keep the top `percent`% of rows in each
+    * stratum, ranked by (score desc, id asc) — the classifier-score
+    * filter every curation pipeline applies ("top 30% per language").
+    * The quota is integer arithmetic, ceil(n*percent/100) via
+    * (n*percent + 99) div 100, so engines agree at every boundary
+    * (a double `frac*n` can land on either side of an integer).
+    *
+    * Scale: the naive spelling is row_number over
+    * (stratum, score desc) — a full-corpus exchange hashed on a
+    * HANDFUL of stratum keys, i.e. maximal skew: one task per
+    * language sorts that language's entire corpus. This never ranks
+    * the corpus: a per-(stratum, score) histogram (small — score
+    * cardinality is bounded for integer/bucketed classifier scores) is
+    * aggregated map-side, a running count over that tiny relation
+    * finds each stratum's threshold score, and the corpus is filtered
+    * against the broadcast thresholds. Only the TIE GROUP (rows at
+    * exactly the threshold score) is ranked, and a tie group is one
+    * score value per stratum. Pinned equal to the naive window in
+    * PipelineSpec.
+    */
+  def topPercentPerStratum(df: DataFrame, idCol: String,
+      stratumCol: String, scoreCol: String, percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent must be in [0,100]")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol).desc)
+    val hist = df.groupBy(col(stratumCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__before", coalesce(sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__k",
+        (sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)) * percent + 99) / 100)
+      .withColumn("__k", floor(col("__k")).cast("long"))
+    // per stratum: the lowest fully-admitted score (cum <= quota) and
+    // the single partially-admitted tie score straddling the quota
+    val th = hist.groupBy(col(stratumCol)).agg(
+      min(when(col("__before") + col("__c") <= col("__k"),
+        col(scoreCol))).as("__full_min"),
+      max(when(col("__before") < col("__k") &&
+        col("__before") + col("__c") > col("__k"),
+        col(scoreCol))).as("__tie_score"),
+      max(when(col("__before") < col("__k") &&
+        col("__before") + col("__c") > col("__k"),
+        col("__k") - col("__before"))).as("__tie_quota"))
+    val joined = df.join(broadcast(th), stratumCol)
+    val full = joined.filter(col("__full_min").isNotNull &&
+      col(scoreCol) >= col("__full_min"))
+    val ties = joined.filter(col("__tie_score").isNotNull &&
+        col(scoreCol) === col("__tie_score"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col(idCol))))
+      .filter(col("__rn") <= col("__tie_quota"))
+      .drop("__rn")
+    full.unionByName(ties)
+      .drop("__full_min", "__tie_score", "__tie_quota")
+  }
+
   /** Hashed unigram+bigram features of a text column, exploded to one
     * (id, bucket) row per feature OCCURRENCE (counts matter to the
     * n-gram language models below, so no distinct). The bucket is the

@@ -1393,6 +1393,33 @@ object Pipeline {
                  ' ') AS chunk_text
         FROM c
         ORDER BY doc_id, chunk_id
+      """)),
+
+    // ---- Per-stratum quality cut ---------------------------------------
+    // keep the top 30% of documents per language by n_chars (the
+    // integer stand-in for a classifier score). The implementation is
+    // the histogram+threshold plan (never ranks the corpus); the
+    // oracle is the naive per-stratum row_number spelling, so the gate
+    // is exactly "the skew-free plan equals the obvious one",
+    // including id-ordered tie admission at the threshold score.
+    QueryDef(
+      "q139_quality_cut",
+      (s, d) => graft.pipeline.Curation.topPercentPerStratum(
+          Tables.documents(s, d), "doc_id", "lang", "n_chars", percent = 30)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT doc_id, lang, n_chars
+        FROM ranked
+        WHERE rn <= (n * 30 + 99) // 100
+        ORDER BY lang, doc_id
       """))
   )
 }

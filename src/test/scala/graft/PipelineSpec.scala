@@ -1099,6 +1099,36 @@ class PipelineSpec extends AnyFunSuite {
       s"the bucket-sized model must broadcast:\n$p")
   }
 
+  test("topPercentPerStratum equals the naive per-stratum window at " +
+      "every percent, with id-ordered tie admission") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    import org.apache.spark.sql.expressions.Window
+    // tie-heavy: scores drawn from a tiny domain so the quota almost
+    // always lands INSIDE a tie group, plus a stratum smaller than any
+    // quota and a single-score stratum (all ties)
+    val df = (1 to 400).map(i =>
+        (i.toLong, s"s${i % 3}", (i * 7919) % 5)).toDF("id", "g", "score")
+      .unionByName(Seq((1001L, "tiny", 9), (1002L, "mono", 4),
+        (1003L, "mono", 4), (1004L, "mono", 4)).toDF("id", "g", "score"))
+    for (p <- Seq(0, 17, 30, 50, 100)) {
+      val got = Curation.topPercentPerStratum(df, "id", "g", "score", p)
+        .select("id").as[Long].collect().toSet
+      val naive = df
+        .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("rn") <= (col("n") * p + 99).cast("long") / 100)
+        .select("id").as[Long].collect().toSet
+      assert(got == naive, s"percent=$p")
+    }
+    // the corpus-side joins must broadcast the tiny threshold relation
+    val plan = Curation.topPercentPerStratum(df, "id", "g", "score", 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast:\n$plan")
+  }
+
   test("chunkDocuments: windows cover every token once per stride slot, " +
       "overlap is exact, empty docs emit nothing, plan has no exchange") {
     import spark.implicits._
