@@ -71,6 +71,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Exact row count of the current snapshot. When the snapshot carries
+    * no delete files the answer is manifest arithmetic — the sum of
+    * per-file record counts, ZERO data I/O and zero Spark jobs (the
+    * same shortcut as Iceberg's count(*) aggregate pushdown): at
+    * 100 TB this answers in driver-side milliseconds from O(#files)
+    * metadata. With merge-on-read delete files present the manifest
+    * alone is unsound — positional pointers can go stale (double
+    * deletes, compacted targets) and equality deletes can't be counted
+    * without reading keys — so the count falls back to the merged
+    * read; `rewriteDeleteFiles()`/`rewriteDataFiles()` restore the
+    * fast path.
+    */
+  def countRows(): Long = {
+    val m = meta
+    m.currentSnapshot match {
+      case None                             => 0L
+      case Some(s) if s.deleteFiles.isEmpty => s.files.map(_.recordCount).sum
+      case Some(s) => liveRows(m, s, s.files).count()
+    }
+  }
+
   /** Partition-pruned read: keeps only files whose recorded partition
     * values pass `keep`. Metadata-only pruning — at 100 TB this is the
     * difference between scanning a day and scanning the table.

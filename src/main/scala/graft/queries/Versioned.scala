@@ -1112,6 +1112,37 @@ object Versioned {
           SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type
           FROM nation WHERE n_nationkey >= 15 AND n_nationkey < 18
         ) ORDER BY n_nationkey, _change_type
+      """)),
+
+    // ---- Manifest-only count fast path ---------------------------------
+    // countRows answers count(*) from manifest record counts with zero
+    // data I/O when no delete files exist (Iceberg's count(*) aggregate
+    // pushdown shortcut), and falls back to counting the merged read
+    // once MoR deletes make manifest arithmetic unsound. Both paths in
+    // one result; EngineSpec pins the zero-I/O claim by counting a
+    // table whose data file was deleted from disk.
+    QueryDef(
+      "q140_count_fast_path",
+      (s, d) => {
+        import s.implicits._
+        val (nFast, nMor) = setupOnce("q140", d) {
+          val t = GraftTable.createAs(s, scratch("cnt"), "orders_cnt",
+            Tables.orders(s, d))
+          val fast = t.countRows()
+          t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+          t.delete(col("o_orderstatus") === "F")
+          (fast, t.countRows())
+        }
+        Seq(("fast", nFast), ("mor_fallback", nMor)).toDF("path", "n_rows")
+          .orderBy(col("path"))
+      },
+      Some("""
+        SELECT 'fast' AS path, CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'mor_fallback', CAST(count(*) AS BIGINT)
+        FROM orders WHERE NOT (o_orderstatus = 'F')
+        ORDER BY path
       """))
   )
 }

@@ -1103,4 +1103,37 @@ class EngineSpec extends AnyFunSuite {
       properties = Map("write.distribution-mode" -> "cluster"))
     intercept[IllegalArgumentException](t.append(Seq(1L).toDF("id")))
   }
+
+  test("countRows: manifest-only with no deletes (answers even with the " +
+      "data files gone from disk), exact fallback under MoR deletes") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "cnt", Seq("id" -> "long"))
+    t.append((1L to 100L).toDF("id"))
+    t.append((101L to 130L).toDF("id"))
+    assert(t.countRows() == 130L)
+    // zero-data-I/O pin: remove every data parquet from disk — the
+    // manifest path must still answer, where any scan would throw
+    val dataDir = java.nio.file.Paths.get(loc, "data")
+    val moved = java.nio.file.Files.list(dataDir).iterator().asScala
+      .toSeq.map { p =>
+      val away = p.resolveSibling(p.getFileName.toString + ".away")
+      java.nio.file.Files.move(p, away); (away, p)
+    }
+    assert(moved.nonEmpty)
+    assert(t.countRows() == 130L)
+    moved.foreach { case (away, back) => java.nio.file.Files.move(away, back) }
+    // MoR deletes: manifest arithmetic is unsound, fallback counts the
+    // merged read (and a double-delete of the same rows keeps it exact)
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") <= 10L)
+    t.delete(col("id") <= 20L) // overlapping tombstones
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    assert(t.countRows() == 110L)
+    assert(t.countRows() == t.read().count())
+    // maintenance restores the manifest fast path
+    t.rewriteDataFiles()
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    assert(t.countRows() == 110L)
+  }
 }
