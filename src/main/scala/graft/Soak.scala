@@ -88,7 +88,17 @@ object Soak {
       "quality_gate" -> (d => graft.pipeline.TextAnalysis
         .gopherFilter(d, "doc_id", "text", minWords = 20)
         .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
-          count(lit(1)).as("n"))))
+          count(lit(1)).as("n"))),
+      "chunking" -> (d => graft.pipeline.TextAnalysis
+        .chunkDocuments(d, "doc_id", "text", chunkTokens = 64,
+          overlapTokens = 16)
+        .agg(count(lit(1)).as("n"), sum(col("n_chunk_tokens")).as("t"))),
+      // score on length(text): integer-valued, high-cardinality enough
+      // to exercise the histogram path at both scales
+      "quality_cut" -> (d => graft.pipeline.Curation
+        .topPercentPerStratum(d.withColumn("score", length(col("text"))),
+          "doc_id", "lang", "score", percent = 30)
+        .agg(count(lit(1)).as("kept"))))
 
     // FACTOR× events for the temporal joins: each copy shifts time by
     // k × 32 days (past the fixture's one-month span), so event DENSITY
