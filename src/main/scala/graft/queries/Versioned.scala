@@ -1143,6 +1143,56 @@ object Versioned {
         SELECT 'mor_fallback', CAST(count(*) AS BIGINT)
         FROM orders WHERE NOT (o_orderstatus = 'F')
         ORDER BY path
+      """)),
+
+    // ---- Incremental aggregate maintenance -----------------------------
+    // keep a grouped count/sum live across append + CoW delete (killing
+    // a whole group) + MoR update (shifting sum mass) by folding ONLY
+    // the changelog into the aggregate state — the base table is
+    // scanned once at bootstrap, never again. The oracle recomputes the
+    // final aggregate from scratch, so the gate is "incremental ==
+    // full recompute" across every DML kind.
+    QueryDef(
+      "q141_incremental_agg",
+      (s, d) => {
+        import graft.operators.IncrementalAgg
+        val keys = Seq("o_orderstatus"); val sums = Seq("o_custkey")
+        val st = setupOnce("q141", d) {
+          val t = GraftTable.createAs(s, scratch("iva"), "orders_iva",
+            Tables.orders(s, d))
+          val s0 = t.meta.currentSnapshot.get.snapshotId
+          val state0 = IncrementalAgg
+            .initial(t.readAsOfVersion(s0), keys, sums).localCheckpoint()
+          t.append(Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0))
+          t.delete(col("o_orderstatus") === "P")
+          t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+          t.update(col("o_orderkey") % 11 === 0,
+            Map("o_custkey" -> (col("o_custkey") + 1)))
+          val sN = t.meta.currentSnapshot.get.snapshotId
+          IncrementalAgg.merge(state0,
+            IncrementalAgg.delta(t.changelog(Some(s0), sN), keys, sums),
+            keys, sums).localCheckpoint()
+        }
+        IncrementalAgg.present(st, keys, sums)
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        WITH final AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1
+                      ELSE o_custkey END AS o_custkey,
+                 o_orderstatus
+          FROM (
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            WHERE o_orderkey % 7 = 0
+          )
+          WHERE NOT (o_orderstatus = 'P')
+        )
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey
+        FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
       """))
   )
 }

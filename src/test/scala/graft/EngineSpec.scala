@@ -1104,6 +1104,54 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.append(Seq(1L).toDF("id")))
   }
 
+  test("IncrementalAgg: delta+merge over the changelog equals a full " +
+      "recompute across append/delete/update, null keys and null sums, " +
+      "dead groups dropped") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val t = GraftTable.create(spark, tmp(), "iva",
+      Seq("id" -> "long", "k" -> "string", "x" -> "long"))
+    val keys = Seq("k"); val sums = Seq("x")
+    def full = {
+      val g = t.read().groupBy("k")
+        .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"))
+      g.collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("n_rows"), Option(r.getAs[Any]("sum_x")))).toSet
+    }
+    def presented(st: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.present(st, keys, sums).collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+          Option(r.getAs[Any]("sum_x")))).toSet
+
+    t.append(Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, null, Some(5L)),
+      (4L, "b", Some(7L)), (5L, "nullsum", None))
+      .toDF("id", "k", "x"))
+    val s1 = t.meta.currentSnapshot.get.snapshotId
+    var state = IncrementalAgg.initial(t.readAsOfVersion(s1), keys, sums)
+      .localCheckpoint()
+    assert(presented(state) == full)
+
+    // append (incl. a new group and more null-key rows)
+    t.append(Seq((6L, "b", Some(1L)), (7L, null, None), (8L, "c", Some(2L)))
+      .toDF("id", "k", "x"))
+    // CoW delete kills group "nullsum" entirely and thins "a"
+    t.delete(col("k") === "nullsum" || col("id") === 1L)
+    // MoR update moves sum mass within "b"
+    t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    t.update(col("id") === 4L, Map("x" -> lit(100L)))
+    val s4 = t.meta.currentSnapshot.get.snapshotId
+    state = IncrementalAgg.merge(state,
+      IncrementalAgg.delta(t.changelog(Some(s1), s4), keys, sums),
+      keys, sums).localCheckpoint()
+    assert(presented(state) == full)
+    // the dead group must have left the state, not linger at zero
+    assert(!IncrementalAgg.present(state, keys, sums).collect()
+      .exists(_.getAs[String]("k") == "nullsum"))
+    // group "a" is down to its one NULL-x row: count 1, sum NULL —
+    // the running sum alone would wrongly present 0 here; nn_x pins it
+    assert(presented(state).contains(("a", 1L, None)))
+  }
+
   test("countRows: manifest-only with no deletes (answers even with the " +
       "data files gone from disk), exact fallback under MoR deletes") {
     import spark.implicits._
