@@ -59,7 +59,15 @@ object IncrementalAgg {
     * changed groups) rows, never the base table.
     */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
-      sums: Seq[String]): DataFrame = {
+      sums: Seq[String]): DataFrame =
+    merge(state, delta, keys, sums, dropDead = true)
+
+  /** `dropDead = false` keeps zero-count groups as explicit rows — the
+    * shape a KEYED-UPSERT state store needs (an upsert can replace a
+    * group's row but not remove it; [[present]] filters the zeros).
+    */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      sums: Seq[String], dropDead: Boolean): DataFrame = {
     val s = state.alias("s"); val d = delta.alias("d")
     val on = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
     val keyCols = keys.map(k =>
@@ -71,9 +79,9 @@ object IncrementalAgg {
       (coalesce(col(s"s.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c)
     val valCols = add("n_rows") +:
       sums.flatMap(c => Seq(add(s"sum_$c"), add(s"nn_$c")))
-    s.join(d, on, "full_outer")
+    val merged = s.join(d, on, "full_outer")
       .select((keyCols ++ valCols): _*)
-      .filter(col("n_rows") > 0)
+    if (dropDead) merged.filter(col("n_rows") > 0) else merged
   }
 
   /** Bootstrap state by a one-time full aggregation of the base (the
@@ -84,11 +92,14 @@ object IncrementalAgg {
     delta(base.withColumn("_change_type", lit("insert")), keys, sums)
 
   /** User-facing view of the state: count plus SQL-semantics sums
-    * (NULL when no live non-null value remains in the group).
+    * (NULL when no live non-null value remains in the group); zero-count
+    * rows a keyed-upsert store keeps (`dropDead = false`) are hidden —
+    * GROUP BY would not emit them.
     */
   def present(state: DataFrame, keys: Seq[String],
       sums: Seq[String]): DataFrame =
-    state.select((keys.map(col) :+ col("n_rows")) ++
-      sums.map(c =>
-        when(col(s"nn_$c") > 0, col(s"sum_$c")).as(s"sum_$c")): _*)
+    state.filter(col("n_rows") > 0)
+      .select((keys.map(col) :+ col("n_rows")) ++
+        sums.map(c =>
+          when(col(s"nn_$c") > 0, col(s"sum_$c")).as(s"sum_$c")): _*)
 }

@@ -70,4 +70,41 @@ object GraftTableSink {
       ()
     }
   }
+
+  /** Continuously maintained aggregate: a foreachBatch function for a
+    * `changes`-mode stream ([[GraftTableStream.readChanges]]) that
+    * folds each CDC micro-batch into a grouped count/sum state table
+    * via [[graft.operators.IncrementalAgg]] — a materialized GROUP BY
+    * view that stays live across the source's appends, deletes,
+    * updates, and upserts without ever rescanning the source.
+    *
+    *   state schema: keys ++ (n_rows, and per sum col c: sum_c, nn_c)
+    *   read it with IncrementalAgg.present(state.read(), keys, sums)
+    *
+    * The initial-load batch (current rows as inserts) bootstraps the
+    * state, so a fresh checkpoint against an existing source needs no
+    * separate backfill. Per batch: delta over O(batch) rows, a
+    * semi-join picking the touched groups out of the O(#groups)
+    * state, and one keyed upsert carrying the merged rows + batch-id
+    * watermark atomically — replays no-op. Dead groups persist as
+    * zero-count rows (an upsert cannot remove a key); `present`
+    * hides them, and a periodic compaction can physically drop them.
+    */
+  def maintainAggBatch(state: GraftTable, keys: Seq[String],
+      sums: Seq[String], name: String): (DataFrame, Long) => Unit = {
+    require(name.nonEmpty, "sink name must be non-empty")
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.operators.IncrementalAgg
+    (changes: DataFrame, batchId: Long) => {
+      val d = IncrementalAgg.delta(changes, keys, sums)
+      val cur = state.read()
+      val touched = cur.join(broadcast(d.select(keys.map(col): _*)),
+        keys.map(k => cur(s"`$k`") <=> d(s"`$k`")).reduce(_ && _),
+        "left_semi")
+      state.upsertIfNewMarker(
+        IncrementalAgg.merge(touched, d, keys, sums, dropDead = false),
+        keys, s"graft.streaming.$name.batch-id", batchId)
+      ()
+    }
+  }
 }

@@ -554,4 +554,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"streaming gate diverged: ${got.size}/${want.size}")
     assert(got.nonEmpty)
   }
+
+  test("continuously maintained aggregate: changes stream + " +
+      "IncrementalAgg fold into a graft state table equals full " +
+      "recompute across DML; replays and empty drains no-op") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import graft.operators.IncrementalAgg
+    import graft.streaming.{GraftTableSink, GraftTableStream}
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = Files.createTempDirectory("graft-magg-src").toString
+    val ckpt = Files.createTempDirectory("graft-magg-ckpt").toString
+    val keys = Seq("k"); val sums = Seq("x")
+    val src = GraftTable.create(spark, loc, "agg_src",
+      Seq("id" -> "long", "k" -> "string", "x" -> "long"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    val state = GraftTable.createAs(spark,
+      Files.createTempDirectory("graft-magg-state").toString, "agg_state",
+      IncrementalAgg.initial(src.read(), keys, sums).filter(lit(false)))
+    def drain(): Unit = {
+      val q = GraftTableStream.readChanges(spark, loc).writeStream
+        .foreachBatch(GraftTableSink.maintainAggBatch(state, keys, sums,
+          "magg"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    def presented = IncrementalAgg.present(state.read(), keys, sums)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+        Option(r.getAs[Any]("sum_x")))).toSet
+    def full = src.read().groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n"),
+        Option(r.getAs[Any]("s")))).toSet
+
+    // initial load bootstraps the state (incl. a NULL key group)
+    src.append(Seq((1L, "a", Some(10L)), (2L, "a", None),
+      (3L, null, Some(5L)), (4L, "b", Some(7L))).toDF("id", "k", "x"))
+    drain()
+    assert(presented == full)
+    // CDC tier: upsert moves id=4's mass, MoR delete kills group "a"
+    val up = GraftTableSink.upsertBatchEq(src, Seq("id"), "cdc")
+    up(Seq((4L, "b", Some(100L))).toDF("id", "k", "x"), 0L)
+    src.delete(col("k") === "a")
+    drain()
+    assert(presented == full)
+    // dead group hidden by present, held as a zero row in the store
+    assert(!presented.exists(_._1 == "a"))
+    assert(state.read().filter(col("k") === "a")
+      .select("n_rows").as[Long].collect().toSeq == Seq(0L))
+    // nothing new: a drain with no commits leaves the state untouched
+    val before = state.meta.currentSnapshot.get.snapshotId
+    drain()
+    assert(state.meta.currentSnapshot.get.snapshotId == before)
+  }
 }
