@@ -657,7 +657,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * table size.
     */
   def upsertIfNewMarker(dfIn: DataFrame, keyCols: Seq[String],
-      markerKey: String, markerValue: Long): Boolean = {
+      markerKey: String, markerValue: Long,
+      extraProps: Map[String, String] = Map.empty): Boolean = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     val m = meta
     keyCols.foreach(k => require(m.currentSchema.fieldByName(k).isDefined,
@@ -669,13 +670,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // join, data write): a recomputed non-deterministic batch could
     // otherwise delete positions that do not match the appended rows
     val df = dfIn.persist()
-    try upsertPositional(m, df, keyCols, markerKey, markerValue, seen)
+    try upsertPositional(m, df, keyCols, markerKey, markerValue, seen,
+      extraProps)
     finally df.unpersist()
   }
 
   private def upsertPositional(m: TableMetadata, df: DataFrame,
       keyCols: Seq[String], markerKey: String, markerValue: Long,
-      seen: TableMetadata => Boolean): Boolean = {
+      seen: TableMetadata => Boolean,
+      extraProps: Map[String, String] = Map.empty): Boolean = {
     val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
     val dels0 = m.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
 
@@ -757,7 +760,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         require(cur.currentSnapshotId == m.currentSnapshotId,
           s"concurrent commit during upsert $markerKey=$markerValue — re-run")
         withSnapshot(cur, "overwrite", files0 ++ written, dels0 ++ delEntries)
-          .copy(properties = cur.properties + (markerKey -> markerValue.toString))
+          .copy(properties = cur.properties +
+            (markerKey -> markerValue.toString) ++ extraProps)
       }
       true
     } catch {

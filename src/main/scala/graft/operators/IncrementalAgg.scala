@@ -84,6 +84,59 @@ object IncrementalAgg {
     if (dropDead) merged.filter(col("n_rows") > 0) else merged
   }
 
+  /** Rows a keyed-upsert state store must write to absorb `d`: the
+    * touched slice of the stored state (null-safe semi-join against
+    * the delta's keys — O(changed groups) out of O(#groups)) merged
+    * with the delta, dead groups kept as zero rows (an upsert cannot
+    * remove a key; [[present]] hides them). Shared by the streaming
+    * sink and [[refresh]].
+    */
+  def foldDelta(stateDf: DataFrame, d: DataFrame,
+      keys: Seq[String], sums: Seq[String]): DataFrame = {
+    val touched = stateDf.join(broadcast(d.select(keys.map(col): _*)),
+      keys.map(k => stateDf(s"`$k`") <=> d(s"`$k`")).reduce(_ && _),
+      "left_semi")
+    merge(touched, d, keys, sums, dropDead = false)
+  }
+
+  /** REFRESH MATERIALIZED VIEW, one call: fold the base table's
+    * changelog SINCE THE LAST REFRESH into a maintained-aggregate
+    * state table. The last-applied base snapshot rides on the state
+    * table itself (`graft.agg.<name>.from-snapshot`), committed
+    * atomically with the fold through the upsert's marker machinery —
+    * a crashed/replayed refresh can never double-apply, and a
+    * concurrent refresher loses the marker race and returns false.
+    * First call bootstraps from the full changelog (creation → now).
+    *
+    * O(changed rows) + O(touched groups) per call; the base table is
+    * never rescanned after bootstrap. If the recorded from-snapshot
+    * was expired/rolled back on the base, the changelog fails loudly —
+    * clear the state table and re-bootstrap.
+    *
+    * Returns true when a fold was applied, false when already current
+    * (or the base has no snapshot yet).
+    */
+  def refresh(base: graft.engine.GraftTable, state: graft.engine.GraftTable,
+      keys: Seq[String], sums: Seq[String],
+      name: String = "default"): Boolean = {
+    val markerKey = s"graft.agg.$name.refresh"
+    val fromKey = s"graft.agg.$name.from-snapshot"
+    val sm = state.meta
+    val target = base.meta.currentSnapshot.map(_.snapshotId) match {
+      case None => return false
+      case Some(t) => t
+    }
+    val from = sm.properties.get(fromKey).map(_.toLong)
+    if (from.contains(target)) return false
+    // snapshot ids are random — the monotonic marker is a refresh
+    // counter; the applied snapshot rides as an extra property of the
+    // SAME atomic commit
+    val next = sm.properties.get(markerKey).map(_.toLong + 1).getOrElse(0L)
+    val d = delta(base.changelog(from, target), keys, sums)
+    state.upsertIfNewMarker(foldDelta(state.read(), d, keys, sums),
+      keys, markerKey, next, Map(fromKey -> target.toString))
+  }
+
   /** Bootstrap state by a one-time full aggregation of the base (the
     * only O(table) step; every refresh after is [[delta]]+[[merge]]).
     */

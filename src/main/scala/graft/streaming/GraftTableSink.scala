@@ -93,16 +93,11 @@ object GraftTableSink {
   def maintainAggBatch(state: GraftTable, keys: Seq[String],
       sums: Seq[String], name: String): (DataFrame, Long) => Unit = {
     require(name.nonEmpty, "sink name must be non-empty")
-    import org.apache.spark.sql.functions.{broadcast, col}
     import graft.operators.IncrementalAgg
     (changes: DataFrame, batchId: Long) => {
       val d = IncrementalAgg.delta(changes, keys, sums)
-      val cur = state.read()
-      val touched = cur.join(broadcast(d.select(keys.map(col): _*)),
-        keys.map(k => cur(s"`$k`") <=> d(s"`$k`")).reduce(_ && _),
-        "left_semi")
       state.upsertIfNewMarker(
-        IncrementalAgg.merge(touched, d, keys, sums, dropDead = false),
+        IncrementalAgg.foldDelta(state.read(), d, keys, sums),
         keys, s"graft.streaming.$name.batch-id", batchId)
       ()
     }

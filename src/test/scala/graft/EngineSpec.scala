@@ -1152,6 +1152,41 @@ class EngineSpec extends AnyFunSuite {
     assert(presented(state).contains(("a", 1L, None)))
   }
 
+  test("IncrementalAgg.refresh: one-call materialized-view refresh " +
+      "bootstraps, folds only new commits, and no-ops when current") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val keys = Seq("k"); val sums = Seq("x")
+    val base = GraftTable.create(spark, tmp(), "mv_base",
+      Seq("id" -> "long", "k" -> "string", "x" -> "long"))
+    val state = GraftTable.createAs(spark, tmp(), "mv_state",
+      IncrementalAgg.initial(base.read(), keys, sums).filter(lit(false)))
+    def presented = IncrementalAgg.present(state.read(), keys, sums)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+        Option(r.getAs[Any]("sum_x")))).toSet
+    def full = base.read().groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n"),
+        Option(r.getAs[Any]("s")))).toSet
+
+    // empty base: nothing to do
+    assert(!IncrementalAgg.refresh(base, state, keys, sums))
+    base.append(Seq((1L, "a", Some(3L)), (2L, "b", None), (3L, "b", Some(4L)))
+      .toDF("id", "k", "x"))
+    assert(IncrementalAgg.refresh(base, state, keys, sums)) // bootstrap
+    assert(presented == full)
+    assert(!IncrementalAgg.refresh(base, state, keys, sums)) // current
+    // two base commits fold in one refresh
+    base.append(Seq((4L, "a", Some(7L))).toDF("id", "k", "x"))
+    base.delete(col("k") === "b")
+    assert(IncrementalAgg.refresh(base, state, keys, sums))
+    assert(presented == full)
+    assert(!presented.exists(_._1 == "b"))
+    // the applied base snapshot rides on the state table
+    assert(state.meta.properties("graft.agg.default.from-snapshot").toLong
+      == base.meta.currentSnapshot.get.snapshotId)
+  }
+
   test("countRows: manifest-only with no deletes (answers even with the " +
       "data files gone from disk), exact fallback under MoR deletes") {
     import spark.implicits._
