@@ -26,6 +26,8 @@ import graft.engine.GraftTable
   *   CALL graft.system.rewrite_delete_files('db.t' [, <target_files>])
   *   CALL graft.system.upsert('db.t', '<source view>', 'k1,k2',
   *     '<marker_key>', <marker_value> [, 'positional'|'equality'])
+  *   CALL graft.system.refresh_agg('db.state', 'db.base', 'k1,k2',
+  *     's1,s2' [, '<name>'])   -- materialized count/sum view refresh
   *   CALL graft.system.remove_orphan_files('db.t')
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
@@ -99,6 +101,19 @@ object GraftProcedures {
       Seq(in("table", StringType), in("zorder_by", StringType)),
       (w, r) => table(w, str(r, 0)).rewriteDataFilesZOrder(
         str(r, 1).split(',').map(_.trim).toSeq)),
+    Def("refresh_agg",
+      Seq(in("state_table", StringType), in("base_table", StringType),
+        in("keys", StringType), in("sums", StringType),
+        ProcedureParameter.in("name", StringType)
+          .defaultValue("'default'").build()),
+      (w, r) => {
+        graft.operators.IncrementalAgg.refresh(
+          table(w, str(r, 1)), table(w, str(r, 0)),
+          str(r, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          str(r, 3).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          if (r.isNullAt(4)) "default" else str(r, 4))
+        ()
+      }),
     Def("upsert",
       Seq(in("table", StringType), in("source", StringType),
         in("keys", StringType), in("marker_key", StringType),

@@ -522,6 +522,31 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("unknown upsert mode")))
   }
 
+  test("CALL graft.system.refresh_agg maintains a materialized " +
+      "aggregate through SQL") {
+    import spark.implicits._
+    val cat = freshCat()
+    val base = cat.createTable("db", "mvb",
+      Seq("id" -> "long", "k" -> "string", "x" -> "long"))
+    val state = cat.createTable("db", "mvs",
+      Seq("k" -> "string", "n_rows" -> "long",
+        "sum_x" -> "long", "nn_x" -> "long"))
+    base.append(Seq((1L, "a", 3L), (2L, "b", 4L), (3L, "b", 5L))
+      .toDF("id", "k", "x"))
+    spark.sql("CALL graft.system.refresh_agg('db.mvs', 'db.mvb', 'k', 'x')")
+    def got = graft.operators.IncrementalAgg
+      .present(state.read(), Seq("k"), Seq("x"))
+      .orderBy("k").as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("a", 1L, Some(3L)), ("b", 2L, Some(9L))))
+    // fold only the new commits; a current state no-ops (no snapshot)
+    base.delete(col("k") === "a")
+    spark.sql("CALL graft.system.refresh_agg('db.mvs', 'db.mvb', 'k', 'x')")
+    assert(got == Seq(("b", 2L, Some(9L))))
+    val snaps = state.meta.snapshots.size
+    spark.sql("CALL graft.system.refresh_agg('db.mvs', 'db.mvb', 'k', 'x')")
+    assert(state.meta.snapshots.size == snaps)
+  }
+
   test("CALL graft.system.set_partition_spec evolves the layout in place") {
     import spark.implicits._
     val cat = freshCat()
