@@ -339,9 +339,14 @@ object TextAnalysis {
     docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       // sequence(0, -1) would generate a DESCENDING range, not an
-      // empty one — empty docs need the explicit empty array
+      // empty one — empty docs need the explicit empty array. The
+      // coalesce folds NULL text in too: size(NULL) is NULL, which
+      // would fall through to the otherwise-branch where greatest()
+      // IGNORES the NULL (largest non-null arg) and fabricates one
+      // spurious NULL chunk
       .withColumn("chunks",
-        when(size(col("toks")) <= 0, array().cast("array<array<string>>"))
+        when(coalesce(size(col("toks")), lit(0)) <= 0,
+          array().cast("array<array<string>>"))
           .otherwise(transform(sequence(lit(0), (nChunks - 1).cast("int")),
             k => slice(col("toks"), k * stride + 1, lit(chunkTokens)))))
       .select(col(idCol),

@@ -1374,7 +1374,7 @@ object Pipeline {
           FROM documents
         ), s AS (
           SELECT doc_id, toks,
-                 CASE WHEN len(toks) <= 0 THEN 0
+                 CASE WHEN coalesce(len(toks), 0) <= 0 THEN 0
                       ELSE 1 + CAST(floor(
                         (greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT)
                  END AS n_chunks

@@ -1136,7 +1136,8 @@ class PipelineSpec extends AnyFunSuite {
       (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 3 chunks of 10/s=8
       (2L, "a b c"),                                  // shorter than chunk
       (3L, ""), (4L, "   \t  "),                      // no tokens -> no rows
-      (5L, (1 to 18).map(i => s"u$i").mkString(" "))  // exactly 1+ceil(8/8)
+      (5L, (1 to 18).map(i => s"u$i").mkString(" ")), // exactly 1+ceil(8/8)
+      (6L, null.asInstanceOf[String])                 // NULL text -> no rows
     ).toDF("doc_id", "text")
     val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
       chunkTokens = 10, overlapTokens = 2)
@@ -1157,7 +1158,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(rebuilt == (1 to 25).map(i => s"t$i"))
     assert(rows.filter(_._1 == 2L).map(r => (r._2, r._4, r._5)).toSeq ==
       Seq((0, 3, "a b c")))
-    assert(!rows.exists(r => r._1 == 3L || r._1 == 4L))
+    assert(!rows.exists(r => r._1 == 3L || r._1 == 4L || r._1 == 6L))
     // n=18, chunk=10, stride=8: starts 0 and 8 — the second window ends
     // exactly at the document end, no degenerate third window
     assert(rows.filter(_._1 == 5L).map(_._3).toSeq == Seq(0, 8))
