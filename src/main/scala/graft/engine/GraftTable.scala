@@ -92,6 +92,50 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Manifest-only MIN/MAX: the table-wide bounds of column `name`
+    * from per-file manifest bounds — zero data I/O, the MIN/MAX half
+    * of Iceberg's aggregate pushdown next to [[countRows]]. Returns
+    * the (lower, upper) pair in the manifest's string encoding, or
+    * None whenever manifest arithmetic would be UNSOUND:
+    *   - delete files present (a delete may have removed the extreme
+    *     row — file bounds are inclusive ranges, not live extremes);
+    *   - any data file missing a bound for the field (an all-NULL
+    *     file records none — harmless, NULLs don't participate in
+    *     MIN/MAX — but indistinguishable from a pre-stats file whose
+    *     rows could lie anywhere, so both stay conservative);
+    *   - a type whose manifest encoding has no total order here
+    *     (float/double/string/int/long/date/timestamp are covered).
+    * None means "compute it with a scan", never a wrong answer.
+    */
+  def columnBounds(name: String): Option[(String, String)] = {
+    val m = meta
+    for {
+      s <- m.currentSnapshot
+      if s.deleteFiles.isEmpty && s.files.nonEmpty
+      field <- m.currentSchema.fieldByName(name)
+      key = field.id.toString
+      raws <- traverseOpt(s.files)(f =>
+        for (lo <- f.lowerBounds.get(key); hi <- f.upperBounds.get(key))
+          yield (lo, hi))
+      parsed <- traverseOpt(raws) { case (lo, hi) =>
+        for (pl <- StatsPruning.parseBound(field.dataType, lo);
+             ph <- StatsPruning.parseBound(field.dataType, hi))
+          yield ((lo, pl), (hi, ph))
+      }
+    } yield (parsed.map(_._1).minBy(_._2)(orderOf),
+      parsed.map(_._2).maxBy(_._2)(orderOf)) match {
+      case ((lo, _), (hi, _)) => (lo, hi)
+    }
+  }
+
+  private def orderOf: Ordering[Any] =
+    (a: Any, b: Any) => StatsPruning.cmp(a, b)
+
+  private def traverseOpt[A, B](xs: Vector[A])(f: A => Option[B]): Option[Vector[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
   /** Partition-pruned read: keeps only files whose recorded partition
     * values pass `keep`. Metadata-only pruning — at 100 TB this is the
     * difference between scanning a day and scanning the table.

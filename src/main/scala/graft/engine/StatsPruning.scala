@@ -122,7 +122,7 @@ object StatsPruning {
 
   // comparison domains: BigDecimal (all numerics), String, Int (epoch
   // days), Long (micros)
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  private[engine] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => x.compare(y)
     case (x: String, y: String)         => x.compareTo(y)
     case (x: Int, y: Int)               => x.compareTo(y)
@@ -130,7 +130,7 @@ object StatsPruning {
     case _                              => 0
   }
 
-  private def parseBound(dt: String, raw: String): Option[Any] = dt match {
+  private[engine] def parseBound(dt: String, raw: String): Option[Any] = dt match {
     case "int" | "long" | "float" | "double" =>
       try Some(BigDecimal(raw)) catch { case _: Exception => None }
     case "string"    => Some(raw)

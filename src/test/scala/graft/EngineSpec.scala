@@ -1152,6 +1152,32 @@ class EngineSpec extends AnyFunSuite {
     assert(presented(state).contains(("a", 1L, None)))
   }
 
+  test("columnBounds: manifest-only min/max matches a scan, goes " +
+      "conservative under deletes, recovers after rewrite") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "bnd",
+      Seq("id" -> "long", "name" -> "string"))
+    t.append(Seq((5L, "delta"), (2L, "echo")).toDF("id", "name"))
+    t.append(Seq((9L, "alpha"), (7L, "zulu")).toDF("id", "name"))
+    def scanned(c: String) = {
+      val r = t.read().agg(min(col(c)).cast("string"),
+        max(col(c)).cast("string")).head()
+      (r.getString(0), r.getString(1))
+    }
+    assert(t.columnBounds("id").contains(scanned("id")))
+    assert(t.columnBounds("name").contains(scanned("name")))
+    assert(t.columnBounds("nope").isEmpty)
+    // a MoR delete removes the max row: manifest bounds still say 9,
+    // so the fast path must refuse rather than answer stale
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") === 9L)
+    assert(t.columnBounds("id").isEmpty)
+    assert(scanned("id") == ("2", "7"))
+    // compaction materializes the delete; bounds are live again
+    t.rewriteDataFiles()
+    assert(t.columnBounds("id").contains(("2", "7")))
+  }
+
   test("IncrementalAgg.refresh: one-call materialized-view refresh " +
       "bootstraps, folds only new commits, and no-ops when current") {
     import spark.implicits._
