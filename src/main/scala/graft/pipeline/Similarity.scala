@@ -450,12 +450,16 @@ object Similarity {
   def cosineTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, codebookK: Int = 16,
       dim: Int = 64, iters: Int = 2, seed: Long = 42L,
-      shortlistFactor: Int = 4): DataFrame = {
+      shortlistFactor: Int = 4,
+      // a pre-trained model ([[pqCodebooks]] output) skips training:
+      // production indexes train ONCE and serve many query batches —
+      // the search path is the steady-state operator
+      trainedBooks: Option[Seq[Seq[Array[Float]]]] = None): DataFrame = {
     require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
     import graft.functions.VectorFunctions.dotF
     val spark = corpus.sparkSession
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookK, dim,
-      iters, seed)
+    val books = trainedBooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, m, codebookK, dim, iters, seed))
     val dimSub = dim / m
     val codes = pqEncode(corpus, idCol, vecCol, books)
       .select(col("id").as("neighbor_id"),
@@ -556,13 +560,17 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nlist: Int = 16,
       nprobe: Int = 4, m: Int = 8, codebookK: Int = 16, dim: Int = 64,
       iters: Int = 2, seed: Long = 42L,
-      shortlistFactor: Int = 4): DataFrame = {
+      shortlistFactor: Int = 4,
+      // pre-trained coarse + PQ models ([[ivfCodebook]]/[[pqCodebooks]]
+      // outputs) skip training — see [[cosineTopKPq]]
+      trainedCoarse: Option[Seq[Array[Float]]] = None,
+      trainedBooks: Option[Seq[Seq[Array[Float]]]] = None): DataFrame = {
     require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
     val spark = corpus.sparkSession
-    val coarse = centroidDf(spark,
-      ivfCodebook(corpus, idCol, vecCol, nlist, iters, seed))
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookK, dim,
-      iters, seed)
+    val coarse = centroidDf(spark, trainedCoarse.getOrElse(
+      ivfCodebook(corpus, idCol, vecCol, nlist, iters, seed)))
+    val books = trainedBooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, m, codebookK, dim, iters, seed))
     val dimSub = dim / m
     val cAssigned = assign(
       Dedup.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))

@@ -1099,6 +1099,24 @@ class PipelineSpec extends AnyFunSuite {
       s"the bucket-sized model must broadcast:\n$p")
   }
 
+  test("PQ and IVF-PQ search with pre-trained models equals the " +
+      "train-inline run exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), round(col("sim"), 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    assert(rows(Similarity.cosineTopKPq(emb, q, "vec_id", "embedding",
+        k = 5, trainedBooks = Some(books))) ==
+      rows(Similarity.cosineTopKPq(emb, q, "vec_id", "embedding", k = 5)))
+    val coarse = Similarity.ivfCodebook(emb, "vec_id", "embedding")
+    assert(rows(Similarity.cosineTopKIvfPq(emb, q, "vec_id", "embedding",
+        k = 5, trainedCoarse = Some(coarse), trainedBooks = Some(books))) ==
+      rows(Similarity.cosineTopKIvfPq(emb, q, "vec_id", "embedding", k = 5)))
+  }
+
   test("topPercentPerStratum equals the naive per-stratum window at " +
       "every percent, with id-ordered tie admission") {
     import spark.implicits._
