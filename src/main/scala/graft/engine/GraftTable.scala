@@ -515,6 +515,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val stagingAbs = s"$location/$stagingRel"
     require(!Files.exists(Paths.get(stagingAbs)), s"staging collision $stagingRel")
     val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
+    // Iceberg's bloom-filter properties, delegated to PARQUET-NATIVE
+    // blooms (the Spark-first design — Iceberg does exactly this;
+    // Spark's parquet scan then skips row groups on point predicates
+    // over scattered high-cardinality keys that min/max bounds and
+    // clustering can't veto). Manifest-level pruning stays bounds-based;
+    // the bloom rides inside the file where the parquet reader applies
+    // it for free. `write.parquet.bloom-filter-enabled.column.<col>`
+    // arms a column; `...bloom-filter-fpp.column.<col>` tunes precision,
+    // `write.parquet.bloom-filter-max-bytes` caps the bitset.
+    val bloomOpts: Map[String, String] = m.properties.flatMap {
+      case (k, v) if k.startsWith("write.parquet.bloom-filter-enabled.column.") =>
+        Some("parquet.bloom.filter.enabled#" +
+          k.stripPrefix("write.parquet.bloom-filter-enabled.column.") -> v)
+      case (k, v) if k.startsWith("write.parquet.bloom-filter-fpp.column.") =>
+        Some("parquet.bloom.filter.fpp#" +
+          k.stripPrefix("write.parquet.bloom-filter-fpp.column.") -> v)
+      case ("write.parquet.bloom-filter-max-bytes", v) =>
+        Some("parquet.bloom.filter.max.bytes" -> v)
+      case _ => None
+    }
     def partExpr(pf: PartitionField): Column = {
       val src = cur.fieldById(pf.sourceId)
         .getOrElse(sys.error(s"partition source field ${pf.sourceId} missing"))
@@ -523,6 +543,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     if (spec.fields.isEmpty) {
       applyWriteDistribution(m, aligned, Nil)
         .write.mode("errorifexists").option("compression", codec)
+        .options(bloomOpts)
         .parquet(stagingAbs)
     } else {
       val out = spec.fields.foldLeft(aligned)((d, pf) =>
@@ -532,6 +553,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         .write.mode("errorifexists")
         .partitionBy(spec.fields.map(pf => s"_p_${pf.name}"): _*)
         .option("compression", codec)
+        .options(bloomOpts)
         .parquet(stagingAbs)
     }
     val nameToId = cur.fields.map(f => f.name -> f.id).toMap

@@ -1152,6 +1152,36 @@ class EngineSpec extends AnyFunSuite {
     assert(presented(state).contains(("a", 1L, None)))
   }
 
+  test("bloom-filter table properties arm parquet-native blooms on " +
+      "exactly the requested columns") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "blm",
+      Seq("id" -> "long", "name" -> "string"),
+      properties = Map(
+        "write.parquet.bloom-filter-enabled.column.id" -> "true",
+        "write.parquet.bloom-filter-fpp.column.id" -> "0.05"))
+    t.append((1L to 500L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val rel = t.meta.currentSnapshot.get.files.head.path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$loc/$rel"),
+      spark.sessionState.newHadoopConf()))
+    try {
+      val block = r.getFooter.getBlocks.get(0)
+      def bloomOf(c: String) = block.getColumns.asScala
+        .find(_.getPath.toDotString == c)
+        .map(cc => r.getBloomFilterDataReader(block).readBloomFilter(cc))
+      assert(bloomOf("id").exists(_ != null), "id must carry a bloom")
+      assert(bloomOf("name").forall(_ == null), "name must not")
+    } finally r.close()
+    // reads (incl. the point-lookup shape the bloom accelerates) are
+    // unchanged
+    assert(t.readWhere(col("id") === 42L).count() == 1)
+  }
+
   test("columnBounds: manifest-only min/max matches a scan, goes " +
       "conservative under deletes, recovers after rewrite") {
     import spark.implicits._
