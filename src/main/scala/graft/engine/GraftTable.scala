@@ -573,6 +573,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         }
       DataFileEntry(rel, footer.rowCount, m.currentSchemaId, pvals,
         lowerBounds = byId(footer.lower), upperBounds = byId(footer.upper),
+        nullCounts = footer.nullCounts.flatMap { case (n, v) =>
+          nameToId.get(n).map(id => id.toString -> v)
+        },
         fileSizeBytes = Files.size(Paths.get(abs)))
     }
   }

@@ -24,7 +24,11 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
   * makes a 1-row DELETE at 100 TB a metadata problem, not a scan.
   */
 final case class ParquetFooterStats(rowCount: Long,
-    lower: Map[String, String], upper: Map[String, String])
+    lower: Map[String, String], upper: Map[String, String],
+    // per-column null counts (Iceberg's null_value_counts): recorded
+    // only when EVERY row group carries usable stats for the column —
+    // a partial count would let IS [NOT] NULL pruning skip live rows
+    nullCounts: Map[String, Long] = Map.empty)
 
 object ParquetFooterStats {
 
@@ -41,9 +45,16 @@ object ParquetFooterStats {
       // cover every row group would let pruning skip live rows
       val merged = scala.collection.mutable.LinkedHashMap[String, (PrimitiveType, Statistics[_])]()
       val poisoned = scala.collection.mutable.Set[String]()
+      val nulls = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val nullsPoisoned = scala.collection.mutable.Set[String]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val s = c.getStatistics
+        // null counts have their own validity: a chunk may know its
+        // null count while its min/max is unusable (NaN floats), and
+        // isNumNullsSet=false means the writer didn't record it
+        if (s == null || !s.isNumNullsSet) nullsPoisoned += name
+        else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
         val usable = s != null && !s.isEmpty &&
           (s.hasNonNullValue || s.getNumNulls == b.getRowCount)
         if (!usable) poisoned += name
@@ -61,13 +72,14 @@ object ParquetFooterStats {
         }
       }
       poisoned.foreach(merged.remove)
+      nullsPoisoned.foreach(nulls.remove)
       val lower = merged.flatMap { case (n, (pt, s)) =>
         encode(pt, s.genericGetMin.asInstanceOf[AnyRef]).map(n -> _)
       }.toMap
       val upper = merged.flatMap { case (n, (pt, s)) =>
         encode(pt, s.genericGetMax.asInstanceOf[AnyRef]).map(n -> _)
       }.toMap
-      ParquetFooterStats(rowCount, lower, upper)
+      ParquetFooterStats(rowCount, lower, upper, nulls.toMap)
     } finally r.close()
   }
 

@@ -42,6 +42,14 @@ object StatsPruning {
       vs.exists(v => leaf(schema, f, a, v, "="))
     case InSet(a, vs) =>
       vs.exists(v => leaf(schema, f, a, Literal(v), "="))
+    // IS [NOT] NULL against the manifest's null_value_counts — a file
+    // with zero nulls can't satisfy IS NULL; one that is all-null
+    // can't satisfy IS NOT NULL. Missing count = unknown = keep (a
+    // pre-ADD-COLUMN file null-fills the column but carries no entry).
+    case IsNull(a)         => nullLeaf(schema, f, a, wantNull = true)
+    case IsNotNull(a)      => nullLeaf(schema, f, a, wantNull = false)
+    case Not(IsNull(a))    => nullLeaf(schema, f, a, wantNull = false)
+    case Not(IsNotNull(a)) => nullLeaf(schema, f, a, wantNull = true)
     // Spark 4 Column DSL arrives pre-analysis as UnresolvedFunction nodes
     // named after the SQL operator ('=', '<', 'and', 'in', ...)
     case UnresolvedFunction(Seq(fn), args, false, _, _, _, _) =>
@@ -56,6 +64,17 @@ object StatsPruning {
         case (">=", Seq(a, b))  => leaf(schema, f, a, b, ">=")
         case ("in", a +: vs) if vs.forall(_.isInstanceOf[Literal]) =>
           vs.exists(v => leaf(schema, f, a, v, "="))
+        case ("isnull", Seq(a))    => nullLeaf(schema, f, a, wantNull = true)
+        case ("isnotnull", Seq(a)) => nullLeaf(schema, f, a, wantNull = false)
+        // pre-analysis NOT is the "!" function; only the null tests
+        // have a safe complement here (general NOT stays conservative)
+        case ("!" | "not",
+            Seq(UnresolvedFunction(Seq(inner), Seq(a), false, _, _, _, _))) =>
+          inner.toLowerCase match {
+            case "isnull"    => nullLeaf(schema, f, a, wantNull = false)
+            case "isnotnull" => nullLeaf(schema, f, a, wantNull = true)
+            case _           => true
+          }
         case _ => true
       }
     case _ => true // IsNull, Not, functions-of-columns, UDFs, ... — keep
@@ -78,6 +97,19 @@ object StatsPruning {
     case ">" => "<"; case ">=" => "<="
     case other => other
   }
+
+  /** COULD the file hold a row that is NULL (wantNull) / non-NULL
+    * (!wantNull) in the named column? Conservative: unknown attr,
+    * unknown field, or absent count keeps the file.
+    */
+  private def nullLeaf(schema: VersionedSchema, f: DataFileEntry,
+      a: Expression, wantNull: Boolean): Boolean =
+    (for {
+      n <- attrName(a)
+      field <- schema.fieldByName(n)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(n)))
+      nc <- f.nullCounts.get(field.id.toString)
+    } yield if (wantNull) nc > 0 else nc < f.recordCount).getOrElse(true)
 
   private def attrName(e: Expression): Option[String] = e match {
     case u: UnresolvedAttribute => Some(u.nameParts.last)

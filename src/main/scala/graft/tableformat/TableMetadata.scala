@@ -91,6 +91,10 @@ final case class DataFileEntry(path: String, recordCount: Long,
     schemaId: Int, partitionValues: Map[String, String] = Map.empty,
     lowerBounds: Map[String, String] = Map.empty,
     upperBounds: Map[String, String] = Map.empty,
+    // per-column null counts keyed by field-id (Iceberg's
+    // null_value_counts): lets IS NULL / IS NOT NULL predicates veto
+    // whole files metadata-only. Absent key = unknown, keep the file.
+    nullCounts: Map[String, Long] = Map.empty,
     // on-disk bytes (Iceberg's file_size_in_bytes), recorded at write
     // time; 0 = written before sizes existed in the manifest. Feeds
     // size-based planning (streaming byte admission, files/partitions

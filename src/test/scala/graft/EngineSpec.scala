@@ -1152,6 +1152,35 @@ class EngineSpec extends AnyFunSuite {
     assert(presented(state).contains(("a", 1L, None)))
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL metadata-only, " +
+      "conservative where counts are unknown") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "ncp",
+      Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // no nulls
+    t.append(Seq((3L, null), (4L, "d")).toDF("id", "v").coalesce(1)) // mixed
+    t.append(Seq((5L, null), (6L, null)).toDF("id", "v").coalesce(1)) // all null
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.forall(_.nullCounts.nonEmpty), "counts must be recorded")
+    // IS NULL: the no-null file is vetoed
+    assert(t.candidateFiles(col("v").isNull).size == 2)
+    // IS NOT NULL: the all-null file is vetoed
+    assert(t.candidateFiles(col("v").isNotNull).size == 2)
+    assert(t.candidateFiles(!col("v").isNull).size == 2)
+    // AND composes with bounds pruning: nulls live only in id>=3 files
+    assert(t.candidateFiles(col("v").isNull && col("id") <= 2L).isEmpty)
+    // correctness through the full DML path (the pruned candidate set
+    // feeds DELETE): only the three NULL rows go
+    t.delete(col("v").isNull)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    // a column added AFTER these files were written has no counts —
+    // IS NULL must keep every old file (they null-fill the column)
+    t.addColumn("w", "string")
+    assert(t.candidateFiles(col("w").isNull).size ==
+      t.meta.currentSnapshot.get.files.size)
+  }
+
   test("bloom-filter table properties arm parquet-native blooms on " +
       "exactly the requested columns") {
     import spark.implicits._
