@@ -2157,9 +2157,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       b.flatMap { case (id, v) => idToName.get(id).map(_ -> v) }
     m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
       .map(f => (f.path, f.recordCount, f.fileSizeBytes, f.schemaId,
-        f.partitionValues, named(f.lowerBounds), named(f.upperBounds)))
+        f.partitionValues, named(f.lowerBounds), named(f.upperBounds),
+        f.nullCounts.flatMap { case (id, v) =>
+          idToName.get(id).map(_ -> v) }))
       .toDF("file_path", "record_count", "file_size_bytes", "schema_id",
-        "partition_values", "lower_bounds", "upper_bounds")
+        "partition_values", "lower_bounds", "upper_bounds",
+        "null_value_counts")
   }
 
   /** t.delete_files (Iceberg's delete_files metadata table): the

@@ -1008,6 +1008,8 @@ class EngineSpec extends AnyFunSuite {
     val fdf = t.filesDf
     assert(fdf.columns.contains("file_size_bytes"))
     assert(fdf.agg(min(col("file_size_bytes"))).head().getLong(0) > 0)
+    // Iceberg's null_value_counts ride along, keyed by current names
+    assert(fdf.columns.contains("null_value_counts"))
   }
 
   test("filesDf bounds re-key to current column names and follow a " +
