@@ -92,6 +92,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Manifest-only COUNT(col) — non-null count, completing Iceberg's
+    * pushed-aggregate trio (COUNT(*), COUNT(col), MIN/MAX): per-file
+    * recordCount minus nullCount, summed. None whenever unsound —
+    * delete files present, or any file missing the field's null count
+    * (pre-ADD-COLUMN files null-fill the column but record nothing).
+    */
+  def countNonNull(name: String): Option[Long] = {
+    val m = meta
+    for {
+      s <- m.currentSnapshot
+      if s.deleteFiles.isEmpty
+      field <- m.currentSchema.fieldByName(name)
+      key = field.id.toString
+      counts <- traverseOpt(s.files)(f =>
+        f.nullCounts.get(key).map(nc => f.recordCount - nc))
+    } yield counts.sum
+  }
+
   /** Manifest-only MIN/MAX: the table-wide bounds of column `name`
     * from per-file manifest bounds — zero data I/O, the MIN/MAX half
     * of Iceberg's aggregate pushdown next to [[countRows]]. Returns

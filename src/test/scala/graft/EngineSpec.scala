@@ -1181,6 +1181,12 @@ class EngineSpec extends AnyFunSuite {
     t.addColumn("w", "string")
     assert(t.candidateFiles(col("w").isNull).size ==
       t.meta.currentSnapshot.get.files.size)
+    // COUNT(col) fast path: recordCount - nullCount summed, matching
+    // SQL count semantics; unknown counts (the fresh column) -> None
+    assert(t.countNonNull("v").contains(
+      t.read().agg(count(col("v"))).head().getLong(0)))
+    assert(t.countNonNull("w").isEmpty)
+    assert(t.countNonNull("nope").isEmpty)
   }
 
   test("bloom-filter table properties arm parquet-native blooms on " +
