@@ -1280,6 +1280,35 @@ class EngineSpec extends AnyFunSuite {
       == base.meta.currentSnapshot.get.snapshotId)
   }
 
+  test("IncrementalAgg.refresh: racing refreshers apply exactly once") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    import java.util.concurrent.Executors
+    val keys = Seq("k"); val sums = Seq("x")
+    val base = GraftTable.create(spark, tmp(), "mv_race",
+      Seq("id" -> "long", "k" -> "string", "x" -> "long"))
+    val state = GraftTable.createAs(spark, tmp(), "mv_race_state",
+      IncrementalAgg.initial(base.read(), keys, sums).filter(lit(false)))
+    base.append(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "k", "x"))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence(Seq(
+      Future(IncrementalAgg.refresh(base, state, keys, sums)),
+      Future(IncrementalAgg.refresh(base, state, keys, sums)))), 120.seconds)
+    pool.shutdown()
+    // both may observe "not yet applied", but the marker commit admits
+    // exactly one fold — never zero, never two
+    assert(results.count(identity) >= 1)
+    val got = IncrementalAgg.present(state.read(), keys, sums)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+  }
+
   test("countRows: manifest-only with no deletes (answers even with the " +
       "data files gone from disk), exact fallback under MoR deletes") {
     import spark.implicits._
