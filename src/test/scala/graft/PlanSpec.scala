@@ -210,4 +210,20 @@ class PlanSpec extends AnyFunSuite {
     assert(df.select(explode(col("snapshots")).as("s"))
       .select("s.operation").as[String].collect().toSeq == Seq("append"))
   }
+
+  test("chunking reads only the two columns it uses; quality cut " +
+      "broadcasts its thresholds and never exchanges the corpus twice") {
+    val q138 = graft.queries.Registry.all.find(_.name == "q138_chunking").get
+    val p138 = plan(q138.fn(spark, sf))
+    assert(p138.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunking must prune the scan to (doc_id, text):\n$p138")
+    val q139 = graft.queries.Registry.all.find(_.name == "q139_quality_cut").get
+    val p139 = plan(q139.fn(spark, sf))
+    assert(p139.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast:\n$p139")
+    // the skew-free shape itself (only the tie set is ever ranked) is
+    // pinned behaviorally in PipelineSpec's naive-window equality test;
+    // a textual no-corpus-window assertion can't be separated from the
+    // query's own deterministic output ORDER BY here
+  }
 }
