@@ -490,4 +490,51 @@ object Curation {
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("dsir_score"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** CCNet-style LM fluency scoring (Wenzek et al. 2020 rank pages by
+    * KenLM perplexity): mean negative log-likelihood, nats per
+    * feature, of each document's hashed unigram+bigram features under
+    * a bucket-multinomial model trained on a REFERENCE corpus with
+    * add-`alpha` smoothing — the engine-native analog of the KenLM
+    * score: monotone in the same "reads like the reference" direction,
+    * trivially mergeable, and reproducible by an independent SQL
+    * engine. Low = fluent/reference-like. Filter on a threshold or
+    * stratify with [[topPercentPerStratum]] downstream; pairs with
+    * [[dsirScores]] (relative domain preference) as the absolute
+    * quality axis.
+    *
+    * Scale shape mirrors DSIR's: the model is a map-side-combined
+    * count over EXACTLY `numBuckets` keys (densified over the full
+    * bucket range, so probe features falling in buckets the reference
+    * never produced still price at the smoothing floor), its total
+    * comes from a window over that bucket-sized relation, and scoring
+    * is one broadcast of the numBuckets-row log-prob table against a
+    * feature scan + one map-side-combined mean per document. Zero-token
+    * documents have no features and are absent from the output.
+    */
+  def lmScores(docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, numBuckets: Int = 1024,
+      alpha: Double = 1.0): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros)")
+    val spark = docs.sparkSession
+    val refCnt = hashedFeatures(
+        reference.select(lit(0L).as("__rid"), col(refTextCol)),
+        "__rid", refTextCol, numBuckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val model = spark.range(numBuckets).toDF("b")
+      .join(refCnt, Seq("b"), "left_outer")
+      .select(col("b"), coalesce(col("rc"), lit(0L)).as("rc"))
+      .withColumn("tot", sum(col("rc")).over(wAll))
+      .select(col("b"),
+        (-log((col("rc") + alpha) / (col("tot") + alpha * numBuckets)))
+          .as("nlp"))
+    hashedFeatures(docs, idCol, textCol, numBuckets)
+      .join(broadcast(model), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), avg(col("nlp")).as("nll"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -1429,6 +1429,57 @@ object Pipeline {
         ORDER BY doc_id, chunk_id
       """)),
 
+    // ---- LM fluency scoring (CCNet-style) ------------------------------
+    // mean negative log-likelihood under a hashed-bigram multinomial
+    // trained on the src0-src2 reference slice — the absolute-quality
+    // axis next to q121's relative DSIR weights. Same hashed feature
+    // space as q121, so the oracle reuses its feats CTE shape.
+    QueryDef(
+      "q142_lm_fluency",
+      (s, d) => {
+        val all = docs(s, d)
+        val ref = all.filter(col("source").isin("src0", "src1", "src2"))
+        graft.pipeline.Curation.lmScores(all, "doc_id", "text",
+            ref, "text", numBuckets = 1024, alpha = 1.0)
+          .select(col("doc_id"), col("n_feats"),
+            round(col("nll"), 4).as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t0 -> t0 <> '') AS w
+          FROM documents
+        ), uni AS (
+          SELECT doc_id, source, unnest(w) AS f FROM toks
+        ), bi AS (
+          SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS f
+          FROM toks, unnest(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2
+        ), feats AS (
+          SELECT doc_id, source,
+                 CAST(CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+                   % 1024 AS BIGINT) AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ), refc AS (
+          SELECT b, count(*) AS rc FROM feats
+          WHERE source IN ('src0', 'src1', 'src2') GROUP BY b
+        ), model AS (
+          SELECT g.b, coalesce(rc, 0) AS rc,
+                 (SELECT coalesce(sum(rc), 0) FROM refc) AS tot
+          FROM (SELECT unnest(range(0, 1024)) AS b) g
+          LEFT JOIN refc USING (b)
+        ), lp AS (
+          SELECT b, -ln((rc + 1.0) / (tot + 1024.0)) AS nlp FROM model
+        )
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               round(avg(nlp), 4) AS nll
+        FROM feats f JOIN lp USING (b)
+        GROUP BY f.doc_id
+        ORDER BY f.doc_id
+      """)),
+
     // ---- Per-stratum quality cut ---------------------------------------
     // keep the top 30% of documents per language by n_chars (the
     // integer stand-in for a classifier score). The implementation is

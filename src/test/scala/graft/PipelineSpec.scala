@@ -1099,6 +1099,29 @@ class PipelineSpec extends AnyFunSuite {
       s"the bucket-sized model must broadcast:\n$p")
   }
 
+  test("lmScores: reference-like text scores lower NLL than unseen " +
+      "vocabulary; model broadcasts; empty docs absent") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val ref = (1 to 50).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the quick brown fox"),              // in-reference vocab
+      (101L, "zxq vvw qqj plk mnb"),              // unseen vocab
+      (102L, "")).toDF("doc_id", "text")          // no features
+    val scored = Curation.lmScores(probe, "doc_id", "text", ref, "text",
+      numBuckets = 256)
+    val byId = scored.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(100L) < byId(101L),
+      s"reference-like must be more likely: $byId")
+    assert(!byId.contains(102L), "zero-feature docs are absent")
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-sized model must broadcast:\n$p")
+  }
+
   test("PQ and IVF-PQ search with pre-trained models equals the " +
       "train-inline run exactly") {
     val emb = Tables.embeddings(spark, sf)
