@@ -98,7 +98,13 @@ object Soak {
       "quality_cut" -> (d => graft.pipeline.Curation
         .topPercentPerStratum(d.withColumn("score", length(col("text"))),
           "doc_id", "lang", "score", percent = 30)
-        .agg(count(lit(1)).as("kept"))))
+        .agg(count(lit(1)).as("kept"))),
+      // the model side is bucket-bounded by construction; what must
+      // scale is the probe feature scan
+      "lm_fluency" -> (d => graft.pipeline.Curation
+        .lmScores(d, "doc_id", "text",
+          d.filter(col("doc_id") % 11 === 0), "text")
+        .agg(count(lit(1)).as("n"), avg(col("nll")).as("m"))))
 
     // FACTOR× events for the temporal joins: each copy shifts time by
     // k × 32 days (past the fixture's one-month span), so event DENSITY
