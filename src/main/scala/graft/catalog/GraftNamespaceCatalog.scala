@@ -172,6 +172,7 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
           case "all_delete_files"     => Some(t.allDeleteFilesDf)
           case "all_files"            => Some(t.allFilesDf)
           case "partitions"           => Some(t.partitionsDf)
+          case "stats"                => Some(t.statsDf)
           case "changes" =>
             // a table that exists but has no commits has no changelog —
             // falling through would misreport "table not found"

@@ -105,7 +105,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       if s.deleteFiles.isEmpty
       field <- m.currentSchema.fieldByName(name)
       key = field.id.toString
-      counts <- traverseOpt(s.files)(f =>
+      // 0-row files (a CoW rewrite that deleted a file's every row)
+      // record no stats AND contribute nothing — skip, don't refuse
+      counts <- traverseOpt(s.files.filter(_.recordCount > 0))(f =>
         f.nullCounts.get(key).map(nc => f.recordCount - nc))
     } yield counts.sum
   }
@@ -127,12 +129,22 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def columnBounds(name: String): Option[(String, String)] = {
     val m = meta
+    // 0-row files record no stats and bound nothing — skip them (same
+    // rule as countNonNull); an all-0-row table falls to None
+    val live = m.currentSnapshot
+      .map(_.files.filter(_.recordCount > 0)).getOrElse(Vector.empty)
     for {
       s <- m.currentSnapshot
-      if s.deleteFiles.isEmpty && s.files.nonEmpty
+      if s.deleteFiles.isEmpty && live.nonEmpty
       field <- m.currentSchema.fieldByName(name)
       key = field.id.toString
-      raws <- traverseOpt(s.files)(f =>
+      // a file whose null count equals its row count is all-NULL in
+      // this column: its absent bounds are explained, and NULLs don't
+      // participate in MIN/MAX — skip it rather than refuse
+      contributing = live.filterNot(f =>
+        f.nullCounts.get(key).contains(f.recordCount))
+      if contributing.nonEmpty
+      raws <- traverseOpt(contributing)(f =>
         for (lo <- f.lowerBounds.get(key); hi <- f.upperBounds.get(key))
           yield (lo, hi))
       parsed <- traverseOpt(raws) { case (lo, hi) =>
@@ -2181,6 +2193,29 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("file_path", "record_count", "file_size_bytes", "schema_id",
         "partition_values", "lower_bounds", "upper_bounds",
         "null_value_counts")
+  }
+
+  /** t.stats: one row per current-schema column with the manifest-only
+    * aggregate trio — record count, non-null count, and min/max bounds
+    * (the manifest's string encodings). NULL cells where manifest
+    * arithmetic would be unsound ([[countNonNull]]/[[columnBounds]]
+    * rules: delete files present, missing per-file stats, or an
+    * unordered type). Zero data I/O always — the conservative cells go
+    * NULL rather than triggering a scan, so a scheduler can poll this
+    * on a 100 TB table for free.
+    */
+  def statsDf: DataFrame = {
+    val m = meta
+    val nRows = m.currentSnapshot match {
+      case Some(s) if s.deleteFiles.isEmpty =>
+        Some(s.files.map(_.recordCount).sum)
+      case Some(_) => None // MoR deletes: exact count needs the scan
+      case None    => Some(0L)
+    }
+    m.currentSchema.fields.map { f =>
+      val b = columnBounds(f.name)
+      (f.name, nRows, countNonNull(f.name), b.map(_._1), b.map(_._2))
+    }.toDF("col_name", "record_count", "non_null", "lower", "upper")
   }
 
   /** t.delete_files (Iceberg's delete_files metadata table): the

@@ -1193,6 +1193,39 @@ object Versioned {
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)),
+
+    // ---- stats metadata table ------------------------------------------
+    // the manifest-only aggregate trio (count / non-null / min / max)
+    // per column, as a queryable relation — zero data I/O; the oracle
+    // recomputes every cell by scanning, so the gate is "manifest
+    // arithmetic equals the scan" across int and string domains.
+    QueryDef(
+      "q143_stats_table",
+      (s, d) => {
+        val loc = setupOnce("q143", d) {
+          val l = scratch("stats")
+          GraftTable.createAs(s, l, "nation_stats", Tables.nation(s, d))
+          l
+        }
+        GraftTable.load(s, loc).statsDf.orderBy(col("col_name"))
+      },
+      Some("""
+        SELECT 'n_name' AS col_name, CAST(count(*) AS BIGINT) AS record_count,
+               CAST(count(n_name) AS BIGINT) AS non_null,
+               CAST(min(n_name) AS VARCHAR) AS lower,
+               CAST(max(n_name) AS VARCHAR) AS upper FROM nation
+        UNION ALL
+        SELECT 'n_nationkey', CAST(count(*) AS BIGINT),
+               CAST(count(n_nationkey) AS BIGINT),
+               CAST(min(n_nationkey) AS VARCHAR),
+               CAST(max(n_nationkey) AS VARCHAR) FROM nation
+        UNION ALL
+        SELECT 'n_regionkey', CAST(count(*) AS BIGINT),
+               CAST(count(n_regionkey) AS BIGINT),
+               CAST(min(n_regionkey) AS VARCHAR),
+               CAST(max(n_regionkey) AS VARCHAR) FROM nation
+        ORDER BY col_name
       """))
   )
 }

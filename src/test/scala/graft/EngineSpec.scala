@@ -1164,6 +1164,9 @@ class EngineSpec extends AnyFunSuite {
     t.append(Seq((5L, null), (6L, null)).toDF("id", "v").coalesce(1)) // all null
     val files = t.meta.currentSnapshot.get.files
     assert(files.forall(_.nullCounts.nonEmpty), "counts must be recorded")
+    // the all-null file's absent bounds are EXPLAINED by its null
+    // count — MIN/MAX come from the contributing files, no refusal
+    assert(t.columnBounds("v").contains(("a", "d")))
     // IS NULL: the no-null file is vetoed
     assert(t.candidateFiles(col("v").isNull).size == 2)
     // IS NOT NULL: the all-null file is vetoed

@@ -316,6 +316,13 @@ class NativeSqlSpec extends AnyFunSuite {
         |CROSS JOIN graft.meta.t.refs r WHERE r.name = 'main'""".stripMargin)
       .head().getLong(0)
     assert(n == 2)
+    // stats: the manifest aggregate trio per column via SQL (this
+    // table carries a CoW delete, so counts reflect the live rows)
+    val st = spark.sql(
+      "SELECT col_name, record_count, non_null, lower, upper " +
+        "FROM graft.meta.t.stats").head()
+    assert(st.getString(0) == "id" && st.getLong(1) == 2 &&
+      st.getLong(2) == 2 && st.getString(3) == "2" && st.getString(4) == "3")
   }
 
   test("changes suffix serves the latest commit's changelog via SQL") {
