@@ -111,4 +111,11 @@ object Serving {
 
   /** GET /<table>/history (apiv15.py:80). */
   def getHistory(t: GraftTable): Result = Ok(jsonRecords(t.history))
+
+  /** GET /<table>/stats — beyond the reference: the manifest-only
+    * per-column aggregate trio (count / non-null / min / max), zero
+    * data I/O, NULL cells where manifest arithmetic is unsound — the
+    * endpoint a dashboard polls on a 100 TB table for free.
+    */
+  def getStats(t: GraftTable): Result = Ok(jsonRecords(t.statsDf))
 }

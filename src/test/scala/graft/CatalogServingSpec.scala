@@ -139,6 +139,11 @@ class CatalogServingSpec extends AnyFunSuite {
     val Serving.Ok(snap) = Serving.getSnapshot(t, today): @unchecked
     assert(snap.size == 2)
     assert(Serving.getSnapshot(t, "junk").isInstanceOf[Serving.BadRequest])
+    // stats endpoint: one JSON record per column, manifest-only
+    val Serving.Ok(stats) = Serving.getStats(t): @unchecked
+    assert(stats.size == t.meta.currentSchema.fields.size)
+    assert(stats.exists(r => r.contains("\"col_name\":\"Index\"") &&
+      r.contains("\"record_count\":2")))
   }
 
   test("H4: schema evolution records provenance properties") {
