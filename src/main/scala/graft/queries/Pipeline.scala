@@ -1480,6 +1480,71 @@ object Pipeline {
         ORDER BY f.doc_id
       """)),
 
+    // ---- Perplexity filtering per language (CCNet's pipeline) ----------
+    // the composition the two operators exist for: bucket each doc's
+    // LM fluency into integer deciles, keep the most-fluent half PER
+    // LANGUAGE via the histogram quality cut. The oracle recomputes
+    // the whole chain with the naive window, so the gate covers the
+    // composition end to end.
+    QueryDef(
+      "q144_perplexity_filter",
+      (s, d) => {
+        val all = docs(s, d)
+        val ref = all.filter(col("source").isin("src0", "src1", "src2"))
+        val scored = graft.pipeline.Curation
+          .lmScores(all, "doc_id", "text", ref, "text",
+            numBuckets = 1024, alpha = 1.0)
+          .join(all.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("fluency",
+            (-floor(col("nll") * 10)).cast("int"))
+        graft.pipeline.Curation.topPercentPerStratum(scored, "doc_id",
+            "lang", "fluency", percent = 50)
+          .select(col("doc_id"), col("lang"), col("fluency"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t0 -> t0 <> '') AS w
+          FROM documents
+        ), uni AS (
+          SELECT doc_id, source, unnest(w) AS f FROM toks
+        ), bi AS (
+          SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS f
+          FROM toks, unnest(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2
+        ), feats AS (
+          SELECT doc_id, source,
+                 CAST(CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+                   % 1024 AS BIGINT) AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ), refc AS (
+          SELECT b, count(*) AS rc FROM feats
+          WHERE source IN ('src0', 'src1', 'src2') GROUP BY b
+        ), model AS (
+          SELECT g.b, coalesce(rc, 0) AS rc,
+                 (SELECT coalesce(sum(rc), 0) FROM refc) AS tot
+          FROM (SELECT unnest(range(0, 1024)) AS b) g
+          LEFT JOIN refc USING (b)
+        ), lp AS (
+          SELECT b, -ln((rc + 1.0) / (tot + 1024.0)) AS nlp FROM model
+        ), doc_nll AS (
+          SELECT f.doc_id,
+                 CAST(-floor(avg(nlp) * 10) AS INT) AS fluency
+          FROM feats f JOIN lp USING (b) GROUP BY f.doc_id
+        ), ranked AS (
+          SELECT d.doc_id, d.lang, fluency,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY fluency DESC, d.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY d.lang) AS n
+          FROM documents d JOIN doc_nll USING (doc_id)
+        )
+        SELECT doc_id, lang, fluency FROM ranked
+        WHERE rn <= (n * 50 + 99) // 100
+        ORDER BY lang, doc_id
+      """)),
+
     // ---- Per-stratum quality cut ---------------------------------------
     // keep the top 30% of documents per language by n_chars (the
     // integer stand-in for a classifier score). The implementation is
