@@ -98,19 +98,29 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * delete files present, or any file missing the field's null count
     * (pre-ADD-COLUMN files null-fill the column but record nothing).
     */
-  def countNonNull(name: String): Option[Long] = {
-    val m = meta
-    for {
-      s <- m.currentSnapshot
-      if s.deleteFiles.isEmpty
-      field <- m.currentSchema.fieldByName(name)
-      key = field.id.toString
-      // 0-row files (a CoW rewrite that deleted a file's every row)
-      // record no stats AND contribute nothing — skip, don't refuse
-      counts <- traverseOpt(s.files.filter(_.recordCount > 0))(f =>
-        f.nullCounts.get(key).map(nc => f.recordCount - nc))
-    } yield counts.sum
-  }
+  def countNonNull(name: String): Option[Long] = countNonNull(meta, name)
+
+  /** Metadata-parameterized twin: [[statsDf]] passes its one `meta`
+    * read so every column's cell reflects the SAME snapshot (a commit
+    * landing mid-iteration must not tear the stats row).
+    */
+  private[graft] def countNonNull(m: TableMetadata,
+      name: String): Option[Long] =
+    m.currentSnapshot match {
+      // a never-committed table is EMPTY, not unknown: COUNT(col) = 0
+      // (mirrors countRows' None => 0L), provided the column exists
+      case None => m.currentSchema.fieldByName(name).map(_ => 0L)
+      case Some(s) if s.deleteFiles.nonEmpty => None
+      case Some(s) =>
+        for {
+          field <- m.currentSchema.fieldByName(name)
+          key = field.id.toString
+          // 0-row files (a CoW rewrite that deleted a file's every row)
+          // record no stats AND contribute nothing — skip, don't refuse
+          counts <- traverseOpt(s.files.filter(_.recordCount > 0))(f =>
+            f.nullCounts.get(key).map(nc => f.recordCount - nc))
+        } yield counts.sum
+    }
 
   /** Manifest-only MIN/MAX: the table-wide bounds of column `name`
     * from per-file manifest bounds — zero data I/O, the MIN/MAX half
@@ -127,8 +137,12 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     *     (float/double/string/int/long/date/timestamp are covered).
     * None means "compute it with a scan", never a wrong answer.
     */
-  def columnBounds(name: String): Option[(String, String)] = {
-    val m = meta
+  def columnBounds(name: String): Option[(String, String)] =
+    columnBounds(meta, name)
+
+  /** Metadata-parameterized twin — see [[countNonNull]]'s overload. */
+  private[graft] def columnBounds(m: TableMetadata,
+      name: String): Option[(String, String)] = {
     // 0-row files record no stats and bound nothing — skip them (same
     // rule as countNonNull); an all-0-row table falls to None
     val live = m.currentSnapshot
@@ -2213,8 +2227,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       case None    => Some(0L)
     }
     m.currentSchema.fields.map { f =>
-      val b = columnBounds(f.name)
-      (f.name, nRows, countNonNull(f.name), b.map(_._1), b.map(_._2))
+      val b = columnBounds(m, f.name)
+      (f.name, nRows, countNonNull(m, f.name), b.map(_._1), b.map(_._2))
     }.toDF("col_name", "record_count", "non_null", "lower", "upper")
   }
 

@@ -105,8 +105,12 @@ object IncrementalAgg {
     * table itself (`graft.agg.<name>.from-snapshot`), committed
     * atomically with the fold through the upsert's marker machinery —
     * a crashed/replayed refresh can never double-apply, and a
-    * concurrent refresher loses the marker race and returns false.
-    * First call bootstraps from the full changelog (creation → now).
+    * concurrent refresher returns false whether it loses the marker
+    * race (saw the winner's marker first) or the commit race (its
+    * upsert hit the winner's snapshot mid-flight — the engine's
+    * concurrent-commit conflict, caught here and surfaced as the same
+    * retryable false). First call bootstraps from the full changelog
+    * (creation → now).
     *
     * O(changed rows) + O(touched groups) per call; the base table is
     * never rescanned after bootstrap. If the recorded from-snapshot
@@ -133,8 +137,17 @@ object IncrementalAgg {
     // SAME atomic commit
     val next = sm.properties.get(markerKey).map(_.toLong + 1).getOrElse(0L)
     val d = delta(base.changelog(from, target), keys, sums)
-    state.upsertIfNewMarker(foldDelta(state.read(), d, keys, sums),
+    try state.upsertIfNewMarker(foldDelta(state.read(), d, keys, sums),
       keys, markerKey, next, Map(fromKey -> target.toString))
+    catch {
+      // a commit landing on the state table between state.read() and
+      // the upsert's commit is the engine's concurrent-commit conflict
+      // — for a refresher that just means "someone else moved the
+      // state, re-run": same retryable false as losing the marker race
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("concurrent commit") => false
+    }
   }
 
   /** Bootstrap state by a one-time full aggregation of the base (the

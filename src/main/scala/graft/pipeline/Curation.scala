@@ -389,7 +389,12 @@ object Curation {
   def topPercentPerStratum(df: DataFrame, idCol: String,
       stratumCol: String, scoreCol: String, percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100, "percent must be in [0,100]")
-    val w = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol).desc)
+    // NULLs are first-class on both axes: a NULL stratum is its own
+    // partition (the naive window groups it), and NULL scores rank
+    // LAST (desc nulls-last, Spark's window default) — admitted only
+    // when the quota reaches them
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc_nulls_last)
     val hist = df.groupBy(col(stratumCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__before", coalesce(sum(col("__c")).over(
@@ -399,27 +404,41 @@ object Curation {
           Window.unboundedFollowing)) * percent + 99) / 100)
       .withColumn("__k", floor(col("__k")).cast("long"))
     // per stratum: the lowest fully-admitted score (cum <= quota) and
-    // the single partially-admitted tie score straddling the quota
+    // the single partially-admitted tie score straddling the quota.
+    // min/max skip NULL scores, so the NULL-score group (always last
+    // in rank order) carries explicit flags instead
+    val fullCond = col("__before") + col("__c") <= col("__k")
+    val tieCond = col("__before") < col("__k") &&
+      col("__before") + col("__c") > col("__k")
     val th = hist.groupBy(col(stratumCol)).agg(
-      min(when(col("__before") + col("__c") <= col("__k"),
-        col(scoreCol))).as("__full_min"),
-      max(when(col("__before") < col("__k") &&
-        col("__before") + col("__c") > col("__k"),
-        col(scoreCol))).as("__tie_score"),
-      max(when(col("__before") < col("__k") &&
-        col("__before") + col("__c") > col("__k"),
-        col("__k") - col("__before"))).as("__tie_quota"))
-    val joined = df.join(broadcast(th), stratumCol)
-    val full = joined.filter(col("__full_min").isNotNull &&
-      col(scoreCol) >= col("__full_min"))
-    val ties = joined.filter(col("__tie_score").isNotNull &&
-        col(scoreCol) === col("__tie_score"))
+      min(when(fullCond, col(scoreCol))).as("__full_min"),
+      max(when(fullCond && col(scoreCol).isNull, lit(true)))
+        .as("__null_full"),
+      max(when(tieCond, col(scoreCol))).as("__tie_score"),
+      max(when(tieCond, col(scoreCol).isNull)).as("__tie_is_null"),
+      max(when(tieCond, col("__k") - col("__before"))).as("__tie_quota"))
+    // null-safe stratum equality: the NULL stratum must find its own
+    // threshold row, not vanish from the join
+    val joined = df.join(broadcast(th),
+      df(s"`$stratumCol`") <=> th(s"`$stratumCol`"))
+      .drop(th(s"`$stratumCol`"))
+    val full = joined.filter(
+      (col(scoreCol).isNotNull && col("__full_min").isNotNull &&
+        col(scoreCol) >= col("__full_min")) ||
+      (col(scoreCol).isNull && col("__null_full")))
+    // tie membership: <=> admits the NULL-score tie group; the
+    // is-null flag rejects a NULL row when the tie score is non-null
+    // (there <=> is already false, but the flag keeps intent explicit)
+    val ties = joined.filter(col("__tie_quota").isNotNull &&
+        (col(scoreCol) <=> col("__tie_score")) &&
+        (col(scoreCol).isNull === coalesce(col("__tie_is_null"), lit(false))))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(stratumCol)).orderBy(col(idCol))))
       .filter(col("__rn") <= col("__tie_quota"))
       .drop("__rn")
     full.unionByName(ties)
-      .drop("__full_min", "__tie_score", "__tie_quota")
+      .drop("__full_min", "__null_full", "__tie_score", "__tie_is_null",
+        "__tie_quota")
   }
 
   /** Hashed unigram+bigram features of a text column, exploded to one

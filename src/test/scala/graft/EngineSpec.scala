@@ -1192,6 +1192,20 @@ class EngineSpec extends AnyFunSuite {
     assert(t.countNonNull("nope").isEmpty)
   }
 
+  test("stats on a never-committed table: count(col) is exactly 0, " +
+      "not unknown, and statsDf rows agree") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "empty_stats",
+      Seq("id" -> "long", "v" -> "string"))
+    assert(t.countRows() == 0L)
+    assert(t.countNonNull("v").contains(0L)) // empty, not unknown
+    assert(t.countNonNull("nope").isEmpty)   // unknown column stays None
+    assert(t.columnBounds("v").isEmpty)      // no rows -> no extremes
+    val rows = t.statsDf.collect()
+    assert(rows.length == 2 && rows.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.isNullAt(3)))
+  }
+
   test("bloom-filter table properties arm parquet-native blooms on " +
       "exactly the requested columns") {
     import spark.implicits._

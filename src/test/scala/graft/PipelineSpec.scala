@@ -1152,6 +1152,16 @@ class PipelineSpec extends AnyFunSuite {
         (i.toLong, s"s${i % 3}", (i * 7919) % 5)).toDF("id", "g", "score")
       .unionByName(Seq((1001L, "tiny", 9), (1002L, "mono", 4),
         (1003L, "mono", 4), (1004L, "mono", 4)).toDF("id", "g", "score"))
+      // NULLs on both axes: a NULL stratum is its own partition, NULL
+      // scores rank last (inc. a stratum of ONLY null scores, where
+      // the tie group itself is the NULL group)
+      .unionByName(Seq[(Long, Option[String], Option[Int])](
+        (2001L, None, Some(5)), (2002L, None, Some(3)),
+        (2003L, None, Some(3)), (2004L, None, Some(1)),
+        (2005L, Some("s0"), None), (2006L, Some("s0"), None),
+        (2007L, Some("nul"), None), (2008L, Some("nul"), None),
+        (2009L, Some("nul"), None), (2010L, None, None))
+        .toDF("id", "g", "score"))
     for (p <- Seq(0, 17, 30, 50, 100)) {
       val got = Curation.topPercentPerStratum(df, "id", "g", "score", p)
         .select("id").as[Long].collect().toSet
