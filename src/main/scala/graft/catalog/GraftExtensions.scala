@@ -99,6 +99,25 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if resolvedHandleOf(tr.table).isDefined =>
         GraftTruncateCommand(resolvedHandleOf(tr.table).get.table.location)
 
+      // ---- SQL aggregate pushdown: a bare no-GROUP-BY Aggregate of
+      // ---- count(*)/count(col)/min(col)/max(col) over an unfiltered
+      // ---- graft relation answers from MANIFEST ARITHMETIC — the
+      // ---- whole query collapses to literals over OneRowRelation,
+      // ---- zero file scans and zero Spark jobs (Iceberg wires the
+      // ---- same shortcut through SparkScanBuilder.pushAggregation).
+      // ---- Soundness gates live in the engine's countRows/
+      // ---- countNonNull/columnBounds rules (MoR deletes, missing
+      // ---- per-file stats, unordered types): ANY non-pushable piece
+      // ---- leaves the plan untouched, so the relation below swaps
+      // ---- for the ordinary exact scan. Matched at the Aggregate
+      // ---- node, i.e. before the top-down traversal reaches and
+      // ---- swaps the relation.
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if agg.resolved && agg.groupingExpressions.isEmpty &&
+            handleOf(agg.child).exists(_.pinnedSnapshot.isEmpty) =>
+        pushManifestAggregate(agg, handleOf(agg.child).get.table)
+          .getOrElse(agg)
+
       // ---- filtered scans: the WHERE condition reaches the engine,
       // ---- which prunes candidate files metadata-only (partition
       // ---- transforms + manifest bounds) BEFORE the scan plan is
@@ -146,6 +165,58 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case u: UnresolvedRelation if isGraft(u) =>
         withTable(u)(_.read()).getOrElse(u)
     }
+
+  /** The manifest-only rewrite behind the aggregate-pushdown case: every
+    * aggregate expression must be an aliased, unfiltered, non-DISTINCT
+    * count(*) / count(col) / min(col) / max(col) whose value the ONE
+    * metadata read can prove (all-or-nothing — one unprovable column
+    * and the whole Aggregate stays for the scan path). Output
+    * attributes keep their exprIds, so parents re-resolve untouched.
+    */
+  private def pushManifestAggregate(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      t: GraftTable): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.LongType
+    val m = t.meta
+    // MoR delete files make every manifest count/bound unsound (stale
+    // positional pointers, uncounted equality keys) — scan instead
+    if (m.currentSnapshot.exists(_.deleteFiles.nonEmpty)) return None
+    val nRows = m.currentSnapshot
+      .map(_.files.map(_.recordCount).sum).getOrElse(0L)
+    def boundLit(a: AttributeReference, lower: Boolean): Option[Literal] =
+      for {
+        (lo, hi) <- t.columnBounds(m, a.name)
+        v <- graft.engine.StatsPruning.internalBound(a.dataType,
+          if (lower) lo else hi)
+      } yield Literal(v, a.dataType)
+    val pushed = agg.aggregateExpressions.map {
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
+        val lit = fn match {
+          case Count(Seq(l: Literal)) if l.value != null =>
+            Some(Literal(nRows, LongType))
+          case Count(Seq(a: AttributeReference)) =>
+            t.countNonNull(m, a.name).map(Literal(_, LongType))
+          case Min(a: AttributeReference) => boundLit(a, lower = true)
+          case Max(a: AttributeReference) => boundLit(a, lower = false)
+          case _                          => None
+        }
+        lit.map(v =>
+          Alias(v, al.name)(exprId = al.exprId, qualifier = al.qualifier))
+      case _ => None
+    }
+    if (pushed.forall(_.isDefined)) {
+      // a LocalRelation, not Project-over-OneRowRelation: the latter
+      // plans as a 1-partition RDD scan (one Spark job on collect);
+      // this one is LocalTableScanExec — driver-local, ZERO jobs
+      val aliases = pushed.map(_.get)
+      Some(LocalRelation(aliases.map(_.toAttribute),
+        Seq(InternalRow.fromSeq(aliases.map(_.child.asInstanceOf[Literal].value)))))
+    } else None
+  }
 
   /** Parents are already bound to the relation's attribute ids: alias
     * the fresh read's output back onto them — exact name first, then

@@ -162,6 +162,25 @@ object StatsPruning {
     case _                              => 0
   }
 
+  /** Manifest bound string → the column's Catalyst-internal value, for
+    * the SQL MIN/MAX aggregate pushdown (a pushed `min(col)` becomes a
+    * typed literal). Bounds are EXACT here — [[ParquetFooterStats]]
+    * merges untruncated footer min/max and poisons NaN columns — so a
+    * Some is always the true extreme of its files. None = this type's
+    * bounds don't round-trip; the caller must scan.
+    */
+  private[graft] def internalBound(dt: DataType,
+      raw: String): Option[Any] = dt match {
+    case IntegerType                   => raw.toIntOption
+    case LongType                      => raw.toLongOption
+    case FloatType                     => raw.toFloatOption
+    case DoubleType                    => raw.toDoubleOption
+    case StringType                    => Some(UTF8String.fromString(raw))
+    case DateType                      => raw.toIntOption
+    case TimestampType | TimestampNTZType => raw.toLongOption
+    case _                             => None
+  }
+
   private[engine] def parseBound(dt: String, raw: String): Option[Any] = dt match {
     case "int" | "long" | "float" | "double" =>
       try Some(BigDecimal(raw)) catch { case _: Exception => None }

@@ -665,6 +665,43 @@ object CatalogQueries {
           SELECT 1, CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
           FROM supplier WHERE s_suppkey % 5 = 0
         ) ORDER BY sequence_number, content
+      """)),
+
+    // SQL aggregate pushdown: a bare count/count(col)/min/max SELECT
+    // over a graft table answers from MANIFEST ARITHMETIC — the
+    // resolution rule collapses the whole query to a LocalRelation
+    // (zero file scans, zero Spark jobs; NativeSqlSpec pins the plan
+    // shape and job count, plus the MoR-deletes exact fallback). The
+    // oracle recomputes every cell by scanning, so the gate is
+    // "manifest literals equal the scan" across long, double,
+    // timestamp, and string domains at once.
+    QueryDef(
+      "q145_sql_agg_pushdown",
+      (s, d) => {
+        val wh = setupOnce("q145", d) {
+          val w = scratch("aggpush")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          cat.createTableAs("db1", "orders_ap", Tables.orders(s, d))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT count(*) AS n_rows, count(o_orderstatus) AS nn_status,
+                 min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
+                 min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price,
+                 min(o_orderdate) AS lo_date, max(o_orderdate) AS hi_date,
+                 min(o_orderpriority) AS lo_prio, max(o_orderpriority) AS hi_prio
+          FROM graft.db1.orders_ap""")
+      },
+      Some("""
+        SELECT count(*) AS n_rows, count(o_orderstatus) AS nn_status,
+               min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
+               min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price,
+               CAST(min(o_orderdate) AS TIMESTAMP) AS lo_date,
+               CAST(max(o_orderdate) AS TIMESTAMP) AS hi_date,
+               min(o_orderpriority) AS lo_prio, max(o_orderpriority) AS hi_prio
+        FROM orders
       """))
   )
 }

@@ -671,4 +671,75 @@ class NativeSqlSpec extends AnyFunSuite {
     // the failed merge committed nothing
     assert(spark.sql("SELECT sum(v) FROM graft.db.card").head().getLong(0) == 0L)
   }
+
+  test("SQL aggregate pushdown: count/min/max over a graft table answer " +
+      "from the manifest — zero file scans, zero Spark jobs — and MoR " +
+      "deletes / unknown stats force the exact scan") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "aggp", Seq("id" -> "long",
+      "v" -> "string", "ts" -> "date"))
+    t.append(Seq((1L, "b", "2024-01-03"), (2L, null, "2024-02-01"))
+      .toDF("id", "v", "ts").withColumn("ts", col("ts").cast("date"))
+      .coalesce(1))
+    t.append(Seq((7L, "a", "2023-12-25"), (5L, "z", "2024-03-09"))
+      .toDF("id", "v", "ts").withColumn("ts", col("ts").cast("date"))
+      .coalesce(1))
+    val sql = """SELECT count(*) AS n, count(v) AS nn, min(id) AS lo_id,
+      max(id) AS hi_id, min(v) AS lo_v, max(v) AS hi_v,
+      min(ts) AS lo_ts, max(ts) AS hi_ts FROM graft.db.aggp"""
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = spark.sql(sql)
+      // structural pin: the whole query collapsed to a local relation —
+      // no scan node anywhere, and LocalTableScanExec collects without
+      // submitting a job
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("LocalTableScan") && !planStr.contains("Scan parquet"),
+        s"expected manifest-only local plan:\n$planStr")
+      val r = df.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getDate(6).toString,
+        r.getDate(7).toString) ==
+        ((4L, 3L, 1L, 7L, "a", "z", "2023-12-25", "2024-03-09")))
+      Thread.sleep(300) // listener bus drain; false-pass-only race
+      assert(jobs.get() == 0, s"manifest aggregate ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // a column the manifest can't prove (added after the files were
+    // written -> no null counts) bails the WHOLE aggregate to the scan
+    // path, which stays exact: every old row null-fills w
+    t.addColumn("w", "string")
+    val fb = spark.sql("SELECT count(*) AS n, count(w) AS nn FROM graft.db.aggp")
+    assert(fb.queryExecution.executedPlan.toString.contains("Scan"),
+      "unprovable count(col) must fall back to the scan")
+    assert(fb.head() == org.apache.spark.sql.Row(4L, 0L))
+    // WHERE, GROUP BY, DISTINCT, expression args: never pushed
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.aggp WHERE id > 1").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(DISTINCT v) FROM graft.db.aggp")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT min(id + 1) FROM graft.db.aggp")
+      .head().getLong(0) == 2L)
+    // MoR deletes: manifest arithmetic is unsound -> exact scan fallback
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") === 7L)
+    val mor = spark.sql(sql)
+    assert(mor.queryExecution.executedPlan.toString.contains("Scan"),
+      "MoR deletes must force the scan path")
+    val m = mor.head()
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+      m.getString(4), m.getString(5)) == ((3L, 2L, 1L, 5L, "b", "z")))
+    // time travel keeps its own path (the pin is on the CURRENT
+    // snapshot's manifest; a pinned version reads through the scan)
+    val v0 = t.meta.snapshots.head.snapshotId
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.aggp VERSION AS OF $v0")
+      .head().getLong(0) == 2L)
+  }
 }
