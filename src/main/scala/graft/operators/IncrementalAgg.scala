@@ -157,6 +157,128 @@ object IncrementalAgg {
       sums: Seq[String]): DataFrame =
     delta(base.withColumn("_change_type", lit("insert")), keys, sums)
 
+  // -------- MIN/MAX maintenance with rescan-on-invalidation ---------
+  //
+  // min/max are NOT invertible under deletes — removing the row that
+  // holds a group's extreme says nothing about the runner-up — which
+  // is why delta/merge above exclude them. The *WithExtremes family
+  // maintains them anyway, with the only sound incremental contract:
+  //   - inserts fold as least/greatest in O(changed rows), exactly
+  //     like count/sum — the append-dominated flow never rescans;
+  //   - a batch whose DELETES touch a group's recorded extreme
+  //     (deleted value <= stored min or >= stored max) INVALIDATES
+  //     that group, and only invalidated groups re-aggregate from the
+  //     post-change base, restricted by a broadcast semi-join on the
+  //     flagged keys.
+  // At 100 TB the rescan term is zero for pure appends and bounded by
+  // the invalidated groups' slice otherwise (with key-clustered files,
+  // manifest bounds prune the rescan to those groups' files). NULLs
+  // never participate (SQL min/max semantics): an all-NULL group keeps
+  // NULL extremes, and deleting a NULL row invalidates nothing.
+
+  /** [[delta]] plus per-extreme-column fold inputs: inserted-side
+    * least/greatest and deleted-side least/greatest per group, from
+    * one partial-aggregated pass over the changelog slice.
+    */
+  def deltaWithExtremes(changes: DataFrame, keys: Seq[String],
+      sums: Seq[String], exts: Seq[String]): DataFrame = {
+    val ins = col("_change_type").isin("insert", "update_postimage")
+    val aggs =
+      sum(sign).as("n_rows") +:
+        (sums.flatMap(c => Seq(
+          sum(when(col(c).isNotNull, sign * col(c))).as(s"sum_$c"),
+          sum(when(col(c).isNotNull, sign)).as(s"nn_$c"))) ++
+        exts.flatMap(c => Seq(
+          min(when(ins, col(c))).as(s"ins_min_$c"),
+          max(when(ins, col(c))).as(s"ins_max_$c"),
+          min(when(!ins, col(c))).as(s"del_min_$c"),
+          max(when(!ins, col(c))).as(s"del_max_$c"))))
+    changes.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a [[deltaWithExtremes]] into combined state (keys, n_rows,
+    * sum/nn per summed column, min/max per extreme column). `base` is
+    * the POST-change base table read, consulted only for invalidated
+    * groups. Dead groups (live count 0) leave the state.
+    */
+  def mergeWithExtremes(state: DataFrame, delta: DataFrame,
+      keys: Seq[String], sums: Seq[String], exts: Seq[String],
+      base: DataFrame): DataFrame = {
+    val s = state.alias("s"); val d = delta.alias("d")
+    val on = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val keyCols = keys.map(k =>
+      when(col("d.n_rows").isNotNull, col(s"d.$k"))
+        .otherwise(col(s"s.$k")).as(k))
+    def add(c: String) =
+      (coalesce(col(s"s.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c)
+    val valCols = add("n_rows") +:
+      sums.flatMap(c => Seq(add(s"sum_$c"), add(s"nn_$c")))
+    // tentative extremes fold the INSERT side only; the delete side
+    // sets the per-group invalidation flag instead
+    val extCols = exts.flatMap(c => Seq(
+      least(col(s"s.min_$c"), col(s"d.ins_min_$c")).as(s"min_$c"),
+      greatest(col(s"s.max_$c"), col(s"d.ins_max_$c")).as(s"max_$c")))
+    val invalid = exts.map(c =>
+      (col(s"s.min_$c").isNotNull && col(s"d.del_min_$c").isNotNull &&
+        col(s"d.del_min_$c") <= col(s"s.min_$c")) ||
+      (col(s"s.max_$c").isNotNull && col(s"d.del_max_$c").isNotNull &&
+        col(s"d.del_max_$c") >= col(s"s.max_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val merged = s.join(d, on, "full_outer")
+      .select((keyCols ++ valCols ++ extCols :+ invalid.as("__invalid")): _*)
+      .filter(col("n_rows") > 0)
+    // per-group rescan, only where a delete touched a recorded
+    // extreme: semi-join the post-change base on the flagged keys
+    // (broadcast — invalidations are a slice of the batch's groups)
+    val flagged = merged.filter(col("__invalid"))
+      .select(keys.map(col): _*).alias("f")
+    val bOn = keys.map(k => col(s"b.$k") <=> col(s"f.$k")).reduce(_ && _)
+    val rAggs = exts.flatMap(c => Seq(
+      min(col(c)).as(s"rmin_$c"), max(col(c)).as(s"rmax_$c")))
+    val rescanned = base.alias("b")
+      .join(broadcast(flagged), bOn, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(rAggs.head, rAggs.tail: _*)
+      .alias("r")
+    val m2 = merged.alias("m")
+    val rOn = keys.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val out = m2.join(rescanned, rOn, "left_outer")
+      .select((keys.map(k => col(s"m.$k").as(k)) ++
+        (col("m.n_rows").as("n_rows") +:
+          sums.flatMap(c => Seq(col(s"m.sum_$c").as(s"sum_$c"),
+            col(s"m.nn_$c").as(s"nn_$c")))) ++
+        exts.flatMap(c => Seq(
+          when(col("m.__invalid"), col(s"r.rmin_$c"))
+            .otherwise(col(s"m.min_$c")).as(s"min_$c"),
+          when(col("m.__invalid"), col(s"r.rmax_$c"))
+            .otherwise(col(s"m.max_$c")).as(s"max_$c")))): _*)
+    out
+  }
+
+  /** Bootstrap the combined state (count/sum + extremes) by one full
+    * aggregation of the base.
+    */
+  def initialWithExtremes(base: DataFrame, keys: Seq[String],
+      sums: Seq[String], exts: Seq[String]): DataFrame =
+    deltaWithExtremes(base.withColumn("_change_type", lit("insert")),
+      keys, sums, exts)
+      .select((keys.map(col) :+ col("n_rows")) ++
+        (sums.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))) ++
+        exts.flatMap(c => Seq(col(s"ins_min_$c").as(s"min_$c"),
+          col(s"ins_max_$c").as(s"max_$c")))): _*)
+
+  /** User-facing view of the combined state: [[present]]'s columns
+    * plus min/max per extreme column (already NULL-correct — an
+    * all-NULL group carries NULL extremes).
+    */
+  def presentWithExtremes(state: DataFrame, keys: Seq[String],
+      sums: Seq[String], exts: Seq[String]): DataFrame =
+    state.filter(col("n_rows") > 0)
+      .select((keys.map(col) :+ col("n_rows")) ++
+        (sums.map(c =>
+          when(col(s"nn_$c") > 0, col(s"sum_$c")).as(s"sum_$c")) ++
+        exts.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*)
+
   /** User-facing view of the state: count plus SQL-semantics sums
     * (NULL when no live non-null value remains in the group); zero-count
     * rows a keyed-upsert store keeps (`dropDead = false`) are hidden —

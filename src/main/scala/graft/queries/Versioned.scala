@@ -1195,6 +1195,65 @@ object Versioned {
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
       """)),
 
+    // ---- min/max incremental maintenance -------------------------------
+    // the non-invertible half of view maintenance: extremes fold
+    // incrementally for inserts (least/greatest) and rescan ONLY the
+    // groups whose recorded extreme a delete touched. The fixture
+    // forces every path — append shifting extremes, a delete that
+    // guarantees extreme-row invalidation (all prices above a cut),
+    // and a MoR update doubling some prices (pre/post image pair).
+    // Oracle recomputes the final aggregate from scratch: the gate is
+    // "incremental with rescan-on-invalidation == full recompute".
+    QueryDef(
+      "q146_incremental_minmax",
+      (s, d) => {
+        import graft.operators.IncrementalAgg
+        val keys = Seq("o_orderstatus"); val sums = Seq("o_custkey")
+        val exts = Seq("o_totalprice")
+        val st = setupOnce("q146", d) {
+          val t = GraftTable.createAs(s, scratch("ivm"), "orders_ivm",
+            Tables.orders(s, d))
+          val s0 = t.meta.currentSnapshot.get.snapshotId
+          val state0 = IncrementalAgg.initialWithExtremes(
+            t.readAsOfVersion(s0), keys, sums, exts).localCheckpoint()
+          t.append(Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0))
+          t.delete(col("o_totalprice") > 400000.0) // kills every max
+          t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+          t.update(col("o_orderkey") % 13 === 0,
+            Map("o_totalprice" -> (col("o_totalprice") * 2)))
+          val sN = t.meta.currentSnapshot.get.snapshotId
+          IncrementalAgg.mergeWithExtremes(state0,
+            IncrementalAgg.deltaWithExtremes(
+              t.changelog(Some(s0), sN), keys, sums, exts),
+            keys, sums, exts, t.read()).localCheckpoint()
+        }
+        IncrementalAgg.presentWithExtremes(st, keys, sums, exts)
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        WITH appended AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        kept AS (
+          SELECT * FROM appended WHERE NOT (o_totalprice > 400000.0)
+        ),
+        final AS (
+          SELECT o_orderstatus, o_custkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+          FROM kept
+        )
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey,
+               min(o_totalprice) AS min_o_totalprice,
+               max(o_totalprice) AS max_o_totalprice
+        FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)),
+
     // ---- stats metadata table ------------------------------------------
     // the manifest-only aggregate trio (count / non-null / min / max)
     // per column, as a queryable relation — zero data I/O; the oracle

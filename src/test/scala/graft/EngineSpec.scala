@@ -1262,6 +1262,65 @@ class EngineSpec extends AnyFunSuite {
     assert(t.columnBounds("id").contains(("2", "7")))
   }
 
+  test("IncrementalAgg extremes: min/max maintained incrementally for " +
+      "appends, per-group rescan exactly when a delete touches the " +
+      "recorded extreme, NULLs never participate") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val keys = Seq("k"); val sums = Seq("x"); val exts = Seq("x")
+    val t = GraftTable.create(spark, tmp(), "mm_base",
+      Seq("id" -> "long", "k" -> "string", "x" -> "long"))
+    t.append(Seq((1L, "a", Some(10L)), (2L, "a", Some(3L)),
+      (3L, "b", Some(7L)), (4L, "b", None), (5L, "c", None))
+      .toDF("id", "k", "x"))
+    var s0 = t.meta.currentSnapshot.get.snapshotId
+    var state = IncrementalAgg.initialWithExtremes(t.read(), keys, sums, exts)
+      .localCheckpoint()
+    def check(): Unit = {
+      val got = IncrementalAgg
+        .presentWithExtremes(state, keys, sums, exts)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+          Option(r.getAs[Any]("sum_x")), Option(r.getAs[Any]("min_x")),
+          Option(r.getAs[Any]("max_x")))).toSet
+      val full = t.read().groupBy("k").agg(count(lit(1)).as("n"),
+        sum("x").as("s"), min("x").as("lo"), max("x").as("hi"))
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n"),
+          Option(r.getAs[Any]("s")), Option(r.getAs[Any]("lo")),
+          Option(r.getAs[Any]("hi")))).toSet
+      assert(got == full)
+    }
+    def fold(): Unit = {
+      val sN = t.meta.currentSnapshot.get.snapshotId
+      state = IncrementalAgg.mergeWithExtremes(state,
+        IncrementalAgg.deltaWithExtremes(t.changelog(Some(s0), sN),
+          keys, sums, exts),
+        keys, sums, exts, t.read()).localCheckpoint()
+      s0 = sN
+    }
+    check()
+    // pure append: folds as least/greatest, shifts a's min and b's max
+    t.append(Seq((6L, "a", Some(1L)), (7L, "b", Some(99L)),
+      (8L, "c", None)).toDF("id", "k", "x"))
+    fold(); check()
+    // delete of a NON-extreme row: no invalidation path needed, and
+    // the extreme survives
+    t.delete(col("id") === 2L) // a's 3 (min is 1, max is 10)
+    fold(); check()
+    // delete of the rows holding extremes: a loses its max (10), b its
+    // max (99) — the per-group rescan must find the runners-up
+    t.delete(col("id").isin(1L, 7L))
+    fold(); check()
+    // update that moves an extreme (MoR pairing: pre=delete post=insert)
+    t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    t.update(col("id") === 3L, Map("x" -> lit(-5L))) // b's 7 -> -5
+    fold(); check()
+    // group death: every c row deleted, state row leaves
+    t.delete(col("k") === "c")
+    fold(); check()
+    assert(!IncrementalAgg.presentWithExtremes(state, keys, sums, exts)
+      .collect().exists(_.getAs[String]("k") == "c"))
+  }
+
   test("IncrementalAgg.refresh: one-call materialized-view refresh " +
       "bootstraps, folds only new commits, and no-ops when current") {
     import spark.implicits._
