@@ -33,6 +33,8 @@ import graft.engine.GraftTable
   *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.create_branch('db.t', '<name>')
   *   CALL graft.system.create_tag('db.t', '<name>')
+  *   CALL graft.system.set_branch_retention('db.t', '<branch>'
+  *     [, <min_snapshots_to_keep>, <max_snapshot_age_ms>])
   *
   * Each delegates to the one engine implementation in [[GraftTable]];
   * no procedure returns rows (maintenance results are observable
@@ -76,6 +78,15 @@ object GraftProcedures {
           .defaultValue("1").build()),
       (w, r) => table(w, str(r, 0)).expireSnapshots(r.getLong(1),
         if (r.isNullAt(2)) 1 else r.getInt(2))),
+    Def("set_branch_retention",
+      Seq(in("table", StringType), in("branch", StringType),
+        ProcedureParameter.in("min_snapshots_to_keep", IntegerType)
+          .defaultValue("NULL").build(),
+        ProcedureParameter.in("max_snapshot_age_ms", LongType)
+          .defaultValue("NULL").build()),
+      (w, r) => table(w, str(r, 0)).setBranchRetention(str(r, 1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))),
     Def("rewrite_data_files_binpack",
       Seq(in("table", StringType),
         ProcedureParameter.in("min_file_size_bytes", LongType)

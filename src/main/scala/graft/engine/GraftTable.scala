@@ -1846,12 +1846,67 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def expireSnapshots(keepLast: Int): GraftTable = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     MetadataIO.commitRetry(location) { cur =>
-      val pinned = cur.refs.map(_.snapshotId).toSet ++ cur.currentSnapshotId
+      val pinned = refPinned(cur, System.currentTimeMillis())
       val keep = cur.snapshots.sortBy(-_.timestampMs).take(keepLast)
         .map(_.snapshotId).toSet ++ pinned
       cur.copy(
         snapshots = cur.snapshots.filter(s => keep(s.snapshotId)),
         snapshotLog = cur.snapshotLog.filter(e => keep(e.snapshotId)))
+    }
+    this
+  }
+
+  /** The ref-protected snapshot set for expiry: every ref's target and
+    * the current snapshot always; additionally, for a BRANCH carrying a
+    * retention policy (Iceberg's per-ref `min-snapshots-to-keep` /
+    * `max-snapshot-age-ms`, here as table properties
+    * `graft.ref.<branch>.min-snapshots-to-keep` and
+    * `graft.ref.<branch>.max-snapshot-age-ms`), the branch head's
+    * ANCESTOR CHAIN as far as the policy protects it — so a staging
+    * branch keeps its audit tail while main's history expires under
+    * the global rule. Without a policy a branch pins only its head
+    * (the pre-policy behavior).
+    */
+  private def refPinned(cur: TableMetadata, nowMs: Long): Set[Long] = {
+    val byId = cur.snapshots.map(s => s.snapshotId -> s).toMap
+    val branchKept = cur.refs.filter(_.refType == "BRANCH").flatMap { r =>
+      val minKeep = cur.properties
+        .get(s"graft.ref.${r.name}.min-snapshots-to-keep").map(_.toInt)
+      val maxAge = cur.properties
+        .get(s"graft.ref.${r.name}.max-snapshot-age-ms").map(_.toLong)
+      if (minKeep.isEmpty && maxAge.isEmpty) Vector.empty
+      else {
+        val chain = Iterator
+          .iterate(byId.get(r.snapshotId))(_.flatMap(_.parentId).flatMap(byId.get))
+          .takeWhile(_.isDefined).map(_.get).toVector
+        chain.zipWithIndex.collect {
+          case (s, i) if i < minKeep.getOrElse(1) ||
+            maxAge.exists(a => s.timestampMs >= nowMs - a) => s.snapshotId
+        }
+      }
+    }
+    cur.refs.map(_.snapshotId).toSet ++ cur.currentSnapshotId ++ branchKept
+  }
+
+  /** Arm a branch's retention policy (see [[refPinned]]). Pass None to
+    * clear a knob; both cleared restores head-only pinning.
+    */
+  def setBranchRetention(branch: String, minSnapshotsToKeep: Option[Int],
+      maxSnapshotAgeMs: Option[Long]): GraftTable = {
+    require(minSnapshotsToKeep.forall(_ >= 1),
+      "min-snapshots-to-keep must be >= 1")
+    require(maxSnapshotAgeMs.forall(_ > 0), "max-snapshot-age-ms must be > 0")
+    MetadataIO.commitRetry(location) { cur =>
+      require(cur.refs.exists(r => r.name == branch && r.refType == "BRANCH"),
+        s"no branch $branch")
+      val base = cur.properties -
+        s"graft.ref.$branch.min-snapshots-to-keep" -
+        s"graft.ref.$branch.max-snapshot-age-ms"
+      cur.copy(properties = base ++
+        minSnapshotsToKeep.map(v =>
+          s"graft.ref.$branch.min-snapshots-to-keep" -> v.toString) ++
+        maxSnapshotAgeMs.map(v =>
+          s"graft.ref.$branch.max-snapshot-age-ms" -> v.toString))
     }
     this
   }
@@ -1865,7 +1920,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def expireSnapshots(olderThanMs: Long, retainLast: Int): GraftTable = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     MetadataIO.commitRetry(location) { cur =>
-      val pinned = cur.refs.map(_.snapshotId).toSet ++ cur.currentSnapshotId
+      val pinned = refPinned(cur, System.currentTimeMillis())
       val keep = cur.snapshots.filter(_.timestampMs >= olderThanMs)
         .map(_.snapshotId).toSet ++
         cur.snapshots.sortBy(-_.timestampMs).take(retainLast)

@@ -927,6 +927,46 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("branch-scoped snapshot retention: a policy-carrying branch " +
+      "keeps its ancestor tail while main's history expires; without " +
+      "a policy only the head is pinned") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "bret", Seq("id" -> "long"))
+    (1 to 4).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    t.createBranch("audit")
+    t.appendToBranch("audit", Seq(10L).toDF("id"))
+    t.appendToBranch("audit", Seq(11L).toDF("id"))
+    t.appendToBranch("audit", Seq(12L).toDF("id"))
+    (5 to 6).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    val branchChain = {
+      val byId = t.meta.snapshots.map(s => s.snapshotId -> s).toMap
+      Iterator.iterate(Option(
+          byId(t.meta.refs.find(_.name == "audit").get.snapshotId)))(
+        _.flatMap(_.parentId).flatMap(byId.get))
+        .takeWhile(_.isDefined).map(_.get.snapshotId).toVector
+    }
+    // min-snapshots-to-keep=3 protects the branch head + 2 ancestors
+    t.setBranchRetention("audit", Some(3), None)
+    t.expireSnapshots(1)
+    val kept = t.meta.snapshots.map(_.snapshotId).toSet
+    assert(branchChain.take(3).forall(kept),
+      "the branch's protected tail must survive")
+    assert(!kept(branchChain(3)),
+      "ancestors beyond the policy expire with the global rule")
+    assert(kept(t.meta.currentSnapshotId.get))
+    // the audited branch still reads whole
+    assert(t.readRef("audit").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L))
+    // clearing the policy restores head-only pinning
+    t.setBranchRetention("audit", None, None)
+    t.expireSnapshots(1)
+    val kept2 = t.meta.snapshots.map(_.snapshotId).toSet
+    assert(kept2(branchChain.head) && !kept2(branchChain(1)))
+    // a policy on a nonexistent branch fails loudly
+    intercept[IllegalArgumentException](
+      t.setBranchRetention("nope", Some(2), None))
+  }
+
   test("MERGE with only NOT MATCHED BY SOURCE dedupes multi-matched rows") {
     import spark.implicits._
     import graft.engine._

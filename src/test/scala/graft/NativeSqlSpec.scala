@@ -492,6 +492,12 @@ class NativeSqlSpec extends AnyFunSuite {
       s"${System.currentTimeMillis() + 60000}, 1)")
     assert(t.meta.snapshots.size >= 1)
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L, 9L))
+    // branch retention policy through SQL: knob lands as the table
+    // property the expiry path reads
+    spark.sql(
+      "CALL graft.system.set_branch_retention('db.proc', 'stage', 2, NULL)")
+    assert(t.meta.properties.get("graft.ref.stage.min-snapshots-to-keep")
+      .contains("2"))
     val e = intercept[Exception](
       spark.sql("CALL graft.system.nope('db.proc')"))
     assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
