@@ -1545,6 +1545,32 @@ object Pipeline {
         ORDER BY lang, doc_id
       """)),
 
+    // ---- Perplexity filter, production hash ----------------------------
+    // q144's chain with portableHash=false: n-gram buckets come from
+    // xxhash64 instead of the md5 hex round-trip DuckDB can reproduce.
+    // No oracle for the same reason as the MinHash family (q42/q43);
+    // the rank-behavior equivalence of the two hash paths is pinned in
+    // PipelineSpec, and this entry exists to BENCH the path a
+    // production run would take (the md5 string work is most of
+    // q142/q144's cost).
+    QueryDef(
+      "q147_perplexity_fast",
+      (s, d) => {
+        val all = docs(s, d)
+        val ref = all.filter(col("source").isin("src0", "src1", "src2"))
+        val scored = graft.pipeline.Curation
+          .lmScores(all, "doc_id", "text", ref, "text",
+            numBuckets = 1024, alpha = 1.0, portableHash = false)
+          .join(all.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("fluency",
+            (-floor(col("nll") * 10)).cast("int"))
+        graft.pipeline.Curation.topPercentPerStratum(scored, "doc_id",
+            "lang", "fluency", percent = 50)
+          .select(col("doc_id"), col("lang"), col("fluency"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      None),
+
     // ---- Per-stratum quality cut ---------------------------------------
     // keep the top 30% of documents per language by n_chars (the
     // integer stand-in for a classifier score). The implementation is

@@ -1122,6 +1122,47 @@ class PipelineSpec extends AnyFunSuite {
       s"the bucket-sized model must broadcast:\n$p")
   }
 
+  test("portableHash=false (xxhash64) n-gram scorers: same doc " +
+      "coverage and the same rank BEHAVIOR as the md5 oracle path") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val target = base.filter(col("lang") === "de")
+    val md = Curation.dsirScores(base, "doc_id", "text", target, "text")
+    val xx = Curation.dsirScores(base, "doc_id", "text", target, "text",
+      portableHash = false)
+    // identical coverage: a doc has features independent of the hash
+    assert(md.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      xx.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the behavioral pin: the target domain outranks the rest under
+    // BOTH hashes (scores differ within hash noise; ordering of the
+    // separated populations must not)
+    def deGap(scored: org.apache.spark.sql.DataFrame): Double = {
+      val m = scored.join(base, "doc_id")
+        .groupBy(col("lang") === "de")
+        .agg(avg(col("dsir_score")).as("s"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      m(true) - m(false)
+    }
+    assert(deGap(md) > 0 && deGap(xx) > 0)
+    // lmScores under xxhash64: reference-like text stays more likely
+    val ref = (1 to 50).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, "the quick brown fox"),
+      (101L, "zxq vvw qqj plk mnb")).toDF("doc_id", "text")
+    val byId = Curation.lmScores(probe, "doc_id", "text", ref, "text",
+        numBuckets = 256, portableHash = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(100L) < byId(101L), s"$byId")
+    // no md5 in the fast path's plan (the point of the knob)
+    val p = Curation.lmScores(probe, "doc_id", "text", ref, "text",
+      numBuckets = 256, portableHash = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64") && !p.toLowerCase.contains("md5"), p)
+  }
+
   test("PQ and IVF-PQ search with pre-trained models equals the " +
       "train-inline run exactly") {
     val emb = Tables.embeddings(spark, sf)
