@@ -647,6 +647,61 @@ class EngineSpec extends AnyFunSuite {
     assert(chain.size == m.snapshots.size, s"forked history: ${chain.size}")
   }
 
+  test("cross-process commit race: two forked JVMs plus this session " +
+      "racing appends and CoW deletes on one warehouse — every commit " +
+      "lands exactly once, history stays linear") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "xrace",
+      Seq("id" -> "long", "src" -> "string"))
+    // seed the delete targets so the final state is deterministic
+    t.append((1 to 4).map(i => (-i.toLong, "seed")).toDF("id", "src"))
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    // Spark on JDK17 needs this JVM's --add-opens set; inherit it
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("--enable-native-access")).toSeq
+    val cp = Seq(
+      new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+      new java.io.File("target/scala-2.13/test-classes").getAbsolutePath,
+      "/opt/spark/jars/*").mkString(":")
+    def fork(tag: String, base: Long, dels: String): Process = {
+      val logDir = java.nio.file.Files.createTempDirectory("graft-xrace")
+      new ProcessBuilder((Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.RaceChild", loc, tag, base.toString, "4", dels)).asJava)
+        .redirectOutput(logDir.resolve(s"$tag.out").toFile)
+        .redirectError(logDir.resolve(s"$tag.err").toFile)
+        .start()
+    }
+    val p1 = fork("w1", 1000L, "-1,-2")
+    val p2 = fork("w2", 2000L, "-3,-4")
+    // this session races too, through the same caller-retries contract
+    for (i <- 0 until 4)
+      t.append(Seq((3000L + i, "w0")).toDF("id", "src"))
+    assert(p1.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+      "forked writers did not finish")
+    assert(p1.exitValue() == 0 && p2.exitValue() == 0,
+      s"forked writer failed: ${p1.exitValue()}/${p2.exitValue()}")
+    val m = t.meta
+    // exactly-once across processes: 1 seed + 3*4 appends + 4 deletes
+    assert(m.snapshots.size == 17, s"snapshot count: ${m.snapshots.size}")
+    val rows = t.read().as[(Long, String)].collect().toSet
+    val expected = (0 until 4).flatMap(i => Seq((1000L + i, "w1"),
+      (2000L + i, "w2"), (3000L + i, "w0"))).toSet
+    assert(rows == expected)
+    // linear history: the parent chain from current reaches EVERY
+    // snapshot — no fork, no overwrite, across process boundaries
+    val chain = Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (id, s.parentId))
+      case None     => None
+    }.toSeq
+    assert(chain.size == m.snapshots.size, s"forked history: ${chain.size}")
+  }
+
   test("schema evolution golden replay: reference `test` table (6 schemas)") {
     import spark.implicits._
     // create(id int, name string, added_at ts) -> rename name->new_name
@@ -1230,6 +1285,53 @@ class EngineSpec extends AnyFunSuite {
       t.read().agg(count(col("v"))).head().getLong(0)))
     assert(t.countNonNull("w").isEmpty)
     assert(t.countNonNull("nope").isEmpty)
+  }
+
+  test("bloom read path: a point probe on the armed column skips every " +
+      "row group; the unarmed twin must decode rows") {
+    import spark.implicits._
+    // the fixture is built so the bloom is the ONLY skip that can fire:
+    // ids are interleaved across files (i*8 + f), so every file's
+    // min/max covers the probe; 150k distinct longs per file overflow
+    // parquet's 1MB dictionary page, killing dictionary filtering; and
+    // the probe (residue 5 mod 8) is IN-RANGE everywhere but present
+    // nowhere — only the bloom can prove absence without decoding.
+    def build(props: Map[String, String]): GraftTable = {
+      val t = GraftTable.create(spark, tmp(), "blmread",
+        Seq("id" -> "long"), properties = props)
+      (0 until 4).foreach { f =>
+        t.append((0 until 150000).map(i => i.toLong * 8 + f)
+          .toDF("id").coalesce(1))
+      }
+      t
+    }
+    val armed = build(Map(
+      "write.parquet.bloom-filter-enabled.column.id" -> "true",
+      "write.parquet.bloom-filter-fpp.column.id" -> "0.01"))
+    val unarmed = build(Map.empty)
+    val probe = 37L // 4*8+5: residue 5 — absent, inside every range
+    def scanRows(t: GraftTable): Long = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = t.readWhere(col("id") === probe)
+        assert(df.count() == 0)
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    // manifest pruning can't help either side (interleaving defeats
+    // per-file bounds): both scans plan all four files
+    assert(armed.candidateFiles(col("id") === probe).size == 4)
+    val (a, u) = (scanRows(armed), scanRows(unarmed))
+    assert(a == 0L,
+      s"armed bloom must skip every row group, decoded $a rows")
+    assert(u > 0L,
+      "the unarmed twin was expected to decode rows — fixture no longer " +
+        "defeats min/max and dictionary skipping; rebuild it")
   }
 
   test("stats on a never-committed table: count(col) is exactly 0, " +
