@@ -79,4 +79,21 @@ class BenchSpec extends AnyFunSuite {
       escalations = 0)
     assert(!f.flagged)
   }
+
+  test(">3 s tier flags at 1.5x spread (r10 q71 shape: 4.48 s vs a " +
+      "3.16 s history sat under the flat 3x threshold unadjudicated)") {
+    val f = Bench.stallFlags(measured = Seq(4.48, 3.1), warmup = 5.0,
+      escalations = 0)
+    assert(f.spreadLimit == 1.5)
+    // 4.48/3.1 = 1.45 stays under, but the r10 artifact's actual raw
+    // passes would have needed only this much disagreement to flag:
+    assert(!f.flagged)
+    val g = Bench.stallFlags(measured = Seq(4.8, 3.1), warmup = 5.0,
+      escalations = 0)
+    assert(g.flagged && g.spread > 1.5)
+    // the cheap tier keeps the 3x threshold — 2x jitter is ordinary
+    val h = Bench.stallFlags(measured = Seq(0.9, 0.45), warmup = 1.0,
+      escalations = 0)
+    assert(h.spreadLimit == 3.0 && !h.flagged)
+  }
 }
