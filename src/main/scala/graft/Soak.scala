@@ -28,8 +28,15 @@ object Soak {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Join/exchange skeleton of the executed plan — the shape that must
-    * not flip between scales.
+  /** Join/exchange skeleton of the executed plan — the STRUCTURE that
+    * must not flip between scales: join keys and conditions, aggregate
+    * stages, explicit repartitionings, and any nested-loop/cartesian
+    * appearance. Equi-join STRATEGY is deliberately normalized away:
+    * BroadcastHashJoin at 1× becoming SortMergeJoin at 30× (with its
+    * implied ENSURE_REQUIREMENTS exchanges) is the planner's designed
+    * size-driven degradation on the SAME key — the 100 TB failure
+    * modes this gate exists for are the opposite shapes (a key change,
+    * a BroadcastNestedLoopJoin, an aggregation restructure).
     */
   private def planShape(df: DataFrame): String =
     df.queryExecution.executedPlan.toString.linesIterator
@@ -37,6 +44,14 @@ object Soak {
         .trim)
       .filter(l => l.contains("Join") || l.contains("Exchange") ||
         l.contains("Aggregate"))
+      .filterNot(l => l.contains("BroadcastExchange") ||
+        (l.contains("Exchange hashpartitioning") &&
+          l.contains("ENSURE_REQUIREMENTS")))
+      .map(_.replaceAll("^[+:\\- ]*", "")
+        .replaceAll("^(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+          "EquiJoin")
+        .replaceAll(", Build(Left|Right)", "")
+        .replaceAll(", false$", ""))
       .mkString("\n")
 
   def main(args: Array[String]): Unit = {

@@ -53,7 +53,32 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       .filter(MetadataIO.exists)
       .map(loc => GraftTable.load(spark, loc))
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Aggregate pushdown vs analyzer ordering: a WHERE whose type
+    // coercion lands late leaves the enclosing Aggregate UNRESOLVED in
+    // the very iteration the relation resolves — and the swap cases
+    // below would replace the relation with a scan plan before the
+    // Aggregate case ever sees a resolved tree. Relations sitting
+    // under a not-yet-resolved Aggregate whose SHAPE could push (bare
+    // count/min/max, no GROUP BY, at most one Filter) are DEFERRED —
+    // left unswapped this iteration; the fixed point brings the
+    // resolved Aggregate back to the case above, which either collapses
+    // it to manifest literals or (unpushable) leaves it for the next
+    // iteration's ordinary swap. Identity-keyed: two scans of the same
+    // table are structurally equal but must not defer each other.
+    val deferred = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if !agg.resolved && agg.groupingExpressions.isEmpty &&
+            aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) &&
+            maybePushable(agg.aggregateExpressions) =>
+        deferred.add(relationIn(agg.child match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.child
+          case other => other
+        }))
+      case _ => ()
+    }
     plan.resolveOperators {
       // ---- SQL DML: intercept whole statements (top-down, so the
       // ---- relation below is not yet swapped for a read plan)
@@ -114,9 +139,9 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       // ---- swaps the relation.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.resolved && agg.groupingExpressions.isEmpty &&
-            handleOf(agg.child).exists(_.pinnedSnapshot.isEmpty) =>
-        pushManifestAggregate(agg, handleOf(agg.child).get.table)
-          .getOrElse(agg)
+            aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) =>
+        val (h, cond) = aggSource(agg.child).get
+        pushManifestAggregate(agg, h.table, cond).getOrElse(agg)
 
       // ---- filtered scans: the WHERE condition reaches the engine,
       // ---- which prunes candidate files metadata-only (partition
@@ -126,7 +151,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       // ---- (Top-down traversal: this case must see the Filter before
       // ---- the bare-relation case below swaps its child.)
       case fl @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
-          if handleOf(child).exists(_.pinnedSnapshot.isEmpty) =>
+          if handleOf(child).exists(_.pinnedSnapshot.isEmpty) &&
+            !deferred.contains(relationIn(child)) =>
         val h = handleOf(child).get
         val swapped = rebind(relationIn(child),
           h.table.readPrunedBy(cond).queryExecution.analyzed)
@@ -137,7 +163,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         fl.copy(child = newChild)
 
       // ---- scans: swap the capability-less handle for the engine read
-      case r: DataSourceV2Relation if handleOf(r).isDefined =>
+      case r: DataSourceV2Relation
+          if handleOf(r).isDefined && !deferred.contains(r) =>
         val h = handleOf(r).get
         val df = h.pinnedSnapshot match {
           case Some(s) => h.table.readAsOfVersion(s.snapshotId)
@@ -165,6 +192,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case u: UnresolvedRelation if isGraft(u) =>
         withTable(u)(_.read()).getOrElse(u)
     }
+  }
 
   /** The manifest-only rewrite behind the aggregate-pushdown case: every
     * aggregate expression must be an aliased, unfiltered, non-DISTINCT
@@ -173,9 +201,59 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     * and the whole Aggregate stays for the scan path). Output
     * attributes keep their exprIds, so parents re-resolve untouched.
     */
+  /** Shape-only pushability test for the deferral pre-scan: every
+    * aggregate expression is an (optionally unresolved) alias over a
+    * non-DISTINCT, unfiltered count/min/max of a literal, star, or
+    * bare column. No values are computed here — this only decides
+    * whether the relation swap should wait one iteration for the
+    * Aggregate to resolve.
+    */
+  private def maybePushable(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction => UFn}
+    def okArg(e: Expression): Boolean = e match {
+      case _: Literal | _: UnresolvedStar | _: UnresolvedAttribute |
+          _: AttributeReference => true
+      case _ => false
+    }
+    exprs.forall { ne =>
+      val body = ne match {
+        case Alias(c, _)         => c
+        case ua: UnresolvedAlias => ua.child
+        case other               => other
+      }
+      body match {
+        case UFn(Seq(fn), args, false, None, _, _, _)
+            if Set("count", "min", "max")(fn.toLowerCase) =>
+          args.sizeIs == 1 && okArg(args.head)
+        case AggregateExpression(fnn, _, false, None, _) => fnn match {
+          case Count(Seq(a)) => okArg(a)
+          case Min(a)        => okArg(a)
+          case Max(a)        => okArg(a)
+          case _             => false
+        }
+        case _ => false
+      }
+    }
+  }
+
+  /** The Aggregate's source: a bare graft relation, or one under a
+    * single WHERE whose condition rides along for strict file-wise
+    * evaluation.
+    */
+  private def aggSource(p: LogicalPlan): Option[(GraftTableHandle, Option[Expression])] =
+    p match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        handleOf(f.child).map(h => (h, Some(f.condition)))
+      case other => handleOf(other).map(h => (h, None))
+    }
+
   private def pushManifestAggregate(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      t: GraftTable): Option[LogicalPlan] = {
+      t: GraftTable, cond: Option[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
@@ -185,11 +263,25 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     // MoR delete files make every manifest count/bound unsound (stale
     // positional pointers, uncounted equality keys) — scan instead
     if (m.currentSnapshot.exists(_.deleteFiles.nonEmpty)) return None
-    val nRows = m.currentSnapshot
-      .map(_.files.map(_.recordCount).sum).getOrElse(0L)
+    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    // WHERE: inclusive pruning drops the files wholly outside the
+    // predicate; the survivors must ALL be wholly inside (strict
+    // evaluation) or the aggregate needs rows read — bail to the scan.
+    // A boundary-file partial count is deliberately NOT computed here:
+    // resolution rules must not run Spark jobs (GraftTable.countWhere
+    // is the API that pays the boundary scan).
+    val files = cond match {
+      case None => files0
+      case Some(e) =>
+        val cand = t.candidatesFor(m, files0, e)
+        if (cand.forall(f => graft.engine.StatsPruning.allMatch(m, f, e)))
+          cand
+        else return None
+    }
+    val nRows = files.map(_.recordCount).sum
     def boundLit(a: AttributeReference, lower: Boolean): Option[Literal] =
       for {
-        (lo, hi) <- t.columnBounds(m, a.name)
+        (lo, hi) <- t.columnBoundsIn(m, files, a.name)
         v <- graft.engine.StatsPruning.internalBound(a.dataType,
           if (lower) lo else hi)
       } yield Literal(v, a.dataType)
@@ -199,7 +291,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           case Count(Seq(l: Literal)) if l.value != null =>
             Some(Literal(nRows, LongType))
           case Count(Seq(a: AttributeReference)) =>
-            t.countNonNull(m, a.name).map(Literal(_, LongType))
+            t.countNonNullIn(m, files, a.name).map(Literal(_, LongType))
           case Min(a: AttributeReference) => boundLit(a, lower = true)
           case Max(a: AttributeReference) => boundLit(a, lower = false)
           case _                          => None

@@ -92,6 +92,33 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Exact FILTERED row count with manifest arithmetic wherever the
+    * predicate is provable file-wise: inclusive pruning drops the
+    * files wholly outside `cond`, STRICT evaluation
+    * ([[StatsPruning.allMatch]]) counts the files wholly inside from
+    * their manifest record counts, and only the ambiguous boundary
+    * files have their rows read. A time-range count over a
+    * time-clustered 100 TB table reads two boundary files' data and
+    * answers the rest from O(#files) metadata. MoR delete files force
+    * the exact merged-scan count (same soundness rule as
+    * [[countRows]]).
+    */
+  def countWhere(cond: Column): Long = {
+    val m = meta
+    m.currentSnapshot match {
+      case None => 0L
+      case Some(s) if s.deleteFiles.nonEmpty => readWhere(cond).count()
+      case Some(s) =>
+        val e = exprOf(cond)
+        val cand = pruneCandidates(m, s.files, e)
+        val (whole, boundary) =
+          cand.partition(f => StatsPruning.allMatch(m, f, e))
+        whole.map(_.recordCount).sum +
+          (if (boundary.isEmpty) 0L
+           else readFiles(m, boundary).filter(cond).count())
+    }
+  }
+
   /** Manifest-only COUNT(col) — non-null count, completing Iceberg's
     * pushed-aggregate trio (COUNT(*), COUNT(col), MIN/MAX): per-file
     * recordCount minus nullCount, summed. None whenever unsound —
@@ -111,16 +138,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       // (mirrors countRows' None => 0L), provided the column exists
       case None => m.currentSchema.fieldByName(name).map(_ => 0L)
       case Some(s) if s.deleteFiles.nonEmpty => None
-      case Some(s) =>
-        for {
-          field <- m.currentSchema.fieldByName(name)
-          key = field.id.toString
-          // 0-row files (a CoW rewrite that deleted a file's every row)
-          // record no stats AND contribute nothing — skip, don't refuse
-          counts <- traverseOpt(s.files.filter(_.recordCount > 0))(f =>
-            f.nullCounts.get(key).map(nc => f.recordCount - nc))
-        } yield counts.sum
+      case Some(s) => countNonNullIn(m, s.files, name)
     }
+
+  /** [[countNonNull]] restricted to a file subset — the filtered
+    * aggregate pushdown counts only the strictly-matching files.
+    * Callers guarantee the subset's soundness (no deletes in play).
+    */
+  private[graft] def countNonNullIn(m: TableMetadata,
+      files: Vector[DataFileEntry], name: String): Option[Long] =
+    for {
+      field <- m.currentSchema.fieldByName(name)
+      key = field.id.toString
+      // 0-row files (a CoW rewrite that deleted a file's every row)
+      // record no stats AND contribute nothing — skip, don't refuse
+      counts <- traverseOpt(files.filter(_.recordCount > 0))(f =>
+        f.nullCounts.get(key).map(nc => f.recordCount - nc))
+    } yield counts.sum
 
   /** Manifest-only MIN/MAX: the table-wide bounds of column `name`
     * from per-file manifest bounds — zero data I/O, the MIN/MAX half
@@ -142,14 +176,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Metadata-parameterized twin — see [[countNonNull]]'s overload. */
   private[graft] def columnBounds(m: TableMetadata,
+      name: String): Option[(String, String)] =
+    m.currentSnapshot match {
+      case Some(s) if s.deleteFiles.isEmpty => columnBoundsIn(m, s.files, name)
+      case _                                => None
+    }
+
+  /** [[columnBounds]] restricted to a file subset — see
+    * [[countNonNullIn]].
+    */
+  private[graft] def columnBoundsIn(m: TableMetadata,
+      files: Vector[DataFileEntry],
       name: String): Option[(String, String)] = {
     // 0-row files record no stats and bound nothing — skip them (same
-    // rule as countNonNull); an all-0-row table falls to None
-    val live = m.currentSnapshot
-      .map(_.files.filter(_.recordCount > 0)).getOrElse(Vector.empty)
+    // rule as countNonNull); an all-0-row set falls to None
+    val live = files.filter(_.recordCount > 0)
     for {
-      s <- m.currentSnapshot
-      if s.deleteFiles.isEmpty && live.nonEmpty
+      _ <- Option.when(live.nonEmpty)(())
       field <- m.currentSchema.fieldByName(name)
       key = field.id.toString
       // a file whose null count equals its row count is all-NULL in
@@ -1359,6 +1402,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Column -> Catalyst Expression (Spark 4 columns are ColumnNode-backed). */
   private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graftshim.expressionOf(c)
+
+  /** [[pruneCandidates]] for the SQL rule's filtered-aggregate gate
+    * (same inclusive pruning, caller-supplied metadata).
+    */
+  private[graft] def candidatesFor(m: TableMetadata,
+      files: Vector[DataFileEntry],
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Vector[DataFileEntry] =
+    pruneCandidates(m, files, e)
 
   /** Metadata-only candidate discovery for DML and pruned reads:
     * partition-transform veto first (cheapest, whole partitions), then

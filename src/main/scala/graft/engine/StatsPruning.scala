@@ -28,6 +28,124 @@ object StatsPruning {
     files.filter(f => mayMatch(schema, f, cond))
   }
 
+  /** STRICT file-level evaluation — the dual of [[candidates]]'
+    * inclusive test (Iceberg's StrictMetricsEvaluator next to its
+    * InclusiveMetricsEvaluator): true only when EVERY row of the file
+    * PROVABLY satisfies `cond` from manifest bounds + null counts.
+    * Conservative the other way around: anything not understood is
+    * "not provably all", never a wrong yes. Comparisons additionally
+    * require a recorded ZERO null count (a NULL row satisfies no
+    * comparison), and a 0-row file satisfies anything vacuously.
+    *
+    * This is what turns `count(*) WHERE ts >= X` into manifest
+    * arithmetic: inclusive pruning drops the files wholly outside the
+    * predicate, strict evaluation counts the files wholly inside, and
+    * only boundary files need their rows read.
+    */
+  def allMatch(m: TableMetadata, f: DataFileEntry,
+      cond: Expression): Boolean =
+    f.recordCount == 0L || mustMatch(m.currentSchema, f, cond)
+
+  private def mustMatch(schema: VersionedSchema, f: DataFileEntry,
+      e: Expression): Boolean = e match {
+    case And(l, r) => mustMatch(schema, f, l) && mustMatch(schema, f, r)
+    // sufficient, not complete: one branch covering the whole file
+    // proves the disjunction (row-by-row mixed coverage does not prove
+    // here — it falls to the scan, never to a wrong answer)
+    case Or(l, r)  => mustMatch(schema, f, l) || mustMatch(schema, f, r)
+    case EqualTo(a, b)            => strictLeaf(schema, f, a, b, "=")
+    case LessThan(a, b)           => strictLeaf(schema, f, a, b, "<")
+    case LessThanOrEqual(a, b)    => strictLeaf(schema, f, a, b, "<=")
+    case GreaterThan(a, b)        => strictLeaf(schema, f, a, b, ">")
+    case GreaterThanOrEqual(a, b) => strictLeaf(schema, f, a, b, ">=")
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => strictLeaf(schema, f, a, v, "="))
+    case InSet(a, vs) =>
+      vs.exists(v => strictLeaf(schema, f, a, Literal(v), "="))
+    case IsNull(a)         => strictNullLeaf(schema, f, a, wantNull = true)
+    case IsNotNull(a)      => strictNullLeaf(schema, f, a, wantNull = false)
+    case Not(IsNull(a))    => strictNullLeaf(schema, f, a, wantNull = false)
+    case Not(IsNotNull(a)) => strictNullLeaf(schema, f, a, wantNull = true)
+    // Column-DSL conditions (countWhere's API path) arrive pre-analysis
+    // as UnresolvedFunction nodes named after the SQL operator — the
+    // same shapes [[mayMatch]] handles on its side
+    case UnresolvedFunction(Seq(fn), args, false, _, _, _, _) =>
+      (fn.toLowerCase, args) match {
+        case ("and", Seq(l, r)) =>
+          mustMatch(schema, f, l) && mustMatch(schema, f, r)
+        case ("or", Seq(l, r)) =>
+          mustMatch(schema, f, l) || mustMatch(schema, f, r)
+        case ("=" | "==", Seq(a, b)) => strictLeaf(schema, f, a, b, "=")
+        case ("<", Seq(a, b))   => strictLeaf(schema, f, a, b, "<")
+        case ("<=", Seq(a, b))  => strictLeaf(schema, f, a, b, "<=")
+        case (">", Seq(a, b))   => strictLeaf(schema, f, a, b, ">")
+        case (">=", Seq(a, b))  => strictLeaf(schema, f, a, b, ">=")
+        case ("in", a +: vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          vs.exists(v => strictLeaf(schema, f, a, v, "="))
+        case ("isnull", Seq(a)) =>
+          strictNullLeaf(schema, f, a, wantNull = true)
+        case ("isnotnull", Seq(a)) =>
+          strictNullLeaf(schema, f, a, wantNull = false)
+        case ("!" | "not",
+            Seq(UnresolvedFunction(Seq(inner), Seq(a), false, _, _, _, _))) =>
+          inner.toLowerCase match {
+            case "isnull"    => strictNullLeaf(schema, f, a, wantNull = false)
+            case "isnotnull" => strictNullLeaf(schema, f, a, wantNull = true)
+            case _           => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** EVERY row satisfies `a op b`: bounds prove the comparison for the
+    * whole value range AND the file records zero nulls (a NULL never
+    * satisfies a comparison). Missing bounds/counts → false.
+    */
+  private def strictLeaf(schema: VersionedSchema, f: DataFileEntry,
+      a: Expression, b: Expression, op: String): Boolean =
+    (attrName(a), litOf(b)) match {
+      case (Some(n), Some(l)) => boundsRequire(schema, f, n, l, op)
+      case _ =>
+        (attrName(b), litOf(a)) match {
+          case (Some(n), Some(l)) => boundsRequire(schema, f, n, l, mirror(op))
+          case _                  => false
+        }
+    }
+
+  private def boundsRequire(schema: VersionedSchema, f: DataFileEntry,
+      name: String, l: Literal, op: String): Boolean = {
+    if (l.value == null) return false
+    val field = schema.fieldByName(name)
+      .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+      .getOrElse(return false)
+    val key = field.id.toString
+    if (!f.nullCounts.get(key).contains(0L)) return false
+    (for {
+      v  <- litValue(field.dataType, l)
+      lo <- f.lowerBounds.get(key).flatMap(parseBound(field.dataType, _))
+      hi <- f.upperBounds.get(key).flatMap(parseBound(field.dataType, _))
+    } yield op match {
+      case "="  => cmp(lo, v) == 0 && cmp(hi, v) == 0
+      case "<"  => cmp(hi, v) < 0
+      case "<=" => cmp(hi, v) <= 0
+      case ">"  => cmp(lo, v) > 0
+      case ">=" => cmp(lo, v) >= 0
+      case _    => false
+    }).getOrElse(false)
+  }
+
+  /** EVERY row is NULL (wantNull) / non-NULL in the column. */
+  private def strictNullLeaf(schema: VersionedSchema, f: DataFileEntry,
+      a: Expression, wantNull: Boolean): Boolean =
+    (for {
+      n <- attrName(a)
+      field <- schema.fieldByName(n)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(n)))
+      nc <- f.nullCounts.get(field.id.toString)
+    } yield if (wantNull) nc == f.recordCount else nc == 0L)
+      .getOrElse(false)
+
   private def mayMatch(schema: VersionedSchema, f: DataFileEntry,
       e: Expression): Boolean = e match {
     case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)

@@ -702,6 +702,45 @@ object CatalogQueries {
                CAST(max(o_orderdate) AS TIMESTAMP) AS hi_date,
                min(o_orderpriority) AS lo_prio, max(o_orderpriority) AS hi_prio
         FROM orders
+      """)),
+
+    // Filtered SQL aggregate pushdown: the table is appended in
+    // key-range batches (the time-clustered shape), so a WHERE at a
+    // batch boundary is STRICTLY provable file-wise and the whole
+    // filtered count/min/max still collapses to manifest literals —
+    // zero file scans (NativeSqlSpec pins the plan and the boundary /
+    // NULL fallbacks). The oracle recomputes by scanning.
+    QueryDef(
+      "q148_filtered_agg_pushdown",
+      (s, d) => {
+        val wh = setupOnce("q148", d) {
+          val w = scratch("faggpush")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val o = Tables.orders(s, d)
+          val t = cat.createTable("db1", "orders_fp", Seq(
+            "o_orderkey" -> "long", "o_custkey" -> "long",
+            "o_orderstatus" -> "string", "o_totalprice" -> "double"))
+          val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice")
+          t.append(o.filter(col("o_orderkey") < 20000).select(cols.map(col): _*))
+          t.append(o.filter(col("o_orderkey") >= 20000 &&
+            col("o_orderkey") < 40000).select(cols.map(col): _*))
+          t.append(o.filter(col("o_orderkey") >= 40000).select(cols.map(col): _*))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT count(*) AS n_rows, count(o_orderstatus) AS nn_status,
+                 min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
+                 min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
+          FROM graft.db1.orders_fp WHERE o_orderkey >= 20000""")
+      },
+      Some("""
+        SELECT count(*) AS n_rows, count(o_orderstatus) AS nn_status,
+               min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
+               min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
+        FROM orders WHERE o_orderkey >= 20000
       """))
   )
 }

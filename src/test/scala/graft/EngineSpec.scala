@@ -1334,6 +1334,57 @@ class EngineSpec extends AnyFunSuite {
         "defeats min/max and dictionary skipping; rebuild it")
   }
 
+  test("countWhere: strict file-wise evaluation counts whole files " +
+      "from the manifest and reads only boundary files; NULLs and MoR " +
+      "deletes stay sound") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "cw",
+      Seq("id" -> "long", "v" -> "string"))
+    // time-clustered shape: three files with disjoint id ranges, one
+    // carrying NULL v rows
+    t.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((101L to 200L).map(i =>
+      (i, if (i % 2 == 0) null else s"b$i")).toDF("id", "v").coalesce(1))
+    t.append((201L to 300L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+    def jobsOf(body: => Long): (Long, Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      // the listener bus may still be draining the appends' events when
+      // we attach (late listeners see queued backlog) — count only jobs
+      // STARTED after this point
+      val attachedAt = System.currentTimeMillis()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (j.time >= attachedAt) n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { val r = body; Thread.sleep(300); (r, n.get()) }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    // whole-file predicate: both surviving files are strictly inside —
+    // pure manifest arithmetic, zero jobs
+    val (n1, j1) = jobsOf(t.countWhere(col("id") >= 101L))
+    assert(n1 == 200L && j1 == 0, s"n=$n1 jobs=$j1")
+    // boundary predicate: file 2 straddles 150 and is scanned; file 3
+    // still counts from the manifest
+    val (n2, j2) = jobsOf(t.countWhere(col("id") >= 150L))
+    assert(n2 == 151L && j2 > 0)
+    assert(t.countWhere(col("id") > 300L) == 0L)
+    assert(t.countWhere(col("id") >= 1L) == 300L)
+    // a comparison is NEVER strict over a file with NULLs in the
+    // compared column; v-based predicates on file 2 must scan
+    assert(t.countWhere(col("v") >= "a") == 250L)
+    // IS NULL / IS NOT NULL from null counts: file-wise exact
+    assert(t.countWhere(col("v").isNotNull) == 250L)
+    assert(t.countWhere(col("v").isNull) == 50L)
+    // conjunction: strict on both legs
+    assert(t.countWhere(col("id") >= 101L && col("id") <= 300L) == 200L)
+    // MoR deletes: manifest arithmetic unsound -> exact merged count
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") === 250L)
+    assert(t.countWhere(col("id") >= 101L) == 199L)
+  }
+
   test("stats on a never-committed table: count(col) is exactly 0, " +
       "not unknown, and statsDf rows agree") {
     import spark.implicits._

@@ -748,4 +748,41 @@ class NativeSqlSpec extends AnyFunSuite {
       s"SELECT count(*) AS n FROM graft.db.aggp VERSION AS OF $v0")
       .head().getLong(0) == 2L)
   }
+
+  test("filtered SQL aggregate pushdown: a WHERE provable file-wise " +
+      "answers count/min/max from the manifest; boundary predicates " +
+      "fall back to the (pruned) scan and stay exact") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "fagg", Seq("id" -> "long",
+      "v" -> "string"))
+    t.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((101L to 200L).map(i =>
+      (i, if (i % 2 == 0) null else s"b$i")).toDF("id", "v").coalesce(1))
+    t.append((201L to 300L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+    // both surviving files strictly inside the predicate: the whole
+    // filtered aggregate collapses to a LocalRelation
+    val whole = spark.sql("""SELECT count(*) AS n, count(v) AS nn,
+      min(id) AS lo, max(id) AS hi FROM graft.db.fagg WHERE id >= 101""")
+    assert(whole.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"expected manifest-only plan:\n${whole.queryExecution.executedPlan}")
+    assert(whole.head() == org.apache.spark.sql.Row(200L, 150L, 101L, 300L))
+    // boundary predicate: file 2 straddles the cut -> scan, exact
+    val part = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.fagg WHERE id >= 150")
+    assert(part.queryExecution.executedPlan.toString.contains("Scan"))
+    assert(part.head().getLong(0) == 151L)
+    // the SQL gate is all-or-nothing (a resolution rule must not run
+    // Spark jobs, so no boundary-file partial count here — that's the
+    // countWhere API): the NULL-carrying file 2 is not strict under
+    // IS NOT NULL, the whole query takes the scan path, stays exact
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.fagg WHERE v IS NOT NULL")
+      .head().getLong(0) == 250L)
+    // predicate excluding everything: empty count pushes to literal 0
+    val none = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.fagg WHERE id > 400")
+    assert(none.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(none.head().getLong(0) == 0L)
+  }
 }
