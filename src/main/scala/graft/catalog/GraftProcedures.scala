@@ -28,6 +28,8 @@ import graft.engine.GraftTable
   *     '<marker_key>', <marker_value> [, 'positional'|'equality'])
   *   CALL graft.system.refresh_agg('db.state', 'db.base', 'k1,k2',
   *     's1,s2' [, '<name>'])   -- materialized count/sum view refresh
+  *   CALL graft.system.refresh_agg_minmax('db.state', 'db.base',
+  *     'k1,k2', 's1,s2', 'e1,e2' [, '<name>'])  -- + min/max extremes
   *   CALL graft.system.remove_orphan_files('db.t')
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
@@ -123,6 +125,21 @@ object GraftProcedures {
           str(r, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           str(r, 3).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           if (r.isNullAt(4)) "default" else str(r, 4))
+        ()
+      }),
+    Def("refresh_agg_minmax",
+      Seq(in("state_table", StringType), in("base_table", StringType),
+        in("keys", StringType), in("sums", StringType),
+        in("extremes", StringType),
+        ProcedureParameter.in("name", StringType)
+          .defaultValue("'default'").build()),
+      (w, r) => {
+        graft.operators.IncrementalAgg.refreshWithExtremes(
+          table(w, str(r, 1)), table(w, str(r, 0)),
+          str(r, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          str(r, 3).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          str(r, 4).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          if (r.isNullAt(5)) "default" else str(r, 5))
         ()
       }),
     Def("upsert",

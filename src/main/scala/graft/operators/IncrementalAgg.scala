@@ -203,7 +203,18 @@ object IncrementalAgg {
     */
   def mergeWithExtremes(state: DataFrame, delta: DataFrame,
       keys: Seq[String], sums: Seq[String], exts: Seq[String],
-      base: DataFrame): DataFrame = {
+      base: DataFrame): DataFrame =
+    mergeWithExtremes(state, delta, keys, sums, exts, base, dropDead = true)
+
+  /** `dropDead = false` keeps zero-count groups as explicit rows (the
+    * keyed-upsert state-store shape, like [[merge]]'s twin) — with
+    * their extremes NULLED: min/max are not invertible, so a revived
+    * group folding `least(stale_min, …)` would resurrect a deleted
+    * extreme. A dead group's extremes are simply gone.
+    */
+  def mergeWithExtremes(state: DataFrame, delta: DataFrame,
+      keys: Seq[String], sums: Seq[String], exts: Seq[String],
+      base: DataFrame, dropDead: Boolean): DataFrame = {
     val s = state.alias("s"); val d = delta.alias("d")
     val on = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
     val keyCols = keys.map(k =>
@@ -224,13 +235,14 @@ object IncrementalAgg {
       (col(s"s.max_$c").isNotNull && col(s"d.del_max_$c").isNotNull &&
         col(s"d.del_max_$c") >= col(s"s.max_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val merged = s.join(d, on, "full_outer")
+    val merged0 = s.join(d, on, "full_outer")
       .select((keyCols ++ valCols ++ extCols :+ invalid.as("__invalid")): _*)
-      .filter(col("n_rows") > 0)
-    // per-group rescan, only where a delete touched a recorded
-    // extreme: semi-join the post-change base on the flagged keys
-    // (broadcast — invalidations are a slice of the batch's groups)
-    val flagged = merged.filter(col("__invalid"))
+    val merged = if (dropDead) merged0.filter(col("n_rows") > 0) else merged0
+    // per-group rescan, only where a delete touched a recorded extreme
+    // AND the group is still alive (a dead group has no base rows):
+    // semi-join the post-change base on the flagged keys (broadcast —
+    // invalidations are a slice of the batch's groups)
+    val flagged = merged0.filter(col("__invalid") && col("n_rows") > 0)
       .select(keys.map(col): _*).alias("f")
     val bOn = keys.map(k => col(s"b.$k") <=> col(s"f.$k")).reduce(_ && _)
     val rAggs = exts.flatMap(c => Seq(
@@ -242,17 +254,59 @@ object IncrementalAgg {
       .alias("r")
     val m2 = merged.alias("m")
     val rOn = keys.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _)
+    def pick(c: String, r: String) =
+      when(col("m.n_rows") <= 0, lit(null))
+        .when(col("m.__invalid"), col(s"r.$r"))
+        .otherwise(col(s"m.$c"))
     val out = m2.join(rescanned, rOn, "left_outer")
       .select((keys.map(k => col(s"m.$k").as(k)) ++
         (col("m.n_rows").as("n_rows") +:
           sums.flatMap(c => Seq(col(s"m.sum_$c").as(s"sum_$c"),
             col(s"m.nn_$c").as(s"nn_$c")))) ++
         exts.flatMap(c => Seq(
-          when(col("m.__invalid"), col(s"r.rmin_$c"))
-            .otherwise(col(s"m.min_$c")).as(s"min_$c"),
-          when(col("m.__invalid"), col(s"r.rmax_$c"))
-            .otherwise(col(s"m.max_$c")).as(s"max_$c")))): _*)
+          pick(s"min_$c", s"rmin_$c").as(s"min_$c"),
+          pick(s"max_$c", s"rmax_$c").as(s"max_$c")))): _*)
     out
+  }
+
+  /** REFRESH for the combined state (count/sum + extremes): the same
+    * marker machinery as [[refresh]], with the rescan basis pinned to
+    * the SAME base snapshot the changelog slice ends at
+    * (`readAsOfVersion(target)`), so an invalidated group's re-read
+    * can never see commits the fold hasn't applied. This one-call
+    * form is deliberately the only extremes-maintenance seat — a
+    * foreachBatch sink can't pin its rescan to the micro-batch's
+    * snapshot boundary (the CDC batch carries no snapshot id), and an
+    * unpinned rescan tears extremes ahead of counts mid-stream.
+    */
+  def refreshWithExtremes(base: graft.engine.GraftTable,
+      state: graft.engine.GraftTable, keys: Seq[String],
+      sums: Seq[String], exts: Seq[String],
+      name: String = "default"): Boolean = {
+    val markerKey = s"graft.agg.$name.refresh"
+    val fromKey = s"graft.agg.$name.from-snapshot"
+    val sm = state.meta
+    val target = base.meta.currentSnapshot.map(_.snapshotId) match {
+      case None => return false
+      case Some(t) => t
+    }
+    val from = sm.properties.get(fromKey).map(_.toLong)
+    if (from.contains(target)) return false
+    val next = sm.properties.get(markerKey).map(_.toLong + 1).getOrElse(0L)
+    val d = deltaWithExtremes(base.changelog(from, target), keys, sums, exts)
+    val stateDf = state.read()
+    val touched = stateDf.join(broadcast(d.select(keys.map(col): _*)),
+      keys.map(k => stateDf(s"`$k`") <=> d(s"`$k`")).reduce(_ && _),
+      "left_semi")
+    val folded = mergeWithExtremes(touched, d, keys, sums, exts,
+      base.readAsOfVersion(target), dropDead = false)
+    try state.upsertIfNewMarker(folded, keys, markerKey, next,
+      Map(fromKey -> target.toString))
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("concurrent commit") => false
+    }
   }
 
   /** Bootstrap the combined state (count/sum + extremes) by one full

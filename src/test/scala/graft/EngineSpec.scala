@@ -1549,6 +1549,51 @@ class EngineSpec extends AnyFunSuite {
       == base.meta.currentSnapshot.get.snapshotId)
   }
 
+  test("IncrementalAgg.refreshWithExtremes: one-call refresh keeps " +
+      "min/max live across extreme deletes, group death nulls the " +
+      "extremes, and a revived group never resurrects a dead extreme") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val keys = Seq("k"); val sums = Seq("x"); val exts = Seq("x")
+    val base = GraftTable.create(spark, tmp(), "mvx_base",
+      Seq("id" -> "long", "k" -> "string", "x" -> "long"))
+    val state = GraftTable.createAs(spark, tmp(), "mvx_state",
+      IncrementalAgg.initialWithExtremes(base.read(), keys, sums, exts)
+        .filter(lit(false)))
+    def check(): Unit = {
+      val got = IncrementalAgg
+        .presentWithExtremes(state.read(), keys, sums, exts)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+          Option(r.getAs[Any]("min_x")), Option(r.getAs[Any]("max_x")))).toSet
+      val full = base.read().groupBy("k").agg(count(lit(1)).as("n"),
+        min("x").as("lo"), max("x").as("hi"))
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n"),
+          Option(r.getAs[Any]("lo")), Option(r.getAs[Any]("hi")))).toSet
+      assert(got == full)
+    }
+    assert(!IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    base.append(Seq((1L, "a", 5L), (2L, "a", 9L), (3L, "b", 7L))
+      .toDF("id", "k", "x"))
+    assert(IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    check()
+    assert(!IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    // delete a's max (9): the pinned rescan finds the runner-up 5
+    base.delete(col("id") === 2L)
+    assert(IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    check()
+    // kill group b entirely, then revive it with a LARGER value than
+    // the dead extreme: least(stale, new) must not resurrect 7
+    base.delete(col("k") === "b")
+    assert(IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    check()
+    base.append(Seq((9L, "b", 100L)).toDF("id", "k", "x"))
+    assert(IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    check()
+    val b = IncrementalAgg.presentWithExtremes(state.read(), keys, sums, exts)
+      .filter(col("k") === "b").head()
+    assert(b.getAs[Long]("min_x") == 100L && b.getAs[Long]("max_x") == 100L)
+  }
+
   test("IncrementalAgg.refresh: racing refreshers apply exactly once") {
     import spark.implicits._
     import graft.operators.IncrementalAgg

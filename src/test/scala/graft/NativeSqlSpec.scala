@@ -558,6 +558,20 @@ class NativeSqlSpec extends AnyFunSuite {
     val snaps = state.meta.snapshots.size
     spark.sql("CALL graft.system.refresh_agg('db.mvs', 'db.mvb', 'k', 'x')")
     assert(state.meta.snapshots.size == snaps)
+    // the extremes twin: min/max ride the same machinery, rescanning
+    // on the extreme delete
+    val st2 = cat.createTable("db", "mvs2",
+      Seq("k" -> "string", "n_rows" -> "long", "sum_x" -> "long",
+        "nn_x" -> "long", "min_x" -> "long", "max_x" -> "long"))
+    spark.sql(
+      "CALL graft.system.refresh_agg_minmax('db.mvs2', 'db.mvb', 'k', 'x', 'x')")
+    base.delete(col("x") === 5L) // b's max goes; rescan finds 4
+    spark.sql(
+      "CALL graft.system.refresh_agg_minmax('db.mvs2', 'db.mvb', 'k', 'x', 'x')")
+    val row = graft.operators.IncrementalAgg
+      .presentWithExtremes(st2.read(), Seq("k"), Seq("x"), Seq("x")).head()
+    assert(row.getAs[String]("k") == "b" && row.getAs[Long]("n_rows") == 1L &&
+      row.getAs[Long]("min_x") == 4L && row.getAs[Long]("max_x") == 4L)
   }
 
   test("CALL graft.system.set_partition_spec evolves the layout in place") {
