@@ -70,7 +70,10 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     plan.foreach {
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-          if !agg.resolved && agg.groupingExpressions.isEmpty &&
+          if !agg.resolved &&
+            (agg.groupingExpressions.isEmpty ||
+              (agg.groupingExpressions.sizeIs == 1 &&
+                attrish(agg.groupingExpressions.head))) &&
             aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) &&
             maybePushable(agg.aggregateExpressions) =>
         deferred.add(relationIn(agg.child match {
@@ -142,6 +145,18 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
             aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) =>
         val (h, cond) = aggSource(agg.child).get
         pushManifestAggregate(agg, h.table, cond).getOrElse(agg)
+
+      // ---- grouped flavor: GROUP BY an identity-partitioned column.
+      // ---- Identity partitioning means every file belongs to exactly
+      // ---- one group (the recorded partition value), so per-group
+      // ---- count/min/max are per-group-of-files manifest arithmetic:
+      // ---- the per-day rollup a 100 TB day-partitioned table serves
+      // ---- daily, answered without opening a file.
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if agg.resolved && agg.groupingExpressions.sizeIs == 1 &&
+            handleOf(agg.child).exists(_.pinnedSnapshot.isEmpty) =>
+        pushGroupedManifestAggregate(agg, handleOf(agg.child).get.table)
+          .getOrElse(agg)
 
       // ---- filtered scans: the WHERE condition reaches the engine,
       // ---- which prunes candidate files metadata-only (partition
@@ -235,9 +250,17 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           case Max(a)        => okArg(a)
           case _             => false
         }
+        // the grouped flavor projects the group column through
+        case e if attrish(e) => true
         case _ => false
       }
     }
+  }
+
+  /** A bare (possibly unresolved) column reference. */
+  private def attrish(e: Expression): Boolean = e match {
+    case _: UnresolvedAttribute | _: AttributeReference => true
+    case _                                              => false
   }
 
   /** The Aggregate's source: a bare graft relation, or one under a
@@ -308,6 +331,98 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       Some(LocalRelation(aliases.map(_.toAttribute),
         Seq(InternalRow.fromSeq(aliases.map(_.child.asInstanceOf[Literal].value)))))
     } else None
+  }
+
+  /** The grouped pushdown: GROUP BY one column IDENTITY-partitioned in
+    * the current spec. Identity assigns every file to exactly one
+    * group — its recorded partition value — so per-group count/
+    * count(col)/min/max are the groupless manifest arithmetic over
+    * each group's file slice: the per-day rollup on a day-partitioned
+    * 100 TB table without opening a file. Bails (None → ordinary scan)
+    * whenever assignment isn't sound: delete files, an older-spec file
+    * missing the value, a type whose identity rendering doesn't
+    * round-trip exactly (timestamp/float/double), or a string value
+    * colliding with the NULL-directory sentinel (a NULL group is
+    * otherwise supported — its directory name is unambiguous for
+    * non-string types).
+    */
+  private def pushGroupedManifestAggregate(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      t: GraftTable): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    import graft.tableformat.DataFileEntry
+    val gAttr = agg.groupingExpressions.head match {
+      case a: AttributeReference => a
+      case _                     => return None
+    }
+    val m = t.meta
+    if (m.currentSnapshot.exists(_.deleteFiles.nonEmpty)) return None
+    val files = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    val field = m.currentSchema.fieldByName(gAttr.name).getOrElse(return None)
+    val pf = m.currentSpec.fields.find(p =>
+      p.transform == "identity" && p.sourceId == field.id)
+      .getOrElse(return None)
+    if (!files.forall(_.partitionValues.contains(pf.name))) return None
+    val NullDir = "__HIVE_DEFAULT_PARTITION__"
+    def keyOf(v: String): Option[Any] =
+      if (v == NullDir) {
+        if (gAttr.dataType == StringType) None else Some(null)
+      } else gAttr.dataType match {
+        case IntegerType => v.toIntOption
+        case LongType    => v.toLongOption
+        case StringType  => Some(UTF8String.fromString(v))
+        case DateType =>
+          try Some(java.time.LocalDate.parse(v).toEpochDay.toInt)
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    val keyed = files.map(f => keyOf(f.partitionValues(pf.name)).map(_ -> f))
+    if (keyed.exists(_.isEmpty)) return None
+    val groups = keyed.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq
+      // HashMap order is seed-dependent; keep the emitted relation
+      // deterministic (GROUP BY itself is unordered, this is hygiene)
+      .sortBy(g => String.valueOf(g._1))
+    def boundIn(gf: Vector[DataFileEntry], a: AttributeReference,
+        lower: Boolean): Option[Any] =
+      for {
+        (lo, hi) <- t.columnBoundsIn(m, gf, a.name)
+        v <- graft.engine.StatsPruning.internalBound(a.dataType,
+          if (lower) lo else hi)
+      } yield v
+    type Evl = (Any, Vector[DataFileEntry]) => Option[Any]
+    val planned: Seq[Option[(Attribute, Evl)]] =
+      agg.aggregateExpressions.map {
+        case a: AttributeReference if a.exprId == gAttr.exprId =>
+          Some((a: Attribute, ((k, _) => Some(k)): Evl))
+        case al @ Alias(a: AttributeReference, _)
+            if a.exprId == gAttr.exprId =>
+          Some((al.toAttribute, ((k, _) => Some(k)): Evl))
+        case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
+          val ev: Option[Evl] = fn match {
+            case Count(Seq(l: Literal)) if l.value != null =>
+              Some((_, gf) => Some(gf.map(_.recordCount).sum))
+            case Count(Seq(a: AttributeReference)) =>
+              Some((_, gf) => t.countNonNullIn(m, gf, a.name))
+            case Min(a: AttributeReference) =>
+              Some((_, gf) => boundIn(gf, a, lower = true))
+            case Max(a: AttributeReference) =>
+              Some((_, gf) => boundIn(gf, a, lower = false))
+            case _ => None
+          }
+          ev.map(e => (al.toAttribute, e))
+        case _ => None
+      }
+    if (planned.exists(_.isEmpty)) return None
+    val cols = planned.map(_.get)
+    val rowVals = groups.map { case (k, gf) => cols.map(_._2(k, gf)) }
+    if (rowVals.exists(_.exists(_.isEmpty))) return None
+    Some(LocalRelation(cols.map(_._1),
+      rowVals.map(vs => InternalRow.fromSeq(vs.map(_.get)))))
   }
 
   /** Parents are already bound to the relation's attribute ids: alias

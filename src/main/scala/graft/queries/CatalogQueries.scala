@@ -741,6 +741,43 @@ object CatalogQueries {
                min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
                min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
         FROM orders WHERE o_orderkey >= 20000
+      """)),
+
+    // Grouped SQL aggregate pushdown: GROUP BY an identity-partitioned
+    // column — every file belongs to exactly one group, so the per-
+    // status rollup is per-group-of-files manifest arithmetic (the
+    // per-day report a day-partitioned 100 TB table serves without
+    // opening a file; NativeSqlSpec pins the LocalTableScan plan, the
+    // NULL group, and the MoR / non-partition-column fallbacks). The
+    // oracle recomputes every group by scanning.
+    QueryDef(
+      "q149_grouped_agg_pushdown",
+      (s, d) => {
+        val wh = setupOnce("q149", d) {
+          val w = scratch("gaggpush")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          cat.createTableAs("db1", "orders_gp",
+            Tables.orders(s, d).select("o_orderkey", "o_custkey",
+              "o_orderstatus", "o_totalprice"),
+            partition = Seq("o_orderstatus" -> "identity"))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT o_orderstatus, count(*) AS n_rows,
+                 count(o_custkey) AS nn_cust,
+                 min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
+                 min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
+          FROM graft.db1.orders_gp
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               count(o_custkey) AS nn_cust,
+               min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
+               min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
       """))
   )
 }

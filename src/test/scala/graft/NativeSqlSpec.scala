@@ -763,6 +763,47 @@ class NativeSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("grouped SQL aggregate pushdown: GROUP BY an identity-partition " +
+      "column answers per-group count/min/max from the manifest, NULL " +
+      "group included; non-partition grouping scans") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "gagg",
+      Seq("day" -> "int", "id" -> "long", "v" -> "string"),
+      partition = Seq("day" -> "identity"))
+    t.append(Seq[(Option[Int], Long, String)](
+      (Some(1), 10L, "a"), (Some(1), 11L, null), (Some(2), 20L, "c"),
+      (None, 30L, "d"), (Some(2), 21L, "e"), (Some(1), 12L, "f"))
+      .toDF("day", "id", "v"))
+    t.append(Seq[(Option[Int], Long, String)](
+      (Some(2), 22L, "g"), (None, 31L, null)).toDF("day", "id", "v"))
+    val df = spark.sql("""SELECT day, count(*) AS n, count(v) AS nn,
+      min(id) AS lo, max(id) AS hi FROM graft.db.gagg GROUP BY day""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("Scan parquet"),
+      s"expected manifest-only grouped plan:\n$plan")
+    val got = df.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (Some(1), 3L, 2L, 10L, 12L),
+      (Some(2), 3L, 3L, 20L, 22L),
+      (None, 2L, 1L, 30L, 31L)))
+    // grouping by a NON-partition column is ordinary execution — exact
+    val byV = spark.sql(
+      "SELECT v, count(*) AS n FROM graft.db.gagg WHERE v IS NOT NULL GROUP BY v")
+    assert(byV.queryExecution.executedPlan.toString.contains("Scan"))
+    assert(byV.count() == 6)
+    // MoR deletes break per-group manifest arithmetic — scan, exact
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("id") === 22L)
+    val mor = spark.sql(
+      "SELECT day, count(*) AS n FROM graft.db.gagg GROUP BY day")
+    assert(mor.queryExecution.executedPlan.toString.contains("Scan"))
+    assert(mor.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1))).toSet ==
+      Set((Some(1), 3L), (Some(2), 2L), (None, 2L)))
+  }
+
   test("filtered SQL aggregate pushdown: a WHERE provable file-wise " +
       "answers count/min/max from the manifest; boundary predicates " +
       "fall back to the (pruned) scan and stay exact") {
