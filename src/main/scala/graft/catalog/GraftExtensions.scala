@@ -151,12 +151,13 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       // ---- one group (the recorded partition value), so per-group
       // ---- count/min/max are per-group-of-files manifest arithmetic:
       // ---- the per-day rollup a 100 TB day-partitioned table serves
-      // ---- daily, answered without opening a file.
+      // ---- daily, answered without opening a file. A WHERE composes
+      // ---- under the same strict gate as the groupless flavor.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.resolved && agg.groupingExpressions.sizeIs == 1 &&
-            handleOf(agg.child).exists(_.pinnedSnapshot.isEmpty) =>
-        pushGroupedManifestAggregate(agg, handleOf(agg.child).get.table)
-          .getOrElse(agg)
+            aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) =>
+        val (h, cond) = aggSource(agg.child).get
+        pushGroupedManifestAggregate(agg, h.table, cond).getOrElse(agg)
 
       // ---- filtered scans: the WHERE condition reaches the engine,
       // ---- which prunes candidate files metadata-only (partition
@@ -348,7 +349,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     */
   private def pushGroupedManifestAggregate(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      t: GraftTable): Option[LogicalPlan] = {
+      t: GraftTable, cond: Option[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
@@ -361,7 +362,18 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     }
     val m = t.meta
     if (m.currentSnapshot.exists(_.deleteFiles.nonEmpty)) return None
-    val files = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    // WHERE: same all-or-nothing strict gate as the groupless flavor —
+    // surviving files must be wholly inside the predicate, so each
+    // still belongs wholly to its partition-value group
+    val files = cond match {
+      case None => files0
+      case Some(e) =>
+        val cand = t.candidatesFor(m, files0, e)
+        if (cand.forall(f => graft.engine.StatsPruning.allMatch(m, f, e)))
+          cand
+        else return None
+    }
     val field = m.currentSchema.fieldByName(gAttr.name).getOrElse(return None)
     val pf = m.currentSpec.fields.find(p =>
       p.transform == "identity" && p.sourceId == field.id)

@@ -788,6 +788,19 @@ class NativeSqlSpec extends AnyFunSuite {
       (Some(1), 3L, 2L, 10L, 12L),
       (Some(2), 3L, 3L, 20L, 22L),
       (None, 2L, 1L, 30L, 31L)))
+    // WHERE composes: id >= 20 is strict for every surviving file
+    // (file bounds prove it), so the filtered rollup still pushes
+    val fw = spark.sql("""SELECT day, count(*) AS n FROM graft.db.gagg
+      WHERE id >= 20 GROUP BY day""")
+    assert(fw.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"filtered grouped rollup must push:\n${fw.queryExecution.executedPlan}")
+    assert(fw.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+      r.getLong(1))).toSet == Set((Some(2), 3L), (None, 2L)))
+    // a boundary predicate bails to the scan, exact
+    assert(spark.sql("""SELECT day, count(*) AS n FROM graft.db.gagg
+      WHERE id >= 21 GROUP BY day""").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getLong(1))).toSet == Set((Some(2), 2L), (None, 2L)))
     // grouping by a NON-partition column is ordinary execution — exact
     val byV = spark.sql(
       "SELECT v, count(*) AS n FROM graft.db.gagg WHERE v IS NOT NULL GROUP BY v")
