@@ -74,7 +74,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
             (agg.groupingExpressions.isEmpty ||
               (agg.groupingExpressions.sizeIs == 1 &&
                 attrish(agg.groupingExpressions.head))) &&
-            aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) &&
+            aggSource(agg.child).isDefined &&
             maybePushable(agg.aggregateExpressions) =>
         deferred.add(relationIn(agg.child match {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.child
@@ -142,9 +142,9 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       // ---- swaps the relation.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.resolved && agg.groupingExpressions.isEmpty &&
-            aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) =>
+            aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        pushManifestAggregate(agg, h.table, cond).getOrElse(agg)
+        pushManifestAggregate(agg, h, cond).getOrElse(agg)
 
       // ---- grouped flavor: GROUP BY an identity-partitioned column.
       // ---- Identity partitioning means every file belongs to exactly
@@ -155,9 +155,9 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       // ---- under the same strict gate as the groupless flavor.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.resolved && agg.groupingExpressions.sizeIs == 1 &&
-            aggSource(agg.child).exists(_._1.pinnedSnapshot.isEmpty) =>
+            aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        pushGroupedManifestAggregate(agg, h.table, cond).getOrElse(agg)
+        pushGroupedManifestAggregate(agg, h, cond).getOrElse(agg)
 
       // ---- filtered scans: the WHERE condition reaches the engine,
       // ---- which prunes candidate files metadata-only (partition
@@ -277,17 +277,24 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
 
   private def pushManifestAggregate(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      t: GraftTable, cond: Option[Expression]): Option[LogicalPlan] = {
+      h: GraftTableHandle, cond: Option[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.types.LongType
+    val t = h.table
     val m = t.meta
+    // VERSION/TIMESTAMP AS OF: the audit count answers from THAT
+    // snapshot's manifest — but only while the pinned snapshot shares
+    // the current schema (field-id-keyed stats are read against the
+    // current schema's ids; a drifted schema falls to the scan)
+    val snap = h.pinnedSnapshot.orElse(m.currentSnapshot)
+    if (h.pinnedSnapshot.exists(_.schemaId != m.currentSchemaId)) return None
     // MoR delete files make every manifest count/bound unsound (stale
     // positional pointers, uncounted equality keys) — scan instead
-    if (m.currentSnapshot.exists(_.deleteFiles.nonEmpty)) return None
-    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    if (snap.exists(_.deleteFiles.nonEmpty)) return None
+    val files0 = snap.map(_.files).getOrElse(Vector.empty)
     // WHERE: inclusive pruning drops the files wholly outside the
     // predicate; the survivors must ALL be wholly inside (strict
     // evaluation) or the aggregate needs rows read — bail to the scan.
@@ -349,7 +356,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     */
   private def pushGroupedManifestAggregate(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      t: GraftTable, cond: Option[Expression]): Option[LogicalPlan] = {
+      h: GraftTableHandle, cond: Option[Expression]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
@@ -360,9 +367,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case a: AttributeReference => a
       case _                     => return None
     }
+    val t = h.table
     val m = t.meta
-    if (m.currentSnapshot.exists(_.deleteFiles.nonEmpty)) return None
-    val files0 = m.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+    val snap = h.pinnedSnapshot.orElse(m.currentSnapshot)
+    if (h.pinnedSnapshot.exists(_.schemaId != m.currentSchemaId)) return None
+    if (snap.exists(_.deleteFiles.nonEmpty)) return None
+    val files0 = snap.map(_.files).getOrElse(Vector.empty)
     // WHERE: same all-or-nothing strict gate as the groupless flavor —
     // surviving files must be wholly inside the predicate, so each
     // still belongs wholly to its partition-value group

@@ -755,12 +755,22 @@ class NativeSqlSpec extends AnyFunSuite {
     val m = mor.head()
     assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
       m.getString(4), m.getString(5)) == ((3L, 2L, 1L, 5L, "b", "z")))
-    // time travel keeps its own path (the pin is on the CURRENT
-    // snapshot's manifest; a pinned version reads through the scan)
+    // time travel pushes too — the audit count answers from the
+    // PINNED snapshot's manifest (the schema drifted above via
+    // addColumn, so this pre-drift snapshot must NOT push: field-id
+    // stats read against the current schema would be inconsistent)
     val v0 = t.meta.snapshots.head.snapshotId
-    assert(spark.sql(
+    val tt = spark.sql(
       s"SELECT count(*) AS n FROM graft.db.aggp VERSION AS OF $v0")
-      .head().getLong(0) == 2L)
+    assert(tt.queryExecution.executedPlan.toString.contains("Scan"),
+      "a schema-drifted pinned snapshot must scan")
+    assert(tt.head().getLong(0) == 2L)
+    // current snapshot carries MoR deletes — pinning it must not
+    // shortcut either (value exact via the scan)
+    val vNow = t.meta.currentSnapshot.get.snapshotId
+    val tt2 = spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.aggp VERSION AS OF $vNow")
+    assert(tt2.head().getLong(0) == 3L)
   }
 
   test("grouped SQL aggregate pushdown: GROUP BY an identity-partition " +
@@ -852,5 +862,13 @@ class NativeSqlSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM graft.db.fagg WHERE id > 400")
     assert(none.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     assert(none.head().getLong(0) == 0L)
+    // VERSION AS OF with the schema unchanged: the audit count answers
+    // from the PINNED snapshot's manifest, zero scans
+    val v0 = t.meta.snapshots.head.snapshotId
+    val tt = spark.sql(
+      s"SELECT count(*) AS n, max(id) AS hi FROM graft.db.fagg VERSION AS OF $v0")
+    assert(tt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"pinned-snapshot audit count must push:\n${tt.queryExecution.executedPlan}")
+    assert(tt.head() == org.apache.spark.sql.Row(100L, 100L))
   }
 }
