@@ -605,6 +605,75 @@ object Dedup {
     * the clustered case a superset of it (clustering only ever
     * REMOVES candidate pairs).
     */
+  /** Cross-document SUBSTRING dedup at k-token-span granularity — the
+    * tier between document dedup and [[graft.pipeline.Curation.dedupLines]]
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated long spans — licenses, templates,
+    * quoted chunks — survive doc- and line-level passes and memorize
+    * hardest). A k-token gram appearing in >= `minDf` distinct
+    * documents keeps ONE canonical occurrence corpus-wide (every copy
+    * in the min-doc-id OWNER document) and is cut everywhere else;
+    * overlapping duplicated grams merge through position coverage, so
+    * a long shared passage is removed whole. Matching is exact and
+    * case-sensitive (Lee et al. operate on raw bytes); output
+    * `clean_text` is the kept tokens re-joined with single spaces
+    * (token-level surgery cannot preserve original whitespace), plus
+    * `n_tokens`/`n_removed` audit counts. Docs shorter than k tokens
+    * are never cut.
+    *
+    * Scale shape — every stage linear, keyed small: positional gram
+    * hashes (8-byte, one codegen'd pass per row) exchange once to find
+    * duplicated grams and their owner (map-side-combined groupBy);
+    * occurrences probe that relation hash-keyed; coverage positions
+    * and reassembly shuffle (id, pos) pairs — token-count-proportional
+    * rows of ~20 bytes, the price of span granularity. No all-pairs
+    * term anywhere; a 64-bit hash collision could only over-remove
+    * (conservative for training data).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13, minDf: Int = 2): DataFrame = {
+    require(k >= 2, "span gram size must be >= 2")
+    require(minDf >= 2, "minDf < 2 would cut every document")
+    val base = spread(df).select(col(idCol).as("__id"),
+        col(textCol).as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+    val grams = base.select(col("__id"), posexplode(
+        when(size(col("__toks")) >= k, expr(
+          s"transform(sequence(0, size(__toks) - $k), " +
+            s"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, $k))))"))
+          .otherwise(expr("CAST(array() AS array<bigint>)")))
+        .as(Seq("__pos", "__g")))
+    val owners = grams.groupBy(col("__g"))
+      .agg(countDistinct(col("__id")).as("__df"),
+        min(col("__id")).as("__owner"))
+      .filter(col("__df") >= minDf)
+      .select("__g", "__owner")
+    // covered token positions of NON-owner occurrences; distinct
+    // merges overlapping windows
+    val cut = grams.join(owners.hint("SHUFFLE_MERGE"), Seq("__g"))
+      .filter(!(col("__id") <=> col("__owner")))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1)))
+          .as("__pos"))
+      .distinct()
+    val toksPos = base.select(col("__id"), size(col("__toks")).as("__n"),
+      posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    val kept = toksPos
+      .join(cut.hint("SHUFFLE_MERGE"), Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("__kept"), first(col("__n")).as("__n"))
+    // fully-cut and empty documents still emit a row (empty text)
+    base.select(col("__id"), size(col("__toks")).as("__orig"))
+      .join(kept, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("__orig").as("n_tokens"),
+        (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, iters: Int = 2,
       seed: Long = 42L): DataFrame = {

@@ -1122,6 +1122,44 @@ class PipelineSpec extends AnyFunSuite {
       s"the bucket-sized model must broadcast:\n$p")
   }
 
+  test("dedupSpans: shared k-token spans keep one canonical copy " +
+      "(min-id owner), overlapping windows merge, short docs untouched, " +
+      "fully-cut docs emit empty text") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val boiler = (1 to 13).map(i => s"b$i").mkString(" ")
+    val passage = (1 to 15).map(i => s"p$i").mkString(" ") // 15 > k: overlap
+    val docs = Seq(
+      (1L, s"alpha $boiler omega"),   // owner (min id): keeps its copy
+      (2L, s"x y $boiler z"),         // non-owner: 13 tokens cut
+      (3L, boiler),                   // fully covered -> empty text
+      (4L, "short doc"),              // < k tokens: never cut
+      (5L, "entirely unique tokens nothing shared with anyone at all ok"),
+      (8L, s"lead $passage"),         // owner of the longer passage
+      (9L, s"$passage tail tail2")    // overlapping windows merge: 15 cut
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((s"alpha $boiler omega", 15, 0L)))
+    assert(got(2L) == (("x y z", 16, 13L)))
+    assert(got(3L) == (("", 13, 13L)))
+    assert(got(4L) == (("short doc", 2, 0L)))
+    assert(got(5L)._3 == 0L)
+    assert(got(8L) == ((s"lead $passage", 16, 0L)))
+    assert(got(9L) == (("tail tail2", 17, 15L)))
+    // determinism: a second run is identical
+    val again = Dedup.dedupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(again == got)
+    // minDf=3: the pairwise passage survives, the 3-way boilerplate
+    // still cuts
+    val g3 = Dedup.dedupSpans(docs, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g3(9L) == 0L && g3(2L) == 13L && g3(3L) == 13L)
+  }
+
   test("portableHash=false (xxhash64) n-gram scorers: same doc " +
       "coverage and the same rank BEHAVIOR as the md5 oracle path") {
     import spark.implicits._
