@@ -114,6 +114,12 @@ object Soak {
         .topPercentPerStratum(d.withColumn("score", length(col("text"))),
           "doc_id", "lang", "score", percent = 30)
         .agg(count(lit(1)).as("kept"))),
+      // the blow-up's exact-copy docs share EVERY 13-gram, so the
+      // owner/cut machinery does real work at both scales; token-level
+      // (id, pos) rows are the operator's heaviest exchange
+      "span_dedup" -> (d => graft.pipeline.Dedup
+        .dedupSpans(d, "doc_id", "text")
+        .agg(sum(col("n_removed")).as("r"), count(lit(1)).as("n"))),
       // the model side is bucket-bounded by construction; what must
       // scale is the probe feature scan
       "lm_fluency" -> (d => graft.pipeline.Curation
