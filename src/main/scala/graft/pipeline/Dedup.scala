@@ -634,22 +634,38 @@ object Dedup {
       k: Int = 13, minDf: Int = 2): DataFrame = {
     require(k >= 2, "span gram size must be >= 2")
     require(minDf >= 2, "minDf < 2 would cut every document")
-    val base = spread(df).select(col(idCol).as("__id"),
-        col(textCol).as("__text"))
-      .withColumn("__toks", tokens(col("__text")))
-    val grams = base.select(col("__id"), posexplode(
-        when(size(col("__toks")) >= k, expr(
-          s"transform(sequence(0, size(__toks) - $k), " +
-            s"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, $k))))"))
-          .otherwise(expr("CAST(array() AS array<bigint>)")))
-        .as(Seq("__pos", "__g")))
+    val base = spanBase(df, idCol, textCol)
+    val grams = spanGrams(base, k)
     val owners = grams.groupBy(col("__g"))
       .agg(countDistinct(col("__id")).as("__df"),
         min(col("__id")).as("__owner"))
       .filter(col("__df") >= minDf)
       .select("__g", "__owner")
-    // covered token positions of NON-owner occurrences; distinct
-    // merges overlapping windows
+    cutAndReassemble(base, grams, owners, idCol, k)
+  }
+
+  private def spanBase(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    spread(df).select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+
+  /** Positional k-gram hashes: one (id, pos, gram-hash) row per
+    * starting token position — one codegen'd pass per document.
+    */
+  private def spanGrams(base: DataFrame, k: Int): DataFrame =
+    base.select(col("__id"), posexplode(
+        when(size(col("__toks")) >= k, expr(
+          s"transform(sequence(0, size(__toks) - $k), " +
+            s"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, $k))))"))
+          .otherwise(expr("CAST(array() AS array<bigint>)")))
+        .as(Seq("__pos", "__g")))
+
+  /** Shared tail of the span-dedup family: cut every NON-owner
+    * occurrence of an owned gram ([pos, pos+k) coverage, overlaps
+    * merged by the distinct) and reassemble the kept tokens.
+    */
+  private def cutAndReassemble(base: DataFrame, grams: DataFrame,
+      owners: DataFrame, idCol: String, k: Int): DataFrame = {
     val cut = grams.join(owners.hint("SHUFFLE_MERGE"), Seq("__g"))
       .filter(!(col("__id") <=> col("__owner")))
       .select(col("__id"),
@@ -672,6 +688,58 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("__orig").as("n_tokens"),
         (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Persistable gram index for [[dedupSpansIncremental]]: one row per
+    * DISTINCT k-gram hash of the corpus slice — (g, owner = min doc
+    * id, ndocs = distinct docs). Mergeable across batches by
+    * `groupBy(g).agg(min(owner), sum(ndocs))` because ids never repeat
+    * across batches; O(distinct grams), not O(occurrences).
+    */
+  def spanGramIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 13): DataFrame =
+    spanGrams(spanBase(df, idCol, textCol), k)
+      .groupBy(col("__g").as("g"))
+      .agg(min(col("__id")).as("owner"),
+        countDistinct(col("__id")).as("ndocs"))
+
+  /** Incremental span dedup under continuous ingestion —
+    * [[dedupSpans]] for a NEW batch against the accumulated
+    * [[spanGramIndex]] WITHOUT re-tokenizing history: a batch gram
+    * whose combined document count (history + batch) reaches `minDf`
+    * is cut from every batch document except its canonical owner.
+    * Ownership is ARRIVAL-ORDERED — history is immutable, so a gram
+    * history already holds keeps its historical owner and every batch
+    * copy is cut; a gram first duplicated WITHIN the batch keeps the
+    * batch's min-id copy. With monotonically-assigned doc ids (the
+    * production ingestion case) this equals the full [[dedupSpans]]
+    * run restricted to batch documents, pinned in PipelineSpec.
+    * After the call, fold `spanGramIndex(batch)` into the index with
+    * the documented merge to stay current.
+    *
+    * Work is O(batch + touched index slice): batch grams aggregate
+    * map-side to distinct hashes, probe the index hash-keyed (SMJ —
+    * the gram key space is unbounded, never broadcast), and only
+    * batch documents re-assemble.
+    */
+  def dedupSpansIncremental(batch: DataFrame, idCol: String,
+      textCol: String, histIndex: DataFrame, k: Int = 13,
+      minDf: Int = 2): DataFrame = {
+    require(k >= 2, "span gram size must be >= 2")
+    require(minDf >= 2, "minDf < 2 would cut every document")
+    val base = spanBase(batch, idCol, textCol)
+    val grams = spanGrams(base, k)
+    val batchAgg = grams.groupBy(col("__g"))
+      .agg(min(col("__id")).as("__bowner"),
+        countDistinct(col("__id")).as("__bdocs"))
+    val owners = batchAgg
+      .join(histIndex.select(col("g").as("__g"), col("owner"),
+        col("ndocs")).hint("SHUFFLE_MERGE"), Seq("__g"), "left_outer")
+      .filter(col("__bdocs") + coalesce(col("ndocs"), lit(0L)) >= minDf)
+      .select(col("__g"),
+        when(col("ndocs").isNotNull, col("owner"))
+          .otherwise(col("__bowner")).as("__owner"))
+    cutAndReassemble(base, grams, owners, idCol, k)
   }
 
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,

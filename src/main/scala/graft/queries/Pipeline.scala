@@ -569,6 +569,58 @@ object Pipeline {
         ORDER BY t.doc_id
       """)),
 
+    // ---- Incremental span dedup ----------------------------------------
+    // the batch (doc_id >= 400, ids monotone past history) probes the
+    // persisted spanGramIndex of history (doc_id < 400) — O(batch +
+    // touched index slice), history never re-tokenized. Under monotone
+    // ids arrival-ordered ownership == min-id ownership, so the oracle
+    // is the FULL q150 computation restricted to batch documents.
+    QueryDef(
+      "q151_span_dedup_incremental",
+      (s, d) => {
+        val all = docs(s, d)
+        val hist = all.filter(col("doc_id") < 400)
+        val batch = all.filter(col("doc_id") >= 400)
+        graft.pipeline.Dedup.dedupSpansIncremental(batch, "doc_id", "text",
+            graft.pipeline.Dedup.spanGramIndex(hist, "doc_id", "text"))
+          .select(col("doc_id"), length(col("clean_text")).cast("long")
+              .as("n_clean_chars"),
+            col("n_tokens").cast("long").as("n_tokens"), col("n_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                     t0 -> t0 <> '') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+12], ' ') AS g
+          FROM toks, unnest(range(1, len(w) - 11)) AS t(i)
+          WHERE len(w) >= 13),
+        owners AS (
+          SELECT g, min(doc_id) AS owner FROM grams
+          GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        cut AS (
+          SELECT DISTINCT p.doc_id, p.pos + j AS cpos
+          FROM grams p JOIN owners o USING (g),
+               unnest(range(0, 13)) AS u(j)
+          WHERE p.doc_id <> o.owner),
+        kept AS (
+          SELECT t.doc_id, i - 1 AS pos, w[i] AS tok
+          FROM toks t, unnest(range(1, len(w) + 1)) AS x(i)
+          WHERE NOT EXISTS (SELECT 1 FROM cut c
+                            WHERE c.doc_id = t.doc_id AND c.cpos = i - 1))
+        SELECT t.doc_id,
+               CAST(length(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+                 AS BIGINT) AS n_clean_chars,
+               CAST(len(any_value(t.w)) AS BIGINT) AS n_tokens,
+               CAST(len(any_value(t.w)) - count(k.tok) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        WHERE t.doc_id >= 400
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+      """)),
+
     // ---- Contamination report (audit twin of q90) ----------------------
     // per-document counts of DISTINCT shared n-grams instead of a drop:
     // how contaminated, not just whether. Same broadcast-probe shape,

@@ -1160,6 +1160,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(g3(9L) == 0L && g3(2L) == 13L && g3(3L) == 13L)
   }
 
+  test("dedupSpansIncremental: a batch against the persisted gram " +
+      "index equals the full run restricted to batch docs (monotone " +
+      "ids), history-held grams cut batch copies, and the index merge " +
+      "is exact") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val boiler = (1 to 13).map(i => s"h$i").mkString(" ")
+    val hist = Seq(
+      (1L, s"one $boiler two"),            // holds the gram ONCE (df=1)
+      (2L, "plain history text with nothing repeated anywhere at all"),
+      (3L, s"$boiler")                     // second copy: df=2 already
+    ).toDF("doc_id", "text")
+    val newSpan = (1 to 14).map(i => s"n$i").mkString(" ")
+    val batch = Seq(
+      (10L, s"lead $boiler tail"),         // history-owned gram: cut
+      (11L, s"a $newSpan"),                // batch-internal owner: keeps
+      (12L, s"$newSpan b"),                // batch-internal dup: cut 14
+      (13L, "nothing shared here truly unique tokens forever and ever ok")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.spanGramIndex(hist, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val inc = rows(Dedup.dedupSpansIncremental(batch, "doc_id", "text", idx))
+    // exactness: full run over history ∪ batch, restricted to batch ids
+    val full = rows(Dedup.dedupSpans(hist.unionByName(batch),
+      "doc_id", "text").filter(col("doc_id") >= 10L))
+    assert(inc == full, s"inc=$inc\nfull=$full")
+    // the history-held gram cut doc 10's copy (13 tokens)
+    assert(inc.find(_._1 == 10L).get._4 == 13L)
+    assert(inc.find(_._1 == 11L).get._4 == 0L)
+    assert(inc.find(_._1 == 12L).get._4 == 14L)
+    assert(inc.find(_._1 == 13L).get._4 == 0L)
+    // a df=1 history gram becomes duplicated through the batch: the
+    // BATCH copy is the one cut (arrival-ordered ownership) — build a
+    // second batch probing the merged index
+    val merged = idx.unionByName(
+        Dedup.spanGramIndex(batch, "doc_id", "text"))
+      .groupBy("g").agg(min(col("owner")).as("owner"),
+        sum(col("ndocs")).as("ndocs"))
+    assert(rows(Dedup.dedupSpans(hist.unionByName(batch), "doc_id", "text"))
+      .map(t => t._1 -> t._4).toMap ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 13L, 10L -> 13L, 11L -> 0L,
+        12L -> 14L, 13L -> 0L))
+    // merged index equals the from-scratch index
+    val scratch = Dedup.spanGramIndex(hist.unionByName(batch),
+      "doc_id", "text")
+    assert(merged.orderBy("g").collect().toSeq ==
+      scratch.orderBy("g").collect().toSeq)
+  }
+
   test("portableHash=false (xxhash64) n-gram scorers: same doc " +
       "coverage and the same rank BEHAVIOR as the md5 oracle path") {
     import spark.implicits._
