@@ -226,4 +226,14 @@ class PlanSpec extends AnyFunSuite {
     // a textual no-corpus-window assertion can't be separated from the
     // query's own deterministic output ORDER BY here
   }
+
+  test("span dedup plans with equi-joins only — no nested-loop or " +
+      "cartesian anywhere, batch and incremental alike") {
+    for (name <- Seq("q150_span_dedup", "q151_span_dedup_incremental")) {
+      val q = graft.queries.Registry.all.find(_.name == name).get
+      val p = plan(q.fn(spark, sf))
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$name must stay equi-joined:\n$p")
+    }
+  }
 }
