@@ -569,4 +569,51 @@ object Curation {
       .agg(count(lit(1)).as("n_feats"), avg(col("nlp")).as("nll"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** fastText-style quality classifier, trained and served in-engine
+    * (the GPT-3/CCNet seat: score "does this look like the curated
+    * reference" with a LINEAR model over hashed n-gram features --
+    * Joulin et al. 2016's recipe, which at corpus scale matches deep
+    * models for this filtering job). `labeled` supplies (text,
+    * 0/1 label); every probe row gets `quality` = P(label = 1).
+    * Composes with [[topPercentPerStratum]] for the per-language cut.
+    *
+    * Spark-native end to end -- no UDFs: features are the one-pass
+    * [[graft.functions.ShingleExpressions.wordGrams]] uni+bigram
+    * multiset hashed by `HashingTF` (a library Transformer), the
+    * model is MLlib's `LogisticRegression` (distributed L-BFGS: one
+    * gradient pass over the training slice per iteration), and
+    * scoring is a single projection with the coefficient vector
+    * broadcast (O(numFeatures) driver state, ~2 MB at the default --
+    * endpoint-sized like the IVF/PQ codebooks). Training cost is
+    * bounded by the LABELED set (reference-corpus-sized, not
+    * 100 TB); scoring is one linear scan of the probe.
+    *
+    * Determinism note: distributed float reduction makes low-order
+    * score bits partition-order sensitive -- equal RANKING on
+    * separable data, not bit-equal scores (unit pins the ranking;
+    * queries built on this should gate on thresholds, not hash score
+    * bytes).
+    */
+  def qualityClassifierScores(labeled: DataFrame, textCol: String,
+      labelCol: String, probe: DataFrame, probeIdCol: String,
+      probeTextCol: String, numFeatures: Int = 1 << 18,
+      maxIter: Int = 20, regParam: Double = 1e-4): DataFrame = {
+    require(numFeatures > 0, "numFeatures must be positive")
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    import graft.functions.ShingleExpressions.wordGrams
+    val tf = new HashingTF().setInputCol("__grams")
+      .setOutputCol("__feats").setNumFeatures(numFeatures)
+    val train = tf.transform(labeled.select(
+      col(labelCol).cast("double").as("label"),
+      wordGrams(lower(col(textCol)), 2).as("__grams")))
+    val model = new LogisticRegression().setFeaturesCol("__feats")
+      .setMaxIter(maxIter).setRegParam(regParam).fit(train)
+    model.transform(tf.transform(probe.select(
+        col(probeIdCol), wordGrams(lower(col(probeTextCol)), 2).as("__grams"))))
+      .select(col(probeIdCol),
+        vector_to_array(col("probability")).getItem(1).as("quality"))
+  }
 }

@@ -569,6 +569,31 @@ object Pipeline {
         ORDER BY t.doc_id
       """)),
 
+    // ---- Trained quality classifier ------------------------------------
+    // fastText-style linear model over hashed uni+bigrams (Joulin et
+    // al. 2016), trained in-engine with MLlib L-BFGS: label 1 = the
+    // src0-src2 reference slice (the same "looks curated" axis q142
+    // scores with an n-gram LM), then the whole corpus is scored and
+    // gated per language. Iterative float training is not DuckDB-
+    // reproducible -> rows-only (one row per language, count stable);
+    // separation quality and rank stability are unit-pinned.
+    QueryDef(
+      "q152_quality_classifier",
+      (s, d) => {
+        val all = docs(s, d)
+        val labeled = all.select(col("text"),
+          when(col("source").isin("src0", "src1", "src2"), 1)
+            .otherwise(0).as("label"))
+        graft.pipeline.Curation.qualityClassifierScores(labeled, "text",
+            "label", all, "doc_id", "text")
+          .join(all.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("quality") > 0.5, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      None),
+
     // ---- Incremental span dedup ----------------------------------------
     // the batch (doc_id >= 400, ids monotone past history) probes the
     // persisted spanGramIndex of history (doc_id < 400) — O(batch +

@@ -1160,6 +1160,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(g3(9L) == 0L && g3(2L) == 13L && g3(3L) == 13L)
   }
 
+  test("qualityClassifierScores: a linear model over hashed n-grams " +
+      "separates reference-like from noise text, scores in [0,1], " +
+      "rank order stable across runs") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val good = (1 to 40).map(i =>
+      (s"clean structured prose sentence number $i with informative " +
+        "words and helpful grammar", 1))
+    val bad = (1 to 40).map(i =>
+      (s"zx$i qq ww spam spam buy now click here zzz$i garbage tokens", 0))
+    val labeled = (good ++ bad).toDF("text", "label")
+    val probe = Seq(
+      (1L, "clean structured prose with informative words and grammar"),
+      (2L, "spam spam buy now click here garbage"),
+      (3L, "clean prose sentence with helpful informative words"),
+      (4L, "qq ww zzz1 click here buy now")).toDF("doc_id", "text")
+    def scores() = Curation.qualityClassifierScores(labeled, "text",
+        "label", probe, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s1 = scores()
+    assert(s1.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s1(1L) > 0.9 && s1(3L) > 0.9, s"good docs must score high: $s1")
+    assert(s1(2L) < 0.1 && s1(4L) < 0.1, s"spam must score low: $s1")
+    // rank stability (scores are float-reduction sensitive; order of
+    // clearly-separated docs is not)
+    val s2 = scores()
+    assert(Seq(1L, 2L, 3L, 4L).sortBy(s1) == Seq(1L, 2L, 3L, 4L).sortBy(s2))
+  }
+
   test("dedupSpansIncremental: a batch against the persisted gram " +
       "index equals the full run restricted to batch docs (monotone " +
       "ids), history-held grams cut batch copies, and the index merge " +
