@@ -71,9 +71,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     plan.foreach {
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if !agg.resolved &&
-            (agg.groupingExpressions.isEmpty ||
-              (agg.groupingExpressions.sizeIs == 1 &&
-                attrish(agg.groupingExpressions.head))) &&
+            agg.groupingExpressions.forall(attrish) &&
             aggSource(agg.child).isDefined &&
             maybePushable(agg.aggregateExpressions) =>
         deferred.add(relationIn(agg.child match {
@@ -154,7 +152,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       // ---- daily, answered without opening a file. A WHERE composes
       // ---- under the same strict gate as the groupless flavor.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-          if agg.resolved && agg.groupingExpressions.sizeIs == 1 &&
+          if agg.resolved && agg.groupingExpressions.nonEmpty &&
+            agg.groupingExpressions.forall(attrish) &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
         pushGroupedManifestAggregate(agg, h, cond).getOrElse(agg)
@@ -341,18 +340,18 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     } else None
   }
 
-  /** The grouped pushdown: GROUP BY one column IDENTITY-partitioned in
-    * the current spec. Identity assigns every file to exactly one
-    * group — its recorded partition value — so per-group count/
-    * count(col)/min/max are the groupless manifest arithmetic over
-    * each group's file slice: the per-day rollup on a day-partitioned
-    * 100 TB table without opening a file. Bails (None → ordinary scan)
-    * whenever assignment isn't sound: delete files, an older-spec file
-    * missing the value, a type whose identity rendering doesn't
-    * round-trip exactly (timestamp/float/double), or a string value
-    * colliding with the NULL-directory sentinel (a NULL group is
-    * otherwise supported — its directory name is unambiguous for
-    * non-string types).
+  /** The grouped pushdown: GROUP BY one or more columns, each
+    * IDENTITY-partitioned in the current spec. Identity assigns every
+    * file to exactly one group cell — its recorded partition value
+    * tuple — so per-group count/count(col)/min/max are the groupless
+    * manifest arithmetic over each cell's file slice: the per-(region,
+    * day) rollup on a so-partitioned 100 TB table without opening a
+    * file. Bails (None → ordinary scan) whenever assignment isn't
+    * sound: delete files, an older-spec file missing a value, a type
+    * whose identity rendering doesn't round-trip exactly
+    * (timestamp/float/double), or a string value colliding with the
+    * NULL-directory sentinel (a NULL group is otherwise supported —
+    * its directory name is unambiguous for non-string types).
     */
   private def pushGroupedManifestAggregate(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
@@ -361,9 +360,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType}
     import graft.tableformat.DataFileEntry
-    val gAttr = agg.groupingExpressions.head match {
+    // every grouping expression must be a bare column, each IDENTITY-
+    // partitioned in the current spec (multi-column keys compose:
+    // a (region, day) layout assigns each file one (region, day) cell)
+    val gAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _                     => return None
     }
@@ -375,7 +377,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     val files0 = snap.map(_.files).getOrElse(Vector.empty)
     // WHERE: same all-or-nothing strict gate as the groupless flavor —
     // surviving files must be wholly inside the predicate, so each
-    // still belongs wholly to its partition-value group
+    // still belongs wholly to its partition-value cell
     val files = cond match {
       case None => files0
       case Some(e) =>
@@ -384,16 +386,22 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           cand
         else return None
     }
-    val field = m.currentSchema.fieldByName(gAttr.name).getOrElse(return None)
-    val pf = m.currentSpec.fields.find(p =>
-      p.transform == "identity" && p.sourceId == field.id)
-      .getOrElse(return None)
-    if (!files.forall(_.partitionValues.contains(pf.name))) return None
+    val pfNames: Seq[(AttributeReference, String)] = gAttrs.map { a =>
+      val field = m.currentSchema.fieldByName(a.name).getOrElse(return None)
+      val pf = m.currentSpec.fields.find(p =>
+        p.transform == "identity" && p.sourceId == field.id)
+        .getOrElse(return None)
+      a -> pf.name
+    }
+    if (!files.forall(f => pfNames.forall(p =>
+      f.partitionValues.contains(p._2)))) return None
     val NullDir = "__HIVE_DEFAULT_PARTITION__"
-    def keyOf(v: String): Option[Any] =
+    def keyOf(dt: DataType, v: String): Option[Any] =
       if (v == NullDir) {
-        if (gAttr.dataType == StringType) None else Some(null)
-      } else gAttr.dataType match {
+        // a real string could equal the sentinel — ambiguous there;
+        // for other types the NULL group is unambiguous
+        if (dt == StringType) None else Some(null)
+      } else dt match {
         case IntegerType => v.toIntOption
         case LongType    => v.toLongOption
         case StringType  => Some(UTF8String.fromString(v))
@@ -402,13 +410,18 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           catch { case _: Exception => None }
         case _ => None
       }
-    val keyed = files.map(f => keyOf(f.partitionValues(pf.name)).map(_ -> f))
+    val keyed: Vector[Option[(Vector[Any], DataFileEntry)]] = files.map { f =>
+      val ks = pfNames.map { case (a, pn) =>
+        keyOf(a.dataType, f.partitionValues(pn)) }
+      if (ks.exists(_.isEmpty)) None
+      else Some(ks.map(_.get).toVector -> f)
+    }
     if (keyed.exists(_.isEmpty)) return None
     val groups = keyed.flatten.groupBy(_._1).view
       .mapValues(_.map(_._2)).toSeq
       // HashMap order is seed-dependent; keep the emitted relation
       // deterministic (GROUP BY itself is unordered, this is hygiene)
-      .sortBy(g => String.valueOf(g._1))
+      .sortBy(g => g._1.map(String.valueOf).mkString("\u0000"))
     def boundIn(gf: Vector[DataFileEntry], a: AttributeReference,
         lower: Boolean): Option[Any] =
       for {
@@ -416,14 +429,17 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         v <- graft.engine.StatsPruning.internalBound(a.dataType,
           if (lower) lo else hi)
       } yield v
-    type Evl = (Any, Vector[DataFileEntry]) => Option[Any]
+    type Evl = (Vector[Any], Vector[DataFileEntry]) => Option[Any]
+    val keyIdx = gAttrs.map(_.exprId).zipWithIndex.toMap
     val planned: Seq[Option[(Attribute, Evl)]] =
       agg.aggregateExpressions.map {
-        case a: AttributeReference if a.exprId == gAttr.exprId =>
-          Some((a: Attribute, ((k, _) => Some(k)): Evl))
+        case a: AttributeReference if keyIdx.contains(a.exprId) =>
+          val i = keyIdx(a.exprId)
+          Some((a: Attribute, ((k, _) => Some(k(i))): Evl))
         case al @ Alias(a: AttributeReference, _)
-            if a.exprId == gAttr.exprId =>
-          Some((al.toAttribute, ((k, _) => Some(k)): Evl))
+            if keyIdx.contains(a.exprId) =>
+          val i = keyIdx(a.exprId)
+          Some((al.toAttribute, ((k, _) => Some(k(i))): Evl))
         case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
           val ev: Option[Evl] = fn match {
             case Count(Seq(l: Literal)) if l.value != null =>

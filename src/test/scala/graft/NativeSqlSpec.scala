@@ -811,6 +811,26 @@ class NativeSqlSpec extends AnyFunSuite {
       WHERE id >= 21 GROUP BY day""").collect()
       .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
         r.getLong(1))).toSet == Set((Some(2), 2L), (None, 2L)))
+    // multi-column cells: a (day, region)-identity layout pushes the
+    // two-key rollup the same way
+    val t2 = cat.createTable("db", "gagg2",
+      Seq("day" -> "int", "region" -> "string", "id" -> "long"),
+      partition = Seq("day" -> "identity", "region" -> "identity"))
+    t2.append(Seq((1, "eu", 1L), (1, "eu", 2L), (1, "us", 3L),
+      (2, "eu", 4L)).toDF("day", "region", "id"))
+    val two = spark.sql("""SELECT day, region, count(*) AS n, max(id) AS hi
+      FROM graft.db.gagg2 GROUP BY day, region""")
+    assert(two.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"two-key rollup must push:\n${two.queryExecution.executedPlan}")
+    assert(two.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet ==
+      Set((1, "eu", 2L, 2L), (1, "us", 1L, 3L), (2, "eu", 1L, 4L)))
+    // grouping by a subset of the layout still pushes (files group
+    // coarser than their cells, counts merge)
+    assert(spark.sql(
+      "SELECT day, count(*) AS n FROM graft.db.gagg2 GROUP BY day")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1, 3L), (2, 1L)))
     // grouping by a NON-partition column is ordinary execution — exact
     val byV = spark.sql(
       "SELECT v, count(*) AS n FROM graft.db.gagg WHERE v IS NOT NULL GROUP BY v")
