@@ -847,6 +847,46 @@ class NativeSqlSpec extends AnyFunSuite {
       Set((Some(1), 3L), (Some(2), 2L), (None, 2L)))
   }
 
+  test("aggregate pushdown under evolution: rename keeps the fast path " +
+      "(field-id stats), a re-added column and a freshly evolved " +
+      "partition layout fall back to the exact scan") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "evagg", Seq("id" -> "long",
+      "v" -> "string"))
+    t.append((1L to 50L).map(i => (i, s"x$i")).toDF("id", "v").coalesce(1))
+    // rename: the footer stats are field-id-keyed, so count/min/max on
+    // the NEW name still answer manifest-only
+    t.renameColumn("v", "w")
+    val ren = spark.sql(
+      "SELECT count(w) AS nn, min(w) AS lo FROM graft.db.evagg")
+    assert(ren.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "renamed column must keep the manifest fast path")
+    assert(ren.head() == org.apache.spark.sql.Row(50L, "x1"))
+    // drop + re-add under the same name: a FRESH field id — old files
+    // carry no stats for it, so the aggregate scans and stays exact
+    // (every old row null-fills the re-added column)
+    t.dropColumn("w")
+    t.addColumn("w", "string")
+    val readd = spark.sql("SELECT count(w) AS nn FROM graft.db.evagg")
+    assert(readd.queryExecution.executedPlan.toString.contains("Scan"),
+      "re-added column must not reuse the dropped column's stats")
+    assert(readd.head().getLong(0) == 0L)
+    // partition-spec evolution: files written BEFORE the identity
+    // layout carry no value for it — the grouped rollup must scan
+    val p = cat.createTable("db", "evgrp", Seq("day" -> "int",
+      "id" -> "long"))
+    p.append(Seq((1, 1L), (2, 2L)).toDF("day", "id"))
+    p.setPartitionSpec(Seq("day" -> "identity"))
+    p.append(Seq((1, 3L), (3, 4L)).toDF("day", "id"))
+    val g = spark.sql(
+      "SELECT day, count(*) AS n FROM graft.db.evgrp GROUP BY day")
+    assert(g.queryExecution.executedPlan.toString.contains("Scan"),
+      "pre-layout files can't be assigned to cells; must scan")
+    assert(g.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1, 2L), (2, 1L), (3, 1L)))
+  }
+
   test("filtered SQL aggregate pushdown: a WHERE provable file-wise " +
       "answers count/min/max from the manifest; boundary predicates " +
       "fall back to the (pruned) scan and stay exact") {
