@@ -24,6 +24,7 @@ import graft.engine.GraftTable
   *     [, <min_file_size_bytes>, <target_file_size_bytes>,
   *        <min_input_files>])
   *   CALL graft.system.rewrite_delete_files('db.t' [, <target_files>])
+  *   CALL graft.system.rewrite_deleted_data_files('db.t')
   *   CALL graft.system.upsert('db.t', '<source view>', 'k1,k2',
   *     '<marker_key>', <marker_value> [, 'positional'|'equality'])
   *   CALL graft.system.refresh_agg('db.state', 'db.base', 'k1,k2',
@@ -37,6 +38,7 @@ import graft.engine.GraftTable
   *   CALL graft.system.create_tag('db.t', '<name>')
   *   CALL graft.system.set_branch_retention('db.t', '<branch>'
   *     [, <min_snapshots_to_keep>, <max_snapshot_age_ms>])
+  *   CALL graft.system.maintain('db.t' [, <delete_ratio>, <keep_last>])
   *
   * Each delegates to the one engine implementation in [[GraftTable]];
   * no procedure returns rows (maintenance results are observable
@@ -80,6 +82,21 @@ object GraftProcedures {
           .defaultValue("1").build()),
       (w, r) => table(w, str(r, 0)).expireSnapshots(r.getLong(1),
         if (r.isNullAt(2)) 1 else r.getInt(2))),
+    Def("rewrite_deleted_data_files",
+      Seq(in("table", StringType)),
+      (w, r) => table(w, str(r, 0)).rewriteDeletedDataFiles()),
+    Def("maintain",
+      Seq(in("table", StringType),
+        ProcedureParameter.in("delete_ratio", DoubleType)
+          .defaultValue("0.1").build(),
+        ProcedureParameter.in("keep_last", IntegerType)
+          .defaultValue("10").build()),
+      (w, r) => {
+        table(w, str(r, 0)).maintain(
+          deleteRatio = if (r.isNullAt(1)) 0.1 else r.getDouble(1),
+          keepLast = if (r.isNullAt(2)) 10 else r.getInt(2))
+        ()
+      }),
     Def("set_branch_retention",
       Seq(in("table", StringType), in("branch", StringType),
         ProcedureParameter.in("min_snapshots_to_keep", IntegerType)

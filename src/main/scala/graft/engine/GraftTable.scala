@@ -1691,6 +1691,43 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Materialize merge-on-read deletes into ONLY the data files they
+    * touch — the targeted middle ground between [[rewriteDeleteFiles]]
+    * (compacts tombstones, data untouched, merge cost remains) and a
+    * full [[rewriteDataFiles]] (rewrites everything). Affected files:
+    * positional-tombstone targets (one tombstone-sized scan finds the
+    * distinct paths) plus, when equality deletes exist, every file the
+    * strictly-older sequence rule exposes to them (conservative —
+    * CDC streams compact those with [[rewriteDeleteFiles]] first).
+    * Affected files are rewritten with all deletes applied; untouched
+    * files carry over; every delete file drops (no live target can
+    * remain). Restores the manifest fast paths ([[countRows]],
+    * [[columnBounds]], the SQL aggregate pushdown) at the cost of the
+    * tombstoned slice, not the table.
+    */
+  def rewriteDeletedDataFiles(): GraftTable = {
+    val m = meta
+    val snap = m.currentSnapshot.getOrElse(return this)
+    if (snap.deleteFiles.isEmpty) return this
+    val pos = snap.deleteFiles.filter(_.equalityIds.isEmpty)
+    val eqMaxSeq = snap.deleteFiles.filter(_.equalityIds.nonEmpty)
+      .map(_.seq).maxOption
+    val posTargets: Set[String] =
+      if (pos.isEmpty) Set.empty
+      else spark.read.schema("file_path STRING, pos BIGINT")
+        .parquet(pos.map(f => s"$location/${f.path}"): _*)
+        .select(relDataPath(col("file_path")).as("p")).distinct()
+        .collect().map(_.getString(0)).toSet // O(#affected files) paths
+    val (affected, untouched) = snap.files.partition(f =>
+      posTargets.contains(f.path) || eqMaxSeq.exists(f.seq < _))
+    val written =
+      if (affected.isEmpty) Vector.empty[DataFileEntry]
+      else writeFiles(m,
+        liveRows(m, snap, affected).drop("_g_path", "_g_pos"))
+    commitSnapshot(m, "replace", untouched ++ written, Vector.empty)
+    this
+  }
+
   /** Delete-file maintenance (Iceberg's `rewrite_position_delete_files`
     * plus equality→positional conversion): compact every accumulated
     * delete file into minimal POSITIONAL form WITHOUT rewriting any
@@ -1981,6 +2018,52 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         snapshotLog = cur.snapshotLog.filter(e => keep(e.snapshotId)))
     }
     this
+  }
+
+  /** One-call maintenance sweep — the scheduler-shaped composition of
+    * the observables and rewrites a production table needs nightly,
+    * driven entirely by manifest arithmetic (each step runs only when
+    * its metadata trigger fires, so a healthy table's sweep is a
+    * no-op):
+    *   1. MoR delete debt: when tombstone rows reach `deleteRatio` of
+    *      live rows, [[rewriteDeletedDataFiles]] materializes them into
+    *      the touched slice (restores the aggregate fast paths and
+    *      removes the read-side merge);
+    *   2. small-file debt: when >= `minInputFiles` data files sit
+    *      under `smallFileBytes`, binpack them toward `targetFileBytes`;
+    *   3. history debt: `expireSnapshots(keepLast)` (branch retention
+    *      policies honored) + `removeOrphanFiles`.
+    * Returns the actions taken, in order, for the caller's audit log.
+    */
+  def maintain(deleteRatio: Double = 0.1,
+      smallFileBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
+      minInputFiles: Int = 2, keepLast: Int = 10): Seq[String] = {
+    require(deleteRatio > 0, "deleteRatio must be positive")
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    val m0 = meta
+    m0.currentSnapshot.foreach { s =>
+      val live = s.files.map(_.recordCount).sum
+      val dead = s.deleteFiles.map(_.recordCount).sum
+      if (dead > 0 && (live == 0 || dead.toDouble / live >= deleteRatio)) {
+        rewriteDeletedDataFiles()
+        actions += "rewrite_deleted_data_files"
+      }
+    }
+    val m1 = meta
+    m1.currentSnapshot.foreach { s =>
+      if (s.files.count(_.fileSizeBytes < smallFileBytes) >= minInputFiles) {
+        rewriteDataFilesBinpack(smallFileBytes, targetFileBytes,
+          minInputFiles)
+        actions += "rewrite_data_files_binpack"
+      }
+    }
+    if (meta.snapshots.size > keepLast) {
+      expireSnapshots(keepLast)
+      actions += "expire_snapshots"
+      val orphans = removeOrphanFiles()
+      if (orphans.nonEmpty) actions += s"remove_orphan_files:${orphans.size}"
+    }
+    actions.toSeq
   }
 
   /** Physically delete data/delete files not referenced by any

@@ -982,6 +982,75 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("rewriteDeletedDataFiles: materializes MoR deletes into ONLY " +
+      "the touched files; untouched files carry over by identity; " +
+      "equality deletes clear via the conservative seq rule") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "rdd",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((11L to 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    t.append((21L to 30L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+    t.delete(col("id") === 15L) // tombstone into file 2 only
+    val before = t.meta.currentSnapshot.get.files.map(_.path)
+    t.rewriteDeletedDataFiles()
+    val after = t.meta.currentSnapshot.get
+    assert(after.deleteFiles.isEmpty)
+    // files 1 and 3 carried over untouched; file 2 was replaced
+    val kept = after.files.map(_.path).toSet
+    assert(kept.contains(before(0)) && kept.contains(before(2)))
+    assert(!kept.contains(before(1)))
+    assert(t.read().as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      ((1L to 30L).filterNot(_ == 15L)))
+    assert(t.countRows() == 29L) // manifest fast path restored
+    // no deletes -> no-op (same snapshot)
+    val sid = t.meta.currentSnapshotId
+    t.rewriteDeletedDataFiles()
+    assert(t.meta.currentSnapshotId == sid)
+    // equality deletes: the strictly-older rule exposes all current
+    // files; the conservative rewrite clears them exactly
+    val b = Seq((5L, "up5"), (99L, "new99")).toDF("id", "v")
+    t.upsertEqIfNewMarker(b, Seq("id"), "graft.test.rdd", 1L)
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    t.rewriteDeletedDataFiles()
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    val rows = t.read().as[(Long, String)].collect().toMap
+    assert(rows(5L) == "up5" && rows(99L) == "new99" && rows.size == 30)
+  }
+
+  test("maintain: one-call sweep fires each step only when its " +
+      "metadata trigger does, and a healthy table's sweep is a no-op") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "mnt",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    // healthy: one file, no deletes, short history -> nothing fires
+    assert(t.maintain() == Seq.empty)
+    // build debt: 20% MoR tombstones + a second small file + history
+    t.delete(col("id") <= 20L)
+    t.append((101L to 110L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    (1 to 12).foreach(i =>
+      t.append(Seq((1000L + i, "x")).toDF("id", "v").coalesce(1)))
+    // keepLast=1: only the post-sweep snapshot survives, so every
+    // pre-compaction file is provably orphaned
+    val actions = t.maintain(keepLast = 1)
+    assert(actions.head == "rewrite_deleted_data_files", actions.toString)
+    assert(actions.contains("rewrite_data_files_binpack"))
+    assert(actions.contains("expire_snapshots"))
+    assert(actions.exists(_.startsWith("remove_orphan_files:")),
+      actions.toString)
+    // the sweep preserved the data exactly and cleared the debt
+    assert(t.read().count() == 102)
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    assert(t.meta.snapshots.size == 1)
+    // immediately after: healthy again
+    assert(t.maintain(keepLast = 1) == Seq.empty)
+    // the aggregate fast path is restored (no delete files)
+    assert(t.countRows() == 102L)
+  }
+
   test("branch-scoped snapshot retention: a policy-carrying branch " +
       "keeps its ancestor tail while main's history expires; without " +
       "a policy only the head is pinned") {
