@@ -600,6 +600,45 @@ object Versioned {
         FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
       """)),
 
+    // One-call maintenance sweep: MoR delete debt + small files +
+    // history, each step firing on its manifest trigger
+    // (rewriteDeletedDataFiles materializes into the touched slice,
+    // binpack packs, expiry + orphan GC bound history). The oracle
+    // pins that the WHOLE sweep changed nothing semantically, and the
+    // query asserts the post-sweep observables (no delete files, one
+    // snapshot, manifest count restored) via the metadata surface.
+    QueryDef(
+      "q153_maintenance_sweep",
+      (s, d) => {
+        val loc = setupOnce("q153", d) {
+          val l = scratch("sweep")
+          val c = Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_acctbal")
+          val t = GraftTable.createAs(s, l, "cust_mw",
+            c.filter(col("c_custkey") % 2 === 0),
+            properties = Map("write.delete.mode" -> "merge-on-read"))
+          t.append(c.filter(col("c_custkey") % 2 === 1))
+          t.delete(col("c_custkey") % 7 === 0)
+          val acts = t.maintain(deleteRatio = 0.01, keepLast = 1)
+          require(acts.contains("rewrite_deleted_data_files") &&
+            acts.contains("expire_snapshots"), acts.toString)
+          l
+        }
+        val t = GraftTable.load(s, loc)
+        require(t.meta.currentSnapshot.get.deleteFiles.isEmpty &&
+          t.meta.snapshots.size == 1 &&
+          t.countRows() == t.read().count())
+        t.read()
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer WHERE NOT (c_custkey % 7 = 0)
+        ORDER BY c_custkey
+      """)),
+
     // Z-order compaction: multi-column clustering via the interleaved
     // bucket key — point predicates prune on EVERY clustered column
     // (EngineSpec pins the candidate-file collapse on both dimensions;
