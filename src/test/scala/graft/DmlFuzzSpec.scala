@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.GraftTable
+
+/** Model-based DML fuzz: a SEEDED random interleaving of the whole
+  * mutation surface — appends, CoW and MoR deletes/updates, keyed
+  * upserts (positional and equality), mode toggles, compactions,
+  * targeted MoR materialization, snapshot expiry, and the maintenance
+  * sweep — applied in lockstep to a [[GraftTable]] and to a trivial
+  * in-memory map. After EVERY op the table's read must equal the
+  * model, and the manifest fast path must agree whenever it claims an
+  * answer. Single-feature specs pin each op's semantics; this one
+  * exists for the CROSS-FEATURE interactions (a MoR delete under an
+  * equality-delete backlog followed by compaction and expiry is not a
+  * shape any targeted test enumerates).
+  *
+  * Deterministic: fixed seed, no wall-clock dependence in op choice —
+  * a failure replays exactly.
+  */
+class DmlFuzzSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("local[4]", Some(4))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-fuzz").toString + "/t"
+
+  test("40 seeded random DML + maintenance ops match the in-memory model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val t = GraftTable.create(spark, tmp(), "fuzz",
+      Seq("id" -> "long", "v" -> "string", "x" -> "long"))
+    val model = scala.collection.mutable.Map[Long, (String, Long)]()
+    var nextId = 0L
+    var marker = 0L
+
+    def freshRows(n: Int): Seq[(Long, String, Long)] =
+      (0 until n).map { _ =>
+        nextId += 1
+        (nextId, s"v$nextId", rnd.nextInt(100).toLong)
+      }
+
+    def check(opName: String): Unit = {
+      val got = t.read().as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == model.toMap,
+        s"divergence after $opName: table=${got.size} model=${model.size}\n" +
+          s"only-table=${(got.keySet -- model.keySet).take(5)} " +
+          s"only-model=${(model.keySet -- got.keySet).take(5)}")
+      // the manifest count may refuse (MoR debt) but must never lie
+      if (t.meta.currentSnapshot.forall(_.deleteFiles.isEmpty))
+        assert(t.countRows() == model.size.toLong, s"countRows after $opName")
+    }
+
+    for (step <- 1 to 40) {
+      val op = rnd.nextInt(10)
+      val name = op match {
+        case 0 | 1 => // append a small batch
+          val rows = freshRows(1 + rnd.nextInt(8))
+          t.append(rows.toDF("id", "v", "x"))
+          rows.foreach(r => model(r._1) = (r._2, r._3))
+          s"append(${rows.size})"
+        case 2 => // toggle write modes
+          val mode = if (rnd.nextBoolean()) "copy-on-write" else "merge-on-read"
+          t.setProperties(Map(
+            "write.delete.mode" -> mode, "write.update.mode" -> mode))
+          s"mode=$mode"
+        case 3 => // predicate delete
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          t.delete(col("id") % m === r.toLong)
+          model.keys.filter(k => k % m == r).toSeq.foreach(model.remove)
+          s"delete(id%$m==$r)"
+        case 4 => // predicate update
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val c = rnd.nextInt(50).toLong
+          t.update(col("id") % m === r.toLong, Map("x" -> (col("x") + c)))
+          model.mapValuesInPlace { case (k, (v, x)) =>
+            if (k % m == r) (v, x + c) else (v, x) }
+          s"update(id%$m==$r, x+=$c)"
+        case 5 => // keyed upsert: replace a slice of live ids + add fresh
+          val existing = rnd.shuffle(model.keys.toSeq.sorted)
+            .take(rnd.nextInt(4))
+          val fresh = freshRows(1 + rnd.nextInt(3))
+          val batch = existing.map(k => (k, s"u$step-$k", rnd.nextInt(100).toLong)) ++ fresh
+          marker += 1
+          val eq = rnd.nextBoolean()
+          if (eq) t.upsertEqIfNewMarker(batch.toDF("id", "v", "x"),
+            Seq("id"), "graft.fuzz", marker)
+          else t.upsertIfNewMarker(batch.toDF("id", "v", "x"),
+            Seq("id"), "graft.fuzz", marker)
+          batch.foreach(r => model(r._1) = (r._2, r._3))
+          s"upsert(${if (eq) "eq" else "pos"}, ${batch.size})"
+        case 6 =>
+          t.rewriteDataFiles(); "compact"
+        case 7 =>
+          t.rewriteDeletedDataFiles(); "materialize-deletes"
+        case 8 =>
+          t.expireSnapshots(1 + rnd.nextInt(4)); "expire"
+        case 9 =>
+          val acts = t.maintain(deleteRatio = 0.05, keepLast = 3)
+          s"maintain(${acts.mkString("+")})"
+      }
+      check(s"step $step: $name")
+    }
+  }
+}
