@@ -106,4 +106,82 @@ class DmlFuzzSpec extends AnyFunSuite {
       check(s"step $step: $name")
     }
   }
+
+  test("30 seeded random ops through the NATIVE SQL surface match the " +
+      "model (command-rewrite rules under interleaving)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val cat = new graft.catalog.GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-sqlfuzz").toString)
+    val t = cat.createTable("db", "sfuzz",
+      Seq("id" -> "long", "v" -> "string", "x" -> "long"))
+    val model = scala.collection.mutable.Map[Long, (String, Long)]()
+    var nextId = 0L
+
+    def check(opName: String): Unit = {
+      val got = spark.sql(
+          "SELECT id, v, x FROM graft.db.sfuzz")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == model.toMap, s"divergence after $opName: " +
+        s"table=${got.size} model=${model.size}")
+      // the SQL count must agree whichever path (pushdown or scan) it
+      // takes
+      assert(spark.sql("SELECT count(*) AS n FROM graft.db.sfuzz")
+        .head().getLong(0) == model.size.toLong, s"count after $opName")
+    }
+
+    for (step <- 1 to 30) {
+      val op = rnd.nextInt(8)
+      val name = op match {
+        case 0 | 1 =>
+          val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
+            nextId += 1; (nextId, s"v$nextId", rnd.nextInt(100).toLong)
+          }
+          spark.sql("INSERT INTO graft.db.sfuzz VALUES " +
+            rows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", "))
+          rows.foreach(r => model(r._1) = (r._2, r._3))
+          s"INSERT(${rows.size})"
+        case 2 =>
+          val mode = if (rnd.nextBoolean()) "copy-on-write" else "merge-on-read"
+          spark.sql("ALTER TABLE graft.db.sfuzz SET TBLPROPERTIES (" +
+            s"'write.delete.mode' = '$mode', 'write.update.mode' = '$mode')")
+          s"mode=$mode"
+        case 3 =>
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          spark.sql(s"DELETE FROM graft.db.sfuzz WHERE id % $m = $r")
+          model.keys.filter(k => k % m == r).toSeq.foreach(model.remove)
+          s"DELETE(id%$m==$r)"
+        case 4 =>
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val c = rnd.nextInt(50)
+          spark.sql(s"UPDATE graft.db.sfuzz SET x = x + $c WHERE id % $m = $r")
+          model.mapValuesInPlace { case (k, (v, x)) =>
+            if (k % m == r) (v, x + c) else (v, x) }
+          s"UPDATE(id%$m==$r)"
+        case 5 => // MERGE: update a live slice, insert fresh
+          val existing = rnd.shuffle(model.keys.toSeq.sorted)
+            .take(rnd.nextInt(3))
+          val fresh = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            nextId += 1; (nextId, s"m$nextId", rnd.nextInt(100).toLong)
+          }
+          val src = (existing.map(k => (k, s"m$step-$k",
+            rnd.nextInt(100).toLong)) ++ fresh)
+          src.toDF("id", "v", "x").createOrReplaceTempView("sfuzz_src")
+          spark.sql("""MERGE INTO graft.db.sfuzz t USING sfuzz_src s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+          src.foreach(r => model(r._1) = (r._2, r._3))
+          s"MERGE(${src.size})"
+        case 6 =>
+          spark.sql("CALL graft.system.rewrite_data_files('db.sfuzz')")
+          "compact"
+        case 7 =>
+          spark.sql("CALL graft.system.maintain('db.sfuzz', 0.05, 3)")
+          "maintain"
+      }
+      check(s"step $step: $name")
+    }
+  }
 }
