@@ -43,6 +43,9 @@ class DmlFuzzSpec extends AnyFunSuite {
         (nextId, s"v$nextId", rnd.nextInt(100).toLong)
       }
 
+    // snapshot id -> the model at that commit, for time-travel checks
+    val history = scala.collection.mutable.Map[Long, Map[Long, (String, Long)]]()
+
     def check(opName: String): Unit = {
       val got = t.read().as[(Long, String, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -53,6 +56,19 @@ class DmlFuzzSpec extends AnyFunSuite {
       // the manifest count may refuse (MoR debt) but must never lie
       if (t.meta.currentSnapshot.forall(_.deleteFiles.isEmpty))
         assert(t.countRows() == model.size.toLong, s"countRows after $opName")
+      // time travel: any RETAINED past snapshot replays exactly the
+      // model recorded at its commit (expiry shrinks the candidates,
+      // never corrupts the survivors)
+      t.meta.currentSnapshotId.foreach(history(_) = model.toMap)
+      val retained = t.meta.snapshots.map(_.snapshotId)
+        .filter(history.contains)
+      if (retained.nonEmpty) {
+        val pick = retained(rnd.nextInt(retained.size))
+        val past = t.readAsOfVersion(pick).as[(Long, String, Long)]
+          .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(past == history(pick),
+          s"time travel to $pick diverged after $opName")
+      }
     }
 
     for (step <- 1 to 40) {
