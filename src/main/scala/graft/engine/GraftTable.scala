@@ -201,6 +201,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       contributing = live.filterNot(f =>
         f.nullCounts.get(key).contains(f.recordCount))
       if contributing.nonEmpty
+      // a file written before alterColumnType widened this column
+      // recorded bounds in the OLD type's encoding — a float "0.1"
+      // reread as double, date epoch-days reread as micros — so any
+      // type-unstable contributor makes manifest min/max unsound
+      if contributing.forall(f => StatsPruning.boundTypeStable(m, f, field))
       raws <- traverseOpt(contributing)(f =>
         for (lo <- f.lowerBounds.get(key); hi <- f.upperBounds.get(key))
           yield (lo, hi))
@@ -718,9 +723,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       files: Vector[DataFileEntry],
       deleteFiles: Vector[DataFileEntry] = Vector.empty): Unit =
     MetadataIO.commitRetry(location) { cur =>
-      require(cur.currentSnapshotId == m.currentSnapshotId,
-        s"concurrent commit: snapshot advanced from ${m.currentSnapshotId}" +
-          s" to ${cur.currentSnapshotId} during $op — re-run the operation")
+      if (cur.currentSnapshotId != m.currentSnapshotId)
+        throw new ConcurrentCommitException(
+          s"concurrent commit: snapshot advanced from ${m.currentSnapshotId}" +
+            s" to ${cur.currentSnapshotId} during $op — re-run the operation")
       withSnapshot(cur, op, files, deleteFiles)
     }
 
@@ -913,8 +919,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         // the doomed positions were computed against THIS snapshot:
         // a concurrent data commit is a genuine conflict (same rule as
         // commitSnapshot), absorbed only for metadata-level races
-        require(cur.currentSnapshotId == m.currentSnapshotId,
-          s"concurrent commit during upsert $markerKey=$markerValue — re-run")
+        if (cur.currentSnapshotId != m.currentSnapshotId)
+          throw new ConcurrentCommitException(
+            s"concurrent commit during upsert $markerKey=$markerValue — re-run")
         withSnapshot(cur, "overwrite", files0 ++ written, dels0 ++ delEntries)
           .copy(properties = cur.properties +
             (markerKey -> markerValue.toString) ++ extraProps)
@@ -1095,8 +1102,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         if (seen(cur)) throw new Dup
         // value-keyed deletes make concurrent writers ambiguous (which
         // copy of a key wins?) — same strictness as the positional path
-        require(cur.currentSnapshotId == m.currentSnapshotId,
-          s"concurrent commit during upsert $markerKey=$markerValue — re-run")
+        if (cur.currentSnapshotId != m.currentSnapshotId)
+          throw new ConcurrentCommitException(
+            s"concurrent commit during upsert $markerKey=$markerValue — re-run")
         withSnapshot(cur, "overwrite", files0 ++ written, dels0 ++ delEntries)
           .copy(properties = cur.properties + (markerKey -> markerValue.toString))
       }
@@ -1958,10 +1966,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def refPinned(cur: TableMetadata, nowMs: Long): Set[Long] = {
     val byId = cur.snapshots.map(s => s.snapshotId -> s).toMap
     val branchKept = cur.refs.filter(_.refType == "BRANCH").flatMap { r =>
+      // tolerate malformed values (settable through generic
+      // setProperties / TBLPROPERTIES, bypassing setBranchRetention's
+      // validation): an unparseable knob reads as absent rather than
+      // bricking every expireSnapshots/maintain call
       val minKeep = cur.properties
-        .get(s"graft.ref.${r.name}.min-snapshots-to-keep").map(_.toInt)
+        .get(s"graft.ref.${r.name}.min-snapshots-to-keep")
+        .flatMap(_.toIntOption)
       val maxAge = cur.properties
-        .get(s"graft.ref.${r.name}.max-snapshot-age-ms").map(_.toLong)
+        .get(s"graft.ref.${r.name}.max-snapshot-age-ms")
+        .flatMap(_.toLongOption)
       if (minKeep.isEmpty && maxAge.isEmpty) Vector.empty
       else {
         val chain = Iterator
@@ -2040,26 +2054,41 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       minInputFiles: Int = 2, keepLast: Int = 10): Seq[String] = {
     require(deleteRatio > 0, "deleteRatio must be positive")
     val actions = scala.collection.mutable.ArrayBuffer[String]()
+    // the audit log records what COMMITTED, not what was attempted —
+    // each step appends its action only when the step observably
+    // changed the table (snapshot pointer moved / history shrank), so
+    // a run whose rewrite found nothing to do, or whose expiry was
+    // fully pinned by branch retention, reports the no-op honestly
+    def committed(step: => Unit): Boolean = {
+      val before = meta.currentSnapshotId
+      step
+      meta.currentSnapshotId != before
+    }
     val m0 = meta
     m0.currentSnapshot.foreach { s =>
       val live = s.files.map(_.recordCount).sum
       val dead = s.deleteFiles.map(_.recordCount).sum
-      if (dead > 0 && (live == 0 || dead.toDouble / live >= deleteRatio)) {
-        rewriteDeletedDataFiles()
-        actions += "rewrite_deleted_data_files"
-      }
+      if (dead > 0 && (live == 0 || dead.toDouble / live >= deleteRatio))
+        if (committed(rewriteDeletedDataFiles()))
+          actions += "rewrite_deleted_data_files"
     }
     val m1 = meta
     m1.currentSnapshot.foreach { s =>
-      if (s.files.count(_.fileSizeBytes < smallFileBytes) >= minInputFiles) {
-        rewriteDataFilesBinpack(smallFileBytes, targetFileBytes,
-          minInputFiles)
-        actions += "rewrite_data_files_binpack"
-      }
+      // trigger per PARTITION group — the same predicate the rewrite
+      // selects by — not table-wide: two small files in different
+      // partitions never binpack together
+      val fragmented = s.files
+        .filter(f => f.fileSizeBytes > 0 && f.fileSizeBytes < smallFileBytes)
+        .groupBy(_.partitionValues).exists(_._2.size >= minInputFiles)
+      if (fragmented)
+        if (committed(rewriteDataFilesBinpack(smallFileBytes,
+            targetFileBytes, minInputFiles)))
+          actions += "rewrite_data_files_binpack"
     }
     if (meta.snapshots.size > keepLast) {
+      val before = meta.snapshots.size
       expireSnapshots(keepLast)
-      actions += "expire_snapshots"
+      if (meta.snapshots.size < before) actions += "expire_snapshots"
       val orphans = removeOrphanFiles()
       if (orphans.nonEmpty) actions += s"remove_orphan_files:${orphans.size}"
     }

@@ -144,9 +144,7 @@ object IncrementalAgg {
       // the upsert's commit is the engine's concurrent-commit conflict
       // — for a refresher that just means "someone else moved the
       // state, re-run": same retryable false as losing the marker race
-      case e: IllegalArgumentException
-          if e.getMessage != null &&
-            e.getMessage.contains("concurrent commit") => false
+      case _: graft.engine.ConcurrentCommitException => false
     }
   }
 
@@ -303,9 +301,7 @@ object IncrementalAgg {
     try state.upsertIfNewMarker(folded, keys, markerKey, next,
       Map(fromKey -> target.toString))
     catch {
-      case e: IllegalArgumentException
-          if e.getMessage != null &&
-            e.getMessage.contains("concurrent commit") => false
+      case _: graft.engine.ConcurrentCommitException => false
     }
   }
 

@@ -1724,4 +1724,81 @@ class EngineSpec extends AnyFunSuite {
     assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
     assert(t.countRows() == 110L)
   }
+
+  test("float bounds prove only in the runtime comparison domain: " +
+      "a widened double literal can't claim a float file, and " +
+      "inclusive pruning keeps it for the scan") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "fdom",
+      Seq("id" -> "int", "fx" -> "float"))
+    t.append(Seq((1, 0.3f), (2, 0.3f)).toDF("id", "fx").coalesce(1))
+    // the scan evaluates cast(fx as double) <= 0.3, and
+    // cast(0.3f as double) = 0.30000001192... > 0.3 — no row matches;
+    // a decimal-string proof (bound "0.3" <= literal "0.3") would
+    // have counted both rows
+    def scanCount(c: org.apache.spark.sql.Column): Long =
+      t.readWhere(c).count()
+    for (c <- Seq(col("fx") <= 0.3, col("fx") === 0.3, col("fx") > 0.3,
+        col("fx") >= 0.3, col("fx") < 0.3,
+        col("fx") <= 0.3f, col("fx") === 0.3f, col("fx") > 0.3f))
+      assert(t.countWhere(c) == scanCount(c), s"diverged on $c")
+    assert(t.countWhere(col("fx") <= 0.3) == 0L)
+    // fx > 0.3 matches EVERY row — inclusive pruning in the old
+    // decimal domain would have skipped the file entirely
+    assert(t.countWhere(col("fx") > 0.3) == 2L)
+    // the same-domain float literal still proves manifest-only
+    assert(t.countWhere(col("fx") === 0.3f) == 2L)
+    // DELETE candidate discovery shares the inclusive test: the file
+    // must stay a candidate for the double-literal predicate
+    t.delete(col("fx") > 0.3)
+    assert(t.countRows() == 0L)
+    // int literal beyond float precision: Spark compares int vs float
+    // IN FLOAT, so the literal rounds to 16777216f and no row of a
+    // 16777216f file is < 16777217 — the exact-decimal domain would
+    // prove the opposite
+    val t2 = GraftTable.create(spark, tmp(), "fdom2", Seq("fx" -> "float"))
+    t2.append(Seq(Tuple1(16777216f)).toDF("fx").coalesce(1))
+    assert(t2.countWhere(col("fx") < 16777217) ==
+      t2.readWhere(col("fx") < 16777217).count())
+    // long literal beyond double precision vs a double column: the
+    // comparison runs in double, (2^53 + 1).toDouble == 2^53
+    val t3 = GraftTable.create(spark, tmp(), "ddom", Seq("dx" -> "double"))
+    t3.append(Seq(Tuple1((1L << 53).toDouble)).toDF("dx").coalesce(1))
+    assert(t3.countWhere(col("dx") < ((1L << 53) + 1L)) ==
+      t3.readWhere(col("dx") < ((1L << 53) + 1L)).count())
+  }
+
+  test("alterColumnType widening disqualifies old files' bound " +
+      "strings: min/max and strict counts fall back instead of " +
+      "reinterpreting float as double or epoch-days as micros") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "widen",
+      Seq("fx" -> "float", "d" -> "date"))
+    t.append(Seq((0.1f, java.sql.Date.valueOf("2022-01-05")),
+      (0.7f, java.sql.Date.valueOf("2022-03-09"))).toDF("fx", "d").coalesce(1))
+    assert(t.columnBounds("fx").contains(("0.1", "0.7")))
+    t.alterColumnType("fx", "double")
+    // the old file's "0.1" is a FLOAT encoding; as a double bound it
+    // would claim min = 0.1d, but the scan's widened min is
+    // (double)0.1f = 0.100000001490116... — manifest min/max refuses
+    assert(t.columnBounds("fx").isEmpty)
+    val scannedMin = t.read().agg(min("fx")).head().getDouble(0)
+    assert(scannedMin == 0.1f.toDouble && scannedMin != 0.1d)
+    // date -> timestamp: epoch-days reread as micros would collapse
+    // min(d) to a 1970-era instant
+    t.alterColumnType("d", "timestamp")
+    assert(t.columnBounds("d").isEmpty)
+    assert(t.read().agg(min("d")).head().getTimestamp(0)
+      .toString.startsWith("2022-01-05"))
+    // strict counts refuse old-file proofs but stay exact via the scan
+    assert(t.countWhere(col("fx") <= 0.7) ==
+      t.readWhere(col("fx") <= 0.7).count())
+    // int -> long is value-preserving in the bound encoding: the fast
+    // path survives that widening
+    val t2 = GraftTable.create(spark, tmp(), "widen2", Seq("n" -> "int"))
+    t2.append(Seq(Tuple1(3), Tuple1(9)).toDF("n").coalesce(1))
+    t2.alterColumnType("n", "long")
+    assert(t2.columnBounds("n").contains(("3", "9")))
+    assert(t2.countWhere(col("n") >= 1L) == 2L)
+  }
 }

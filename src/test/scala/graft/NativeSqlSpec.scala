@@ -931,4 +931,20 @@ class NativeSqlSpec extends AnyFunSuite {
       s"pinned-snapshot audit count must push:\n${tt.queryExecution.executedPlan}")
     assert(tt.head() == org.apache.spark.sql.Row(100L, 100L))
   }
+
+  test("aggregate pushdown after type widening: old files' bounds are " +
+      "in the OLD encoding, so min/max falls back to the scan and " +
+      "returns the runtime-widened value") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "wagg", Seq("fx" -> "float"))
+    t.append(Seq(Tuple1(0.1f), Tuple1(0.7f)).toDF("fx").coalesce(1))
+    spark.sql("ALTER TABLE graft.db.wagg ALTER COLUMN fx TYPE double")
+    val q = spark.sql("SELECT min(fx) AS lo FROM graft.db.wagg")
+    assert(q.queryExecution.executedPlan.toString.contains("Scan"),
+      "widened column's old bounds must not push to a literal")
+    // the widened min is (double)0.1f, NOT the decimal 0.1 the old
+    // bound string would have claimed
+    assert(q.head().getDouble(0) == 0.1f.toDouble)
+  }
 }
