@@ -193,6 +193,14 @@ object GraftProcedures {
     Def("remove_orphan_files",
       Seq(in("table", StringType)),
       (w, r) => { table(w, str(r, 0)).removeOrphanFiles(); () }),
+    Def("rewrite_manifests",
+      Seq(in("table", StringType),
+        ProcedureParameter.in("target_entries", IntegerType)
+          .defaultValue(graft.tableformat.Manifests.DefaultTargetEntries.toString)
+          .build()),
+      (w, r) => table(w, str(r, 0)).rewriteManifests(
+        if (r.isNullAt(1)) graft.tableformat.Manifests.DefaultTargetEntries
+        else r.getInt(1))),
     Def("fast_forward",
       Seq(in("table", StringType), in("branch", StringType)),
       (w, r) => table(w, str(r, 0)).fastForward(str(r, 1))),

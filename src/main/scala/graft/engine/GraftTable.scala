@@ -110,10 +110,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       case Some(s) if s.deleteFiles.nonEmpty => readWhere(cond).count()
       case Some(s) =>
         val e = exprOf(cond)
-        val cand = pruneCandidates(m, s.files, e)
+        // manifest tier first (sealed snapshots): a summary-strict
+        // manifest counts from its ref without loading entries; a
+        // summary-excluded one contributes nothing; only the boundary
+        // manifests open
+        val (manifestRows, candFiles) = s.manifestList match {
+          case None => (0L, s.files)
+          case Some(_) =>
+            val keep = s.manifests.filter(_.kind == "data")
+              .filter(r => manifestMayMatch(m, r, e))
+            val (wholeRefs, loadRefs) =
+              keep.partition(r => manifestAllMatch(m, r, e))
+            (wholeRefs.map(_.recordCount).sum, loadRefs.flatMap(r =>
+              graft.tableformat.Manifests.readEntries(location, r)))
+        }
+        val cand = pruneCandidates(m, candFiles, e)
         val (whole, boundary) =
           cand.partition(f => StatsPruning.allMatch(m, f, e))
-        whole.map(_.recordCount).sum +
+        manifestRows + whole.map(_.recordCount).sum +
           (if (boundary.isEmpty) 0L
            else readFiles(m, boundary).filter(cond).count())
     }
@@ -273,7 +287,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     m.currentSnapshot match {
       case None => emptyDf(m)
       case Some(s) =>
-        val kept = pruneCandidates(m, s.files, cond)
+        val kept = prunedSnapshotFiles(m, s, cond)
         if (s.deleteFiles.isEmpty) readFiles(m, kept)
         else liveRows(m, s, kept).drop("_g_path", "_g_pos")
     }
@@ -765,7 +779,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       snapshotId = id, parentId = cur.currentSnapshotId, timestampMs = now,
       operation = op, schemaId = cur.currentSchemaId,
       specId = cur.currentSpecId,
-      files = seqFiles,
+      inlineFiles = seqFiles,
       summary = {
         // added-* keys (Iceberg snapshot-summary convention) make
         // incremental consumers O(1) per snapshot: streaming admission
@@ -783,7 +797,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           "added-records" -> added.map(_.recordCount).sum.toString,
           "added-files-size-bytes" -> added.map(_.fileSizeBytes).sum.toString)
       },
-      deleteFiles = seqDeletes)
+      inlineDeleteFiles = seqDeletes)
     cur.copy(
       currentSnapshotId = Some(id),
       snapshots = cur.snapshots :+ snap,
@@ -1427,6 +1441,63 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       e: org.apache.spark.sql.catalyst.expressions.Expression): Vector[DataFileEntry] =
     StatsPruning.candidates(m, PartitionPruning.candidates(m, files, e), e)
 
+  /** A manifest's summaries as a synthetic "file": merged bounds /
+    * summed null counts / total rows are a sound conservative stand-in
+    * for every entry under the EXISTING file-level evaluators
+    * (inclusive: any row in [merged lo, merged hi] could match ⊇ any
+    * row in each file's range; strict: the merged range inside the
+    * predicate implies each file's range inside). Only meaningful when
+    * ONE schema wrote the manifest (bound encodings are per-type), so
+    * mixed-schema refs return None and the manifest always loads.
+    */
+  private def manifestSynthetic(r: graft.tableformat.ManifestRef): Option[DataFileEntry] =
+    if (r.schemaIds.size != 1) None
+    else Some(DataFileEntry(path = r.path, recordCount = r.recordCount,
+      schemaId = r.schemaIds.head, lowerBounds = r.lowerBounds,
+      upperBounds = r.upperBounds, nullCounts = r.nullCounts))
+
+  /** Could ANY entry of the manifest match? Partition-combo and stats
+    * veto composed through [[pruneCandidates]] on the synthetic file;
+    * anything unsummarized keeps the manifest.
+    */
+  private def manifestMayMatch(m: TableMetadata, r: graft.tableformat.ManifestRef,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    if (r.fileCount == 0) false
+    else manifestSynthetic(r) match {
+      case None => true
+      case Some(syn) =>
+        if (r.partitionCombos.isEmpty) pruneCandidates(m, Vector(syn), e).nonEmpty
+        else r.partitionCombos.exists(c =>
+          pruneCandidates(m, Vector(syn.copy(partitionValues = c)), e).nonEmpty)
+    }
+
+  /** Does EVERY row of the manifest provably match? Strict evaluation
+    * over the merged summaries — lets [[countWhere]] count a whole
+    * manifest from its recordCount without loading a single entry.
+    */
+  private def manifestAllMatch(m: TableMetadata, r: graft.tableformat.ManifestRef,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    r.fileCount == 0 ||
+      manifestSynthetic(r).exists(syn => StatsPruning.allMatch(m, syn, e))
+
+  /** Manifest-level pre-pruning for a sealed snapshot: veto whole
+    * manifests from their summaries BEFORE loading entries, then
+    * file-level pruning inside the survivors. At 100 TB (thousands of
+    * manifests) a time-range read opens the few manifests whose
+    * summary ranges overlap instead of parsing the full inventory.
+    * Inline snapshots fall through to plain file-level pruning.
+    */
+  private def prunedSnapshotFiles(m: TableMetadata, s: Snapshot,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Vector[DataFileEntry] = {
+    val files = s.manifestList match {
+      case None => s.files
+      case Some(_) => s.manifests.filter(_.kind == "data")
+        .filter(r => manifestMayMatch(m, r, e))
+        .flatMap(r => graft.tableformat.Manifests.readEntries(location, r))
+    }
+    pruneCandidates(m, files, e)
+  }
+
   /** Metadata stats pruning narrows to candidate files; one
     * predicate-pushed scan over ONLY those finds the files actually
     * containing matching rows; only those are rewritten (minus deleted /
@@ -1660,6 +1731,66 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val selPaths = selected.map(_.path).toSet
     val carried = snap.files.filterNot(f => selPaths(f.path))
     commitSnapshot(m, "replace", carried ++ written, snap.deleteFiles)
+    this
+  }
+
+  /** Iceberg's rewrite_manifests: compact a fragmented manifest LIST —
+    * the metadata residue of many small commits, each of which sealed
+    * its own small manifest — into near-target-size manifests.
+    * METADATA-ONLY: no data file is read or written; the same file
+    * inventory regroups (clustered by partition value, so the new
+    * manifests' partition summaries stay selective) and commits as a
+    * new "replace" snapshot. At 100 TB this is what keeps planning
+    * O(#manifests · skip) after a year of per-minute commits: a
+    * thousand 10-entry manifests become two 8192-entry ones.
+    *
+    * Built pre-sealed on purpose: the normal commit path's structural
+    * sharing would faithfully REUSE the fragmented parent manifests —
+    * regrouping is exactly the op that must bypass it.
+    */
+  def rewriteManifests(targetEntries: Int = Manifests.DefaultTargetEntries): GraftTable = {
+    require(targetEntries >= 1, "targetEntries must be positive")
+    val m0 = meta
+    val snap0 = m0.currentSnapshot.getOrElse(return this)
+    if (snap0.manifestList.isEmpty) return this
+    if (snap0.manifests.count(f => f.kind == "data" &&
+        f.fileCount < targetEntries) <= 1) return this
+    final class Noop extends RuntimeException
+    try MetadataIO.commitRetry(location) { cur =>
+      val snap = cur.currentSnapshot.getOrElse(
+        sys.error("table lost its snapshot mid-rewrite"))
+      val dataRefs = snap.manifests.filter(_.kind == "data")
+      val (small, kept) = dataRefs.partition(_.fileCount < targetEntries)
+      if (small.size <= 1) throw new Noop // racer compacted first
+      val fieldType = (sid: Int, id: Int) =>
+        cur.schemaById(sid).flatMap(_.fieldById(id)).map(_.dataType)
+      // cluster by partition value so each merged manifest covers few
+      // partitions (selective combos), then chunk to the target
+      val entries = small.flatMap(r => Manifests.readEntries(location, r))
+        .sortBy(_.partitionValues.toSeq.sorted.mkString(" "))
+      val merged = entries.grouped(targetEntries).map(g =>
+        Manifests.writeManifest(location, "data", g, fieldType)).toVector
+      val refs = kept ++ merged ++ snap.manifests.filter(_.kind == "delete")
+      val now = math.max(System.currentTimeMillis(), math.max(
+        cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue),
+        cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(Long.MinValue)) + 1)
+      val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
+      val rewritten = Snapshot(
+        snapshotId = id, parentId = cur.currentSnapshotId, timestampMs = now,
+        operation = "replace", schemaId = cur.currentSchemaId,
+        specId = cur.currentSpecId,
+        summary = snap.summary ++ Map(
+          "added-data-files" -> "0", "added-records" -> "0",
+          "added-files-size-bytes" -> "0",
+          "manifests-replaced" -> small.size.toString,
+          "manifests-created" -> merged.size.toString),
+        manifestList = Some(Manifests.writeList(location, id, refs)),
+        location = location)
+      cur.copy(
+        currentSnapshotId = Some(id),
+        snapshots = cur.snapshots :+ rewritten,
+        snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(now, id))
+    } catch { case _: Noop => () }
     this
   }
 
@@ -2108,7 +2239,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       referenced(abs.stripPrefix(location + "/"))
     }
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    orphans
+    // manifest tier: lists/manifests referenced by NO retained snapshot
+    // (expired history, failed commit attempts, pre-compaction
+    // fragments) are metadata orphans — same reclamation rule
+    val refdMeta = m.snapshots.flatMap(s =>
+      s.manifestList.toVector ++ s.manifests.map(_.path)).toSet
+    val metaDir = Paths.get(location, "metadata")
+    val metaOrphans =
+      if (!Files.isDirectory(metaDir)) Vector.empty[String]
+      else Files.list(metaDir).iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(n => (n.startsWith("mf-") && n.endsWith(".manifest.json")) ||
+          (n.startsWith("snap-") && n.endsWith(".mlist.json")))
+        .map(n => s"metadata/$n").filterNot(refdMeta).toVector
+    metaOrphans.foreach(p => Files.deleteIfExists(Paths.get(location, p)))
+    orphans ++ metaOrphans.map(p => s"$location/$p")
   }
 
   /** Iceberg's rollback_to_snapshot: make an ANCESTOR of the current
@@ -2207,7 +2352,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         snapshotId = id, parentId = Some(ref.snapshotId), timestampMs = now,
         operation = "append", schemaId = cur.currentSchemaId,
         specId = cur.currentSpecId,
-        files = allFiles,
+        inlineFiles = allFiles,
         summary = Map(
           "total-records" -> allFiles.map(_.recordCount).sum.toString,
           "total-data-files" -> allFiles.size.toString,
@@ -2218,7 +2363,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           "added-data-files" -> newFiles.size.toString,
           "added-records" -> newFiles.map(_.recordCount).sum.toString,
           "added-files-size-bytes" -> newFiles.map(_.fileSizeBytes).sum.toString),
-        deleteFiles = head.deleteFiles)
+        inlineDeleteFiles = head.deleteFiles)
       cur.copy(
         snapshots = cur.snapshots :+ snap,
         lastSequence = nextSeq,
@@ -2316,7 +2461,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val pub = Snapshot(
         snapshotId = id, parentId = cur.currentSnapshotId, timestampMs = now,
         operation = "append", schemaId = cur.currentSchemaId,
-        specId = cur.currentSpecId, files = allFiles,
+        specId = cur.currentSpecId, inlineFiles = allFiles,
         summary = Map(
           "total-records" -> allFiles.map(_.recordCount).sum.toString,
           "total-data-files" -> allFiles.size.toString,
@@ -2328,7 +2473,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           "total-position-deletes" ->
             dels.filter(_.equalityIds.isEmpty).map(_.recordCount).sum.toString,
           "source-snapshot-id" -> snapshotId.toString),
-        deleteFiles = dels)
+        inlineDeleteFiles = dels)
       cur.copy(
         snapshots = cur.snapshots :+ pub,
         currentSnapshotId = Some(id),

@@ -1,0 +1,231 @@
+package graft.tableformat
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+import scala.jdk.CollectionConverters._
+
+/** One immutable side-file of data-file entries, referenced from a
+  * snapshot's manifest LIST (Iceberg's manifest/manifest-list layering —
+  * the reference's own warehouse shows the shape:
+  * spark-warehouse/iceberg/employee_db/employee/metadata/snap-*.avro
+  * manifest lists beside v*.metadata.json). Summaries let planners skip
+  * a whole manifest without opening it:
+  *
+  *   - `partitionCombos`: the distinct partition-value rows across the
+  *     manifest's entries, recorded only when few (compaction clusters
+  *     by partition, so a manifest is usually one partition); empty =
+  *     unsummarized, never skip on partitions;
+  *   - `schemaIds`: distinct write-schema ids — bound summaries are
+  *     interpreted only when ONE schema wrote the whole manifest (the
+  *     same written-type caution as [[graft.engine.StatsPruning]]'s
+  *     per-file guard);
+  *   - `lowerBounds`/`upperBounds`/`nullCounts`: per-field merges over
+  *     the entries, keys present only when EVERY row-carrying entry
+  *     recorded the stat. Merged with the column's type order, summed
+  *     for null counts — so a synthetic "file" made of these is a
+  *     sound conservative stand-in for the whole manifest under the
+  *     existing file-level pruning rules.
+  */
+final case class ManifestRef(
+    path: String,          // relative to the table location
+    kind: String,          // "data" | "delete"
+    fileCount: Int,
+    recordCount: Long,
+    schemaIds: Vector[Int] = Vector.empty,
+    partitionCombos: Vector[Map[String, String]] = Vector.empty,
+    lowerBounds: Map[String, String] = Map.empty,
+    upperBounds: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
+
+/** Manifest persistence + the structural-sharing commit planner.
+  *
+  * Layout under `<table>/metadata/`:
+  *   - `mf-<uuid>.manifest.json` — JSON-lines, one [[DataFileEntry]]
+  *     per line. IMMUTABLE once written: snapshots share manifests by
+  *     pointer, so a JVM-wide path-keyed cache is always sound.
+  *   - `snap-<snapshotId>-<uuid>.mlist.json` — the manifest list: a
+  *     JSON array of [[ManifestRef]]. One per snapshot, so the root
+  *     metadata document holds ONE string per snapshot regardless of
+  *     file count.
+  *
+  * Commit cost at scale: an append writes one manifest (O(new files)),
+  * one manifest list (O(#manifests) refs — thousands of files per
+  * manifest), and the root document (O(#snapshots)); it no longer
+  * serializes every retained snapshot's full file list. That is the
+  * difference between a 100 TB table (~10⁶ files) committing KBs and
+  * committing GBs.
+  */
+object Manifests {
+  implicit private val formats: Formats = DefaultFormats
+
+  /** Per-manifest entry cap: leftover files chunk into manifests of at
+    * most this many entries (Iceberg splits on bytes; entry count is
+    * the same knob here). Override per table with
+    * `graft.manifest.target-entries`.
+    */
+  val DefaultTargetEntries = 8192
+
+  // Path-keyed caches. Manifests and lists are immutable, so cached
+  // content never goes stale; bounded LRU so a long-lived session over
+  // many tables doesn't hold every manifest ever read.
+  private def lru[V](max: Int) =
+    new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]) =
+        size() > max
+    }
+  private val entryCache = lru[Vector[DataFileEntry]](256)
+  private val listCache = lru[Vector[ManifestRef]](1024)
+
+  private def cached[V](cache: java.util.LinkedHashMap[String, V],
+      key: String)(load: => V): V = cache.synchronized {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else { val v = load; cache.put(key, v); v }
+  }
+
+  /** Test hook: drop warm cache state so a spec can prove a manifest
+    * was (not) read from disk. Never needed for correctness —
+    * manifests are immutable.
+    */
+  private[graft] def clearCachesForTesting(): Unit = {
+    entryCache.synchronized(entryCache.clear())
+    listCache.synchronized(listCache.clear())
+  }
+
+  private def abs(location: String, rel: String): Path =
+    Paths.get(location, rel)
+
+  def readEntries(location: String, ref: ManifestRef): Vector[DataFileEntry] =
+    cached(entryCache, abs(location, ref.path).toString) {
+      Files.readAllLines(abs(location, ref.path)).asScala.iterator
+        .filter(_.nonEmpty)
+        .map(l => JsonMethods.parse(l).extract[DataFileEntry]).toVector
+    }
+
+  def readList(location: String, rel: String): Vector[ManifestRef] =
+    cached(listCache, abs(location, rel).toString) {
+      JsonMethods.parse(Files.readString(abs(location, rel)))
+        .extract[Vector[ManifestRef]]
+    }
+
+  /** Write one immutable manifest and return its ref with summaries.
+    * `fieldType` resolves a field-id to its dataType under the
+    * entries' single write schema (summaries are skipped when entries
+    * span schemas — their bound encodings may differ).
+    */
+  def writeManifest(location: String, kind: String,
+      entries: Vector[DataFileEntry],
+      fieldType: (Int, Int) => Option[String]): ManifestRef = {
+    val rel = s"metadata/mf-${UUID.randomUUID()}.manifest.json"
+    val p = abs(location, rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      entries.map(e => Serialization.write(e)).mkString("", "\n", "\n"))
+    entryCache.synchronized(entryCache.put(p.toString, entries))
+    val schemaIds = entries.map(_.schemaId).distinct.sorted
+    val combos = entries.map(_.partitionValues).distinct
+    // 0-row entries (a rewrite that emptied a file) record no stats
+    // and bound nothing — exclude them from the stat merges
+    val live = entries.filter(_.recordCount > 0)
+    val (lo, hi, nulls) =
+      if (schemaIds.size != 1 || live.isEmpty) (Map.empty[String, String],
+        Map.empty[String, String], Map.empty[String, Long])
+      else {
+        val sid = schemaIds.head
+        def everyKey(maps: Vector[Set[String]]): Set[String] =
+          maps.reduce(_ intersect _)
+        val bKeys = everyKey(live.map(_.lowerBounds.keySet)) intersect
+          everyKey(live.map(_.upperBounds.keySet))
+        val loM = bKeys.flatMap(k =>
+          boundExtreme(fieldTypeOf(fieldType, sid, k),
+            live.map(_.lowerBounds(k)), minSide = true).map(k -> _)).toMap
+        val hiM = bKeys.flatMap(k =>
+          boundExtreme(fieldTypeOf(fieldType, sid, k),
+            live.map(_.upperBounds(k)), minSide = false).map(k -> _)).toMap
+        val nKeys = everyKey(live.map(_.nullCounts.keySet))
+        val nM = nKeys.map(k => k -> live.map(_.nullCounts(k)).sum).toMap
+        (loM, hiM, nM)
+      }
+    ManifestRef(rel, kind, entries.size, entries.map(_.recordCount).sum,
+      schemaIds = schemaIds,
+      partitionCombos = if (combos.size <= 8) combos else Vector.empty,
+      lowerBounds = lo, upperBounds = hi, nullCounts = nulls)
+  }
+
+  private def fieldTypeOf(fieldType: (Int, Int) => Option[String],
+      sid: Int, key: String): Option[String] =
+    key.toIntOption.flatMap(id => fieldType(sid, id))
+
+  /** Type-ordered extreme of same-type bound strings; None = the type
+    * has no recognized order here (summary omitted, manifest kept).
+    * Same-type decimal-string ordering IS value ordering for
+    * float/double (shortest round-trip forms order like the values) —
+    * cross-type reinterpretation never happens because summaries only
+    * exist for single-schema manifests.
+    */
+  private def boundExtreme(dt: Option[String], vs: Vector[String],
+      minSide: Boolean): Option[String] = dt.flatMap {
+    case "int" | "long" | "float" | "double" =>
+      try {
+        val bd = vs.map(v => BigDecimal(v) -> v)
+        Some((if (minSide) bd.minBy(_._1) else bd.maxBy(_._1))._2)
+      } catch { case _: Exception => None }
+    case "string" => Some(if (minSide) vs.min else vs.max)
+    case "date" | "timestamp" | "timestamp_ntz" =>
+      val parsed = vs.flatMap(v => v.toLongOption.map(_ -> v))
+      if (parsed.size != vs.size) None
+      else Some((if (minSide) parsed.minBy(_._1) else parsed.maxBy(_._1))._2)
+    case _ => None
+  }
+
+  def writeList(location: String, snapshotId: Long,
+      refs: Vector[ManifestRef]): String = {
+    val rel = s"metadata/snap-$snapshotId-${UUID.randomUUID()}.mlist.json"
+    val p = abs(location, rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, Serialization.writePretty(refs))
+    listCache.synchronized(listCache.put(p.toString, refs))
+    rel
+  }
+
+  /** Seal a snapshot still carrying inline file lists: plan its
+    * manifests with STRUCTURAL SHARING against its parent (any parent
+    * manifest whose every entry is present unchanged in the new list
+    * is reused by pointer; only the leftover files get a new
+    * manifest), write the manifest list, and return the snapshot with
+    * pointers instead of inline lists. An append therefore writes
+    * O(new files) manifest bytes; a rewrite pays for exactly the
+    * manifests it touched.
+    */
+  def seal(meta: TableMetadata, snap: Snapshot,
+      parent: Option[Snapshot]): Snapshot = {
+    if (snap.manifestList.isDefined) return snap
+    val location = meta.location
+    val target = meta.properties.get("graft.manifest.target-entries")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(DefaultTargetEntries)
+    val fieldType = (sid: Int, id: Int) =>
+      meta.schemaById(sid).flatMap(_.fieldById(id)).map(_.dataType)
+    def plan(kind: String, files: Vector[DataFileEntry]): Vector[ManifestRef] = {
+      val parentRefs = parent.map(_.manifests.filter(_.kind == kind))
+        .getOrElse(Vector.empty)
+      val byPath = files.map(f => f.path -> f).toMap
+      val reused = parentRefs.filter { r =>
+        r.fileCount <= files.size &&
+          readEntries(location, r).forall(e => byPath.get(e.path).contains(e))
+      }
+      val covered = reused.flatMap(r => readEntries(location, r))
+        .map(_.path).toSet
+      val leftover = files.filterNot(f => covered(f.path))
+      reused ++ leftover.grouped(target)
+        .map(g => writeManifest(location, kind, g.toVector, fieldType))
+    }
+    val refs = plan("data", snap.inlineFiles) ++
+      plan("delete", snap.inlineDeleteFiles)
+    snap.copy(inlineFiles = Vector.empty, inlineDeleteFiles = Vector.empty,
+      manifestList = Some(writeList(location, snap.snapshotId, refs)),
+      location = location)
+  }
+}

@@ -33,7 +33,50 @@ import org.json4s.jackson.Serialization
   * does, immediately.
   */
 object MetadataIO {
-  implicit private val formats: Formats = DefaultFormats
+
+  /** Snapshots serialize in one of two shapes: sealed (a
+    * `manifestList` pointer — what [[commit]] always writes) or
+    * legacy/inline (`files`/`deleteFiles` arrays — accepted on read so
+    * pre-layering documents and hand-built fixtures keep working).
+    * The `location` hydration field never serializes.
+    */
+  private object SnapshotSerializer extends CustomSerializer[Snapshot](fmts => (
+    { case j: JObject =>
+        Snapshot(
+          snapshotId = (j \ "snapshotId").extract[Long],
+          parentId = (j \ "parentId").extractOpt[Long],
+          timestampMs = (j \ "timestampMs").extract[Long],
+          operation = (j \ "operation").extract[String],
+          schemaId = (j \ "schemaId").extract[Int],
+          specId = (j \ "specId").extract[Int],
+          inlineFiles = (j \ "files")
+            .extractOrElse[Vector[DataFileEntry]](Vector.empty),
+          summary = (j \ "summary")
+            .extractOrElse[Map[String, String]](Map.empty),
+          inlineDeleteFiles = (j \ "deleteFiles")
+            .extractOrElse[Vector[DataFileEntry]](Vector.empty),
+          manifestList = (j \ "manifestList").extractOpt[String])
+    },
+    { case s: Snapshot =>
+        val core: List[JField] = List(
+          "snapshotId" -> JLong(s.snapshotId),
+          "parentId" -> s.parentId.map(JLong(_)).getOrElse(JNothing),
+          "timestampMs" -> JLong(s.timestampMs),
+          "operation" -> JString(s.operation),
+          "schemaId" -> JInt(s.schemaId),
+          "specId" -> JInt(s.specId),
+          "summary" -> Extraction.decompose(s.summary))
+        val inventory: List[JField] = s.manifestList match {
+          case Some(rel) => List("manifestList" -> JString(rel))
+          case None => List(
+            "files" -> Extraction.decompose(s.inlineFiles),
+            "deleteFiles" -> Extraction.decompose(s.inlineDeleteFiles))
+        }
+        JObject(core ++ inventory: _*)
+    }
+  ))
+
+  implicit private val formats: Formats = DefaultFormats + SnapshotSerializer
 
   /** A racing writer claimed the version this commit targeted. */
   final class CommitConflictException(location: String, version: Int)
@@ -70,7 +113,12 @@ object MetadataIO {
 
   def readVersion(location: String, version: Int): TableMetadata = {
     val json = Files.readString(metadataPath(location, version))
-    val m = JsonMethods.parse(json).extract[TableMetadata]
+    val parsed = JsonMethods.parse(json).extract[TableMetadata]
+    // hydrate manifest resolution with the location the document was
+    // READ from (not its recorded one — a moved/renamed table resolves
+    // its relative manifest paths under the new root)
+    val m = parsed.copy(snapshots =
+      parsed.snapshots.map(_.copy(location = location)))
     // lineage heal: commit() claims (last metadataLog version)+1, so a
     // document whose log predates the file it was read from (hand-
     // written or externally imported metadata) must surface its true
@@ -87,7 +135,28 @@ object MetadataIO {
     * writer claimed the version first — callers that can rebase use
     * [[commitRetry]] instead.
     */
-  def commit(meta: TableMetadata): Int = {
+  /** Seal every snapshot still carrying inline file lists into
+    * manifest side-files (see [[Manifests.seal]]), parents before
+    * children so structural sharing finds the parent's manifests.
+    * Construction order already guarantees child timestamps strictly
+    * after parents (withSnapshot's monotonic clock), so a timestamp
+    * sort is a topological order.
+    */
+  private def sealAll(meta: TableMetadata): TableMetadata = {
+    if (meta.snapshots.forall(_.manifestList.isDefined)) return meta
+    val byId = scala.collection.mutable.Map.from(
+      meta.snapshots.map(s => s.snapshotId -> s))
+    meta.snapshots.sortBy(_.timestampMs).foreach { s =>
+      if (s.manifestList.isEmpty)
+        byId(s.snapshotId) =
+          Manifests.seal(meta, byId(s.snapshotId),
+            s.parentId.flatMap(byId.get))
+    }
+    meta.copy(snapshots = meta.snapshots.map(s => byId(s.snapshotId)))
+  }
+
+  def commit(metaRaw: TableMetadata): Int = {
+    val meta = sealAll(metaRaw)
     val dir = metadataDir(meta.location)
     Files.createDirectories(dir)
     // The claim version comes from the metadata's OWN lineage — the last

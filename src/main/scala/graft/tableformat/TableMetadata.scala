@@ -111,8 +111,24 @@ final case class DataFileEntry(path: String, recordCount: Long,
     // position — Iceberg format-v2's second delete kind)
     equalityIds: Vector[Int] = Vector.empty)
 
-/** A committed table version: full file list + provenance.
+/** A committed table version: provenance + the file inventory.
   * operation: "append" | "overwrite" | "delete" | "replace".
+  *
+  * TWO inventory representations, one logical view:
+  *   - freshly constructed (and legacy pre-layering documents) carry
+  *     the lists INLINE (`inlineFiles`/`inlineDeleteFiles`);
+  *   - [[MetadataIO.commit]] SEALS inline snapshots through
+  *     [[Manifests.seal]]: the lists move into immutable side-file
+  *     manifests shared structurally across snapshots, and the
+  *     snapshot keeps only a `manifestList` pointer. The root
+  *     document then costs O(#snapshots), not
+  *     O(total files × retained snapshots), and an append commits
+  *     O(new files) manifest bytes — the Iceberg manifest-list
+  *     layering (the reference warehouse's snap-*.avro files beside
+  *     v*.metadata.json show the same shape).
+  * Consumers read `files`/`deleteFiles` either way — sealed snapshots
+  * lazy-load through the [[Manifests]] cache, so repeated planning
+  * over an unchanged snapshot parses each manifest once per JVM.
   *
   * deleteFiles hold both merge-on-read delete kinds (the reference's
   * `write.delete.mode=merge-on-read` with on-disk `*-deletes.parquet`
@@ -124,9 +140,35 @@ final case class DataFileEntry(path: String, recordCount: Long,
   */
 final case class Snapshot(snapshotId: Long, parentId: Option[Long],
     timestampMs: Long, operation: String, schemaId: Int, specId: Int,
-    files: Vector[DataFileEntry], summary: Map[String, String] = Map.empty,
-    deleteFiles: Vector[DataFileEntry] = Vector.empty) {
-  def totalRecords: Long = files.map(_.recordCount).sum
+    inlineFiles: Vector[DataFileEntry] = Vector.empty,
+    summary: Map[String, String] = Map.empty,
+    inlineDeleteFiles: Vector[DataFileEntry] = Vector.empty,
+    manifestList: Option[String] = None,
+    location: String = "") {
+
+  /** The manifest inventory (sealed snapshots only; empty inline). */
+  lazy val manifests: Vector[ManifestRef] = manifestList match {
+    case Some(rel) => Manifests.readList(location, rel)
+    case None      => Vector.empty
+  }
+
+  lazy val files: Vector[DataFileEntry] = manifestList match {
+    case Some(_) => manifests.filter(_.kind == "data")
+      .flatMap(r => Manifests.readEntries(location, r))
+    case None => inlineFiles
+  }
+
+  lazy val deleteFiles: Vector[DataFileEntry] = manifestList match {
+    case Some(_) => manifests.filter(_.kind == "delete")
+      .flatMap(r => Manifests.readEntries(location, r))
+    case None => inlineDeleteFiles
+  }
+
+  /** Manifest-arithmetic row total — no manifest loads when sealed. */
+  def totalRecords: Long = manifestList match {
+    case Some(_) => manifests.filter(_.kind == "data").map(_.recordCount).sum
+    case None    => inlineFiles.map(_.recordCount).sum
+  }
 }
 
 /** A named ref: "BRANCH" moves with writes on that branch; "TAG" is an

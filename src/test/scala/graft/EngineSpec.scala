@@ -1801,4 +1801,56 @@ class EngineSpec extends AnyFunSuite {
     assert(t2.columnBounds("n").contains(("3", "9")))
     assert(t2.countWhere(col("n") >= 1L) == 2L)
   }
+
+  test("rewrite_manifests compacts a fragmented manifest list; " +
+      "inventory, history, and reads intact") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "rman", Seq("id" -> "long"))
+    (1 to 12).foreach(i => t.append(Seq(Tuple1(i.toLong)).toDF("id").coalesce(1)))
+    val before = t.meta.currentSnapshot.get
+    // each small commit sealed its own manifest
+    assert(before.manifests.count(_.kind == "data") == 12)
+    t.rewriteManifests()
+    val after = t.meta.currentSnapshot.get
+    assert(after.manifests.count(_.kind == "data") == 1)
+    // METADATA-ONLY: identical file inventory, no data I/O
+    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(after.summary("added-data-files") == "0" &&
+      after.operation == "replace")
+    assert(t.countRows() == 12L && t.read().count() == 12L)
+    // time travel still serves the fragmented grouping
+    assert(t.readAsOfVersion(before.snapshotId).count() == 12L)
+    // already compact -> no-op, no snapshot churn
+    val v = t.meta.currentSnapshotId
+    t.rewriteManifests()
+    assert(t.meta.currentSnapshotId == v)
+    // the merged manifest's regenerated summaries still serve
+    // manifest-only counting
+    assert(t.countWhere(col("id") >= 1L) == 12L)
+  }
+
+  test("manifest-level pruning: a summary-excluded manifest is NEVER " +
+      "opened (file deleted from disk, query still answers)") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "mskip",
+      Seq("id" -> "long", "v" -> "string"))
+    t.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((1001L to 1100L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    val refs = t.meta.currentSnapshot.get.manifests.filter(_.kind == "data")
+    assert(refs.size == 2)
+    val lowRef = refs.find(_.upperBounds.get("1").exists(_.toLong <= 100L)).get
+    // make opening it IMPOSSIBLE: drop the warm cache and the file
+    // itself — if planning loads the manifest, the query throws; the
+    // summary veto is then provably the only thing that can skip it
+    graft.tableformat.Manifests.clearCachesForTesting()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(loc, lowRef.path))
+    assert(t.readWhere(col("id") >= 1000L).count() == 100L)
+    // countWhere's manifest tier: the surviving manifest is
+    // summary-STRICT under the predicate, so the count comes from its
+    // ref — neither manifest opens
+    assert(t.countWhere(col("id") >= 1000L) == 100L)
+    // control: an unpruned read genuinely needs the deleted manifest
+    intercept[Exception](t.read().count())
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.tableformat._
 
@@ -198,6 +199,82 @@ class TableFormatSpec extends AnyFunSuite {
     assert(s.files.head.lowerBounds.isEmpty && s.deleteFiles.isEmpty)
     assert(s.parentId.isEmpty)
     assert(m.refs.isEmpty)
+  }
+
+  test("manifest layering: appends share parent manifests by pointer " +
+      "and the root document's per-commit growth stays flat") {
+    val loc = tmp()
+    MetadataIO.commit(TableMetadata.create("t", loc, Seq("id" -> "long")))
+    def entry(i: Int) = DataFileEntry(s"data/f$i.parquet", 10, 0,
+      lowerBounds = Map("1" -> (i * 100).toString),
+      upperBounds = Map("1" -> (i * 100 + 99).toString),
+      nullCounts = Map("1" -> 0L), fileSizeBytes = 1000L)
+    val n = 40
+    var docSizes = Vector.empty[Long]
+    for (i <- 1 to n) {
+      val cur = MetadataIO.read(loc)
+      val files = cur.currentSnapshot.map(_.files).getOrElse(Vector.empty) :+
+        entry(i)
+      val v = MetadataIO.commit(cur.copy(
+        currentSnapshotId = Some(i.toLong),
+        snapshots = cur.snapshots :+ Snapshot(i.toLong,
+          cur.currentSnapshotId, 1000L + i, "append", 0, 0, files),
+        snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(1000L + i, i.toLong)))
+      docSizes :+= Files.size(MetadataIO.metadataPath(loc, v))
+    }
+    // the root document holds ONE pointer per snapshot, so each commit
+    // grows it by a constant-size snapshot entry — with inline file
+    // lists commit k would re-serialize all k·(k+1)/2 accumulated
+    // entries (~10× this bound by n=40)
+    val growth = docSizes.sliding(2).map(p => p(1) - p(0)).toVector
+    assert(growth.takeRight(10).max <= 2048,
+      s"per-commit doc growth not flat: $growth")
+    // structural sharing: n appends wrote exactly n manifests —
+    // snapshot k reuses its parent's k-1 by pointer
+    val mfCount = Files.list(java.nio.file.Paths.get(loc, "metadata"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("mf-"))
+    assert(mfCount == n, s"expected $n shared manifests, found $mfCount")
+    val m = MetadataIO.read(loc)
+    val last = m.currentSnapshot.get
+    val prev = m.snapshotById((n - 1).toLong).get
+    assert(last.manifests.map(_.path).toSet
+      .intersect(prev.manifests.map(_.path).toSet).size == n - 1)
+    // the lazy view still serves the full inventory, summaries intact
+    assert(last.files.size == n && last.totalRecords == 10L * n)
+    assert(last.manifests.forall(r => r.kind == "data" &&
+      r.schemaIds == Vector(0) && r.lowerBounds.contains("1")))
+  }
+
+  test("manifest layering: a rewritten file list rewrites only the " +
+      "touched manifests; delete-file manifests seal separately") {
+    val loc = tmp()
+    MetadataIO.commit(TableMetadata.create("t", loc, Seq("id" -> "long")))
+    def entry(i: Int) = DataFileEntry(s"data/f$i.parquet", 10, 0)
+    // commit 1: files 1..3 in one manifest
+    val c1 = MetadataIO.read(loc)
+    MetadataIO.commit(c1.copy(currentSnapshotId = Some(1L),
+      snapshots = c1.snapshots :+ Snapshot(1L, None, 1001L, "append", 0, 0,
+        Vector(entry(1), entry(2), entry(3))),
+      snapshotLog = c1.snapshotLog :+ SnapshotLogEntry(1001L, 1L)))
+    // commit 2: file 2 dropped (CoW delete shape) + a MoR delete file
+    val c2 = MetadataIO.read(loc)
+    val kept = c2.currentSnapshot.get.files.filterNot(_.path == "data/f2.parquet")
+    MetadataIO.commit(c2.copy(currentSnapshotId = Some(2L),
+      snapshots = c2.snapshots :+ Snapshot(2L, Some(1L), 1002L, "delete", 0, 0,
+        kept, Map.empty,
+        Vector(DataFileEntry("data/d1-deletes.parquet", 1, 0))),
+      snapshotLog = c2.snapshotLog :+ SnapshotLogEntry(1002L, 2L)))
+    val m = MetadataIO.read(loc)
+    val s2 = m.currentSnapshot.get
+    // the touched manifest was rewritten (no pointer sharing possible)
+    assert(m.snapshotById(1L).get.manifests.map(_.path)
+      .intersect(s2.manifests.map(_.path)).isEmpty)
+    assert(s2.files.map(_.path).sorted ==
+      Vector("data/f1.parquet", "data/f3.parquet"))
+    assert(s2.deleteFiles.map(_.path) == Vector("data/d1-deletes.parquet"))
+    assert(s2.manifests.map(_.kind).sorted == Vector("data", "delete"))
+    // snapshot 1 still serves its full pre-delete inventory
+    assert(m.snapshotById(1L).get.files.size == 3)
   }
 
   test("nextFieldId never reuses dropped ids") {
