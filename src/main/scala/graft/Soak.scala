@@ -186,11 +186,74 @@ object Soak {
     val json = results.map { case (n, t1, tN, r, s) =>
       f""""$n":{"t1":$t1%.2f,"tN":$tN%.2f,"ratio":$r%.2f,"shape_stable":$s}"""
     }.mkString("{", ",", "}")
-    println(s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,"ops":$json,"linear_enough":$ok}""")
+
+    // ---- metadata-scale soak (round-11 verdict item 2): a table with
+    // 100k file entries across 50 snapshots, NO data I/O anywhere —
+    // this measures the table format itself. Pins:
+    //   - commit cost stays O(new files + #manifests), observed as the
+    //     last-10-commit average staying within 3x of the first-10
+    //     (inline file lists made it O(total files): ~linear growth,
+    //     last10/first10 ~ 8x at this shape);
+    //   - countRows answers from manifest-ref arithmetic in
+    //     milliseconds (never loads the 100k entries);
+    //   - a boundary-aligned countWhere plans over the full inventory
+    //     (manifest skip + strict refs) without reading a byte of data
+    //     (the entry paths don't exist on disk).
+    val metaJson = {
+      import graft.tableformat._
+      val mloc = java.nio.file.Files.createTempDirectory("graft-msoak").toString
+      MetadataIO.commit(TableMetadata.create("msoak", mloc, Seq("id" -> "long")))
+      val perCommit = 2000
+      val nCommits = 50
+      val commitSecs = (0 until nCommits).map { k =>
+        val cur = MetadataIO.read(mloc)
+        val fresh = (0 until perCommit).map { j =>
+          val i = k * perCommit + j
+          DataFileEntry(s"data/f$i.parquet", 1000L, 0,
+            lowerBounds = Map("1" -> (i * 1000L).toString),
+            upperBounds = Map("1" -> (i * 1000L + 999L).toString),
+            nullCounts = Map("1" -> 0L), fileSizeBytes = 4L << 20)
+        }.toVector
+        val files = cur.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ fresh
+        time(MetadataIO.commit(cur.copy(
+          currentSnapshotId = Some(k.toLong + 1),
+          snapshots = cur.snapshots :+ Snapshot(k.toLong + 1,
+            cur.currentSnapshotId, 1000000L + k, "append", 0, 0, files),
+          snapshotLog = cur.snapshotLog :+
+            SnapshotLogEntry(1000000L + k, k.toLong + 1))))
+      }
+      val t = new graft.engine.GraftTable(spark, mloc)
+      Manifests.clearCachesForTesting()
+      val planCold = time {
+        require(t.meta.currentSnapshot.get.files.size == perCommit * nCommits)
+      }
+      val countRowsSec = time(require(t.countRows() == 1000L * perCommit * nCommits))
+      // boundary-aligned predicate: half the inventory, proven wholly
+      // from manifest/file stats — zero parquet reads (paths are fake)
+      val cut = (perCommit * nCommits / 2) * 1000L
+      val countWhereSec = time(require(
+        t.countWhere(col("id") >= cut) == 1000L * perCommit * nCommits / 2))
+      val first10 = commitSecs.take(10).sum / 10.0
+      val last10 = commitSecs.takeRight(10).sum / 10.0
+      val flat = last10 / math.max(first10, 1e-3) <= 3.0
+      try {
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(mloc))
+        val ps = try w.iterator().asScala.toSeq.reverse finally w.close()
+        ps.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
+      f""""metadata":{"files":${perCommit * nCommits},"commits":$nCommits,""" +
+        f""""commit_first10_avg_s":$first10%.4f,"commit_last10_avg_s":$last10%.4f,""" +
+        f""""commit_flat":$flat,"plan_cold_s":$planCold%.3f,""" +
+        f""""count_rows_s":$countRowsSec%.4f,"count_where_s":$countWhereSec%.3f}"""
+    }
+
+    val line = s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,""" +
+      s""""ops":$json,$metaJson,"linear_enough":$ok}"""
+    println(line)
     try {
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target", "soak.json"),
-        s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,"ops":$json,"linear_enough":$ok}""" + "\n")
+        java.nio.file.Paths.get("target", "soak.json"), line + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     // reclaim the scratch blow-up
