@@ -71,7 +71,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     plan.foreach {
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if !agg.resolved &&
-            agg.groupingExpressions.forall(attrish) &&
+            agg.groupingExpressions.forall(groupish) &&
             aggSource(agg.child).isDefined &&
             maybePushable(agg.aggregateExpressions) =>
         deferred.add(relationIn(agg.child match {
@@ -153,7 +153,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       // ---- under the same strict gate as the groupless flavor.
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.resolved && agg.groupingExpressions.nonEmpty &&
-            agg.groupingExpressions.forall(attrish) &&
+            agg.groupingExpressions.forall(groupish) &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
         pushGroupedManifestAggregate(agg, h, cond).getOrElse(agg)
@@ -251,7 +251,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           case _             => false
         }
         // the grouped flavor projects the group column through
-        case e if attrish(e) => true
+        case e if groupish(e) => true
         case _ => false
       }
     }
@@ -262,6 +262,31 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     case _: UnresolvedAttribute | _: AttributeReference => true
     case _                                              => false
   }
+
+  /** A grouping shape the grouped pushdown can try to map file-wise to
+    * one partition cell: a bare column or a daily rollup of one
+    * (to_date(c) / CAST(c AS DATE)). Deliberately permissive on
+    * unresolved forms — the pushdown itself validates against the
+    * table's actual partition spec, and a false positive only defers
+    * the relation swap one resolution iteration.
+    */
+  private def groupish(e: Expression): Boolean = groupishN(e, 0)
+
+  // replacement chains unwind under a depth bound (defensive: a
+  // wrapper handing back fresh wrappers must not loop the analyzer)
+  private def groupishN(e: Expression, depth: Int): Boolean =
+    depth < 4 && (e match {
+      case e if attrish(e) => true
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        attrish(c.child)
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq(fn), Seq(a), false, None, _, _, _)
+          if fn.toLowerCase == "to_date" => attrish(a)
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+          if r.resolved =>
+        groupishN(r.replacement, depth + 1)
+      case _ => false
+    })
 
   /** The Aggregate's source: a bare graft relation, or one under a
     * single WHERE whose condition rides along for strict file-wise
@@ -362,13 +387,6 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType}
     import graft.tableformat.DataFileEntry
-    // every grouping expression must be a bare column, each IDENTITY-
-    // partitioned in the current spec (multi-column keys compose:
-    // a (region, day) layout assigns each file one (region, day) cell)
-    val gAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _                     => return None
-    }
     val t = h.table
     val m = t.meta
     val snap = h.pinnedSnapshot.orElse(m.currentSnapshot)
@@ -386,15 +404,6 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           cand
         else return None
     }
-    val pfNames: Seq[(AttributeReference, String)] = gAttrs.map { a =>
-      val field = m.currentSchema.fieldByName(a.name).getOrElse(return None)
-      val pf = m.currentSpec.fields.find(p =>
-        p.transform == "identity" && p.sourceId == field.id)
-        .getOrElse(return None)
-      a -> pf.name
-    }
-    if (!files.forall(f => pfNames.forall(p =>
-      f.partitionValues.contains(p._2)))) return None
     val NullDir = "__HIVE_DEFAULT_PARTITION__"
     def keyOf(dt: DataType, v: String): Option[Any] =
       if (v == NullDir) {
@@ -410,9 +419,55 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           catch { case _: Exception => None }
         case _ => None
       }
+    // a recorded "yyyy-MM-dd" day cell as the DateType group key value
+    def dayCellKey(v: String): Option[Any] =
+      if (v == NullDir) Some(null)
+      else try Some(java.time.LocalDate.parse(v).toEpochDay.toInt)
+      catch { case _: Exception => None }
+    // every grouping expression must assign each file to exactly ONE
+    // recorded cell: a bare IDENTITY-partitioned column (multi-column
+    // keys compose — a (region, day) layout assigns each file one
+    // (region, day) cell), or the canonical DAILY ROLLUP over a
+    // day()-partitioned source — GROUP BY to_date(ts) / CAST(ts AS
+    // DATE) groups exactly by the recorded day cell (the rollup and
+    // the write-side date_format both render in the session timezone,
+    // the same equivalence PartitionPruning's literal mapping relies
+    // on), and a bare DATE column under day(d) is its own cell.
+    def dayPartitionOf(a: AttributeReference): Option[String] =
+      m.currentSchema.fieldByName(a.name).flatMap(field =>
+        m.currentSpec.fields.find(p =>
+          p.transform == "day" && p.sourceId == field.id).map(_.name))
+    def groupKeyOf(g: Expression): Option[(String, String => Option[Any])] =
+      g match {
+        case a: AttributeReference =>
+          m.currentSchema.fieldByName(a.name).flatMap { field =>
+            m.currentSpec.fields.find(p =>
+              p.transform == "identity" && p.sourceId == field.id) match {
+              case Some(pf) =>
+                Some(pf.name -> ((v: String) => keyOf(a.dataType, v)))
+              case None if a.dataType == org.apache.spark.sql.types.DateType =>
+                dayPartitionOf(a).map(pn => pn -> (dayCellKey _))
+              case None => None
+            }
+          }
+        case org.apache.spark.sql.catalyst.expressions.Cast(
+            a: AttributeReference, dt, _, _)
+            if dt == org.apache.spark.sql.types.DateType &&
+              a.dataType == org.apache.spark.sql.types.TimestampType =>
+          // TZ timestamps only: an NTZ wall clock inside a DST gap can
+          // render into a different recorded day than its pure
+          // truncation — refuse rather than risk a shifted group
+          dayPartitionOf(a).map(pn => pn -> (dayCellKey _))
+        case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+          groupKeyOf(r.replacement)
+        case _ => None
+      }
+    val gKeys: Seq[(String, String => Option[Any])] =
+      agg.groupingExpressions.map(g => groupKeyOf(g).getOrElse(return None))
+    if (!files.forall(f => gKeys.forall(k =>
+      f.partitionValues.contains(k._1)))) return None
     val keyed: Vector[Option[(Vector[Any], DataFileEntry)]] = files.map { f =>
-      val ks = pfNames.map { case (a, pn) =>
-        keyOf(a.dataType, f.partitionValues(pn)) }
+      val ks = gKeys.map { case (pn, key) => key(f.partitionValues(pn)) }
       if (ks.exists(_.isEmpty)) None
       else Some(ks.map(_.get).toVector -> f)
     }
@@ -430,15 +485,20 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if (lower) lo else hi)
       } yield v
     type Evl = (Vector[Any], Vector[DataFileEntry]) => Option[Any]
-    val keyIdx = gAttrs.map(_.exprId).zipWithIndex.toMap
+    // group-key projections match SEMANTICALLY (a SELECT to_date(ts)
+    // is the same tree as its GROUP BY to_date(ts), not a shared
+    // attribute)
+    def keyIdxOf(e: Expression): Option[Int] =
+      agg.groupingExpressions.zipWithIndex.collectFirst {
+        case (g, i) if e.semanticEquals(g) => i
+      }
     val planned: Seq[Option[(Attribute, Evl)]] =
       agg.aggregateExpressions.map {
-        case a: AttributeReference if keyIdx.contains(a.exprId) =>
-          val i = keyIdx(a.exprId)
+        case a: AttributeReference if keyIdxOf(a).isDefined =>
+          val i = keyIdxOf(a).get
           Some((a: Attribute, ((k, _) => Some(k(i))): Evl))
-        case al @ Alias(a: AttributeReference, _)
-            if keyIdx.contains(a.exprId) =>
-          val i = keyIdx(a.exprId)
+        case al @ Alias(child, _) if keyIdxOf(child).isDefined =>
+          val i = keyIdxOf(child).get
           Some((al.toAttribute, ((k, _) => Some(k(i))): Evl))
         case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
           val ev: Option[Evl] = fn match {

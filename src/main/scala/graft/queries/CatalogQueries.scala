@@ -778,6 +778,41 @@ object CatalogQueries {
                min(o_custkey) AS lo_cust, max(o_custkey) AS hi_cust,
                min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)),
+
+    // Day-rollup grouped pushdown: GROUP BY to_date(ts) over a
+    // day(ts)-partitioned table is the SAME per-cell manifest
+    // arithmetic as an identity grouping — hidden partitioning means
+    // every file belongs to exactly one day cell, so the canonical
+    // daily report never opens a file (NativeSqlSpec pins the
+    // LocalTableScan plan and the NTZ fallback). The oracle recomputes
+    // the rollup by scanning.
+    QueryDef(
+      "q154_day_rollup_pushdown",
+      (s, d) => {
+        val wh = setupOnce("q154", d) {
+          val w = scratch("dayrollup")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val ev = Tables.events(s, d)
+            .select("event_id", "ts", "event_type", "value")
+          cat.createTableAs("db1", "events_dr", ev,
+            partition = Seq("ts" -> "day"))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT to_date(ts) AS day, count(*) AS n_rows,
+                 count(value) AS nn_value,
+                 min(event_id) AS lo_id, max(event_id) AS hi_id
+          FROM graft.db1.events_dr
+          GROUP BY to_date(ts) ORDER BY day""")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+               count(value) AS nn_value,
+               min(event_id) AS lo_id, max(event_id) AS hi_id
+        FROM events GROUP BY 1 ORDER BY day
       """))
   )
 }

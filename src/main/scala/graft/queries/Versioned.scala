@@ -639,6 +639,42 @@ object Versioned {
         ORDER BY c_custkey
       """)),
 
+    // Manifest-list compaction (Iceberg's rewrite_manifests): eight
+    // single-batch commits fragment the list into one manifest per
+    // commit (structural sharing reuses, never regroups); the rewrite
+    // regroups METADATA-ONLY — same file inventory, zero data I/O, a
+    // new "replace" snapshot. The require pins the regroup (8 -> 1
+    // data manifests, zero added files); the oracle pins semantic
+    // invisibility.
+    QueryDef(
+      "q155_rewrite_manifests",
+      (s, d) => {
+        val loc = setupOnce("q155", d) {
+          val l = scratch("rwman")
+          val c = Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_acctbal")
+          val t = GraftTable.createAs(s, l, "cust_rm",
+            c.filter(col("c_custkey") % 8 === 0))
+          for (k <- 1 until 8) t.append(c.filter(col("c_custkey") % 8 === k))
+          val frag = t.meta.currentSnapshot.get.manifests.count(_.kind == "data")
+          t.rewriteManifests()
+          val snap = t.meta.currentSnapshot.get
+          require(frag == 8 &&
+            snap.manifests.count(_.kind == "data") == 1 &&
+            snap.summary("added-data-files") == "0",
+            s"frag=$frag after=${snap.manifests.size}")
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer ORDER BY c_custkey
+      """)),
+
     // Z-order compaction: multi-column clustering via the interleaved
     // bucket key — point predicates prune on EVERY clustered column
     // (EngineSpec pins the candidate-file collapse on both dimensions;

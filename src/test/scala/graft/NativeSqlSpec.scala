@@ -932,6 +932,64 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(tt.head() == org.apache.spark.sql.Row(100L, 100L))
   }
 
+  test("grouped pushdown over a day() transform: GROUP BY to_date(ts) " +
+      "answers the daily rollup from per-cell manifest arithmetic; " +
+      "NTZ sources fall back to the scan") {
+    val cat = freshCat()
+    spark.sql("CREATE TABLE graft.db.dayagg (ts timestamp, id bigint) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("""INSERT INTO graft.db.dayagg VALUES
+      (TIMESTAMP '2024-03-01 10:00:00', 1), (TIMESTAMP '2024-03-01 23:59:00', 2),
+      (TIMESTAMP '2024-03-02 00:00:01', 3), (TIMESTAMP '2024-03-03 12:00:00', 4),
+      (TIMESTAMP '2024-03-03 13:00:00', 5)""")
+    val q = spark.sql("SELECT to_date(ts) AS d, count(*) AS n, max(id) AS hi " +
+      "FROM graft.db.dayagg GROUP BY to_date(ts) ORDER BY d")
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+      !q.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      s"daily rollup must be manifest-only:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+      r.getLong(2))).toSeq == Seq(("2024-03-01", 2L, 2L),
+      ("2024-03-02", 1L, 3L), ("2024-03-03", 2L, 5L)))
+    // the CAST spelling is the same rollup
+    val c = spark.sql("SELECT CAST(ts AS DATE) AS d, count(*) AS n " +
+      "FROM graft.db.dayagg GROUP BY CAST(ts AS DATE)")
+    assert(c.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(c.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet ==
+      Set(("2024-03-01", 2L), ("2024-03-02", 1L), ("2024-03-03", 2L)))
+    // a DATE column under day(d) groups by its own cell
+    spark.sql("CREATE TABLE graft.db.dayagg2 (d date, id bigint) " +
+      "PARTITIONED BY (days(d))")
+    spark.sql("""INSERT INTO graft.db.dayagg2 VALUES
+      (DATE '2024-03-01', 1), (DATE '2024-03-01', 2), (DATE '2024-03-05', 3)""")
+    val b = spark.sql(
+      "SELECT d, count(*) AS n FROM graft.db.dayagg2 GROUP BY d")
+    assert(b.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"bare date grouping under day(d) must push:\n${b.queryExecution.executedPlan}")
+    assert(b.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet ==
+      Set(("2024-03-01", 2L), ("2024-03-05", 1L)))
+    // NTZ: to_date is the pure wall-clock truncation while the
+    // recorded cell goes through the session-zone round trip — the
+    // pushdown refuses and the scan stays exact
+    spark.sql("CREATE TABLE graft.db.dayaggn (ts timestamp_ntz, id bigint) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("""INSERT INTO graft.db.dayaggn VALUES
+      (TIMESTAMP_NTZ '2024-03-01 10:00:00', 1),
+      (TIMESTAMP_NTZ '2024-03-02 10:00:00', 2)""")
+    val n = spark.sql("SELECT to_date(ts) AS d, count(*) AS n " +
+      "FROM graft.db.dayaggn GROUP BY to_date(ts)")
+    assert(n.queryExecution.executedPlan.toString.contains("Scan"),
+      "NTZ rollup must take the exact scan")
+    assert(n.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet ==
+      Set(("2024-03-01", 1L), ("2024-03-02", 1L)))
+    // WHERE composes under the strict gate: predicate aligned to whole
+    // days keeps the fast path
+    val w = spark.sql("SELECT to_date(ts) AS d, count(*) AS n " +
+      "FROM graft.db.dayagg WHERE ts >= TIMESTAMP '2024-03-02 00:00:00' " +
+      "GROUP BY to_date(ts)")
+    assert(w.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet ==
+      Set(("2024-03-02", 1L), ("2024-03-03", 2L)))
+  }
+
   test("aggregate pushdown after type widening: old files' bounds are " +
       "in the OLD encoding, so min/max falls back to the scan and " +
       "returns the runtime-widened value") {
