@@ -300,11 +300,26 @@ object TextAnalysis {
     * marks) — the standard pre-tokenizer shape.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    tokenCounts(docs, idCol, textCol, None)
+
+  /** With a merges table, adds the REAL model-token count
+    * (`bpe_tokens`, [[graft.functions.BpeExpressions.bpeTokenCount]])
+    * beside the approximations — whitespace counts run 2–4× off on
+    * code/non-English, so budget arithmetic should feed on this
+    * column when a vocabulary is available.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      bpe: Option[graft.functions.BpeExpressions.BpeRanks]): DataFrame = {
+    val base = Seq(
       col(idCol),
       size(tokens(col(textCol))).as("ws_tokens"),
       size(regexp_extract_all(col(textCol),
         lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_chunks"))
+    val cols = base ++ bpe.map(v =>
+      graft.functions.BpeExpressions.bpeTokenCount(col(textCol), v)
+        .as("bpe_tokens"))
+    docs.select(cols: _*)
+  }
 
   /** Context-window chunking: split each document into stride-spaced
     * token windows of `chunkTokens` tokens overlapping by
@@ -327,7 +342,23 @@ object TextAnalysis {
     * start_token, n_chunk_tokens, chunk_text).
     */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+      chunkTokens: Int, overlapTokens: Int): DataFrame =
+    chunkDocuments(docs, idCol, textCol, chunkTokens, overlapTokens,
+      tokens, c => concat_ws(" ", c))
+
+  /** Tokenizer-hooked flavor: `tokenizer` produces the token array a
+    * window spans (default: whitespace [[tokens]], unchanged), and
+    * `detokenizer` turns a window back into chunk text (default:
+    * space join — the whitespace tokenizer's exact inverse modulo
+    * runs). Pass [[graft.functions.BpeExpressions.bpeTokens]] +
+    * [[graft.functions.BpeExpressions.bpeDetokenize]] to window in
+    * MODEL tokens with byte-exact chunk text (the overlap then
+    * measures real context-window occupancy, not whitespace words).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int,
+      tokenizer: Column => Column,
+      detokenizer: Column => Column): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       "overlap must be in [0, chunkTokens)")
@@ -337,7 +368,7 @@ object TextAnalysis {
     val extra = greatest(size(col("toks")) - chunkTokens, lit(0))
     val nChunks = lit(1) + floor((extra + (stride - 1)) / stride)
     docs
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), tokenizer(col(textCol)).as("toks"))
       // sequence(0, -1) would generate a DESCENDING range, not an
       // empty one — empty docs need the explicit empty array. The
       // coalesce folds NULL text in too: size(NULL) is NULL, which
@@ -354,7 +385,7 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_id"),
         (col("chunk_id") * stride).as("start_token"),
         size(col("chunk_toks")).as("n_chunk_tokens"),
-        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+        detokenizer(col("chunk_toks")).as("chunk_text"))
   }
 
   /** Document fingerprint: min-md5 over word 3-shingles (a 1-hash

@@ -1720,6 +1720,47 @@ object Pipeline {
         FROM ranked
         WHERE rn <= (n * 30 + 99) // 100
         ORDER BY lang, doc_id
+      """)),
+
+    // Byte-level BPE token counting (BpeExpressions): the public
+    // algorithm — GPT-2 byte-to-unicode alphabet, published
+    // pre-tokenizer regex, lowest-rank-pair merge loop — over a
+    // pluggable merges table. The fixture uses the 2-merge vocabulary
+    // {a b, ab c}; every expected count is hand-derivable (e.g.
+    // "abc abc" → pre-tokens ["abc", " abc"] → [abc] + [Ġ, abc] = 3)
+    // and the oracle carries them as literals, so the gate pins the
+    // merge loop, the pre-tokenizer (contractions, digit runs,
+    // punctuation, trailing-space handling), and the byte alphabet.
+    // PipelineSpec pins the byte-exact detokenize round-trip on the
+    // real corpus.
+    QueryDef(
+      "q156_bpe_token_count",
+      (s, d) => {
+        import s.implicits._
+        val vocab = graft.functions.BpeExpressions.BpeRanks
+          .parseMerges(Seq("a" -> "b", "ab" -> "c"))
+        val fixture = Seq(
+          (1, "abc"), (2, "abcabc"), (3, "abc abc"), (4, "cab"),
+          (5, "ab!"), (6, "b a"), (7, "ab12"), (8, "ab "),
+          (9, "it's abc"), (10, "")).toDF("id", "text")
+        fixture.select(col("id"),
+          graft.functions.BpeExpressions.bpeTokenCount(col("text"), vocab)
+            .as("n_tokens"))
+          .orderBy(col("id"))
+      },
+      // expected, by hand: abc→1 ([abc]); abcabc→2 ([abc,abc]);
+      // "abc abc"→3 ([abc] + [Ġ,abc] — no (Ġ,abc) merge); cab→2
+      // ([c,ab]); "ab!"→2 ([ab] + [!]); "b a"→3 ([b] + [Ġ,a]);
+      // ab12→3 ([ab] + [1,2] — digits never merge here); "ab "→2
+      // ([ab] + [Ġ] via the trailing-whitespace branch); "it's abc"→6
+      // ([i,t] + [',s] — 's is its own pre-token but has no merge —
+      // + [Ġ,abc]); ""→0
+      Some("""
+        SELECT id, n_tokens FROM (VALUES
+          (1, 1), (2, 2), (3, 3), (4, 2), (5, 2),
+          (6, 3), (7, 3), (8, 2), (9, 6), (10, 0))
+          AS t(id, n_tokens)
+        ORDER BY id
       """))
   )
 }
