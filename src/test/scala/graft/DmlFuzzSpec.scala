@@ -200,4 +200,133 @@ class DmlFuzzSpec extends AnyFunSuite {
       check(s"step $step: $name")
     }
   }
+
+  test("multi-writer model fuzz: two forked JVMs drive seeded op " +
+      "sequences against one warehouse; the final state equals the " +
+      "replay of both op logs under the recovered commit order") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "mwfuzz",
+      Seq("id" -> "long", "v" -> "string", "x" -> "long"))
+    // shared key space both writers upsert against
+    t.append((1L to 16L).map(k => (k, "seed", 0L)).toDF("id", "v", "x"))
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("--enable-native-access")).toSeq
+    val cp = Seq(
+      new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+      new java.io.File("target/scala-2.13/test-classes").getAbsolutePath,
+      "/opt/spark/jars/*").mkString(":")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mwfuzz")
+    def fork(tag: String, seed: Long, base: Long): (Process, String) = {
+      val logPath = dir.resolve(s"$tag.jsonl").toString
+      val p = new ProcessBuilder((Seq(javaBin) ++ opens ++ Seq("-Xmx2g",
+        "-cp", cp, "graft.FuzzChild", loc, tag, seed.toString,
+        base.toString, "12", logPath)).asJava)
+        .redirectOutput(dir.resolve(s"$tag.out").toFile)
+        .redirectError(dir.resolve(s"$tag.err").toFile)
+        .start()
+      (p, logPath)
+    }
+    val (p1, log1) = fork("w1", 111L, 10000L)
+    val (p2, log2) = fork("w2", 222L, 20000L)
+    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "forked writers did not finish")
+    assert(p1.exitValue() == 0 && p2.exitValue() == 0,
+      s"forked writer failed: ${p1.exitValue()}/${p2.exitValue()}; " +
+        s"stderr under $dir")
+
+    // ---- parse the op logs
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    case class Op(tag: String, kind: String, step: Int,
+        rows: Vector[(Long, String, Long)], delId: Option[Long])
+    def parseLog(tag: String, path: String): Vector[Op] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+        .asScala.filter(_.nonEmpty).map { l =>
+          val j = JsonMethods.parse(l)
+          Op(tag, (j \ "kind").extract[String], (j \ "step").extract[Int],
+            (j \ "rows").extractOrElse[Vector[Vector[JValue]]](Vector.empty)
+              .map(r => (r(0).extract[Long], r(1).extract[String],
+                r(2).extract[Long])),
+            (j \ "id").extractOpt[Long])
+        }.toVector
+    val ops = parseLog("w1", log1) ++ parseLog("w2", log2)
+    val byTagStep = ops.map(o => (o.tag, o.step) -> o).toMap
+
+    // ---- recover the LINEAR commit order from metadata
+    val m = t.meta
+    val chain = Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (s, s.parentId))
+      case None     => None
+    }.toVector.reverse
+    assert(chain.size == m.snapshots.size,
+      s"forked history: chain=${chain.size} snapshots=${m.snapshots.size}")
+    // exactly-once: seed-create is snapshot 1; every logged non-noop op
+    // committed exactly one snapshot
+    val realOps = ops.count(_.kind != "noop")
+    assert(chain.size == 1 + realOps,
+      s"snapshots=${chain.size} ops=$realOps")
+
+    // ---- replay: appends/deletes are writer-commutative (disjoint id
+    // ranges); upserts on the shared keys are order-sensitive, and
+    // their order is recovered from each snapshot's ADDED data files
+    // alone (batch rows carry "tag:step"), never from the engine's
+    // read path
+    val own = scala.collection.mutable.Map[Long, (String, Long)]()
+    ops.foreach {
+      case Op(_, "append", _, rows, _) =>
+        rows.foreach(r => own(r._1) = (r._2, r._3))
+      case Op(_, "delete", _, _, Some(id)) => own.remove(id)
+      case _ => ()
+    }
+    val shared = scala.collection.mutable.Map[Long, (String, Long)](
+      (1L to 16L).map(k => k -> (("seed", 0L))): _*)
+    val applied = scala.collection.mutable.Set[(String, Int)]()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    chain.sliding(2).foreach { case Vector(parent, s) =>
+      val parentPaths = parent.files.map(_.path).toSet
+      val added = s.files.map(_.path).filterNot(parentPaths)
+      if (added.nonEmpty) {
+        val tags = spark.read.schema(schema)
+          .parquet(added.map(p => s"$loc/$p"): _*)
+          .filter(col("id") <= 16L).select("v").distinct()
+          .as[String].collect()
+        assert(tags.length <= 1, s"mixed upsert batch rows: ${tags.toSeq}")
+        tags.headOption.filter(_ != "seed").foreach { tg =>
+          val Array(w, st) = tg.split(":")
+          val op = byTagStep((w, st.toInt))
+          assert(op.kind == "upsert" && applied.add((w, st.toInt)),
+            s"op $tg replayed twice or not an upsert")
+          op.rows.foreach(r => shared(r._1) = (r._2, r._3))
+        }
+      }
+      case _ => ()
+    }
+    assert(applied.size == ops.count(_.kind == "upsert"),
+      s"upserts recovered=${applied.size} logged=${ops.count(_.kind == "upsert")}")
+
+    // ---- the table equals the model replay of the linear history
+    val expected = (own ++ shared).toMap
+    val got = t.read().as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected,
+      s"divergence: table=${got.size} model=${expected.size}\n" +
+        s"only-table=${(got.keySet -- expected.keySet).take(5)} " +
+        s"only-model=${(expected.keySet -- got.keySet).take(5)}")
+    if (m.currentSnapshot.forall(_.deleteFiles.isEmpty))
+      assert(t.countRows() == expected.size.toLong)
+  }
 }

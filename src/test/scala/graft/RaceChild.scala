@@ -39,9 +39,7 @@ object RaceChild {
             // CoW refuses a concurrent commit (rewrite computed against
             // one base snapshot); the caller re-runs — same contract the
             // in-process race unit pins
-            case e: IllegalArgumentException
-                if String.valueOf(e.getMessage)
-                  .contains("concurrent commit") => ()
+            case _: graft.engine.ConcurrentCommitException => ()
           }
         }
       }
