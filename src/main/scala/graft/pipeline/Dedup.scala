@@ -661,33 +661,63 @@ object Dedup {
         .as(Seq("__pos", "__g")))
 
   /** Shared tail of the span-dedup family: cut every NON-owner
-    * occurrence of an owned gram ([pos, pos+k) coverage, overlaps
-    * merged by the distinct) and reassemble the kept tokens.
+    * occurrence of an owned gram ([pos, pos+k) coverage) and
+    * reassemble the kept tokens.
+    *
+    * RANGE-MERGED form (round-12; the per-position original was the
+    * soak's heaviest term): cut START positions — already ~k× fewer
+    * rows than exploded coverage — merge per document into disjoint
+    * [start, end) spans with one id-partitioned window (overlapping
+    * and adjacent occurrences collapse, so a fully-duplicated
+    * document is ONE span), and reassemble by filtering each
+    * document's own token array against its span list in a single
+    * projection. Nothing here ever explodes per-token rows: the old
+    * tail shuffled (id, pos) pairs for every COVERED TOKEN plus every
+    * token of the corpus for the anti-join/collect_list reassembly —
+    * token-count-proportional exchanges; this one shuffles cut START
+    * occurrences once (window) and per-document span lists once
+    * (join), both bounded by duplication structure, not token count.
+    * The per-token work (span membership) runs inside the projection
+    * against the handful of merged spans a real document has.
     */
   private def cutAndReassemble(base: DataFrame, grams: DataFrame,
       owners: DataFrame, idCol: String, k: Int): DataFrame = {
-    val cut = grams.join(owners.hint("SHUFFLE_MERGE"), Seq("__g"))
+    import org.apache.spark.sql.expressions.Window
+    val occ = grams.join(owners.hint("SHUFFLE_MERGE"), Seq("__g"))
       .filter(!(col("__id") <=> col("__owner")))
-      .select(col("__id"),
-        explode(sequence(col("__pos"), col("__pos") + lit(k - 1)))
-          .as("__pos"))
-      .distinct()
-    val toksPos = base.select(col("__id"), size(col("__toks")).as("__n"),
-      posexplode(col("__toks")).as(Seq("__pos", "__tok")))
-    val kept = toksPos
-      .join(cut.hint("SHUFFLE_MERGE"), Seq("__id", "__pos"), "left_anti")
+      .select(col("__id"), col("__pos")).distinct()
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val spans = occ
+      // how far previous occurrences reach; a start past the reach
+      // opens a new span (== reach is adjacent: same span, exact
+      // coverage arithmetic either way)
+      .withColumn("__reach", max(col("__pos") + lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__reach").isNull || col("__pos") > col("__reach"), 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__sid"))
+      .agg(min(col("__pos")).as("__s"),
+        (max(col("__pos")) + lit(k)).as("__e"))
       .groupBy(col("__id"))
-      .agg(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-          s => s.getField("__tok"))).as("clean_text"),
-        count(lit(1)).as("__kept"), first(col("__n")).as("__n"))
-    // fully-cut and empty documents still emit a row (empty text)
-    base.select(col("__id"), size(col("__toks")).as("__orig"))
-      .join(kept, Seq("__id"), "left_outer")
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+          .as("__spans"),
+        sum(col("__e") - col("__s")).as("__cut"))
+    // fully-cut documents yield one all-covering span (empty text);
+    // untouched documents join nothing and keep every token
+    base.select(col("__id"), col("__toks"), size(col("__toks")).as("__orig"))
+      .join(spans.hint("SHUFFLE_MERGE"), Seq("__id"), "left_outer")
+      .withColumn("__sp", coalesce(col("__spans"),
+        array().cast("array<struct<__s:int,__e:int>>")))
       .select(col("__id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        expr("concat_ws(' ', transform(filter(" +
+          "transform(__toks, (t, i) -> named_struct('t', t, 'i', i)), " +
+          "p -> NOT exists(__sp, sp -> p.i >= sp.__s AND p.i < sp.__e))," +
+          " p -> p.t))").as("clean_text"),
         col("__orig").as("n_tokens"),
-        (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+        coalesce(col("__cut"), lit(0L)).as("n_removed"))
   }
 
   /** Persistable gram index for [[dedupSpansIncremental]]: one row per
