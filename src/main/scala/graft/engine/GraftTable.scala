@@ -257,7 +257,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     m.currentSnapshot match {
       case None => emptyDf(m)
       case Some(s) =>
-        val kept = s.files.filter(f => keep(f.partitionValues))
+        // manifest tier: a summarized manifest records every entry's
+        // distinct partition-value row, so `keep` rejecting ALL combos
+        // rejects every file inside — the manifest never opens
+        val files = s.manifestList match {
+          case None => s.files
+          case Some(_) => s.manifests.filter(_.kind == "data")
+            .filter(r => r.partitionCombos.isEmpty ||
+              r.partitionCombos.exists(keep))
+            .flatMap(r => Manifests.readEntries(location, r))
+        }
+        val kept = files.filter(f => keep(f.partitionValues))
         // positional deletes apply to pruned reads too — skipping them
         // would resurrect MoR-deleted rows in every pruned query
         if (s.deleteFiles.isEmpty) readFiles(m, kept)
@@ -1767,7 +1777,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       // cluster by partition value so each merged manifest covers few
       // partitions (selective combos), then chunk to the target
       val entries = small.flatMap(r => Manifests.readEntries(location, r))
-        .sortBy(_.partitionValues.toSeq.sorted.mkString(" "))
+        .sortBy(_.partitionValues.toSeq.sorted.mkString("\u0000"))
       val merged = entries.grouped(targetEntries).map(g =>
         Manifests.writeManifest(location, "data", g, fieldType)).toVector
       val refs = kept ++ merged ++ snap.manifests.filter(_.kind == "delete")

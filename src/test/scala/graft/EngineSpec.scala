@@ -1853,4 +1853,28 @@ class EngineSpec extends AnyFunSuite {
     // control: an unpruned read genuinely needs the deleted manifest
     intercept[Exception](t.read().count())
   }
+
+  test("partition-path manifest skip: readPruned vetoes a manifest by " +
+      "its partition-combo summary without opening it") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "pskip",
+      Seq("id" -> "long", "typ" -> "string"),
+      partition = Seq("typ" -> "identity"))
+    t.append(Seq((1L, "a"), (2L, "a")).toDF("id", "typ"))
+    t.append(Seq((3L, "b"), (4L, "b")).toDF("id", "typ"))
+    val refs = t.meta.currentSnapshot.get.manifests.filter(_.kind == "data")
+    assert(refs.size == 2)
+    val aRef = refs.find(_.partitionCombos
+      .exists(_.get("typ").contains("a"))).get
+    graft.tableformat.Manifests.clearCachesForTesting()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(loc, aRef.path))
+    // the combo summary is the only thing that can skip the deleted
+    // manifest — if readPruned still walks Snapshot.files it throws
+    val b = t.readPruned(pv => pv.get("typ").forall(_ == "b"))
+    assert(b.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // a predicate the summary can't reject must open it -> throws
+    intercept[Exception](
+      t.readPruned(pv => pv.get("typ").forall(_ == "a")).count())
+  }
 }
