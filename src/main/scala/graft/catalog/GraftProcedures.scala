@@ -32,6 +32,7 @@ import graft.engine.GraftTable
   *   CALL graft.system.refresh_agg_minmax('db.state', 'db.base',
   *     'k1,k2', 's1,s2', 'e1,e2' [, '<name>'])  -- + min/max extremes
   *   CALL graft.system.remove_orphan_files('db.t')
+  *   CALL graft.system.add_files('db.t', '/path/to/parquet')
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.create_branch('db.t', '<name>')
@@ -201,6 +202,9 @@ object GraftProcedures {
       (w, r) => table(w, str(r, 0)).rewriteManifests(
         if (r.isNullAt(1)) graft.tableformat.Manifests.DefaultTargetEntries
         else r.getInt(1))),
+    Def("add_files",
+      Seq(in("table", StringType), in("source_dir", StringType)),
+      (w, r) => table(w, str(r, 0)).addFiles(str(r, 1))),
     Def("fast_forward",
       Seq(in("table", StringType), in("branch", StringType)),
       (w, r) => table(w, str(r, 0)).fastForward(str(r, 1))),

@@ -330,16 +330,41 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       extra: Seq[Column],
       target: Option[graft.tableformat.VersionedSchema] = None): DataFrame = {
     val cur = target.getOrElse(m.currentSchema)
-    val bySchema = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
-    bySchema.map { case (sid, fs) =>
+    // identity-partition sources readable from partition METADATA: an
+    // add_files import of a Hive layout carries the partition column
+    // only in the directory path, so its per-file value is injected as
+    // a constant at read time (exactly Iceberg's identity-partition
+    // constant read). Native files always contain every column
+    // physically (the writer keeps partition sources in file contents),
+    // so injection is restricted to absolute-path (imported) entries —
+    // a native old file missing a later-added column null-fills as
+    // before.
+    val identSources: Map[Int, String] = m.currentSpec.fields
+      .filter(_.transform == "identity").map(pf => pf.sourceId -> pf.name).toMap
+    def injections(f: DataFileEntry): Map[Int, String] =
+      if (!f.path.startsWith("/")) Map.empty
+      else {
+        val written = m.schemaById(f.schemaId)
+        cur.fields.flatMap { cf =>
+          if (written.exists(_.fieldById(cf.id).isDefined)) None
+          else identSources.get(cf.id)
+            .flatMap(pn => f.partitionValues.get(pn)).map(cf.id -> _)
+        }.toMap
+      }
+    val bySchema = files.groupBy(f => (f.schemaId, injections(f))).toSeq
+      .sortBy(g => (g._1._1, g._1._2.toSeq.sorted.mkString("")))
+    bySchema.map { case ((sid, inj), fs) =>
       val written = m.schemaById(sid)
         .getOrElse(sys.error(s"schema $sid missing from metadata"))
       val raw = spark.read.schema(written.toStructType)
-        .parquet(fs.map(f => s"$location/${f.path}"): _*)
+        .parquet(fs.map(f => absPath(f.path)): _*)
       val cols = cur.fields.map { f =>
         written.fieldById(f.id) match {
           case Some(w) => col(s"`${w.name}`").cast(f.sparkType).as(f.name)
-          case None    => lit(null).cast(f.sparkType).as(f.name)
+          case None => inj.get(f.id) match {
+            case Some(v) => lit(v).cast(f.sparkType).as(f.name)
+            case None    => lit(null).cast(f.sparkType).as(f.name)
+          }
         }
       } ++ extra
       raw.select(cols: _*)
@@ -383,7 +408,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     if (pos.isEmpty) return tagged
     val delDf = spark.read
       .schema("file_path STRING, pos BIGINT")
-      .parquet(pos.map(f => s"$location/${f.path}"): _*)
+      .parquet(pos.map(f => absPath(f.path)): _*)
     tagged.join(broadcast(delDf),
       relDataPath(tagged("_g_path")) === relDataPath(delDf("file_path")) &&
         tagged("_g_pos") === delDf("pos"),
@@ -453,7 +478,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // >1s of pure job overhead per 32-part batch at sf0.1)
     val delAll = fs.groupBy(_.seq).toSeq.map { case (seq, sfs) =>
         spark.read.schema(delSchema)
-          .parquet(sfs.map(f => s"$location/${f.path}"): _*)
+          .parquet(sfs.map(f => absPath(f.path)): _*)
           .withColumn("__del_seq", lit(seq))
       }
       .reduce(_ unionByName _)
@@ -477,6 +502,157 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Append rows as a new snapshot (reference: INSERT INTO, cells 11/22/27). */
   def append(df: DataFrame): GraftTable = commitWrite(df, "append", carryOver = true)
+
+  /** Metadata-only import of existing parquet files (Iceberg's
+    * `add_files` procedure) — the migration path at 100 TB: data is
+    * never copied, rewritten, or even read. One footer open per file
+    * yields the row count and the same per-column bounds native writes
+    * record, so stats pruning, manifest skipping, and count pushdown
+    * work identically on imported files; cost is O(#files) metadata,
+    * zero data I/O.
+    *
+    * Contract:
+    *   - every current-schema column must exist in each file with a
+    *     compatible physical type, EXCEPT identity-partition sources,
+    *     which may instead appear as Hive-style `name=value` path
+    *     segments (classic Hive/Spark layouts keep partition columns
+    *     only in the path); those read back as per-file constants via
+    *     [[mappedRead]]'s injection, Iceberg's identity-partition
+    *     constant-read semantics.
+    *   - files already referenced by the current snapshot are refused
+    *     (a re-import would double-count rows); so is a source under
+    *     the table location (those files are table-managed).
+    *   - imported files keep their ABSOLUTE path in the manifest: the
+    *     engine reads them in place and never deletes them — physical
+    *     reclamation ([[removeOrphanFiles]]) walks only
+    *     `<location>/data`. DML that rewrites an imported file writes
+    *     table-owned replacements and drops the import from the
+    *     inventory; the source file stays untouched on disk.
+    *
+    * The reference migrates by rewriting CSVs through Spark into the
+    * warehouse (thesis notebook load cells); add_files registers
+    * pre-existing parquet without that rewrite.
+    */
+  def addFiles(srcDir: String): GraftTable = {
+    val srcAbs = Paths.get(srcDir).toAbsolutePath.normalize.toString
+    val locAbs = Paths.get(location).toAbsolutePath.normalize.toString
+    require(Files.exists(Paths.get(srcAbs)), s"add_files: no such path $srcAbs")
+    require(srcAbs != locAbs && !srcAbs.startsWith(locAbs + "/"),
+      s"add_files: $srcAbs is inside the table location — " +
+        "table-managed files cannot be re-imported")
+    val paths = listParquet(srcAbs)
+    require(paths.nonEmpty, s"add_files: no parquet files under $srcAbs")
+    val m = meta
+    val cur = m.currentSchema
+    val identByName: Map[String, Int] = m.currentSpec.fields
+      .filter(_.transform == "identity").map(pf => pf.name -> pf.sourceId).toMap
+    val nameToId = cur.fields.map(f => f.name -> f.id).toMap
+
+    final case class Imported(abs: String, footer: ParquetFooterStats,
+        pvals: Map[String, String], missingIds: Vector[Int])
+    val imports = paths.map { abs =>
+      val footer = readFooter(abs)
+      // directory segments only — a file NAME containing '=' is not a
+      // partition binding
+      val pvals = abs.stripPrefix(srcAbs).split("/").toSeq.dropRight(1)
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> unescapePathName(v)
+        }.toMap.filter { case (k, _) => identByName.contains(k) }
+      val missing = cur.fields.flatMap { f =>
+        footer.fields.get(f.name) match {
+          case Some(tok) =>
+            require(compatibleToken(tok, f),
+              s"add_files: $abs column ${f.name} is $tok, " +
+                s"table expects ${f.dataType}")
+            None
+          case None =>
+            require(identByName.get(f.name).contains(f.id) &&
+                pvals.contains(f.name),
+              s"add_files: $abs lacks column ${f.name} and the path " +
+                s"carries no ${f.name}=<value> segment")
+            Some(f.id)
+        }
+      }
+      Imported(abs, footer, pvals, missing)
+    }
+    MetadataIO.commitRetry(location) { cur0 =>
+      // validation ran against `m`: a concurrent schema/spec change
+      // invalidates it — refuse rather than import under rules that
+      // were never checked against these files
+      if (cur0.currentSchemaId != m.currentSchemaId ||
+          cur0.currentSpecId != m.currentSpecId)
+        throw new ConcurrentCommitException(
+          "concurrent commit: schema or spec changed during add_files — " +
+            "re-run the operation")
+      val existing = cur0.currentSnapshot
+        .map(_.files.map(f => normalizePath(absPath(f.path))).toSet)
+        .getOrElse(Set.empty)
+      val dups = imports.map(_.abs).filter(a => existing(normalizePath(a)))
+      require(dups.isEmpty, "add_files: already referenced by the current " +
+        s"snapshot: ${dups.take(3).mkString(", ")}")
+      // one registered read-schema per distinct missing-column set (the
+      // current schema minus path-only columns), so field-id mapped
+      // reads project exactly the physical columns; identical sets
+      // reuse one schema across imports
+      var meta2 = cur0
+      val sidFor: Map[Vector[Int], Int] =
+        imports.map(_.missingIds).distinct.map {
+          case Vector() => Vector.empty[Int] -> cur0.currentSchemaId
+          case miss =>
+            val want = cur.fields.filterNot(f => miss.contains(f.id))
+            meta2.schemas.find(_.fields == want) match {
+              case Some(s) => miss -> s.schemaId
+              case None =>
+                val sid = meta2.schemas.map(_.schemaId).max + 1
+                meta2 = meta2.copy(
+                  schemas = meta2.schemas :+ VersionedSchema(sid, want))
+                miss -> sid
+            }
+        }.toMap
+      val entries = imports.map { imp =>
+        def byId(statsByName: Map[String, String]) =
+          statsByName.flatMap { case (n, v) =>
+            nameToId.get(n).map(_.toString -> v) }
+        DataFileEntry(imp.abs, imp.footer.rowCount, sidFor(imp.missingIds),
+          imp.pvals,
+          lowerBounds = byId(imp.footer.lower),
+          upperBounds = byId(imp.footer.upper),
+          nullCounts = imp.footer.nullCounts.flatMap { case (n, v) =>
+            nameToId.get(n).map(_.toString -> v) },
+          fileSizeBytes = Files.size(Paths.get(imp.abs)))
+      }
+      val carried = cur0.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+      val carriedDeletes =
+        cur0.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+      withSnapshot(meta2, "append", carried ++ entries, carriedDeletes)
+    }
+    this
+  }
+
+  /** Physical parquet type token ([[ParquetFooterStats]]) vs a table
+    * field: value-preserving matches only — a mismatch nulls or garbles
+    * silently under cast, so add_files refuses it up front.
+    */
+  private def compatibleToken(tok: String, f: FieldDef): Boolean = {
+    val dt = f.dataType
+    tok match {
+      case "int32"              => dt == "int" || dt == "short" || dt == "byte"
+      case "int32-date"         => dt == "date"
+      case "int64"              => dt == "long"
+      case "int64-ts" | "int96" => dt == "timestamp"
+      case "int64-tsntz"        => dt == "timestamp_ntz"
+      case "float"              => dt == "float"
+      case "double"             => dt == "double"
+      case "boolean"            => dt == "boolean"
+      case "string"             => dt == "string"
+      case "binary"             => dt == "binary"
+      case "decimal"            => dt.startsWith("decimal")
+      case "group" => dt.startsWith("array<") || dt.startsWith("map<") ||
+        dt.startsWith("struct<")
+      case _ => false
+    }
+  }
 
   /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
   def overwrite(df: DataFrame): GraftTable = commitWrite(df, "overwrite", carryOver = false)
@@ -510,14 +686,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     } catch {
       case _: Dup =>
         // lost the marker race: reclaim our staged (uncommitted) files
-        written.foreach(f => Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        written.foreach(f => Files.deleteIfExists(Paths.get(absPath(f.path))))
         false
       case scala.util.control.NonFatal(e) =>
         // any other commit failure (e.g. conflict retries exhausted)
         // must also reclaim the staged files — they are unreferenced by
         // any snapshot and would otherwise orphan, unlike the upsert
         // paths which already clean up on every failure
-        written.foreach(f => Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        written.foreach(f => Files.deleteIfExists(Paths.get(absPath(f.path))))
         throw e
     }
   }
@@ -735,6 +911,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def readFooter(path: String): ParquetFooterStats =
     ParquetFooterStats.read(path, spark.sessionState.newHadoopConf())
 
+  /** Physical location of a manifest entry's file. Engine-written files
+    * are recorded location-relative (the table directory can move);
+    * [[addFiles]]-imported files keep their absolute external path —
+    * the engine reads them in place and NEVER deletes them (all
+    * physical reclamation walks `<location>/data` only).
+    */
+  private def absPath(p: String): String =
+    if (p.startsWith("/")) p else s"$location/$p"
+
   /** Commit a rewrite-style snapshot (CoW DELETE/UPDATE, MoR DML,
     * compaction) computed against base metadata `m`. These ops
     * REFERENCED the base snapshot's files (rewrote or anti-joined
@@ -930,13 +1115,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       catch {
         case scala.util.control.NonFatal(e) =>
           delEntries.foreach(f =>
-            Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+            Files.deleteIfExists(Paths.get(absPath(f.path))))
           throw e
       }
     final class Dup extends RuntimeException
     def reclaimStaged(): Unit =
       (written ++ delEntries).foreach(f =>
-        Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        Files.deleteIfExists(Paths.get(absPath(f.path))))
     try {
       MetadataIO.commitRetry(location) { cur =>
         if (seen(cur)) throw new Dup
@@ -1114,13 +1299,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       catch {
         case scala.util.control.NonFatal(e) =>
           delEntries.foreach(f =>
-            Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+            Files.deleteIfExists(Paths.get(absPath(f.path))))
           throw e
       }
     final class Dup extends RuntimeException
     def reclaimStaged(): Unit =
       (written ++ delEntries).foreach(f =>
-        Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+        Files.deleteIfExists(Paths.get(absPath(f.path))))
     try {
       MetadataIO.commitRetry(location) { cur =>
         if (seen(cur)) throw new Dup
@@ -1526,7 +1711,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // one partition pass keyed on the path set (never Vector.contains
     // per file — that's O(F·T) on wide DML)
     val (touched, untouched) = snap.files.partition(f =>
-      touchedAbs.contains(normalizePath(s"$location/${f.path}")))
+      touchedAbs.contains(normalizePath(absPath(f.path))))
     // rewriting a file must not resurrect rows a positional delete
     // already removed (tables can switch write modes between commits)
     val survivors0 =
@@ -1864,7 +2049,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val posTargets: Set[String] =
       if (pos.isEmpty) Set.empty
       else spark.read.schema("file_path STRING, pos BIGINT")
-        .parquet(pos.map(f => s"$location/${f.path}"): _*)
+        .parquet(pos.map(f => absPath(f.path)): _*)
         .select(relDataPath(col("file_path")).as("p")).distinct()
         .collect().map(_.getString(0)).toSet // O(#affected files) paths
     val (affected, untouched) = snap.files.partition(f =>
@@ -1913,7 +2098,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       if (pos.isEmpty) None
       else {
         val raw = spark.read.schema("file_path STRING, pos BIGINT")
-          .parquet(pos.map(f => s"$location/${f.path}"): _*)
+          .parquet(pos.map(f => absPath(f.path)): _*)
           .select(relDataPath(col("file_path")).as("file_path"), col("pos"))
         val live = spark.createDataFrame(snap.files.map(f => Tuple1(f.path)))
           .toDF("__live_path")
@@ -1976,7 +2161,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     catch {
       case scala.util.control.NonFatal(e) =>
         newDeletes.foreach(f =>
-          Files.deleteIfExists(Paths.get(s"$location/${f.path}")))
+          Files.deleteIfExists(Paths.get(absPath(f.path))))
         throw e
     }
     this
@@ -2651,7 +2836,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val seqByPath = pos.map(f => (f.path, f.seq))
       .toDF("delete_file_path", "sequence_number")
     spark.read.schema("file_path STRING, pos BIGINT")
-      .parquet(pos.map(f => s"$location/${f.path}"): _*)
+      .parquet(pos.map(f => absPath(f.path)): _*)
       .withColumn("delete_file_path",
         regexp_replace(col("_metadata.file_path"), "^.*/data/", "data/"))
       .join(broadcast(seqByPath), "delete_file_path")
@@ -2945,7 +3130,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       if (newPos.isEmpty) None
       else {
         val delDf = spark.read.schema("file_path STRING, pos BIGINT")
-          .parquet(newPos.map(f => s"$location/${f.path}"): _*)
+          .parquet(newPos.map(f => absPath(f.path)): _*)
         val refd = delDf.select(relDataPath(col("file_path")).as("p"))
           .distinct().collect().map(_.getString(0)).toSet
         val files = fromSnap.files.filter(f => refd(f.path))

@@ -28,7 +28,13 @@ final case class ParquetFooterStats(rowCount: Long,
     // per-column null counts (Iceberg's null_value_counts): recorded
     // only when EVERY row group carries usable stats for the column —
     // a partial count would let IS [NOT] NULL pruning skip live rows
-    nullCounts: Map[String, Long] = Map.empty)
+    nullCounts: Map[String, Long] = Map.empty,
+    // top-level physical fields as canonical type tokens ("int32",
+    // "int32-date", "int64", "int64-ts", "int64-tsntz", "float",
+    // "double", "boolean", "string", "binary", "decimal", "group", ...)
+    // — lets add_files validate an external file against the table
+    // schema from the same single footer open that yields its stats
+    fields: Map[String, String] = Map.empty)
 
 object ParquetFooterStats {
 
@@ -79,8 +85,45 @@ object ParquetFooterStats {
       val upper = merged.flatMap { case (n, (pt, s)) =>
         encode(pt, s.genericGetMax.asInstanceOf[AnyRef]).map(n -> _)
       }.toMap
-      ParquetFooterStats(rowCount, lower, upper, nulls.toMap)
+      val fields = footer.getFileMetaData.getSchema.getFields.asScala.map { t =>
+        t.getName -> (if (!t.isPrimitive) "group" else token(t.asPrimitiveType))
+      }.toMap
+      ParquetFooterStats(rowCount, lower, upper, nulls.toMap, fields)
     } finally r.close()
+  }
+
+  /** Canonical token for a primitive parquet type; logical annotations
+    * that change the Spark-visible type (date, timestamp, string,
+    * decimal) refine the physical name.
+    */
+  private def token(pt: PrimitiveType): String = {
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 => ann match {
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "int32-date"
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => "decimal"
+        case _ => "int32"
+      }
+      case INT64 => ann match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          if (ts.isAdjustedToUTC) "int64-ts" else "int64-tsntz"
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => "decimal"
+        case _ => "int64"
+      }
+      case FLOAT   => "float"
+      case DOUBLE  => "double"
+      case BOOLEAN => "boolean"
+      case BINARY => ann match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => "decimal"
+        case _ => "binary"
+      }
+      case FIXED_LEN_BYTE_ARRAY => ann match {
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => "decimal"
+        case _ => "fixed"
+      }
+      case other => other.name.toLowerCase
+    }
   }
 
   private def encode(pt: PrimitiveType, v: AnyRef): Option[String] =

@@ -675,6 +675,42 @@ object Versioned {
         FROM customer ORDER BY c_custkey
       """)),
 
+    // Metadata-only migration (Iceberg's add_files): the raw part
+    // parquet registers into a table WITHOUT copy or rewrite — one
+    // footer open per file records row count + the same bounds native
+    // writes get, so countRows and stats pruning work from day one.
+    // The require pins the zero-copy property (nothing lands under
+    // <location>/data) and manifest-only counting; the oracle pins
+    // that the imported table answers exactly like the source.
+    QueryDef(
+      "q157_add_files",
+      (s, d) => {
+        val loc = setupOnce("q157", d) {
+          val l = scratch("addf")
+          val t = GraftTable.create(s, l, "part_imp", Seq(
+            "p_partkey" -> "long", "p_name" -> "string",
+            "p_brand" -> "string", "p_type" -> "string",
+            "p_size" -> "int", "p_retailprice" -> "double"))
+          t.addFiles(s"$d/part.parquet")
+          require(!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(l, "data")), "import copied data")
+          require(t.countRows() == t.read().count())
+          l
+        }
+        GraftTable.load(s, loc).read()
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("p_retailprice")), 2).as("avg_price"),
+            sum(col("p_size").cast("long")).as("sum_size"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n,
+               round(avg(p_retailprice), 2) AS avg_price,
+               CAST(sum(p_size) AS BIGINT) AS sum_size
+        FROM part GROUP BY p_brand ORDER BY p_brand
+      """)),
+
     // Z-order compaction: multi-column clustering via the interleaved
     // bucket key — point predicates prune on EVERY clustered column
     // (EngineSpec pins the candidate-file collapse on both dimensions;

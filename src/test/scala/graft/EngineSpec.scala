@@ -1877,4 +1877,76 @@ class EngineSpec extends AnyFunSuite {
     intercept[Exception](
       t.readPruned(pv => pv.get("typ").forall(_ == "a")).count())
   }
+
+  test("add_files registers external parquet metadata-only: footer stats " +
+      "recorded, refusals enforced, source files never deleted") {
+    import spark.implicits._
+    val src = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/low")
+    Seq((100L, "x"), (200L, "y")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/high")
+    val t = GraftTable.create(spark, tmp(), "imp",
+      Seq("id" -> "long", "v" -> "string"))
+    t.append(Seq((5L, "m")).toDF("id", "v").coalesce(1))
+    val before = t.meta.currentSnapshotId.get
+    t.addFiles(src)
+    assert(t.read().count() == 5)
+    // manifest arithmetic over imported footer row counts — no scan
+    assert(t.countRows() == 5L)
+    // footer bounds landed in the manifest: strict metadata-only count
+    assert(t.countWhere(col("id") >= 100L) == 2L)
+    // time travel: the pre-import snapshot excludes the imports
+    assert(t.readAsOfVersion(before).count() == 1)
+    // a re-import would double-count rows
+    intercept[Exception](t.addFiles(src))
+    // table-managed files cannot be imported
+    intercept[Exception](t.addFiles(t.location))
+    // CoW DML rewrites an imported file into table-owned replacements;
+    // the external source file survives both the rewrite and orphan
+    // reclamation (the engine never deletes outside <location>/data)
+    t.delete(col("id") === 2L)
+    assert(t.read().count() == 4)
+    t.removeOrphanFiles()
+    val lowFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$src/low")).iterator()
+    assert(lowFiles.hasNext, "external source directory emptied")
+    assert(t.read().filter(col("id") === 1L).count() == 1)
+  }
+
+  test("add_files imports a Hive layout: path-only partition columns " +
+      "read back as per-file constants and prune metadata-only") {
+    import spark.implicits._
+    val src = tmp()
+    // classic Hive layout: `typ` exists ONLY in the directory path
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("id").coalesce(1)
+      .write.parquet(s"$src/typ=a")
+    Seq(Tuple1(3L)).toDF("id").coalesce(1)
+      .write.parquet(s"$src/typ=b")
+    val t = GraftTable.create(spark, tmp(), "himp",
+      Seq("id" -> "long", "typ" -> "string"),
+      partition = Seq("typ" -> "identity"))
+    t.addFiles(src)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "a"), (3L, "b")))
+    // injected constants behave as ordinary columns in predicates
+    assert(t.readWhere(col("typ") === "a").count() == 2)
+    // partition pruning runs off the path-derived partition values:
+    // delete the 'a' source files from disk — the typ=b query still
+    // answers, so pruning provably never opened them
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/typ=a"))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(t.readPruned(pv => pv.get("typ").forall(_ == "b"))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    // a missing NON-partition column has no path fallback -> refused
+    val t2 = GraftTable.create(spark, tmp(), "himp2",
+      Seq("id" -> "long", "extra" -> "string"))
+    intercept[Exception](t2.addFiles(s"$src/typ=b"))
+    // physical type mismatch (int64 file vs int table) -> refused
+    val t3 = GraftTable.create(spark, tmp(), "himp3",
+      Seq("id" -> "int", "typ" -> "string"),
+      partition = Seq("typ" -> "identity"))
+    intercept[Exception](t3.addFiles(s"$src/typ=b"))
+  }
 }
