@@ -73,7 +73,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if !agg.resolved &&
             agg.groupingExpressions.forall(groupish) &&
             aggSource(agg.child).isDefined &&
-            maybePushable(agg.aggregateExpressions) =>
+            (maybePushable(agg.aggregateExpressions) ||
+              // materialized-view shapes (sum/avg too) defer only when
+              // the source table actually registers a view
+              (MviewRewrite.mviewShaped(agg.aggregateExpressions) &&
+                aggSource(agg.child).exists(s =>
+                  MviewRewrite.hasViews(s._1.table)))) =>
         deferred.add(relationIn(agg.child match {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.child
           case other => other
@@ -142,7 +147,9 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if agg.resolved && agg.groupingExpressions.isEmpty &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        pushManifestAggregate(agg, h, cond).getOrElse(agg)
+        pushManifestAggregate(agg, h, cond)
+          .orElse(MviewRewrite.rewrite(spark, agg, h, cond))
+          .getOrElse(agg)
 
       // ---- grouped flavor: GROUP BY an identity-partitioned column.
       // ---- Identity partitioning means every file belongs to exactly
@@ -156,7 +163,9 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
             agg.groupingExpressions.forall(groupish) &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        pushGroupedManifestAggregate(agg, h, cond).getOrElse(agg)
+        pushGroupedManifestAggregate(agg, h, cond)
+          .orElse(MviewRewrite.rewrite(spark, agg, h, cond))
+          .getOrElse(agg)
 
       // ---- filtered scans: the WHERE condition reaches the engine,
       // ---- which prunes candidate files metadata-only (partition

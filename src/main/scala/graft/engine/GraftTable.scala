@@ -1799,6 +1799,39 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Register an [[graft.operators.IncrementalAgg]]-maintained state
+    * table as a MATERIALIZED VIEW of this table for automatic SQL
+    * rewrite ([[graft.catalog.MviewRewrite]]): a covered GROUP-BY
+    * aggregate over this table answers from the state table whenever
+    * the view is exactly fresh (its recorded base snapshot IS the one
+    * the query reads) — the 100 TB GROUP BY becomes an MB-scale scan.
+    * `name` must be the same name passed to `IncrementalAgg.refresh`/
+    * `refreshWithExtremes` (it keys the freshness property on the
+    * state table). `extremes` lists min/max-maintained columns (the
+    * *WithExtremes family); leave empty for count/sum-only state.
+    */
+  def registerMaterializedView(name: String, stateLocation: String,
+      keys: Seq[String], sums: Seq[String] = Nil,
+      extremes: Seq[String] = Nil): GraftTable = {
+    require(name.nonEmpty && keys.nonEmpty,
+      "materialized view needs a name and at least one key")
+    val cur = meta.currentSchema
+    (keys ++ sums ++ extremes).foreach(c =>
+      require(cur.fieldByName(c).isDefined,
+        s"materialized view column $c missing from table schema"))
+    setProperties(Map(
+      s"graft.mview.$name.state" -> stateLocation,
+      s"graft.mview.$name.keys" -> keys.mkString(","),
+      s"graft.mview.$name.sums" -> sums.mkString(","),
+      s"graft.mview.$name.exts" -> extremes.mkString(",")))
+  }
+
+  /** Unregister a materialized view: clearing the state pointer stops
+    * the rewrite; the state table itself is untouched.
+    */
+  def dropMaterializedView(name: String): GraftTable =
+    setProperties(Map(s"graft.mview.$name.state" -> ""))
+
   /** ALTER COLUMN TYPE (Iceberg type promotion): same field-id, wider
     * type; files written under the old type read through the field-id
     * mapping's cast. Only safe widenings are allowed — a lossy change

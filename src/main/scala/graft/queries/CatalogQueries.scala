@@ -813,6 +813,62 @@ object CatalogQueries {
                count(value) AS nn_value,
                min(event_id) AS lo_id, max(event_id) AS hi_id
         FROM events GROUP BY 1 ORDER BY day
+      """)),
+
+    // Materialized-view rewrite: a GROUP BY covered by a registered
+    // IncrementalAgg state table answers from the STATE (MB-scale)
+    // instead of the base (100 TB-scale) whenever the view is exactly
+    // fresh — snapshot-id freshness, not staleness windows. The
+    // require pins that the plan scanned the state table; the oracle
+    // recomputes every aggregate from the raw rows (long sums/avgs and
+    // raw min/max doubles keep both routes bit-exact). NativeSqlSpec
+    // pins the stale/uncovered/non-key-filter fallbacks.
+    QueryDef(
+      "q158_mview_rewrite",
+      (s, d) => {
+        val wh = setupOnce("q158", d) {
+          val w = scratch("mview")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val base = cat.createTableAs("db1", "orders_mv",
+            Tables.orders(s, d).select("o_orderkey", "o_custkey",
+              "o_orderstatus", "o_totalprice"))
+          val keys = Seq("o_orderstatus")
+          val sums = Seq("o_custkey"); val exts = Seq("o_totalprice")
+          val st = graft.engine.GraftTable.createAs(s, s"$w/mv_state",
+            "orders_mv_agg",
+            graft.operators.IncrementalAgg.initialWithExtremes(
+              base.read(), keys, sums, exts).filter(lit(false)))
+          require(graft.operators.IncrementalAgg.refreshWithExtremes(
+            base, st, keys, sums, exts), "mview bootstrap refresh")
+          base.registerMaterializedView("default", s"$w/mv_state",
+            keys, sums, exts)
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        val df = s.sql("""
+          SELECT o_orderstatus, n_rows, nn_cust, sum_cust,
+                 round(avg_cust, 4) AS avg_cust, lo_price, hi_price
+          FROM (
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   count(o_custkey) AS nn_cust,
+                   sum(o_custkey) AS sum_cust, avg(o_custkey) AS avg_cust,
+                   min(o_totalprice) AS lo_price,
+                   max(o_totalprice) AS hi_price
+            FROM graft.db1.orders_mv GROUP BY o_orderstatus)
+          ORDER BY o_orderstatus""")
+        require(df.queryExecution.executedPlan.toString.contains("mv_state"),
+          "expected the materialized-view rewrite to serve the plan")
+        df
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               count(o_custkey) AS nn_cust,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+               round(avg(o_custkey), 4) AS avg_cust,
+               min(o_totalprice) AS lo_price,
+               max(o_totalprice) AS hi_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
       """))
   )
 }

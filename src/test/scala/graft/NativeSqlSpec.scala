@@ -1005,4 +1005,84 @@ class NativeSqlSpec extends AnyFunSuite {
     // bound string would have claimed
     assert(q.head().getDouble(0) == 0.1f.toDouble)
   }
+
+  test("materialized-view rewrite: covered GROUP BYs answer from the " +
+      "maintained state table when exactly fresh; stale, uncovered, or " +
+      "non-key-filtered shapes fall back to the scan") {
+    import spark.implicits._
+    import graft.engine.GraftTable
+    import graft.operators.IncrementalAgg
+    val cat = freshCat()
+    val keys = Seq("k", "region"); val sums = Seq("amt", "units")
+    val exts = Seq("amt")
+    val base = cat.createTable("db", "sales", Seq("k" -> "string",
+      "region" -> "string", "amt" -> "double", "units" -> "long"))
+    base.append(Seq(
+      ("a", "eu", Some(1.5), 2L), ("a", "us", Some(2.5), 3L),
+      ("b", "eu", None, 1L), ("b", "eu", None, 4L))
+      .toDF("k", "region", "amt", "units").coalesce(1))
+    val stateLoc = Files.createTempDirectory("graft-mvstate").toString
+    val state = GraftTable.createAs(spark, s"$stateLoc/t", "sales_agg",
+      IncrementalAgg.initialWithExtremes(base.read(), keys, sums, exts)
+        .filter(lit(false)))
+    assert(IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    base.registerMaterializedView("default", s"$stateLoc/t",
+      keys, sums, exts)
+
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    def viaState(sql: String) = planOf(sql).contains("graft-mvstate")
+
+    val grouped = """SELECT k, count(*) AS n, count(amt) AS na,
+      sum(amt) AS s, avg(amt) AS a, sum(units) AS u,
+      min(amt) AS lo, max(amt) AS hi
+      FROM graft.db.sales GROUP BY k ORDER BY k"""
+    assert(viaState(grouped), s"expected state scan:\n${planOf(grouped)}")
+    val rows = spark.sql(grouped).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      Option(r.get(3)), Option(r.get(4)), r.getLong(5),
+      Option(r.get(6)), Option(r.get(7)))).toSeq == Seq(
+      ("a", 2L, 2L, Some(4.0), Some(2.0), 5L, Some(1.5), Some(2.5)),
+      ("b", 2L, 0L, None, None, 5L, None, None)))
+    // rollup to a key SUBSET (none at all): sums/counts add across
+    // state rows — manifest pushdown can't prove sum, the view can
+    val global = "SELECT count(*) AS n, sum(amt) AS s FROM graft.db.sales"
+    assert(viaState(global))
+    assert(spark.sql(global).head() == org.apache.spark.sql.Row(4L, 4.0))
+    // WHERE over key columns only: whole groups select on the state
+    val keyed = """SELECT sum(units) AS u FROM graft.db.sales
+      WHERE region = 'eu' GROUP BY k ORDER BY u"""
+    assert(viaState(keyed))
+    assert(spark.sql(keyed).collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    // WHERE over a non-key column cannot select whole groups -> scan
+    val nonKey = """SELECT k, count(*) AS n FROM graft.db.sales
+      WHERE amt > 2 GROUP BY k"""
+    assert(!viaState(nonKey))
+    assert(spark.sql(nonKey).head() == org.apache.spark.sql.Row("a", 1L))
+    // min/max outside `exts`, DISTINCT, expression args: scan
+    assert(!viaState("SELECT k, min(units) AS m FROM graft.db.sales GROUP BY k"))
+    assert(!viaState("SELECT count(DISTINCT region) AS d FROM graft.db.sales"))
+    assert(!viaState("SELECT k, sum(amt + 1) AS s FROM graft.db.sales GROUP BY k"))
+    // STALENESS is exact: one base commit off -> scan, right answers
+    base.append(Seq(("a", "eu", Some(10.0), 1L))
+      .toDF("k", "region", "amt", "units").coalesce(1))
+    assert(!viaState(grouped), "stale view must not rewrite")
+    assert(spark.sql(global).head() == org.apache.spark.sql.Row(5L, 14.0))
+    // refresh restores the rewrite, folding only the new commit
+    assert(IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
+    assert(viaState(grouped))
+    assert(spark.sql(global).head() == org.apache.spark.sql.Row(5L, 14.0))
+    // time travel: the pinned snapshot is not the folded one -> scan
+    val hist = spark.sql("SELECT snapshot_id FROM graft.db.sales.history " +
+      "ORDER BY made_current_at").collect()
+    val oldId = hist.head.getLong(0)
+    assert(!viaState(
+      s"SELECT count(*) AS n, sum(amt) AS s FROM graft.db.sales VERSION AS OF $oldId"))
+    assert(spark.sql(s"SELECT sum(amt) AS s FROM graft.db.sales VERSION AS OF $oldId")
+      .head().getDouble(0) == 4.0)
+    // unregistering stops the rewrite; results unchanged
+    base.dropMaterializedView("default")
+    assert(!viaState(grouped))
+    assert(spark.sql(global).head() == org.apache.spark.sql.Row(5L, 14.0))
+  }
 }
