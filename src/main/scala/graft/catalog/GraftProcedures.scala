@@ -33,6 +33,7 @@ import graft.engine.GraftTable
   *     'k1,k2', 's1,s2', 'e1,e2' [, '<name>'])  -- + min/max extremes
   *   CALL graft.system.remove_orphan_files('db.t')
   *   CALL graft.system.add_files('db.t', '/path/to/parquet')
+  *   CALL graft.system.snapshot('db.src', 'db.dst')  -- zero-copy clone
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.create_branch('db.t', '<name>')
@@ -205,6 +206,20 @@ object GraftProcedures {
     Def("add_files",
       Seq(in("table", StringType), in("source_dir", StringType)),
       (w, r) => table(w, str(r, 0)).addFiles(str(r, 1))),
+    Def("snapshot",
+      Seq(in("source_table", StringType), in("dest_table", StringType)),
+      (w, r) => {
+        val wh = w().getOrElse(sys.error("spark.graft.warehouse not set"))
+        val dstRef = str(r, 1)
+        val dst = dstRef.split('.') match {
+          case Array(db, tbl) =>
+            java.nio.file.Paths.get(wh, db, tbl).toString
+          case _ =>
+            sys.error(s"dest_table must be 'db.table', got '$dstRef'")
+        }
+        table(w, str(r, 0)).snapshotTo(dst, dstRef)
+        ()
+      }),
     Def("fast_forward",
       Seq(in("table", StringType), in("branch", StringType)),
       (w, r) => table(w, str(r, 0)).fastForward(str(r, 1))),

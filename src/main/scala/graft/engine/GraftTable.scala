@@ -654,6 +654,68 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Zero-copy clone (Iceberg's `snapshot` procedure; Delta's SHALLOW
+    * CLONE): creates an independent table at `dstLocation` whose single
+    * starting snapshot REFERENCES this table's current data and delete
+    * files in place — nothing is copied, read, or rewritten; cost is
+    * O(#files) metadata, so forking a 100 TB table is instant. The
+    * clone carries the full schema/spec history (field-id reads work
+    * unchanged), per-file commit sequences (equality deletes keep
+    * hiding exactly what they hid), and table properties. From then on
+    * the tables diverge freely: the clone's DML writes under ITS
+    * location and drops source references from its inventory; neither
+    * table's orphan reclamation can touch the other's files (each
+    * walks only its own `<location>/data`).
+    *
+    * CAVEAT (Iceberg documents the same for its snapshot procedure): a
+    * SOURCE-side rewrite followed by source orphan GC deletes shared
+    * files the clone still references. Treat clones as short-lived
+    * forks (experiments, WAP-style validation, migration trials) or
+    * retain source history while they live.
+    */
+  def snapshotTo(dstLocation: String, dstName: String): GraftTable = {
+    require(!MetadataIO.exists(dstLocation), s"table exists at $dstLocation")
+    val m = meta
+    def abs(fs: Vector[DataFileEntry]) =
+      fs.map(f => f.copy(path = absPath(f.path)))
+    val base = TableMetadata(
+      name = dstName, location = dstLocation, formatVersion = 2,
+      currentSchemaId = m.currentSchemaId, schemas = m.schemas,
+      currentSpecId = m.currentSpecId, partitionSpecs = m.partitionSpecs,
+      currentSnapshotId = None, snapshots = Vector.empty,
+      snapshotLog = Vector.empty, metadataLog = Vector.empty,
+      properties = m.properties + ("graft.cloned-from" -> location),
+      lastSequence = m.lastSequence)
+    val withSnap = m.currentSnapshot match {
+      case None => base
+      case Some(s) =>
+        val files = abs(s.files); val dels = abs(s.deleteFiles)
+        val id = Math.abs(UUID.randomUUID().getMostSignificantBits)
+        val now = System.currentTimeMillis()
+        val snap = Snapshot(
+          snapshotId = id, parentId = None, timestampMs = now,
+          operation = "clone", schemaId = m.currentSchemaId,
+          specId = m.currentSpecId, inlineFiles = files,
+          summary = Map(
+            "total-records" -> files.map(_.recordCount).sum.toString,
+            "total-data-files" -> files.size.toString,
+            "total-files-size-bytes" -> files.map(_.fileSizeBytes).sum.toString,
+            "total-delete-files" -> dels.size.toString,
+            "total-position-deletes" -> dels.filter(_.equalityIds.isEmpty)
+              .map(_.recordCount).sum.toString,
+            "added-data-files" -> files.size.toString,
+            "added-records" -> files.map(_.recordCount).sum.toString,
+            "added-files-size-bytes" -> files.map(_.fileSizeBytes).sum.toString,
+            "source-table" -> location,
+            "source-snapshot-id" -> s.snapshotId.toString),
+          inlineDeleteFiles = dels)
+        base.copy(currentSnapshotId = Some(id), snapshots = Vector(snap),
+          snapshotLog = Vector(SnapshotLogEntry(now, id)))
+    }
+    MetadataIO.commit(withSnap)
+    new GraftTable(spark, dstLocation)
+  }
+
   /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
   def overwrite(df: DataFrame): GraftTable = commitWrite(df, "overwrite", carryOver = false)
 

@@ -869,6 +869,51 @@ object CatalogQueries {
                min(o_totalprice) AS lo_price,
                max(o_totalprice) AS hi_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)),
+
+    // Zero-copy clone (Iceberg's snapshot procedure / Delta shallow
+    // clone): forking a table is O(#files) metadata — the clone
+    // references the source's files in place, then diverges with its
+    // own DML while the source keeps moving. The requires pin the
+    // zero-copy property (no data dir materializes at clone time) and
+    // mutual isolation (a post-clone source append stays invisible);
+    // the oracle recomputes the fork's final state from raw rows.
+    QueryDef(
+      "q159_zero_copy_clone",
+      (s, d) => {
+        val wh = setupOnce("q159", d) {
+          val w = scratch("clone")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val src = cat.createTableAs("db1", "cust_src",
+            Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal"))
+          s.conf.set("spark.graft.warehouse", w)
+          s.sql("CALL graft.system.snapshot('db1.cust_src', 'db1.cust_fork')")
+          val dst = graft.engine.GraftTable.load(s,
+            java.nio.file.Paths.get(w, "db1", "cust_fork").toString)
+          require(!java.nio.file.Files.exists(java.nio.file.Paths
+            .get(dst.location, "data")), "clone copied data")
+          // diverge: the fork drops negative balances; the source then
+          // appends a row the fork must never see
+          dst.delete(col("c_acctbal") < 0)
+          import s.implicits._
+          src.append(Seq((-1L, "SRC ONLY", 123.0))
+            .toDF("c_custkey", "c_name", "c_acctbal").coalesce(1))
+          require(dst.countRows() == dst.read().count(), "clone count drift")
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT count(*) AS n_rows,
+                 CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+                 min(c_acctbal) AS lo_bal, max(c_acctbal) AS hi_bal
+          FROM graft.db1.cust_fork""")
+      },
+      Some("""
+        SELECT count(*) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+               min(c_acctbal) AS lo_bal, max(c_acctbal) AS hi_bal
+        FROM customer WHERE c_acctbal >= 0
       """))
   )
 }

@@ -1949,4 +1949,41 @@ class EngineSpec extends AnyFunSuite {
       partition = Seq("typ" -> "identity"))
     intercept[Exception](t3.addFiles(s"$src/typ=b"))
   }
+
+  test("snapshotTo: zero-copy clone reads identically (MoR deletes " +
+      "included), then diverges without either side touching the other") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmp(), "clone_src",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    src.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    src.delete(col("id") === 3L) // MoR positional delete rides the clone
+    val dstLoc = tmp()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dstLoc))
+    val dst = src.snapshotTo(dstLoc, "clone_dst")
+    // zero copy: the clone has NO data directory of its own yet
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dstLoc, "data")))
+    assert(dst.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      src.read().orderBy("id").as[(Long, String)].collect().toSeq)
+    assert(dst.countRows() == 9L)
+    // divergence: clone DML writes under the CLONE, source unchanged
+    dst.delete(col("id") <= 5L)
+    dst.append(Seq((100L, "new")).toDF("id", "v").coalesce(1))
+    assert(dst.read().count() == 6L)
+    assert(src.read().count() == 9L)
+    // clone-side orphan GC walks only the clone's data dir: the shared
+    // source files survive, and both tables still answer
+    dst.removeOrphanFiles()
+    assert(src.read().count() == 9L && dst.read().count() == 6L)
+    // source-side append stays invisible to the clone
+    src.append(Seq((200L, "src-only")).toDF("id", "v").coalesce(1))
+    assert(dst.read().count() == 6L)
+    // clone history starts at its one "clone" snapshot
+    val snaps = dst.meta.snapshots
+    assert(snaps.head.operation == "clone" &&
+      snaps.head.summary("source-table") == src.location)
+    // an existing location refuses
+    intercept[Exception](src.snapshotTo(dstLoc, "again"))
+  }
 }
