@@ -179,12 +179,31 @@ object MviewRewrite {
     val state = try GraftTable.load(spark, v.stateLoc)
       catch { case NonFatal(_) => return None }
     // exact freshness: the fold's recorded base snapshot must BE the
-    // snapshot this query reads (current, or the time-travel pin)
+    // snapshot this query reads (current, or the time-travel pin) — OR
+    // reach it through "replace" commits only: binpack/zorder/manifest
+    // compaction/MoR materialization advance the snapshot id without
+    // changing a single row, and maintenance must not knock a hot view
+    // off its fast path
     val applied = state.meta.properties
       .get(s"graft.agg.${v.name}.from-snapshot").flatMap(_.toLongOption)
-    val want = h.pinnedSnapshot.orElse(h.table.meta.currentSnapshot)
+    val baseMeta = h.table.meta
+    val want = h.pinnedSnapshot.orElse(baseMeta.currentSnapshot)
       .map(_.snapshotId)
-    if (want.isEmpty || applied != want) return None
+    def replaceOnlyLineage(appliedId: Long, wantId: Long): Boolean = {
+      val byId = baseMeta.snapshots.map(s => s.snapshotId -> s).toMap
+      var cur = byId.get(wantId)
+      var hops = 0
+      while (cur.isDefined && hops < 100000) {
+        val s = cur.get
+        if (s.snapshotId == appliedId) return true
+        if (s.operation != "replace") return false
+        cur = s.parentId.flatMap(byId.get)
+        hops += 1
+      }
+      false // lineage broken (expired history): stale
+    }
+    if (want.isEmpty ||
+        !applied.exists(a => replaceOnlyLineage(a, want.get))) return None
     // raw state, zero-count groups hidden (IncrementalAgg.present
     // semantics — kept raw so nn_/min_/max_ components stay addressable)
     val src0 = state.read().filter(col("n_rows") > 0)

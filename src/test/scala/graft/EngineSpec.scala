@@ -1931,6 +1931,20 @@ class EngineSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "a"), (3L, "b")))
     // injected constants behave as ordinary columns in predicates
     assert(t.readWhere(col("typ") === "a").count() == 2)
+    // DML over path-only partition columns (separate table — the same
+    // layout imports twice): the CoW rewrite reads the injected
+    // constants and writes native files that CONTAIN typ physically,
+    // so imported rows mutate like any others
+    val t4 = GraftTable.create(spark, tmp(), "himp4",
+      Seq("id" -> "long", "typ" -> "string"),
+      partition = Seq("typ" -> "identity"))
+    t4.addFiles(src)
+    t4.delete(col("typ") === "b")
+    assert(t4.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "a")))
+    t4.update(col("id") === 1L, Map("typ" -> lit("z")))
+    assert(t4.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "z"), (2L, "a")))
     // partition pruning runs off the path-derived partition values:
     // delete the 'a' source files from disk — the typ=b query still
     // answers, so pruning provably never opened them

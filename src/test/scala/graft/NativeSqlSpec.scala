@@ -1072,6 +1072,13 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(IncrementalAgg.refreshWithExtremes(base, state, keys, sums, exts))
     assert(viaState(grouped))
     assert(spark.sql(global).head() == org.apache.spark.sql.Row(5L, 14.0))
+    // maintenance must not knock the view off its fast path: a
+    // "replace" commit (manifest compaction here) changes no rows, and
+    // the replace-only lineage walk keeps the rewrite live
+    base.rewriteManifests()
+    assert(base.meta.currentSnapshot.get.operation == "replace")
+    assert(viaState(grouped), "replace-only lineage must stay fresh")
+    assert(spark.sql(global).head() == org.apache.spark.sql.Row(5L, 14.0))
     // time travel: the pinned snapshot is not the folded one -> scan
     val hist = spark.sql("SELECT snapshot_id FROM graft.db.sales.history " +
       "ORDER BY made_current_at").collect()
