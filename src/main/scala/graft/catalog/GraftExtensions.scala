@@ -33,8 +33,15 @@ import graft.tableformat.MetadataIO
   * `spark.sql.catalog.graft=graft.catalog.GraftNamespaceCatalog`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(ResolveGraftRelations)
+    // view DDL must be claimed at the parser seam: Spark 4.1 has no v2
+    // view exec path and its session-catalog resolution throws
+    // MISSING_CATALOG_ABILITY before extension rules run (see
+    // GraftViewSql)
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
+  }
 }
 
 /** Resolution rule: swaps graft relations and DML statements for
@@ -204,15 +211,43 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           r.table.asInstanceOf[GraftMetadataTableHandle].df
             .queryExecution.analyzed)
 
+      // ---- stored views: DML against a view is a hard error (before
+      // ---- the expansion below could turn the target into a subquery
+      // ---- and produce an opaque analyzer failure)
+      case i: InsertIntoStatement if viewTargetOf(i.table).isDefined =>
+        sys.error(s"cannot INSERT into view ${viewName(i.table)}")
+      case DeleteFromTable(rel, _) if viewTargetOf(rel).isDefined =>
+        sys.error(s"cannot DELETE from view ${viewName(rel)}")
+      case UpdateTable(rel, _, _) if viewTargetOf(rel).isDefined =>
+        sys.error(s"cannot UPDATE view ${viewName(rel)}")
+      case mit: MergeIntoTable if viewTargetOf(mit.targetTable).isDefined =>
+        sys.error(s"cannot MERGE into view ${viewName(mit.targetTable)}")
+
+      // ---- stored views: expand the recorded SQL late-binding.
+      // ---- VERSION/TIMESTAMP AS OF on a view name pins the
+      // ---- DEFINITION version (Iceberg view versioning), data stays
+      // ---- current. Must precede the table fallbacks: a 3-part view
+      // ---- ident matches isGraft but withTable finds no table, and
+      // ---- first-match-wins would leave the relation unresolved.
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if GraftViewSql.viewParts(spark, u.multipartIdentifier).isDefined =>
+        val (db, v) = GraftViewSql.viewParts(spark, u.multipartIdentifier).get
+        GraftViewSql.expand(spark, db, v,
+          ver.map(_.toInt), ts.map(evalTsMillis))
+      case u: UnresolvedRelation
+          if GraftViewSql.viewParts(spark, u.multipartIdentifier).isDefined =>
+        val (db, v) = GraftViewSql.viewParts(spark, u.multipartIdentifier).get
+        GraftViewSql.expand(spark, db, v, None, None)
+
       // ---- fallbacks: extension installed without the catalog plugin
-      case RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isGraft(u) =>
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isGraft(u) =>
         withTable(u) { t =>
           (ts, ver) match {
             case (_, Some(v)) => t.readAsOfVersion(v.toLong)
             case (Some(e), _) => t.readAsOfTime(evalTsMillis(e))
             case _            => t.read()
           }
-        }.getOrElse(plan) // leave unresolved; Spark reports the error
+        }.getOrElse(tt) // leave unresolved; Spark reports the error
       case u: UnresolvedRelation if isGraft(u) =>
         withTable(u)(_.read()).getOrElse(u)
     }
@@ -664,6 +699,19 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       sys.error(s"nested UPDATE targets are unsupported: ${u.nameParts.mkString(".")}")
     case other => sys.error(s"unsupported UPDATE target $other")
   }
+
+  /** DML-target guard: the (possibly aliased) relation names a stored
+    * view.
+    */
+  private def viewTargetOf(p: LogicalPlan): Option[(String, String)] = p match {
+    case s: SubqueryAlias => viewTargetOf(s.child)
+    case u: UnresolvedRelation =>
+      GraftViewSql.viewParts(spark, u.multipartIdentifier)
+    case _ => None
+  }
+
+  private def viewName(p: LogicalPlan): String =
+    viewTargetOf(p).map { case (db, v) => s"$db.$v" }.getOrElse("?")
 
   private def isGraft(u: UnresolvedRelation): Boolean =
     u.multipartIdentifier.length == 3 &&

@@ -25,7 +25,7 @@ import graft.tableformat.{FieldDef, MetadataIO}
   * before any resolution rule runs.
   */
 class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = "graft"
 
@@ -265,6 +265,135 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
         paths.foreach(Files.deleteIfExists(_))
         true
     }
+
+  // -------- views (persistent SQL views, Iceberg view semantics) ----
+  // Storage + versioning live in [[ViewIO]]; a location is a table XOR
+  // a view (distinct hint-file families, enforced at create). DDL
+  // arrives through this DSv2 surface programmatically and through
+  // [[ResolveGraftRelations]]'s statement interception for SQL text.
+
+  private def viewLocation(ident: Identifier): Option[String] =
+    location(ident)
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewLocation(ident).exists(ViewIO.exists)
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    warehouse.map { w =>
+      val d = Paths.get(w, namespace.mkString("/"))
+      if (!Files.isDirectory(d)) Array.empty[Identifier]
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .filter(p => ViewIO.exists(p.toString))
+          .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+          .toArray
+        finally s.close()
+      }
+    }.getOrElse(Array.empty)
+
+  override def loadView(ident: Identifier): View =
+    viewLocation(ident).filter(ViewIO.exists) match {
+      case Some(loc) =>
+        val m = ViewIO.read(loc)
+        GraftViewHandle(m, m.current)
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    }
+
+  private def versionFrom(info: ViewInfo, id: Int): ViewVersion =
+    ViewVersion(
+      versionId = id,
+      timestampMs = System.currentTimeMillis(),
+      sql = info.sql(),
+      schemaJson = info.schema().json,
+      defaultCatalog = info.currentCatalog(),
+      defaultNamespace = info.currentNamespace().toVector,
+      queryColumnNames = info.queryColumnNames().toVector,
+      columnAliases = info.columnAliases().toVector,
+      columnComments = Option(info.columnComments())
+        .map(_.toVector).getOrElse(Vector.empty))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    val loc = viewLocation(ident)
+      .getOrElse(sys.error("spark.graft.warehouse not set"))
+    if (MetadataIO.exists(loc))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (ViewIO.exists(loc))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    val m = ViewMetadata(
+      name = (ident.namespace() :+ ident.name()).mkString("."),
+      currentVersionId = 1,
+      versions = Vector(versionFrom(info, 1)),
+      properties = info.properties().asScala.toMap)
+    ViewIO.commit(loc, m)
+    GraftViewHandle(m, m.current)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    val loc = viewLocation(ident)
+      .getOrElse(sys.error("spark.graft.warehouse not set"))
+    if (MetadataIO.exists(loc))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (!ViewIO.exists(loc)) {
+      if (!orCreate)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+      return createView(info)
+    }
+    // REPLACE appends a version — the old definition stays readable via
+    // VERSION AS OF, the Iceberg-view audit-trail contract
+    val cur = ViewIO.read(loc)
+    val nextId = cur.versions.map(_.versionId).max + 1
+    val m = cur.copy(
+      currentVersionId = nextId,
+      versions = cur.versions :+ versionFrom(info, nextId),
+      properties = info.properties().asScala.toMap)
+    ViewIO.commit(loc, m)
+    GraftViewHandle(m, m.current)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val loc = viewLocation(ident).filter(ViewIO.exists)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val cur = ViewIO.read(loc)
+    val props = changes.foldLeft(cur.properties) {
+      case (p, s: ViewChange.SetProperty)    => p + (s.property -> s.value)
+      case (p, r: ViewChange.RemoveProperty) => p - r.property
+      case (_, other) =>
+        sys.error(s"unsupported view change: ${other.getClass.getSimpleName}")
+    }
+    val m = cur.copy(properties = props)
+    ViewIO.commit(loc, m)
+    GraftViewHandle(m, m.current)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewLocation(ident).exists(ViewIO.drop)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = viewLocation(oldIdent).filter(ViewIO.exists)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
+    val to = viewLocation(newIdent)
+      .getOrElse(sys.error("spark.graft.warehouse not set"))
+    if (MetadataIO.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    if (ViewIO.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(Paths.get(to).getParent)
+    try Files.createDirectory(Paths.get(to))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    }
+    Files.move(Paths.get(from), Paths.get(to),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val cur = ViewIO.read(to)
+    ViewIO.commit(to, cur.copy(
+      name = (newIdent.namespace() :+ newIdent.name()).mkString(".")))
+  }
 
   /** ALTER TABLE ... RENAME TO: one atomic directory move — manifest
     * data-file paths are location-relative by design (see

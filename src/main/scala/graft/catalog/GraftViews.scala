@@ -1,0 +1,148 @@
+package graft.catalog
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import graft.tableformat.MetadataIO.CommitConflictException
+
+/** Persistent SQL views over graft tables — the Iceberg view spec's
+  * shape, re-expressed in the warehouse's JSON metadata idiom.
+  *
+  * A view directory holds `metadata/vN.view.json` + `view-hint.text`
+  * (the table layout's H1 pattern with a distinct filename family, so a
+  * location is provably a table XOR a view). The document is a full
+  * replacement per DDL commit — views are tiny (SQL text + lineage),
+  * so the table format's manifest-layering concern does not apply.
+  *
+  * Semantics follow Iceberg views:
+  *   - LATE BINDING: the stored SQL re-analyzes at every read, so a
+  *     view over `t` sees t's current schema/snapshot; the schema
+  *     recorded per version is the definition-time shape (DESCRIBE,
+  *     drift detection), never a pin.
+  *   - VERSIONED: CREATE OR REPLACE appends a [[ViewVersion]] and moves
+  *     `currentVersionId`; prior versions stay readable via
+  *     `VERSION AS OF n` on the view name, and the version list is the
+  *     audit trail (who-changed-what for pipeline defs).
+  *   - each version records its definition-time catalog + namespace, so
+  *     unqualified table names in the stored SQL resolve where the
+  *     author meant, not where the reader happens to sit.
+  *
+  * Commit protocol: same write-then-link claim as table metadata —
+  * concurrent CREATE OR REPLACE of one view cannot lose an update.
+  */
+final case class ViewVersion(
+    versionId: Int,
+    timestampMs: Long,
+    sql: String,
+    schemaJson: String,
+    defaultCatalog: String,
+    defaultNamespace: Vector[String],
+    queryColumnNames: Vector[String] = Vector.empty,
+    columnAliases: Vector[String] = Vector.empty,
+    columnComments: Vector[String] = Vector.empty)
+
+final case class ViewMetadata(
+    name: String,
+    currentVersionId: Int,
+    versions: Vector[ViewVersion],
+    properties: Map[String, String] = Map.empty) {
+  def current: ViewVersion =
+    versions.find(_.versionId == currentVersionId).getOrElse(
+      sys.error(s"view $name: currentVersionId $currentVersionId " +
+        "names no recorded version"))
+  def version(id: Int): Option[ViewVersion] =
+    versions.find(_.versionId == id)
+}
+
+/** DSv2 handle for a stored view (one version of it — the current one
+  * for plain reads, a pinned one under `VERSION AS OF`). Carries the
+  * stored SQL + definition-time resolution context; the analyzer (or
+  * [[ResolveGraftRelations]]'s fallback) expands it late-binding.
+  */
+final case class GraftViewHandle(meta: ViewMetadata, v: ViewVersion)
+    extends org.apache.spark.sql.connector.catalog.View {
+  override def name(): String = meta.name
+  override def query(): String = v.sql
+  override def currentCatalog(): String = v.defaultCatalog
+  override def currentNamespace(): Array[String] = v.defaultNamespace.toArray
+  override def schema(): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(v.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  override def queryColumnNames(): Array[String] = v.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = v.columnAliases.toArray
+  override def columnComments(): Array[String] = v.columnComments.toArray
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    java.util.Collections.unmodifiableMap(meta.properties.asJava)
+  }
+}
+
+object ViewIO {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def metadataDir(location: String): Path =
+    Paths.get(location, "metadata")
+  def hintPath(location: String): Path =
+    metadataDir(location).resolve("view-hint.text")
+  private def docPath(location: String, version: Int): Path =
+    metadataDir(location).resolve(s"v$version.view.json")
+
+  def exists(location: String): Boolean = Files.exists(hintPath(location))
+
+  /** Hint is advisory (it can trail a racing writer's claim): probe
+    * forward to the highest claimed document, as table reads do.
+    */
+  private def currentDocVersion(location: String): Option[Int] = {
+    val hinted = try Files.readString(hintPath(location)).trim.toIntOption
+      catch { case _: java.io.IOException => None }
+    hinted.map { h =>
+      var v = math.max(h, 1)
+      while (Files.exists(docPath(location, v + 1))) v += 1
+      v
+    }
+  }
+
+  def read(location: String): ViewMetadata = {
+    val v = currentDocVersion(location).getOrElse(
+      sys.error(s"no view-hint.text under $location"))
+    JsonMethods.parse(Files.readString(docPath(location, v)))
+      .extract[ViewMetadata]
+  }
+
+  /** Claim the next document slot atomically; conflict = a racer won. */
+  def commit(location: String, meta: ViewMetadata): Unit = {
+    val dir = metadataDir(location)
+    Files.createDirectories(dir)
+    val next = currentDocVersion(location).getOrElse(0) + 1
+    val tmp = Files.createTempFile(dir, s".v$next-view-", ".json.tmp")
+    try {
+      Files.writeString(tmp, Serialization.writePretty(meta))
+      try Files.createLink(docPath(location, next), tmp)
+      catch {
+        case _: FileAlreadyExistsException =>
+          throw new CommitConflictException(location, next)
+      }
+    } finally Files.deleteIfExists(tmp)
+    // advance-only hint swap (same contract as table hints)
+    val hs = Files.createTempFile(dir, ".view-hint-", ".tmp")
+    try {
+      Files.writeString(hs, next.toString)
+      Files.move(hs, hintPath(location),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(hs)
+  }
+
+  def drop(location: String): Boolean = {
+    if (!exists(location)) return false
+    val root = Paths.get(location)
+    val s = Files.walk(root)
+    val paths = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.reverse
+    } finally s.close()
+    paths.foreach(Files.deleteIfExists(_))
+    true
+  }
+}

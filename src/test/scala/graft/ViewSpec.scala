@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.catalog.{GraftCatalog, ViewIO}
+
+/** Stored SQL views: Iceberg-view semantics (late binding, versioned
+  * definitions, definition-context name resolution) over the graft
+  * warehouse, driven through the injected parser + resolution rule.
+  */
+class ViewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", Some(4))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshCat() = new GraftCatalog(spark,
+    Files.createTempDirectory("graft-vwh").toString)
+
+  test("create, read, late binding, replace, version pinning") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "base", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L, 3L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.v1 AS SELECT id * 2 AS d FROM graft.db.base")
+    assert(spark.sql("SELECT * FROM graft.db.v1 ORDER BY d")
+      .as[Long].collect().toSeq == Seq(2L, 4L, 6L))
+    // spark.table() resolves through the same path
+    assert(spark.table("graft.db.v1").count() == 3)
+    // LATE BINDING: new base rows appear without any view DDL
+    t.append(Seq(10L).toDF("id"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.v1")
+      .head().getLong(0) == 4L)
+    // IF NOT EXISTS is a no-op on an existing view; bare CREATE throws
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.db.v1 AS SELECT 1 AS x")
+    assert(spark.table("graft.db.v1").columns.toSeq == Seq("d"))
+    intercept[Exception](
+      spark.sql("CREATE VIEW graft.db.v1 AS SELECT 1 AS x"))
+    // OR REPLACE appends a version; the old definition stays readable
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v1 AS " +
+      "SELECT id + 100 AS d FROM graft.db.base")
+    assert(spark.sql("SELECT min(d) AS m FROM graft.db.v1")
+      .head().getLong(0) == 101L)
+    assert(spark.sql("SELECT min(d) AS m FROM graft.db.v1 VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.v1 VERSION AS OF 9"))
+  }
+
+  test("definition context: unqualified names resolve where the author sat") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("dbx", "nums", Seq("n" -> "long"))
+    t.append(Seq(5L, 6L).toDF("n"))
+    spark.sql("USE graft.dbx")
+    try {
+      // body references bare `nums`; ident is 1-part under current ns
+      spark.sql("CREATE VIEW ctxv AS SELECT sum(n) AS s FROM nums")
+      assert(spark.sql("SELECT s FROM ctxv").head().getLong(0) == 11L)
+      // a reader sitting ELSEWHERE still resolves the body correctly
+      spark.sql("USE spark_catalog.default")
+      assert(spark.sql("SELECT s FROM graft.dbx.ctxv").head().getLong(0) == 11L)
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("views over views, column aliases, cycle detection") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b2", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L, 3L, 4L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.even (e) AS " +
+      "SELECT id FROM graft.db.b2 WHERE id % 2 = 0")
+    spark.sql("CREATE VIEW graft.db.esum AS SELECT sum(e) AS s FROM graft.db.even")
+    assert(spark.sql("SELECT s FROM graft.db.esum").head().getLong(0) == 6L)
+    // cycle: rewire `even` to read `esum` — both reads must now fail
+    // with an explicit cycle error, not an analyzer loop
+    spark.sql("CREATE OR REPLACE VIEW graft.db.even (e) AS " +
+      "SELECT s AS id FROM graft.db.esum")
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.db.even").collect())
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    // CTE names inside a view body must NOT be catalog-qualified
+    spark.sql("CREATE VIEW graft.db.wcte AS " +
+      "WITH tmp AS (SELECT id FROM graft.db.b2 WHERE id <= 2) " +
+      "SELECT count(*) AS n FROM tmp")
+    assert(spark.sql("SELECT n FROM graft.db.wcte").head().getLong(0) == 2L)
+  }
+
+  test("DML against a view is rejected with a clear error") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b3", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.vd AS SELECT id FROM graft.db.b3")
+    for (stmt <- Seq(
+        "INSERT INTO graft.db.vd VALUES (9)",
+        "DELETE FROM graft.db.vd WHERE id = 1",
+        "UPDATE graft.db.vd SET id = 2 WHERE id = 1",
+        "MERGE INTO graft.db.vd USING (SELECT 1 AS id) s ON vd.id = s.id " +
+          "WHEN MATCHED THEN DELETE")) {
+      val e = intercept[Exception](spark.sql(stmt))
+      assert(e.getMessage.contains("view"), s"$stmt -> ${e.getMessage}")
+    }
+    assert(t.read().count() == 1)
+  }
+
+  test("show, drop, rename, properties, metadata guards") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b4", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.sv1 COMMENT 'first' " +
+      "TBLPROPERTIES ('team'='data') AS SELECT id FROM graft.db.b4")
+    spark.sql("CREATE VIEW graft.db.sv2 AS SELECT id FROM graft.db.b4")
+    assert(spark.sql("SHOW VIEWS IN graft.db").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq ==
+      Seq(("db", "sv1", false), ("db", "sv2", false)))
+    // SHOW TABLES must NOT list views; a view is not a table
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("sv1"))
+    val nsCat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftNamespaceCatalog]
+    assert(!nsCat.tableExists(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "sv1")))
+    // properties round-trip through ALTER VIEW SET/UNSET
+    spark.sql("ALTER VIEW graft.db.sv1 SET TBLPROPERTIES ('tier'='gold')")
+    spark.sql("ALTER VIEW graft.db.sv1 UNSET TBLPROPERTIES ('team')")
+    val loc = java.nio.file.Paths.get(cat.warehouse, "db", "sv1").toString
+    val m = ViewIO.read(loc)
+    assert(m.properties == Map("comment" -> "first", "tier" -> "gold"))
+    // property changes do NOT bump the definition version
+    assert(m.currentVersionId == 1 && m.versions.size == 1)
+    // rename moves the directory, same-namespace shorthand
+    spark.sql("ALTER VIEW graft.db.sv2 RENAME TO sv3")
+    assert(spark.sql("SELECT id FROM graft.db.sv3").head().getLong(0) == 1L)
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.sv2").collect())
+    // drop: IF EXISTS tolerates absence; bare drop of a missing view throws
+    spark.sql("DROP VIEW graft.db.sv3")
+    spark.sql("DROP VIEW IF EXISTS graft.db.sv3")
+    intercept[Exception](spark.sql("DROP VIEW graft.db.sv3"))
+    // a TABLE is not droppable as a view, nor shadowable by CREATE VIEW
+    intercept[Exception](spark.sql("DROP VIEW graft.db.b4"))
+    intercept[Exception](
+      spark.sql("CREATE VIEW graft.db.b4 AS SELECT 1 AS x"))
+  }
+
+  test("temp-view references are rejected at create; temp DDL untouched") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b5", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    // graft parser must leave Spark's temporary-view DDL alone
+    spark.sql("CREATE TEMPORARY VIEW tmp_nums AS SELECT 42 AS n")
+    assert(spark.sql("SELECT n FROM tmp_nums").head().getInt(0) == 42)
+    val e = intercept[Exception](
+      spark.sql("CREATE VIEW graft.db.overtmp AS SELECT n FROM tmp_nums"))
+    assert(e.getMessage.contains("temporary"), e.getMessage)
+    spark.sql("DROP VIEW tmp_nums") // session temp view: Spark's own path
+  }
+
+  test("TIMESTAMP AS OF pins the definition that was current then") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b6", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.tv AS SELECT count(*) AS c FROM graft.db.b6")
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("CREATE OR REPLACE VIEW graft.db.tv AS " +
+      "SELECT count(*) * 100 AS c FROM graft.db.b6")
+    assert(spark.sql("SELECT c FROM graft.db.tv").head().getLong(0) == 200L)
+    val ts = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(between), java.time.ZoneOffset.UTC)
+      .toString.replace("T", " ")
+    assert(spark.sql(s"SELECT c FROM graft.db.tv TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 2L)
+  }
+
+  test("programmatic ViewCatalog surface + concurrent replace safety") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b7", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    val vc = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftNamespaceCatalog]
+    val ident = Identifier.of(Array("db"), "pv")
+    val schema = spark.sql("SELECT id FROM graft.db.b7").schema
+    def info(sql: String) = new ViewInfo(ident, sql, "graft", Array("db"),
+      schema, Array("id"), Array.empty, Array.empty,
+      new java.util.HashMap[String, String]())
+    vc.createView(info("SELECT id FROM graft.db.b7"))
+    assert(vc.viewExists(ident))
+    assert(vc.loadView(ident).query() == "SELECT id FROM graft.db.b7")
+    intercept[Exception](vc.createView(info("SELECT 1 AS id")))
+    vc.replaceView(info("SELECT id + 1 AS id FROM graft.db.b7"),
+      orCreate = false)
+    assert(spark.sql("SELECT id FROM graft.db.pv").head().getLong(0) == 2L)
+    // the claim protocol: racing commits of one view serialize on the
+    // atomic link(2) slot claim — exactly one writer per slot
+    val loc = java.nio.file.Paths.get(cat.warehouse, "db", "pv").toString
+    val base = ViewIO.read(loc)
+    val racers = (0 until 8).map { i =>
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        try { ViewIO.commit(loc, base.copy(
+          properties = Map("who" -> s"w$i"))); 1 }
+        catch { case _: Exception => 0 }
+      }
+    }
+    val wins = racers.map(_.join()).sum
+    assert(wins >= 1, "at least one racer must commit")
+    val fin = ViewIO.read(loc)
+    assert(fin.properties.get("who").exists(_.startsWith("w")))
+  }
+}
