@@ -66,16 +66,20 @@ object GraftViewSql {
   // (?i) case-insensitive, (?s) DOTALL so the AS body spans lines.
   // Identifiers allow word chars, dots, and backticks — resolved
   // properly by the delegate's parseMultipartIdentifier afterwards.
-  private val CreateViewRe: Regex =
+  // CREATE VIEW matches only the head; the clause tail (aliases /
+  // COMMENT / TBLPROPERTIES, any order, ''-escaped quotes) is parsed
+  // by [[parseCreateViewTail]] — a malformed tail on a GRAFT target is
+  // a clear graft-side error naming the grammar, never a silent
+  // fallthrough into Spark's MISSING_CATALOG_ABILITY.
+  private val CreateViewHeadRe: Regex =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
-      "([\\w.`]+)\\s*(?:\\(([^)]*)\\))?\\s*(?:COMMENT\\s+'([^']*)')?\\s*" +
-      "(?:TBLPROPERTIES\\s*\\(([^)]*)\\))?\\s*AS\\s+(.+)$").r
+      "([\\w.`]+)\\s*(.*?)\\s*;?\\s*$").r
   private val AlterViewAsRe: Regex =
     "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.`]+)\\s+AS\\s+(.+)$".r
   private val AlterViewSetRe: Regex =
-    "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.`]+)\\s+SET\\s+TBLPROPERTIES\\s*\\(([^)]*)\\)\\s*;?\\s*$".r
+    "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.`]+)\\s+SET\\s+TBLPROPERTIES\\s*(\\(.*)$".r
   private val AlterViewUnsetRe: Regex =
-    "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.`]+)\\s+UNSET\\s+TBLPROPERTIES\\s*\\(([^)]*)\\)\\s*;?\\s*$".r
+    "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.`]+)\\s+UNSET\\s+TBLPROPERTIES\\s*(\\(.*)$".r
   private val AlterViewRenameRe: Regex =
     "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.`]+)\\s+RENAME\\s+TO\\s+([\\w.`]+)\\s*;?\\s*$".r
   private val DropViewRe: Regex =
@@ -112,41 +116,138 @@ object GraftViewSql {
     }
   }
 
-  /** `'k'='v', 'k2'='v2'` → Map. Empty/absent text → empty map. */
+  /** Split `"( ... ) rest"` at the paren closing the list, respecting
+    * ''-escaped single-quoted strings — a ')' or '(' inside a quoted
+    * value must not count. Returns (inside, rest).
+    */
+  private def splitParen(text: String): (String, String) = {
+    require(text.startsWith("("), s"expected '(' at: ${text.take(30)}")
+    var i = 1; var depth = 1; var inStr = false
+    while (i < text.length && depth > 0) {
+      val c = text.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _    => ()
+      }
+      i += 1
+    }
+    require(depth == 0, s"unbalanced parentheses in: ${text.take(60)}")
+    (text.substring(1, i - 1), text.substring(i))
+  }
+
+  /** Top-level comma split, respecting ''-escaped quoted strings (a
+    * ',' inside a quoted property value must not split).
+    */
+  private def splitList(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false; var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inStr = false
+        }
+      } else if (c == '\'') { inStr = true; cur.append(c) }
+      else if (c == ',') { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    require(!inStr, s"unterminated quoted string in: ${text.take(60)}")
+    out += cur.toString
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  /** `'lit''eral'` → `lit'eral` (SQL single-quote escaping). */
+  private def unquote(lit: String): String =
+    lit.stripPrefix("'").stripSuffix("'").replace("''", "'")
+
+  /** `'k'='v', 'k2'='v2'` → Map. Empty/absent text → empty map.
+    * Values may contain commas, parens, and ''-escaped quotes.
+    */
   private def parseProps(text: String): Map[String, String] = {
-    val Pair = "\\s*'([^']*)'\\s*=\\s*'([^']*)'\\s*".r
+    val Pair = "(?s)\\s*('(?:[^']|'')*')\\s*=\\s*('(?:[^']|'')*')\\s*".r
     if (text == null || text.trim.isEmpty) Map.empty
-    else text.split(",").map {
-      case Pair(k, v) => k -> v
+    else splitList(text).map {
+      case Pair(k, v) => unquote(k) -> unquote(v)
       case other => sys.error(s"malformed TBLPROPERTIES entry: $other " +
         "(expected 'key'='value')")
     }.toMap
   }
 
   private def parseKeys(text: String): Seq[String] = {
-    val Key = "\\s*'([^']*)'\\s*".r
+    val Key = "\\s*('(?:[^']|'')*')\\s*".r
     if (text == null || text.trim.isEmpty) Seq.empty
-    else text.split(",").toSeq.map {
-      case Key(k) => k
+    else splitList(text).map {
+      case Key(k) => unquote(k)
       case other => sys.error(s"malformed TBLPROPERTIES key: $other")
     }
   }
 
+  private val SupportedCreateGrammar =
+    "CREATE [OR REPLACE] VIEW [IF NOT EXISTS] name [(col [, ...])] " +
+      "[COMMENT 'text'] [TBLPROPERTIES ('k'='v' [, ...])] AS query " +
+      "(clauses accepted in any order before AS; '' escapes a quote)"
+
+  /** Parse the CREATE VIEW clause tail — everything after the view
+    * identifier. Clauses may appear in ANY order before AS; each at
+    * most once. Returns (columnAliases, comment, properties, body).
+    */
+  private def parseCreateViewTail(tail0: String)
+      : (Seq[String], Option[String], Map[String, String], String) = {
+    val CommentRe = "(?is)^COMMENT\\s+('(?:[^']|'')*')(.*)$".r
+    val TblPropsRe = "(?is)^TBLPROPERTIES\\s*(\\(.*)$".r
+    val AsRe = "(?is)^AS\\s+(.+)$".r
+    var tail = tail0.trim
+    var aliases: Option[Seq[String]] = None
+    var comment: Option[String] = None
+    var props: Option[Map[String, String]] = None
+    var body: String = null
+    while (body == null) {
+      tail match {
+        case AsRe(b) => body = b.trim
+        case _ if tail.startsWith("(") && aliases.isEmpty =>
+          val (inside, rest) = splitParen(tail)
+          aliases = Some(inside.split(",").toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty))
+          tail = rest.trim
+        case CommentRe(lit, rest) if comment.isEmpty =>
+          comment = Some(unquote(lit)); tail = rest.trim
+        case TblPropsRe(parenAndRest) if props.isEmpty =>
+          val (inside, rest) = splitParen(parenAndRest)
+          props = Some(parseProps(inside)); tail = rest.trim
+        case _ => sys.error(
+          s"cannot parse CREATE VIEW near '${tail.take(40)}'. " +
+            s"Supported grammar: $SupportedCreateGrammar")
+      }
+    }
+    (aliases.getOrElse(Seq.empty), comment, props.getOrElse(Map.empty), body)
+  }
+
   def interceptViewDdl(session: SparkSession, delegate: ParserInterface,
       sqlText: String): Option[LogicalPlan] = sqlText match {
-    case CreateViewRe(orReplace, ifNotExists, identText, aliases, comment,
-        props, body) =>
+    case CreateViewHeadRe(orReplace, ifNotExists, identText, tail) =>
       val parts = delegate.parseMultipartIdentifier(identText)
       graftTarget(session, parts).map { case (cat, db, v) =>
+        val (aliases, comment, props, body) = parseCreateViewTail(tail)
         delegate.parsePlan(body) // surface syntax errors at parse time
-        GraftCreateViewCommand(cat, db, v, body.trim,
+        GraftCreateViewCommand(cat, db, v, body,
           replace = orReplace != null,
           ifNotExists = ifNotExists != null,
-          columnAliases = Option(aliases).map(_.split(",").toSeq
-            .map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty)).getOrElse(Seq.empty),
-          comment = Option(comment),
-          properties = parseProps(props))
+          columnAliases = aliases,
+          comment = comment,
+          properties = props)
       }
     case AlterViewAsRe(identText, body) =>
       val parts = delegate.parseMultipartIdentifier(identText)
@@ -156,17 +257,23 @@ object GraftViewSql {
           ifNotExists = false, columnAliases = Seq.empty, comment = None,
           properties = Map.empty, requireExists = true)
       }
-    case AlterViewSetRe(identText, props) =>
+    case AlterViewSetRe(identText, parenAndRest) =>
       val parts = delegate.parseMultipartIdentifier(identText)
       graftTarget(session, parts).map { case (cat, db, v) =>
+        val (inside, rest) = splitParen(parenAndRest)
+        require(rest.trim.stripSuffix(";").trim.isEmpty,
+          s"unexpected trailing text after TBLPROPERTIES: ${rest.take(40)}")
         GraftAlterViewPropsCommand(cat, db, v,
-          set = parseProps(props), unset = Seq.empty)
+          set = parseProps(inside), unset = Seq.empty)
       }
-    case AlterViewUnsetRe(identText, keys) =>
+    case AlterViewUnsetRe(identText, parenAndRest) =>
       val parts = delegate.parseMultipartIdentifier(identText)
       graftTarget(session, parts).map { case (cat, db, v) =>
+        val (inside, rest) = splitParen(parenAndRest)
+        require(rest.trim.stripSuffix(";").trim.isEmpty,
+          s"unexpected trailing text after TBLPROPERTIES: ${rest.take(40)}")
         GraftAlterViewPropsCommand(cat, db, v,
-          set = Map.empty, unset = parseKeys(keys))
+          set = Map.empty, unset = parseKeys(inside))
       }
     case AlterViewRenameRe(fromText, toText) =>
       val fromParts = delegate.parseMultipartIdentifier(fromText)
@@ -250,7 +357,7 @@ object GraftViewSql {
       versionId: Option[Int], tsMillis: Option[Long],
       seen: Set[String] = Set.empty): LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases
-    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
     val key = s"$db.$view".toLowerCase
     require(!seen(key),
       s"view cycle detected through $db.$view (${(seen + key).mkString(" -> ")})")
@@ -268,16 +375,13 @@ object GraftViewSql {
         cands.maxBy(_.timestampMs)
       case _ => meta.current
     }
-    val parsed = spark.sessionState.sqlParser.parsePlan(v.sql)
-    // CTE names are plan-local — they must never be catalog-qualified
-    val cteNames: Set[String] = parsed.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
+    val parsed = inlineCtes(spark.sessionState.sqlParser.parsePlan(v.sql))
     val ctxNs = v.defaultNamespace
-    val qualified = parsed.transformDown {
+    // transformDownWithSubqueries: relations inside IN/EXISTS/scalar
+    // subquery expressions must qualify (and expand) the same way
+    val qualified = parsed.transformDownWithSubqueries {
       case u: UnresolvedRelation =>
         val full: Seq[String] = u.multipartIdentifier match {
-          case Seq(one) if cteNames(one.toLowerCase) => Seq(one)
           case Seq(one) => (v.defaultCatalog +: ctxNs) :+ one
           case Seq(d, t) => Seq(v.defaultCatalog, d, t)
           case other => other
@@ -296,6 +400,43 @@ object GraftViewSql {
       else UnresolvedSubqueryColumnAliases(v.columnAliases, qualified)
     SubqueryAlias(view, aliased)
   }
+
+  /** Inline WITH clauses in a parsed view body. The expanded plan is
+    * spliced into the OUTER query mid-analysis — AFTER the analyzer's
+    * Substitution batch (where Spark's own CTESubstitution lives) has
+    * already run — so an `UnresolvedWith` left in the splice would never
+    * be substituted and the read dies with TABLE_OR_VIEW_NOT_FOUND on
+    * the CTE name. Plain inlining preserves Spark semantics (a CTE is
+    * not a materialization barrier; the optimizer inlines too).
+    * transformUp inlines innermost WITHs first, which gives correct
+    * shadowing: an inner definition wins before an outer one is even
+    * considered, and outer names still reach inner bodies afterwards.
+    * Within one WITH, later definitions may reference earlier ones
+    * (the env folds left-to-right).
+    */
+  private def inlineCtes(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    plan.transformUpWithSubqueries {
+      case w: UnresolvedWith =>
+        require(!w.allowRecursion,
+          "recursive CTEs are not supported in stored view bodies")
+        val env = w.cteRelations
+          .foldLeft(Map.empty[String, LogicalPlan]) {
+            case (acc, (name, body, _)) =>
+              acc + (name.toLowerCase -> substituteCtes(body, acc))
+          }
+        substituteCtes(w.child, env)
+    }
+  }
+
+  private def substituteCtes(plan: LogicalPlan,
+      env: Map[String, LogicalPlan]): LogicalPlan =
+    if (env.isEmpty) plan
+    else plan.transformUpWithSubqueries {
+      case u: UnresolvedRelation if u.multipartIdentifier.sizeIs == 1 &&
+          env.contains(u.multipartIdentifier.head.toLowerCase) =>
+        env(u.multipartIdentifier.head.toLowerCase)
+    }
 
   def viewCatalogOf(spark: SparkSession, name: String): GraftNamespaceCatalog =
     spark.sessionState.catalogManager.catalog(name)

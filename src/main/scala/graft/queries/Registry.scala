@@ -6,7 +6,7 @@ package graft.queries
 object Registry {
   def modules: Seq[Seq[QueryDef]] =
     Seq(Relational.all, Versioned.all, Pipeline.all, Ingestion.all,
-      CatalogQueries.all, ApiSurface.all, Temporal.all)
+      CatalogQueries.all, ApiSurface.all, Temporal.all, ViewQueries.all)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatten

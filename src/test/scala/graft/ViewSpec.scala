@@ -145,6 +145,55 @@ class ViewSpec extends AnyFunSuite {
       spark.sql("CREATE VIEW graft.db.b4 AS SELECT 1 AS x"))
   }
 
+  test("CTE bodies: referenced twice (self-join), nested in subquery") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b8", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L, 3L).toDF("id"))
+    // the inlined CTE appears at TWO reference sites — the analyzer's
+    // DeduplicateRelations must disambiguate the duplicated exprIds
+    spark.sql("CREATE VIEW graft.db.wjoin AS " +
+      "WITH t8 AS (SELECT id FROM graft.db.b8) " +
+      "SELECT a.id AS x, b.id AS y FROM t8 a JOIN t8 b ON a.id = b.id - 1")
+    assert(spark.sql("SELECT x, y FROM graft.db.wjoin ORDER BY x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 3L)))
+    // CTE name referenced from inside a subquery expression
+    spark.sql("CREATE VIEW graft.db.wsub AS " +
+      "WITH big AS (SELECT id FROM graft.db.b8 WHERE id >= 2) " +
+      "SELECT id FROM graft.db.b8 WHERE id IN (SELECT id FROM big)")
+    assert(spark.sql("SELECT id FROM graft.db.wsub ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("DDL grammar: clause reordering, escaped quotes, clear errors") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b9", Seq("id" -> "long"))
+    t.append(Seq(7L).toDF("id"))
+    // TBLPROPERTIES before COMMENT; comment contains ')' and an
+    // ''-escaped quote; property value contains ',' and ')'
+    spark.sql("CREATE VIEW graft.db.gv1 " +
+      "TBLPROPERTIES ('path'='a,b)c', 'team'='data') " +
+      "COMMENT 'it''s (v1)' AS SELECT id FROM graft.db.b9")
+    val loc = java.nio.file.Paths.get(cat.warehouse, "db", "gv1").toString
+    val m = ViewIO.read(loc)
+    assert(m.properties == Map(
+      "path" -> "a,b)c", "team" -> "data", "comment" -> "it's (v1)"))
+    assert(spark.sql("SELECT id FROM graft.db.gv1").head().getLong(0) == 7L)
+    // aliases after COMMENT still parse
+    spark.sql("CREATE VIEW graft.db.gv2 COMMENT 'c' (k) " +
+      "AS SELECT id FROM graft.db.b9")
+    assert(spark.table("graft.db.gv2").columns.toSeq == Seq("k"))
+    // a malformed clause on a graft target fails with a graft-side
+    // error naming the grammar — not MISSING_CATALOG_ABILITY
+    val e = intercept[Exception](spark.sql(
+      "CREATE VIEW graft.db.gv3 COMMENTS 'typo' AS SELECT id FROM graft.db.b9"))
+    assert(e.getMessage.contains("Supported grammar"), e.getMessage)
+    // ALTER VIEW SET with a paren-containing value round-trips
+    spark.sql("ALTER VIEW graft.db.gv1 SET TBLPROPERTIES ('note'='x(y),z')")
+    assert(ViewIO.read(loc).properties("note") == "x(y),z")
+  }
+
   test("temp-view references are rejected at create; temp DDL untouched") {
     import spark.implicits._
     val cat = freshCat()
