@@ -187,15 +187,26 @@ object Bench {
     // `needsSetup` queries — measured times are steady-state operator
     // throughput
     val warmupSec: Map[String, Double] = queries.map { q =>
+      // sub-pass 1, never clocked: pays scratch-table builds
+      // (setupOnce), codegen/JIT, first-at-scale shuffles. Sub-pass 2
+      // is the recorded warm baseline — STEADY-STATE, so when it joins
+      // the best-of pool (every measured pass stalled) the recorded
+      // number no longer swallows one-time setup (round 12's q122:
+      // recorded 1.14 s was warmup-with-setup; quiet steady state is
+      // 0.126 s), and the warmup-won stall flag compares like with
+      // like.
+      def once(): Boolean =
+        try { run(q.fn(spark, sfDir)); true } catch {
+          // swallow only NON-fatal warmup failures (the measured pass
+          // reports them properly); an OOM/linkage error means the JVM
+          // is no longer trustworthy to measure on — propagate
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup ${q.name}: ${e.getMessage}")
+            false
+        }
+      val setupOk = once()
       val t0 = System.nanoTime()
-      val ok = try { run(q.fn(spark, sfDir)); true } catch {
-        // swallow only NON-fatal warmup failures (the measured pass
-        // reports them properly); an OOM/linkage error means the JVM
-        // is no longer trustworthy to measure on — propagate
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] warmup ${q.name}: ${e.getMessage}")
-          false
-      }
+      val ok = setupOk && once()
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     // warmup-pass caches are garbage during measurement: drop them so
@@ -260,7 +271,18 @@ object Bench {
     // prefix; `raw` value = [sec per pass..., gcMs per pass...] (even
     // length, halves align); `warm` = warmup seconds (-1 = failed).
     def short(name: String): String = name.takeWhile(_ != '_')
+    // stdout precision: the driver keeps a 2,000-byte stdout TAIL, and
+    // at ~160 queries a 3-decimal map overflows it (round 12 lost
+    // q01-q10 off the line's head). Two decimals above 100 ms / three
+    // below keeps every entry meaningful and the whole contract line
+    // inside the window; BENCH_full.json (below) carries full
+    // precision regardless.
+    def fmt(v: Double): String =
+      if (v >= 0.1) (math.rint(v * 100) / 100).toString else round3(v).toString
     val qs = results.map { case (k, v, _, _, _) =>
+      "\"" + short(k) + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _, _, _) =>
       "\"" + short(k) + "\":" + round3(v)
     }.mkString("{", ",", "}")
     val raw = results.map { case (k, _, _, t, _) =>
@@ -296,8 +318,23 @@ object Bench {
       java.nio.file.Files.writeString(dir.resolve("bench-evidence.json"),
         evidence + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
-    val contract = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"stalls":$stalls,"sf":"$sfDir"}"""
+    // empty errors/stalls elide and sf shortens to its basename: every
+    // byte counts against the 2,000-char stdout tail the driver keeps,
+    // and the full artifact below carries the verbose forms anyway
+    val sfShort = sfDir.substring(sfDir.lastIndexOf('/') + 1)
+    val opt = (if (errors == "[]") "" else s""","errors":$errors""") +
+      (if (stalls == "{}") "" else s""","stalls":$stalls""")
+    val contract = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$opt,"sf":"$sfShort"}"""
     println(contract)
+    // the COMPLETE artifact — full-precision timings, raw passes, warm
+    // baselines, stall flags — at the REPO ROOT, immune to the
+    // driver's stdout tail cap (round 12 lost a fifth of the timings
+    // to it); committed per round beside BENCH_r{N}.json
+    try {
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"stalls":$stalls,"sf":"$sfDir","raw":$raw,"warm":$warm}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_full.json"), full + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
     // belt-and-braces against any stdout mangling between this JVM and
     // the driver's parser (logger prefixes, tail truncation): the same
     // contract line is always readable from a file

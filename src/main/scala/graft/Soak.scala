@@ -187,24 +187,30 @@ object Soak {
       f""""$n":{"t1":$t1%.2f,"tN":$tN%.2f,"ratio":$r%.2f,"shape_stable":$s}"""
     }.mkString("{", ",", "}")
 
-    // ---- metadata-scale soak (round-11 verdict item 2): a table with
-    // 100k file entries across 50 snapshots, NO data I/O anywhere —
+    // ---- metadata-scale soak (round-11 item 2; pushed to 1M entries
+    // round 13): a table with 10⁶ file entries — the ~100 TB file
+    // count at 100 MB/file — across 100 commits, NO data I/O anywhere;
     // this measures the table format itself. Pins:
     //   - commit cost stays O(new files + #manifests), observed as the
     //     last-10-commit average staying within 3x of the first-10
     //     (inline file lists made it O(total files): ~linear growth,
-    //     last10/first10 ~ 8x at this shape);
+    //     last10/first10 ~ 8x at the 100k shape);
     //   - countRows answers from manifest-ref arithmetic in
-    //     milliseconds (never loads the 100k entries);
+    //     milliseconds (never loads the million entries);
     //   - a boundary-aligned countWhere plans over the full inventory
     //     (manifest skip + strict refs) without reading a byte of data
-    //     (the entry paths don't exist on disk).
+    //     (the entry paths don't exist on disk) — and the fraction of
+    //     manifests its summaries veto without opening is reported;
+    //   - COLD planning (every manifest parsed, one parallel task
+    //     each — Manifests.readAll) is reported in seconds.
     val metaJson = {
       import graft.tableformat._
       val mloc = java.nio.file.Files.createTempDirectory("graft-msoak").toString
       MetadataIO.commit(TableMetadata.create("msoak", mloc, Seq("id" -> "long")))
-      val perCommit = 2000
-      val nCommits = 50
+      val perCommit =
+        sys.env.getOrElse("SPARK_GRAFT_MSOAK_PER_COMMIT", "10000").toInt
+      val nCommits =
+        sys.env.getOrElse("SPARK_GRAFT_MSOAK_COMMITS", "100").toInt
       val commitSecs = (0 until nCommits).map { k =>
         val cur = MetadataIO.read(mloc)
         val fresh = (0 until perCommit).map { j =>
@@ -233,6 +239,13 @@ object Soak {
       val cut = (perCommit * nCommits / 2) * 1000L
       val countWhereSec = time(require(
         t.countWhere(col("id") >= cut) == 1000L * perCommit * nCommits / 2))
+      // manifest-summary skip rate on that predicate: refs whose
+      // merged upper bound proves NO row matches never open at all
+      val dataRefs = t.meta.currentSnapshot.get.manifests
+        .filter(_.kind == "data")
+      val skippable = dataRefs.count(
+        _.upperBounds.get("1").exists(_.toLong < cut))
+      val skipFrac = skippable.toDouble / math.max(dataRefs.size, 1)
       val first10 = commitSecs.take(10).sum / 10.0
       val last10 = commitSecs.takeRight(10).sum / 10.0
       val flat = last10 / math.max(first10, 1e-3) <= 3.0
@@ -245,7 +258,8 @@ object Soak {
       f""""metadata":{"files":${perCommit * nCommits},"commits":$nCommits,""" +
         f""""commit_first10_avg_s":$first10%.4f,"commit_last10_avg_s":$last10%.4f,""" +
         f""""commit_flat":$flat,"plan_cold_s":$planCold%.3f,""" +
-        f""""count_rows_s":$countRowsSec%.4f,"count_where_s":$countWhereSec%.3f}"""
+        f""""count_rows_s":$countRowsSec%.4f,"count_where_s":$countWhereSec%.3f,""" +
+        f""""manifests":${dataRefs.size},"manifest_skip_frac":$skipFrac%.3f}"""
     }
 
     val line = s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,""" +

@@ -259,10 +259,7 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
     location(ident).filter(MetadataIO.exists) match {
       case None => false
       case Some(loc) =>
-        val root = Paths.get(loc)
-        val s = Files.walk(root) // must close: holds directory fds
-        val paths = try s.iterator().asScala.toSeq.reverse finally s.close()
-        paths.foreach(Files.deleteIfExists(_))
+        graft.tableformat.FileIO.io.deleteTree(loc)
         true
     }
 

@@ -34,6 +34,7 @@ import graft.engine.GraftTable
   *   CALL graft.system.remove_orphan_files('db.t')
   *   CALL graft.system.add_files('db.t', '/path/to/parquet')
   *   CALL graft.system.snapshot('db.src', 'db.dst')  -- zero-copy clone
+  *   CALL graft.system.unregister_clone('db.src', 'db.dst')
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.create_branch('db.t', '<name>')
@@ -218,6 +219,20 @@ object GraftProcedures {
             sys.error(s"dest_table must be 'db.table', got '$dstRef'")
         }
         table(w, str(r, 0)).snapshotTo(dst, dstRef)
+        ()
+      }),
+    Def("unregister_clone",
+      Seq(in("source_table", StringType), in("clone_table", StringType)),
+      (w, r) => {
+        val wh = w().getOrElse(sys.error("spark.graft.warehouse not set"))
+        val cloneRef = str(r, 1)
+        val cloneLoc = cloneRef.split('.') match {
+          case Array(db, tbl) =>
+            java.nio.file.Paths.get(wh, db, tbl).toString
+          case _ =>
+            sys.error(s"clone_table must be 'db.table', got '$cloneRef'")
+        }
+        table(w, str(r, 0)).unregisterClone(cloneLoc)
         ()
       }),
     Def("fast_forward",

@@ -1,8 +1,8 @@
 package graft.catalog
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
+import graft.tableformat.FileIO.io
 import graft.tableformat.MetadataIO.CommitConflictException
 
 /** Persistent SQL views over graft tables — the Iceberg view spec's
@@ -81,24 +81,24 @@ object ViewIO {
 
   private implicit val formats: Formats = DefaultFormats
 
-  private def metadataDir(location: String): Path =
-    Paths.get(location, "metadata")
-  def hintPath(location: String): Path =
-    metadataDir(location).resolve("view-hint.text")
-  private def docPath(location: String, version: Int): Path =
-    metadataDir(location).resolve(s"v$version.view.json")
+  private def metadataDir(location: String): String =
+    s"$location/metadata"
+  def hintPath(location: String): String =
+    s"${metadataDir(location)}/view-hint.text"
+  private def docPath(location: String, version: Int): String =
+    s"${metadataDir(location)}/v$version.view.json"
 
-  def exists(location: String): Boolean = Files.exists(hintPath(location))
+  def exists(location: String): Boolean = io.exists(hintPath(location))
 
   /** Hint is advisory (it can trail a racing writer's claim): probe
     * forward to the highest claimed document, as table reads do.
     */
   private def currentDocVersion(location: String): Option[Int] = {
-    val hinted = try Files.readString(hintPath(location)).trim.toIntOption
+    val hinted = try io.readString(hintPath(location)).trim.toIntOption
       catch { case _: java.io.IOException => None }
     hinted.map { h =>
       var v = math.max(h, 1)
-      while (Files.exists(docPath(location, v + 1))) v += 1
+      while (io.exists(docPath(location, v + 1))) v += 1
       v
     }
   }
@@ -106,43 +106,22 @@ object ViewIO {
   def read(location: String): ViewMetadata = {
     val v = currentDocVersion(location).getOrElse(
       sys.error(s"no view-hint.text under $location"))
-    JsonMethods.parse(Files.readString(docPath(location, v)))
+    JsonMethods.parse(io.readString(docPath(location, v)))
       .extract[ViewMetadata]
   }
 
   /** Claim the next document slot atomically; conflict = a racer won. */
   def commit(location: String, meta: ViewMetadata): Unit = {
-    val dir = metadataDir(location)
-    Files.createDirectories(dir)
     val next = currentDocVersion(location).getOrElse(0) + 1
-    val tmp = Files.createTempFile(dir, s".v$next-view-", ".json.tmp")
-    try {
-      Files.writeString(tmp, Serialization.writePretty(meta))
-      try Files.createLink(docPath(location, next), tmp)
-      catch {
-        case _: FileAlreadyExistsException =>
-          throw new CommitConflictException(location, next)
-      }
-    } finally Files.deleteIfExists(tmp)
+    if (!io.claim(docPath(location, next), Serialization.writePretty(meta)))
+      throw new CommitConflictException(location, next)
     // advance-only hint swap (same contract as table hints)
-    val hs = Files.createTempFile(dir, ".view-hint-", ".tmp")
-    try {
-      Files.writeString(hs, next.toString)
-      Files.move(hs, hintPath(location),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally Files.deleteIfExists(hs)
+    io.replaceAtomic(hintPath(location), next.toString)
   }
 
   def drop(location: String): Boolean = {
     if (!exists(location)) return false
-    val root = Paths.get(location)
-    val s = Files.walk(root)
-    val paths = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq.reverse
-    } finally s.close()
-    paths.foreach(Files.deleteIfExists(_))
+    io.deleteTree(location)
     true
   }
 }

@@ -1,12 +1,12 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.tableformat._
+import graft.tableformat.FileIO.io
 
 /** Spark-native versioned table: the engine facade binding the
   * tableformat metadata layer to SparkSession (SURVEY.md §7 module 2).
@@ -536,7 +536,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def addFiles(srcDir: String): GraftTable = {
     val srcAbs = Paths.get(srcDir).toAbsolutePath.normalize.toString
     val locAbs = Paths.get(location).toAbsolutePath.normalize.toString
-    require(Files.exists(Paths.get(srcAbs)), s"add_files: no such path $srcAbs")
+    require(io.exists(srcAbs), s"add_files: no such path $srcAbs")
     require(srcAbs != locAbs && !srcAbs.startsWith(locAbs + "/"),
       s"add_files: $srcAbs is inside the table location — " +
         "table-managed files cannot be re-imported")
@@ -620,7 +620,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           upperBounds = byId(imp.footer.upper),
           nullCounts = imp.footer.nullCounts.flatMap { case (n, v) =>
             nameToId.get(n).map(_.toString -> v) },
-          fileSizeBytes = Files.size(Paths.get(imp.abs)))
+          fileSizeBytes = io.size(imp.abs))
       }
       val carried = cur0.currentSnapshot.map(_.files).getOrElse(Vector.empty)
       val carriedDeletes =
@@ -667,11 +667,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * table's orphan reclamation can touch the other's files (each
     * walks only its own `<location>/data`).
     *
-    * CAVEAT (Iceberg documents the same for its snapshot procedure): a
-    * SOURCE-side rewrite followed by source orphan GC deletes shared
-    * files the clone still references. Treat clones as short-lived
-    * forks (experiments, WAP-style validation, migration trials) or
-    * retain source history while they live.
+    * The stranding hazard (a SOURCE-side rewrite followed by source
+    * orphan GC deletes shared files the clone still references —
+    * Iceberg documents the same for its snapshot procedure) is
+    * GUARDED: the fork registers itself in the source's
+    * `graft.clones` property, and the source's [[expireSnapshots]] /
+    * [[removeOrphanFiles]] REFUSE while a registered clone's table
+    * still exists ([[maintain]] skips the step and says so). Release
+    * by dropping the clone (the registry heals lazily),
+    * [[unregisterClone]] / `CALL graft.system.unregister_clone`, or
+    * override with table property
+    * `graft.clones.allow-unsafe-retention=true`.
     */
   def snapshotTo(dstLocation: String, dstName: String): GraftTable = {
     require(!MetadataIO.exists(dstLocation), s"table exists at $dstLocation")
@@ -684,7 +690,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       currentSpecId = m.currentSpecId, partitionSpecs = m.partitionSpecs,
       currentSnapshotId = None, snapshots = Vector.empty,
       snapshotLog = Vector.empty, metadataLog = Vector.empty,
-      properties = m.properties + ("graft.cloned-from" -> location),
+      // the clone must not inherit the SOURCE's clone registry or its
+      // override flag — its own retention starts clean
+      properties = m.properties.filterNot(_._1.startsWith("graft.clones")) +
+        ("graft.cloned-from" -> location),
       lastSequence = m.lastSequence)
     val withSnap = m.currentSnapshot match {
       case None => base
@@ -713,7 +722,71 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           snapshotLog = Vector(SnapshotLogEntry(now, id)))
     }
     MetadataIO.commit(withSnap)
+    // register the fork on the SOURCE so its retention refuses to
+    // strand the shared files while the clone lives (see class doc)
+    MetadataIO.commitRetry(location) { cur =>
+      val regs = registeredClones(cur)
+      if (regs.contains(dstLocation)) cur
+      else cur.copy(properties = cur.properties +
+        (ClonesKey -> (regs :+ dstLocation).mkString(CloneSep.toString)))
+    }
     new GraftTable(spark, dstLocation)
+  }
+
+  private val ClonesKey = "graft.clones"
+  // locations may contain any printable character; U+0001 cannot
+  private val CloneSep = '\u0001'
+
+  private def registeredClones(m: TableMetadata): Vector[String] =
+    m.properties.get(ClonesKey)
+      .map(_.split(CloneSep).toVector.filter(_.nonEmpty))
+      .getOrElse(Vector.empty)
+
+  /** Clone locations registered on this table whose table still
+    * exists. A dropped clone heals out of the registry lazily (on the
+    * next retention call), so DROP TABLE on the clone is release
+    * enough — no unregister bookkeeping required.
+    */
+  def liveClones(): Vector[String] =
+    registeredClones(meta).filter(MetadataIO.exists)
+
+  /** Release a clone registration (the fork was promoted to
+    * independent data, or the operator accepts the stranding risk for
+    * this one). SQL: `CALL graft.system.unregister_clone`.
+    */
+  def unregisterClone(cloneLocation: String): GraftTable = {
+    MetadataIO.commitRetry(location) { cur =>
+      val kept = registeredClones(cur).filterNot(_ == cloneLocation)
+      if (kept.isEmpty) cur.copy(properties = cur.properties - ClonesKey)
+      else cur.copy(properties = cur.properties +
+        (ClonesKey -> kept.mkString(CloneSep.toString)))
+    }
+    this
+  }
+
+  /** Refuse a retention operation while registered clones still
+    * reference this table's files; heal dead registrations in the
+    * returned metadata. Overridable per table with
+    * `graft.clones.allow-unsafe-retention=true` — the explicit "I
+    * accept stranding the clone" switch.
+    */
+  private def cloneRetentionGuard(cur: TableMetadata, op: String)
+      : TableMetadata = {
+    val regs = registeredClones(cur)
+    if (regs.isEmpty) return cur
+    val (live, dead) = regs.partition(MetadataIO.exists)
+    if (live.nonEmpty && !cur.properties
+        .get("graft.clones.allow-unsafe-retention").contains("true"))
+      throw new IllegalStateException(
+        s"$op refused: zero-copy clones still reference this table's " +
+          s"files: ${live.mkString(", ")}. Drop the clone(s), release " +
+          "with unregisterClone / CALL graft.system.unregister_clone, " +
+          "or set table property graft.clones.allow-unsafe-retention=true " +
+          "to accept stranding them.")
+    if (dead.isEmpty) cur
+    else if (live.isEmpty) cur.copy(properties = cur.properties - ClonesKey)
+    else cur.copy(properties = cur.properties +
+      (ClonesKey -> live.mkString(CloneSep.toString)))
   }
 
   /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
@@ -748,14 +821,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     } catch {
       case _: Dup =>
         // lost the marker race: reclaim our staged (uncommitted) files
-        written.foreach(f => Files.deleteIfExists(Paths.get(absPath(f.path))))
+        written.foreach(f => io.delete(absPath(f.path)))
         false
       case scala.util.control.NonFatal(e) =>
         // any other commit failure (e.g. conflict retries exhausted)
         // must also reclaim the staged files — they are unreferenced by
         // any snapshot and would otherwise orphan, unlike the upsert
         // paths which already clean up on every failure
-        written.foreach(f => Files.deleteIfExists(Paths.get(absPath(f.path))))
+        written.foreach(f => io.delete(absPath(f.path)))
         throw e
     }
   }
@@ -867,7 +940,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // never silently overwrite data files of committed snapshots
     val stagingRel = s"data/${UUID.randomUUID().toString}"
     val stagingAbs = s"$location/$stagingRel"
-    require(!Files.exists(Paths.get(stagingAbs)), s"staging collision $stagingRel")
+    require(!io.exists(stagingAbs), s"staging collision $stagingRel")
     val codec = m.properties.getOrElse("write.parquet.compression-codec", "zstd")
     // Iceberg's bloom-filter properties, delegated to PARQUET-NATIVE
     // blooms (the Spark-first design — Iceberg does exactly this;
@@ -930,7 +1003,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         nullCounts = footer.nullCounts.flatMap { case (n, v) =>
           nameToId.get(n).map(id => id.toString -> v)
         },
-        fileSizeBytes = Files.size(Paths.get(abs)))
+        fileSizeBytes = io.size(abs))
     }
   }
 
@@ -958,17 +1031,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     sb.toString
   }
 
-  private def listParquet(dir: String): Vector[String] = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) Vector.empty
-    else {
-      val stream = Files.walk(root) // must close: walk holds directory fds
-      try stream.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .map(_.toString).toVector.sorted
-      finally stream.close()
-    }
-  }
+  private def listParquet(dir: String): Vector[String] =
+    io.listRecursive(dir).filter(_.endsWith(".parquet")).sorted
 
   private def readFooter(path: String): ParquetFooterStats =
     ParquetFooterStats.read(path, spark.sessionState.newHadoopConf())
@@ -1177,13 +1241,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       catch {
         case scala.util.control.NonFatal(e) =>
           delEntries.foreach(f =>
-            Files.deleteIfExists(Paths.get(absPath(f.path))))
+            io.delete(absPath(f.path)))
           throw e
       }
     final class Dup extends RuntimeException
     def reclaimStaged(): Unit =
       (written ++ delEntries).foreach(f =>
-        Files.deleteIfExists(Paths.get(absPath(f.path))))
+        io.delete(absPath(f.path)))
     try {
       MetadataIO.commitRetry(location) { cur =>
         if (seen(cur)) throw new Dup
@@ -1296,7 +1360,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       val rel = s"$delRel/${abs.stripPrefix(delAbs + "/")}"
       DataFileEntry(rel, readFooter(abs).rowCount, m.currentSchemaId,
         equalityIds = equalityIds,
-        fileSizeBytes = Files.size(Paths.get(abs)))
+        fileSizeBytes = io.size(abs))
     }
   }
 
@@ -1361,13 +1425,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       catch {
         case scala.util.control.NonFatal(e) =>
           delEntries.foreach(f =>
-            Files.deleteIfExists(Paths.get(absPath(f.path))))
+            io.delete(absPath(f.path)))
           throw e
       }
     final class Dup extends RuntimeException
     def reclaimStaged(): Unit =
       (written ++ delEntries).foreach(f =>
-        Files.deleteIfExists(Paths.get(absPath(f.path))))
+        io.delete(absPath(f.path)))
     try {
       MetadataIO.commitRetry(location) { cur =>
         if (seen(cur)) throw new Dup
@@ -2256,7 +2320,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     catch {
       case scala.util.control.NonFatal(e) =>
         newDeletes.foreach(f =>
-          Files.deleteIfExists(Paths.get(absPath(f.path))))
+          io.delete(absPath(f.path)))
         throw e
     }
     this
@@ -2362,7 +2426,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def expireSnapshots(keepLast: Int): GraftTable = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    MetadataIO.commitRetry(location) { cur =>
+    MetadataIO.commitRetry(location) { cur0 =>
+      val cur = cloneRetentionGuard(cur0, "expireSnapshots")
       val pinned = refPinned(cur, System.currentTimeMillis())
       val keep = cur.snapshots.sortBy(-_.timestampMs).take(keepLast)
         .map(_.snapshotId).toSet ++ pinned
@@ -2442,7 +2507,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def expireSnapshots(olderThanMs: Long, retainLast: Int): GraftTable = {
     require(retainLast >= 1, "must retain at least the current snapshot")
-    MetadataIO.commitRetry(location) { cur =>
+    MetadataIO.commitRetry(location) { cur0 =>
+      val cur = cloneRetentionGuard(cur0, "expireSnapshots")
       val pinned = refPinned(cur, System.currentTimeMillis())
       val keep = cur.snapshots.filter(_.timestampMs >= olderThanMs)
         .map(_.snapshotId).toSet ++
@@ -2507,11 +2573,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           actions += "rewrite_data_files_binpack"
     }
     if (meta.snapshots.size > keepLast) {
-      val before = meta.snapshots.size
-      expireSnapshots(keepLast)
-      if (meta.snapshots.size < before) actions += "expire_snapshots"
-      val orphans = removeOrphanFiles()
-      if (orphans.nonEmpty) actions += s"remove_orphan_files:${orphans.size}"
+      // retention steps respect the clone guard: a registered live
+      // clone makes the sweep SKIP them (audited), never fail — the
+      // debt-reduction steps above already ran
+      if (liveClones().nonEmpty && !meta.properties
+          .get("graft.clones.allow-unsafe-retention").contains("true"))
+        actions += "retention_skipped:clones-registered"
+      else {
+        val before = meta.snapshots.size
+        expireSnapshots(keepLast)
+        if (meta.snapshots.size < before) actions += "expire_snapshots"
+        val orphans = removeOrphanFiles()
+        if (orphans.nonEmpty) actions += s"remove_orphan_files:${orphans.size}"
+      }
     }
     actions.toSeq
   }
@@ -2521,28 +2595,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * that lists directories — it is maintenance, not planning.
     */
   def removeOrphanFiles(): Vector[String] = {
-    val m = meta
+    val m = cloneRetentionGuard(meta, "removeOrphanFiles")
     val referenced = m.snapshots
       .flatMap(s => s.files ++ s.deleteFiles).map(_.path).toSet
-    val dataRoot = Paths.get(location, "data")
-    val orphans = listParquet(dataRoot.toString).filterNot { abs =>
+    val orphans = listParquet(s"$location/data").filterNot { abs =>
       referenced(abs.stripPrefix(location + "/"))
     }
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans.foreach(io.delete)
     // manifest tier: lists/manifests referenced by NO retained snapshot
     // (expired history, failed commit attempts, pre-compaction
     // fragments) are metadata orphans — same reclamation rule
     val refdMeta = m.snapshots.flatMap(s =>
       s.manifestList.toVector ++ s.manifests.map(_.path)).toSet
-    val metaDir = Paths.get(location, "metadata")
-    val metaOrphans =
-      if (!Files.isDirectory(metaDir)) Vector.empty[String]
-      else Files.list(metaDir).iterator.asScala
-        .map(_.getFileName.toString)
-        .filter(n => (n.startsWith("mf-") && n.endsWith(".manifest.json")) ||
-          (n.startsWith("snap-") && n.endsWith(".mlist.json")))
-        .map(n => s"metadata/$n").filterNot(refdMeta).toVector
-    metaOrphans.foreach(p => Files.deleteIfExists(Paths.get(location, p)))
+    val metaOrphans = io.listDir(s"$location/metadata")
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(n => (n.startsWith("mf-") && n.endsWith(".manifest.json")) ||
+        (n.startsWith("snap-") && n.endsWith(".mlist.json")))
+      .map(n => s"metadata/$n").filterNot(refdMeta)
+    metaOrphans.foreach(p => io.delete(s"$location/$p"))
     orphans ++ metaOrphans.map(p => s"$location/$p")
   }
 

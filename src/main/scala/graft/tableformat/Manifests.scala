@@ -1,6 +1,5 @@
 package graft.tableformat
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -59,6 +58,7 @@ final case class ManifestRef(
   * committing GBs.
   */
 object Manifests {
+  import FileIO.io
   implicit private val formats: Formats = DefaultFormats
 
   /** Per-manifest entry cap: leftover files chunk into manifests of at
@@ -79,11 +79,15 @@ object Manifests {
   private val entryCache = lru[Vector[DataFileEntry]](256)
   private val listCache = lru[Vector[ManifestRef]](1024)
 
+  // double-checked, load OUTSIDE the lock: parallel cold planning
+  // (readAll) must not serialize its manifest loads on the cache
+  // mutex. Manifests are immutable, so a racing duplicate load is
+  // harmless — last put wins with identical content.
   private def cached[V](cache: java.util.LinkedHashMap[String, V],
-      key: String)(load: => V): V = cache.synchronized {
-    val hit = cache.get(key)
+      key: String)(load: => V): V = {
+    val hit = cache.synchronized(cache.get(key))
     if (hit != null) hit
-    else { val v = load; cache.put(key, v); v }
+    else { val v = load; cache.synchronized(cache.put(key, v)); v }
   }
 
   /** Test hook: drop warm cache state so a spec can prove a manifest
@@ -95,19 +99,32 @@ object Manifests {
     listCache.synchronized(listCache.clear())
   }
 
-  private def abs(location: String, rel: String): Path =
-    Paths.get(location, rel)
+  private def abs(location: String, rel: String): String = s"$location/$rel"
 
   def readEntries(location: String, ref: ManifestRef): Vector[DataFileEntry] =
-    cached(entryCache, abs(location, ref.path).toString) {
-      Files.readAllLines(abs(location, ref.path)).asScala.iterator
+    cached(entryCache, abs(location, ref.path)) {
+      io.readLines(abs(location, ref.path)).iterator
         .filter(_.nonEmpty)
         .map(l => JsonMethods.parse(l).extract[DataFileEntry]).toVector
     }
 
+  /** Entries of many manifests, loaded one task per manifest above a
+    * small threshold: a cold plan over a 100 TB inventory (~10⁶
+    * entries in hundreds of manifests) is I/O + JSON-parse bound and
+    * embarrassingly parallel (immutable files, path-keyed cache).
+    * Order is preserved — output concatenates in `refs` order.
+    */
+  def readAll(location: String,
+      refs: Vector[ManifestRef]): Vector[DataFileEntry] =
+    if (refs.size <= 2) refs.flatMap(r => readEntries(location, r))
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      refs.par.map(r => readEntries(location, r)).seq.toVector.flatten
+    }
+
   def readList(location: String, rel: String): Vector[ManifestRef] =
-    cached(listCache, abs(location, rel).toString) {
-      JsonMethods.parse(Files.readString(abs(location, rel)))
+    cached(listCache, abs(location, rel)) {
+      JsonMethods.parse(io.readString(abs(location, rel)))
         .extract[Vector[ManifestRef]]
     }
 
@@ -121,10 +138,9 @@ object Manifests {
       fieldType: (Int, Int) => Option[String]): ManifestRef = {
     val rel = s"metadata/mf-${UUID.randomUUID()}.manifest.json"
     val p = abs(location, rel)
-    Files.createDirectories(p.getParent)
-    Files.writeString(p,
+    io.writeString(p,
       entries.map(e => Serialization.write(e)).mkString("", "\n", "\n"))
-    entryCache.synchronized(entryCache.put(p.toString, entries))
+    entryCache.synchronized(entryCache.put(p, entries))
     val schemaIds = entries.map(_.schemaId).distinct.sorted
     val combos = entries.map(_.partitionValues).distinct
     // 0-row entries (a rewrite that emptied a file) record no stats
@@ -185,9 +201,8 @@ object Manifests {
       refs: Vector[ManifestRef]): String = {
     val rel = s"metadata/snap-$snapshotId-${UUID.randomUUID()}.mlist.json"
     val p = abs(location, rel)
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, Serialization.writePretty(refs))
-    listCache.synchronized(listCache.put(p.toString, refs))
+    io.writeString(p, Serialization.writePretty(refs))
+    listCache.synchronized(listCache.put(p, refs))
     rel
   }
 

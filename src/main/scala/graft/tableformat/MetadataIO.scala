@@ -1,6 +1,5 @@
 package graft.tableformat
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -83,23 +82,25 @@ object MetadataIO {
       extends RuntimeException(
         s"concurrent commit: v$version already claimed under $location")
 
-  private def metadataDir(location: String): Path = Paths.get(location, "metadata")
-  private def hintPath(location: String): Path =
-    metadataDir(location).resolve("version-hint.text")
+  import FileIO.io
+
+  private def metadataDir(location: String): String = s"$location/metadata"
+  private def hintPath(location: String): String =
+    s"${metadataDir(location)}/version-hint.text"
 
   /** Highest committed version: hint, then probe forward past any
     * versions whose hint write lost an ordering race.
     */
   def currentVersion(location: String): Option[Int] = {
     val p = hintPath(location)
-    if (!Files.exists(p)) return None
-    var v = Files.readString(p).trim.toInt
-    while (Files.exists(metadataPath(location, v + 1))) v += 1
+    if (!io.exists(p)) return None
+    var v = io.readString(p).trim.toInt
+    while (io.exists(metadataPath(location, v + 1))) v += 1
     Some(v)
   }
 
-  def metadataPath(location: String, version: Int): Path =
-    metadataDir(location).resolve(s"v$version.metadata.json")
+  def metadataPath(location: String, version: Int): String =
+    s"${metadataDir(location)}/v$version.metadata.json"
 
   private def versionOfLogFile(e: MetadataLogEntry): Int =
     e.file.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
@@ -112,7 +113,7 @@ object MetadataIO {
   }
 
   def readVersion(location: String, version: Int): TableMetadata = {
-    val json = Files.readString(metadataPath(location, version))
+    val json = io.readString(metadataPath(location, version))
     val parsed = JsonMethods.parse(json).extract[TableMetadata]
     // hydrate manifest resolution with the location the document was
     // READ from (not its recorded one — a moved/renamed table resolves
@@ -128,7 +129,7 @@ object MetadataIO {
       MetadataLogEntry(System.currentTimeMillis(), s"v$version.metadata.json"))
   }
 
-  def exists(location: String): Boolean = Files.exists(hintPath(location))
+  def exists(location: String): Boolean = io.exists(hintPath(location))
 
   /** Single-attempt commit: claim the next version atomically, then
     * advance the hint. Throws [[CommitConflictException]] if a racing
@@ -157,8 +158,6 @@ object MetadataIO {
 
   def commit(metaRaw: TableMetadata): Int = {
     val meta = sealAll(metaRaw)
-    val dir = metadataDir(meta.location)
-    Files.createDirectories(dir)
     // The claim version comes from the metadata's OWN lineage — the last
     // metadataLog entry is the version this document was read at — NOT
     // from currentVersion(): deriving it from the directory would let a
@@ -182,19 +181,12 @@ object MetadataIO {
       else fullLog
     val dropped = fullLog.dropRight(keptLog.size)
     val withLog = meta.copy(metadataLog = keptLog)
-    // write-then-link: the temp file carries the COMPLETE document
-    // before the link makes it visible, and link(2) is an atomic
-    // create-if-absent — a reader can never observe a torn vN file and
-    // a racing writer can never silently clobber one
-    val tmp = Files.createTempFile(dir, s".v$next-", ".json.tmp")
-    try {
-      Files.writeString(tmp, Serialization.writePretty(withLog))
-      try Files.createLink(metadataPath(meta.location, next), tmp)
-      catch {
-        case _: FileAlreadyExistsException =>
-          throw new CommitConflictException(meta.location, next)
-      }
-    } finally Files.deleteIfExists(tmp)
+    // the FileIO claim primitive: the document becomes visible complete
+    // and uniquely owned, or not at all — a reader can never observe a
+    // torn vN file and a racing writer can never silently clobber one
+    if (!io.claim(metadataPath(meta.location, next),
+        Serialization.writePretty(withLog)))
+      throw new CommitConflictException(meta.location, next)
     advanceHint(meta.location, next)
     // after the commit is visible: physically delete trimmed-out
     // metadata documents when opted in (Iceberg's
@@ -206,8 +198,7 @@ object MetadataIO {
     if (meta.properties.get("write.metadata.delete-after-commit.enabled")
         .contains("true"))
       dropped.foreach { e =>
-        try Files.deleteIfExists(
-          metadataPath(meta.location, versionOfLogFile(e)))
+        try io.delete(metadataPath(meta.location, versionOfLogFile(e)))
         catch { case _: java.io.IOException => () }
       }
     next
@@ -245,12 +236,7 @@ object MetadataIO {
     */
   private def advanceHint(location: String, next: Int): Unit = {
     val p = hintPath(location)
-    val stale = Files.exists(p) && Files.readString(p).trim.toInt >= next
-    if (!stale) {
-      val tmp = metadataDir(location).resolve(s".version-hint.$next.tmp")
-      Files.writeString(tmp, next.toString)
-      Files.move(tmp, p,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    }
+    val stale = io.exists(p) && io.readString(p).trim.toInt >= next
+    if (!stale) io.replaceAtomic(p, next.toString)
   }
 }

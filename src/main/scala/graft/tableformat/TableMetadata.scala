@@ -153,14 +153,14 @@ final case class Snapshot(snapshotId: Long, parentId: Option[Long],
   }
 
   lazy val files: Vector[DataFileEntry] = manifestList match {
-    case Some(_) => manifests.filter(_.kind == "data")
-      .flatMap(r => Manifests.readEntries(location, r))
+    case Some(_) =>
+      Manifests.readAll(location, manifests.filter(_.kind == "data"))
     case None => inlineFiles
   }
 
   lazy val deleteFiles: Vector[DataFileEntry] = manifestList match {
-    case Some(_) => manifests.filter(_.kind == "delete")
-      .flatMap(r => Manifests.readEntries(location, r))
+    case Some(_) =>
+      Manifests.readAll(location, manifests.filter(_.kind == "delete"))
     case None => inlineDeleteFiles
   }
 

@@ -2000,4 +2000,50 @@ class EngineSpec extends AnyFunSuite {
     // an existing location refuses
     intercept[Exception](src.snapshotTo(dstLoc, "again"))
   }
+
+  test("clone-aware retention: source expiry/GC refuse while a " +
+      "registered clone lives, release paths all work") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmp(), "ret_src",
+      Seq("id" -> "long"))
+    src.append((1L to 5L).toDF("id").coalesce(1))
+    src.append((6L to 9L).toDF("id").coalesce(1))
+    def fork(): (GraftTable, String) = {
+      val loc = tmp()
+      java.nio.file.Files.delete(java.nio.file.Paths.get(loc))
+      (src.snapshotTo(loc, "ret_clone"), loc)
+    }
+    val (clone1, loc1) = fork()
+    assert(src.liveClones() == Vector(loc1))
+    // the file-killers refuse with a message naming the clone
+    val e1 = intercept[IllegalStateException](src.removeOrphanFiles())
+    assert(e1.getMessage.contains(loc1) && e1.getMessage.contains("clone"))
+    intercept[IllegalStateException](src.expireSnapshots(1))
+    intercept[IllegalStateException](
+      src.expireSnapshots(System.currentTimeMillis() + 1000, 1))
+    // maintain SKIPS retention (audited) instead of failing
+    val acts = src.maintain(keepLast = 1)
+    assert(acts.contains("retention_skipped:clones-registered"), acts)
+    assert(src.meta.snapshots.size >= 2, "maintain must not have expired")
+    // release path 1: DROP the clone — the registry heals lazily
+    graft.tableformat.FileIO.io.deleteTree(loc1)
+    assert(src.liveClones().isEmpty)
+    src.expireSnapshots(1) // proceeds, and heals the dead registration
+    assert(!src.meta.properties.contains("graft.clones"))
+    // release path 2: explicit unregister
+    val (clone2, loc2) = fork()
+    src.unregisterClone(loc2)
+    src.removeOrphanFiles() // proceeds
+    assert(clone2.read().count() == 9L, "clone still reads (files shared)")
+    graft.tableformat.FileIO.io.deleteTree(loc2)
+    // release path 3: the explicit unsafe override flag
+    val (_, loc3) = fork()
+    src.setProperties(Map("graft.clones.allow-unsafe-retention" -> "true"))
+    src.removeOrphanFiles()
+    assert(src.liveClones() == Vector(loc3), "override keeps the registration")
+    // the clone itself starts with a CLEAN registry (no inherited guard)
+    val c3 = GraftTable.load(spark, loc3)
+    assert(!c3.meta.properties.contains("graft.clones"))
+    assert(!c3.meta.properties.contains("graft.clones.allow-unsafe-retention"))
+  }
 }

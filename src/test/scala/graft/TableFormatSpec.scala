@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.tableformat._
@@ -57,9 +57,9 @@ class TableFormatSpec extends AnyFunSuite {
       "v8.metadata.json", "v9.metadata.json",
       "v10.metadata.json", "v11.metadata.json"))
     // trimmed-out documents are physically gone, kept ones readable
-    assert(!Files.exists(MetadataIO.metadataPath(loc, 7)))
-    assert(!Files.exists(MetadataIO.metadataPath(loc, 1)))
-    assert(Files.exists(MetadataIO.metadataPath(loc, 8)))
+    assert(!Files.exists(Paths.get(MetadataIO.metadataPath(loc, 7))))
+    assert(!Files.exists(Paths.get(MetadataIO.metadataPath(loc, 1))))
+    assert(Files.exists(Paths.get(MetadataIO.metadataPath(loc, 8))))
     assert(MetadataIO.readVersion(loc, 8).metadataLog.nonEmpty)
     // next commit still claims version 12 (lineage from the LAST entry)
     MetadataIO.commit(MetadataIO.read(loc))
@@ -71,7 +71,7 @@ class TableFormatSpec extends AnyFunSuite {
       ("write.metadata.previous-versions-max" -> "2")))
     (1 to 5).foreach(_ => MetadataIO.commit(MetadataIO.read(loc2)))
     assert(MetadataIO.read(loc2).metadataLog.size == 3)
-    assert(Files.exists(MetadataIO.metadataPath(loc2, 1)))
+    assert(Files.exists(Paths.get(MetadataIO.metadataPath(loc2, 1))))
   }
 
   test("optimistic commits: two racing writers never lose an update") {
@@ -192,7 +192,7 @@ class TableFormatSpec extends AnyFunSuite {
         |  "metadataLog":[],"properties":{}
         |}""".stripMargin.replace("LOC", loc)
     Files.createDirectories(java.nio.file.Paths.get(loc, "metadata"))
-    Files.writeString(MetadataIO.metadataPath(loc, 1), json)
+    Files.writeString(Paths.get(MetadataIO.metadataPath(loc, 1)), json)
     Files.writeString(java.nio.file.Paths.get(loc, "metadata", "version-hint.text"), "1")
     val m = MetadataIO.read(loc)
     val s = m.currentSnapshot.get
@@ -220,7 +220,7 @@ class TableFormatSpec extends AnyFunSuite {
         snapshots = cur.snapshots :+ Snapshot(i.toLong,
           cur.currentSnapshotId, 1000L + i, "append", 0, 0, files),
         snapshotLog = cur.snapshotLog :+ SnapshotLogEntry(1000L + i, i.toLong)))
-      docSizes :+= Files.size(MetadataIO.metadataPath(loc, v))
+      docSizes :+= Files.size(Paths.get(MetadataIO.metadataPath(loc, v)))
     }
     // the root document holds ONE pointer per snapshot, so each commit
     // grows it by a constant-size snapshot entry — with inline file
