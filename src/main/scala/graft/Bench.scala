@@ -296,10 +296,20 @@ object Bench {
     // escalation passes used, wwon = warmup beat every measured pass
     // (the recorded value IS the warmup — the measured window stalled),
     // spread = max/min over measured passes.
+    // two renderings: verbose objects for BENCH_full.json, and a
+    // compact array form [esc, wwon(0/1), spread] for the stdout
+    // contract line — a pressured run can flag several queries, and at
+    // ~48 bytes per verbose entry the flags themselves pushed the line
+    // past the driver's 2,000-byte tail (round 13: 4 flags = 2,028)
     val stalls = results.collect {
       case (k, _, _, _, f) if f.flagged =>
         "\"" + short(k) + "\":{\"esc\":" + f.escalated +
           ",\"wwon\":" + f.warmupWon + ",\"spread\":" + round3(f.spread) + "}"
+    }.mkString("{", ",", "}")
+    val stallsCompact = results.collect {
+      case (k, _, _, _, f) if f.flagged =>
+        "\"" + short(k) + "\":[" + f.escalated + "," +
+          (if (f.warmupWon) 1 else 0) + "," + round3(f.spread) + "]"
     }.mkString("{", ",", "}")
     val warm = queries.map { q =>
       "\"" + short(q.name) + "\":" + round3(warmupSec.getOrElse(q.name, -1.0))
@@ -323,7 +333,7 @@ object Bench {
     // and the full artifact below carries the verbose forms anyway
     val sfShort = sfDir.substring(sfDir.lastIndexOf('/') + 1)
     val opt = (if (errors == "[]") "" else s""","errors":$errors""") +
-      (if (stalls == "{}") "" else s""","stalls":$stalls""")
+      (if (stallsCompact == "{}") "" else s""","stalls":$stallsCompact""")
     val contract = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$opt,"sf":"$sfShort"}"""
     println(contract)
     // the COMPLETE artifact — full-precision timings, raw passes, warm
