@@ -211,6 +211,18 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           r.table.asInstanceOf[GraftMetadataTableHandle].df
             .queryExecution.analyzed)
 
+      // ---- view metadata: graft.db.v.versions — the view's version
+      // ---- history as a relation (the audit surface t.history serves
+      // ---- for tables), one row per recorded definition
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length >= 2 &&
+            u.multipartIdentifier.last.equalsIgnoreCase("versions") &&
+            GraftViewSql.viewParts(spark, u.multipartIdentifier.init)
+              .isDefined =>
+        val (db, v) =
+          GraftViewSql.viewParts(spark, u.multipartIdentifier.init).get
+        GraftViewSql.versionsDf(spark, db, v).queryExecution.analyzed
+
       // ---- stored views: DML against a view is a hard error (before
       // ---- the expansion below could turn the target into a subquery
       // ---- and produce an opaque analyzer failure)

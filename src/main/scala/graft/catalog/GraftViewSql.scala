@@ -84,8 +84,29 @@ object GraftViewSql {
     "(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.`]+)\\s+RENAME\\s+TO\\s+([\\w.`]+)\\s*;?\\s*$".r
   private val DropViewRe: Regex =
     "(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?([\\w.`]+)\\s*;?\\s*$".r
+  // claimed only when the target is a stored VIEW — tables keep
+  // Spark's own v2 SHOW CREATE TABLE exec (which handles graft tables
+  // natively through the DSv2 handle, hidden partitioning included)
+  private val ShowCreateRe: Regex =
+    "(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+([\\w.`]+)\\s*;?\\s*$".r
   private val ShowViewsRe: Regex =
     "(?is)^\\s*SHOW\\s+VIEWS(?:\\s+(?:IN|FROM)\\s+([\\w.`]+))?\\s*;?\\s*$".r
+  // introspection statements Spark's session catalog can't serve for a
+  // v2 view in 4.1 (TABLE_OR_VIEW_NOT_FOUND, probed empirically) —
+  // claimed only when the target resolves to a stored graft view;
+  // everything else (tables, functions, DESCRIBE QUERY, per-column
+  // describe) falls through to Spark by failing the match or the
+  // viewParts check
+  private val DescribeRe: Regex =
+    ("(?is)^\\s*(?:DESC|DESCRIBE)\\s+(?:TABLE\\s+)?" +
+      "(EXTENDED\\s+|FORMATTED\\s+)?([\\w.`]+)\\s*;?\\s*$").r
+  private val ShowColumnsRe: Regex =
+    ("(?is)^\\s*SHOW\\s+COLUMNS\\s+(?:IN|FROM)\\s+([\\w.`]+)" +
+      "(?:\\s+(?:IN|FROM)\\s+([\\w.`]+))?\\s*;?\\s*$").r
+  private val ShowTblPropsRe: Regex =
+    "(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+([\\w.`]+)\\s*;?\\s*$".r
+  private val RefreshTableRe: Regex =
+    "(?is)^\\s*REFRESH\\s+TABLE\\s+([\\w.`]+)\\s*;?\\s*$".r
 
   /** The graft catalog instance registered under `name`, if any. */
   private def graftCatalog(session: SparkSession, name: String)
@@ -291,6 +312,35 @@ object GraftViewSql {
         }
         GraftRenameViewCommand(cat, db, v, toDb, toV)
       }
+    case ShowCreateRe(identText) =>
+      val parts = delegate.parseMultipartIdentifier(identText)
+      viewParts(session, parts).map { case (db, v) =>
+        GraftShowCreateViewCommand(db, v)
+      }
+    case DescribeRe(extended, identText) =>
+      val parts = delegate.parseMultipartIdentifier(identText)
+      viewParts(session, parts).map { case (db, v) =>
+        GraftDescribeViewCommand(db, v, extended = extended != null)
+      }
+    case ShowColumnsRe(identText, nsText) =>
+      val ident = delegate.parseMultipartIdentifier(identText)
+      val parts = Option(nsText) match {
+        case Some(ns) => delegate.parseMultipartIdentifier(ns) ++ ident
+        case None     => ident
+      }
+      viewParts(session, parts).map { case (db, v) =>
+        GraftShowViewColumnsCommand(db, v)
+      }
+    case ShowTblPropsRe(identText) =>
+      val parts = delegate.parseMultipartIdentifier(identText)
+      viewParts(session, parts).map { case (db, v) =>
+        GraftShowViewPropsCommand(db, v)
+      }
+    case RefreshTableRe(identText) =>
+      val parts = delegate.parseMultipartIdentifier(identText)
+      // late binding means there is nothing stale to refresh — accept
+      // the statement as a successful no-op instead of NOT_FOUND
+      viewParts(session, parts).map { case (_, _) => GraftNoopCommand() }
     case DropViewRe(ifExists, identText) =>
       val parts = delegate.parseMultipartIdentifier(identText)
       graftTarget(session, parts).map { case (cat, db, v) =>
@@ -438,6 +488,36 @@ object GraftViewSql {
         env(u.multipartIdentifier.head.toLowerCase)
     }
 
+  /** `graft.db.v.versions`: the view's recorded definition history as
+    * a relation — version id, commit time, currency, the SQL text, and
+    * the definition context. The audit surface `t.history` serves for
+    * tables, for views.
+    */
+  def versionsDf(spark: SparkSession, db: String, view: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val loc = viewLocation(spark, db, view)
+      .getOrElse(sys.error(s"view $db.$view not found"))
+    val m = ViewIO.read(loc)
+    val schema = StructType(Seq(
+      StructField("version_id", IntegerType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("sql", StringType, nullable = false),
+      StructField("default_catalog", StringType, nullable = false),
+      StructField("default_namespace", ArrayType(StringType), nullable = false),
+      StructField("column_aliases", ArrayType(StringType), nullable = false)))
+    val rows = m.versions.sortBy(_.versionId).map { v =>
+      Row(v.versionId, new java.sql.Timestamp(v.timestampMs),
+        v.versionId == m.currentVersionId, v.sql, v.defaultCatalog,
+        v.defaultNamespace, v.columnAliases)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
   def viewCatalogOf(spark: SparkSession, name: String): GraftNamespaceCatalog =
     spark.sessionState.catalogManager.catalog(name)
       .asInstanceOf[GraftNamespaceCatalog]
@@ -540,6 +620,112 @@ final case class GraftRenameViewCommand(catalogName: String, db: String,
       Identifier.of(Array(toDb), toView))
     Nil
   }
+}
+
+/** SHOW CREATE TABLE on a stored view: reconstruct the CREATE VIEW
+  * statement from the CURRENT recorded version (Spark's v1 behavior
+  * for its own views; column name matches Spark's `createtab_stmt`).
+  * The emitted statement re-parses through [[GraftSqlParser]] — quote
+  * escaping included — so drop-and-replay round-trips.
+  */
+final case class GraftShowCreateViewCommand(db: String, view: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val loc = GraftViewSql.viewLocation(spark, db, view)
+      .getOrElse(sys.error(s"view $db.$view not found"))
+    val m = ViewIO.read(loc)
+    val cur = m.current
+    def q(s: String): String = s.replace("'", "''")
+    val aliases =
+      if (cur.columnAliases.isEmpty) ""
+      else cur.columnAliases.mkString(" (", ", ", ")")
+    val comment = m.properties.get("comment")
+      .map(c => s"\nCOMMENT '${q(c)}'").getOrElse("")
+    val props = (m.properties - "comment").toSeq.sortBy(_._1)
+    val tblprops =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"  '${q(k)}' = '${q(v)}'" }
+        .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+    Seq(Row(
+      s"CREATE VIEW graft.$db.$view$aliases$comment$tblprops\nAS ${cur.sql}\n"))
+  }
+}
+
+/** DESCRIBE [EXTENDED] on a stored view: the CURRENT version's
+  * recorded definition-time schema (aliases applied), and under
+  * EXTENDED the detailed-view block Spark's v1 views emit — type,
+  * text, definition context, version, properties.
+  */
+final case class GraftDescribeViewCommand(db: String, view: String,
+    extended: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val loc = GraftViewSql.viewLocation(spark, db, view)
+      .getOrElse(sys.error(s"view $db.$view not found"))
+    val m = ViewIO.read(loc)
+    val cur = m.current
+    val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val names =
+      if (cur.columnAliases.nonEmpty) cur.columnAliases
+      else schema.fieldNames.toVector
+    val cols = schema.fields.toVector.zip(names).zipWithIndex.map {
+      case ((f, n), i) =>
+        Row(n, f.dataType.simpleString, cur.columnComments.lift(i).orNull)
+    }
+    if (!extended) cols
+    else cols ++ Seq(
+      Row("", "", null),
+      Row("# Detailed View Information", "", null),
+      Row("Type", "VIEW", null),
+      Row("View Name", s"graft.$db.$view", null),
+      Row("View Text", cur.sql, null),
+      Row("View Default Catalog", cur.defaultCatalog, null),
+      Row("View Default Namespace",
+        cur.defaultNamespace.mkString("[", ", ", "]"), null),
+      Row("View Version", m.currentVersionId.toString, null),
+      Row("Properties", m.properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("[", ", ", "]"), null))
+  }
+}
+
+final case class GraftShowViewColumnsCommand(db: String, view: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val loc = GraftViewSql.viewLocation(spark, db, view)
+      .getOrElse(sys.error(s"view $db.$view not found"))
+    val cur = ViewIO.read(loc).current
+    val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val names =
+      if (cur.columnAliases.nonEmpty) cur.columnAliases
+      else schema.fieldNames.toVector
+    names.map(Row(_))
+  }
+}
+
+final case class GraftShowViewPropsCommand(db: String, view: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val loc = GraftViewSql.viewLocation(spark, db, view)
+      .getOrElse(sys.error(s"view $db.$view not found"))
+    ViewIO.read(loc).properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+  }
+}
+
+final case class GraftNoopCommand() extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = Nil
 }
 
 final case class GraftShowViewsCommand(catalogName: String, db: String)

@@ -194,6 +194,66 @@ class ViewSpec extends AnyFunSuite {
     assert(ViewIO.read(loc).properties("note") == "x(y),z")
   }
 
+  test("SHOW CREATE TABLE on a view round-trips; .versions audits history") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b10", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.scv (k) COMMENT 'it''s v1' " +
+      "TBLPROPERTIES ('team'='data') AS SELECT id FROM graft.db.b10")
+    val stmt = spark.sql("SHOW CREATE TABLE graft.db.scv").head().getString(0)
+    assert(stmt.contains("CREATE VIEW graft.db.scv (k)"), stmt)
+    assert(stmt.contains("COMMENT 'it''s v1'") &&
+      stmt.contains("'team' = 'data'"), stmt)
+    // the emitted statement re-parses: drop, replay, read again
+    spark.sql("DROP VIEW graft.db.scv")
+    spark.sql(stmt)
+    assert(spark.sql("SELECT k FROM graft.db.scv ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // SHOW CREATE TABLE on a TABLE stays Spark's own v2 path
+    assert(spark.sql("SHOW CREATE TABLE graft.db.b10").head().getString(0)
+      .contains("CREATE TABLE graft.db.b10"))
+    // versions relation: replace appends a row, currency moves
+    spark.sql("CREATE OR REPLACE VIEW graft.db.scv AS " +
+      "SELECT id * 10 AS k FROM graft.db.b10")
+    val vs = spark.sql("SELECT version_id, is_current, sql " +
+      "FROM graft.db.scv.versions ORDER BY version_id").collect()
+    assert(vs.length == 2)
+    assert(vs(0).getInt(0) == 1 && !vs(0).getBoolean(1) &&
+      vs(0).getString(2).contains("SELECT id FROM"))
+    assert(vs(1).getInt(0) == 2 && vs(1).getBoolean(1) &&
+      vs(1).getString(2).contains("id * 10"))
+  }
+
+  test("DESCRIBE / SHOW COLUMNS / SHOW TBLPROPERTIES / REFRESH on views") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b11", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.iv (key, dbl) COMMENT 'c1' " +
+      "TBLPROPERTIES ('tier'='gold') AS " +
+      "SELECT id, id * 2 FROM graft.db.b11")
+    assert(spark.sql("DESCRIBE graft.db.iv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("key", "bigint"), ("dbl", "bigint")))
+    val ext = spark.sql("DESCRIBE EXTENDED graft.db.iv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("Type") == "VIEW" && ext("View Version") == "1")
+    assert(ext("View Text").contains("SELECT id, id * 2"), ext)
+    assert(spark.sql("SHOW COLUMNS IN graft.db.iv").collect()
+      .map(_.getString(0)).toSeq == Seq("key", "dbl"))
+    assert(spark.sql("SHOW TBLPROPERTIES graft.db.iv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("comment", "c1"), ("tier", "gold")))
+    spark.sql("REFRESH TABLE graft.db.iv") // late binding: no-op success
+    // a TABLE target keeps Spark's own paths for all four statements
+    assert(spark.sql("DESCRIBE graft.db.b11").collect()
+      .map(_.getString(0)).contains("id"))
+    assert(spark.sql("SHOW COLUMNS IN graft.db.b11").collect()
+      .map(_.getString(0)).toSeq == Seq("id"))
+    spark.sql("REFRESH TABLE graft.db.b11")
+  }
+
   test("temp-view references are rejected at create; temp DDL untouched") {
     import spark.implicits._
     val cat = freshCat()
