@@ -194,8 +194,16 @@ object GraftProcedures {
       (w, r) => table(w, str(r, 0)).rewriteDeleteFiles(
         if (r.isNullAt(1)) 0 else r.getInt(1))),
     Def("remove_orphan_files",
-      Seq(in("table", StringType)),
-      (w, r) => { table(w, str(r, 0)).removeOrphanFiles(); () }),
+      Seq(in("table", StringType),
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue(GraftTable.OrphanDefaultOlderThanMs.toString)
+          .build()),
+      (w, r) => {
+        table(w, str(r, 0)).removeOrphanFiles(
+          if (r.isNullAt(1)) GraftTable.OrphanDefaultOlderThanMs
+          else r.getLong(1))
+        ()
+      }),
     Def("rewrite_manifests",
       Seq(in("table", StringType),
         ProcedureParameter.in("target_entries", IntegerType)

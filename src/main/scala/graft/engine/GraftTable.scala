@@ -2538,7 +2538,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def maintain(deleteRatio: Double = 0.1,
       smallFileBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
-      minInputFiles: Int = 2, keepLast: Int = 10): Seq[String] = {
+      minInputFiles: Int = 2, keepLast: Int = 10,
+      orphanOlderThanMs: Long = GraftTable.OrphanDefaultOlderThanMs)
+      : Seq[String] = {
     require(deleteRatio > 0, "deleteRatio must be positive")
     val actions = scala.collection.mutable.ArrayBuffer[String]()
     // the audit log records what COMMITTED, not what was attempted —
@@ -2583,7 +2585,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val before = meta.snapshots.size
         expireSnapshots(keepLast)
         if (meta.snapshots.size < before) actions += "expire_snapshots"
-        val orphans = removeOrphanFiles()
+        val orphans = removeOrphanFiles(orphanOlderThanMs)
         if (orphans.nonEmpty) actions += s"remove_orphan_files:${orphans.size}"
       }
     }
@@ -2593,18 +2595,34 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** Physically delete data/delete files not referenced by any
     * retained snapshot (Iceberg's remove_orphan_files). The only op
     * that lists directories — it is maintenance, not planning.
+    *
+    * `olderThanMs` is the IN-FLIGHT-WRITE GUARD (Iceberg's
+    * `older_than`, same 3-day default): a concurrent writer stages its
+    * data files BEFORE the metadata commit makes them referenced, so
+    * an unguarded GC racing that window would delete files a
+    * just-landing commit points at — silent corruption. Only files
+    * last modified before `now - olderThanMs` are reclaimable; pass 0
+    * to reclaim everything unreferenced (single-writer contexts,
+    * tests).
     */
-  def removeOrphanFiles(): Vector[String] = {
+  def removeOrphanFiles(
+      olderThanMs: Long = GraftTable.OrphanDefaultOlderThanMs)
+      : Vector[String] = {
     val m = cloneRetentionGuard(meta, "removeOrphanFiles")
+    val cutoff = System.currentTimeMillis() - math.max(olderThanMs, 0L)
     val referenced = m.snapshots
       .flatMap(s => s.files ++ s.deleteFiles).map(_.path).toSet
     val orphans = listParquet(s"$location/data").filterNot { abs =>
       referenced(abs.stripPrefix(location + "/"))
-    }
+    }.filter(abs =>
+      try io.modifiedMs(abs) < cutoff
+      catch { case _: java.io.IOException => false }) // raced away: skip
     orphans.foreach(io.delete)
     // manifest tier: lists/manifests referenced by NO retained snapshot
     // (expired history, failed commit attempts, pre-compaction
-    // fragments) are metadata orphans — same reclamation rule
+    // fragments) are metadata orphans — same reclamation rule AND the
+    // same guard (a sealing commit writes manifests before its
+    // document claim lands)
     val refdMeta = m.snapshots.flatMap(s =>
       s.manifestList.toVector ++ s.manifests.map(_.path)).toSet
     val metaOrphans = io.listDir(s"$location/metadata")
@@ -2612,6 +2630,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       .filter(n => (n.startsWith("mf-") && n.endsWith(".manifest.json")) ||
         (n.startsWith("snap-") && n.endsWith(".mlist.json")))
       .map(n => s"metadata/$n").filterNot(refdMeta)
+      .filter(p =>
+        try io.modifiedMs(s"$location/$p") < cutoff
+        catch { case _: java.io.IOException => false })
     metaOrphans.foreach(p => io.delete(s"$location/$p"))
     orphans ++ metaOrphans.map(p => s"$location/$p")
   }
@@ -3403,6 +3424,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+
+  /** Orphan GC's in-flight-write guard window (Iceberg's
+    * remove_orphan_files `older_than` default): unreferenced files
+    * YOUNGER than this are presumed to belong to a commit still in
+    * flight and survive.
+    */
+  val OrphanDefaultOlderThanMs: Long = 3L * 24 * 3600 * 1000
 
   /** CREATE TABLE (reference D2). */
   def create(spark: SparkSession, location: String, name: String,

@@ -50,6 +50,10 @@ trait FileIO {
   def writeString(path: String, content: String): Unit
   def exists(path: String): Boolean
   def size(path: String): Long
+  /** Last-modified epoch millis (object stores: the key's
+    * Last-Modified). Powers orphan GC's in-flight-write guard.
+    */
+  def modifiedMs(path: String): Long
   /** Delete if present; `false` when nothing was there. */
   def delete(path: String): Boolean
   /** Immediate children of a directory (files and prefixes), absolute
@@ -86,6 +90,9 @@ object LocalFileIO extends FileIO {
   override def exists(path: String): Boolean = Files.exists(p(path))
 
   override def size(path: String): Long = Files.size(p(path))
+
+  override def modifiedMs(path: String): Long =
+    Files.getLastModifiedTime(p(path)).toMillis
 
   override def delete(path: String): Boolean = Files.deleteIfExists(p(path))
 

@@ -1035,7 +1035,7 @@ class EngineSpec extends AnyFunSuite {
       t.append(Seq((1000L + i, "x")).toDF("id", "v").coalesce(1)))
     // keepLast=1: only the post-sweep snapshot survives, so every
     // pre-compaction file is provably orphaned
-    val actions = t.maintain(keepLast = 1)
+    val actions = t.maintain(keepLast = 1, orphanOlderThanMs = 0)
     assert(actions.head == "rewrite_deleted_data_files", actions.toString)
     assert(actions.contains("rewrite_data_files_binpack"))
     assert(actions.contains("expire_snapshots"))
@@ -1907,7 +1907,7 @@ class EngineSpec extends AnyFunSuite {
     // reclamation (the engine never deletes outside <location>/data)
     t.delete(col("id") === 2L)
     assert(t.read().count() == 4)
-    t.removeOrphanFiles()
+    t.removeOrphanFiles(olderThanMs = 0)
     val lowFiles = java.nio.file.Files.list(
       java.nio.file.Paths.get(s"$src/low")).iterator()
     assert(lowFiles.hasNext, "external source directory emptied")
@@ -1988,7 +1988,7 @@ class EngineSpec extends AnyFunSuite {
     assert(src.read().count() == 9L)
     // clone-side orphan GC walks only the clone's data dir: the shared
     // source files survive, and both tables still answer
-    dst.removeOrphanFiles()
+    dst.removeOrphanFiles(olderThanMs = 0)
     assert(src.read().count() == 9L && dst.read().count() == 6L)
     // source-side append stays invisible to the clone
     src.append(Seq((200L, "src-only")).toDF("id", "v").coalesce(1))
@@ -1999,6 +1999,30 @@ class EngineSpec extends AnyFunSuite {
       snaps.head.summary("source-table") == src.location)
     // an existing location refuses
     intercept[Exception](src.snapshotTo(dstLoc, "again"))
+  }
+
+  test("orphan GC age guard: young unreferenced files survive (an " +
+      "in-flight commit's staged writes), backdated ones reclaim") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "gcage", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id").coalesce(1))
+    // a staged write: on disk under data/, referenced by NO snapshot
+    // yet — exactly what a concurrent writer's pre-commit files look
+    // like
+    val staged = s"${t.location}/data/staged-in-flight.parquet"
+    graft.tableformat.FileIO.io.writeString(staged, "not-yet-committed")
+    assert(t.removeOrphanFiles().isEmpty, "young staged file must survive")
+    assert(graft.tableformat.FileIO.io.exists(staged))
+    // the same file, older than the guard window -> reclaimable
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(staged),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - GraftTable.OrphanDefaultOlderThanMs - 1000))
+    val gone = t.removeOrphanFiles()
+    assert(gone == Vector(staged), gone.toString)
+    assert(!graft.tableformat.FileIO.io.exists(staged))
+    // referenced files are never candidates at any age
+    assert(t.read().count() == 2)
   }
 
   test("clone-aware retention: source expiry/GC refuse while a " +
@@ -2033,7 +2057,7 @@ class EngineSpec extends AnyFunSuite {
     // release path 2: explicit unregister
     val (clone2, loc2) = fork()
     src.unregisterClone(loc2)
-    src.removeOrphanFiles() // proceeds
+    src.removeOrphanFiles(olderThanMs = 0) // proceeds
     assert(clone2.read().count() == 9L, "clone still reads (files shared)")
     graft.tableformat.FileIO.io.deleteTree(loc2)
     // release path 3: the explicit unsafe override flag

@@ -67,6 +67,7 @@ class FileIOSpec extends AnyFunSuite {
     override def writeString(p: String, c: String) = { writes.incrementAndGet(); LocalFileIO.writeString(p, c) }
     override def exists(p: String) = LocalFileIO.exists(p)
     override def size(p: String) = LocalFileIO.size(p)
+    override def modifiedMs(p: String) = LocalFileIO.modifiedMs(p)
     override def delete(p: String) = { deletes.incrementAndGet(); LocalFileIO.delete(p) }
     override def listDir(d: String) = { lists.incrementAndGet(); LocalFileIO.listDir(d) }
     override def listRecursive(d: String) = { lists.incrementAndGet(); LocalFileIO.listRecursive(d) }
@@ -88,7 +89,7 @@ class FileIOSpec extends AnyFunSuite {
       assert(t.read().count() == 4)
       assert(t.countRows() == 4) // manifest fast path reads via the seam
       t.expireSnapshots(keepLast = 1)
-      t.removeOrphanFiles()
+      t.removeOrphanFiles(olderThanMs = 0)
       assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
       // every tier of the protocol exercised the seam: document claims
       // (3 commits + expiry), manifest/list writes, reads, GC

@@ -230,7 +230,7 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(before == 4)
     t.expireSnapshots(keepLast = 1)
     assert(t.meta.snapshots.size == 1)
-    val orphans = t.removeOrphanFiles()
+    val orphans = t.removeOrphanFiles(olderThanMs = 0)
     assert(orphans.nonEmpty, "expired snapshots' files reclaimed")
     // current state unaffected
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
