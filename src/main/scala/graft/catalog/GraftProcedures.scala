@@ -35,6 +35,7 @@ import graft.engine.GraftTable
   *   CALL graft.system.add_files('db.t', '/path/to/parquet')
   *   CALL graft.system.snapshot('db.src', 'db.dst')  -- zero-copy clone
   *   CALL graft.system.unregister_clone('db.src', 'db.dst')
+  *   CALL graft.system.verify_table('db.t' [, <all_snapshots>])
   *   CALL graft.system.fast_forward('db.t', '<branch>')
   *   CALL graft.system.cherrypick_snapshot('db.t', <snapshot_id>)
   *   CALL graft.system.create_branch('db.t', '<name>')
@@ -242,6 +243,18 @@ object GraftProcedures {
         }
         table(w, str(r, 0)).unregisterClone(cloneLoc)
         ()
+      }),
+    Def("verify_table",
+      Seq(in("table", StringType),
+        ProcedureParameter.in("all_snapshots", BooleanType)
+          .defaultValue("false").build()),
+      (w, r) => {
+        val findings = table(w, str(r, 0)).verifyIntegrity(
+          allSnapshots = !r.isNullAt(1) && r.getBoolean(1))
+        // fail loudly: the procedure form is the CI/cron gate
+        if (findings.nonEmpty) sys.error(
+          s"verify_table found ${findings.size} issue(s):\n" +
+            findings.mkString("\n"))
       }),
     Def("fast_forward",
       Seq(in("table", StringType), in("branch", StringType)),

@@ -2637,6 +2637,62 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     orphans ++ metaOrphans.map(p => s"$location/$p")
   }
 
+  /** Integrity audit: verify every byte the CURRENT snapshot's plans
+    * would touch is actually reachable — data and delete files exist
+    * with the manifest-recorded size, and every retained snapshot's
+    * manifest list + manifests load. The operational complement of the
+    * clone guard and the GC age window: a stranded clone, a
+    * half-deleted import, or a manually-mangled warehouse surfaces
+    * here as a named finding instead of a mid-query failure on a 1000-
+    * executor job. Read-only; findings (empty = clean) name the file
+    * and the defect. Existence/size checks run one parallel task per
+    * file (pure metadata stats — at 10⁶ files this is minutes on
+    * object storage either way, which is why it is an audit, not a
+    * read-path check). `allSnapshots=true` extends the file checks to
+    * every retained snapshot (time-travel coverage).
+    */
+  def verifyIntegrity(allSnapshots: Boolean = false): Vector[String] = {
+    val m = meta
+    val findings = Vector.newBuilder[String]
+    // manifest tier: every retained snapshot must plan
+    m.snapshots.foreach { s =>
+      s.manifestList.foreach { rel =>
+        try {
+          val refs = graft.tableformat.Manifests.readList(location, rel)
+          refs.foreach { r =>
+            try {
+              val es = graft.tableformat.Manifests.readEntries(location, r)
+              if (es.size != r.fileCount) findings +=
+                s"manifest ${r.path}: ${es.size} entries, ref says ${r.fileCount}"
+            } catch { case e: Exception =>
+              findings += s"manifest ${r.path} unreadable: ${e.getMessage}"
+            }
+          }
+        } catch { case e: Exception =>
+          findings += s"manifest list $rel (snapshot ${s.snapshotId}) " +
+            s"unreadable: ${e.getMessage}"
+        }
+      }
+    }
+    // file tier: the current snapshot (or all), one parallel stat each
+    val snaps =
+      if (allSnapshots) m.snapshots
+      else m.currentSnapshot.toVector
+    val entries = snaps.flatMap(s => s.files ++ s.deleteFiles)
+      .distinctBy(_.path)
+    import scala.collection.parallel.CollectionConverters._
+    val fileIssues = entries.par.flatMap { f =>
+      val abs = absPath(f.path)
+      if (!io.exists(abs)) Some(s"missing file: ${f.path}")
+      else if (f.fileSizeBytes > 0 && io.size(abs) != f.fileSizeBytes)
+        Some(s"size mismatch: ${f.path} on disk ${io.size(abs)}, " +
+          s"manifest ${f.fileSizeBytes}")
+      else None
+    }.seq.toVector
+    findings ++= fileIssues
+    findings.result()
+  }
+
   /** Iceberg's rollback_to_snapshot: make an ANCESTOR of the current
     * snapshot current again. Metadata-only — no snapshot is created or
     * destroyed; the abandoned commits stay readable (time travel,
