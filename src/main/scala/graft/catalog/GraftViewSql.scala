@@ -314,13 +314,13 @@ object GraftViewSql {
       }
     case ShowCreateRe(identText) =>
       val parts = delegate.parseMultipartIdentifier(identText)
-      viewParts(session, parts).map { case (db, v) =>
-        GraftShowCreateViewCommand(db, v)
+      viewCatalogAndParts(session, parts).map { case (cat, db, v) =>
+        GraftShowCreateViewCommand(cat, db, v)
       }
     case DescribeRe(extended, identText) =>
       val parts = delegate.parseMultipartIdentifier(identText)
-      viewParts(session, parts).map { case (db, v) =>
-        GraftDescribeViewCommand(db, v, extended = extended != null)
+      viewCatalogAndParts(session, parts).map { case (cat, db, v) =>
+        GraftDescribeViewCommand(cat, db, v, extended = extended != null)
       }
     case ShowColumnsRe(identText, nsText) =>
       val ident = delegate.parseMultipartIdentifier(identText)
@@ -374,20 +374,30 @@ object GraftViewSql {
     * a table never matches (a location is a table XOR a view).
     */
   def viewParts(spark: SparkSession, parts: Seq[String])
-      : Option[(String, String)] = {
+      : Option[(String, String)] =
+    viewCatalogAndParts(spark, parts).map { case (_, db, v) => (db, v) }
+
+  /** Like [[viewParts]] but also returns the RESOLVED catalog name —
+    * commands that echo an identifier back to the user (SHOW CREATE,
+    * DESCRIBE) must name the catalog the view actually resolved
+    * through, not assume the registration name `graft`.
+    */
+  def viewCatalogAndParts(spark: SparkSession, parts: Seq[String])
+      : Option[(String, String, String)] = {
     val cm = spark.sessionState.catalogManager
     val norm = parts match {
-      case Seq(c, db, v) if graftCatalog(spark, c).isDefined => Some((db, v))
+      case Seq(c, db, v) if graftCatalog(spark, c).isDefined =>
+        Some((c, db, v))
       case Seq(db, v)
           if graftCatalog(spark, cm.currentCatalog.name()).isDefined =>
-        Some((db, v))
+        Some((cm.currentCatalog.name(), db, v))
       case Seq(v)
           if graftCatalog(spark, cm.currentCatalog.name()).isDefined &&
             cm.currentNamespace.length == 1 =>
-        Some((cm.currentNamespace.head, v))
+        Some((cm.currentCatalog.name(), cm.currentNamespace.head, v))
       case _ => None
     }
-    norm.filter { case (db, v) => viewLocation(spark, db, v).isDefined }
+    norm.filter { case (_, db, v) => viewLocation(spark, db, v).isDefined }
   }
 
   /** Expand a stored view into its (unresolved) defining plan —
@@ -628,8 +638,8 @@ final case class GraftRenameViewCommand(catalogName: String, db: String,
   * The emitted statement re-parses through [[GraftSqlParser]] — quote
   * escaping included — so drop-and-replay round-trips.
   */
-final case class GraftShowCreateViewCommand(db: String, view: String)
-    extends LeafRunnableCommand {
+final case class GraftShowCreateViewCommand(catalog: String, db: String,
+    view: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("createtab_stmt", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -649,7 +659,8 @@ final case class GraftShowCreateViewCommand(db: String, view: String)
       else props.map { case (k, v) => s"  '${q(k)}' = '${q(v)}'" }
         .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
     Seq(Row(
-      s"CREATE VIEW graft.$db.$view$aliases$comment$tblprops\nAS ${cur.sql}\n"))
+      s"CREATE VIEW $catalog.$db.$view$aliases$comment$tblprops" +
+        s"\nAS ${cur.sql}\n"))
   }
 }
 
@@ -658,8 +669,8 @@ final case class GraftShowCreateViewCommand(db: String, view: String)
   * EXTENDED the detailed-view block Spark's v1 views emit — type,
   * text, definition context, version, properties.
   */
-final case class GraftDescribeViewCommand(db: String, view: String,
-    extended: Boolean) extends LeafRunnableCommand {
+final case class GraftDescribeViewCommand(catalog: String, db: String,
+    view: String, extended: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("col_name", StringType, nullable = false)(),
     AttributeReference("data_type", StringType, nullable = false)(),
@@ -683,7 +694,7 @@ final case class GraftDescribeViewCommand(db: String, view: String,
       Row("", "", null),
       Row("# Detailed View Information", "", null),
       Row("Type", "VIEW", null),
-      Row("View Name", s"graft.$db.$view", null),
+      Row("View Name", s"$catalog.$db.$view", null),
       Row("View Text", cur.sql, null),
       Row("View Default Catalog", cur.defaultCatalog, null),
       Row("View Default Namespace",

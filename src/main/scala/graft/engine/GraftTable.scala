@@ -721,26 +721,70 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         base.copy(currentSnapshotId = Some(id), snapshots = Vector(snap),
           snapshotLog = Vector(SnapshotLogEntry(now, id)))
     }
-    MetadataIO.commit(withSnap)
-    // register the fork on the SOURCE so its retention refuses to
-    // strand the shared files while the clone lives (see class doc)
+    // Register the fork on the SOURCE FIRST, then materialize the
+    // clone. The other order has a stranding window: a crash (or a
+    // failed registration commit) after the clone's metadata lands
+    // leaves a LIVE clone unguarded — source retention would delete
+    // the shared files. Registration-first fails safe: a registration
+    // whose clone never materializes is a stale entry that heals out
+    // of the registry lazily. The registration carries its timestamp
+    // so the guard can tell "clone creation in flight" (young, not yet
+    // existing -> treat as live, refuse retention) from "crashed
+    // creation" (old, never materialized -> heal), closing the race
+    // where retention reads the registry in the gap between the two
+    // commits.
     MetadataIO.commitRetry(location) { cur =>
       val regs = registeredClones(cur)
       if (regs.contains(dstLocation)) cur
+      else {
+        val raw = rawCloneRegs(cur) :+
+          s"$dstLocation$CloneFieldSep${System.currentTimeMillis()}"
+        cur.copy(properties = cur.properties +
+          (ClonesKey -> raw.mkString(CloneSep.toString)))
+      }
+    }
+    MetadataIO.commit(withSnap)
+    // CONFIRM: strip the timestamp now that the clone exists, so a
+    // later DROP of the clone heals immediately (untimed + not-exists
+    // = genuinely dropped) instead of riding out the grace window. A
+    // crash before this line leaves the timestamped entry, which the
+    // guard resolves through the exists check anyway.
+    MetadataIO.commitRetry(location) { cur =>
+      val raw = rawCloneRegs(cur).map(r =>
+        if (cloneRegLocation(r) == dstLocation) dstLocation else r)
+      if (raw == rawCloneRegs(cur)) cur
       else cur.copy(properties = cur.properties +
-        (ClonesKey -> (regs :+ dstLocation).mkString(CloneSep.toString)))
+        (ClonesKey -> raw.mkString(CloneSep.toString)))
     }
     new GraftTable(spark, dstLocation)
   }
 
   private val ClonesKey = "graft.clones"
-  // locations may contain any printable character; U+0001 cannot
+  // locations may contain any printable character; U+0001/U+0002 cannot
   private val CloneSep = '\u0001'
+  private val CloneFieldSep = '\u0002'
+  // how long a registered-but-not-yet-existing clone blocks retention
+  // before it is judged a crashed creation and healed out
+  private[graft] val CloneRegisterGraceMs = 15L * 60 * 1000
 
-  private def registeredClones(m: TableMetadata): Vector[String] =
+  /** Raw registry entries: `location` or `location<FS>registeredMs`. */
+  private def rawCloneRegs(m: TableMetadata): Vector[String] =
     m.properties.get(ClonesKey)
       .map(_.split(CloneSep).toVector.filter(_.nonEmpty))
       .getOrElse(Vector.empty)
+
+  private def cloneRegLocation(raw: String): String =
+    raw.takeWhile(_ != CloneFieldSep)
+
+  private def cloneRegAgeMs(raw: String): Option[Long] = {
+    val i = raw.indexOf(CloneFieldSep.toInt)
+    if (i < 0) None
+    else raw.drop(i + 1).toLongOption
+      .map(t => System.currentTimeMillis() - t)
+  }
+
+  private def registeredClones(m: TableMetadata): Vector[String] =
+    rawCloneRegs(m).map(cloneRegLocation)
 
   /** Clone locations registered on this table whose table still
     * exists. A dropped clone heals out of the registry lazily (on the
@@ -756,7 +800,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def unregisterClone(cloneLocation: String): GraftTable = {
     MetadataIO.commitRetry(location) { cur =>
-      val kept = registeredClones(cur).filterNot(_ == cloneLocation)
+      val kept = rawCloneRegs(cur)
+        .filterNot(r => cloneRegLocation(r) == cloneLocation)
       if (kept.isEmpty) cur.copy(properties = cur.properties - ClonesKey)
       else cur.copy(properties = cur.properties +
         (ClonesKey -> kept.mkString(CloneSep.toString)))
@@ -772,14 +817,24 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   private def cloneRetentionGuard(cur: TableMetadata, op: String)
       : TableMetadata = {
-    val regs = registeredClones(cur)
+    val regs = rawCloneRegs(cur)
     if (regs.isEmpty) return cur
-    val (live, dead) = regs.partition(MetadataIO.exists)
+    // A registration whose clone does not exist YET may be a creation
+    // in flight (snapshotTo registers before it materializes the clone
+    // — see there); inside the grace window it counts as live so
+    // retention cannot slip through the gap between the two commits.
+    // Past the grace it is a crashed creation and heals out. Untimed
+    // (legacy) registrations were written after the clone existed, so
+    // not-exists there means genuinely dropped.
+    val (live, dead) = regs.partition(r =>
+      MetadataIO.exists(cloneRegLocation(r)) ||
+        cloneRegAgeMs(r).exists(_ < CloneRegisterGraceMs))
     if (live.nonEmpty && !cur.properties
         .get("graft.clones.allow-unsafe-retention").contains("true"))
       throw new IllegalStateException(
         s"$op refused: zero-copy clones still reference this table's " +
-          s"files: ${live.mkString(", ")}. Drop the clone(s), release " +
+          s"files: ${live.map(cloneRegLocation).mkString(", ")}. Drop " +
+          "the clone(s), release " +
           "with unregisterClone / CALL graft.system.unregister_clone, " +
           "or set table property graft.clones.allow-unsafe-retention=true " +
           "to accept stranding them.")
@@ -2581,13 +2636,22 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       if (liveClones().nonEmpty && !meta.properties
           .get("graft.clones.allow-unsafe-retention").contains("true"))
         actions += "retention_skipped:clones-registered"
-      else {
-        val before = meta.snapshots.size
-        expireSnapshots(keepLast)
-        if (meta.snapshots.size < before) actions += "expire_snapshots"
-        val orphans = removeOrphanFiles(orphanOlderThanMs)
-        if (orphans.nonEmpty) actions += s"remove_orphan_files:${orphans.size}"
-      }
+      else
+        // a clone registered between the check above and the step's
+        // own guard (each retention op re-runs cloneRetentionGuard
+        // inside its commit) still makes the sweep SKIP, never fail
+        try {
+          val before = meta.snapshots.size
+          expireSnapshots(keepLast)
+          if (meta.snapshots.size < before) actions += "expire_snapshots"
+          val orphans = removeOrphanFiles(orphanOlderThanMs)
+          if (orphans.nonEmpty)
+            actions += s"remove_orphan_files:${orphans.size}"
+        } catch {
+          case e: IllegalStateException if e.getMessage != null &&
+              e.getMessage.contains("zero-copy clones") =>
+            actions += "retention_skipped:clones-registered"
+        }
     }
     actions.toSeq
   }

@@ -264,11 +264,23 @@ object Manifests {
             files.size * 2))
         files.foreach(ident.add)
         lazy val byPath = files.map(f => f.path -> f).toMap
-        val reusedByPath = Vector.newBuilder[ManifestRef]
-        val reused = parentRefs.filter { r =>
-          r.fileCount <= files.size && {
+        // Each parent manifest is read EXACTLY ONCE; the covered sets
+        // are built from the SAME entry vectors the reuse decision saw.
+        // entryCache is a shared bounded LRU, so a second readEntries
+        // call may re-parse and hand back different objects — entries
+        // that passed the identity check would then miss BOTH covered
+        // sets, land in the leftover, and be manifested twice while the
+        // parent manifest is also reused (silent row double-counting).
+        val reused = Vector.newBuilder[ManifestRef]
+        val coveredIdent = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean]())
+        var coveredPaths = Set.empty[String]
+        parentRefs.foreach { r =>
+          if (r.fileCount <= files.size) {
             val es = readEntries(location, r)
-            es.forall(ident.contains) || {
+            if (es.forall(ident.contains)) {
+              reused += r; es.foreach(coveredIdent.add)
+            } else {
               // a manifest's objects rebuild all-or-nothing (one parse
               // creates the whole cached vector), so a PARTIAL identity
               // miss proves genuine removal — only a complete miss
@@ -276,25 +288,17 @@ object Manifests {
               // present, different objects" and justifies paying for
               // the path-keyed map. Skipping reuse is always sound:
               // worst case the entries re-manifest in the leftover.
-              val ok = !es.exists(ident.contains) &&
-                es.forall(e => byPath.get(e.path).contains(e))
-              if (ok) reusedByPath += r
-              ok
+              if (!es.exists(ident.contains) &&
+                es.forall(e => byPath.get(e.path).contains(e))) {
+                reused += r; coveredPaths ++= es.iterator.map(_.path)
+              }
             }
           }
         }
-        // exclude covered entries from the leftover by identity; only
-        // manifests reused through the path check (different objects)
-        // need their paths collected
-        val coveredIdent = java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean]())
-        reused.foreach(r => readEntries(location, r).foreach(coveredIdent.add))
-        val coveredPaths = reusedByPath.result()
-          .flatMap(r => readEntries(location, r)).map(_.path).toSet
         val leftover = files.filterNot(f =>
           coveredIdent.contains(f) ||
             (coveredPaths.nonEmpty && coveredPaths(f.path)))
-        reused ++ leftover.grouped(target)
+        reused.result() ++ leftover.grouped(target)
           .map(g => writeManifest(location, kind, g.toVector, fieldType))
       }
     }

@@ -2025,6 +2025,40 @@ class EngineSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("clone registration grace: an in-flight (timestamped, not yet " +
+      "existing) registration blocks retention; a stale one heals") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmp(), "grace_src",
+      Seq("id" -> "long"))
+    src.append(Seq(1L).toDF("id").coalesce(1))
+    src.append(Seq(2L).toDF("id").coalesce(1))
+    val ghost = tmp() + "-never-materialized"
+    // what snapshotTo's registry looks like in the window between its
+    // register commit and the clone's metadata commit
+    def reg(ts: Long): Unit =
+      src.setProperties(Map("graft.clones" -> s"$ghost\u0002$ts"))
+    reg(System.currentTimeMillis())
+    val e = intercept[IllegalStateException](src.expireSnapshots(1))
+    assert(e.getMessage.contains(ghost))
+    intercept[IllegalStateException](src.removeOrphanFiles(0))
+    assert(src.meta.snapshots.size == 2)
+    // backdated past the grace = a crashed clone creation: heals out
+    // and retention proceeds
+    reg(System.currentTimeMillis() - src.CloneRegisterGraceMs - 1000)
+    src.expireSnapshots(1)
+    assert(src.meta.snapshots.size == 1)
+    assert(!src.meta.properties.contains("graft.clones"))
+    // a COMPLETED fork's registration is untimed (snapshotTo confirms
+    // after the clone materializes), so dropping the clone heals
+    // without waiting out the grace — pinned by the release-path test
+    val loc = tmp()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(loc))
+    src.snapshotTo(loc, "grace_clone")
+    assert(!src.meta.properties("graft.clones").contains('\u0002'))
+    graft.tableformat.FileIO.io.deleteTree(loc)
+    assert(src.liveClones().isEmpty)
+  }
+
   test("clone-aware retention: source expiry/GC refuse while a " +
       "registered clone lives, release paths all work") {
     import spark.implicits._

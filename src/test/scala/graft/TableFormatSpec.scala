@@ -277,6 +277,45 @@ class TableFormatSpec extends AnyFunSuite {
     assert(m.snapshotById(1L).get.files.size == 3)
   }
 
+  test("churn seal never references a data file from two manifests — " +
+      "covered sets are built from the SAME entry read as the reuse " +
+      "decision (cache-eviction double-count guard)") {
+    val loc = tmp()
+    MetadataIO.commit(TableMetadata.create("t", loc, Seq("id" -> "long"),
+      properties = Map("graft.manifest.target-entries" -> "4")))
+    def entry(i: Int) = DataFileEntry(f"data/f$i%02d.parquet", 10, 0)
+    val c1 = MetadataIO.read(loc)
+    MetadataIO.commit(c1.copy(currentSnapshotId = Some(1L),
+      snapshots = c1.snapshots :+ Snapshot(1L, None, 1001L, "append", 0, 0,
+        (1 to 12).map(entry).toVector),
+      snapshotLog = c1.snapshotLog :+ SnapshotLogEntry(1001L, 1L)))
+    // force the PATH-reuse branch: the churn inventory is built from
+    // freshly parsed objects (cold cache), so identity containment
+    // misses completely and reuse must go through the path check —
+    // the branch where a second readEntries under LRU pressure used
+    // to produce entries absent from BOTH covered sets
+    Manifests.clearCachesForTesting()
+    val c2 = MetadataIO.read(loc)
+    val kept = c2.currentSnapshot.get.files
+      .filterNot(_.path == "data/f07.parquet")
+    Manifests.clearCachesForTesting()
+    MetadataIO.commit(c2.copy(currentSnapshotId = Some(2L),
+      snapshots = c2.snapshots :+ Snapshot(2L, Some(1L), 1002L, "delete",
+        0, 0, kept),
+      snapshotLog = c2.snapshotLog :+ SnapshotLogEntry(1002L, 2L)))
+    Manifests.clearCachesForTesting()
+    val s2 = MetadataIO.read(loc).currentSnapshot.get
+    val allPaths = s2.manifests.filter(_.kind == "data")
+      .flatMap(r => Manifests.readEntries(loc, r)).map(_.path)
+    assert(allPaths.size == allPaths.distinct.size,
+      s"file referenced by two manifests: ${allPaths.diff(allPaths.distinct)}")
+    assert(allPaths.sorted == (1 to 12).filter(_ != 7)
+      .map(i => f"data/f$i%02d.parquet").toVector)
+    // untouched manifests were reused by pointer despite the cold cache
+    assert(MetadataIO.read(loc).snapshotById(1L).get.manifests.map(_.path)
+      .intersect(s2.manifests.map(_.path)).size == 2)
+  }
+
   test("nextFieldId never reuses dropped ids") {
     val s0 = VersionedSchema(0, Vector(FieldDef(1, "a", "int"), FieldDef(2, "b", "int")))
     val s1 = VersionedSchema(1, Vector(FieldDef(1, "a", "int")))
