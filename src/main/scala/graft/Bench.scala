@@ -339,11 +339,18 @@ object Bench {
     // the COMPLETE artifact — full-precision timings, raw passes, warm
     // baselines, stall flags — at the REPO ROOT, immune to the
     // driver's stdout tail cap (round 12 lost a fifth of the timings
-    // to it); committed per round beside BENCH_r{N}.json
+    // to it); committed per round beside BENCH_r{N}.json.
+    // ARTIFACT HYGIENE: a dev-loop subset run (SPARK_GRAFT_BENCH_ONLY)
+    // writes BENCH_subset.json and NEVER touches BENCH_full.json — a
+    // partial run must not clobber the round's recorded quiet-host
+    // perf record (round 13 lost the working-tree copy exactly this
+    // way).
     try {
       val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"stalls":$stalls,"sf":"$sfDir","raw":$raw,"warm":$warm}"""
+      val artifact =
+        if (only.isDefined) "BENCH_subset.json" else "BENCH_full.json"
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_full.json"), full + "\n")
+        java.nio.file.Paths.get(artifact), full + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
     // belt-and-braces against any stdout mangling between this JVM and
     // the driver's parser (logger prefixes, tail truncation): the same
