@@ -167,8 +167,14 @@ object Soak {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val debug = sys.env.contains("SPARK_GRAFT_SOAK_DEBUG")
-    val jobs = ops.map { case (n, op) => (n, base, big, op) } ++
-      evOps.map { case (n, op) => (n, evBase, bigEv, op) }
+    // dev knob: metadata block only (the pipeline ops dominate a full
+    // soak's wall clock; iterating on commit-path cost doesn't need
+    // them)
+    val metaOnly = sys.env.contains("SPARK_GRAFT_SOAK_META_ONLY")
+    val jobs =
+      if (metaOnly) Seq.empty
+      else ops.map { case (n, op) => (n, base, big, op) } ++
+        evOps.map { case (n, op) => (n, evBase, bigEv, op) }
     val results = jobs.map { case (name, small, large, op) =>
       run(op(small)) // warm both code paths
       val t1 = math.min(time(run(op(small))), time(run(op(small))))
@@ -233,6 +239,33 @@ object Soak {
       val planCold = time {
         require(t.meta.currentSnapshot.get.files.size == perCommit * nCommits)
       }
+      // PREDICATED cold planning: a selective predicate must veto
+      // manifests on their summaries BEFORE any readEntries call, so a
+      // cold pruned plan loads only the SURVIVING manifests — ms, not
+      // the full-inventory seconds of planCold. Pinned with the parse
+      // counter: loads observed == manifests that survive the skip.
+      val (planPruned, prunedLoads, prunedSurvivors) = {
+        Manifests.clearCachesForTesting()
+        // top 1% of the id range: everything below the cut's manifest
+        // upper bounds is vetoed unopened
+        val pcut = (perCommit * nCommits).toLong * 1000L * 99L / 100L
+        val before = Manifests.parseCount.get()
+        val sec = time {
+          // the candidate-file computation readWhere plans through —
+          // manifest-summary skip, then entry loads for survivors only
+          val m2 = t.meta
+          val s2 = m2.currentSnapshot.get
+          val kept = t.prunedSnapshotFiles(m2, s2,
+            org.apache.spark.sql.graftshim.expressionOf(col("id") >= pcut))
+          require(kept.nonEmpty && kept.size <= 2 * perCommit,
+            s"pruned candidates: ${kept.size}")
+        }
+        val loads = Manifests.parseCount.get() - before
+        val survivors = t.meta.currentSnapshot.get.manifests
+          .filter(_.kind == "data")
+          .count(_.upperBounds.get("1").forall(_.toLong >= pcut))
+        (sec, loads, survivors)
+      }
       val countRowsSec = time(require(t.countRows() == 1000L * perCommit * nCommits))
       // boundary-aligned predicate: half the inventory, proven wholly
       // from manifest/file stats — zero parquet reads (paths are fake)
@@ -254,6 +287,7 @@ object Soak {
       // path — identity-first manifest reuse must keep its cost at
       // tens of ms over 10⁶ entries, not the seconds a string-keyed
       // full-inventory map costs
+      Manifests.SealStats.reset()
       val churnSecs = (0 until 5).map { k =>
         val cur = MetadataIO.read(mloc)
         val inv = cur.currentSnapshot.get.files
@@ -266,6 +300,17 @@ object Soak {
             SnapshotLogEntry(2000000L + k, 1000L + k))))
       }
       val churnAvg = churnSecs.sum / churnSecs.size
+      // named-term split of the churn cost (per commit, seconds):
+      // where the general sealing path spends its time — identity-set
+      // build over the inventory, the parent-manifest reuse filter,
+      // the leftover scan, and the leftover re-manifest write
+      def per(ns: java.util.concurrent.atomic.AtomicLong): Double =
+        ns.get() / 1e9 / churnSecs.size
+      val churnTerms =
+        f""""churn_ident_build_s":${per(Manifests.SealStats.identBuildNs)}%.4f,""" +
+        f""""churn_reuse_filter_s":${per(Manifests.SealStats.filterNs)}%.4f,""" +
+        f""""churn_leftover_scan_s":${per(Manifests.SealStats.leftoverNs)}%.4f,""" +
+        f""""churn_manifest_write_s":${per(Manifests.SealStats.writeNs)}%.4f,"""
       try {
         import scala.jdk.CollectionConverters._
         val w = java.nio.file.Files.walk(java.nio.file.Paths.get(mloc))
@@ -275,8 +320,12 @@ object Soak {
       f""""metadata":{"files":${perCommit * nCommits},"commits":$nCommits,""" +
         f""""commit_first10_avg_s":$first10%.4f,"commit_last10_avg_s":$last10%.4f,""" +
         f""""commit_flat":$flat,"plan_cold_s":$planCold%.3f,""" +
+        f""""plan_pruned_s":$planPruned%.4f,""" +
+        f""""pruned_manifest_loads":$prunedLoads,""" +
+        f""""pruned_manifest_survivors":$prunedSurvivors,""" +
         f""""count_rows_s":$countRowsSec%.4f,"count_where_s":$countWhereSec%.3f,""" +
         f""""manifests":${dataRefs.size},"manifest_skip_frac":$skipFrac%.3f,""" +
+        churnTerms +
         f""""churn_commit_avg_s":$churnAvg%.4f}"""
     }
 

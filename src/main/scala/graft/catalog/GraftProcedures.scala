@@ -63,7 +63,11 @@ object GraftProcedures {
   private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
 
   private final case class Def(name: String, params: Seq[ProcedureParameter],
-      run: (() => Option[String], InternalRow) => Unit)
+      run: (() => Option[String], InternalRow) => Unit,
+      // row-returning procedures (audits, reports): output schema plus
+      // the row producer; when set, `run` is ignored
+      rowsOut: Option[(StructType,
+        (() => Option[String], InternalRow) => Array[InternalRow])] = None)
 
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
 
@@ -256,6 +260,23 @@ object GraftProcedures {
           s"verify_table found ${findings.size} issue(s):\n" +
             findings.mkString("\n"))
       }),
+    // the same audit as a REPORT: findings come back as rows (empty
+    // result = clean warehouse), so an operator can inspect a mangled
+    // table — stranded-clone file loss, a half-deleted import, a
+    // truncated manifest — from SQL without the job dying mid-read.
+    // verify_table above stays the throwing CI-gate twin.
+    Def("audit_integrity",
+      Seq(in("table", StringType),
+        ProcedureParameter.in("all_snapshots", BooleanType)
+          .defaultValue("false").build()),
+      (_, _) => (),
+      rowsOut = Some((
+        new StructType().add("finding", StringType, nullable = false),
+        (w, r) => table(w, str(r, 0)).verifyIntegrity(
+          allSnapshots = !r.isNullAt(1) && r.getBoolean(1))
+          .map(f => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(f))
+            : InternalRow).toArray))),
     Def("fast_forward",
       Seq(in("table", StringType), in("branch", StringType)),
       (w, r) => table(w, str(r, 0)).fastForward(str(r, 1))),
@@ -343,10 +364,19 @@ object GraftProcedures {
         override def description(): String = s"graft maintenance: ${d.name}"
         override def parameters(): Array[ProcedureParameter] = d.params.toArray
         override def isDeterministic: Boolean = false
-        override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          d.run(warehouse, input)
-          Collections.emptyIterator()
-        }
+        override def call(input: InternalRow): java.util.Iterator[Scan] =
+          d.rowsOut match {
+            case None =>
+              d.run(warehouse, input)
+              Collections.emptyIterator()
+            case Some((schema, produce)) =>
+              val out = produce(warehouse, input)
+              Collections.singletonList[Scan](
+                new org.apache.spark.sql.connector.read.LocalScan {
+                  override def readSchema(): StructType = schema
+                  override def rows(): Array[InternalRow] = out
+                }).iterator()
+          }
       }
     }
   }

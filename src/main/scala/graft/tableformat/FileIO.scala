@@ -156,6 +156,245 @@ object LocalFileIO extends FileIO {
   }
 }
 
+/** Object-store-semantics backend: the STRICT S3/GCS/Azure contract,
+  * emulated over the local filesystem so the whole engine test matrix
+  * can run against it (the reference's own deployment is S3FileIO on
+  * MinIO — docker-compose.yml:47,50). Purpose: surface hidden POSIX
+  * assumptions in the metadata layer, not to be a performance path.
+  *
+  * Semantics enforced at the interface (each a real difference from
+  * POSIX that has broken lakehouse code in the wild):
+  *   - FLAT KEY NAMESPACE: only keys (regular files) exist. A
+  *     directory is never an object — [[exists]]/[[size]]/
+  *     [[modifiedMs]]/[[delete]] on a directory behave as NoSuchKey
+  *     (false / throw / false), even when the local dir is physically
+  *     present (e.g. a skeleton left by [[deleteTree]] or created by
+  *     a parquet writer).
+  *   - LIST derives from keys: [[listDir]] is a prefix+delimiter LIST
+  *     (immediate child keys plus common prefixes that contain at
+  *     least one key somewhere below); an "empty directory" is
+  *     invisible. [[listRecursive]] returns keys only.
+  *   - [[deleteTree]] is LIST + per-key DELETE — object stores have no
+  *     recursive rm. Local dir skeletons may remain; per the flat-key
+  *     rule they are invisible through this interface.
+  *   - [[modifiedMs]] truncates to SECONDS: S3's Last-Modified is an
+  *     HTTP date with second resolution, so any guard comparing
+  *     mtimes (orphan GC's in-flight window) must survive sub-second
+  *     truncation.
+  *   - [[writeString]]/[[replaceAtomic]] are PUTs: atomic per key
+  *     (readers see old or new, never a tear), overwrite allowed.
+  *   - [[claim]] is a CONDITIONAL PUT (`If-None-Match: *`): atomic
+  *     create-if-absent with full content. The store provides this
+  *     server-side; the emulation realizes the same guarantee with
+  *     the local kernel's atomic create (write-complete temp +
+  *     link(2)) — an implementation detail of the fake "server",
+  *     invisible at the interface, which never exposes link/rename.
+  *
+  * NOT modeled (knowingly): eventual consistency (all three majors
+  * are strongly consistent since 2020-2024), multipart-upload
+  * partial-object states (a PUT here is all-or-nothing, matching what
+  * a completed upload exposes), and request throttling.
+  */
+final class ObjectStoreFileIO extends FileIO {
+  private def p(s: String): Path = Paths.get(s)
+  private def requireKey(path: String): Path = {
+    val t = p(path)
+    if (!Files.isRegularFile(t))
+      throw new java.nio.file.NoSuchFileException(s"NoSuchKey: $path")
+    t
+  }
+
+  override def readString(path: String): String =
+    Files.readString(requireKey(path))
+
+  override def readLines(path: String): Vector[String] =
+    Files.readAllLines(requireKey(path)).asScala.toVector
+
+  override def writeString(path: String, content: String): Unit = {
+    // PUT: atomic per key, overwrite allowed, implicit "directories"
+    val t = p(path)
+    if (t.getParent != null) Files.createDirectories(t.getParent)
+    val tmp = Files.createTempFile(t.getParent, s".${t.getFileName}-", ".put")
+    try {
+      Files.writeString(tmp, content)
+      Files.move(tmp, t,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def exists(path: String): Boolean = Files.isRegularFile(p(path))
+
+  override def size(path: String): Long = Files.size(requireKey(path))
+
+  override def modifiedMs(path: String): Long =
+    Files.getLastModifiedTime(requireKey(path)).toMillis / 1000L * 1000L
+
+  override def delete(path: String): Boolean =
+    Files.isRegularFile(p(path)) && Files.deleteIfExists(p(path))
+
+  override def listDir(dir: String): Vector[String] = {
+    // LIST prefix=dir/ delimiter=/: child keys + common prefixes that
+    // hold at least one key below. Never trusts directory entries —
+    // an empty local dir is not a prefix because no key has it.
+    val d = p(dir)
+    if (!Files.isDirectory(d)) Vector.empty
+    else {
+      val s = Files.list(d)
+      val children = try s.iterator().asScala.toVector finally s.close()
+      children.flatMap { c =>
+        if (Files.isRegularFile(c)) Some(c.toString)
+        else if (Files.isDirectory(c) && hasKeyBelow(c)) Some(c.toString)
+        else None
+      }
+    }
+  }
+
+  private def hasKeyBelow(d: Path): Boolean = {
+    val s = Files.walk(d)
+    try s.iterator().asScala.exists(Files.isRegularFile(_))
+    finally s.close()
+  }
+
+  override def listRecursive(dir: String): Vector[String] = {
+    val d = p(dir)
+    if (!Files.exists(d)) Vector.empty
+    else {
+      val s = Files.walk(d)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toVector
+      finally s.close()
+    }
+  }
+
+  override def deleteTree(dir: String): Unit = {
+    // LIST + per-key DELETE. Then best-effort removal of the local
+    // dir skeletons purely as disk hygiene — a real store would have
+    // nothing left; the flat-key interface above can't see them
+    // either way.
+    listRecursive(dir).foreach(k => Files.deleteIfExists(p(k)))
+    val d = p(dir)
+    if (Files.exists(d)) {
+      val s = Files.walk(d)
+      val dirs = try s.iterator().asScala.toVector.reverse finally s.close()
+      dirs.foreach(q => try Files.deleteIfExists(q) catch {
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      })
+    }
+  }
+
+  override def claim(path: String, content: String): Boolean = {
+    // conditional PUT (If-None-Match: *), emulated server-side: the
+    // temp carries COMPLETE content before the atomic create-if-absent
+    val target = p(path)
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent,
+      s".${target.getFileName}-", ".put")
+    try {
+      Files.writeString(tmp, content)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def replaceAtomic(path: String, content: String): Unit =
+    writeString(path, content)
+}
+
+/** Commit arbitration for stores WITHOUT conditional PUT — the Iceberg
+  * REST-catalog strategy named in [[FileIO.claim]]'s contract: an
+  * external catalog service CASes the commit slot; storage contributes
+  * only plain atomic-per-key PUT. [[CatalogCommitServer]] is the toy
+  * catalog — a loopback TCP service holding the claimed-slot set, so
+  * arbitration works ACROSS PROCESSES (the cross-process commit-race
+  * test runs through it).
+  *
+  * Protocol: one line `CLAIM <path>` → `WIN` (first claimant) or
+  * `LOSE`. The claimed set is append-only for the server's lifetime —
+  * exactly a commit slot's semantics (a version file path is claimed
+  * once, ever).
+  *
+  * Known toy limitation vs a production REST catalog: a client that
+  * wins the CAS and crashes before its PUT lands leaves the slot
+  * claimed with no visible document (readers simply stop at the
+  * previous version; the table needs operator intervention). A real
+  * REST catalog avoids the window by making the pointer swap itself
+  * the commit — the metadata file is written first under a
+  * never-contended unique name.
+  */
+final class CatalogCommitServer {
+  private val server = new java.net.ServerSocket(0, 64,
+    java.net.InetAddress.getLoopbackAddress)
+  private val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val port: Int = server.getLocalPort
+
+  private val acceptLoop = new Thread(() => {
+    try while (!server.isClosed) {
+      val sock = server.accept()
+      // per-connection handling is tiny (one line in, one word out);
+      // a thread per connection keeps the toy simple and race-free
+      new Thread(() => {
+        try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          val out = sock.getOutputStream
+          val line = in.readLine()
+          val resp =
+            if (line != null && line.startsWith("CLAIM ") &&
+              claimed.add(line.substring(6))) "WIN\n"
+            else "LOSE\n"
+          out.write(resp.getBytes("UTF-8")); out.flush()
+        } catch { case _: java.io.IOException => () }
+        finally sock.close()
+      }).start()
+    } catch { case _: java.io.IOException => () /* closed */ }
+  }, "graft-catalog-commit-server")
+  acceptLoop.setDaemon(true)
+  acceptLoop.start()
+
+  def close(): Unit = server.close()
+}
+
+/** FileIO for a store without conditional PUT: every operation is the
+  * plain object-store contract ([[ObjectStoreFileIO]]); [[claim]]
+  * routes its atomicity through a [[CatalogCommitServer]] CAS, then
+  * lands the content with an ordinary atomic PUT. The slot is
+  * uniquely owned the instant the CAS answers, so two racing writers
+  * can never both claim a version; the content PUT that follows is
+  * uncontended by construction.
+  */
+final class CatalogFileIO(host: String, port: Int) extends FileIO {
+  private val store = new ObjectStoreFileIO
+
+  private def cas(path: String): Boolean = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      sock.getOutputStream.write(s"CLAIM $path\n".getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      in.readLine() == "WIN"
+    } finally sock.close()
+  }
+
+  override def claim(path: String, content: String): Boolean =
+    cas(path) && { store.writeString(path, content); true }
+
+  override def readString(path: String): String = store.readString(path)
+  override def readLines(path: String): Vector[String] = store.readLines(path)
+  override def writeString(path: String, content: String): Unit =
+    store.writeString(path, content)
+  override def exists(path: String): Boolean = store.exists(path)
+  override def size(path: String): Long = store.size(path)
+  override def modifiedMs(path: String): Long = store.modifiedMs(path)
+  override def delete(path: String): Boolean = store.delete(path)
+  override def listDir(dir: String): Vector[String] = store.listDir(dir)
+  override def listRecursive(dir: String): Vector[String] =
+    store.listRecursive(dir)
+  override def deleteTree(dir: String): Unit = store.deleteTree(dir)
+  override def replaceAtomic(path: String, content: String): Unit =
+    store.replaceAtomic(path, content)
+}
+
 object FileIO {
   @volatile private var current: FileIO = LocalFileIO
 
@@ -170,4 +409,17 @@ object FileIO {
     * backend would corrupt the commit protocol.
     */
   def install(impl: FileIO): Unit = { current = impl }
+
+  /** Install the backend named by the `GRAFT_FILEIO` env var:
+    * `objectstore`, `catalog:<port>` (loopback [[CatalogCommitServer]]),
+    * anything else / unset keeps [[LocalFileIO]]. Forked child JVMs
+    * (the cross-process commit-race tests) call this at startup so
+    * both sides of the race run the same storage semantics.
+    */
+  def installFromEnv(): Unit = sys.env.get("GRAFT_FILEIO").foreach {
+    case "objectstore" => install(new ObjectStoreFileIO)
+    case s if s.startsWith("catalog:") =>
+      install(new CatalogFileIO("127.0.0.1", s.stripPrefix("catalog:").toInt))
+    case _ => ()
+  }
 }

@@ -99,10 +99,32 @@ object Manifests {
     listCache.synchronized(listCache.clear())
   }
 
+  /** Observability: manifests PARSED from storage (entry-cache
+    * misses). Soak/test pins read it to prove a pruned plan loaded
+    * only the surviving manifests — summary skip must happen BEFORE
+    * any readEntries call, not after.
+    */
+  private[graft] val parseCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Observability: cumulative nanoseconds per phase of the general
+    * (churn) sealing path, so the soak can NAME where a churn commit's
+    * cost goes instead of guessing. Plain atomic adds — negligible next
+    * to the work they time.
+    */
+  private[graft] object SealStats {
+    val identBuildNs = new java.util.concurrent.atomic.AtomicLong
+    val filterNs = new java.util.concurrent.atomic.AtomicLong
+    val leftoverNs = new java.util.concurrent.atomic.AtomicLong
+    val writeNs = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = Seq(identBuildNs, filterNs, leftoverNs, writeNs)
+      .foreach(_.set(0))
+  }
+
   private def abs(location: String, rel: String): String = s"$location/$rel"
 
   def readEntries(location: String, ref: ManifestRef): Vector[DataFileEntry] =
     cached(entryCache, abs(location, ref.path)) {
+      parseCount.incrementAndGet()
       io.readLines(abs(location, ref.path)).iterator
         .filter(_.nonEmpty)
         .map(l => JsonMethods.parse(l).extract[DataFileEntry]).toVector
@@ -250,56 +272,64 @@ object Manifests {
             .map(g => writeManifest(location, kind, g.toVector, fieldType)))
         }
       fastPath.getOrElse {
-        // General (non-append) path, IDENTITY-FIRST: a rewrite/delete
-        // inventory is built by filtering the parent's entry objects,
-        // which the manifest cache shares per path — so membership
-        // tests run against an IdentityHashMap (reference hash, ~ns)
-        // and the string-keyed map over the full inventory is built
-        // lazily, only when some manifest's objects were rebuilt
-        // (cache eviction, cross-process read). Identical reuse
-        // decisions either way; this is the CPU price of a churn
-        // commit at 10⁶ entries dropping from seconds to tens of ms.
-        val ident = java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean](
-            files.size * 2))
-        files.foreach(ident.add)
-        lazy val byPath = files.map(f => f.path -> f).toMap
-        // Each parent manifest is read EXACTLY ONCE; the covered sets
-        // are built from the SAME entry vectors the reuse decision saw.
-        // entryCache is a shared bounded LRU, so a second readEntries
-        // call may re-parse and hand back different objects — entries
-        // that passed the identity check would then miss BOTH covered
-        // sets, land in the leftover, and be manifested twice while the
-        // parent manifest is also reused (silent row double-counting).
+        // General (non-append) path, ORDER-PRESERVING LOCKSTEP: every
+        // commit path builds a churn inventory by FILTERING the
+        // parent's entry objects in place (CoW delete/rewrite keeps
+        // `untouched` order and appends fresh files at the end), so
+        // the new list is the parent's manifest blocks in refs order,
+        // each minus its removals, with new entries trailing. One eq
+        // walk over the inventory therefore decides reuse: a manifest
+        // whose entries all matched consecutively is reused by
+        // pointer and its covered block is exactly files[start, fi);
+        // a partially-matched block's survivors go to the leftover.
+        // O(total) reference comparisons, no hashing, no allocation —
+        // the 1M-entry soak's churn commit spent 0.72 s/commit
+        // building and probing an IdentityHashMap here before this
+        // path (reuse_filter 0.50 + ident_build 0.22); the eq walk is
+        // milliseconds. Coverage invariant: the blocks and the tail
+        // partition [0, n) disjointly, so no entry is ever referenced
+        // by both a reused manifest and a new one.
+        var t0 = System.nanoTime()
+        val n = files.length
+        var fi = 0
         val reused = Vector.newBuilder[ManifestRef]
-        val coveredIdent = java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean]())
-        var coveredPaths = Set.empty[String]
+        var reusedCount = 0
+        val leftoverB = Vector.newBuilder[DataFileEntry]
         parentRefs.foreach { r =>
-          if (r.fileCount <= files.size) {
-            val es = readEntries(location, r)
-            if (es.forall(ident.contains)) {
-              reused += r; es.foreach(coveredIdent.add)
-            } else {
-              // a manifest's objects rebuild all-or-nothing (one parse
-              // creates the whole cached vector), so a PARTIAL identity
-              // miss proves genuine removal — only a complete miss
-              // (fresh process, evicted cache) can mean "logically
-              // present, different objects" and justifies paying for
-              // the path-keyed map. Skipping reuse is always sound:
-              // worst case the entries re-manifest in the leftover.
-              if (!es.exists(ident.contains) &&
-                es.forall(e => byPath.get(e.path).contains(e))) {
-                reused += r; coveredPaths ++= es.iterator.map(_.path)
-              }
-            }
+          val es = readEntries(location, r)
+          val start = fi
+          var matched = 0
+          var i = 0
+          while (i < es.length) {
+            if (fi < n && (files(fi) eq es(i))) { fi += 1; matched += 1 }
+            i += 1
           }
+          if (matched == es.length && es.nonEmpty) {
+            reused += r; reusedCount += 1
+          } else leftoverB ++= files.slice(start, fi)
         }
-        val leftover = files.filterNot(f =>
-          coveredIdent.contains(f) ||
-            (coveredPaths.nonEmpty && coveredPaths(f.path)))
-        reused.result() ++ leftover.grouped(target)
-          .map(g => writeManifest(location, kind, g.toVector, fieldType))
+        SealStats.filterNs.addAndGet(System.nanoTime() - t0)
+        // Fallback — IDENTITY/PATH MAPS — when the lockstep found
+        // reuse for under half the parent manifests: either the
+        // inventory was reordered (an object foreign to the parent
+        // stalls the walk) or the objects were rebuilt entirely
+        // (fresh process, evicted cache), where only a path-keyed
+        // comparison can prove logical equality. Rare shapes; paying
+        // the hash pass there keeps maximal structural sharing.
+        if (reusedCount * 2 < parentRefs.size)
+          planGeneralByIdentity(location, kind, files, parentRefs, target,
+            fieldType)
+        else {
+          t0 = System.nanoTime()
+          leftoverB ++= files.slice(fi, n)
+          val leftover = leftoverB.result()
+          SealStats.leftoverNs.addAndGet(System.nanoTime() - t0)
+          t0 = System.nanoTime()
+          val out = reused.result() ++ leftover.grouped(target)
+            .map(g => writeManifest(location, kind, g.toVector, fieldType))
+          SealStats.writeNs.addAndGet(System.nanoTime() - t0)
+          out
+        }
       }
     }
     val refs = plan("data", snap.inlineFiles,
@@ -309,5 +339,63 @@ object Manifests {
     snap.copy(inlineFiles = Vector.empty, inlineDeleteFiles = Vector.empty,
       manifestList = Some(writeList(location, snap.snapshotId, refs)),
       location = location)
+  }
+
+  /** The hash-based reuse planner the lockstep path falls back to:
+    * membership via an IdentityHashMap over the inventory, with a
+    * path-keyed map for manifests whose objects were rebuilt (fresh
+    * process, evicted cache). Each parent manifest is read EXACTLY
+    * ONCE and the covered sets are built from the SAME entry vectors
+    * the reuse decision saw — a second readEntries under LRU pressure
+    * could re-parse into different objects, which would land
+    * identity-reused entries in the leftover while their manifest is
+    * also reused (silent row double-counting).
+    */
+  private def planGeneralByIdentity(location: String, kind: String,
+      files: Vector[DataFileEntry], parentRefs: Vector[ManifestRef],
+      target: Int, fieldType: (Int, Int) => Option[String])
+      : Vector[ManifestRef] = {
+    var t0 = System.nanoTime()
+    val ident = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean](
+        files.size * 2))
+    files.foreach(ident.add)
+    SealStats.identBuildNs.addAndGet(System.nanoTime() - t0)
+    lazy val byPath = files.map(f => f.path -> f).toMap
+    t0 = System.nanoTime()
+    val reused = Vector.newBuilder[ManifestRef]
+    val coveredIdent = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFileEntry, java.lang.Boolean]())
+    var coveredPaths = Set.empty[String]
+    parentRefs.foreach { r =>
+      if (r.fileCount <= files.size) {
+        val es = readEntries(location, r)
+        if (es.forall(ident.contains)) {
+          reused += r; es.foreach(coveredIdent.add)
+        } else {
+          // a manifest's objects rebuild all-or-nothing (one parse
+          // creates the whole cached vector), so a PARTIAL identity
+          // miss proves genuine removal — only a complete miss can
+          // mean "logically present, different objects" and justifies
+          // the path-keyed map. Skipping reuse is always sound: worst
+          // case the entries re-manifest in the leftover.
+          if (!es.exists(ident.contains) &&
+            es.forall(e => byPath.get(e.path).contains(e))) {
+            reused += r; coveredPaths ++= es.iterator.map(_.path)
+          }
+        }
+      }
+    }
+    SealStats.filterNs.addAndGet(System.nanoTime() - t0)
+    t0 = System.nanoTime()
+    val leftover = files.filterNot(f =>
+      coveredIdent.contains(f) ||
+        (coveredPaths.nonEmpty && coveredPaths(f.path)))
+    SealStats.leftoverNs.addAndGet(System.nanoTime() - t0)
+    t0 = System.nanoTime()
+    val out = reused.result() ++ leftover.grouped(target)
+      .map(g => writeManifest(location, kind, g.toVector, fieldType))
+    SealStats.writeNs.addAndGet(System.nanoTime() - t0)
+    out
   }
 }

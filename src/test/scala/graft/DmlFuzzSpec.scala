@@ -28,6 +28,11 @@ class DmlFuzzSpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-fuzz").toString + "/t"
 
+  /** Backend the forked fuzz children install (GRAFT_FILEIO);
+    * overridden by the parameterized-backend subclasses.
+    */
+  protected def childFileIOEnv: Option[String] = None
+
   test("40 seeded random DML + maintenance ops match the in-memory model") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
@@ -211,25 +216,12 @@ class DmlFuzzSpec extends AnyFunSuite {
       Seq("id" -> "long", "v" -> "string", "x" -> "long"))
     // shared key space both writers upsert against
     t.append((1L to 16L).map(k => (k, "seed", 0L)).toDF("id", "v", "x"))
-    val javaBin = java.nio.file.Paths
-      .get(System.getProperty("java.home"), "bin", "java").toString
-    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-          a.startsWith("--enable-native-access")).toSeq
-    val cp = Seq(
-      new java.io.File("target/scala-2.13/classes").getAbsolutePath,
-      new java.io.File("target/scala-2.13/test-classes").getAbsolutePath,
-      "/opt/spark/jars/*").mkString(":")
     val dir = java.nio.file.Files.createTempDirectory("graft-mwfuzz")
     def fork(tag: String, seed: Long, base: Long): (Process, String) = {
       val logPath = dir.resolve(s"$tag.jsonl").toString
-      val p = new ProcessBuilder((Seq(javaBin) ++ opens ++ Seq("-Xmx2g",
-        "-cp", cp, "graft.FuzzChild", loc, tag, seed.toString,
-        base.toString, "12", logPath)).asJava)
-        .redirectOutput(dir.resolve(s"$tag.out").toFile)
-        .redirectError(dir.resolve(s"$tag.err").toFile)
-        .start()
+      val p = ForkHelper.forkJava("graft.FuzzChild",
+        Seq(loc, tag, seed.toString, base.toString, "12", logPath),
+        childFileIOEnv, dir, tag)
       (p, logPath)
     }
     val (p1, log1) = fork("w1", 111L, 10000L)

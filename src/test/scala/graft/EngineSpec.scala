@@ -15,6 +15,12 @@ class EngineSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft-eng").toString
 
+  /** Backend the forked race children install (GRAFT_FILEIO);
+    * overridden by the parameterized-backend subclasses so both sides
+    * of a cross-process race run the same storage semantics.
+    */
+  protected def childFileIOEnv: Option[String] = None
+
   import scala.jdk.CollectionConverters._
 
   test("create + append + read round-trip") {
@@ -657,25 +663,10 @@ class EngineSpec extends AnyFunSuite {
       Seq("id" -> "long", "src" -> "string"))
     // seed the delete targets so the final state is deterministic
     t.append((1 to 4).map(i => (-i.toLong, "seed")).toDF("id", "src"))
-    val javaBin = java.nio.file.Paths
-      .get(System.getProperty("java.home"), "bin", "java").toString
-    // Spark on JDK17 needs this JVM's --add-opens set; inherit it
-    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-          a.startsWith("--enable-native-access")).toSeq
-    val cp = Seq(
-      new java.io.File("target/scala-2.13/classes").getAbsolutePath,
-      new java.io.File("target/scala-2.13/test-classes").getAbsolutePath,
-      "/opt/spark/jars/*").mkString(":")
-    def fork(tag: String, base: Long, dels: String): Process = {
-      val logDir = java.nio.file.Files.createTempDirectory("graft-xrace")
-      new ProcessBuilder((Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
-        "graft.RaceChild", loc, tag, base.toString, "4", dels)).asJava)
-        .redirectOutput(logDir.resolve(s"$tag.out").toFile)
-        .redirectError(logDir.resolve(s"$tag.err").toFile)
-        .start()
-    }
+    val logDir = java.nio.file.Files.createTempDirectory("graft-xrace")
+    def fork(tag: String, base: Long, dels: String): Process =
+      ForkHelper.forkJava("graft.RaceChild",
+        Seq(loc, tag, base.toString, "4", dels), childFileIOEnv, logDir, tag)
     val p1 = fork("w1", 1000L, "-1,-2")
     val p2 = fork("w2", 2000L, "-3,-4")
     // this session races too, through the same caller-retries contract

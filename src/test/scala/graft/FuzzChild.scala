@@ -25,6 +25,8 @@ import graft.engine.GraftTable
   */
 object FuzzChild {
   def main(args: Array[String]): Unit = {
+    // run under the parent's storage backend (see RaceChild)
+    graft.tableformat.FileIO.installFromEnv()
     val Array(loc, tag, seedStr, baseStr, nOpsStr, logPath) = args
     val spark = SparkSession.builder()
       .master("local[2]")

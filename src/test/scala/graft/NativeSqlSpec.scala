@@ -460,6 +460,46 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(t.read().count() == 1) // nothing deleted
   }
 
+  test("CALL graft.system.audit_integrity reports a mangled warehouse " +
+      "as rows; verify_table throws; a clean table audits empty") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "aud", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id").coalesce(1))
+    t.append(Seq(3L, 4L).toDF("id").coalesce(1))
+    // clean: zero findings, and the row shape is (finding: string)
+    val clean = spark.sql("CALL graft.system.audit_integrity('db.aud')")
+    assert(clean.columns.toSeq == Seq("finding"))
+    assert(clean.count() == 0)
+    // mangle 2 (prepared first): truncate ONE manifest so its entry
+    // count disagrees with its ref; the missing-file victim must live
+    // in a DIFFERENT manifest or truncation would hide it from the
+    // file tier
+    val snap = t.meta.currentSnapshot.get
+    val mf = snap.manifests.last.path
+    val truncatedEntries = graft.tableformat.Manifests
+      .readEntries(t.location, snap.manifests.last).map(_.path).toSet
+    // mangle 1: delete a referenced data file (what a stranded clone
+    // sees after unsafe source GC, or a half-deleted import)
+    val victim = snap.files.map(_.path)
+      .find(p => !truncatedEntries(p)).get
+    graft.tableformat.FileIO.io.delete(s"${t.location}/$victim")
+    graft.tableformat.Manifests.clearCachesForTesting()
+    graft.tableformat.FileIO.io.writeString(s"${t.location}/$mf", "\n")
+    val findings = spark.sql(
+      "CALL graft.system.audit_integrity('db.aud', true)")
+      .as[String].collect().toSeq
+    assert(findings.exists(f => f.contains("missing file") &&
+      f.contains(victim)), findings.mkString(" | "))
+    assert(findings.exists(_.contains(mf)), findings.mkString(" | "))
+    // the CI-gate twin still fails loudly on the same state
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.verify_table('db.aud')").collect())
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("issue")), msgs(e).mkString(" | "))
+  }
+
   test("CALL graft.system.* procedures drive maintenance through SQL") {
     import spark.implicits._
     val cat = freshCat()

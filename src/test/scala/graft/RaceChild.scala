@@ -15,6 +15,10 @@ import graft.engine.GraftTable
   */
 object RaceChild {
   def main(args: Array[String]): Unit = {
+    // the parent passes its storage backend via GRAFT_FILEIO: a
+    // cross-process race only tests the claim protocol when both
+    // sides run the same semantics
+    graft.tableformat.FileIO.installFromEnv()
     val Array(loc, tag, baseStr, nAppStr, delStr) = args
     val spark = SparkSession.builder()
       .master("local[2]")

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.{BeforeAndAfterAll, Suite}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tableformat.{CatalogCommitServer, CatalogFileIO, FileIO,
+  LocalFileIO, ObjectStoreFileIO}
+
+/** Forked-JVM plumbing shared by the cross-process tests: same
+  * classpath and --add-opens as this JVM, plus the parent's FileIO
+  * backend handed to the child via GRAFT_FILEIO (RaceChild/FuzzChild
+  * call FileIO.installFromEnv() at startup) — both sides of a race
+  * must run the same storage semantics or the claim protocol under
+  * test isn't the one arbitrating.
+  */
+object ForkHelper {
+  import scala.jdk.CollectionConverters._
+
+  def forkJava(mainClass: String, args: Seq[String],
+      fileIOEnv: Option[String], outDir: java.nio.file.Path,
+      tag: String): Process = {
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("--enable-native-access")).toSeq
+    val cp = Seq(
+      new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+      new java.io.File("target/scala-2.13/test-classes").getAbsolutePath,
+      "/opt/spark/jars/*").mkString(":")
+    val pb = new ProcessBuilder((Seq(javaBin) ++ opens ++
+      Seq("-Xmx2g", "-cp", cp, mainClass) ++ args).asJava)
+      .redirectOutput(outDir.resolve(s"$tag.out").toFile)
+      .redirectError(outDir.resolve(s"$tag.err").toFile)
+    fileIOEnv.foreach(v => pb.environment().put("GRAFT_FILEIO", v))
+    pb.start()
+  }
+}
+
+/** Runs an entire inherited suite under [[ObjectStoreFileIO]] — the
+  * strict flat-key / LIST-derived / second-mtime object-store contract
+  * — instead of POSIX. Any test that passes under LocalFileIO but
+  * fails here has found a hidden POSIX assumption in the engine.
+  */
+trait ObjectStoreBackend extends BeforeAndAfterAll { this: Suite =>
+  override def beforeAll(): Unit = {
+    FileIO.install(new ObjectStoreFileIO)
+    super.beforeAll()
+  }
+  override def afterAll(): Unit =
+    try super.afterAll() finally FileIO.install(LocalFileIO)
+}
+
+/** Runs an inherited suite with commits arbitrated by a loopback
+  * [[CatalogCommitServer]] over plain-PUT storage — the documented
+  * fallback for stores without conditional PUT.
+  */
+trait CatalogBackend extends BeforeAndAfterAll { this: Suite =>
+  protected var catalogServer: CatalogCommitServer = _
+  override def beforeAll(): Unit = {
+    catalogServer = new CatalogCommitServer
+    FileIO.install(new CatalogFileIO("127.0.0.1", catalogServer.port))
+    super.beforeAll()
+  }
+  override def afterAll(): Unit =
+    try super.afterAll() finally {
+      FileIO.install(LocalFileIO)
+      catalogServer.close()
+    }
+}
+
+// ---- the object-store test matrix: the full table-lifecycle suites,
+// unchanged, re-run with the strict object-store semantics installed.
+
+class TableFormatObjectStoreSpec extends TableFormatSpec
+  with ObjectStoreBackend
+
+class EngineObjectStoreSpec extends EngineSpec with ObjectStoreBackend {
+  override protected def childFileIOEnv: Option[String] = Some("objectstore")
+}
+
+class ViewObjectStoreSpec extends ViewSpec with ObjectStoreBackend
+
+class DmlFuzzObjectStoreSpec extends DmlFuzzSpec with ObjectStoreBackend {
+  override protected def childFileIOEnv: Option[String] = Some("objectstore")
+}
+
+/** The catalog-CAS commit path: unit semantics plus the cross-process
+  * commit race arbitrated by the toy REST-catalog-style service —
+  * proof the claim protocol does not depend on conditional PUT when a
+  * catalog supplies the arbitration.
+  */
+class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
+  import org.apache.spark.sql.SparkSession
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", Some(4))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-cat").toString
+
+  test("claim CAS: one winner per slot across threads, content lands " +
+      "complete; losers see false") {
+    val io = FileIO.io
+    val dir = tmp()
+    val p = s"$dir/v1.metadata.json"
+    val wins = (0 until 16).map { i =>
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        if (io.claim(p, s"writer-$i")) 1 else 0
+      }
+    }.map(_.join()).sum
+    assert(wins == 1)
+    assert(io.readString(p).startsWith("writer-"))
+    // the slot stays claimed forever — a commit slot's semantics
+    assert(!io.claim(p, "late"))
+  }
+
+  test("full table lifecycle commits through catalog arbitration") {
+    import spark.implicits._
+    val t = graft.engine.GraftTable.create(spark, tmp(), "cat_t",
+      Seq("id" -> "long"))
+    t.append(Seq(1L, 2L, 3L).toDF("id").coalesce(1))
+    t.delete(org.apache.spark.sql.functions.col("id") === 2L)
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(t.countRows() == 2L)
+    t.expireSnapshots(keepLast = 1)
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("cross-process commit race through the catalog service: two " +
+      "forked JVMs plus this session, every commit lands exactly once") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = graft.engine.GraftTable.create(spark, loc, "cat_race",
+      Seq("id" -> "long", "src" -> "string"))
+    t.append((1 to 4).map(i => (-i.toLong, "seed")).toDF("id", "src"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-catrace")
+    val env = Some(s"catalog:${catalogServer.port}")
+    val p1 = ForkHelper.forkJava("graft.RaceChild",
+      Seq(loc, "w1", "1000", "4", "-1,-2"), env, dir, "w1")
+    val p2 = ForkHelper.forkJava("graft.RaceChild",
+      Seq(loc, "w2", "2000", "4", "-3,-4"), env, dir, "w2")
+    for (i <- 0 until 4)
+      t.append(Seq((3000L + i, "w0")).toDF("id", "src"))
+    assert(p1.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+      "forked writers did not finish")
+    assert(p1.exitValue() == 0 && p2.exitValue() == 0,
+      s"forked writer failed: ${p1.exitValue()}/${p2.exitValue()}; " +
+        s"logs under $dir")
+    val m = t.meta
+    assert(m.snapshots.size == 17, s"snapshot count: ${m.snapshots.size}")
+    val rows = t.read().as[(Long, String)].collect().toSet
+    val expected = (0 until 4).flatMap(i => Seq((1000L + i, "w1"),
+      (2000L + i, "w2"), (3000L + i, "w0"))).toSet
+    assert(rows == expected)
+    // linear history across processes: the parent chain reaches every
+    // snapshot — the catalog CAS never let two writers own one slot
+    val chain = Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (id, s.parentId))
+      case None     => None
+    }.size
+    assert(chain == m.snapshots.size, s"forked history: $chain")
+  }
+}
