@@ -308,10 +308,17 @@ final class ObjectStoreFileIO extends FileIO {
   * arbitration works ACROSS PROCESSES (the cross-process commit-race
   * test runs through it).
   *
-  * Protocol: one line `CLAIM <path>` → `WIN` (first claimant) or
-  * `LOSE`. The claimed set is append-only for the server's lifetime —
-  * exactly a commit slot's semantics (a version file path is claimed
-  * once, ever).
+  * Protocol, one line per connection:
+  *   - `CLAIM <path>` → `WIN` (first claimant) or `LOSE`;
+  *   - `RELEASE <path>` → `OK` — frees one slot;
+  *   - `RELEASEPREFIX <prefix>` → `OK` — frees every slot under a
+  *     location (DROP TABLE/VIEW: a real catalog deletes the table's
+  *     entry on drop, freeing the identifier for re-creation — an
+  *     append-only slot set would make a dropped location permanently
+  *     uncreatable, which the ViewSpec drop-and-replay round-trip
+  *     surfaces immediately).
+  * A live table's slots are claimed once, ever; release happens only
+  * through the deletion paths.
   *
   * Known toy limitation vs a production REST catalog: a client that
   * wins the CAS and crashes before its PUT lands leaves the slot
@@ -338,10 +345,18 @@ final class CatalogCommitServer {
             new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
           val out = sock.getOutputStream
           val line = in.readLine()
-          val resp =
-            if (line != null && line.startsWith("CLAIM ") &&
-              claimed.add(line.substring(6))) "WIN\n"
-            else "LOSE\n"
+          val resp = line match {
+            case null => "LOSE\n"
+            case l if l.startsWith("CLAIM ") =>
+              if (claimed.add(l.substring(6))) "WIN\n" else "LOSE\n"
+            case l if l.startsWith("RELEASE ") =>
+              claimed.remove(l.substring(8)); "OK\n"
+            case l if l.startsWith("RELEASEPREFIX ") =>
+              val p = l.substring(14)
+              claimed.removeIf(k => k == p || k.startsWith(p + "/"))
+              "OK\n"
+            case _ => "LOSE\n"
+          }
           out.write(resp.getBytes("UTF-8")); out.flush()
         } catch { case _: java.io.IOException => () }
         finally sock.close()
@@ -365,19 +380,19 @@ final class CatalogCommitServer {
 final class CatalogFileIO(host: String, port: Int) extends FileIO {
   private val store = new ObjectStoreFileIO
 
-  private def cas(path: String): Boolean = {
+  private def send(cmd: String): String = {
     val sock = new java.net.Socket(host, port)
     try {
-      sock.getOutputStream.write(s"CLAIM $path\n".getBytes("UTF-8"))
+      sock.getOutputStream.write(s"$cmd\n".getBytes("UTF-8"))
       sock.getOutputStream.flush()
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
-      in.readLine() == "WIN"
+      in.readLine()
     } finally sock.close()
   }
 
   override def claim(path: String, content: String): Boolean =
-    cas(path) && { store.writeString(path, content); true }
+    send(s"CLAIM $path") == "WIN" && { store.writeString(path, content); true }
 
   override def readString(path: String): String = store.readString(path)
   override def readLines(path: String): Vector[String] = store.readLines(path)
@@ -386,11 +401,18 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   override def exists(path: String): Boolean = store.exists(path)
   override def size(path: String): Long = store.size(path)
   override def modifiedMs(path: String): Long = store.modifiedMs(path)
-  override def delete(path: String): Boolean = store.delete(path)
+  // deletions free the catalog's commit slots (a real catalog deletes
+  // the table entry on drop) — otherwise a dropped location could
+  // never be re-created
+  override def delete(path: String): Boolean = {
+    send(s"RELEASE $path"); store.delete(path)
+  }
   override def listDir(dir: String): Vector[String] = store.listDir(dir)
   override def listRecursive(dir: String): Vector[String] =
     store.listRecursive(dir)
-  override def deleteTree(dir: String): Unit = store.deleteTree(dir)
+  override def deleteTree(dir: String): Unit = {
+    send(s"RELEASEPREFIX $dir"); store.deleteTree(dir)
+  }
   override def replaceAtomic(path: String, content: String): Unit =
     store.replaceAtomic(path, content)
 }

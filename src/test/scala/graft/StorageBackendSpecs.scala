@@ -85,6 +85,15 @@ class DmlFuzzObjectStoreSpec extends DmlFuzzSpec with ObjectStoreBackend {
   override protected def childFileIOEnv: Option[String] = Some("objectstore")
 }
 
+// ---- catalog-CAS twins of the cheap metadata-heavy suites: every
+// table/view commit arbitrates through the slot service instead of
+// conditional PUT. (The heavy Engine/DmlFuzz suites are covered on
+// this path by CatalogCommitSpec's cross-process race below.)
+
+class TableFormatCatalogSpec extends TableFormatSpec with CatalogBackend
+
+class ViewCatalogSpec extends ViewSpec with CatalogBackend
+
 /** The catalog-CAS commit path: unit semantics plus the cross-process
   * commit race arbitrated by the toy REST-catalog-style service —
   * proof the claim protocol does not depend on conditional PUT when a

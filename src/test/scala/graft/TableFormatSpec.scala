@@ -316,6 +316,41 @@ class TableFormatSpec extends AnyFunSuite {
       .intersect(s2.manifests.map(_.path)).size == 2)
   }
 
+  test("manifest line codec: streaming writer/parser round-trips, and " +
+      "both directions interoperate with the json4s reflection codec") {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    implicit val fmts: Formats = DefaultFormats
+    val cases = Vector(
+      DataFileEntry("data/plain.parquet", 10, 0),
+      DataFileEntry("data/ünïcode \"q\" \\ tab\t.parquet", 0, 3,
+        partitionValues = Map("p" -> "a=b/c", "q" -> ""),
+        lowerBounds = Map("1" -> "-12.5", "2" -> "emoji🙂"),
+        upperBounds = Map("1" -> "99", "2" -> "z\nline"),
+        nullCounts = Map("1" -> 0L, "2" -> 123456789012L),
+        fileSizeBytes = Long.MaxValue, seq = 42L,
+        equalityIds = Vector(1, 7, 2)),
+      DataFileEntry("data/negative.parquet", Long.MaxValue, Int.MaxValue,
+        fileSizeBytes = 1L))
+    cases.foreach { e =>
+      // new writer -> new parser
+      val line = Manifests.renderEntries(Vector(e)).trim
+      assert(Manifests.parseEntryLine(line) == e, s"self round-trip: $e")
+      // new writer -> json4s reflection parser (case-class defaults
+      // fill the omitted default-valued fields)
+      assert(JsonMethods.parse(line).extract[DataFileEntry] == e,
+        s"json4s reads streaming output: $e")
+      // json4s writer (all fields, any order irrelevant) -> new parser
+      val legacy = Serialization.write(e)
+      assert(Manifests.parseEntryLine(legacy) == e,
+        s"streaming reads json4s output: $e")
+    }
+    // unknown fields skip (forward compat), missing optionals default
+    val extra = """{"path":"p","recordCount":1,"schemaId":0,""" +
+      """"future":{"nested":[1,2]},"alsoNew":"x"}"""
+    assert(Manifests.parseEntryLine(extra) == DataFileEntry("p", 1, 0))
+  }
+
   test("nextFieldId never reuses dropped ids") {
     val s0 = VersionedSchema(0, Vector(FieldDef(1, "a", "int"), FieldDef(2, "b", "int")))
     val s1 = VersionedSchema(1, Vector(FieldDef(1, "a", "int")))
