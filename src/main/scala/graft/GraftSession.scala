@@ -21,6 +21,10 @@ object GraftSession {
 
   def builder(master: String = "local[*]",
       shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    // storage backend is deploy-time selectable: GRAFT_FILEIO =
+    // objectstore | catalog:<port> | unset (POSIX link(2) protocol).
+    // Installed before any session I/O; no-op when unset.
+    graft.tableformat.FileIO.installFromEnv()
     val parts = shufflePartitions.getOrElse(
       Runtime.getRuntime.availableProcessors())
     SparkSession.builder()
