@@ -914,6 +914,49 @@ object CatalogQueries {
                CAST(sum(c_custkey) AS BIGINT) AS sum_key,
                min(c_acctbal) AS lo_bal, max(c_acctbal) AS hi_bal
         FROM customer WHERE c_acctbal >= 0
+      """)),
+
+    // Integrity audit as SQL (CALL graft.system.audit_integrity): a
+    // deliberately mangled warehouse — one referenced data file
+    // deleted, one overwritten with junk of the wrong size — surfaces
+    // exactly one finding per defect class, as ROWS (the report form;
+    // verify_table is the throwing CI-gate twin). The audit is
+    // read-only and stats-only, so the junk file's content is never
+    // parsed. The oracle is the known defect inventory.
+    QueryDef(
+      "q164_audit_integrity",
+      (s, d) => {
+        val wh = setupOnce("q164", d) {
+          val w = scratch("audit")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val t = cat.createTableAs("db1", "aud_t",
+            Tables.customer(s, d).select("c_custkey", "c_acctbal")
+              .repartition(3))
+          val files = t.meta.currentSnapshot.get.files.sortBy(_.path)
+          require(files.size >= 2, s"need >=2 files, got ${files.size}")
+          val io = graft.tableformat.FileIO.io
+          io.delete(s"${t.location}/${files(0).path}")
+          io.writeString(s"${t.location}/${files(1).path}",
+            "junk-not-parquet") // wrong size; audit never reads content
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("CALL graft.system.audit_integrity('db1.aud_t')")
+          .select(when(col("finding").startsWith("missing file"),
+              "missing_file")
+            .when(col("finding").startsWith("size mismatch"),
+              "size_mismatch")
+            .otherwise("other").as("kind"))
+          .groupBy("kind").agg(count(lit(1)).as("n"))
+          .orderBy("kind")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'missing_file' AS kind, CAST(1 AS BIGINT) AS n
+          UNION ALL
+          SELECT 'size_mismatch' AS kind, CAST(1 AS BIGINT) AS n
+        ) ORDER BY kind
       """))
   )
 }
