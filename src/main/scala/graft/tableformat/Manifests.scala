@@ -97,6 +97,7 @@ object Manifests {
   private[graft] def clearCachesForTesting(): Unit = {
     entryCache.synchronized(entryCache.clear())
     listCache.synchronized(listCache.clear())
+    MetadataIO.clearDocCacheForTesting()
   }
 
   /** Observability: manifests PARSED from storage (entry-cache

@@ -112,8 +112,42 @@ object MetadataIO {
     readVersion(location, v)
   }
 
+  // Parsed-document reuse. Version documents are immutable once
+  // claimed, BUT a dropped-and-recreated table reuses the same
+  // (location, version) coordinates with different content — so a
+  // coordinate-keyed cache alone would serve the dead table's
+  // metadata. The bytes therefore load from storage on EVERY read
+  // (which is also what keeps multi-writer freshness: currentVersion
+  // probes the hint first) and the cache is only consulted when the
+  // raw JSON is byte-identical to what was parsed before — airtight,
+  // no lineage or invalidation protocol needed. What it saves is the
+  // expensive part: the reflection parse, the per-read hydration
+  // copies, and above all the snapshots' LAZY inventory views — a
+  // read-hot table materializes its 10⁶-entry file list once per
+  // version instead of once per read. Entry vectors inside are shared
+  // with the manifest entry cache, not duplicated.
+  private val docCache =
+    new java.util.LinkedHashMap[String, (String, TableMetadata)](
+      32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, TableMetadata)]) =
+        size() > 64
+    }
+
+  /** Test hook (see Manifests.clearCachesForTesting, which calls this
+    * too): drop parsed-document state so a spec can measure or mangle
+    * cold reads.
+    */
+  private[graft] def clearDocCacheForTesting(): Unit =
+    docCache.synchronized(docCache.clear())
+
   def readVersion(location: String, version: Int): TableMetadata = {
+    val key = s"$location#$version"
     val json = io.readString(metadataPath(location, version))
+    docCache.synchronized(Option(docCache.get(key))) match {
+      case Some((raw, doc)) if raw == json => return doc
+      case _ => ()
+    }
     val parsed = JsonMethods.parse(json).extract[TableMetadata]
     // hydrate manifest resolution with the location the document was
     // READ from (not its recorded one — a moved/renamed table resolves
@@ -124,9 +158,14 @@ object MetadataIO {
     // document whose log predates the file it was read from (hand-
     // written or externally imported metadata) must surface its true
     // read version or its next commit would target an old, taken slot
-    if (m.metadataLog.lastOption.exists(e => versionOfLogFile(e) >= version)) m
-    else m.copy(metadataLog = m.metadataLog :+
-      MetadataLogEntry(System.currentTimeMillis(), s"v$version.metadata.json"))
+    val healed =
+      if (m.metadataLog.lastOption.exists(e =>
+        versionOfLogFile(e) >= version)) m
+      else m.copy(metadataLog = m.metadataLog :+
+        MetadataLogEntry(System.currentTimeMillis(),
+          s"v$version.metadata.json"))
+    docCache.synchronized(docCache.put(key, (json, healed)))
+    healed
   }
 
   def exists(location: String): Boolean = io.exists(hintPath(location))
