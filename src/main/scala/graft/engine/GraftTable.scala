@@ -743,14 +743,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // where retention reads the registry in the gap between the two
     // commits.
     MetadataIO.commitRetry(location) { cur =>
-      val regs = registeredClones(cur)
-      if (regs.contains(dstLocation)) cur
-      else {
-        val raw = rawCloneRegs(cur) :+
-          s"$dstLocation$CloneFieldSep${System.currentTimeMillis()}"
-        cur.copy(properties = cur.properties +
-          (ClonesKey -> raw.mkString(CloneSep.toString)))
-      }
+      val fresh = s"$dstLocation$CloneFieldSep${System.currentTimeMillis()}"
+      val raw = rawCloneRegs(cur)
+      // a pre-existing registration for this location whose clone does
+      // NOT currently exist is a leftover of a crashed or dropped
+      // earlier attempt — its timestamp may be past the grace (or
+      // absent entirely), so keeping it as-is would let a concurrent
+      // retention heal it out mid-creation; REFRESH it to now instead
+      val updated =
+        if (raw.exists(r => cloneRegLocation(r) == dstLocation))
+          raw.map(r =>
+            if (cloneRegLocation(r) == dstLocation &&
+              !MetadataIO.exists(dstLocation)) fresh
+            else r)
+        else raw :+ fresh
+      if (updated == raw) cur
+      else cur.copy(properties = cur.properties +
+        (ClonesKey -> updated.mkString(CloneSep.toString)))
     }
     MetadataIO.commit(withSnap)
     // CONFIRM: strip the timestamp now that the clone exists, so a
@@ -2645,22 +2654,29 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       if (liveClones().nonEmpty && !meta.properties
           .get("graft.clones.allow-unsafe-retention").contains("true"))
         actions += "retention_skipped:clones-registered"
-      else
-        // a clone registered between the check above and the step's
-        // own guard (each retention op re-runs cloneRetentionGuard
-        // inside its commit) still makes the sweep SKIP, never fail
-        try {
+      else {
+        // a clone registered between the check above and a step's own
+        // guard (each retention op re-runs cloneRetentionGuard inside
+        // its commit) still makes the sweep SKIP, never fail — scoped
+        // PER STEP, so the audit log never reports a step as skipped
+        // after it actually committed
+        def cloneGuarded(label: String)(step: => Unit): Unit =
+          try step catch {
+            case e: IllegalStateException if e.getMessage != null &&
+                e.getMessage.contains("zero-copy clones") =>
+              actions += s"${label}_skipped:clones-registered"
+          }
+        cloneGuarded("expire_snapshots") {
           val before = meta.snapshots.size
           expireSnapshots(keepLast)
           if (meta.snapshots.size < before) actions += "expire_snapshots"
+        }
+        cloneGuarded("remove_orphan_files") {
           val orphans = removeOrphanFiles(orphanOlderThanMs)
           if (orphans.nonEmpty)
             actions += s"remove_orphan_files:${orphans.size}"
-        } catch {
-          case e: IllegalStateException if e.getMessage != null &&
-              e.getMessage.contains("zero-copy clones") =>
-            actions += "retention_skipped:clones-registered"
         }
+      }
     }
     actions.toSeq
   }
@@ -2728,13 +2744,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val findings = Vector.newBuilder[String]
     // manifest tier: every retained snapshot must plan
+    // CACHE-BYPASSING reads throughout the manifest tier: the audit's
+    // job is to doubt storage, and a manifest corrupted AFTER this
+    // process cached it must not audit clean off the warm copy
     m.snapshots.foreach { s =>
       s.manifestList.foreach { rel =>
         try {
-          val refs = graft.tableformat.Manifests.readList(location, rel)
+          val refs = graft.tableformat.Manifests.readListUncached(location, rel)
           refs.foreach { r =>
             try {
-              val es = graft.tableformat.Manifests.readEntries(location, r)
+              val es =
+                graft.tableformat.Manifests.readEntriesUncached(location, r)
               if (es.size != r.fileCount) findings +=
                 s"manifest ${r.path}: ${es.size} entries, ref says ${r.fileCount}"
             } catch { case e: Exception =>

@@ -196,12 +196,31 @@ object LocalFileIO extends FileIO {
   * a completed upload exposes), and request throttling.
   */
 final class ObjectStoreFileIO extends FileIO {
+  import ObjectStoreFileIO.Staging
   private def p(s: String): Path = Paths.get(s)
+  // In-flight PUT bytes live under a staging directory OUTSIDE the
+  // emulated key namespace: a real store exposes NOTHING for an
+  // incomplete upload, so the temp must not be observable as a
+  // phantom key through exists/LIST while it is being written.
+  private def inStaging(path: Path): Boolean = {
+    var q = path
+    while (q != null) {
+      if (q.getFileName != null && q.getFileName.toString == Staging)
+        return true
+      q = q.getParent
+    }
+    false
+  }
   private def requireKey(path: String): Path = {
     val t = p(path)
-    if (!Files.isRegularFile(t))
+    if (inStaging(t) || !Files.isRegularFile(t))
       throw new java.nio.file.NoSuchFileException(s"NoSuchKey: $path")
     t
+  }
+  private def stagedTmp(target: Path): Path = {
+    val dir = target.getParent.resolve(Staging)
+    Files.createDirectories(dir)
+    Files.createTempFile(dir, s"${target.getFileName}-", ".put")
   }
 
   override def readString(path: String): String =
@@ -211,10 +230,11 @@ final class ObjectStoreFileIO extends FileIO {
     Files.readAllLines(requireKey(path)).asScala.toVector
 
   override def writeString(path: String, content: String): Unit = {
-    // PUT: atomic per key, overwrite allowed, implicit "directories"
+    // PUT: atomic per key, overwrite allowed, implicit "directories";
+    // the in-flight bytes stage outside the key namespace
     val t = p(path)
     if (t.getParent != null) Files.createDirectories(t.getParent)
-    val tmp = Files.createTempFile(t.getParent, s".${t.getFileName}-", ".put")
+    val tmp = stagedTmp(t)
     try {
       Files.writeString(tmp, content)
       Files.move(tmp, t,
@@ -222,27 +242,33 @@ final class ObjectStoreFileIO extends FileIO {
     } finally Files.deleteIfExists(tmp)
   }
 
-  override def exists(path: String): Boolean = Files.isRegularFile(p(path))
+  override def exists(path: String): Boolean = {
+    val t = p(path)
+    !inStaging(t) && Files.isRegularFile(t)
+  }
 
   override def size(path: String): Long = Files.size(requireKey(path))
 
   override def modifiedMs(path: String): Long =
     Files.getLastModifiedTime(requireKey(path)).toMillis / 1000L * 1000L
 
-  override def delete(path: String): Boolean =
-    Files.isRegularFile(p(path)) && Files.deleteIfExists(p(path))
+  override def delete(path: String): Boolean = {
+    val t = p(path)
+    !inStaging(t) && Files.isRegularFile(t) && Files.deleteIfExists(t)
+  }
 
   override def listDir(dir: String): Vector[String] = {
     // LIST prefix=dir/ delimiter=/: child keys + common prefixes that
     // hold at least one key below. Never trusts directory entries —
     // an empty local dir is not a prefix because no key has it.
     val d = p(dir)
-    if (!Files.isDirectory(d)) Vector.empty
+    if (inStaging(d) || !Files.isDirectory(d)) Vector.empty
     else {
       val s = Files.list(d)
       val children = try s.iterator().asScala.toVector finally s.close()
       children.flatMap { c =>
-        if (Files.isRegularFile(c)) Some(c.toString)
+        if (c.getFileName.toString == Staging) None
+        else if (Files.isRegularFile(c)) Some(c.toString)
         else if (Files.isDirectory(c) && hasKeyBelow(c)) Some(c.toString)
         else None
       }
@@ -251,16 +277,18 @@ final class ObjectStoreFileIO extends FileIO {
 
   private def hasKeyBelow(d: Path): Boolean = {
     val s = Files.walk(d)
-    try s.iterator().asScala.exists(Files.isRegularFile(_))
+    try s.iterator().asScala
+      .exists(q => Files.isRegularFile(q) && !inStaging(q))
     finally s.close()
   }
 
   override def listRecursive(dir: String): Vector[String] = {
     val d = p(dir)
-    if (!Files.exists(d)) Vector.empty
+    if (inStaging(d) || !Files.exists(d)) Vector.empty
     else {
       val s = Files.walk(d)
-      try s.iterator().asScala.filter(Files.isRegularFile(_))
+      try s.iterator().asScala
+        .filter(q => Files.isRegularFile(q) && !inStaging(q))
         .map(_.toString).toVector
       finally s.close()
     }
@@ -284,11 +312,11 @@ final class ObjectStoreFileIO extends FileIO {
 
   override def claim(path: String, content: String): Boolean = {
     // conditional PUT (If-None-Match: *), emulated server-side: the
-    // temp carries COMPLETE content before the atomic create-if-absent
+    // temp carries COMPLETE content before the atomic create-if-absent,
+    // and stages outside the key namespace like every PUT
     val target = p(path)
     Files.createDirectories(target.getParent)
-    val tmp = Files.createTempFile(target.getParent,
-      s".${target.getFileName}-", ".put")
+    val tmp = stagedTmp(target)
     try {
       Files.writeString(tmp, content)
       try { Files.createLink(target, tmp); true }
@@ -298,6 +326,14 @@ final class ObjectStoreFileIO extends FileIO {
 
   override def replaceAtomic(path: String, content: String): Unit =
     writeString(path, content)
+}
+
+object ObjectStoreFileIO {
+  /** Name of the staging directory PUT temps live under — an
+    * emulation artifact outside the key namespace, invisible to every
+    * interface method.
+    */
+  private[tableformat] val Staging = ".os-staging"
 }
 
 /** Commit arbitration for stores WITHOUT conditional PUT — the Iceberg
@@ -438,10 +474,21 @@ object FileIO {
     * (the cross-process commit-race tests) call this at startup so
     * both sides of the race run the same storage semantics.
     */
-  def installFromEnv(): Unit = sys.env.get("GRAFT_FILEIO").foreach {
+  def installFromEnv(): Unit =
+    sys.env.get("GRAFT_FILEIO").foreach(installNamed)
+
+  /** [[installFromEnv]]'s parser, callable directly (tests, embedders). */
+  def installNamed(name: String): Unit = name match {
     case "objectstore" => install(new ObjectStoreFileIO)
+    case "local"       => install(LocalFileIO)
     case s if s.startsWith("catalog:") =>
       install(new CatalogFileIO("127.0.0.1", s.stripPrefix("catalog:").toInt))
-    case _ => ()
+    case other =>
+      // the env var selects the COMMIT PROTOCOL — an explicit but
+      // unrecognized value must fail fast, not silently run the POSIX
+      // link(2) protocol on what the operator believes is object store
+      throw new IllegalArgumentException(
+        s"GRAFT_FILEIO='$other' not recognized; use 'objectstore', " +
+          "'catalog:<port>', or 'local'")
   }
 }

@@ -232,11 +232,23 @@ object Manifests {
 
   def readEntries(location: String, ref: ManifestRef): Vector[DataFileEntry] =
     cached(entryCache, abs(location, ref.path)) {
-      parseCount.incrementAndGet()
-      io.readLines(abs(location, ref.path)).iterator
-        .filter(_.nonEmpty)
-        .map(parseEntryLine).toVector
+      readEntriesUncached(location, ref)
     }
+
+  /** Cache-bypassing manifest read — for the INTEGRITY AUDIT, which
+    * must observe what is on storage NOW: a manifest truncated or
+    * corrupted after this process cached it would otherwise audit
+    * clean. Normal planning never needs this (manifests are immutable
+    * in a healthy warehouse; auditing is exactly the job of doubting
+    * that).
+    */
+  def readEntriesUncached(location: String,
+      ref: ManifestRef): Vector[DataFileEntry] = {
+    parseCount.incrementAndGet()
+    io.readLines(abs(location, ref.path)).iterator
+      .filter(_.nonEmpty)
+      .map(parseEntryLine).toVector
+  }
 
   /** Entries of many manifests, loaded one task per manifest above a
     * small threshold: a cold plan over a 100 TB inventory (~10⁶
@@ -254,9 +266,13 @@ object Manifests {
 
   def readList(location: String, rel: String): Vector[ManifestRef] =
     cached(listCache, abs(location, rel)) {
-      JsonMethods.parse(io.readString(abs(location, rel)))
-        .extract[Vector[ManifestRef]]
+      readListUncached(location, rel)
     }
+
+  /** Cache-bypassing manifest-list read (see [[readEntriesUncached]]). */
+  def readListUncached(location: String, rel: String): Vector[ManifestRef] =
+    JsonMethods.parse(io.readString(abs(location, rel)))
+      .extract[Vector[ManifestRef]]
 
   /** Write one immutable manifest and return its ref with summaries.
     * `fieldType` resolves a field-id to its dataType under the

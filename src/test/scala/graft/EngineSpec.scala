@@ -2048,6 +2048,19 @@ class EngineSpec extends AnyFunSuite {
     assert(!src.meta.properties("graft.clones").contains('\u0002'))
     graft.tableformat.FileIO.io.deleteTree(loc)
     assert(src.liveClones().isEmpty)
+    // RETRYING a crashed creation: a stale (past-grace) registration
+    // for the SAME location must be refreshed by the new attempt, not
+    // kept — a kept expired timestamp would let a concurrent retention
+    // heal the entry out mid-creation and strand the landing clone
+    val loc2 = tmp()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(loc2))
+    src.setProperties(Map("graft.clones" -> (loc2 + "\u0002" +
+      (System.currentTimeMillis() - src.CloneRegisterGraceMs - 1000))))
+    src.snapshotTo(loc2, "grace_retry") // must not be blocked or confused
+    assert(src.liveClones() == Vector(loc2))
+    assert(!src.meta.properties("graft.clones").contains('\u0002'),
+      "completed retry must confirm (strip the timestamp)")
+    intercept[IllegalStateException](src.expireSnapshots(1))
   }
 
   test("clone-aware retention: source expiry/GC refuse while a " +

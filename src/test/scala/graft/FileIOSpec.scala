@@ -57,6 +57,63 @@ class FileIOSpec extends AnyFunSuite {
     assert(!LocalFileIO.exists(p) && !Files.exists(Paths.get(dir)))
   }
 
+  test("ObjectStoreFileIO semantics: directories are never keys, " +
+      "empty prefixes invisible, staging invisible, second mtimes, " +
+      "per-key deleteTree") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    val dir = tmp()
+    // a physically present empty directory is NOT an object
+    Files.createDirectories(Paths.get(dir, "emptydir"))
+    assert(!os.exists(s"$dir/emptydir"))
+    assert(os.listDir(dir).isEmpty, "empty dir must be invisible to LIST")
+    intercept[Exception](os.size(s"$dir/emptydir"))
+    intercept[Exception](os.readString(s"$dir/emptydir"))
+    assert(!os.delete(s"$dir/emptydir"))
+    // keys create implicit prefixes; LIST shows keys + non-empty prefixes
+    os.writeString(s"$dir/a/k1.json", "one")
+    os.writeString(s"$dir/a/b/k2.json", "two")
+    assert(os.exists(s"$dir/a/k1.json") && !os.exists(s"$dir/a"))
+    assert(os.listDir(dir).toSet == Set(s"$dir/a"))
+    assert(os.listDir(s"$dir/a").toSet == Set(s"$dir/a/k1.json", s"$dir/a/b"))
+    assert(os.listRecursive(dir).toSet ==
+      Set(s"$dir/a/k1.json", s"$dir/a/b/k2.json"))
+    // staging artifacts are outside the key namespace even when
+    // physically present (a crashed in-flight PUT)
+    val staged = Paths.get(dir, "a", ".os-staging")
+    Files.createDirectories(staged)
+    Files.writeString(staged.resolve("k3.json-in-flight.put"), "partial")
+    assert(os.listDir(s"$dir/a").toSet ==
+      Set(s"$dir/a/k1.json", s"$dir/a/b"))
+    assert(os.listRecursive(dir).toSet ==
+      Set(s"$dir/a/k1.json", s"$dir/a/b/k2.json"))
+    assert(!os.exists(s"$dir/a/.os-staging/k3.json-in-flight.put"))
+    // Last-Modified is second-granular
+    assert(os.modifiedMs(s"$dir/a/k1.json") % 1000 == 0)
+    // claim: conditional PUT; a later plain PUT overwrites (PUTs always
+    // win on content, claim only arbitrates creation)
+    assert(os.claim(s"$dir/a/slot", "first") && !os.claim(s"$dir/a/slot", "x"))
+    assert(os.readString(s"$dir/a/slot") == "first")
+    // deleteTree = LIST + per-key DELETE; nothing stays visible
+    os.deleteTree(s"$dir/a")
+    assert(os.listDir(dir).isEmpty && os.listRecursive(dir).isEmpty)
+    assert(!os.exists(s"$dir/a/k1.json"))
+  }
+
+  test("GRAFT_FILEIO parsing fails fast on an unrecognized value — " +
+      "protocol selection must never silently fall back to POSIX") {
+    val before = FileIO.io
+    try {
+      intercept[IllegalArgumentException](FileIO.installNamed("object-store"))
+      intercept[IllegalArgumentException](FileIO.installNamed("s3"))
+      intercept[Exception](FileIO.installNamed("catalog:not-a-port"))
+      assert(FileIO.io eq before, "a failed parse must not install anything")
+      FileIO.installNamed("objectstore")
+      assert(FileIO.io.isInstanceOf[graft.tableformat.ObjectStoreFileIO])
+      FileIO.installNamed("local")
+      assert(FileIO.io eq LocalFileIO)
+    } finally FileIO.install(before)
+  }
+
   /** Counts every operation, delegating to local storage. */
   private final class CountingIO extends FileIO {
     val reads = new AtomicLong; val writes = new AtomicLong

@@ -351,6 +351,66 @@ class TableFormatSpec extends AnyFunSuite {
     assert(Manifests.parseEntryLine(extra) == DataFileEntry("p", 1, 0))
   }
 
+  test("manifest line codec: property round-trip over arbitrary " +
+      "entries (any unicode in paths, bounds, partition values)") {
+    import org.scalacheck.{Arbitrary, Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val strMap: Gen[Map[String, String]] =
+      Gen.mapOf(Gen.zip(Gen.alphaNumStr, Arbitrary.arbitrary[String]))
+    val entryGen: Gen[DataFileEntry] = for {
+      path <- Arbitrary.arbitrary[String].suchThat(_ != null)
+      rc <- Gen.chooseNum(0L, Long.MaxValue)
+      sid <- Gen.chooseNum(0, Int.MaxValue)
+      pv <- strMap; lo <- strMap; hi <- strMap
+      nulls <- Gen.mapOf(Gen.zip(Gen.alphaNumStr, Gen.chooseNum(0L, Long.MaxValue)))
+      size <- Gen.chooseNum(0L, Long.MaxValue)
+      seq <- Gen.chooseNum(0L, Long.MaxValue)
+      eq <- Gen.listOf(Gen.chooseNum(1, 1000)).map(_.toVector)
+    } yield DataFileEntry(path, rc, sid, pv, lo, hi, nulls, size, seq, eq)
+    val prop = Prop.forAll(entryGen) { e =>
+      // the codec writes JSON-LINES: entries containing raw newlines in
+      // strings must be escaped by the writer (jackson always does) so
+      // one entry stays one line
+      val rendered = Manifests.renderEntries(Vector(e))
+      val lines = rendered.split("\n").filter(_.nonEmpty)
+      lines.length == 1 && Manifests.parseEntryLine(lines(0)) == e
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("seal fallback: a REORDERED inventory (lockstep finds no " +
+      "consecutive blocks) still reuses every untouched manifest " +
+      "through the identity path, with no double-reference") {
+    val loc = tmp()
+    MetadataIO.commit(TableMetadata.create("t", loc, Seq("id" -> "long"),
+      properties = Map("graft.manifest.target-entries" -> "4")))
+    def entry(i: Int) = DataFileEntry(f"data/r$i%02d.parquet", 10, 0)
+    val c1 = MetadataIO.read(loc)
+    MetadataIO.commit(c1.copy(currentSnapshotId = Some(1L),
+      snapshots = c1.snapshots :+ Snapshot(1L, None, 1001L, "append", 0, 0,
+        (1 to 12).map(entry).toVector),
+      snapshotLog = c1.snapshotLog :+ SnapshotLogEntry(1001L, 1L)))
+    val c2 = MetadataIO.read(loc)
+    // REVERSE the inventory: same objects, order destroyed — the
+    // lockstep walk reuses nothing, so the hash fallback must engage
+    val reversed = c2.currentSnapshot.get.files.reverse
+    MetadataIO.commit(c2.copy(currentSnapshotId = Some(2L),
+      snapshots = c2.snapshots :+ Snapshot(2L, Some(1L), 1002L,
+        "replace", 0, 0, reversed),
+      snapshotLog = c2.snapshotLog :+ SnapshotLogEntry(1002L, 2L)))
+    val m = MetadataIO.read(loc)
+    val s1 = m.snapshotById(1L).get
+    val s2 = m.snapshotById(2L).get
+    // identity fallback: every parent manifest reused by pointer
+    assert(s1.manifests.map(_.path).toSet == s2.manifests.map(_.path).toSet,
+      "reordered-same-content inventory must reuse all manifests")
+    val allPaths = s2.manifests.flatMap(r => Manifests.readEntries(loc, r))
+      .map(_.path)
+    assert(allPaths.size == allPaths.distinct.size)
+    assert(allPaths.sorted == (1 to 12).map(i => f"data/r$i%02d.parquet").toVector)
+  }
+
   test("nextFieldId never reuses dropped ids") {
     val s0 = VersionedSchema(0, Vector(FieldDef(1, "a", "int"), FieldDef(2, "b", "int")))
     val s1 = VersionedSchema(1, Vector(FieldDef(1, "a", "int")))
