@@ -2746,20 +2746,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // manifest tier: every retained snapshot must plan
     // CACHE-BYPASSING reads throughout the manifest tier: the audit's
     // job is to doubt storage, and a manifest corrupted AFTER this
-    // process cached it must not audit clean off the warm copy
+    // process cached it must not audit clean off the warm copy.
+    // Snapshots share manifests by pointer (structural sharing), so
+    // each DISTINCT (path, expected-count) reads from storage exactly
+    // once per audit — not once per referencing snapshot, which at 100
+    // retained churn snapshots would multiply the I/O ~100×.
+    val seenRefs = scala.collection.mutable.Set[(String, Int)]()
     m.snapshots.foreach { s =>
       s.manifestList.foreach { rel =>
         try {
           val refs = graft.tableformat.Manifests.readListUncached(location, rel)
           refs.foreach { r =>
-            try {
-              val es =
-                graft.tableformat.Manifests.readEntriesUncached(location, r)
-              if (es.size != r.fileCount) findings +=
-                s"manifest ${r.path}: ${es.size} entries, ref says ${r.fileCount}"
-            } catch { case e: Exception =>
-              findings += s"manifest ${r.path} unreadable: ${e.getMessage}"
-            }
+            if (seenRefs.add((r.path, r.fileCount)))
+              try {
+                val es =
+                  graft.tableformat.Manifests.readEntriesUncached(location, r)
+                if (es.size != r.fileCount) findings +=
+                  s"manifest ${r.path}: ${es.size} entries, ref says ${r.fileCount}"
+              } catch { case e: Exception =>
+                findings += s"manifest ${r.path} unreadable: ${e.getMessage}"
+              }
           }
         } catch { case e: Exception =>
           findings += s"manifest list $rel (snapshot ${s.snapshotId}) " +

@@ -218,9 +218,54 @@ final class ObjectStoreFileIO extends FileIO {
     t
   }
   private def stagedTmp(target: Path): Path = {
+    // a key whose own path crosses the staging namespace would succeed
+    // on write and then be invisible/unreadable — reject it up front
+    if (inStaging(target)) throw new IllegalArgumentException(
+      s"'$Staging' is a reserved name in the emulated key namespace: $target")
     val dir = target.getParent.resolve(Staging)
     Files.createDirectories(dir)
+    // self-healing: a crashed process's orphaned temps live outside
+    // the key namespace where no maintenance path can see them — sweep
+    // stale ones (>1h; any live PUT finishes in seconds) whenever a
+    // new PUT touches the same staging dir
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val s = Files.list(dir)
+      val stale = try s.iterator().asScala.filter(q =>
+        Files.isRegularFile(q) &&
+          Files.getLastModifiedTime(q).toMillis < cutoff).toVector
+      finally s.close()
+      stale.foreach(q => try Files.deleteIfExists(q) catch {
+        case _: java.io.IOException => ()
+      })
+    } catch { case _: java.io.IOException => () }
     Files.createTempFile(dir, s"${target.getFileName}-", ".put")
+  }
+
+  /** Every regular file under `root` OUTSIDE staging subtrees, never
+    * descending into them — a LIST racing an in-flight PUT must not
+    * fail because the walker statted a temp that vanished mid-walk
+    * (a real store's LIST never errors on a concurrent upload).
+    */
+  private def walkKeys(root: Path): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+      import java.nio.file.{FileVisitResult, attribute}
+      override def preVisitDirectory(d: Path,
+          a: attribute.BasicFileAttributes): FileVisitResult =
+        if (d.getFileName != null && d.getFileName.toString == Staging)
+          FileVisitResult.SKIP_SUBTREE
+        else FileVisitResult.CONTINUE
+      override def visitFile(f: Path,
+          a: attribute.BasicFileAttributes): FileVisitResult = {
+        if (a.isRegularFile) out += f.toString
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: Path,
+          e: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE // vanished mid-walk = not a key
+    })
+    out.result()
   }
 
   override def readString(path: String): String =
@@ -231,9 +276,9 @@ final class ObjectStoreFileIO extends FileIO {
 
   override def writeString(path: String, content: String): Unit = {
     // PUT: atomic per key, overwrite allowed, implicit "directories";
-    // the in-flight bytes stage outside the key namespace
+    // the in-flight bytes stage outside the key namespace (stagedTmp
+    // creates the parent chain)
     val t = p(path)
-    if (t.getParent != null) Files.createDirectories(t.getParent)
     val tmp = stagedTmp(t)
     try {
       Files.writeString(tmp, content)
@@ -275,23 +320,12 @@ final class ObjectStoreFileIO extends FileIO {
     }
   }
 
-  private def hasKeyBelow(d: Path): Boolean = {
-    val s = Files.walk(d)
-    try s.iterator().asScala
-      .exists(q => Files.isRegularFile(q) && !inStaging(q))
-    finally s.close()
-  }
+  private def hasKeyBelow(d: Path): Boolean = walkKeys(d).nonEmpty
 
   override def listRecursive(dir: String): Vector[String] = {
     val d = p(dir)
     if (inStaging(d) || !Files.exists(d)) Vector.empty
-    else {
-      val s = Files.walk(d)
-      try s.iterator().asScala
-        .filter(q => Files.isRegularFile(q) && !inStaging(q))
-        .map(_.toString).toVector
-      finally s.close()
-    }
+    else walkKeys(d)
   }
 
   override def deleteTree(dir: String): Unit = {
@@ -301,13 +335,15 @@ final class ObjectStoreFileIO extends FileIO {
     // either way.
     listRecursive(dir).foreach(k => Files.deleteIfExists(p(k)))
     val d = p(dir)
-    if (Files.exists(d)) {
+    // best-effort skeleton + staging-debris sweep (disk hygiene only —
+    // nothing here is visible through the interface); tolerate races
+    if (Files.exists(d)) try {
       val s = Files.walk(d)
       val dirs = try s.iterator().asScala.toVector.reverse finally s.close()
       dirs.foreach(q => try Files.deleteIfExists(q) catch {
-        case _: java.nio.file.DirectoryNotEmptyException => ()
+        case _: java.io.IOException => ()
       })
-    }
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
   }
 
   override def claim(path: String, content: String): Boolean = {
@@ -315,7 +351,6 @@ final class ObjectStoreFileIO extends FileIO {
     // temp carries COMPLETE content before the atomic create-if-absent,
     // and stages outside the key namespace like every PUT
     val target = p(path)
-    Files.createDirectories(target.getParent)
     val tmp = stagedTmp(target)
     try {
       Files.writeString(tmp, content)
@@ -475,7 +510,10 @@ object FileIO {
     * both sides of the race run the same storage semantics.
     */
   def installFromEnv(): Unit =
-    sys.env.get("GRAFT_FILEIO").foreach(installNamed)
+    // blank = unset (a shell wrapper's `GRAFT_FILEIO=` means "default",
+    // not "crash the session")
+    sys.env.get("GRAFT_FILEIO").map(_.trim).filter(_.nonEmpty)
+      .foreach(installNamed)
 
   /** [[installFromEnv]]'s parser, callable directly (tests, embedders). */
   def installNamed(name: String): Unit = name match {
