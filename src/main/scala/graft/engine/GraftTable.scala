@@ -690,6 +690,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def snapshotTo(dstLocation: String, dstName: String): GraftTable = {
     require(!MetadataIO.exists(dstLocation), s"table exists at $dstLocation")
+    // Register the fork on the SOURCE before ANYTHING else — including
+    // the metadata read the clone is built from. Reading first would
+    // leave a window where a concurrent overwrite + retention (registry
+    // still empty, guard passes) deletes the very files the
+    // already-computed clone is about to reference. Registration-first
+    // means any retention that could touch those files must commit
+    // AFTER this registration (same CAS chain), and then refuses.
+    registerCloneInFlight(dstLocation)
     val m = meta
     def abs(fs: Vector[DataFileEntry]) =
       fs.map(f => f.copy(path = absPath(f.path)))
@@ -730,37 +738,6 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         base.copy(currentSnapshotId = Some(id), snapshots = Vector(snap),
           snapshotLog = Vector(SnapshotLogEntry(now, id)))
     }
-    // Register the fork on the SOURCE FIRST, then materialize the
-    // clone. The other order has a stranding window: a crash (or a
-    // failed registration commit) after the clone's metadata lands
-    // leaves a LIVE clone unguarded — source retention would delete
-    // the shared files. Registration-first fails safe: a registration
-    // whose clone never materializes is a stale entry that heals out
-    // of the registry lazily. The registration carries its timestamp
-    // so the guard can tell "clone creation in flight" (young, not yet
-    // existing -> treat as live, refuse retention) from "crashed
-    // creation" (old, never materialized -> heal), closing the race
-    // where retention reads the registry in the gap between the two
-    // commits.
-    MetadataIO.commitRetry(location) { cur =>
-      val fresh = s"$dstLocation$CloneFieldSep${System.currentTimeMillis()}"
-      val raw = rawCloneRegs(cur)
-      // a pre-existing registration for this location whose clone does
-      // NOT currently exist is a leftover of a crashed or dropped
-      // earlier attempt — its timestamp may be past the grace (or
-      // absent entirely), so keeping it as-is would let a concurrent
-      // retention heal it out mid-creation; REFRESH it to now instead
-      val updated =
-        if (raw.exists(r => cloneRegLocation(r) == dstLocation))
-          raw.map(r =>
-            if (cloneRegLocation(r) == dstLocation &&
-              !MetadataIO.exists(dstLocation)) fresh
-            else r)
-        else raw :+ fresh
-      if (updated == raw) cur
-      else cur.copy(properties = cur.properties +
-        (ClonesKey -> updated.mkString(CloneSep.toString)))
-    }
     MetadataIO.commit(withSnap)
     // CONFIRM: strip the timestamp now that the clone exists, so a
     // later DROP of the clone heals immediately (untimed + not-exists
@@ -777,13 +754,48 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     new GraftTable(spark, dstLocation)
   }
 
+  /** The registration-first half of [[snapshotTo]]: record the fork's
+    * TIMESTAMPED in-flight registration on the source before the
+    * clone's metadata is even read. A crash (or a failed clone commit)
+    * leaves a stale entry that heals out of the registry lazily; the
+    * timestamp lets the guard tell "creation in flight" (young, not
+    * yet existing -> live, refuse retention) from "crashed creation"
+    * (past the grace, never materialized -> heal). A pre-existing
+    * registration for the same location whose clone does NOT exist is
+    * a leftover of a crashed earlier attempt — its timestamp may be
+    * past the grace (or absent), so it is REFRESHED to now rather than
+    * kept, or retention could heal it out mid-creation.
+    */
+  private def registerCloneInFlight(dstLocation: String): Unit =
+    MetadataIO.commitRetry(location) { cur =>
+      val fresh = s"$dstLocation$CloneFieldSep${System.currentTimeMillis()}"
+      val raw = rawCloneRegs(cur)
+      val updated =
+        if (raw.exists(r => cloneRegLocation(r) == dstLocation))
+          raw.map(r =>
+            if (cloneRegLocation(r) == dstLocation &&
+              !MetadataIO.exists(dstLocation)) fresh
+            else r)
+        else raw :+ fresh
+      if (updated == raw) cur
+      else cur.copy(properties = cur.properties +
+        (ClonesKey -> updated.mkString(CloneSep.toString)))
+    }
+
   private val ClonesKey = "graft.clones"
   // locations may contain any printable character; U+0001/U+0002 cannot
   private val CloneSep = '\u0001'
   private val CloneFieldSep = '\u0002'
   // how long a registered-but-not-yet-existing clone blocks retention
-  // before it is judged a crashed creation and healed out
+  // before it is judged a crashed creation and healed out. Default;
+  // override per table with `graft.clones.register-grace-ms` (a
+  // million-file clone over a slow store can outlast a short grace,
+  // and retention on another host adds clock skew on top).
   private[graft] val CloneRegisterGraceMs = 15L * 60 * 1000
+
+  private def registerGraceMs(m: TableMetadata): Long =
+    m.properties.get("graft.clones.register-grace-ms")
+      .flatMap(_.toLongOption).filter(_ >= 0).getOrElse(CloneRegisterGraceMs)
 
   /** Raw registry entries: `location` or `location<FS>registeredMs`. */
   private def rawCloneRegs(m: TableMetadata): Vector[String] =
@@ -844,12 +856,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // Past the grace it is a crashed creation and heals out. Untimed
     // (legacy) registrations were written after the clone existed, so
     // not-exists there means genuinely dropped.
+    val grace = registerGraceMs(cur)
     val (live, dead) = regs.partition(r =>
       MetadataIO.exists(cloneRegLocation(r)) ||
-        cloneRegAgeMs(r).exists(_ < CloneRegisterGraceMs))
+        cloneRegAgeMs(r).exists(_ < grace))
     if (live.nonEmpty && !cur.properties
         .get("graft.clones.allow-unsafe-retention").contains("true"))
-      throw new IllegalStateException(
+      throw new CloneRetentionRefusedException(
         s"$op refused: zero-copy clones still reference this table's " +
           s"files: ${live.map(cloneRegLocation).mkString(", ")}. Drop " +
           "the clone(s), release " +
@@ -2662,8 +2675,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         // after it actually committed
         def cloneGuarded(label: String)(step: => Unit): Unit =
           try step catch {
-            case e: IllegalStateException if e.getMessage != null &&
-                e.getMessage.contains("zero-copy clones") =>
+            case _: CloneRetentionRefusedException =>
               actions += s"${label}_skipped:clones-registered"
           }
         cloneGuarded("expire_snapshots") {
@@ -2752,17 +2764,30 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // once per audit — not once per referencing snapshot, which at 100
     // retained churn snapshots would multiply the I/O ~100×.
     val seenRefs = scala.collection.mutable.Set[(String, Int)]()
+    val freshRefs =
+      scala.collection.mutable.Map[String, Vector[ManifestRef]]()
+    val freshEntries =
+      scala.collection.mutable.Map[String, Vector[DataFileEntry]]()
     m.snapshots.foreach { s =>
       s.manifestList.foreach { rel =>
         try {
           val refs = graft.tableformat.Manifests.readListUncached(location, rel)
+          freshRefs(rel) = refs
           refs.foreach { r =>
             if (seenRefs.add((r.path, r.fileCount)))
               try {
                 val es =
                   graft.tableformat.Manifests.readEntriesUncached(location, r)
+                freshEntries(r.path) = es
                 if (es.size != r.fileCount) findings +=
                   s"manifest ${r.path}: ${es.size} entries, ref says ${r.fileCount}"
+                // countRows/COUNT(*) answer from the refs' recorded
+                // record counts — drift from the entries' sum is a
+                // wrong-answer defect, not just a planning one
+                val sum = es.map(_.recordCount).sum
+                if (sum != r.recordCount) findings +=
+                  s"manifest ${r.path}: entries sum $sum records, " +
+                    s"ref says ${r.recordCount}"
               } catch { case e: Exception =>
                 findings += s"manifest ${r.path} unreadable: ${e.getMessage}"
               }
@@ -2773,12 +2798,22 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         }
       }
     }
-    // file tier: the current snapshot (or all), one parallel stat each
+    // file tier: the current snapshot (or all), one parallel stat
+    // each. The inventory comes from the UNCACHED manifest reads above
+    // — the same bytes a fresh reader process would plan from — never
+    // the warm lazy views, which could stat a pre-corruption inventory
+    // and audit clean. (Also avoids re-reading anything: the manifest
+    // tier already holds every entry.)
     val snaps =
       if (allSnapshots) m.snapshots
       else m.currentSnapshot.toVector
-    val entries = snaps.flatMap(s => s.files ++ s.deleteFiles)
-      .distinctBy(_.path)
+    val entries = snaps.flatMap { s =>
+      s.manifestList match {
+        case None => s.inlineFiles ++ s.inlineDeleteFiles
+        case Some(rel) => freshRefs.getOrElse(rel, Vector.empty)
+          .flatMap(r => freshEntries.getOrElse(r.path, Vector.empty))
+      }
+    }.distinctBy(_.path)
     import scala.collection.parallel.CollectionConverters._
     val fileIssues = entries.par.flatMap { f =>
       val abs = absPath(f.path)

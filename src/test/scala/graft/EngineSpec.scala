@@ -2033,6 +2033,15 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains(ghost))
     intercept[IllegalStateException](src.removeOrphanFiles(0))
     assert(src.meta.snapshots.size == 2)
+    // grace is per-table configurable: with a zero grace even a fresh
+    // in-flight registration is judged crashed (operator's knob for
+    // clones that provably never take long)
+    src.setProperties(Map("graft.clones.register-grace-ms" -> "0"))
+    reg(System.currentTimeMillis())
+    src.expireSnapshots(2) // proceeds: the entry heals under grace 0
+    assert(!src.meta.properties.contains("graft.clones"))
+    src.setProperties(Map("graft.clones.register-grace-ms" ->
+      src.CloneRegisterGraceMs.toString))
     // backdated past the grace = a crashed clone creation: heals out
     // and retention proceeds
     reg(System.currentTimeMillis() - src.CloneRegisterGraceMs - 1000)
