@@ -133,8 +133,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   // ------------------------------------------------- SQL-text entry point
 
+  // suffixes are SQL keywords — case-insensitive like every other
+  // SQL surface (the (?i) group applies to the keywords only; table
+  // identifiers stay case-preserving)
   private val qualified =
-    """graft\.([A-Za-z0-9_]+)\.([A-Za-z0-9_]+)(\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']+)'|\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+    """graft\.([A-Za-z0-9_]+)\.([A-Za-z0-9_]+)((?i:\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+)'([^']+)'|(?i:\s+VERSION\s+AS\s+OF\s+)(\d+))?""".r
+
+  // single-quoted SQL string literals ('' = escaped quote): rewriting
+  // must never touch graft.db.t occurrences INSIDE them — a predicate
+  // like src_name = 'graft.db.t' would silently match nothing
+  private val sqlStringLiteral = """'(?:[^']|'')*'""".r
 
   /** Run SQL text containing `graft.db.table` references (with optional
     * time-travel suffixes). Each distinct (table, travel) reference is
@@ -142,26 +150,48 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * qualified column `graft.db.t.c` alongside `FROM graft.db.t`)
     * rewrite to the same name, so qualifiers keep resolving. The
     * rewritten text goes to spark.sql so Catalyst handles everything
-    * else (joins, aggregates, windows...).
+    * else (joins, aggregates, windows...). String literals pass
+    * through untouched.
     */
   def sql(query: String): DataFrame = {
     val views = scala.collection.mutable.Map[String, String]()
-    val rewritten = qualified.replaceAllIn(query, m => {
-      val (db, tbl) = (m.group(1), m.group(2))
-      val travel = Option(m.group(3)).getOrElse("")
-      views.getOrElseUpdate(s"$db.$tbl$travel", {
-        val t = table(db, tbl)
-        val df = (Option(m.group(4)), Option(m.group(5))) match {
-          case (Some(ts), _) => t.readAsOfTime(parseTs(ts))
-          case (_, Some(v))  => t.readAsOfVersion(v.toLong)
-          case _             => t.read()
-        }
-        val view = s"graft_${db}_${tbl}_${views.size}"
-        df.createOrReplaceTempView(view)
-        view
+    def rewriteSegment(seg: String): String =
+      qualified.replaceAllIn(seg, m => {
+        val (db, tbl) = (m.group(1), m.group(2))
+        val travel = Option(m.group(3)).getOrElse("")
+        views.getOrElseUpdate(s"$db.$tbl${travel.toUpperCase}", {
+          val t = table(db, tbl)
+          val df = (Option(m.group(4)), Option(m.group(5))) match {
+            case (Some(ts), _) => t.readAsOfTime(parseTs(ts))
+            case (_, Some(v))  => t.readAsOfVersion(v.toLong)
+            case _             => t.read()
+          }
+          val view = s"graft_${db}_${tbl}_${views.size}"
+          df.createOrReplaceTempView(view)
+          view
+        })
       })
-    })
-    spark.sql(rewritten)
+    // walk literal and non-literal segments: rewrite only outside
+    // quotes (the time-travel suffix's own quoted timestamp is inside
+    // `qualified` itself, so it still matches when the reference
+    // STARTS outside a literal)
+    val out = new StringBuilder
+    var last = 0
+    for (m <- sqlStringLiteral.findAllMatchIn(query)) {
+      val pre = query.substring(last, m.start)
+      // a literal directly preceded by "AS OF" is a time-travel
+      // timestamp — keep it attached to the preceding segment so the
+      // qualified regex sees the whole reference
+      if ("""(?is).*\bAS\s+OF\s*$""".r.matches(pre)) {
+        out ++= rewriteSegment(query.substring(last, m.end))
+      } else {
+        out ++= rewriteSegment(pre)
+        out ++= m.matched
+      }
+      last = m.end
+    }
+    out ++= rewriteSegment(query.substring(last))
+    spark.sql(out.toString)
   }
 
   /** Timestamps/dates in SQL text are interpreted in UTC, matching the

@@ -245,7 +245,9 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if GraftViewSql.viewParts(spark, u.multipartIdentifier).isDefined =>
         val (db, v) = GraftViewSql.viewParts(spark, u.multipartIdentifier).get
         GraftViewSql.expand(spark, db, v,
-          ver.map(_.toInt), ts.map(evalTsMillis))
+          ver.map(x => x.toIntOption.getOrElse(sys.error(
+            s"view $db.$v: VERSION AS OF takes an integer definition " +
+              s"version id, got '$x'"))), ts.map(evalTsMillis))
       case u: UnresolvedRelation
           if GraftViewSql.viewParts(spark, u.multipartIdentifier).isDefined =>
         val (db, v) = GraftViewSql.viewParts(spark, u.multipartIdentifier).get
@@ -255,7 +257,14 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isGraft(u) =>
         withTable(u) { t =>
           (ts, ver) match {
-            case (_, Some(v)) => t.readAsOfVersion(v.toLong)
+            // VERSION AS OF takes a snapshot id OR a branch/tag name on
+            // every surface — the catalog path resolves refs, so this
+            // fallback must too (a bare NumberFormatException for
+            // 'audit-tag' would make the two surfaces diverge)
+            case (_, Some(v)) => v.toLongOption match {
+              case Some(id) => t.readAsOfVersion(id)
+              case None     => t.readRef(v)
+            }
             case (Some(e), _) => t.readAsOfTime(evalTsMillis(e))
             case _            => t.read()
           }

@@ -90,6 +90,10 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     warehouse.map { w =>
+      // same traversal guard as location(): a backticked `..` namespace
+      // must not list the warehouse's parent
+      require(namespace.forall(safePart),
+        s"illegal namespace part in ${namespace.mkString(".")}")
       val d = Paths.get(w, namespace.mkString("/"))
       if (!Files.isDirectory(d)) Array.empty[Identifier]
       else {
@@ -277,6 +281,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
 
   override def listViews(namespace: String*): Array[Identifier] =
     warehouse.map { w =>
+      require(namespace.forall(safePart),
+        s"illegal namespace part in ${namespace.mkString(".")}")
       val d = Paths.get(w, namespace.mkString("/"))
       if (!Files.isDirectory(d)) Array.empty[Identifier]
       else {
@@ -369,7 +375,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
   override def dropView(ident: Identifier): Boolean =
     viewLocation(ident).exists(ViewIO.drop)
 
-  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameView(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    val newIdent = stripOwnCatalog(newIdent0) // see renameTable
     val from = viewLocation(oldIdent).filter(ViewIO.exists)
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
     val to = viewLocation(newIdent)
@@ -378,15 +385,17 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
     if (ViewIO.exists(to))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
-    Files.createDirectories(Paths.get(to).getParent)
-    try Files.createDirectory(Paths.get(to))
+    // the move itself is the atomic destination claim (rename without
+    // replace fails if the target exists) — and it routes through the
+    // FileIO seam so pluggable backends keep their commit-slot state
+    // consistent (the catalog-CAS backend releases the old location's
+    // claims; the object-store backend copies per key, its honest
+    // primitive)
+    try graft.tableformat.FileIO.io.rename(from, to)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     }
-    Files.move(Paths.get(from), Paths.get(to),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val cur = ViewIO.read(to)
     ViewIO.commit(to, cur.copy(
       name = (newIdent.namespace() :+ newIdent.name()).mkString(".")))
@@ -399,26 +408,40 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
     * location. History, snapshots, refs, and MoR delete files all
     * survive the move untouched.
     */
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  /** Spark 4.1's RenameTableExec passes the DESTINATION identifier of
+    * `ALTER TABLE graft.db.a RENAME TO graft.db.b` with the catalog
+    * name still in the namespace (["graft","db"], "b") — mapping that
+    * to a path verbatim would land the table at warehouse/graft/db/b,
+    * outside the db layout and unresolvable by any read. Strip a
+    * leading namespace element naming THIS catalog.
+    */
+  private def stripOwnCatalog(ident: Identifier): Identifier = {
+    val ns = ident.namespace()
+    if (ns.length == 2 && ns.head.equalsIgnoreCase(name()))
+      Identifier.of(ns.tail, ident.name())
+    else ident
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    val newIdent = stripOwnCatalog(newIdent0)
     val from = location(oldIdent).filter(MetadataIO.exists)
       .getOrElse(throw new NoSuchTableException(oldIdent))
     val to = location(newIdent)
       .getOrElse(sys.error("spark.graft.warehouse not set"))
     if (MetadataIO.exists(to)) // the AnalysisException the contract names
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
-    Files.createDirectories(Paths.get(to).getParent)
     // atomic destination claim: two concurrent renames (or a rename
     // racing createTable) to one target must not both pass the exists
-    // check and clobber — createDirectory is the claim, and rename(2)
-    // then replaces the empty claim dir atomically
-    try Files.createDirectory(Paths.get(to))
+    // check and clobber — the seam's rename fails on an existing
+    // target, so the move IS the claim. Routing through FileIO keeps
+    // pluggable backends' commit-slot state consistent (catalog-CAS
+    // releases the old location's claims; the object-store backend
+    // copies per key — its honest primitive).
+    try graft.tableformat.FileIO.io.rename(from, to)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
     }
-    Files.move(Paths.get(from), Paths.get(to),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // metadata name stays catalog-free (db.table), matching createTable
     MetadataIO.commitRetry(to)(cur => cur.copy(
       name = (newIdent.namespace() :+ newIdent.name()).mkString("."),

@@ -116,6 +116,23 @@ object GraftViewSql {
       case _ => None
     } catch { case _: Exception => None }
 
+  /** DDL on a TEMPORARY view is never ours — Spark's session catalog
+    * owns temp views regardless of the current catalog. Without this
+    * check, `USE graft.db; DROP VIEW tv` would hijack the temp view's
+    * drop into the stored-view path: the drop fails (or silently
+    * no-ops under IF EXISTS) while the temp view survives.
+    */
+  private def isTempViewRef(session: SparkSession,
+      parts: Seq[String]): Boolean = parts match {
+    case Seq(v) =>
+      session.sessionState.catalog.getTempView(v).isDefined
+    case Seq(g, v) =>
+      g.equalsIgnoreCase(session.conf
+        .get("spark.sql.globalTempDatabase", "global_temp")) &&
+        session.sessionState.catalog.getGlobalTempView(v).isDefined
+    case _ => false
+  }
+
   /** Resolve a statement's target identifier to (catalogName, db, view)
     * when it lands in a graft catalog; None → the statement is not ours
     * and delegates untouched.
@@ -272,15 +289,23 @@ object GraftViewSql {
       }
     case AlterViewAsRe(identText, body) =>
       val parts = delegate.parseMultipartIdentifier(identText)
-      graftTarget(session, parts).map { case (cat, db, v) =>
+      graftTarget(session, parts)
+        .filterNot(_ => isTempViewRef(session, parts))
+        .map { case (cat, db, v) =>
         delegate.parsePlan(body)
+        // ALTER ... AS changes the DEFINITION only — properties and
+        // comment survive (Spark/Iceberg semantics; CREATE OR REPLACE
+        // is the form that resets them)
         GraftCreateViewCommand(cat, db, v, body.trim, replace = true,
           ifNotExists = false, columnAliases = Seq.empty, comment = None,
-          properties = Map.empty, requireExists = true)
+          properties = Map.empty, requireExists = true,
+          preserveProperties = true)
       }
     case AlterViewSetRe(identText, parenAndRest) =>
       val parts = delegate.parseMultipartIdentifier(identText)
-      graftTarget(session, parts).map { case (cat, db, v) =>
+      graftTarget(session, parts)
+        .filterNot(_ => isTempViewRef(session, parts))
+        .map { case (cat, db, v) =>
         val (inside, rest) = splitParen(parenAndRest)
         require(rest.trim.stripSuffix(";").trim.isEmpty,
           s"unexpected trailing text after TBLPROPERTIES: ${rest.take(40)}")
@@ -289,7 +314,9 @@ object GraftViewSql {
       }
     case AlterViewUnsetRe(identText, parenAndRest) =>
       val parts = delegate.parseMultipartIdentifier(identText)
-      graftTarget(session, parts).map { case (cat, db, v) =>
+      graftTarget(session, parts)
+        .filterNot(_ => isTempViewRef(session, parts))
+        .map { case (cat, db, v) =>
         val (inside, rest) = splitParen(parenAndRest)
         require(rest.trim.stripSuffix(";").trim.isEmpty,
           s"unexpected trailing text after TBLPROPERTIES: ${rest.take(40)}")
@@ -298,7 +325,9 @@ object GraftViewSql {
       }
     case AlterViewRenameRe(fromText, toText) =>
       val fromParts = delegate.parseMultipartIdentifier(fromText)
-      graftTarget(session, fromParts).map { case (cat, db, v) =>
+      graftTarget(session, fromParts)
+        .filterNot(_ => isTempViewRef(session, fromParts))
+        .map { case (cat, db, v) =>
         // RENAME TO takes a name within the same namespace (Spark's
         // contract) or an explicit same-catalog multipart
         val toParts = delegate.parseMultipartIdentifier(toText)
@@ -343,7 +372,9 @@ object GraftViewSql {
       viewParts(session, parts).map { case (_, _) => GraftNoopCommand() }
     case DropViewRe(ifExists, identText) =>
       val parts = delegate.parseMultipartIdentifier(identText)
-      graftTarget(session, parts).map { case (cat, db, v) =>
+      graftTarget(session, parts)
+        .filterNot(_ => isTempViewRef(session, parts))
+        .map { case (cat, db, v) =>
         GraftDropViewCommand(cat, db, v, ifExists = ifExists != null)
       }
     case ShowViewsRe(nsText) =>
@@ -548,7 +579,8 @@ object GraftViewSql {
 final case class GraftCreateViewCommand(catalogName: String, db: String,
     view: String, sql: String, replace: Boolean, ifNotExists: Boolean,
     columnAliases: Seq[String], comment: Option[String],
-    properties: Map[String, String], requireExists: Boolean = false)
+    properties: Map[String, String], requireExists: Boolean = false,
+    preserveProperties: Boolean = false)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -562,16 +594,35 @@ final case class GraftCreateViewCommand(catalogName: String, db: String,
     }
     // A stored view referencing a TEMP view would bind to session state
     // that won't exist at read time — reject at create, as Spark's own
-    // persistent views do.
+    // persistent views do. Two refinements over a naive relation scan:
+    //   - a name defined as a CTE in this statement is NOT a temp
+    //     reference (expansion inlines CTEs before any catalog lookup,
+    //     so a CTE shadowing a temp view is fine);
+    //   - subquery EXPRESSIONS (IN/EXISTS/scalar) carry their own
+    //     plans that plan.foreach does not descend into — a temp view
+    //     hidden there would store fine and break on every later read.
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    parsed.foreach {
-      case u: UnresolvedRelation if u.multipartIdentifier.sizeIs == 1 &&
-          spark.sessionState.catalog
-            .getTempView(u.multipartIdentifier.head).isDefined =>
-        sys.error(s"cannot store view $db.$view over temporary view " +
-          s"'${u.multipartIdentifier.head}'")
-      case _ => ()
+    val cteNames = parsed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    def rejectTempRefs(p: LogicalPlan): Unit = p.foreach { n =>
+      n match {
+        case u: UnresolvedRelation if u.multipartIdentifier.sizeIs == 1 &&
+            !cteNames(u.multipartIdentifier.head.toLowerCase) &&
+            spark.sessionState.catalog
+              .getTempView(u.multipartIdentifier.head).isDefined =>
+          sys.error(s"cannot store view $db.$view over temporary view " +
+            s"'${u.multipartIdentifier.head}'")
+        case _ => ()
+      }
+      n.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          rejectTempRefs(s.plan)
+        case _ => ()
+      })
     }
+    rejectTempRefs(parsed)
     // definition-time schema: analyze the body in THIS session (late
     // binding re-analyzes at every read; this copy serves DESCRIBE and
     // drift audits)
@@ -581,7 +632,15 @@ final case class GraftCreateViewCommand(catalogName: String, db: String,
       s"view $db.$view: ${columnAliases.size} column aliases for " +
         s"${schema.size} query columns")
     val cm = spark.sessionState.catalogManager
-    val props = properties ++ comment.map("comment" -> _)
+    // ALTER ... AS (preserveProperties): carry the existing view's
+    // properties (comment included — it is stored as a property)
+    // through the definition replacement
+    val existing =
+      if (preserveProperties)
+        GraftViewSql.viewLocation(spark, db, view)
+          .map(l => ViewIO.read(l).properties).getOrElse(Map.empty)
+      else Map.empty[String, String]
+    val props = existing ++ properties ++ comment.map("comment" -> _)
     val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
       cm.currentNamespace, schema, schema.fieldNames,
       columnAliases.toArray, Array.empty[String], {

@@ -68,6 +68,17 @@ trait FileIO {
   def claim(path: String, content: String): Boolean
   /** Atomic full-file replace; see the trait doc. */
   def replaceAtomic(path: String, content: String): Unit
+  /** Move every key under `fromDir` to the same relative key under
+    * `toDir` (ALTER TABLE/VIEW RENAME). Fails if the destination
+    * already holds anything. ATOMICITY IS PER-BACKEND: POSIX renames
+    * the directory in one rename(2); object stores have NO rename —
+    * it is a server-side COPY per key then DELETE (what Hadoop s3a
+    * does), so a reader can transiently observe both locations.
+    * Production object-store deployments should rename through a
+    * catalog service instead; this keeps the toy backends honest
+    * about where the primitive actually lives.
+    */
+  def rename(fromDir: String, toDir: String): Unit
 }
 
 /** POSIX implementation — the link(2) commit protocol the engine has
@@ -153,6 +164,18 @@ object LocalFileIO extends FileIO {
       Files.move(tmp, target,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
+  }
+
+  override def rename(fromDir: String, toDir: String): Unit = {
+    val to = p(toDir)
+    if (to.getParent != null) Files.createDirectories(to.getParent)
+    // atomic destination claim: NIO's no-replace move is
+    // check-then-rename (two racers can pass the check and rename over
+    // each other); mkdir(2) IS atomic-exclusive, so the empty claim
+    // dir arbitrates and the move then replaces it atomically
+    Files.createDirectory(to) // throws FileAlreadyExistsException to losers
+    Files.move(p(fromDir), to,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }
 
@@ -361,6 +384,25 @@ final class ObjectStoreFileIO extends FileIO {
 
   override def replaceAtomic(path: String, content: String): Unit =
     writeString(path, content)
+
+  override def rename(fromDir: String, toDir: String): Unit = {
+    // object stores have no rename: server-side COPY per key (byte
+    // exact — Files.copy is the emulation's copy primitive; data files
+    // are binary, so this must never round-trip through strings), then
+    // DELETE of the originals. NOT atomic — documented in the trait.
+    if (Files.exists(p(toDir)) && hasKeyBelow(p(toDir)))
+      throw new FileAlreadyExistsException(
+        s"rename destination not empty: $toDir")
+    val keys = listRecursive(fromDir)
+    keys.foreach { k =>
+      val rel = k.stripPrefix(fromDir).stripPrefix("/")
+      val dst = p(s"$toDir/$rel")
+      Files.createDirectories(dst.getParent)
+      Files.copy(p(k), dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    keys.foreach(k => Files.deleteIfExists(p(k)))
+    deleteTree(fromDir)
+  }
 }
 
 object ObjectStoreFileIO {
@@ -477,6 +519,13 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   // never be re-created
   override def delete(path: String): Boolean = {
     send(s"RELEASE $path"); store.delete(path)
+  }
+  // rename likewise releases the moved-away location's slots: a later
+  // CREATE at the old location must be able to claim v1 again (a real
+  // catalog updates the table entry's identifier on rename)
+  override def rename(fromDir: String, toDir: String): Unit = {
+    store.rename(fromDir, toDir)
+    send(s"RELEASEPREFIX $fromDir")
   }
   override def listDir(dir: String): Vector[String] = store.listDir(dir)
   override def listRecursive(dir: String): Vector[String] =

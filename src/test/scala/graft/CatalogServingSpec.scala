@@ -96,6 +96,31 @@ class CatalogServingSpec extends AnyFunSuite {
     assert(cat.sql("SELECT id FROM graft.db.t ORDER BY id").count() == 3)
   }
 
+  test("SQL text: string literals never rewrite; time-travel keywords " +
+      "are case-insensitive") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "lit", Seq("id" -> "long", "src" -> "string"))
+    t.append(Seq((1L, "graft.db.lit"), (2L, "other")).toDF("id", "src"))
+    // the literal on the right of the predicate names the table — it
+    // must pass through verbatim, not rewrite into the temp-view name
+    val got = cat.sql(
+      "SELECT id FROM graft.db.lit WHERE src = 'graft.db.lit'")
+      .as[Long].collect()
+    assert(got.toSeq == Seq(1L), got.mkString(","))
+    // lowercase time-travel keywords work like every other SQL surface
+    val ts = new java.sql.Timestamp(t.meta.currentSnapshot.get.timestampMs)
+    Thread.sleep(5)
+    t.append(Seq((3L, "x")).toDF("id", "src"))
+    val past = cat.sql(
+      s"select id from graft.db.lit for system_time as of '$ts' order by id")
+      .as[Long].collect()
+    assert(past.toSeq == Seq(1L, 2L))
+    val v1 = t.meta.snapshots.head.snapshotId
+    assert(cat.sql(s"select count(*) as n from graft.db.lit version as of $v1")
+      .head().getLong(0) == 2L)
+  }
+
   test("serving: getColumn fast path, history slow path, 404s") {
     val cat = freshCat()
     val t = employeeTable(cat)

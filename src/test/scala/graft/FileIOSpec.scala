@@ -131,6 +131,7 @@ class FileIOSpec extends AnyFunSuite {
     override def deleteTree(d: String) = LocalFileIO.deleteTree(d)
     override def claim(p: String, c: String) = { claims.incrementAndGet(); LocalFileIO.claim(p, c) }
     override def replaceAtomic(p: String, c: String) = { writes.incrementAndGet(); LocalFileIO.replaceAtomic(p, c) }
+    override def rename(f: String, t: String) = LocalFileIO.rename(f, t)
   }
 
   test("the whole table lifecycle routes through an installed backend") {

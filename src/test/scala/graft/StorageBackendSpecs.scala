@@ -138,6 +138,25 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("rename releases the moved-away location's commit slots: " +
+      "CREATE at the old location claims v1 again") {
+    import spark.implicits._
+    val wh = tmp()
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.createTable("db", "before", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id").coalesce(1))
+    spark.conf.set("spark.graft.warehouse", wh)
+    spark.sql("ALTER TABLE graft.db.before RENAME TO graft.db.after")
+    assert(spark.sql("SELECT count(*) FROM graft.db.after")
+      .head().getLong(0) == 2L)
+    // the old location's v1/v2 slots were claimed through the catalog
+    // service; without the rename-release a re-create here would hit
+    // CommitConflictException on its very first claim
+    val t2 = cat.createTable("db", "before", Seq("x" -> "long"))
+    t2.append(Seq(9L).toDF("x").coalesce(1))
+    assert(spark.sql("SELECT x FROM graft.db.before").head().getLong(0) == 9L)
+  }
+
   test("cross-process commit race through the catalog service: two " +
       "forked JVMs plus this session, every commit lands exactly once") {
     import spark.implicits._

@@ -268,6 +268,63 @@ class ViewSpec extends AnyFunSuite {
     spark.sql("DROP VIEW tmp_nums") // session temp view: Spark's own path
   }
 
+  test("ALTER VIEW ... AS preserves TBLPROPERTIES and COMMENT; " +
+      "CREATE OR REPLACE resets them") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "pv", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    spark.sql("CREATE VIEW graft.db.keepprops COMMENT 'the comment' " +
+      "TBLPROPERTIES ('owner'='alice') AS SELECT id FROM graft.db.pv")
+    // definition-only change: properties and comment survive
+    spark.sql("ALTER VIEW graft.db.keepprops AS SELECT id * 2 AS d " +
+      "FROM graft.db.pv")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.keepprops")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("owner").contains("alice"), props.toString)
+    assert(props.get("comment").contains("the comment"), props.toString)
+    assert(spark.sql("SELECT * FROM graft.db.keepprops ORDER BY d")
+      .as[Long].collect().toSeq == Seq(2L, 4L))
+    // CREATE OR REPLACE is the resetting form
+    spark.sql("CREATE OR REPLACE VIEW graft.db.keepprops AS " +
+      "SELECT id FROM graft.db.pv")
+    val props2 = spark.sql("SHOW TBLPROPERTIES graft.db.keepprops")
+      .collect().map(_.getString(0)).toSet
+    assert(!props2.contains("owner"), props2.toString)
+  }
+
+  test("DROP/ALTER VIEW on a TEMPORARY view stays Spark's even under " +
+      "a graft current catalog; CTE names shadow temp views at create; " +
+      "temp refs inside subquery expressions are rejected") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b6", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    spark.sql("USE graft.db")
+    try {
+      // 1-part DROP VIEW of a temp view must reach Spark's path, not
+      // the stored-view command (which would throw NoSuchView / no-op)
+      spark.range(1).createOrReplaceTempView("tv_hijack")
+      spark.sql("DROP VIEW tv_hijack")
+      assert(spark.sessionState.catalog.getTempView("tv_hijack").isEmpty,
+        "temp view must actually drop")
+      // a CTE named like a temp view is NOT a temp reference — the
+      // expansion inlines the CTE before any catalog lookup
+      spark.range(5).createOrReplaceTempView("shadowed")
+      spark.sql("CREATE VIEW graft.db.cteshadow AS " +
+        "WITH shadowed AS (SELECT 7 AS a) SELECT * FROM shadowed")
+      assert(spark.sql("SELECT a FROM graft.db.cteshadow")
+        .as[Int].collect().toSeq == Seq(7))
+      // a temp view hidden in a subquery EXPRESSION must be rejected
+      // (it would store fine and break every later read)
+      val e = intercept[Exception](spark.sql(
+        "CREATE VIEW graft.db.subq AS SELECT id FROM graft.db.b6 " +
+          "WHERE id IN (SELECT id FROM shadowed)"))
+      assert(e.getMessage.contains("temporary"), e.getMessage)
+      spark.sql("DROP VIEW shadowed")
+    } finally spark.sql("USE spark_catalog")
+  }
+
   test("TIMESTAMP AS OF pins the definition that was current then") {
     import spark.implicits._
     val cat = freshCat()
