@@ -385,12 +385,14 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
     if (ViewIO.exists(to))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
-    // the move itself is the atomic destination claim (rename without
-    // replace fails if the target exists) — and it routes through the
-    // FileIO seam so pluggable backends keep their commit-slot state
-    // consistent (the catalog-CAS backend releases the old location's
-    // claims; the object-store backend copies per key, its honest
-    // primitive)
+    // the move itself is the atomic destination claim ON EVERY
+    // backend: POSIX arbitrates via mkdir(2)+rename(2); the
+    // object-store backends conditional-PUT/CAS a claim marker at the
+    // destination before copying (so two racing renames can never
+    // interleave copies), and a crash mid-copy is repaired by
+    // FileIO.recoverRename. Routing through the seam also keeps the
+    // catalog-CAS backend's commit-slot state consistent (the old
+    // location's claims release with the move).
     try graft.tableformat.FileIO.io.rename(from, to)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -430,13 +432,15 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(sys.error("spark.graft.warehouse not set"))
     if (MetadataIO.exists(to)) // the AnalysisException the contract names
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
-    // atomic destination claim: two concurrent renames (or a rename
-    // racing createTable) to one target must not both pass the exists
-    // check and clobber — the seam's rename fails on an existing
-    // target, so the move IS the claim. Routing through FileIO keeps
-    // pluggable backends' commit-slot state consistent (catalog-CAS
-    // releases the old location's claims; the object-store backend
-    // copies per key — its honest primitive).
+    // atomic destination claim on EVERY backend: two concurrent
+    // renames to one target must not both pass the exists check and
+    // clobber. POSIX arbitrates via mkdir(2)+rename(2); the
+    // object-store backends conditional-PUT/CAS a claim marker at the
+    // destination before any copy (crash mid-copy repaired by
+    // FileIO.recoverRename, surfaced by the integrity audit). Routing
+    // through FileIO also keeps the catalog-CAS backend's commit-slot
+    // state consistent (the old location's claims release with the
+    // move).
     try graft.tableformat.FileIO.io.rename(from, to)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -2629,6 +2629,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       : Seq[String] = {
     require(deleteRatio > 0, "deleteRatio must be positive")
     val actions = scala.collection.mutable.ArrayBuffer[String]()
+    // crashed-rename repair (object-store backends; POSIX renames
+    // atomically and recoverRename is a no-op there). The age guard
+    // keeps the sweep off a rename still in flight; rolled BACK means
+    // this location was a crashed rename's partial destination and no
+    // longer holds a table — nothing further to maintain here.
+    val renameGraceMs = meta.properties
+      .get("graft.rename.recovery-grace-ms")
+      .flatMap(_.toLongOption).getOrElse(3600L * 1000)
+    graft.tableformat.FileIO.io.recoverRename(location, renameGraceMs)
+      .foreach {
+        case graft.tableformat.RenameRolledForward(from) =>
+          actions += s"recover_rename:forward-from:$from"
+        case graft.tableformat.RenameRolledBack(from) =>
+          return (actions :+ s"recover_rename:rolled-back-to:$from").toSeq
+      }
     // the audit log records what COMMITTED, not what was attempted —
     // each step appends its action only when the step observably
     // changed the table (snapshot pointer moved / history shrank), so
@@ -2755,6 +2770,23 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def verifyIntegrity(allSnapshots: Boolean = false): Vector[String] = {
     val m = meta
     val findings = Vector.newBuilder[String]
+    // a crashed copy-based rename leaves its markers at the DESTINATION
+    // — this location. Report it (the audit is read-only; maintain()
+    // runs the actual repair). One exists() per audit on POSIX, where
+    // the marker can never exist.
+    locally {
+      val claimKey =
+        s"$location/${graft.tableformat.ObjectStoreFileIO.RenameClaimMarker}"
+      if (io.exists(claimKey)) {
+        val done = io.exists(s"$location/" +
+          graft.tableformat.ObjectStoreFileIO.RenameDoneMarker)
+        val phase =
+          if (done) "copy complete — repair rolls forward (finishes source delete)"
+          else "copy incomplete — repair rolls back (removes partial copies)"
+        findings += s"incomplete rename into this location from " +
+          s"${io.readString(claimKey).trim}: $phase; run maintain() to repair"
+      }
+    }
     // manifest tier: every retained snapshot must plan
     // CACHE-BYPASSING reads throughout the manifest tier: the audit's
     // job is to doubt storage, and a manifest corrupted AFTER this

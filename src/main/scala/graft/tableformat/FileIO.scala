@@ -39,6 +39,19 @@ import scala.jdk.CollectionConverters._
   * production object-store connectors (s3a, gs, abfs). This seam
   * covers exactly the bytes the metadata layer moves itself.
   */
+/** Outcome of [[FileIO.recoverRename]]: which way a crashed rename was
+  * resolved, and the source location it was moving from.
+  */
+sealed trait RenameRecovery { def fromDir: String }
+/** The copy phase had completed (completion marker present): the
+  * destination is whole, so recovery finished deleting the source.
+  */
+final case class RenameRolledForward(fromDir: String) extends RenameRecovery
+/** The copy phase was still in flight: the destination's partial
+  * copies were deleted; the source remains the table, untouched.
+  */
+final case class RenameRolledBack(fromDir: String) extends RenameRecovery
+
 trait FileIO {
   def readString(path: String): String
   /** Line iterator for JSON-lines manifests. */
@@ -70,15 +83,31 @@ trait FileIO {
   def replaceAtomic(path: String, content: String): Unit
   /** Move every key under `fromDir` to the same relative key under
     * `toDir` (ALTER TABLE/VIEW RENAME). Fails if the destination
-    * already holds anything. ATOMICITY IS PER-BACKEND: POSIX renames
-    * the directory in one rename(2); object stores have NO rename —
-    * it is a server-side COPY per key then DELETE (what Hadoop s3a
-    * does), so a reader can transiently observe both locations.
-    * Production object-store deployments should rename through a
-    * catalog service instead; this keeps the toy backends honest
-    * about where the primitive actually lives.
+    * already holds anything; the destination check-and-take is ATOMIC
+    * on every backend (POSIX: mkdir(2) claim + one rename(2); object
+    * stores: a conditional-PUT/CAS claim marker — see
+    * ObjectStoreFileIO.renameVia). Object stores still have no rename
+    * primitive, so the move itself is COPY per key then DELETE (what
+    * Hadoop s3a does) staged behind claim/completion markers: a crash
+    * at any point is detected and repaired by [[recoverRename]], and
+    * pointer-file ordering keeps either location from ever resolving
+    * to a table whose version files are missing.
     */
   def rename(fromDir: String, toDir: String): Unit
+  /** Repair a crashed non-atomic [[rename]] whose DESTINATION was
+    * `dir`, using the markers the copy protocol staged there: claim
+    * marker present + completion marker present → roll FORWARD (finish
+    * deleting the source — the destination is already whole); claim
+    * marker alone → roll BACK (delete the partial destination copies —
+    * the source is still intact, because source deletion only starts
+    * after the completion marker lands). `olderThanMs` guards against
+    * repairing a rename that is still RUNNING: markers younger than
+    * the window are left alone (pass 0 in single-writer contexts /
+    * tests). POSIX backends rename atomically in one rename(2) — there
+    * is never anything to recover, hence the default no-op.
+    */
+  def recoverRename(dir: String, olderThanMs: Long = 0L)
+      : Option[RenameRecovery] = None
 }
 
 /** POSIX implementation — the link(2) commit protocol the engine has
@@ -174,8 +203,19 @@ object LocalFileIO extends FileIO {
     // each other); mkdir(2) IS atomic-exclusive, so the empty claim
     // dir arbitrates and the move then replaces it atomically
     Files.createDirectory(to) // throws FileAlreadyExistsException to losers
-    Files.move(p(fromDir), to,
+    try Files.move(p(fromDir), to,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case e: Throwable =>
+        // a failed move must not leave the empty claim directory
+        // poisoning the destination (every later rename/create there
+        // would throw FileAlreadyExistsException for a location with
+        // no table); if the move partially/fully landed the delete
+        // fails on non-empty and the original error still propagates
+        try Files.deleteIfExists(to)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
   }
 }
 
@@ -385,23 +425,129 @@ final class ObjectStoreFileIO extends FileIO {
   override def replaceAtomic(path: String, content: String): Unit =
     writeString(path, content)
 
-  override def rename(fromDir: String, toDir: String): Unit = {
-    // object stores have no rename: server-side COPY per key (byte
-    // exact — Files.copy is the emulation's copy primitive; data files
-    // are binary, so this must never round-trip through strings), then
-    // DELETE of the originals. NOT atomic — documented in the trait.
-    if (Files.exists(p(toDir)) && hasKeyBelow(p(toDir)))
+  override def rename(fromDir: String, toDir: String): Unit =
+    renameVia(this, fromDir, toDir)
+
+  override def recoverRename(dir: String, olderThanMs: Long = 0L)
+      : Option[RenameRecovery] = recoverRenameVia(this, dir, olderThanMs)
+
+  /** Test hook: simulate a process crash at a named point inside
+    * [[renameVia]] by throwing — the on-disk state is exactly what a
+    * kill at that instant leaves (markers included, no cleanup).
+    * Points: "mid-copy" (after the first key copied), "before-complete"
+    * (all keys copied, completion marker not yet written),
+    * "after-complete" (completion marker written, source still intact).
+    */
+  private[graft] var renameCrashPoint: Option[String] = None
+  private def crashIfAt(point: String): Unit =
+    if (renameCrashPoint.contains(point))
+      throw new IllegalStateException(s"simulated crash at $point")
+
+  /** The object-store rename protocol, with commit arbitration routed
+    * through `arbiter` (this instance for bare conditional-PUT stores;
+    * the [[CatalogFileIO]] wrapper for catalog-CAS stores, so the
+    * destination claim and the per-key source deletes keep the
+    * catalog's slot state consistent). Object stores have no rename —
+    * it is COPY per key then DELETE (what Hadoop s3a does) — so the
+    * protocol makes each non-atomic phase crash-recoverable:
+    *
+    *   1. CLAIM: conditional-PUT a claim marker at the destination
+    *      recording the source — the ATOMIC arbitration ADVICE r14
+    *      named (two racing renames, or a rename racing a re-rename,
+    *      can no longer both pass an exists check and interleave
+    *      copies); then verify the destination holds no other keys.
+    *   2. COPY every key (byte-exact Files.copy — data files are
+    *      binary and must never round-trip through strings), POINTER
+    *      FILES LAST (version-hint/view-hint): a reader can never
+    *      resolve the destination before the versions it points at are
+    *      all present.
+    *   3. COMPLETION marker: from here the destination is whole and
+    *      recovery rolls FORWARD.
+    *   4. DELETE the source, pointers FIRST (readers stop resolving
+    *      the old location before any version file disappears).
+    *   5. UNMARK (completion marker, then claim marker).
+    *
+    * A crash in 2 leaves claim-only → [[recoverRenameVia]] rolls back
+    * (destination copies deleted; the untouched source remains the
+    * table). A crash in 4-5 leaves both markers → recovery rolls
+    * forward (finishes the source delete). The window where both
+    * locations hold a complete table (between 2's last copy and 4's
+    * first delete) is inherent to copy-based rename; the claim marker
+    * keeps it exclusive to ONE rename and recovery resolves it
+    * deterministically.
+    */
+  private[tableformat] def renameVia(arbiter: FileIO, fromDir: String,
+      toDir: String): Unit = {
+    import ObjectStoreFileIO.{RenameClaimMarker, RenameDoneMarker}
+    val claimKey = s"$toDir/$RenameClaimMarker"
+    val doneKey = s"$toDir/$RenameDoneMarker"
+    if (!arbiter.claim(claimKey, fromDir))
+      throw new FileAlreadyExistsException(
+        s"rename destination already claimed: $toDir (a concurrent or " +
+          "crashed rename holds the marker; recoverRename repairs a " +
+          "crashed one)")
+    if (listRecursive(toDir).exists(k => k != claimKey && k != doneKey)) {
+      arbiter.delete(claimKey)
       throw new FileAlreadyExistsException(
         s"rename destination not empty: $toDir")
+    }
     val keys = listRecursive(fromDir)
-    keys.foreach { k =>
+    val (pointers, plain) = keys.partition(isPointerKey)
+    var copied = 0
+    (plain ++ pointers).foreach { k =>
       val rel = k.stripPrefix(fromDir).stripPrefix("/")
       val dst = p(s"$toDir/$rel")
       Files.createDirectories(dst.getParent)
       Files.copy(p(k), dst, StandardCopyOption.REPLACE_EXISTING)
+      copied += 1
+      if (copied == 1) crashIfAt("mid-copy")
     }
-    keys.foreach(k => Files.deleteIfExists(p(k)))
+    crashIfAt("before-complete")
+    writeString(doneKey, fromDir)
+    crashIfAt("after-complete")
+    (pointers ++ plain).foreach(arbiter.delete)
     deleteTree(fromDir)
+    delete(doneKey)
+    arbiter.delete(claimKey)
+  }
+
+  /** Pointer files resolve a location into a table/view; everything
+    * else is only reachable THROUGH them. Copying pointers last /
+    * deleting them first is what keeps readers from ever observing a
+    * resolvable location whose version files are missing.
+    */
+  private def isPointerKey(k: String): Boolean =
+    k.endsWith("/version-hint.text") || k.endsWith("/view-hint.text")
+
+  private[tableformat] def recoverRenameVia(arbiter: FileIO, dir: String,
+      olderThanMs: Long): Option[RenameRecovery] = {
+    import ObjectStoreFileIO.{RenameClaimMarker, RenameDoneMarker}
+    val claimKey = s"$dir/$RenameClaimMarker"
+    if (!exists(claimKey)) return None
+    // age guard: a marker younger than the window may belong to a
+    // rename still RUNNING — repairing it would corrupt a live move
+    if (olderThanMs > 0 &&
+        modifiedMs(claimKey) > System.currentTimeMillis() - olderThanMs)
+      return None
+    val from = readString(claimKey).trim
+    val doneKey = s"$dir/$RenameDoneMarker"
+    if (exists(doneKey)) {
+      // copy phase completed: destination is whole — roll forward by
+      // finishing the source delete (pointers first, as rename does)
+      val (pointers, plain) = listRecursive(from).partition(isPointerKey)
+      (pointers ++ plain).foreach(arbiter.delete)
+      deleteTree(from)
+      delete(doneKey)
+      arbiter.delete(claimKey)
+      Some(RenameRolledForward(from))
+    } else {
+      // copy phase incomplete: the destination holds partial copies
+      // and the source is still the intact table — roll back
+      listRecursive(dir).filter(k => k != claimKey && k != doneKey)
+        .foreach(delete)
+      arbiter.delete(claimKey)
+      Some(RenameRolledBack(from))
+    }
   }
 }
 
@@ -411,6 +557,16 @@ object ObjectStoreFileIO {
     * interface method.
     */
   private[tableformat] val Staging = ".os-staging"
+  /** Rename-protocol marker keys at the DESTINATION location: the
+    * claim marker (content = source dir) arbitrates the destination
+    * and flags an in-flight/crashed rename; the completion marker
+    * records that every key was copied, flipping recovery from
+    * roll-back to roll-forward. Visible to the engine ([[private]]
+    * to graft) so the integrity audit can report a crashed rename as
+    * a finding and `maintain` can invoke the repair.
+    */
+  private[graft] val RenameClaimMarker = ".rename-claim"
+  private[graft] val RenameDoneMarker = ".rename-complete"
 }
 
 /** Commit arbitration for stores WITHOUT conditional PUT — the Iceberg
@@ -421,8 +577,15 @@ object ObjectStoreFileIO {
   * arbitration works ACROSS PROCESSES (the cross-process commit-race
   * test runs through it).
   *
-  * Protocol, one line per connection:
-  *   - `CLAIM <path>` → `WIN` (first claimant) or `LOSE`;
+  * Protocol, one line per connection (fields tab-separated — paths may
+  * contain spaces):
+  *   - `CLAIM <path>\t<docKey>` → `WIN` (first claimant) or `LOSE`.
+  *     The CAS records WHERE the already-durable document lives
+  *     (`docKey`), which is what makes the commit recoverable: see the
+  *     REST-commit shape on [[CatalogFileIO.claim]];
+  *   - `LOOKUP <path>` → `DOC\t<docKey>` or `NONE` — the recorded
+  *     document key for a claimed slot (healing reads it to finish a
+  *     crashed winner's publish);
   *   - `RELEASE <path>` → `OK` — frees one slot;
   *   - `RELEASEPREFIX <prefix>` → `OK` — frees every slot under a
   *     location (DROP TABLE/VIEW: a real catalog deletes the table's
@@ -432,19 +595,13 @@ object ObjectStoreFileIO {
   *     surfaces immediately).
   * A live table's slots are claimed once, ever; release happens only
   * through the deletion paths.
-  *
-  * Known toy limitation vs a production REST catalog: a client that
-  * wins the CAS and crashes before its PUT lands leaves the slot
-  * claimed with no visible document (readers simply stop at the
-  * previous version; the table needs operator intervention). A real
-  * REST catalog avoids the window by making the pointer swap itself
-  * the commit — the metadata file is written first under a
-  * never-contended unique name.
   */
 final class CatalogCommitServer {
   private val server = new java.net.ServerSocket(0, 64,
     java.net.InetAddress.getLoopbackAddress)
-  private val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // slot path → docKey of the durable document the winner registered
+  private val claimed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   val port: Int = server.getLocalPort
 
   private val acceptLoop = new Thread(() => {
@@ -461,12 +618,22 @@ final class CatalogCommitServer {
           val resp = line match {
             case null => "LOSE\n"
             case l if l.startsWith("CLAIM ") =>
-              if (claimed.add(l.substring(6))) "WIN\n" else "LOSE\n"
+              val body = l.substring(6)
+              val tab = body.indexOf('\t')
+              val (path, docKey) =
+                if (tab < 0) (body, "") else (body.take(tab), body.drop(tab + 1))
+              if (claimed.putIfAbsent(path, docKey) == null) "WIN\n"
+              else "LOSE\n"
+            case l if l.startsWith("LOOKUP ") =>
+              claimed.get(l.substring(7)) match {
+                case null => "NONE\n"
+                case doc  => s"DOC\t$doc\n"
+              }
             case l if l.startsWith("RELEASE ") =>
               claimed.remove(l.substring(8)); "OK\n"
             case l if l.startsWith("RELEASEPREFIX ") =>
               val p = l.substring(14)
-              claimed.removeIf(k => k == p || k.startsWith(p + "/"))
+              claimed.keySet.removeIf(k => k == p || k.startsWith(p + "/"))
               "OK\n"
             case _ => "LOSE\n"
           }
@@ -484,11 +651,15 @@ final class CatalogCommitServer {
 
 /** FileIO for a store without conditional PUT: every operation is the
   * plain object-store contract ([[ObjectStoreFileIO]]); [[claim]]
-  * routes its atomicity through a [[CatalogCommitServer]] CAS, then
-  * lands the content with an ordinary atomic PUT. The slot is
-  * uniquely owned the instant the CAS answers, so two racing writers
-  * can never both claim a version; the content PUT that follows is
-  * uncontended by construction.
+  * routes its atomicity through a [[CatalogCommitServer]] CAS using
+  * the REAL REST-catalog commit shape (Iceberg's): the document is
+  * made durable FIRST under a never-contended unique key, and the CAS
+  * — which records that key — is the commit itself. A winner that
+  * crashes before publishing the document at its canonical path no
+  * longer wedges the table: the content already exists, the catalog
+  * knows where, and the NEXT writer's losing claim heals the slot by
+  * publishing it (see [[claim]]); a crash before the CAS leaves only
+  * an orphan staged file, swept with the table's other orphans.
   */
 final class CatalogFileIO(host: String, port: Int) extends FileIO {
   private val store = new ObjectStoreFileIO
@@ -504,8 +675,64 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     } finally sock.close()
   }
 
-  override def claim(path: String, content: String): Boolean =
-    send(s"CLAIM $path") == "WIN" && { store.writeString(path, content); true }
+  /** Test hook: throw right after winning the CAS, before the publish
+    * PUT — the exact crash window the REST-commit shape exists to
+    * close. Disk + catalog state is what a kill there leaves.
+    */
+  private[graft] var crashAfterCasForTesting: Boolean = false
+
+  /** Unique, never-contended staging key beside the slot: same table
+    * location (deleteTree/drop cleans it; orphan GC's name filters
+    * never match it), unique suffix so no two commits ever collide on
+    * it.
+    */
+  private def stagedDocKey(path: String): String = {
+    val slash = path.lastIndexOf('/')
+    val (dir, name) = (path.take(slash), path.drop(slash + 1))
+    s"$dir/.commit-staging/$name.${java.util.UUID.randomUUID()}"
+  }
+
+  override def claim(path: String, content: String): Boolean = {
+    // REST-catalog commit shape: 1. the document lands durable under a
+    // unique staged key (plain PUT, uncontended by construction);
+    // 2. the catalog CAS — recording the staged key — IS the commit;
+    // 3. the winner publishes the bytes at the canonical path and
+    // drops the staging copy. A crash between 2 and 3 is recoverable
+    // by ANYONE (the content is durable and the catalog knows where),
+    // and losers do exactly that before reporting the conflict — so
+    // the very next writer both heals the crashed commit and rebases
+    // onto it.
+    val docKey = stagedDocKey(path)
+    store.writeString(docKey, content)
+    if (send(s"CLAIM $path\t$docKey") == "WIN") {
+      if (crashAfterCasForTesting)
+        throw new IllegalStateException(
+          "simulated crash between catalog CAS and publish PUT")
+      store.writeString(path, content)
+      store.delete(docKey)
+      true
+    } else {
+      store.delete(docKey)
+      healUnpublished(path)
+      false
+    }
+  }
+
+  /** A claimed slot whose canonical path is missing is a crashed
+    * winner's commit: publish the registered document for it (PUTs are
+    * idempotent here — every healer and a slow winner all write the
+    * same committed bytes), so readers' forward probe and the caller's
+    * commit retry both see the version the catalog says exists.
+    */
+  private def healUnpublished(path: String): Unit =
+    if (!store.exists(path)) send(s"LOOKUP $path") match {
+      case s if s != null && s.startsWith("DOC\t") =>
+        val docKey = s.substring(4)
+        if (docKey.nonEmpty && store.exists(docKey))
+          try store.writeString(path, store.readString(docKey))
+          catch { case _: java.io.IOException => () } // raced: another healer finished
+      case _ => ()
+    }
 
   override def readString(path: String): String = store.readString(path)
   override def readLines(path: String): Vector[String] = store.readLines(path)
@@ -520,12 +747,26 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   override def delete(path: String): Boolean = {
     send(s"RELEASE $path"); store.delete(path)
   }
-  // rename likewise releases the moved-away location's slots: a later
-  // CREATE at the old location must be able to claim v1 again (a real
-  // catalog updates the table entry's identifier on rename)
+  // rename routes its destination claim AND its per-key source deletes
+  // through THIS instance (the arbiter) so the destination is CASed at
+  // the catalog — not via the store's conditional PUT, which this
+  // backend's premise says does not exist — and the moved-away
+  // location's slots free as its keys delete; the prefix release then
+  // sweeps anything left (a later CREATE at the old location must be
+  // able to claim v1 again — a real catalog updates the table entry's
+  // identifier on rename)
   override def rename(fromDir: String, toDir: String): Unit = {
-    store.rename(fromDir, toDir)
+    store.renameVia(this, fromDir, toDir)
     send(s"RELEASEPREFIX $fromDir")
+  }
+  override def recoverRename(dir: String, olderThanMs: Long = 0L)
+      : Option[RenameRecovery] = {
+    val r = store.recoverRenameVia(this, dir, olderThanMs)
+    // roll-forward finishes deleting the SOURCE: free its slots too
+    r.collect { case RenameRolledForward(from) =>
+      send(s"RELEASEPREFIX $from")
+    }
+    r
   }
   override def listDir(dir: String): Vector[String] = store.listDir(dir)
   override def listRecursive(dir: String): Vector[String] =

@@ -158,6 +158,125 @@ class FileIOSpec extends AnyFunSuite {
     } finally FileIO.install(LocalFileIO)
   }
 
+  test("object-store rename: marker-claimed destination — two racing " +
+      "renames to one target never interleave copies") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    val dir = tmp()
+    os.writeString(s"$dir/src1/metadata/v1.metadata.json", "one")
+    os.writeString(s"$dir/src1/metadata/version-hint.text", "1")
+    os.writeString(s"$dir/src2/metadata/v1.metadata.json", "two")
+    os.writeString(s"$dir/src2/metadata/version-hint.text", "1")
+    val results = Seq(s"$dir/src1", s"$dir/src2").map { src =>
+      CompletableFuture.supplyAsync { () =>
+        try { os.rename(src, s"$dir/dst"); 1 }
+        catch { case _: java.nio.file.FileAlreadyExistsException => 0 }
+      }
+    }.map(_.join())
+    assert(results.sum == 1, s"exactly one rename may win: $results")
+    val content = os.readString(s"$dir/dst/metadata/v1.metadata.json")
+    val (winner, loser) =
+      if (content == "one") ("src1", "src2") else ("src2", "src1")
+    // winner's source fully moved; loser's source fully intact
+    assert(os.listRecursive(s"$dir/$winner").isEmpty)
+    assert(os.listRecursive(s"$dir/$loser").size == 2)
+    // no marker debris after a completed rename
+    assert(!os.exists(s"$dir/dst/.rename-claim") &&
+      !os.exists(s"$dir/dst/.rename-complete"))
+  }
+
+  test("object-store rename crash mid-copy: pointer not yet copied, " +
+      "recovery rolls back, source untouched, destination reusable") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    val dir = tmp()
+    os.writeString(s"$dir/src/data/f1.parquet", "d1")
+    os.writeString(s"$dir/src/data/f2.parquet", "d2")
+    os.writeString(s"$dir/src/metadata/v1.metadata.json", "m1")
+    os.writeString(s"$dir/src/metadata/version-hint.text", "1")
+    os.renameCrashPoint = Some("mid-copy")
+    try intercept[IllegalStateException](os.rename(s"$dir/src", s"$dir/dst"))
+    finally os.renameCrashPoint = None
+    assert(os.exists(s"$dir/dst/.rename-claim"))
+    assert(!os.exists(s"$dir/dst/.rename-complete"))
+    // pointers copy LAST: a reader can never resolve the half-copied
+    // destination as a table
+    assert(!os.exists(s"$dir/dst/metadata/version-hint.text"))
+    // a new rename to the marked destination refuses (no clobbering a
+    // crashed move's evidence)
+    intercept[java.nio.file.FileAlreadyExistsException](
+      os.rename(s"$dir/src", s"$dir/dst"))
+    // the age guard leaves a fresh marker alone (the rename might
+    // still be running)
+    assert(os.recoverRename(s"$dir/dst", olderThanMs = 3600L * 1000).isEmpty)
+    val r = os.recoverRename(s"$dir/dst")
+    assert(r.contains(graft.tableformat.RenameRolledBack(s"$dir/src")))
+    assert(os.listRecursive(s"$dir/dst").isEmpty)
+    assert(os.listRecursive(s"$dir/src").size == 4)
+    // after repair the same rename goes through cleanly
+    os.rename(s"$dir/src", s"$dir/dst")
+    assert(os.readString(s"$dir/dst/metadata/version-hint.text") == "1")
+    assert(os.listRecursive(s"$dir/src").isEmpty)
+  }
+
+  test("object-store rename crash after the completion marker: " +
+      "recovery rolls forward — source remnants deleted, markers cleared") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    val dir = tmp()
+    os.writeString(s"$dir/src/data/f1.parquet", "d1")
+    os.writeString(s"$dir/src/metadata/v1.metadata.json", "m1")
+    os.writeString(s"$dir/src/metadata/version-hint.text", "1")
+    os.renameCrashPoint = Some("after-complete")
+    try intercept[IllegalStateException](os.rename(s"$dir/src", s"$dir/dst"))
+    finally os.renameCrashPoint = None
+    // destination is whole (completion marker pinned that), source
+    // still present — the transient both-visible window
+    assert(os.readString(s"$dir/dst/metadata/version-hint.text") == "1")
+    assert(os.listRecursive(s"$dir/src").nonEmpty)
+    val r = os.recoverRename(s"$dir/dst")
+    assert(r.contains(graft.tableformat.RenameRolledForward(s"$dir/src")))
+    assert(os.listRecursive(s"$dir/src").isEmpty)
+    assert(!os.exists(s"$dir/dst/.rename-claim") &&
+      !os.exists(s"$dir/dst/.rename-complete"))
+    assert(os.readString(s"$dir/dst/data/f1.parquet") == "d1")
+    // recovery is idempotent: nothing left to repair
+    assert(os.recoverRename(s"$dir/dst").isEmpty)
+  }
+
+  test("engine: a crashed ALTER TABLE RENAME is reported by the " +
+      "integrity audit and repaired by maintain()") {
+    import spark.implicits._
+    val os = new graft.tableformat.ObjectStoreFileIO
+    FileIO.install(os)
+    try {
+      val wh = tmp()
+      val cat = new GraftCatalog(spark, wh)
+      val t = cat.createTable("db", "ren_src", Seq("id" -> "long"))
+      t.append(Seq(1L, 2L).toDF("id").coalesce(1))
+      // let maintain repair immediately (the default 1h grace is for
+      // production renames that take real time)
+      t.setProperties(Map("graft.rename.recovery-grace-ms" -> "0"))
+      os.renameCrashPoint = Some("after-complete")
+      spark.conf.set("spark.graft.warehouse", wh)
+      try intercept[Exception](spark.sql(
+        "ALTER TABLE graft.db.ren_src RENAME TO graft.db.ren_dst"))
+      finally os.renameCrashPoint = None
+      val dst = cat.table("db", "ren_dst")
+      // audit names the crashed rename and the repair direction
+      val findings = dst.verifyIntegrity()
+      assert(findings.exists(f => f.contains("incomplete rename") &&
+        f.contains("rolls forward")), findings.toString)
+      // maintain repairs: source remnants gone, destination clean
+      val actions = dst.maintain()
+      assert(actions.exists(_.startsWith("recover_rename:forward-from:")),
+        actions.toString)
+      assert(dst.verifyIntegrity().isEmpty)
+      assert(!graft.tableformat.MetadataIO.exists(s"$wh/db/ren_src"))
+      assert(dst.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally {
+      FileIO.install(LocalFileIO)
+      spark.conf.unset("spark.graft.warehouse")
+    }
+  }
+
   test("commit conflict surfaces identically through the seam") {
     val loc = tmp()
     MetadataIO.commit(TableMetadata.create("t", loc, Seq("a" -> "int")))

@@ -125,6 +125,55 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
     assert(!io.claim(p, "late"))
   }
 
+  test("REST commit shape: the document is durable before the CAS; a " +
+      "loser heals a crashed winner's unpublished slot") {
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val dir = tmp()
+    val path = s"$dir/metadata/v1.metadata.json"
+    io.crashAfterCasForTesting = true
+    try intercept[IllegalStateException](io.claim(path, "doc-1"))
+    finally io.crashAfterCasForTesting = false
+    // the winner died between CAS and publish: canonical path missing,
+    // slot claimed — the exact window that used to wedge the table
+    assert(!io.exists(path))
+    // the next claimant loses the CAS (the commit DID happen) and
+    // heals the slot by publishing the registered document
+    assert(!io.claim(path, "doc-2"))
+    assert(io.exists(path) && io.readString(path) == "doc-1")
+  }
+
+  test("kill-between-CAS-and-publish: the table stays fully " +
+      "committable by the next writer, which also heals the commit") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = graft.engine.GraftTable.create(spark, loc, "heal_t",
+      Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id").coalesce(1))
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    io.crashAfterCasForTesting = true
+    try {
+      val ex = intercept[Exception](t.append(Seq(2L).toDF("id").coalesce(1)))
+      assert(ex.getMessage != null && ex.getMessage.contains("simulated"),
+        s"unexpected: $ex")
+    } finally io.crashAfterCasForTesting = false
+    // the crashed append COMMITTED at the CAS (REST-catalog semantics:
+    // the pointer swap is the commit); its document is just unpublished.
+    // The next writer's losing claim heals it, rebases, and lands — one
+    // ordinary append call, no operator intervention.
+    t.append(Seq(3L).toDF("id").coalesce(1))
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // linear history INCLUDING the healed commit
+    val m = t.meta
+    val chain = Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (id, s.parentId))
+      case None     => None
+    }.size
+    // 3 = the three appends, the crashed-then-healed one included
+    // (create commits metadata only, no snapshot)
+    assert(chain == m.snapshots.size && m.snapshots.size == 3,
+      s"snapshots=${m.snapshots.size} chain=$chain")
+  }
+
   test("full table lifecycle commits through catalog arbitration") {
     import spark.implicits._
     val t = graft.engine.GraftTable.create(spark, tmp(), "cat_t",
