@@ -345,10 +345,40 @@ object Bench {
     // partial run must not clobber the round's recorded quiet-host
     // perf record (round 13 lost the working-tree copy exactly this
     // way).
+    // ...and a pressured full run must not clobber a QUIETER recording
+    // (round 14 lost the 9-flag quiet artifact to a 26-flag driver run
+    // twice): when the existing full artifact covers the same query
+    // set with FEWER stall flags, the new run lands in
+    // BENCH_pressured.json instead. A changed query set always
+    // overwrites — a stale-coverage artifact is worse than a noisy one.
     try {
       val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"stalls":$stalls,"sf":"$sfDir","raw":$raw,"warm":$warm}"""
+      val newStallCount = results.count(_._5.flagged)
       val artifact =
-        if (only.isDefined) "BENCH_subset.json" else "BENCH_full.json"
+        if (only.isDefined) "BENCH_subset.json"
+        else {
+          val fullPath = java.nio.file.Paths.get("BENCH_full.json")
+          val quieterExists =
+            java.nio.file.Files.exists(fullPath) && (try {
+              val old = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(java.nio.file.Files.readString(fullPath))
+              val oldQueries = {
+                val it = old.path("queries").fieldNames()
+                val b = Set.newBuilder[String]
+                while (it.hasNext) b += it.next()
+                b.result()
+              }
+              val sameCoverage =
+                oldQueries == queries.map(q => short(q.name)).toSet
+              sameCoverage && old.path("stalls").size() < newStallCount
+            } catch { case scala.util.control.NonFatal(_) => false })
+          if (quieterExists) {
+            println(s"[bench] $newStallCount stall flags exceed the " +
+              "recorded quiet artifact's — writing BENCH_pressured.json, " +
+              "BENCH_full.json untouched")
+            "BENCH_pressured.json"
+          } else "BENCH_full.json"
+        }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(artifact), full + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -153,7 +153,24 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * else (joins, aggregates, windows...). String literals pass
     * through untouched.
     */
-  def sql(query: String): DataFrame = {
+  def sql(query: String): DataFrame = spark.sql(rewriteSql(query))
+
+  /** The literal only attaches to the rewrite segment when what
+    * precedes `AS OF` is OUR time-travel form on a graft-qualified
+    * reference — anchoring to the reference pattern keeps every OTHER
+    * `AS OF` literal (e.g. Spark-native `TIMESTAMP AS OF` on a
+    * non-graft table whose timestamp text happens to contain
+    * `graft.db.t`) protected like any ordinary string.
+    */
+  private val graftAsOfPrefix =
+    ("""(?is).*graft\.[A-Za-z0-9_]+\.[A-Za-z0-9_]+""" +
+      """\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s*$""").r
+
+  /** The text-rewrite half of [[sql]], separated so specs can pin
+    * exactly what is (and is not) rewritten without executing the
+    * result.
+    */
+  private[graft] def rewriteSql(query: String): String = {
     val views = scala.collection.mutable.Map[String, String]()
     def rewriteSegment(seg: String): String =
       qualified.replaceAllIn(seg, m => {
@@ -179,10 +196,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     var last = 0
     for (m <- sqlStringLiteral.findAllMatchIn(query)) {
       val pre = query.substring(last, m.start)
-      // a literal directly preceded by "AS OF" is a time-travel
-      // timestamp — keep it attached to the preceding segment so the
-      // qualified regex sees the whole reference
-      if ("""(?is).*\bAS\s+OF\s*$""".r.matches(pre)) {
+      // a literal directly preceded by OUR qualified time-travel form
+      // is its timestamp — keep it attached to the preceding segment
+      // so the qualified regex sees the whole reference
+      if (graftAsOfPrefix.matches(pre)) {
         out ++= rewriteSegment(query.substring(last, m.end))
       } else {
         out ++= rewriteSegment(pre)
@@ -191,7 +208,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       last = m.end
     }
     out ++= rewriteSegment(query.substring(last))
-    spark.sql(out.toString)
+    out.toString
   }
 
   /** Timestamps/dates in SQL text are interpreted in UTC, matching the

@@ -594,35 +594,47 @@ final case class GraftCreateViewCommand(catalogName: String, db: String,
     }
     // A stored view referencing a TEMP view would bind to session state
     // that won't exist at read time — reject at create, as Spark's own
-    // persistent views do. Two refinements over a naive relation scan:
-    //   - a name defined as a CTE in this statement is NOT a temp
-    //     reference (expansion inlines CTEs before any catalog lookup,
-    //     so a CTE shadowing a temp view is fine);
+    // persistent views do. Three refinements over a naive relation scan:
+    //   - a name defined as a CTE is NOT a temp reference (expansion
+    //     inlines CTEs before any catalog lookup, so a CTE shadowing a
+    //     temp view is fine) — but only WHERE THE CTE IS VISIBLE: the
+    //     in-scope set is threaded down the walk and extended only
+    //     inside the corresponding UnresolvedWith, so a same-named temp
+    //     reference in a scope the CTE does not reach (e.g. outside the
+    //     subquery that defines it) is still rejected instead of
+    //     storing a view that rebinds or breaks at read time;
+    //   - later CTEs see earlier ones (Spark's sequential CTE
+    //     visibility), the body sees all of that statement's CTEs;
     //   - subquery EXPRESSIONS (IN/EXISTS/scalar) carry their own
     //     plans that plan.foreach does not descend into — a temp view
     //     hidden there would store fine and break on every later read.
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val cteNames = parsed.collect {
+    def rejectTempRefs(p: LogicalPlan, ctes: Set[String]): Unit = p match {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    def rejectTempRefs(p: LogicalPlan): Unit = p.foreach { n =>
-      n match {
-        case u: UnresolvedRelation if u.multipartIdentifier.sizeIs == 1 &&
-            !cteNames(u.multipartIdentifier.head.toLowerCase) &&
-            spark.sessionState.catalog
-              .getTempView(u.multipartIdentifier.head).isDefined =>
-          sys.error(s"cannot store view $db.$view over temporary view " +
-            s"'${u.multipartIdentifier.head}'")
-        case _ => ()
-      }
-      n.expressions.foreach(_.foreach {
-        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          rejectTempRefs(s.plan)
-        case _ => ()
-      })
+        var scope = ctes
+        w.cteRelations.foreach { case (nm, rel, _) =>
+          rejectTempRefs(rel, scope)
+          scope = scope + nm.toLowerCase
+        }
+        rejectTempRefs(w.child, scope)
+      case n =>
+        n match {
+          case u: UnresolvedRelation if u.multipartIdentifier.sizeIs == 1 &&
+              !ctes(u.multipartIdentifier.head.toLowerCase) &&
+              spark.sessionState.catalog
+                .getTempView(u.multipartIdentifier.head).isDefined =>
+            sys.error(s"cannot store view $db.$view over temporary view " +
+              s"'${u.multipartIdentifier.head}'")
+          case _ => ()
+        }
+        n.expressions.foreach(_.foreach {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            rejectTempRefs(s.plan, ctes)
+          case _ => ()
+        })
+        n.children.foreach(rejectTempRefs(_, ctes))
     }
-    rejectTempRefs(parsed)
+    rejectTempRefs(parsed, Set.empty)
     // definition-time schema: analyze the body in THIS session (late
     // binding re-analyzes at every read; this copy serves DESCRIBE and
     // drift audits)

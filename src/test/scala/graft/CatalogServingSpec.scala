@@ -121,6 +121,27 @@ class CatalogServingSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("AS OF attachment anchors to OUR qualified form: a foreign " +
+      "'TIMESTAMP AS OF' literal containing a graft name passes through") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "asof_t", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    // Spark-native time travel on some OTHER table whose timestamp
+    // literal happens to contain graft.db.t-shaped text: the literal
+    // must stay a literal (it used to attach to the rewrite segment
+    // and get its insides rewritten into a temp-view reference)
+    val foreign = cat.rewriteSql(
+      "SELECT * FROM delta_tbl TIMESTAMP AS OF 'graft.db.asof_t'")
+    assert(foreign.contains("'graft.db.asof_t'"), foreign)
+    // our own qualified form still attaches its timestamp and rewrites
+    val ts = new java.sql.Timestamp(t.meta.currentSnapshot.get.timestampMs)
+    val ours = cat.rewriteSql(
+      s"SELECT * FROM graft.db.asof_t FOR SYSTEM_TIME AS OF '$ts'")
+    assert(!ours.contains("graft.db.asof_t"), ours)
+    assert(ours.contains("graft_db_asof_t_0"), ours)
+  }
+
   test("serving: getColumn fast path, history slow path, 404s") {
     val cat = freshCat()
     val t = employeeTable(cat)

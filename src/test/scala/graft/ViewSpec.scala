@@ -325,6 +325,32 @@ class ViewSpec extends AnyFunSuite {
     } finally spark.sql("USE spark_catalog")
   }
 
+  test("CTE visibility is per scope: a same-named temp reference " +
+      "OUTSIDE the defining subquery is still rejected") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "b7", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    spark.sql("USE graft.db")
+    try {
+      spark.range(3).createOrReplaceTempView("scoped")
+      // the CTE 'scoped' exists only inside the subquery; the OUTER
+      // 'scoped' resolves to the temp view — a statement-wide CTE name
+      // set used to let this store and rebind/break at read time
+      val e = intercept[Exception](spark.sql(
+        "CREATE VIEW graft.db.ctescope AS SELECT * FROM " +
+          "(WITH scoped AS (SELECT 1 AS x) SELECT * FROM scoped) q " +
+          "CROSS JOIN scoped"))
+      assert(e.getMessage.contains("temporary"), e.getMessage)
+      // the CTE-visible shape still stores fine
+      spark.sql("CREATE VIEW graft.db.ctescope_ok AS SELECT * FROM " +
+        "(WITH scoped AS (SELECT 1 AS x) SELECT * FROM scoped) q")
+      assert(spark.sql("SELECT x FROM graft.db.ctescope_ok")
+        .as[Int].collect().toSeq == Seq(1))
+      spark.sql("DROP VIEW scoped")
+    } finally spark.sql("USE spark_catalog")
+  }
+
   test("TIMESTAMP AS OF pins the definition that was current then") {
     import spark.implicits._
     val cat = freshCat()
