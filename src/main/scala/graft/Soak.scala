@@ -55,6 +55,13 @@ object Soak {
       .mkString("\n")
 
   def main(args: Array[String]): Unit = {
+    // the metadata block measures the table format THROUGH the storage
+    // seam: GRAFT_FILEIO=objectstore re-runs it under the strict
+    // flat-key/conditional-PUT contract, proving the commit/plan/count
+    // numbers don't silently depend on POSIX-cheap claims
+    graft.tableformat.FileIO.installFromEnv()
+    val fileio = sys.env.get("GRAFT_FILEIO").map(_.trim)
+      .filter(_.nonEmpty).getOrElse("local")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -330,7 +337,7 @@ object Soak {
     }
 
     val line = s"""{"soak":"pipeline","sf":"$sfDir","factor":$factor,""" +
-      s""""ops":$json,$metaJson,"linear_enough":$ok}"""
+      s""""fileio":"$fileio","ops":$json,$metaJson,"linear_enough":$ok}"""
     println(line)
     try {
       java.nio.file.Files.writeString(
