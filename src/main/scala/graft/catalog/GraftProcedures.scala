@@ -234,6 +234,13 @@ object GraftProcedures {
         table(w, str(r, 0)).snapshotTo(dst, dstRef)
         ()
       }),
+    // the clone-side release valve for the retention guard: copy every
+    // still-shared file into the clone's own location, rewrite its
+    // snapshots to the local copies, unregister from the source — the
+    // source can then expire/GC without coordinating with clone owners
+    Def("rehome_clone",
+      Seq(in("clone_table", StringType)),
+      (w, r) => { table(w, str(r, 0)).rehomeClone(); () }),
     Def("unregister_clone",
       Seq(in("source_table", StringType), in("clone_table", StringType)),
       (w, r) => {

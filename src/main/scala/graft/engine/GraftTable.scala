@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.Paths
+import java.nio.file.{Paths, StandardCopyOption}
 import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -837,6 +837,104 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         (ClonesKey -> kept.mkString(CloneSep.toString)))
     }
     this
+  }
+
+  /** Re-home a zero-copy clone (the other half of the stranding
+    * trade): copy every physical file this table still shares with its
+    * clone SOURCE into this table's own location, rewrite every
+    * retained snapshot to reference the local copies, and release the
+    * source's clone registration — after which the source's
+    * [[expireSnapshots]] / [[removeOrphanFiles]] proceed without
+    * coordinating with (or stranding) this table. SQL:
+    * `CALL graft.system.rehome_clone`.
+    *
+    * Cost is priced at the SHARED slice only: bytes copied =
+    * still-referenced source files (a clone that has since rewritten
+    * most of itself copies little), plus a metadata re-seal of the
+    * snapshots that referenced them. Returns the copied paths.
+    *
+    * Correctness notes:
+    *   - the local copy keeps the source path's `data/...` suffix, so
+    *     positional-delete keys — matched on exactly that
+    *     location-independent suffix (see [[relDataPath]]) — keep
+    *     hiding the same rows after the paths move;
+    *   - a shared file WITHOUT a `data/` segment (an add_files import)
+    *     has no suffix to preserve: it re-homes under `data/rehomed/`
+    *     unless positional deletes exist anywhere in retained history,
+    *     in which case rehome REFUSES (the delete keys recorded the
+    *     old path shape and would silently stop matching);
+    *   - idempotent and crash-resumable: copies are temp+atomic-move
+    *     and skipped when the destination already holds the right
+    *     size; a crash between the metadata rewrite and the source
+    *     release leaves the registration in place (source retention
+    *     still refuses — safe), and a re-run skips straight to the
+    *     release.
+    */
+  def rehomeClone(): Vector[String] = {
+    val srcLoc = meta.properties.getOrElse("graft.cloned-from", sys.error(
+      s"$location is not a clone: no graft.cloned-from property"))
+    val prefix = location + "/"
+    def isForeign(p: String) = p.startsWith("/") && !p.startsWith(prefix)
+    def rehomedRel(p: String, anyPosDeletes: Boolean): String = {
+      val i = p.lastIndexOf("/data/")
+      if (i >= 0) p.substring(i + 1)
+      else if (anyPosDeletes) sys.error(s"cannot rehome $p: the path " +
+        "has no data/ segment to preserve and retained snapshots carry " +
+        "positional deletes whose keys would no longer match the moved " +
+        "file — compact (rewriteDeletedDataFiles) first")
+      else {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        s"data/rehomed/$h-${p.substring(p.lastIndexOf('/') + 1)}"
+      }
+    }
+    val m = meta
+    val anyPos = m.snapshots.exists(_.deleteFiles.exists(f =>
+      f.equalityIds.isEmpty && isForeign(f.path)))
+    val foreign = m.snapshots.flatMap(s => s.files ++ s.deleteFiles)
+      .map(_.path).filter(isForeign).distinct
+    foreign.foreach { p =>
+      val src = java.nio.file.Paths.get(p)
+      val dst = java.nio.file.Paths.get(
+        s"$location/${rehomedRel(p, anyPos)}")
+      if (java.nio.file.Files.exists(dst)) {
+        if (java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+          sys.error(s"rehome collision: $dst exists with a different size")
+      } else {
+        java.nio.file.Files.createDirectories(dst.getParent)
+        // temp + atomic move: a crashed copy never leaves a torn file
+        // a resumed run would trust by its (wrong) size
+        val tmp = java.nio.file.Files.createTempFile(
+          dst.getParent, ".rehome-", ".tmp")
+        try {
+          java.nio.file.Files.copy(src, tmp,
+            StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.move(tmp, dst,
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+    if (foreign.nonEmpty) MetadataIO.commitRetry(location) { cur =>
+      val curPos = cur.snapshots.exists(_.deleteFiles.exists(f =>
+        f.equalityIds.isEmpty && isForeign(f.path)))
+      val snaps = cur.snapshots.map { s =>
+        if (!(s.files ++ s.deleteFiles).exists(f => isForeign(f.path))) s
+        else s.copy(
+          inlineFiles = s.files.map(f => if (isForeign(f.path))
+            f.copy(path = rehomedRel(f.path, curPos)) else f),
+          inlineDeleteFiles = s.deleteFiles.map(f => if (isForeign(f.path))
+            f.copy(path = rehomedRel(f.path, curPos)) else f),
+          manifestList = None) // commit re-seals, sharing what it can
+      }
+      cur.copy(snapshots = snaps,
+        properties = cur.properties + ("graft.rehomed" -> "true"))
+    }
+    // release the source registration LAST: until every reference is
+    // local, the source's retention guard must keep refusing
+    if (MetadataIO.exists(srcLoc))
+      new GraftTable(spark, srcLoc).unregisterClone(location)
+    foreign
   }
 
   /** Refuse a retention operation while registered clones still

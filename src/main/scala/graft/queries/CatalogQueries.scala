@@ -957,6 +957,66 @@ object CatalogQueries {
           UNION ALL
           SELECT 'size_mismatch' AS kind, CAST(1 AS BIGINT) AS n
         ) ORDER BY kind
+      """)),
+
+    // Clone rehoming (CALL graft.system.rehome_clone): the clone-side
+    // release valve for the retention guard — still-shared files copy
+    // into the clone's own location, snapshots rewrite to the local
+    // copies, the source registration releases, and the SOURCE then
+    // expires + GCs its rewritten history without stranding the clone.
+    // The oracle is the clone's divergent content, read AFTER the
+    // source physically deleted the files the clone used to share.
+    QueryDef(
+      "q165_rehome_clone",
+      (s, d) => {
+        val wh = setupOnce("q165", d) {
+          val w = scratch("rehome")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val src = cat.createTableAs("db1", "reh_src",
+            Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal"))
+          s.conf.set("spark.graft.warehouse", w)
+          s.sql("CALL graft.system.snapshot('db1.reh_src', 'db1.reh_fork')")
+          val dst = graft.engine.GraftTable.load(s,
+            java.nio.file.Paths.get(w, "db1", "reh_fork").toString)
+          // diverge both sides, then REWRITE the source so its old
+          // files (the shared ones) become expiry-reclaimable
+          dst.delete(col("c_acctbal") < 0)
+          val kept = Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_acctbal")
+            .filter(col("c_custkey") <= 10)
+          val nKept = kept.count()
+          src.overwrite(kept)
+          // with the clone registered, source retention refuses...
+          val refused =
+            try { src.expireSnapshots(keepLast = 1); false }
+            catch { case _: Exception => true }
+          require(refused, "retention must refuse while the clone is live")
+          s.sql("CALL graft.system.rehome_clone('db1.reh_fork')")
+          // ...after rehome it proceeds and physically reclaims
+          src.expireSnapshots(keepLast = 1)
+          src.removeOrphanFiles(olderThanMs = 0)
+          require(src.read().count() == nKept, "source content after expiry")
+          // the clone's whole file inventory is local now
+          val foreignLeft = dst.meta.snapshots
+            .flatMap(sn => sn.files ++ sn.deleteFiles)
+            .count(f => f.path.startsWith("/") &&
+              !f.path.startsWith(dst.location + "/"))
+          require(foreignLeft == 0, s"$foreignLeft foreign refs remain")
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT count(*) AS n_rows,
+                 CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+                 min(c_acctbal) AS lo_bal, max(c_acctbal) AS hi_bal
+          FROM graft.db1.reh_fork""")
+      },
+      Some("""
+        SELECT count(*) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+               min(c_acctbal) AS lo_bal, max(c_acctbal) AS hi_bal
+        FROM customer WHERE c_acctbal >= 0
       """))
   )
 }

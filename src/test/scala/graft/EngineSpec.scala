@@ -1992,6 +1992,52 @@ class EngineSpec extends AnyFunSuite {
     intercept[Exception](src.snapshotTo(dstLoc, "again"))
   }
 
+  test("rehomeClone: shared files copy in, snapshots rewrite local, " +
+      "source expiry proceeds, reads identical (MoR deletes included)") {
+    import spark.implicits._
+    val src = GraftTable.create(spark, tmp(), "reh_src",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    src.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val dstLoc = tmp()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dstLoc))
+    val dst = src.snapshotTo(dstLoc, "reh_dst")
+    // clone-side MoR delete: the positional delete file lives under the
+    // CLONE but keys rows of a SOURCE data file — the path-suffix
+    // matching that must survive the rehome
+    dst.delete(col("id") === 3L)
+    val before = dst.read().orderBy("id").as[(Long, String)].collect().toSeq
+    // source rewrites itself, so its old (shared) files become
+    // expiry-reclaimable — and retention refuses while the clone lives
+    src.overwrite(Seq((999L, "rewritten")).toDF("id", "v").coalesce(1))
+    intercept[Exception](src.expireSnapshots(keepLast = 1))
+    val copied = dst.rehomeClone()
+    assert(copied.nonEmpty, "the shared files were never copied")
+    // every retained snapshot now references only local paths
+    val foreign = dst.meta.snapshots
+      .flatMap(s => s.files ++ s.deleteFiles)
+      .filter(f => f.path.startsWith("/") &&
+        !f.path.startsWith(dst.location + "/"))
+    assert(foreign.isEmpty, foreign.map(_.path).toString)
+    // identical content through the rehome, MoR hiding intact
+    assert(dst.read().orderBy("id").as[(Long, String)].collect().toSeq
+      == before)
+    assert(!before.exists(_._1 == 3L))
+    // time travel to the pre-delete clone snapshot still answers
+    val cloneSnap = dst.meta.snapshots.find(_.operation == "clone").get
+    assert(dst.readAsOfVersion(cloneSnap.snapshotId).count() == 10L)
+    // the source is released: expiry + GC proceed and physically
+    // reclaim the old files; the clone keeps answering from its copies
+    src.expireSnapshots(keepLast = 1)
+    src.removeOrphanFiles(olderThanMs = 0)
+    assert(src.read().count() == 1L)
+    assert(dst.read().orderBy("id").as[(Long, String)].collect().toSeq
+      == before)
+    // idempotent: a second rehome copies nothing and changes nothing
+    assert(dst.rehomeClone().isEmpty)
+    assert(dst.read().count() == 9L)
+  }
+
   test("orphan GC age guard: young unreferenced files survive (an " +
       "in-flight commit's staged writes), backdated ones reclaim") {
     import spark.implicits._
