@@ -2848,7 +2848,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         try io.modifiedMs(s"$location/$p") < cutoff
         catch { case _: java.io.IOException => false })
     metaOrphans.foreach(p => io.delete(s"$location/$p"))
-    orphans ++ metaOrphans.map(p => s"$location/$p")
+    // staged-commit tier (catalog-CAS backends): a writer that crashed
+    // BEFORE its CAS leaves its staged document under
+    // metadata/.commit-staging forever. Reclaimable once the canonical
+    // version it targeted is visible (published by the real winner or
+    // a healer) — a staged doc whose canonical path is still MISSING
+    // may be a crashed WINNER's only durable copy, which the healing
+    // protocol needs, so it is never touched here. Same age guard as
+    // every tier.
+    val stagedDir = s"$location/metadata/.commit-staging"
+    val stagedOrphans = io.listDir(stagedDir).filter { abs =>
+      val name = abs.substring(abs.lastIndexOf('/') + 1)
+      val canonical = name.lastIndexOf('.') match {
+        case i if i > 0 => s"$location/metadata/${name.take(i)}"
+        case _          => ""
+      }
+      canonical.nonEmpty && io.exists(canonical) &&
+        (try io.modifiedMs(abs) < cutoff
+        catch { case _: java.io.IOException => false })
+    }
+    stagedOrphans.foreach(io.delete)
+    orphans ++ metaOrphans.map(p => s"$location/$p") ++ stagedOrphans
   }
 
   /** Integrity audit: verify every byte the CURRENT snapshot's plans

@@ -723,6 +723,13 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     * idempotent here — every healer and a slow winner all write the
     * same committed bytes), so readers' forward probe and the caller's
     * commit retry both see the version the catalog says exists.
+    *
+    * Until healed, the crashed commit's DATA files are unreferenced by
+    * any visible version — exactly the in-flight-write window orphan
+    * GC's age guard exists for (GraftTable.removeOrphanFiles,
+    * `older_than` default 3 days): an aged GC never reclaims them
+    * before any plausible heal. The staged DOCUMENT itself is likewise
+    * GC-protected while its canonical version is missing.
     */
   private def healUnpublished(path: String): Unit =
     if (!store.exists(path)) send(s"LOOKUP $path") match {

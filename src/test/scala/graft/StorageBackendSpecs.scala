@@ -174,6 +174,33 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
       s"snapshots=${m.snapshots.size} chain=$chain")
   }
 
+  test("staged-commit orphan GC: an unpublished winner's document " +
+      "survives (healing needs it); reclaimed once the version is visible") {
+    import graft.tableformat.MetadataIO
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val loc = tmp()
+    MetadataIO.commit(graft.tableformat.TableMetadata.create(
+      "gc_staged", loc, Seq("id" -> "long")))
+    io.crashAfterCasForTesting = true
+    try intercept[IllegalStateException](
+      MetadataIO.commit(MetadataIO.read(loc)))
+    finally io.crashAfterCasForTesting = false
+    val stagedDir = s"$loc/metadata/.commit-staging"
+    val staged = io.listDir(stagedDir)
+    assert(staged.nonEmpty, "crashed winner must leave its staged doc")
+    val t = new graft.engine.GraftTable(spark, loc)
+    // v2 is claimed but unpublished: the staged doc is its only durable
+    // copy — even a zero-age GC must not reclaim it
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(io.listDir(stagedDir).toSet == staged.toSet)
+    // the next commit heals v2 and lands v3; every staged doc's
+    // canonical version is now visible -> reclaimable
+    MetadataIO.commitRetry(loc)(identity)
+    assert(MetadataIO.currentVersion(loc).contains(3))
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(io.listDir(stagedDir).isEmpty)
+  }
+
   test("full table lifecycle commits through catalog arbitration") {
     import spark.implicits._
     val t = graft.engine.GraftTable.create(spark, tmp(), "cat_t",
