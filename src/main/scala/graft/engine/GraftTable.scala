@@ -2735,13 +2735,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val renameGraceMs = meta.properties
       .get("graft.rename.recovery-grace-ms")
       .flatMap(_.toLongOption).getOrElse(3600L * 1000)
-    graft.tableformat.FileIO.io.recoverRename(location, renameGraceMs)
-      .foreach {
-        case graft.tableformat.RenameRolledForward(from) =>
-          actions += s"recover_rename:forward-from:$from"
-        case graft.tableformat.RenameRolledBack(from) =>
-          return (actions :+ s"recover_rename:rolled-back-to:$from").toSeq
-      }
+    graft.tableformat.FileIO.io.recoverRename(location, renameGraceMs) match {
+      case Some(graft.tableformat.RenameRolledForward(from)) =>
+        actions += s"recover_rename:forward-from:$from"
+      case Some(graft.tableformat.RenameRolledBack(from)) =>
+        return (actions :+ s"recover_rename:rolled-back-to:$from").toSeq
+      case None => ()
+    }
     // the audit log records what COMMITTED, not what was attempted —
     // each step appends its action only when the step observably
     // changed the table (snapshot pointer moved / history shrank), so

@@ -436,7 +436,9 @@ final class ObjectStoreFileIO extends FileIO {
     * kill at that instant leaves (markers included, no cleanup).
     * Points: "mid-copy" (after the first key copied), "before-complete"
     * (all keys copied, completion marker not yet written),
-    * "after-complete" (completion marker written, source still intact).
+    * "after-complete" (completion marker written, source still intact),
+    * "mid-unmark" (claim marker deleted, completion marker still
+    * standing — the debris-only window).
     */
   private[graft] var renameCrashPoint: Option[String] = None
   private def crashIfAt(point: String): Unit =
@@ -465,7 +467,10 @@ final class ObjectStoreFileIO extends FileIO {
     *      recovery rolls FORWARD.
     *   4. DELETE the source, pointers FIRST (readers stop resolving
     *      the old location before any version file disappears).
-    *   5. UNMARK (completion marker, then claim marker).
+    *   5. UNMARK — claim marker FIRST, then completion marker: a crash
+    *      between the two leaves inert done-without-claim debris,
+    *      never a claim-without-done state that recovery would
+    *      misread as an incomplete copy and roll back.
     *
     * A crash in 2 leaves claim-only → [[recoverRenameVia]] rolls back
     * (destination copies deleted; the untouched source remains the
@@ -486,6 +491,11 @@ final class ObjectStoreFileIO extends FileIO {
         s"rename destination already claimed: $toDir (a concurrent or " +
           "crashed rename holds the marker; recoverRename repairs a " +
           "crashed one)")
+    // a stale completion marker can survive a PRIOR rename that crashed
+    // between its two unmark deletes (claim first, then done — see
+    // below); left standing it would mislead a crash of THIS rename
+    // into rolling forward before the copy completed
+    delete(doneKey)
     if (listRecursive(toDir).exists(k => k != claimKey && k != doneKey)) {
       arbiter.delete(claimKey)
       throw new FileAlreadyExistsException(
@@ -507,8 +517,14 @@ final class ObjectStoreFileIO extends FileIO {
     crashIfAt("after-complete")
     (pointers ++ plain).foreach(arbiter.delete)
     deleteTree(fromDir)
-    delete(doneKey)
+    // unmark ORDER MATTERS: claim first. A crash between the two
+    // deletes then leaves done-without-claim — inert debris recovery
+    // sweeps — whereas done-first would leave claim-without-done,
+    // which recovery reads as "copy incomplete" and ROLLS BACK,
+    // deleting the fully-renamed table after its source is gone.
     arbiter.delete(claimKey)
+    crashIfAt("mid-unmark")
+    delete(doneKey)
   }
 
   /** Pointer files resolve a location into a table/view; everything
@@ -523,22 +539,27 @@ final class ObjectStoreFileIO extends FileIO {
       olderThanMs: Long): Option[RenameRecovery] = {
     import ObjectStoreFileIO.{RenameClaimMarker, RenameDoneMarker}
     val claimKey = s"$dir/$RenameClaimMarker"
-    if (!exists(claimKey)) return None
+    val doneKey = s"$dir/$RenameDoneMarker"
+    if (!exists(claimKey)) {
+      // done-without-claim: the rename COMPLETED and crashed between
+      // its two unmark deletes (claim goes first) — inert debris
+      delete(doneKey)
+      return None
+    }
     // age guard: a marker younger than the window may belong to a
     // rename still RUNNING — repairing it would corrupt a live move
     if (olderThanMs > 0 &&
         modifiedMs(claimKey) > System.currentTimeMillis() - olderThanMs)
       return None
     val from = readString(claimKey).trim
-    val doneKey = s"$dir/$RenameDoneMarker"
     if (exists(doneKey)) {
       // copy phase completed: destination is whole — roll forward by
       // finishing the source delete (pointers first, as rename does)
       val (pointers, plain) = listRecursive(from).partition(isPointerKey)
       (pointers ++ plain).foreach(arbiter.delete)
       deleteTree(from)
+      arbiter.delete(claimKey) // claim first — see renameVia's unmark note
       delete(doneKey)
-      arbiter.delete(claimKey)
       Some(RenameRolledForward(from))
     } else {
       // copy phase incomplete: the destination holds partial copies

@@ -241,6 +241,34 @@ class FileIOSpec extends AnyFunSuite {
     assert(os.recoverRename(s"$dir/dst").isEmpty)
   }
 
+  test("object-store rename crash between the unmark deletes: debris " +
+      "only — recovery never rolls back a completed rename") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    val dir = tmp()
+    os.writeString(s"$dir/src/data/f1.parquet", "d1")
+    os.writeString(s"$dir/src/metadata/version-hint.text", "1")
+    os.renameCrashPoint = Some("mid-unmark")
+    try intercept[IllegalStateException](os.rename(s"$dir/src", s"$dir/dst"))
+    finally os.renameCrashPoint = None
+    // the rename COMPLETED (source gone, destination whole); only the
+    // completion marker lingers, the claim marker went first
+    assert(os.listRecursive(s"$dir/src").isEmpty)
+    assert(os.readString(s"$dir/dst/metadata/version-hint.text") == "1")
+    assert(!os.exists(s"$dir/dst/.rename-claim"))
+    assert(os.exists(s"$dir/dst/.rename-complete"))
+    // recovery: no claim -> nothing to repair, debris swept, the
+    // renamed table untouched (done-first unmark ordering would have
+    // left claim-without-done here and recovery would have DELETED the
+    // fully-renamed table)
+    assert(os.recoverRename(s"$dir/dst").isEmpty)
+    assert(!os.exists(s"$dir/dst/.rename-complete"))
+    assert(os.readString(s"$dir/dst/data/f1.parquet") == "d1")
+    // a later rename INTO the now-emptied old source location is clean
+    os.writeString(s"$dir/src2/metadata/version-hint.text", "1")
+    os.rename(s"$dir/src2", s"$dir/src")
+    assert(os.readString(s"$dir/src/metadata/version-hint.text") == "1")
+  }
+
   test("engine: a crashed ALTER TABLE RENAME is reported by the " +
       "integrity audit and repaired by maintain()") {
     import spark.implicits._
