@@ -766,7 +766,21 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   override def readLines(path: String): Vector[String] = store.readLines(path)
   override def writeString(path: String, content: String): Unit =
     store.writeString(path, content)
-  override def exists(path: String): Boolean = store.exists(path)
+  /** Version-document paths heal on an exists miss: readers probe
+    * forward from the hint (MetadataIO.currentVersion / ViewIO), and
+    * the probe's terminal miss is exactly where a crashed winner's
+    * unpublished commit hides — one catalog LOOKUP there makes the
+    * commit READ-visible without waiting for the next writer, the same
+    * way a real REST catalog's readers see the current pointer on
+    * every table load. Cost: one round-trip per metadata read (probes
+    * always end in a miss); non-version paths (data files, manifests —
+    * the high-volume exists traffic) never pay it.
+    */
+  override def exists(path: String): Boolean =
+    store.exists(path) ||
+      (CatalogFileIO.VersionDoc.matches(path) && {
+        healUnpublished(path); store.exists(path)
+      })
   override def size(path: String): Long = store.size(path)
   override def modifiedMs(path: String): Long = store.modifiedMs(path)
   // deletions free the catalog's commit slots (a real catalog deletes
@@ -804,6 +818,14 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   }
   override def replaceAtomic(path: String, content: String): Unit =
     store.replaceAtomic(path, content)
+}
+
+object CatalogFileIO {
+  /** Table/view version documents — the only paths whose exists-miss
+    * consults the catalog for an unpublished commit.
+    */
+  private val VersionDoc =
+    """.*/v\d+\.(metadata|view)\.json""".r
 }
 
 object FileIO {

@@ -133,13 +133,15 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
     io.crashAfterCasForTesting = true
     try intercept[IllegalStateException](io.claim(path, "doc-1"))
     finally io.crashAfterCasForTesting = false
-    // the winner died between CAS and publish: canonical path missing,
-    // slot claimed — the exact window that used to wedge the table
-    assert(!io.exists(path))
-    // the next claimant loses the CAS (the commit DID happen) and
-    // heals the slot by publishing the registered document
-    assert(!io.claim(path, "doc-2"))
+    // the winner died between CAS and publish: the canonical key is
+    // physically absent, but a READER's exists-probe on a version
+    // document heals it from the registered staged copy — the commit
+    // is visible without waiting for the next writer (REST-catalog
+    // reader semantics)
     assert(io.exists(path) && io.readString(path) == "doc-1")
+    // and the next claimant simply loses the CAS (the commit happened)
+    assert(!io.claim(path, "doc-2"))
+    assert(io.readString(path) == "doc-1")
   }
 
   test("kill-between-CAS-and-publish: the table stays fully " +
@@ -158,8 +160,10 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
     } finally io.crashAfterCasForTesting = false
     // the crashed append COMMITTED at the CAS (REST-catalog semantics:
     // the pointer swap is the commit); its document is just unpublished.
-    // The next writer's losing claim heals it, rebases, and lands — one
-    // ordinary append call, no operator intervention.
+    // A plain READ heals it (version-doc exists-probe consults the
+    // catalog) — the committed rows are visible with no writer involved
+    assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // and the next writer rebases onto it — one ordinary append call
     t.append(Seq(3L).toDF("id").coalesce(1))
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     // linear history INCLUDING the healed commit
@@ -174,31 +178,40 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
       s"snapshots=${m.snapshots.size} chain=$chain")
   }
 
-  test("staged-commit orphan GC: an unpublished winner's document " +
-      "survives (healing needs it); reclaimed once the version is visible") {
+  test("staged-commit orphan GC: a staged doc whose canonical version " +
+      "is missing survives any age; reclaimed once the version is visible") {
     import graft.tableformat.MetadataIO
     val io = FileIO.io.asInstanceOf[CatalogFileIO]
     val loc = tmp()
     MetadataIO.commit(graft.tableformat.TableMetadata.create(
       "gc_staged", loc, Seq("id" -> "long")))
+    // a staged doc with NO catalog registration and NO canonical key —
+    // what a writer that crashed just before its CAS leaves behind
+    // (reader-side healing can't publish it: the catalog never heard
+    // of it), except here its canonical slot also never gets taken
+    val staged = s"$loc/metadata/.commit-staging/v9.metadata.json.orphan"
+    io.writeString(staged, "{}")
+    val t = new graft.engine.GraftTable(spark, loc)
+    // canonical missing: even a zero-age GC must not reclaim it (in
+    // the claimed-but-unpublished case this doc is the healing
+    // protocol's only durable input)
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(io.exists(staged), "canonical missing -> staged doc survives")
+    // once the canonical version is visible the staged copy is garbage
+    io.writeString(s"$loc/metadata/v9.metadata.json", "{}")
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(!io.exists(staged))
+    // the crashed-winner shape end to end: crash between CAS and
+    // publish, then GC — whose own metadata read HEALS the version
+    // (reader-side healing), making the staged doc reclaimable in the
+    // same sweep; the table is intact throughout
     io.crashAfterCasForTesting = true
     try intercept[IllegalStateException](
       MetadataIO.commit(MetadataIO.read(loc)))
     finally io.crashAfterCasForTesting = false
-    val stagedDir = s"$loc/metadata/.commit-staging"
-    val staged = io.listDir(stagedDir)
-    assert(staged.nonEmpty, "crashed winner must leave its staged doc")
-    val t = new graft.engine.GraftTable(spark, loc)
-    // v2 is claimed but unpublished: the staged doc is its only durable
-    // copy — even a zero-age GC must not reclaim it
     t.removeOrphanFiles(olderThanMs = 0)
-    assert(io.listDir(stagedDir).toSet == staged.toSet)
-    // the next commit heals v2 and lands v3; every staged doc's
-    // canonical version is now visible -> reclaimable
-    MetadataIO.commitRetry(loc)(identity)
-    assert(MetadataIO.currentVersion(loc).contains(3))
-    t.removeOrphanFiles(olderThanMs = 0)
-    assert(io.listDir(stagedDir).isEmpty)
+    assert(MetadataIO.currentVersion(loc).contains(2))
+    assert(io.listDir(s"$loc/metadata/.commit-staging").isEmpty)
   }
 
   test("full table lifecycle commits through catalog arbitration") {
