@@ -3778,6 +3778,14 @@ object GraftTable {
       partition: Seq[(String, String)] = Nil,  // (sourceColumn, transform)
       properties: Map[String, String] = Map.empty): GraftTable = {
     require(!MetadataIO.exists(location), s"table exists at $location")
+    // a location claimed by an in-flight (or crashed) copy-based rename
+    // is not creatable: the rename's raw key copies would clobber this
+    // table's claimed versions mid-create. Inert on POSIX backends
+    // (the marker never exists there).
+    require(!io.exists(
+      s"$location/${ObjectStoreFileIO.RenameClaimMarker}"),
+      s"$location is a rename destination (claim marker present); " +
+        "recoverRename/maintain repairs a crashed one")
     var m = TableMetadata.create(name, location, fields,
       properties = properties ++ Map(
         "write.parquet.compression-codec" -> properties.getOrElse(

@@ -11,6 +11,23 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
+  test("artifact guard: the recorded run stays unless the new run wins " +
+      "on BOTH axes; changed coverage always replaces") {
+    val q = Set("q1", "q2")
+    // the round-15 incident shape: fewer flags but slower — recorded stays
+    assert(Bench.keepRecorded(q, 38, 75.2, q, 35, 87.0))
+    // wins both axes -> replaces
+    assert(!Bench.keepRecorded(q, 38, 75.2, q, 12, 69.0))
+    // equal flags, faster -> replaces (2% slack is on the slow side)
+    assert(!Bench.keepRecorded(q, 9, 68.8, q, 9, 68.5))
+    // faster but MORE flags -> recorded stays
+    assert(Bench.keepRecorded(q, 9, 68.8, q, 26, 66.0))
+    // within the 2% slack counts as not-slower
+    assert(!Bench.keepRecorded(q, 9, 68.8, q, 8, 69.9))
+    // changed coverage always replaces, however noisy
+    assert(!Bench.keepRecorded(q, 9, 68.8, Set("q1", "q2", "q3"), 40, 99.0))
+  }
+
   test("quiet host: two agreeing passes with a slower warmup are unflagged") {
     val f = Bench.stallFlags(measured = Seq(2.01, 2.05), warmup = 2.8,
       escalations = 0)

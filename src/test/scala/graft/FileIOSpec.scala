@@ -269,6 +269,23 @@ class FileIOSpec extends AnyFunSuite {
     assert(os.readString(s"$dir/src/metadata/version-hint.text") == "1")
   }
 
+  test("CREATE at a rename-claimed destination refuses: the rename's " +
+      "raw copies must not clobber a freshly created table") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    FileIO.install(os)
+    try {
+      val loc = tmp()
+      os.claim(s"$loc/.rename-claim", "/somewhere/src")
+      val e = intercept[IllegalArgumentException](
+        graft.engine.GraftTable.create(spark, loc, "t", Seq("id" -> "long")))
+      assert(e.getMessage.contains("rename destination"), e.getMessage)
+      // cleared marker -> creatable again
+      os.delete(s"$loc/.rename-claim")
+      graft.engine.GraftTable.create(spark, loc, "t", Seq("id" -> "long"))
+      assert(graft.tableformat.MetadataIO.exists(loc))
+    } finally FileIO.install(LocalFileIO)
+  }
+
   test("engine: a crashed ALTER TABLE RENAME is reported by the " +
       "integrity audit and repaired by maintain()") {
     import spark.implicits._

@@ -227,6 +227,29 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("racing renames to one destination arbitrate through the " +
+      "catalog CAS: exactly one wins, the loser's source stays intact") {
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val dir = tmp()
+    io.writeString(s"$dir/src1/metadata/v1.metadata.json", "one")
+    io.writeString(s"$dir/src1/metadata/version-hint.text", "1")
+    io.writeString(s"$dir/src2/metadata/v1.metadata.json", "two")
+    io.writeString(s"$dir/src2/metadata/version-hint.text", "1")
+    val results = Seq(s"$dir/src1", s"$dir/src2").map { src =>
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        try { io.rename(src, s"$dir/dst"); 1 }
+        catch { case _: java.nio.file.FileAlreadyExistsException => 0 }
+      }
+    }.map(_.join())
+    assert(results.sum == 1, s"exactly one rename may win: $results")
+    val content = io.readString(s"$dir/dst/metadata/v1.metadata.json")
+    val loser = if (content == "one") "src2" else "src1"
+    assert(io.listRecursive(s"$dir/$loser").size == 2,
+      "loser's source must be untouched")
+    assert(!io.exists(s"$dir/dst/.rename-claim") &&
+      !io.exists(s"$dir/dst/.rename-complete"))
+  }
+
   test("rename releases the moved-away location's commit slots: " +
       "CREATE at the old location claims v1 again") {
     import spark.implicits._
