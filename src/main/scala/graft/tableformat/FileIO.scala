@@ -684,6 +684,10 @@ final class CatalogCommitServer {
   */
 final class CatalogFileIO(host: String, port: Int) extends FileIO {
   private val store = new ObjectStoreFileIO
+  /** Test hook: the underlying store, so specs can arm its rename
+    * crash points through this wrapper.
+    */
+  private[graft] def storeForTesting: ObjectStoreFileIO = store
 
   private def send(cmd: String): String = {
     val sock = new java.net.Socket(host, port)

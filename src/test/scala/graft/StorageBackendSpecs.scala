@@ -250,6 +250,35 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
       !io.exists(s"$dir/dst/.rename-complete"))
   }
 
+  test("crashed rename recovery on the catalog backend: roll-forward " +
+      "releases the source's slots so the old location is creatable again") {
+    import spark.implicits._
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val wh = tmp()
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.createTable("db", "crash_src", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id").coalesce(1))
+    io.storeForTesting.renameCrashPoint = Some("after-complete")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.crash_src RENAME TO graft.db.crash_dst"))
+    finally io.storeForTesting.renameCrashPoint = None
+    // destination complete, source remnants + markers standing
+    val (srcLoc, dstLoc) = (s"$wh/db/crash_src", s"$wh/db/crash_dst")
+    assert(io.exists(s"$dstLoc/.rename-claim"))
+    val r = io.recoverRename(dstLoc)
+    assert(r.contains(graft.tableformat.RenameRolledForward(srcLoc)))
+    assert(io.listRecursive(srcLoc).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft.db.crash_dst")
+      .head().getLong(0) == 2L)
+    // the rolled-forward SOURCE's catalog slots are released: a CREATE
+    // at the old location claims v1 again instead of conflicting
+    val t2 = cat.createTable("db", "crash_src", Seq("x" -> "long"))
+    t2.append(Seq(9L).toDF("x").coalesce(1))
+    assert(spark.sql("SELECT x FROM graft.db.crash_src")
+      .head().getLong(0) == 9L)
+  }
+
   test("rename releases the moved-away location's commit slots: " +
       "CREATE at the old location claims v1 again") {
     import spark.implicits._
