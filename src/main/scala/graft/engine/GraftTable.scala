@@ -3799,7 +3799,31 @@ object GraftTable {
     }
     m = m.copy(partitionSpecs = Vector(PartitionSpec(0, pfs.toVector)))
     MetadataIO.commit(m)
+    // mutual-abort handshake with copy-based rename: the marker check
+    // above ran BEFORE our v1 landed, so a rename that claimed this
+    // destination in between could clobber v1 mid-copy. Re-checking
+    // AFTER the commit closes it both ways — a rename claiming before
+    // our commit is caught here (create withdraws); one claiming after
+    // is caught by ITS post-claim emptiness check (rename aborts on
+    // our visible v1). An ACKNOWLEDGED create is therefore never
+    // clobbered. (Both aborting in the tiny overlap is safe — fail
+    // loud, retry succeeds.)
+    withdrawIfRenameClaimed(location)
     new GraftTable(spark, location)
+  }
+
+  /** The post-commit half of create's rename handshake: if a rename
+    * claim marker stands at `location`, withdraw the just-committed
+    * table (nothing was acknowledged yet) and fail loud.
+    */
+  private[graft] def withdrawIfRenameClaimed(location: String): Unit = {
+    if (io.exists(s"$location/${ObjectStoreFileIO.RenameClaimMarker}")) {
+      io.delete(s"$location/metadata/version-hint.text")
+      io.delete(MetadataIO.metadataPath(location, 1))
+      throw new IllegalArgumentException(
+        s"$location became a rename destination during create; " +
+          "the create was withdrawn — retry after the rename settles")
+    }
   }
 
   /** CTAS (reference S6): create from a DataFrame's schema, then append it. */

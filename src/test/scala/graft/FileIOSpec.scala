@@ -286,6 +286,31 @@ class FileIOSpec extends AnyFunSuite {
     } finally FileIO.install(LocalFileIO)
   }
 
+  test("create's post-commit handshake: a rename claim that landed " +
+      "during create withdraws the unacknowledged table") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    FileIO.install(os)
+    try {
+      val loc = tmp()
+      // the state the race produces: v1 committed, marker claimed in
+      // between (after create's pre-check, before its post-check)
+      MetadataIO.commit(graft.tableformat.TableMetadata.create(
+        "raced", loc, Seq("id" -> "long")))
+      os.claim(s"$loc/.rename-claim", "/elsewhere/src")
+      val e = intercept[IllegalArgumentException](
+        graft.engine.GraftTable.withdrawIfRenameClaimed(loc))
+      assert(e.getMessage.contains("withdrawn"), e.getMessage)
+      // the unacknowledged table is gone: the location resolves to
+      // nothing and the rename's copies can't be clobbered into
+      assert(!MetadataIO.exists(loc))
+      assert(!os.exists(s"$loc/metadata/v1.metadata.json"))
+      // no marker -> the check is a no-op on a real create
+      val loc2 = tmp()
+      graft.engine.GraftTable.create(spark, loc2, "t", Seq("id" -> "long"))
+      assert(MetadataIO.exists(loc2))
+    } finally FileIO.install(LocalFileIO)
+  }
+
   test("engine: a crashed ALTER TABLE RENAME is reported by the " +
       "integrity audit and repaired by maintain()") {
     import spark.implicits._
