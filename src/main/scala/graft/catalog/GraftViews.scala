@@ -117,6 +117,22 @@ object ViewIO {
       throw new CommitConflictException(location, next)
     // advance-only hint swap (same contract as table hints)
     io.replaceAtomic(hintPath(location), next.toString)
+    // view-creation half of the rename handshake (tables do the same —
+    // see GraftTable.withdrawIfRenameClaimed): a copy-based renameView
+    // that claimed this location between the caller's existence check
+    // and this first commit would clobber the fresh view mid-copy.
+    // Post-commit re-check → withdraw the unacknowledged view; a
+    // rename claiming AFTER this point aborts on its own emptiness
+    // check seeing the visible document. Only the CREATE commit pays
+    // the exists() probe.
+    if (next == 1 && io.exists(s"$location/" +
+        graft.tableformat.ObjectStoreFileIO.RenameClaimMarker)) {
+      io.delete(hintPath(location))
+      io.delete(docPath(location, 1))
+      throw new IllegalArgumentException(
+        s"$location became a rename destination during view creation; " +
+          "the create was withdrawn — retry after the rename settles")
+    }
   }
 
   def drop(location: String): Boolean = {

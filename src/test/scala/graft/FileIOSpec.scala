@@ -311,6 +311,29 @@ class FileIOSpec extends AnyFunSuite {
     } finally FileIO.install(LocalFileIO)
   }
 
+  test("view creation's rename handshake mirrors the table one") {
+    val os = new graft.tableformat.ObjectStoreFileIO
+    FileIO.install(os)
+    try {
+      val loc = tmp()
+      os.claim(s"$loc/.rename-claim", "/elsewhere/v")
+      val meta = graft.catalog.ViewMetadata(name = "db.v",
+        currentVersionId = 1,
+        versions = Vector(graft.catalog.ViewVersion(
+          versionId = 1, timestampMs = System.currentTimeMillis(),
+          sql = "SELECT 1 AS x", schemaJson = "{}",
+          defaultCatalog = "graft", defaultNamespace = Vector("db"))))
+      val e = intercept[IllegalArgumentException](
+        graft.catalog.ViewIO.commit(loc, meta))
+      assert(e.getMessage.contains("withdrawn"), e.getMessage)
+      assert(!graft.catalog.ViewIO.exists(loc))
+      // marker gone -> creation proceeds; later commits never re-check
+      os.delete(s"$loc/.rename-claim")
+      graft.catalog.ViewIO.commit(loc, meta)
+      assert(graft.catalog.ViewIO.exists(loc))
+    } finally FileIO.install(LocalFileIO)
+  }
+
   test("engine: a crashed ALTER TABLE RENAME is reported by the " +
       "integrity audit and repaired by maintain()") {
     import spark.implicits._
