@@ -893,26 +893,37 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       f.equalityIds.isEmpty && isForeign(f.path)))
     val foreign = m.snapshots.flatMap(s => s.files ++ s.deleteFiles)
       .map(_.path).filter(isForeign).distinct
-    foreign.foreach { p =>
-      val src = java.nio.file.Paths.get(p)
-      val dst = java.nio.file.Paths.get(
-        s"$location/${rehomedRel(p, anyPos)}")
-      if (java.nio.file.Files.exists(dst)) {
-        if (java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
-          sys.error(s"rehome collision: $dst exists with a different size")
-      } else {
-        java.nio.file.Files.createDirectories(dst.getParent)
-        // temp + atomic move: a crashed copy never leaves a torn file
-        // a resumed run would trust by its (wrong) size
-        val tmp = java.nio.file.Files.createTempFile(
-          dst.getParent, ".rehome-", ".tmp")
-        try {
-          java.nio.file.Files.copy(src, tmp,
-            StandardCopyOption.REPLACE_EXISTING)
-          java.nio.file.Files.move(tmp, dst,
-            StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        } finally java.nio.file.Files.deleteIfExists(tmp)
+    // parallel copies (like the audit's stat pass): the shared slice of
+    // a large clone is many files, and a serial driver loop would make
+    // rehoming a million-file clone a days-long job; copies are
+    // independent (distinct destinations by construction — collisions
+    // error) so they saturate the store's concurrency instead.
+    // Production note: on a real cluster this is where a distributed
+    // copy job (Iceberg's rewrite_table_path shape) plugs in; the
+    // control flow — copy-all, then one metadata commit — is the same.
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      foreign.par.foreach { p =>
+        val src = java.nio.file.Paths.get(p)
+        val dst = java.nio.file.Paths.get(
+          s"$location/${rehomedRel(p, anyPos)}")
+        if (java.nio.file.Files.exists(dst)) {
+          if (java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+            sys.error(s"rehome collision: $dst exists with a different size")
+        } else {
+          java.nio.file.Files.createDirectories(dst.getParent)
+          // temp + atomic move: a crashed copy never leaves a torn file
+          // a resumed run would trust by its (wrong) size
+          val tmp = java.nio.file.Files.createTempFile(
+            dst.getParent, ".rehome-", ".tmp")
+          try {
+            java.nio.file.Files.copy(src, tmp,
+              StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.move(tmp, dst,
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+        }
       }
     }
     if (foreign.nonEmpty) MetadataIO.commitRetry(location) { cur =>
