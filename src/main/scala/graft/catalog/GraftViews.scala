@@ -113,7 +113,8 @@ object ViewIO {
   /** Claim the next document slot atomically; conflict = a racer won. */
   def commit(location: String, meta: ViewMetadata): Unit = {
     val next = currentDocVersion(location).getOrElse(0) + 1
-    if (!io.claim(docPath(location, next), Serialization.writePretty(meta)))
+    val doc = Serialization.writePretty(meta)
+    if (!io.claim(docPath(location, next), doc))
       throw new CommitConflictException(location, next)
     // advance-only hint swap (same contract as table hints)
     io.replaceAtomic(hintPath(location), next.toString)
@@ -124,11 +125,20 @@ object ViewIO {
     // Post-commit re-check → withdraw the unacknowledged view; a
     // rename claiming AFTER this point aborts on its own emptiness
     // check seeing the visible document. Only the CREATE commit pays
-    // the exists() probe.
+    // the exists() probe. OWNERSHIP-CHECKED like the table twin: the
+    // withdraw deletes only a v1 document it can prove it wrote — if
+    // the rename's copy already REPLACE-wrote its source's v1 here,
+    // deleting it would leave the renamed view missing its v1 (the
+    // rename's pre-completion re-verify is the other half of the fix).
     if (next == 1 && io.exists(s"$location/" +
         graft.tableformat.ObjectStoreFileIO.RenameClaimMarker)) {
-      io.delete(hintPath(location))
-      io.delete(docPath(location, 1))
+      val owned =
+        try io.readString(docPath(location, 1)) == doc
+        catch { case _: Exception => false }
+      if (owned) {
+        io.delete(hintPath(location))
+        io.delete(docPath(location, 1))
+      }
       throw new IllegalArgumentException(
         s"$location became a rename destination during view creation; " +
           "the create was withdrawn — retry after the rename settles")

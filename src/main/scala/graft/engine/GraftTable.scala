@@ -405,7 +405,30 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * silently resurrect MoR-deleted rows if the table directory moved.
     */
   private def relDataPath(c: Column): Column =
-    regexp_replace(c, "^.*/data/", "data/")
+    // second pass: a path with NO data/ segment (an add_files import)
+    // stays absolute — strip the URI scheme the scan side reports
+    // (`_metadata.file_path` is `file:///...`) so it matches the
+    // scheme-less absolute path the manifest records
+    regexp_replace(
+      regexp_replace(c, "^.*/data/", "data/"),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/{0,2}(?=/)", "")
+
+  /** Driver-side twin of [[relDataPath]] for MANIFEST-recorded paths.
+    * Table-managed files record location-relative `data/...` keys and
+    * pass through unchanged; add_files imports record their original
+    * absolute (scheme-less) path, while delete keys derived from the
+    * scan side carry a `file:///...` URI — so every join between
+    * delete keys and manifest paths must normalize BOTH sides to one
+    * form, or imported files silently stop matching (MoR-deleted rows
+    * resurrect on compaction, merges skip their files, CDC misses
+    * their changes).
+    */
+  private def relDataPathStr(p: String): String = {
+    if (p.startsWith("data/")) return p
+    val i = p.lastIndexOf("/data/")
+    if (i >= 0) p.substring(i + 1)
+    else p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/{0,2}(?=/)", "")
+  }
 
   private def applyDeletes(tagged: DataFrame,
       deletes: Vector[DataFileEntry]): DataFrame = {
@@ -438,7 +461,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       require(m.currentSchema.fieldByName(c).isEmpty,
         s"column name $c is reserved by the equality-delete read path"))
     val seqDf = spark.createDataFrame(
-      files.map(f => (f.path, f.seq))).toDF("__sf_path", "_g_seq")
+      files.map(f => (relDataPathStr(f.path), f.seq)))
+      .toDF("__sf_path", "_g_seq")
     val withSeq = tagged.join(broadcast(seqDf),
       relDataPath(tagged("_g_path")) === seqDf("__sf_path"), "left")
       .drop("__sf_path")
@@ -889,46 +913,43 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }
     }
     val m = meta
-    val anyPos = m.snapshots.exists(_.deleteFiles.exists(f =>
-      f.equalityIds.isEmpty && isForeign(f.path)))
+    // positional deletes match rows by the data file's path SUFFIX
+    // (see relDataPath): a foreign file WITHOUT a data/ segment gets a
+    // new suffix under data/rehomed/, so its delete keys would silently
+    // stop matching — deleted rows would resurrect. The hazard is the
+    // KEYS' target, not where the delete file itself lives (a
+    // clone-local delete file can perfectly well key an add_files-
+    // imported foreign path), so the guard fires when ANY positional
+    // delete exists in retained history; rehomedRel then refuses any
+    // suffix-changing move.
+    val anyPos = m.snapshots.exists(_.deleteFiles.exists(
+      _.equalityIds.isEmpty))
     val foreign = m.snapshots.flatMap(s => s.files ++ s.deleteFiles)
       .map(_.path).filter(isForeign).distinct
     // parallel copies (like the audit's stat pass): the shared slice of
     // a large clone is many files, and a serial driver loop would make
     // rehoming a million-file clone a days-long job; copies are
     // independent (distinct destinations by construction — collisions
-    // error) so they saturate the store's concurrency instead.
+    // error) so they saturate the store's concurrency instead. Each
+    // copy routes through the FileIO seam — server-side COPY on a real
+    // object store, temp+atomic-move locally — so no POSIX assumption
+    // and no phantom in-flight key leaks in (ADVICE r15).
     // Production note: on a real cluster this is where a distributed
     // copy job (Iceberg's rewrite_table_path shape) plugs in; the
     // control flow — copy-all, then one metadata commit — is the same.
     locally {
       import scala.collection.parallel.CollectionConverters._
       foreign.par.foreach { p =>
-        val src = java.nio.file.Paths.get(p)
-        val dst = java.nio.file.Paths.get(
-          s"$location/${rehomedRel(p, anyPos)}")
-        if (java.nio.file.Files.exists(dst)) {
-          if (java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+        val dst = s"$location/${rehomedRel(p, anyPos)}"
+        if (io.exists(dst)) {
+          if (io.size(dst) != io.size(p))
             sys.error(s"rehome collision: $dst exists with a different size")
-        } else {
-          java.nio.file.Files.createDirectories(dst.getParent)
-          // temp + atomic move: a crashed copy never leaves a torn file
-          // a resumed run would trust by its (wrong) size
-          val tmp = java.nio.file.Files.createTempFile(
-            dst.getParent, ".rehome-", ".tmp")
-          try {
-            java.nio.file.Files.copy(src, tmp,
-              StandardCopyOption.REPLACE_EXISTING)
-            java.nio.file.Files.move(tmp, dst,
-              StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-          } finally java.nio.file.Files.deleteIfExists(tmp)
-        }
+        } else io.copy(p, dst)
       }
     }
     if (foreign.nonEmpty) MetadataIO.commitRetry(location) { cur =>
-      val curPos = cur.snapshots.exists(_.deleteFiles.exists(f =>
-        f.equalityIds.isEmpty && isForeign(f.path)))
+      val curPos = cur.snapshots.exists(_.deleteFiles.exists(
+        _.equalityIds.isEmpty))
       val snaps = cur.snapshots.map { s =>
         if (!(s.files ++ s.deleteFiles).exists(f => isForeign(f.path))) s
         else s.copy(
@@ -1836,7 +1857,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             .distinct().collect().map(_.getString(0)).toSet
           touched =
             if (nmsClauses.nonEmpty) files0 // every file may hold unmatched rows
-            else files0.filter(f => paths(f.path))
+            else files0.filter(f => paths(relDataPathStr(f.path)))
         } finally byRow.unpersist()
       } else touched = files0
     }
@@ -2407,7 +2428,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         .select(relDataPath(col("file_path")).as("p")).distinct()
         .collect().map(_.getString(0)).toSet // O(#affected files) paths
     val (affected, untouched) = snap.files.partition(f =>
-      posTargets.contains(f.path) || eqMaxSeq.exists(f.seq < _))
+      posTargets.contains(relDataPathStr(f.path)) ||
+        eqMaxSeq.exists(f.seq < _))
     val written =
       if (affected.isEmpty) Vector.empty[DataFileEntry]
       else writeFiles(m,
@@ -2454,7 +2476,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         val raw = spark.read.schema("file_path STRING, pos BIGINT")
           .parquet(pos.map(f => absPath(f.path)): _*)
           .select(relDataPath(col("file_path")).as("file_path"), col("pos"))
-        val live = spark.createDataFrame(snap.files.map(f => Tuple1(f.path)))
+        val live = spark.createDataFrame(
+          snap.files.map(f => Tuple1(relDataPathStr(f.path))))
           .toDF("__live_path")
         Some(raw.join(broadcast(live),
           raw("file_path") === live("__live_path"), "left_semi"))
@@ -2470,7 +2493,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         else {
           val tagged = readFilesTagged(m, affected)
           val seqDf = spark.createDataFrame(
-            affected.map(f => (f.path, f.seq))).toDF("__sf_path", "_g_seq")
+            affected.map(f => (relDataPathStr(f.path), f.seq)))
+            .toDF("__sf_path", "_g_seq")
           val withSeq = tagged.join(broadcast(seqDf),
             relDataPath(tagged("_g_path")) === seqDf("__sf_path"), "left")
             .drop("__sf_path")
@@ -2734,7 +2758,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   def maintain(deleteRatio: Double = 0.1,
       smallFileBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
       minInputFiles: Int = 2, keepLast: Int = 10,
-      orphanOlderThanMs: Long = GraftTable.OrphanDefaultOlderThanMs)
+      orphanOlderThanMs: Long = GraftTable.OrphanDefaultOlderThanMs,
+      renameGraceMsOverride: Option[Long] = None)
       : Seq[String] = {
     require(deleteRatio > 0, "deleteRatio must be positive")
     val actions = scala.collection.mutable.ArrayBuffer[String]()
@@ -2743,9 +2768,15 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // keeps the sweep off a rename still in flight; rolled BACK means
     // this location was a crashed rename's partial destination and no
     // longer holds a table — nothing further to maintain here.
-    val renameGraceMs = meta.properties
-      .get("graft.rename.recovery-grace-ms")
-      .flatMap(_.toLongOption).getOrElse(3600L * 1000)
+    // The grace property is read DEFENSIVELY: a rolled-back-shape
+    // destination (crash mid-copy, pointers never copied) has no
+    // version-hint, so the metadata load itself throws — exactly the
+    // crash shapes this repair exists for must not be unreachable
+    // because of it (ADVICE r15). Metadata unreadable → default grace.
+    val renameGraceMs = renameGraceMsOverride.getOrElse(
+      (try meta.properties.get("graft.rename.recovery-grace-ms")
+       catch { case scala.util.control.NonFatal(_) => None })
+        .flatMap(_.toLongOption).getOrElse(3600L * 1000))
     graft.tableformat.FileIO.io.recoverRename(location, renameGraceMs) match {
       case Some(graft.tableformat.RenameRolledForward(from)) =>
         actions += s"recover_rename:forward-from:$from"
@@ -2897,13 +2928,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * every retained snapshot (time-travel coverage).
     */
   def verifyIntegrity(allSnapshots: Boolean = false): Vector[String] = {
-    val m = meta
     val findings = Vector.newBuilder[String]
     // a crashed copy-based rename leaves its markers at the DESTINATION
     // — this location. Report it (the audit is read-only; maintain()
-    // runs the actual repair). One exists() per audit on POSIX, where
-    // the marker can never exist.
-    locally {
+    // runs the actual repair). Checked BEFORE the metadata load: a
+    // rolled-back-shape destination (crash mid-copy, pointers never
+    // copied) has no version-hint, so loading first would throw for
+    // exactly the crash shapes this finding documents (ADVICE r15).
+    // One exists() per audit on POSIX, where the marker can never
+    // exist.
+    val crashedRename = locally {
       val claimKey =
         s"$location/${graft.tableformat.ObjectStoreFileIO.RenameClaimMarker}"
       if (io.exists(claimKey)) {
@@ -2914,8 +2948,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           else "copy incomplete — repair rolls back (removes partial copies)"
         findings += s"incomplete rename into this location from " +
           s"${io.readString(claimKey).trim}: $phase; run maintain() to repair"
-      }
+        true
+      } else false
     }
+    val m =
+      try meta
+      catch {
+        case scala.util.control.NonFatal(e) if crashedRename =>
+          // partial destination: the rename finding above IS the audit
+          // result — there is no table here to walk yet
+          findings += s"metadata unreadable pending rename repair: " +
+            s"${e.getMessage}"
+          return findings.result()
+      }
     // manifest tier: every retained snapshot must plan
     // CACHE-BYPASSING reads throughout the manifest tier: the audit's
     // job is to doubt storage, and a manifest corrupted AFTER this
@@ -3670,7 +3715,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           .parquet(newPos.map(f => absPath(f.path)): _*)
         val refd = delDf.select(relDataPath(col("file_path")).as("p"))
           .distinct().collect().map(_.getString(0)).toSet
-        val files = fromSnap.files.filter(f => refd(f.path))
+        val files = fromSnap.files.filter(f => refd(relDataPathStr(f.path)))
         if (files.isEmpty) None
         else {
           val live = liveRows(m, fromSnap, files)
@@ -3687,7 +3732,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         else {
           val live = liveRows(m, fromSnap, affected)
           val seqDf = spark.createDataFrame(
-            affected.map(f => (f.path, f.seq))).toDF("__sf_path", "_g_seq")
+            affected.map(f => (relDataPathStr(f.path), f.seq)))
+            .toDF("__sf_path", "_g_seq")
           val withSeq = live.join(broadcast(seqDf),
             relDataPath(live("_g_path")) === seqDf("__sf_path"), "left")
             .drop("__sf_path")
@@ -3809,7 +3855,7 @@ object GraftTable {
       PartitionField(f.id, tr, PartitionTransforms.defaultName(src, tr))
     }
     m = m.copy(partitionSpecs = Vector(PartitionSpec(0, pfs.toVector)))
-    MetadataIO.commit(m)
+    val (_, committedDoc) = MetadataIO.commitWithContent(m)
     // mutual-abort handshake with copy-based rename: the marker check
     // above ran BEFORE our v1 landed, so a rename that claimed this
     // destination in between could clobber v1 mid-copy. Re-checking
@@ -3819,18 +3865,41 @@ object GraftTable {
     // our visible v1). An ACKNOWLEDGED create is therefore never
     // clobbered. (Both aborting in the tiny overlap is safe — fail
     // loud, retry succeeds.)
-    withdrawIfRenameClaimed(location)
+    withdrawIfRenameClaimed(location, committedDoc)
     new GraftTable(spark, location)
   }
 
   /** The post-commit half of create's rename handshake: if a rename
     * claim marker stands at `location`, withdraw the just-committed
     * table (nothing was acknowledged yet) and fail loud.
+    *
+    * OWNERSHIP-CHECKED (ADVICE r15): the racing rename's per-key copy
+    * REPLACE-writes the SOURCE's `v1.metadata.json` over this create's
+    * — a blind delete here would then remove the RENAME's document,
+    * leaving the renamed table permanently missing its v1 after the
+    * rename finishes and deletes its source (unresolvable if the
+    * source was at v1). The withdraw therefore deletes ONLY a v1 it
+    * can prove it wrote (`ownV1Content` = the exact document this
+    * create claimed); if the rename already clobbered it, the rename
+    * owns the location and nothing is deleted. The residual
+    * read-match-then-delete window (the rename copies v1 between this
+    * check and the delete) is closed from the rename's side by
+    * renameVia's pre-completion handshake re-verify, which re-copies
+    * any missing v1/hint key while its source is still intact.
     */
-  private[graft] def withdrawIfRenameClaimed(location: String): Unit = {
+  private[graft] def withdrawIfRenameClaimed(location: String,
+      ownV1Content: String): Unit = {
     if (io.exists(s"$location/${ObjectStoreFileIO.RenameClaimMarker}")) {
-      io.delete(s"$location/metadata/version-hint.text")
-      io.delete(MetadataIO.metadataPath(location, 1))
+      val v1 = MetadataIO.metadataPath(location, 1)
+      val owned =
+        try io.readString(v1) == ownV1Content
+        catch { case _: Exception => false } // already gone/rolled back
+      if (owned) {
+        // hint first: un-resolve the location before the version file
+        // disappears, so no reader window sees hint-without-document
+        io.delete(s"$location/metadata/version-hint.text")
+        io.delete(v1)
+      }
       throw new IllegalArgumentException(
         s"$location became a rename destination during create; " +
           "the create was withdrawn — retry after the rename settles")

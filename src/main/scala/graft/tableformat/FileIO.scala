@@ -81,6 +81,18 @@ trait FileIO {
   def claim(path: String, content: String): Boolean
   /** Atomic full-file replace; see the trait doc. */
   def replaceAtomic(path: String, content: String): Unit
+  /** Byte-exact single-file copy; `dst` is overwritten if present and
+    * becomes visible complete or not at all (readers never observe a
+    * torn copy). Data files are binary — the bytes must never
+    * round-trip through strings. Real object stores provide this
+    * SERVER-SIDE (S3 CopyObject, GCS rewrite, Azure Copy Blob), so the
+    * engine's physical maintenance that moves whole files — clone
+    * rehoming, copy-based rename — must route through this seam: a raw
+    * java.nio copy would both assume POSIX atomic-move (which object
+    * stores lack) and stage in-flight bytes inside the key namespace,
+    * where a concurrent LIST would see them as phantom keys.
+    */
+  def copy(src: String, dst: String): Unit
   /** Move every key under `fromDir` to the same relative key under
     * `toDir` (ALTER TABLE/VIEW RENAME). Fails if the destination
     * already holds anything; the destination check-and-take is ATOMIC
@@ -191,6 +203,20 @@ object LocalFileIO extends FileIO {
     try {
       Files.writeString(tmp, content)
       Files.move(tmp, target,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def copy(src: String, dst: String): Unit = {
+    val d = p(dst)
+    if (d.getParent != null) Files.createDirectories(d.getParent)
+    // temp + atomic move: a crashed copy never leaves a torn file a
+    // resumed caller would trust by its (wrong) size
+    val tmp = Files.createTempFile(d.getParent,
+      s".${d.getFileName}-", ".tmp")
+    try {
+      Files.copy(p(src), tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, d,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
   }
@@ -425,6 +451,21 @@ final class ObjectStoreFileIO extends FileIO {
   override def replaceAtomic(path: String, content: String): Unit =
     writeString(path, content)
 
+  override def copy(src: String, dst: String): Unit = {
+    // server-side COPY (S3 CopyObject): atomic per destination key like
+    // any PUT; the source must be a visible key, and the in-flight
+    // bytes stage OUTSIDE the key namespace — a concurrent LIST never
+    // sees a phantom key for a copy in progress
+    val s = requireKey(src)
+    val d = p(dst)
+    val tmp = stagedTmp(d)
+    try {
+      Files.copy(s, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, d,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
   override def rename(fromDir: String, toDir: String): Unit =
     renameVia(this, fromDir, toDir)
 
@@ -445,6 +486,13 @@ final class ObjectStoreFileIO extends FileIO {
     if (renameCrashPoint.contains(point))
       throw new IllegalStateException(s"simulated crash at $point")
 
+  /** Test hook: runs after the copy phase, before the handshake
+    * re-verify — the window where a racing create's withdraw can have
+    * deleted a destination key this rename copied (see the re-verify
+    * note in [[renameVia]]).
+    */
+  private[graft] var renameHandshakeHookForTesting: Option[() => Unit] = None
+
   /** The object-store rename protocol, with commit arbitration routed
     * through `arbiter` (this instance for bare conditional-PUT stores;
     * the [[CatalogFileIO]] wrapper for catalog-CAS stores, so the
@@ -458,11 +506,12 @@ final class ObjectStoreFileIO extends FileIO {
     *      named (two racing renames, or a rename racing a re-rename,
     *      can no longer both pass an exists check and interleave
     *      copies); then verify the destination holds no other keys.
-    *   2. COPY every key (byte-exact Files.copy — data files are
-    *      binary and must never round-trip through strings), POINTER
-    *      FILES LAST (version-hint/view-hint): a reader can never
-    *      resolve the destination before the versions it points at are
-    *      all present.
+    *   2. COPY every key through the [[copy]] seam (byte-exact,
+    *      server-side on a real store — data files are binary and must
+    *      never round-trip through strings), plain keys in parallel,
+    *      POINTER FILES LAST (version-hint/view-hint): a reader can
+    *      never resolve the destination before the versions it points
+    *      at are all present.
     *   3. COMPLETION marker: from here the destination is whole and
     *      recovery rolls FORWARD.
     *   4. DELETE the source, pointers FIRST (readers stop resolving
@@ -503,15 +552,40 @@ final class ObjectStoreFileIO extends FileIO {
     }
     val keys = listRecursive(fromDir)
     val (pointers, plain) = keys.partition(isPointerKey)
-    var copied = 0
-    (plain ++ pointers).foreach { k =>
-      val rel = k.stripPrefix(fromDir).stripPrefix("/")
-      val dst = p(s"$toDir/$rel")
-      Files.createDirectories(dst.getParent)
-      Files.copy(p(k), dst, StandardCopyOption.REPLACE_EXISTING)
-      copied += 1
-      if (copied == 1) crashIfAt("mid-copy")
+    // COPY phase, through the [[copy]] seam (server-side COPY on a real
+    // store — never raw java.nio). Plain keys are order-independent and
+    // copy in PARALLEL: a million-key table rename must saturate the
+    // store's concurrency, not run a serial driver loop (on a real
+    // cluster this is where a distributed copy job plugs in; the
+    // protocol — claim, copy-all-pointers-last, complete — is the
+    // same). The protocol's only ordering constraint is POINTERS LAST,
+    // so the pointer group stays serial after the parallel group
+    // completes. The first plain key copies alone so the mid-copy crash
+    // hook stays deterministic ("exactly one key landed").
+    def copyKey(k: String): Unit =
+      copy(k, s"$toDir/${k.stripPrefix(fromDir).stripPrefix("/")}")
+    plain.headOption.foreach { k => copyKey(k); crashIfAt("mid-copy") }
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      plain.drop(1).par.foreach(copyKey)
     }
+    pointers.foreach(copyKey)
+    // HANDSHAKE RE-VERIFY: a CREATE racing this rename withdraws by
+    // deleting the destination's v1 document / hint pointer, and its
+    // delete can land on OUR copy — the withdraw's ownership check
+    // (GraftTable.withdrawIfRenameClaimed) closes most of that window
+    // from the create's side; this re-copy closes it from the rename's
+    // side, so an acknowledged rename is never missing a key. The
+    // source is still intact here (deletion starts only after the
+    // completion marker), so a re-copy is always possible. O(1) per
+    // rename: only the keys a withdraw ever touches.
+    renameHandshakeHookForTesting.foreach(_())
+    keys.filter(k => isPointerKey(k) ||
+        k.endsWith("/v1.metadata.json") || k.endsWith("/v1.view.json"))
+      .foreach { k =>
+        if (!exists(s"$toDir/${k.stripPrefix(fromDir).stripPrefix("/")}"))
+          copyKey(k)
+      }
     crashIfAt("before-complete")
     writeString(doneKey, fromDir)
     crashIfAt("after-complete")
@@ -822,6 +896,7 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   }
   override def replaceAtomic(path: String, content: String): Unit =
     store.replaceAtomic(path, content)
+  override def copy(src: String, dst: String): Unit = store.copy(src, dst)
 }
 
 object CatalogFileIO {

@@ -195,7 +195,16 @@ object MetadataIO {
     meta.copy(snapshots = meta.snapshots.map(s => byId(s.snapshotId)))
   }
 
-  def commit(metaRaw: TableMetadata): Int = {
+  def commit(metaRaw: TableMetadata): Int = commitWithContent(metaRaw)._1
+
+  /** [[commit]], also returning the exact serialized document that was
+    * claimed. CREATE's rename handshake needs it: the post-commit
+    * withdraw must prove the v1 document it is about to delete is the
+    * one THIS create wrote — not a racing rename's copy of its source
+    * (see GraftTable.withdrawIfRenameClaimed).
+    */
+  private[graft] def commitWithContent(metaRaw: TableMetadata)
+      : (Int, String) = {
     val meta = sealAll(metaRaw)
     // The claim version comes from the metadata's OWN lineage — the last
     // metadataLog entry is the version this document was read at — NOT
@@ -223,8 +232,8 @@ object MetadataIO {
     // the FileIO claim primitive: the document becomes visible complete
     // and uniquely owned, or not at all — a reader can never observe a
     // torn vN file and a racing writer can never silently clobber one
-    if (!io.claim(metadataPath(meta.location, next),
-        Serialization.writePretty(withLog)))
+    val content = Serialization.writePretty(withLog)
+    if (!io.claim(metadataPath(meta.location, next), content))
       throw new CommitConflictException(meta.location, next)
     advanceHint(meta.location, next)
     // after the commit is visible: physically delete trimmed-out
@@ -240,7 +249,7 @@ object MetadataIO {
         try io.delete(metadataPath(meta.location, versionOfLogFile(e)))
         catch { case _: java.io.IOException => () }
       }
-    next
+    (next, content)
   }
 
   /** Optimistic read-transform-write: `transform` re-runs against the

@@ -2038,6 +2038,48 @@ class EngineSpec extends AnyFunSuite {
     assert(dst.read().count() == 9L)
   }
 
+  test("rehomeClone refuses when positional deletes exist and a non-" +
+      "data/ foreign file (add_files import) would change its path " +
+      "suffix — the delete keys would silently stop matching") {
+    import spark.implicits._
+    // an external parquet file: imported by path, so its recorded path
+    // has no data/ segment to preserve through a rehome
+    val extDir = tmp()
+    (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(extDir)
+    val src = GraftTable.create(spark, tmp(), "pos_src",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    src.addFiles(extDir)
+    val dstLoc = tmp()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dstLoc))
+    val dst = src.snapshotTo(dstLoc, "pos_dst")
+    // the hazard ADVICE r15 named: the delete FILE is clone-LOCAL (so
+    // a delete-file-foreignness guard never fires) but its KEYS record
+    // the import's absolute path — rehoming the import under
+    // data/rehomed/ would orphan those keys and resurrect the row
+    dst.delete(col("id") === 2L)
+    assert(dst.read().count() == 3L)
+    val e = intercept[Exception](dst.rehomeClone())
+    assert(e.toString.contains("cannot rehome") ||
+      Option(e.getCause).exists(_.toString.contains("cannot rehome")),
+      e.toString)
+    // nothing committed: still reads correctly, still MoR-hidden
+    assert(dst.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "v1"), (3L, "v3"), (4L, "v4")))
+    // the documented way out: compact (materializes the deletes into
+    // local files), expire the delete-carrying history, then rehome
+    dst.rewriteDeletedDataFiles()
+    dst.expireSnapshots(keepLast = 1)
+    dst.rehomeClone()
+    assert(dst.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "v1"), (3L, "v3"), (4L, "v4")))
+    val foreignLeft = dst.meta.snapshots
+      .flatMap(s => s.files ++ s.deleteFiles).map(_.path)
+      .filter(p => p.startsWith("/") && !p.startsWith(dst.location + "/"))
+    assert(foreignLeft.isEmpty, foreignLeft.toString)
+  }
+
   test("orphan GC age guard: young unreferenced files survive (an " +
       "in-flight commit's staged writes), backdated ones reclaim") {
     import spark.implicits._
