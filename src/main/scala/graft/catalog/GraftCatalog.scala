@@ -100,6 +100,37 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     GraftTable.createAs(spark, location(db, name), s"$db.$name", df, partition)
   }
 
+  // ----------------------------------------------- multi-table transaction
+
+  /** MULTI-TABLE TRANSACTION — commit appends to several tables
+    * atomically: every batch's data files are written first (invisible
+    * until referenced), then ONE catalog CAS claims every table's next
+    * version together ([[graft.tableformat.FileIO.claimAll]]). A reader
+    * can never observe one table's commit without the others' — the
+    * LLM-pipeline shape this exists for is publishing a corpus table
+    * and its fingerprint/dedup index in lockstep, where a corpus-only
+    * commit would let a concurrent dedup pass miss documents. Only the
+    * catalog-arbitrated backend supports it (the Iceberg REST-catalog
+    * capability); bare conditional-PUT/POSIX stores refuse loudly.
+    * Returns the committed version per table, in input order.
+    */
+  def transact(ops: (GraftTable, DataFrame)*): Seq[Int] = {
+    require(ops.nonEmpty, "empty transaction")
+    MetadataIO.commitAll(ops.map { case (t, df) =>
+      t.location -> t.stageAppend(df)
+    })
+  }
+
+  /** [[transact]] for arbitrary metadata transforms (DDL, property
+    * flips, snapshot surgery) — the raw form: each table's transform
+    * re-runs against fresh metadata on contention, and the whole set
+    * commits through one atomic claim.
+    */
+  def transactTransforms(
+      ops: Seq[(GraftTable, graft.tableformat.TableMetadata =>
+        graft.tableformat.TableMetadata)]): Seq[Int] =
+    MetadataIO.commitAll(ops.map { case (t, f) => t.location -> f })
+
   // --------------------------------------------------------- D8: DESCRIBE
 
   /** DESCRIBE TABLE: column name / type / field-id rows. */

@@ -19,6 +19,8 @@ import graft.engine.GraftTable
   *   CALL graft.system.expire_snapshots('db.t', <keep_last>)
   *   CALL graft.system.expire_snapshots_older_than('db.t', <epoch_millis>
   *     [, <retain_last>])
+  *   CALL graft.system.expire_view_versions('db.v', <keep_last>
+  *     [, <older_than_ms>])
   *   CALL graft.system.rewrite_data_files('db.t' [, 'sortCol1,sortCol2'])
   *   CALL graft.system.rewrite_data_files_binpack('db.t'
   *     [, <min_file_size_bytes>, <target_file_size_bytes>,
@@ -93,6 +95,26 @@ object GraftProcedures {
     Def("rewrite_deleted_data_files",
       Seq(in("table", StringType)),
       (w, r) => table(w, str(r, 0)).rewriteDeletedDataFiles()),
+    // view-version retention: CALL graft.system.expire_view_versions(
+    //   'db.v', <keep_last> [, <older_than_ms>]) — the view twin of
+    // expire_snapshots (a daily CREATE OR REPLACE accretes a version
+    // per run); the current version always survives
+    Def("expire_view_versions",
+      Seq(in("view", StringType), in("keep_last", IntegerType),
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue(Long.MaxValue.toString).build()),
+      (w, r) => {
+        val wh = w().getOrElse(sys.error("spark.graft.warehouse not set"))
+        val ref = str(r, 0)
+        val loc = ref.split('.') match {
+          case Array(db, v) => java.nio.file.Paths.get(wh, db, v).toString
+          case _ => sys.error(s"view argument must be 'db.view', got '$ref'")
+        }
+        require(ViewIO.exists(loc), s"no view at $ref")
+        ViewIO.expireVersions(loc, r.getInt(1),
+          if (r.isNullAt(2)) Long.MaxValue else r.getLong(2))
+        ()
+      }),
     Def("maintain",
       Seq(in("table", StringType),
         ProcedureParameter.in("delete_ratio", DoubleType)

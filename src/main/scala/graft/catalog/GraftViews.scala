@@ -150,4 +150,32 @@ object ViewIO {
     io.deleteTree(location)
     true
   }
+
+  /** View-version retention — the view twin of snapshot expiry: a
+    * pipeline definition that is CREATE-OR-REPLACEd daily accretes a
+    * version per run and `graft.db.v.versions` grows without bound.
+    * Drops every recorded [[ViewVersion]] except the newest `keepLast`
+    * and any with `timestampMs >= olderThanMs`; the CURRENT version
+    * always survives (so SHOW CREATE and plain reads are unaffected).
+    * `VERSION AS OF` an expired id then fails loudly, listing the
+    * survivors — same contract as time travel to an expired snapshot.
+    * Returns the dropped version ids (empty = nothing to do, no
+    * commit). Concurrency: goes through [[commit]]'s claim, so a
+    * racing REPLACE surfaces as the usual commit conflict.
+    */
+  def expireVersions(location: String, keepLast: Int,
+      olderThanMs: Long = Long.MaxValue): Vector[Int] = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val cur = read(location)
+    val newest = cur.versions.sortBy(-_.versionId).take(keepLast)
+      .map(_.versionId).toSet
+    val keep = cur.versions.filter(v => newest(v.versionId) ||
+      v.timestampMs >= olderThanMs).map(_.versionId).toSet +
+      cur.currentVersionId
+    val dropped = cur.versions.map(_.versionId).filterNot(keep).toVector
+    if (dropped.isEmpty) return Vector.empty
+    commit(location,
+      cur.copy(versions = cur.versions.filter(v => keep(v.versionId))))
+    dropped
+  }
 }

@@ -1005,6 +1005,26 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       (ClonesKey -> live.mkString(CloneSep.toString)))
   }
 
+  /** Stage an append WITHOUT committing: write the data files now
+    * (invisible until a snapshot references them — the same
+    * files-before-metadata order every commit uses) and return the
+    * metadata transform that appends them. The building block
+    * [[graft.catalog.GraftCatalog.transact]] composes into ONE
+    * multi-table claim set, so e.g. a corpus table and its fingerprint
+    * index commit together or not at all. The transform rebases like a
+    * plain append (new files are disjoint from whatever the current
+    * snapshot holds), so transaction retries re-run it against fresh
+    * metadata without rewriting any data.
+    */
+  private[graft] def stageAppend(df: DataFrame)
+      : TableMetadata => TableMetadata = {
+    val written = writeFiles(meta, df)
+    (cur: TableMetadata) =>
+      withSnapshot(cur, "append",
+        cur.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ written,
+        cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty))
+  }
+
   /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
   def overwrite(df: DataFrame): GraftTable = commitWrite(df, "overwrite", carryOver = false)
 

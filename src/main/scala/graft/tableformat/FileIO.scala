@@ -81,6 +81,23 @@ trait FileIO {
   def claim(path: String, content: String): Boolean
   /** Atomic full-file replace; see the trait doc. */
   def replaceAtomic(path: String, content: String): Unit
+  /** Atomically claim EVERY (path, content) slot, or none — the
+    * MULTI-TABLE TRANSACTION primitive (commit two tables' next
+    * versions together or not at all). Only a catalog-arbitrated
+    * backend can provide it: one CAS at the catalog covers the whole
+    * slot set, so readers never observe one table's commit without the
+    * others'. Bare stores (conditional PUT, POSIX link) have no atomic
+    * multi-key claim — sequential claims with rollback would both leak
+    * a transient single-table commit to readers and delete a version
+    * document a reader may already have seen — so the default REFUSES,
+    * mirroring Iceberg, where multi-table transactions are a
+    * REST-catalog capability.
+    */
+  def claimAll(entries: Seq[(String, String)]): Boolean =
+    throw new UnsupportedOperationException(
+      "multi-table transactions require catalog commit arbitration " +
+        "(GRAFT_FILEIO=catalog:<port>); bare stores have no atomic " +
+        "multi-key claim")
   /** Byte-exact single-file copy; `dst` is overwritten if present and
     * becomes visible complete or not at all (readers never observe a
     * torn copy). Data files are binary — the bytes must never
@@ -717,8 +734,27 @@ final class CatalogCommitServer {
               val tab = body.indexOf('\t')
               val (path, docKey) =
                 if (tab < 0) (body, "") else (body.take(tab), body.drop(tab + 1))
-              if (claimed.putIfAbsent(path, docKey) == null) "WIN\n"
-              else "LOSE\n"
+              // synchronized (not bare putIfAbsent): a single-slot
+              // claim must not interleave between a CLAIMALL's
+              // all-absent check and its puts
+              claimed.synchronized {
+                if (claimed.putIfAbsent(path, docKey) == null) "WIN\n"
+                else "LOSE\n"
+              }
+            case l if l.startsWith("CLAIMALL ") =>
+              // multi-table transaction: `CLAIMALL p1\td1\tp2\td2…` —
+              // claim EVERY slot or none, atomically (one monitor holds
+              // the whole check-then-put); this single CAS is what
+              // makes a two-table commit all-or-nothing
+              val parts = l.substring(9).split('\t')
+              if (parts.length < 2 || parts.length % 2 != 0) "LOSE\n"
+              else {
+                val pairs = parts.grouped(2).map(a => (a(0), a(1))).toVector
+                claimed.synchronized {
+                  if (pairs.exists(p => claimed.containsKey(p._1))) "LOSE\n"
+                  else { pairs.foreach(p => claimed.put(p._1, p._2)); "WIN\n" }
+                }
+              }
             case l if l.startsWith("LOOKUP ") =>
               claimed.get(l.substring(7)) match {
                 case null => "NONE\n"
@@ -813,6 +849,41 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     } else {
       store.delete(docKey)
       healUnpublished(path)
+      false
+    }
+  }
+
+  /** Multi-table transaction: the same REST commit shape as [[claim]],
+    * lifted to a slot SET — every document lands durable under its
+    * unique staged key first, then ONE catalog CAS (`CLAIMALL`) claims
+    * all the slots or none. The CAS is the commit for the whole set:
+    * a winner that crashes before publishing any subset of the
+    * documents is healed per-slot exactly like a single-table commit
+    * (readers' exists-probe and the next writer's losing claim both
+    * consult the catalog, which knows every staged key), so no reader
+    * can observe one table's commit without the others'.
+    */
+  override def claimAll(entries: Seq[(String, String)]): Boolean = {
+    require(entries.nonEmpty, "empty transaction")
+    val staged = entries.map { case (path, content) =>
+      val docKey = stagedDocKey(path)
+      store.writeString(docKey, content)
+      (path, content, docKey)
+    }
+    val cmd = "CLAIMALL " +
+      staged.map { case (p, _, k) => s"$p\t$k" }.mkString("\t")
+    if (send(cmd) == "WIN") {
+      if (crashAfterCasForTesting)
+        throw new IllegalStateException(
+          "simulated crash between catalog CAS and publish PUTs")
+      staged.foreach { case (path, content, docKey) =>
+        store.writeString(path, content)
+        store.delete(docKey)
+      }
+      true
+    } else {
+      staged.foreach { case (_, _, docKey) => store.delete(docKey) }
+      entries.foreach { case (path, _) => healUnpublished(path) }
       false
     }
   }

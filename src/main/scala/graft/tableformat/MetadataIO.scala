@@ -149,10 +149,16 @@ object MetadataIO {
       case _ => ()
     }
     val parsed = JsonMethods.parse(json).extract[TableMetadata]
-    // hydrate manifest resolution with the location the document was
-    // READ from (not its recorded one — a moved/renamed table resolves
-    // its relative manifest paths under the new root)
-    val m = parsed.copy(snapshots =
+    // hydrate with the location the document was READ from (not its
+    // recorded one — a moved/renamed table resolves its relative
+    // manifest paths under the new root). The TOP-LEVEL location heals
+    // too, not just the snapshots': commit() claims the next version
+    // under meta.location, so a table whose physical rename completed
+    // but whose location-rewrite commit didn't (crash between the two
+    // in renameTable) would otherwise send its NEXT commit to the old,
+    // now-empty directory — silently forking the table. (Surfaced by
+    // the crash-point fuzz.)
+    val m = parsed.copy(location = location, snapshots =
       parsed.snapshots.map(_.copy(location = location)))
     // lineage heal: commit() claims (last metadataLog version)+1, so a
     // document whose log predates the file it was read from (hand-
@@ -205,6 +211,24 @@ object MetadataIO {
     */
   private[graft] def commitWithContent(metaRaw: TableMetadata)
       : (Int, String) = {
+    val p = prepare(metaRaw)
+    // the FileIO claim primitive: the document becomes visible complete
+    // and uniquely owned, or not at all — a reader can never observe a
+    // torn vN file and a racing writer can never silently clobber one
+    if (!io.claim(metadataPath(p.meta.location, p.next), p.content))
+      throw new CommitConflictException(p.meta.location, p.next)
+    finish(p)
+    (p.next, p.content)
+  }
+
+  /** A commit, serialized and versioned but not yet claimed — the unit
+    * [[commitWithContent]] claims singly and [[commitAll]] claims as an
+    * atomic set.
+    */
+  private final case class Prepared(meta: TableMetadata, next: Int,
+      content: String, dropped: Vector[MetadataLogEntry])
+
+  private def prepare(metaRaw: TableMetadata): Prepared = {
     val meta = sealAll(metaRaw)
     // The claim version comes from the metadata's OWN lineage — the last
     // metadataLog entry is the version this document was read at — NOT
@@ -229,27 +253,58 @@ object MetadataIO {
       else fullLog
     val dropped = fullLog.dropRight(keptLog.size)
     val withLog = meta.copy(metadataLog = keptLog)
-    // the FileIO claim primitive: the document becomes visible complete
-    // and uniquely owned, or not at all — a reader can never observe a
-    // torn vN file and a racing writer can never silently clobber one
-    val content = Serialization.writePretty(withLog)
-    if (!io.claim(metadataPath(meta.location, next), content))
-      throw new CommitConflictException(meta.location, next)
-    advanceHint(meta.location, next)
-    // after the commit is visible: physically delete trimmed-out
-    // metadata documents when opted in (Iceberg's
-    // write.metadata.delete-after-commit.enabled). Time travel by
-    // SNAPSHOT is unaffected — snapshots live in the current document;
-    // only readVersion() of the deleted document numbers stops working,
-    // the same trade Iceberg makes. Best-effort: a failed unlink leaves
-    // an orphan document, never a broken table.
-    if (meta.properties.get("write.metadata.delete-after-commit.enabled")
+    Prepared(withLog, next, Serialization.writePretty(withLog), dropped)
+  }
+
+  /** Post-claim bookkeeping: advance the hint, then physically delete
+    * trimmed-out metadata documents when opted in (Iceberg's
+    * write.metadata.delete-after-commit.enabled). Time travel by
+    * SNAPSHOT is unaffected — snapshots live in the current document;
+    * only readVersion() of the deleted document numbers stops working,
+    * the same trade Iceberg makes. Best-effort: a failed unlink leaves
+    * an orphan document, never a broken table.
+    */
+  private def finish(p: Prepared): Unit = {
+    advanceHint(p.meta.location, p.next)
+    if (p.meta.properties.get("write.metadata.delete-after-commit.enabled")
         .contains("true"))
-      dropped.foreach { e =>
-        try io.delete(metadataPath(meta.location, versionOfLogFile(e)))
+      p.dropped.foreach { e =>
+        try io.delete(metadataPath(p.meta.location, versionOfLogFile(e)))
         catch { case _: java.io.IOException => () }
       }
-    (next, content)
+  }
+
+  /** MULTI-TABLE TRANSACTION: apply each location's transform to its
+    * freshly read metadata and commit every next-version document in
+    * ONE atomic claim set ([[FileIO.claimAll]] — a single catalog CAS
+    * on the catalog backend, a refusal on bare stores). All commits
+    * land or none do, and readers can never observe a subset: the CAS
+    * is the commit for the whole set, and per-slot healing makes each
+    * claimed document readable even if the winner crashed before
+    * publishing it. On contention (any slot already claimed) every
+    * transform re-runs against fresh metadata, same rebase contract as
+    * [[commitRetry]]. Returns the committed version per location, in
+    * input order.
+    */
+  def commitAll(ops: Seq[(String, TableMetadata => TableMetadata)],
+      attempts: Int = 20): Seq[Int] = {
+    require(ops.nonEmpty, "empty transaction")
+    require(ops.map(_._1).distinct.size == ops.size,
+      "a transaction may touch each table once (compose the transforms)")
+    var n = 0
+    while (true) {
+      val ps = ops.map { case (loc, transform) => prepare(transform(read(loc))) }
+      if (io.claimAll(ps.map(p =>
+          metadataPath(p.meta.location, p.next) -> p.content))) {
+        ps.foreach(finish)
+        return ps.map(_.next)
+      }
+      n += 1
+      if (n >= attempts)
+        throw new CommitConflictException(ps.head.meta.location, ps.head.next)
+      Thread.sleep(1L + scala.util.Random.nextInt(1 << math.min(n, 5)))
+    }
+    Seq.empty // unreachable
   }
 
   /** Optimistic read-transform-write: `transform` re-runs against the

@@ -1,0 +1,166 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.tableformat.{CatalogFileIO, FileIO, ObjectStoreFileIO,
+  RenameRolledBack, RenameRolledForward}
+import graft.engine.GraftTable
+
+/** Crash-point FUZZ over the storage protocols: the individual
+  * kill-point units (FileIOSpec, CatalogCommitSpec) pin each crash
+  * shape in isolation; this suite composes them — a SEEDED random op
+  * sequence (appends, CoW deletes, expiry, copy-based renames bouncing
+  * a table between two locations) with crash hooks armed at random:
+  *
+  *   - rename kill-points: mid-copy, before-complete, after-complete,
+  *     mid-unmark (the four phases of the claim/copy/complete/unmark
+  *     protocol);
+  *   - commit kill-point between the catalog CAS and the publish PUT
+  *     (catalog backend — the REST-commit crash window, where the CAS
+  *     already IS the commit);
+  *   - CREATE attempts at a crash-claimed destination (the
+  *     create-vs-rename handshake's refusal gate).
+  *
+  * After every crash the recovery surface a production operator has —
+  * recoverRename, reader-side healing, the handshake guards — must
+  * restore a state where the table reads exactly the model, the
+  * integrity audit is clean, and the final history is one linear,
+  * replayable snapshot chain. Deterministic seed: a failure replays
+  * exactly.
+  */
+abstract class CrashFuzzBase extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("local[4]", Some(4))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The emulated store carrying the rename crash hooks (the catalog
+    * backend wraps one).
+    */
+  protected def storeUnderTest: ObjectStoreFileIO = FileIO.io match {
+    case os: ObjectStoreFileIO => os
+    case c: CatalogFileIO      => c.storeForTesting
+    case other => fail(s"crash fuzz needs an object-store backend, got $other")
+  }
+
+  /** Only the catalog backend has the CAS-vs-publish crash window. */
+  private def canCrashCas: Boolean = FileIO.io.isInstanceOf[CatalogFileIO]
+  private def armCasCrash(on: Boolean): Unit = FileIO.io match {
+    case c: CatalogFileIO => c.crashAfterCasForTesting = on
+    case _                => ()
+  }
+
+  test("36 seeded ops with randomly armed crash points: recovery + " +
+      "healing always restore a linear, replayable history") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-crashfuzz").toString
+    val locs = Vector(s"$wh/db/ta", s"$wh/db/tb")
+    var cur = 0
+    GraftTable.create(spark, locs(cur), "cf",
+      Seq("id" -> "long", "v" -> "string"))
+    val model = scala.collection.mutable.Map[Long, String]()
+    var nextId = 0L
+    val rnd = new scala.util.Random(20260815L)
+    val armed = scala.collection.mutable.Set[String]()
+
+    def t = new GraftTable(spark, locs(cur))
+    def check(opName: String): Unit = {
+      val got = t.read().as[(Long, String)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(got == model.toMap,
+        s"divergence after $opName: table=${got.size} model=${model.size}\n" +
+          s"only-table=${(got.keySet -- model.keySet).take(5)} " +
+          s"only-model=${(model.keySet -- got.keySet).take(5)}")
+      val audit = t.verifyIntegrity()
+      assert(audit.isEmpty, s"integrity after $opName: $audit")
+    }
+
+    for (step <- 1 to 36) {
+      val roll = rnd.nextInt(10)
+      val name =
+        if (roll < 4) { // append, sometimes killed between CAS and publish
+          val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            nextId += 1; (nextId, s"v$step-$nextId")
+          }
+          val crash = canCrashCas && rnd.nextInt(3) == 0
+          if (crash) {
+            armed += "cas-publish"
+            armCasCrash(true)
+            try {
+              val e = intercept[Exception](t.append(rows.toDF("id", "v")))
+              assert(e.getMessage != null &&
+                e.getMessage.contains("simulated"), e.toString)
+            } finally armCasCrash(false)
+          } else t.append(rows.toDF("id", "v"))
+          // the CAS IS the commit: a kill before the publish PUT still
+          // committed — the model must include the batch, and check()'s
+          // read must heal the unpublished document to see it
+          rows.foreach(r => model(r._1) = r._2)
+          s"append(${rows.size}${if (crash) ", cas-crash" else ""})"
+        } else if (roll < 5 && model.nonEmpty) {
+          val victim = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          t.delete(col("id") === victim)
+          model.remove(victim)
+          s"delete($victim)"
+        } else if (roll < 9) { // rename to the other location
+          val from = locs(cur); val to = locs(1 - cur)
+          Vector(Option.empty[String], Some("mid-copy"),
+            Some("before-complete"), Some("after-complete"),
+            Some("mid-unmark"))(rnd.nextInt(5)) match {
+            case None =>
+              FileIO.io.rename(from, to); cur = 1 - cur
+              "rename(clean)"
+            case Some(pt) =>
+              armed += s"rename-$pt"
+              storeUnderTest.renameCrashPoint = Some(pt)
+              try intercept[IllegalStateException](
+                FileIO.io.rename(from, to))
+              finally storeUnderTest.renameCrashPoint = None
+              // while the claim marker stands, a CREATE at the crashed
+              // destination must refuse (handshake guard) — either on
+              // the marker or on the already-complete copied table
+              if (FileIO.io.exists(s"$to/" +
+                  ObjectStoreFileIO.RenameClaimMarker) && rnd.nextBoolean()) {
+                armed += "create-at-claimed"
+                val e = intercept[IllegalArgumentException](
+                  GraftTable.create(spark, to, "squatter",
+                    Seq("id" -> "long")))
+                assert(e.getMessage.contains("rename destination") ||
+                  e.getMessage.contains("table exists"), e.getMessage)
+              }
+              val rec = FileIO.io.recoverRename(to, olderThanMs = 0L)
+              rec match {
+                case Some(RenameRolledBack(f)) =>
+                  assert(f == from); () // table stayed at `from`
+                case Some(RenameRolledForward(f)) =>
+                  assert(f == from); cur = 1 - cur
+                case None => cur = 1 - cur // mid-unmark: completed rename
+              }
+              s"rename(crash=$pt -> $rec)"
+          }
+        } else {
+          t.expireSnapshots(1 + rnd.nextInt(3)); "expire"
+        }
+      check(s"step $step: $name")
+    }
+
+    assert(armed.size >= 3, s"crash classes exercised: $armed")
+    // one linear, replayable chain at whichever location survived
+    val m = t.meta
+    val chain = Iterator.unfold(m.currentSnapshotId) {
+      case Some(id) => m.snapshotById(id).map(s => (s, s.parentId))
+      case None     => None
+    }.size
+    assert(chain == m.snapshots.size,
+      s"forked history: chain=$chain snapshots=${m.snapshots.size}")
+    // the other location holds nothing a reader could resolve
+    assert(FileIO.io.listRecursive(locs(1 - cur)).isEmpty,
+      s"stale keys at the vacated location: " +
+        s"${FileIO.io.listRecursive(locs(1 - cur)).take(5)}")
+  }
+}
+
+class CrashFuzzObjectStoreSpec extends CrashFuzzBase with ObjectStoreBackend
+
+class CrashFuzzCatalogSpec extends CrashFuzzBase with CatalogBackend

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.GraftCatalog
+import graft.tableformat.{CatalogFileIO, FileIO, ObjectStoreFileIO}
+
+/** Multi-table transactions: one catalog CAS covering several tables'
+  * next-version claims (the Iceberg REST-catalog capability) — commit
+  * all or none, readers never observe a subset. The LLM-pipeline shape
+  * this exists for: publish a corpus table and its fingerprint/dedup
+  * index in lockstep.
+  */
+class TransactionSpec extends AnyFunSuite with CatalogBackend {
+
+  lazy val spark = GraftSession.builder("local[4]", Some(4))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-txn").toString
+
+  test("transact commits appends to two tables atomically; a racing " +
+      "single-table commit makes the whole set rebase and retry") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark, tmp())
+    val a = cat.createTable("db", "corpus",
+      Seq("id" -> "long", "v" -> "string"))
+    val b = cat.createTable("db", "fp",
+      Seq("id" -> "long", "v" -> "string"))
+    val versions = cat.transact(
+      a -> Seq((1L, "doc1")).toDF("id", "v"),
+      b -> Seq((1L, "fp1")).toDF("id", "v"))
+    assert(versions == Seq(2, 2), versions.toString) // v1 = create
+    assert(a.read().count() == 1 && b.read().count() == 1)
+    // a single-table append between transactions: the next transaction
+    // rebases on it (same contract as commitRetry) instead of losing it
+    a.append(Seq((100L, "solo")).toDF("id", "v"))
+    cat.transact(
+      a -> Seq((2L, "doc2")).toDF("id", "v"),
+      b -> Seq((2L, "fp2")).toDF("id", "v"))
+    assert(a.read().count() == 3, "solo append lost by the transaction")
+    assert(b.read().count() == 2)
+    assert(a.countRows() == 3 && b.countRows() == 2)
+    // linear history on both tables
+    Seq(a, b).foreach { t =>
+      val m = t.meta
+      val chain = Iterator.unfold(m.currentSnapshotId) {
+        case Some(id) => m.snapshotById(id).map(s => (s, s.parentId))
+        case None     => None
+      }.size
+      assert(chain == m.snapshots.size)
+    }
+    // one table may appear once per transaction — compose instead
+    intercept[IllegalArgumentException](cat.transact(
+      a -> Seq((8L, "x")).toDF("id", "v"),
+      a -> Seq((9L, "y")).toDF("id", "v")))
+  }
+
+  test("kill between the CAS and the publish PUTs: the transaction is " +
+      "COMMITTED for both tables — readers heal each document, never " +
+      "observe a subset") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark, tmp())
+    val a = cat.createTable("db", "c2", Seq("id" -> "long"))
+    val b = cat.createTable("db", "f2", Seq("id" -> "long"))
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    io.crashAfterCasForTesting = true
+    try intercept[IllegalStateException](cat.transact(
+      a -> Seq(1L).toDF("id"), b -> Seq(10L).toDF("id")))
+    finally io.crashAfterCasForTesting = false
+    // the CAS won: the transaction IS committed, with zero documents
+    // published — plain reads heal both tables' versions
+    assert(a.read().as[Long].collect().toSeq == Seq(1L))
+    assert(b.read().as[Long].collect().toSeq == Seq(10L))
+    // the next transaction rebases on the healed commits
+    cat.transact(a -> Seq(2L).toDF("id"), b -> Seq(20L).toDF("id"))
+    assert(a.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(b.read().as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+  }
+
+  test("bare stores refuse multi-table transactions loudly; " +
+      "single-table commits are unaffected") {
+    val before = FileIO.io
+    FileIO.install(new ObjectStoreFileIO)
+    try {
+      import spark.implicits._
+      val cat = new GraftCatalog(spark, tmp())
+      val a = cat.createTable("db", "na", Seq("id" -> "long"))
+      val b = cat.createTable("db", "nb", Seq("id" -> "long"))
+      val e = intercept[UnsupportedOperationException](cat.transact(
+        a -> Seq(1L).toDF("id"), b -> Seq(1L).toDF("id")))
+      assert(e.getMessage.contains("catalog"), e.getMessage)
+      a.append(Seq(2L).toDF("id"))
+      assert(a.read().count() == 1 && b.read().count() == 0)
+    } finally FileIO.install(before)
+  }
+
+  test("cross-process: a reader polling corpus-then-index never " +
+      "observes a corpus commit without its index commit") {
+    val wh = tmp()
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("db", "corpus", Seq("id" -> "long", "v" -> "string"))
+    cat.createTable("db", "fpidx", Seq("id" -> "long", "v" -> "string"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-txnrace")
+    val p = ForkHelper.forkJava("graft.TransactChild", Seq(wh, "8"),
+      Some(s"catalog:${catalogServer.port}"), dir, "txw")
+    // poll CORPUS FIRST, index second: were the two commits not atomic
+    // (corpus's version published/claimed before the index's), a poll
+    // landing between them would read index < corpus — the violation
+    def counts(): (Long, Long) = (
+      new graft.engine.GraftTable(spark, s"$wh/db/corpus").countRows(),
+      new graft.engine.GraftTable(spark, s"$wh/db/fpidx").countRows())
+    var polls = 0
+    while (p.isAlive) {
+      val (ca, cb) = counts()
+      assert(cb >= ca,
+        s"reader observed corpus=$ca with index=$cb (poll $polls)")
+      polls += 1
+      Thread.sleep(20)
+    }
+    assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
+      p.exitValue() == 0, s"writer failed; logs under $dir")
+    val (ca, cb) = counts()
+    assert(ca == 8L && cb == 8L, s"final counts: corpus=$ca index=$cb")
+    assert(polls > 0)
+  }
+}

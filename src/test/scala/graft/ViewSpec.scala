@@ -49,6 +49,53 @@ class ViewSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft.db.v1 VERSION AS OF 9"))
   }
 
+  test("expire_view_versions: keep-last / older-than retention — " +
+      "pinned reads of expired versions fail loudly, SHOW CREATE and " +
+      "current reads unaffected") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "evbase", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L, 3L).toDF("id"))
+    // a "daily pipeline redefinition": five versions accrete
+    (1 to 5).foreach { k =>
+      spark.sql("CREATE OR REPLACE VIEW graft.db.ev AS " +
+        s"SELECT id + $k AS d FROM graft.db.evbase")
+    }
+    assert(spark.sql("SELECT * FROM graft.db.ev.versions").count() == 5L)
+    // keep the newest 2 (v4, v5)
+    spark.sql("CALL graft.system.expire_view_versions('db.ev', 2)")
+    assert(spark.sql("SELECT version_id FROM graft.db.ev.versions")
+      .as[Int].collect().sorted.toSeq == Seq(4, 5))
+    // current read + SHOW CREATE still round-trip
+    assert(spark.sql("SELECT min(d) AS m FROM graft.db.ev")
+      .head().getLong(0) == 6L)
+    val ddl = spark.sql("SHOW CREATE TABLE graft.db.ev")
+      .head().getString(0)
+    assert(ddl.contains("id + 5"), ddl)
+    // surviving pinned version answers; expired one fails loudly
+    assert(spark.sql("SELECT min(d) AS m FROM graft.db.ev VERSION AS OF 4")
+      .head().getLong(0) == 5L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.ev VERSION AS OF 2").collect())
+    assert(e.getMessage.contains("no version 2"), e.getMessage)
+    // the CURRENT version can never expire, whatever keep_last says
+    // combined with an age cutoff in the future
+    spark.sql("CALL graft.system.expire_view_versions('db.ev', 1, " +
+      s"${Long.MaxValue}L)")
+    assert(spark.sql("SELECT version_id FROM graft.db.ev.versions")
+      .as[Int].collect().toSeq == Seq(5))
+    assert(spark.sql("SELECT min(d) AS m FROM graft.db.ev")
+      .head().getLong(0) == 6L)
+    // API form with an age cutoff: nothing younger than the cutoff is
+    // dropped even beyond keep_last
+    spark.sql("CREATE OR REPLACE VIEW graft.db.ev AS " +
+      "SELECT id + 9 AS d FROM graft.db.evbase")
+    val loc = graft.catalog.GraftViewSql.viewLocation(spark, "db", "ev").get
+    assert(ViewIO.expireVersions(loc, 1, olderThanMs = 0L).isEmpty,
+      "age cutoff 0 must retain everything")
+    assert(spark.sql("SELECT * FROM graft.db.ev.versions").count() == 2L)
+  }
+
   test("definition context: unqualified names resolve where the author sat") {
     import spark.implicits._
     val cat = freshCat()
