@@ -1017,6 +1017,112 @@ object CatalogQueries {
                CAST(sum(c_custkey) AS BIGINT) AS sum_key,
                min(c_acctbal) AS lo_bal, max(c_acctbal) AS hi_bal
         FROM customer WHERE c_acctbal >= 0
+      """)),
+
+    // Multi-table transaction (GraftCatalog.transact): a corpus table
+    // and its fingerprint index publish in LOCKSTEP — one catalog CAS
+    // claims both tables' next versions, so no reader ever sees a
+    // corpus batch whose fingerprints are missing (the dedup-pipeline
+    // consistency hole single-table commits leave open). Requires the
+    // catalog-arbitrated backend, so the setup spins up the loopback
+    // commit service for its three transactional batches and restores
+    // the ambient backend after. The oracle joins the two tables: any
+    // torn commit would break the equijoin's counts.
+    QueryDef(
+      "q166_multi_table_transaction",
+      (s, d) => {
+        val wh = setupOnce("q166", d) {
+          val w = scratch("txn")
+          val before = graft.tableformat.FileIO.io
+          val server = new graft.tableformat.CatalogCommitServer
+          try {
+            graft.tableformat.FileIO.install(
+              new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+            val cat = new GraftCatalog(s, w)
+            cat.createDatabase("db1")
+            val corpus = cat.createTable("db1", "txn_corpus", Seq(
+              "c_custkey" -> "long", "c_name" -> "string",
+              "c_acctbal" -> "double"))
+            val index = cat.createTable("db1", "txn_fp", Seq(
+              "c_custkey" -> "long", "fp" -> "long"))
+            val base = Tables.customer(s, d)
+              .select("c_custkey", "c_name", "c_acctbal")
+            Seq(0L, 1L, 2L).foreach { part =>
+              val batch = base.filter(col("c_custkey") % 3 === part)
+              val fps = batch.select(col("c_custkey"),
+                length(col("c_name")).cast("long").as("fp"))
+              cat.transact(corpus -> batch, index -> fps)
+            }
+            require(corpus.meta.snapshots.size == 3 &&
+              index.meta.snapshots.size == 3,
+              "each transaction must commit exactly one snapshot per table")
+          } finally {
+            graft.tableformat.FileIO.install(before)
+            server.close()
+          }
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT count(*) AS n_rows,
+                 CAST(sum(c.c_custkey) AS BIGINT) AS sum_key,
+                 CAST(sum(f.fp) AS BIGINT) AS sum_fp
+          FROM graft.db1.txn_corpus c
+          JOIN graft.db1.txn_fp f ON c.c_custkey = f.c_custkey""")
+      },
+      Some("""
+        SELECT count(*) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+               CAST(sum(length(c_name)) AS BIGINT) AS sum_fp
+        FROM customer
+      """)),
+
+    // View-version retention (CALL graft.system.expire_view_versions):
+    // five CREATE OR REPLACE generations, keep the newest two — the
+    // versions audit table lists exactly the survivors, the current
+    // definition still reads, and a pinned read of an expired version
+    // fails loudly (required in setup). The row count rides along so
+    // the oracle also pins that the CURRENT definition (generation 5)
+    // is the one serving reads.
+    QueryDef(
+      "q167_expire_view_versions",
+      (s, d) => {
+        val wh = setupOnce("q167", d) {
+          val w = scratch("vexp")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          cat.createTableAs("db1", "vexp_base",
+            Tables.customer(s, d).select("c_custkey", "c_acctbal"))
+          s.conf.set("spark.graft.warehouse", w)
+          (1 to 5).foreach { k =>
+            s.sql("CREATE OR REPLACE VIEW graft.db1.vexp AS " +
+              s"SELECT c_custkey, c_acctbal + $k AS adj " +
+              "FROM graft.db1.vexp_base")
+          }
+          s.sql("CALL graft.system.expire_view_versions('db1.vexp', 2)")
+          val failed =
+            try {
+              s.sql("SELECT * FROM graft.db1.vexp VERSION AS OF 1").collect()
+              false
+            } catch { case _: Exception => true }
+          require(failed, "pinned read of an expired version must fail")
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT v.version_id, v.is_current, t.n_rows
+          FROM graft.db1.vexp.versions v
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_rows
+                      FROM graft.db1.vexp WHERE adj > 0) t
+          ORDER BY v.version_id""")
+      },
+      Some("""
+        SELECT v.version_id, v.is_current, t.n_rows
+        FROM (SELECT 4 AS version_id, false AS is_current
+              UNION ALL SELECT 5, true) v
+        CROSS JOIN (SELECT count(*) AS n_rows FROM customer
+                    WHERE c_acctbal + 5 > 0) t
+        ORDER BY v.version_id
       """))
   )
 }
