@@ -435,11 +435,16 @@ final class ObjectStoreFileIO extends FileIO {
   }
 
   override def deleteTree(dir: String): Unit = {
-    // LIST + per-key DELETE. Then best-effort removal of the local
-    // dir skeletons purely as disk hygiene — a real store would have
-    // nothing left; the flat-key interface above can't see them
-    // either way.
-    listRecursive(dir).foreach(k => Files.deleteIfExists(p(k)))
+    // LIST + per-key DELETE, keys in parallel (a real store batches —
+    // S3 DeleteObjects takes 1000 keys per request — and a
+    // million-key DROP TABLE must not be a serial driver loop). Then
+    // best-effort removal of the local dir skeletons purely as disk
+    // hygiene — a real store would have nothing left; the flat-key
+    // interface above can't see them either way.
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      listRecursive(dir).par.foreach(k => Files.deleteIfExists(p(k)))
+    }
     val d = p(dir)
     // best-effort skeleton + staging-debris sweep (disk hygiene only —
     // nothing here is visible through the interface); tolerate races
@@ -606,7 +611,16 @@ final class ObjectStoreFileIO extends FileIO {
     crashIfAt("before-complete")
     writeString(doneKey, fromDir)
     crashIfAt("after-complete")
-    (pointers ++ plain).foreach(arbiter.delete)
+    // source delete: POINTERS FIRST (readers stop resolving the old
+    // location before any version file disappears), serially — then
+    // the order-free plain keys in parallel (same saturation argument
+    // as the copy phase; a crash mid-way is rolled forward by recovery
+    // whatever subset survived)
+    pointers.foreach(arbiter.delete)
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      plain.par.foreach(k => arbiter.delete(k))
+    }
     deleteTree(fromDir)
     // unmark ORDER MATTERS: claim first. A crash between the two
     // deletes then leaves done-without-claim — inert debris recovery
@@ -645,18 +659,27 @@ final class ObjectStoreFileIO extends FileIO {
     val from = readString(claimKey).trim
     if (exists(doneKey)) {
       // copy phase completed: destination is whole — roll forward by
-      // finishing the source delete (pointers first, as rename does)
+      // finishing the source delete (pointers first, as rename does;
+      // plain keys in parallel, as rename does)
       val (pointers, plain) = listRecursive(from).partition(isPointerKey)
-      (pointers ++ plain).foreach(arbiter.delete)
+      pointers.foreach(arbiter.delete)
+      locally {
+        import scala.collection.parallel.CollectionConverters._
+        plain.par.foreach(k => arbiter.delete(k))
+      }
       deleteTree(from)
       arbiter.delete(claimKey) // claim first — see renameVia's unmark note
       delete(doneKey)
       Some(RenameRolledForward(from))
     } else {
       // copy phase incomplete: the destination holds partial copies
-      // and the source is still the intact table — roll back
-      listRecursive(dir).filter(k => k != claimKey && k != doneKey)
-        .foreach(delete)
+      // and the source is still the intact table — roll back (the
+      // copies were plain PUTs, never claimed: no slots to release)
+      locally {
+        import scala.collection.parallel.CollectionConverters._
+        listRecursive(dir).filter(k => k != claimKey && k != doneKey)
+          .par.foreach(k => delete(k))
+      }
       arbiter.delete(claimKey)
       Some(RenameRolledBack(from))
     }
