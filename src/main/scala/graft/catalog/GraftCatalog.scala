@@ -116,8 +116,20 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     */
   def transact(ops: (GraftTable, DataFrame)*): Seq[Int] = {
     require(ops.nonEmpty, "empty transaction")
-    MetadataIO.commitAll(ops.map { case (t, df) =>
-      t.location -> t.stageAppend(df)
+    // ONE shared commit timestamp across the set (refreshed per retry
+    // attempt by the first transform): every table's snapshot carries
+    // the same timestampMs, so `TIMESTAMP AS OF` any instant reads a
+    // transaction-consistent set — no probe time can fall between one
+    // transaction's per-table snapshots. (A table whose history
+    // outpaced the hint bumps past it for monotonicity; consistency
+    // then degrades to per-table correctness, never to corruption.)
+    val staged = ops.map { case (t, df) => t -> t.stageAppend(df) }
+    val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
+    MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
+      t.location -> ((cur: graft.tableformat.TableMetadata) => {
+        if (i == 0) sharedTs.set(System.currentTimeMillis())
+        f(cur, sharedTs.get)
+      })
     })
   }
 

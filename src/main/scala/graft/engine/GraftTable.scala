@@ -1017,12 +1017,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * metadata without rewriting any data.
     */
   private[graft] def stageAppend(df: DataFrame)
-      : TableMetadata => TableMetadata = {
+      : (TableMetadata, Long) => TableMetadata = {
     val written = writeFiles(meta, df)
-    (cur: TableMetadata) =>
+    (cur: TableMetadata, sharedTs: Long) =>
       withSnapshot(cur, "append",
         cur.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ written,
-        cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty))
+        cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty),
+        tsHint = Some(sharedTs))
   }
 
   /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
@@ -1302,11 +1303,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     }
 
   /** New-snapshot metadata transform — pure function of `cur`, safe to
-    * re-run inside the optimistic-commit retry loop.
+    * re-run inside the optimistic-commit retry loop. `tsHint` lets a
+    * multi-table transaction stamp every table's snapshot with ONE
+    * shared commit timestamp, so `TIMESTAMP AS OF` any instant reads a
+    * transaction-consistent set (no probe time can fall between one
+    * transaction's per-table snapshots); monotonicity still wins —
+    * a hint older than the table's history is bumped past it.
     */
   private def withSnapshot(cur: TableMetadata, op: String,
       files: Vector[DataFileEntry],
-      deleteFiles: Vector[DataFileEntry]): TableMetadata = {
+      deleteFiles: Vector[DataFileEntry],
+      tsHint: Option[Long] = None): TableMetadata = {
     // STRICTLY monotonic per table: two commits inside one wall-clock
     // millisecond would otherwise tie on timestampMs, and every
     // consumer that orders history (snapshots/history views, snapshot
@@ -1316,7 +1323,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     // pointer moves (rollback/fast-forward) append log-only entries,
     // and a data commit in the same millisecond must sort AFTER them —
     // snapshotAsOfTime is log-ordered.
-    val now = math.max(System.currentTimeMillis(), math.max(
+    val now = math.max(tsHint.getOrElse(System.currentTimeMillis()), math.max(
       cur.snapshots.map(_.timestampMs).maxOption.getOrElse(Long.MinValue),
       cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(Long.MinValue)) + 1)
     val id = Math.abs(UUID.randomUUID().getMostSignificantBits)

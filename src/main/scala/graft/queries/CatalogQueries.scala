@@ -57,6 +57,47 @@ object CatalogQueries {
     w
   }
 
+  /** Transactional two-table fixture shared by q166/q168 (memoized
+    * under the q166 key; either query may run first): a corpus table
+    * and its fingerprint index populated by THREE two-table
+    * transactions on the loopback catalog service (each batch = one
+    * customer key-residue class), the ambient FileIO backend restored
+    * after. Every transaction commits exactly one snapshot per table,
+    * both stamped with the transaction's shared commit timestamp.
+    */
+  private def txnWarehouse(s: org.apache.spark.sql.SparkSession,
+      d: String): String = setupOnce("q166", d) {
+    val w = scratch("txn")
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = new GraftCatalog(s, w)
+      cat.createDatabase("db1")
+      val corpus = cat.createTable("db1", "txn_corpus", Seq(
+        "c_custkey" -> "long", "c_name" -> "string",
+        "c_acctbal" -> "double"))
+      val index = cat.createTable("db1", "txn_fp", Seq(
+        "c_custkey" -> "long", "fp" -> "long"))
+      val base = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+      Seq(0L, 1L, 2L).foreach { part =>
+        val batch = base.filter(col("c_custkey") % 3 === part)
+        val fps = batch.select(col("c_custkey"),
+          length(col("c_name")).cast("long").as("fp"))
+        cat.transact(corpus -> batch, index -> fps)
+      }
+      require(corpus.meta.snapshots.size == 3 &&
+        index.meta.snapshots.size == 3,
+        "each transaction must commit exactly one snapshot per table")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+    w
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // SQL text over registered names, with a join + agg through spark.sql
@@ -1031,37 +1072,7 @@ object CatalogQueries {
     QueryDef(
       "q166_multi_table_transaction",
       (s, d) => {
-        val wh = setupOnce("q166", d) {
-          val w = scratch("txn")
-          val before = graft.tableformat.FileIO.io
-          val server = new graft.tableformat.CatalogCommitServer
-          try {
-            graft.tableformat.FileIO.install(
-              new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
-            val cat = new GraftCatalog(s, w)
-            cat.createDatabase("db1")
-            val corpus = cat.createTable("db1", "txn_corpus", Seq(
-              "c_custkey" -> "long", "c_name" -> "string",
-              "c_acctbal" -> "double"))
-            val index = cat.createTable("db1", "txn_fp", Seq(
-              "c_custkey" -> "long", "fp" -> "long"))
-            val base = Tables.customer(s, d)
-              .select("c_custkey", "c_name", "c_acctbal")
-            Seq(0L, 1L, 2L).foreach { part =>
-              val batch = base.filter(col("c_custkey") % 3 === part)
-              val fps = batch.select(col("c_custkey"),
-                length(col("c_name")).cast("long").as("fp"))
-              cat.transact(corpus -> batch, index -> fps)
-            }
-            require(corpus.meta.snapshots.size == 3 &&
-              index.meta.snapshots.size == 3,
-              "each transaction must commit exactly one snapshot per table")
-          } finally {
-            graft.tableformat.FileIO.install(before)
-            server.close()
-          }
-          w
-        }
+        val wh = txnWarehouse(s, d)
         s.conf.set("spark.graft.warehouse", wh)
         s.sql("""
           SELECT count(*) AS n_rows,
@@ -1123,6 +1134,43 @@ object CatalogQueries {
         CROSS JOIN (SELECT count(*) AS n_rows FROM customer
                     WHERE c_acctbal + 5 > 0) t
         ORDER BY v.version_id
+      """)),
+
+    // Transaction-consistent TIME TRAVEL: every table in one
+    // transaction stamps its snapshot with the transaction's SHARED
+    // commit timestamp, so `AS OF` any instant reads a consistent set
+    // — no probe time can fall between the corpus commit and its
+    // fingerprint-index commit (per-table wall clocks would leave a
+    // torn-pair window at every transaction). The query requires exact
+    // timestamp alignment in metadata, then reads BOTH tables AS OF
+    // each transaction boundary; the oracle derives the per-boundary
+    // counts from the batch residue classes.
+    QueryDef(
+      "q168_txn_time_travel",
+      (s, d) => {
+        val wh = txnWarehouse(s, d)
+        s.conf.set("spark.graft.warehouse", wh)
+        val corpus = graft.engine.GraftTable.load(s,
+          java.nio.file.Paths.get(wh, "db1", "txn_corpus").toString)
+        val fp = graft.engine.GraftTable.load(s,
+          java.nio.file.Paths.get(wh, "db1", "txn_fp").toString)
+        val cTs = corpus.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs)
+        val fTs = fp.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs)
+        require(cTs == fTs,
+          s"transaction snapshots not timestamp-aligned: $cTs vs $fTs")
+        import s.implicits._
+        cTs.zipWithIndex.map { case (ts, i) =>
+          (i + 1, corpus.readAsOfTime(ts).count(), fp.readAsOfTime(ts).count())
+        }.toDF("batch", "n_corpus", "n_fp").orderBy("batch")
+      },
+      Some("""
+        SELECT b.batch,
+               (SELECT count(*) FROM customer
+                WHERE c_custkey % 3 < b.batch) AS n_corpus,
+               (SELECT count(*) FROM customer
+                WHERE c_custkey % 3 < b.batch) AS n_fp
+        FROM (SELECT 1 AS batch UNION ALL SELECT 2 UNION ALL SELECT 3) b
+        ORDER BY batch
       """))
   )
 }

@@ -54,6 +54,19 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     intercept[IllegalArgumentException](cat.transact(
       a -> Seq((8L, "x")).toDF("id", "v"),
       a -> Seq((9L, "y")).toDF("id", "v")))
+    // transaction-consistent TIME TRAVEL: each transaction's snapshots
+    // share ONE commit timestamp across tables, so AS OF any instant
+    // reads a consistent set — probe at the first transaction's stamp:
+    // b must already show its half even though a committed "first"
+    val aTs = a.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs)
+    val bTs = b.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs)
+    // a has one extra (the solo append); the two transactions align
+    assert(bTs.toSet.subsetOf(aTs.toSet),
+      s"transaction timestamps not aligned: a=$aTs b=$bTs")
+    val t1 = bTs.head
+    assert(a.readAsOfTime(t1).count() == 1 && b.readAsOfTime(t1).count() == 1)
+    assert(a.readAsOfTime(t1 - 1).count() == 0 &&
+      b.readAsOfTime(t1 - 1).count() == 0)
   }
 
   test("kill between the CAS and the publish PUTs: the transaction is " +
