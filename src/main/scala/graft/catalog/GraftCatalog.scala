@@ -133,6 +133,40 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     })
   }
 
+  /** Exactly-once MULTI-TABLE publish — the streaming `foreachBatch`
+    * shape: append every table's batch AND record
+    * `markerKey -> markerValue` on every table in the SAME atomic
+    * claim set; return false (nothing written) when the marker is
+    * already at or past `markerValue`. Because the set commits
+    * atomically, a crash or micro-batch REPLAY can never leave rows or
+    * markers on a subset of the tables: the replay either redoes the
+    * whole set or skips it whole. This is the transactional upgrade of
+    * the per-table appendIfNewMarker composition, which until now
+    * could expose a corpus batch whose index batch hadn't landed yet.
+    */
+  def transactIfNewMarker(markerKey: String, markerValue: Long,
+      ops: (GraftTable, DataFrame)*): Boolean = {
+    require(ops.nonEmpty, "empty transaction")
+    def seen(m: graft.tableformat.TableMetadata): Boolean =
+      m.properties.get(markerKey).exists(_.toLong >= markerValue)
+    if (ops.exists(o => seen(o._1.meta))) return false
+    val staged = ops.map { case (t, df) => t -> t.stageAppend(df) }
+    val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
+    final class SeenMarker extends RuntimeException
+    try {
+      MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
+        t.location -> ((cur: graft.tableformat.TableMetadata) => {
+          if (seen(cur)) throw new SeenMarker // a racer published it
+          if (i == 0) sharedTs.set(System.currentTimeMillis())
+          val next = f(cur, sharedTs.get)
+          next.copy(properties =
+            next.properties + (markerKey -> markerValue.toString))
+        })
+      })
+      true
+    } catch { case _: SeenMarker => false }
+  }
+
   /** [[transact]] for arbitrary metadata transforms (DDL, property
     * flips, snapshot surgery) — the raw form: each table's transform
     * re-runs against fresh metadata on contention, and the whole set

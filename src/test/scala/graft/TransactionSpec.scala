@@ -91,6 +91,78 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     assert(b.read().as[Long].collect().sorted.toSeq == Seq(10L, 20L))
   }
 
+  test("exactly-once two-table publish (transactIfNewMarker): a batch " +
+      "killed between CAS and publish is COMMITTED whole — the replay " +
+      "skips whole, rows and markers never tear") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val cat = new GraftCatalog(spark, tmp())
+    val corpus = cat.createTable("db", "sdocs",
+      Seq("doc_id" -> "long", "text" -> "string"))
+    val idx = cat.createTable("db", "sfp", Seq("fp" -> "string"))
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(col("text")).as("fp"))
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(cat.transactIfNewMarker("graft.batch", 1L,
+      corpus -> b1, idx -> fps(b1)))
+    // micro-batch 2 dies between the catalog CAS and the publish PUTs
+    val b2 = Seq((3L, "gamma")).toDF("doc_id", "text")
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    io.crashAfterCasForTesting = true
+    try intercept[IllegalStateException](cat.transactIfNewMarker(
+      "graft.batch", 2L, corpus -> b2, idx -> fps(b2)))
+    finally io.crashAfterCasForTesting = false
+    // foreachBatch replay after restart: the CAS committed the whole
+    // set — healing surfaces both tables' markers, the replay skips
+    // WHOLE (the old per-table composition could redo the missing half
+    // only because a crash could land half in the first place)
+    assert(!cat.transactIfNewMarker("graft.batch", 2L,
+      corpus -> b2, idx -> fps(b2)))
+    assert(!cat.transactIfNewMarker("graft.batch", 1L,
+      corpus -> b1, idx -> fps(b1)))
+    assert(corpus.read().count() == 3 && idx.read().count() == 3)
+    assert(corpus.meta.properties("graft.batch") == "2" &&
+      idx.meta.properties("graft.batch") == "2",
+      "rows and markers must advance in lockstep on both tables")
+  }
+
+  test("streaming foreachBatch drains a corpus + fingerprint index " +
+      "through per-micro-batch transactions (AvailableNow)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val cat = new GraftCatalog(spark, tmp())
+    val corpus = cat.createTable("db", "strm_docs",
+      Seq("doc_id" -> "long", "text" -> "string"))
+    val idx = cat.createTable("db", "strm_fp", Seq("fp" -> "string"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-txnstream").toString
+    val src = (1L to 40L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    src.repartition(6).write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          cat.transactIfNewMarker("graft.stream.batch", batchId,
+            corpus -> batch,
+            idx -> batch.select(md5(col("text")).as("fp")))
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(corpus.read().count() == 40 && idx.read().count() == 40)
+    assert(corpus.read().select("doc_id").as[Long].collect().sorted.toSeq
+      == (1L to 40L))
+    // lockstep across every micro-batch: same final marker, and each
+    // table committed exactly one snapshot per micro-batch with the
+    // transaction-aligned timestamps
+    assert(corpus.meta.properties("graft.stream.batch") ==
+      idx.meta.properties("graft.stream.batch"))
+    val cTs = corpus.meta.snapshots.map(_.timestampMs).sorted
+    val iTs = idx.meta.snapshots.map(_.timestampMs).sorted
+    assert(cTs == iTs, s"per-batch snapshots not aligned: $cTs vs $iTs")
+  }
+
   test("bare stores refuse multi-table transactions loudly; " +
       "single-table commits are unaffected") {
     val before = FileIO.io
