@@ -59,7 +59,14 @@ abstract class CrashFuzzBase extends AnyFunSuite {
     var cur = 0
     GraftTable.create(spark, locs(cur), "cf",
       Seq("id" -> "long", "v" -> "string"))
+    // a fixed-location INDEX table the transaction ops publish to in
+    // lockstep with the main table (catalog backend only): composes
+    // multi-table transactions with the rename/commit crash classes
+    val idxLoc = s"$wh/db/idx"
+    GraftTable.create(spark, idxLoc, "cfidx",
+      Seq("id" -> "long", "v" -> "string"))
     val model = scala.collection.mutable.Map[Long, String]()
+    val idxModel = scala.collection.mutable.Map[Long, String]()
     var nextId = 0L
     val rnd = new scala.util.Random(20260815L)
     val armed = scala.collection.mutable.Set[String]()
@@ -74,6 +81,11 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           s"only-model=${(model.keySet -- got.keySet).take(5)}")
       val audit = t.verifyIntegrity()
       assert(audit.isEmpty, s"integrity after $opName: $audit")
+      val gotIdx = new GraftTable(spark, idxLoc).read()
+        .as[(Long, String)].collect().map(r => r._1 -> r._2).toMap
+      assert(gotIdx == idxModel.toMap,
+        s"index divergence after $opName: " +
+          s"table=${gotIdx.size} model=${idxModel.size}")
     }
 
     for (step <- 1 to 36) {
@@ -103,6 +115,35 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           t.delete(col("id") === victim)
           model.remove(victim)
           s"delete($victim)"
+        } else if (roll == 5 && canCrashCas) {
+          // multi-table TRANSACTION: main + index commit through one
+          // catalog CAS, sometimes killed between CAS and publish —
+          // either way BOTH tables advance together (the CAS is the
+          // commit; reads heal), never one without the other
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextId += 1; (nextId, s"tx$step-$nextId")
+          }
+          val df = rows.toDF("id", "v")
+          val crash = rnd.nextInt(2) == 0
+          val ops = Seq(
+            locs(cur) -> t.stageAppend(df),
+            idxLoc -> new GraftTable(spark, idxLoc).stageAppend(df))
+          def commitBoth(): Unit = graft.tableformat.MetadataIO.commitAll(
+            ops.map { case (loc, f) =>
+              loc -> ((cur0: graft.tableformat.TableMetadata) =>
+                f(cur0, System.currentTimeMillis()))
+            })
+          if (crash) {
+            armed += "cas-publish-txn"
+            armCasCrash(true)
+            try {
+              val e = intercept[Exception](commitBoth())
+              assert(e.getMessage != null &&
+                e.getMessage.contains("simulated"), e.toString)
+            } finally armCasCrash(false)
+          } else commitBoth()
+          rows.foreach { r => model(r._1) = r._2; idxModel(r._1) = r._2 }
+          s"txn(${rows.size}${if (crash) ", cas-crash" else ""})"
         } else if (roll < 9) { // rename to the other location
           val from = locs(cur); val to = locs(1 - cur)
           Vector(Option.empty[String], Some("mid-copy"),
