@@ -430,6 +430,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     else p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/{0,2}(?=/)", "")
   }
 
+  /** Every spelling a MANIFEST path can take on the scan side. A
+    * `data/...` key has one canonical form; an absolute add_files
+    * import has TWO — the decoded filesystem path the manifest records
+    * and the URI raw-path form `_metadata.file_path` reports (a space
+    * becomes `%20`). Joins between scan-derived delete keys and
+    * manifest paths must accept either, or an import under a
+    * URI-significant character silently stops matching (surfaced by
+    * the import-with-space probe: the read applied the delete, then
+    * compaction resurrected the row).
+    */
+  private def relDataPathForms(p: String): Seq[String] = {
+    val base = relDataPathStr(p)
+    if (base.startsWith("data/")) Seq(base)
+    else {
+      val enc =
+        try Paths.get(base).toUri.getRawPath
+        catch { case _: Exception => base }
+      Seq(base, enc).distinct
+    }
+  }
+
   private def applyDeletes(tagged: DataFrame,
       deletes: Vector[DataFileEntry]): DataFrame = {
     val pos = deletes.filter(_.equalityIds.isEmpty) // positional kind only
@@ -461,7 +482,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       require(m.currentSchema.fieldByName(c).isEmpty,
         s"column name $c is reserved by the equality-delete read path"))
     val seqDf = spark.createDataFrame(
-      files.map(f => (relDataPathStr(f.path), f.seq)))
+      files.flatMap(f => relDataPathForms(f.path).map(_ -> f.seq)))
       .toDF("__sf_path", "_g_seq")
     val withSeq = tagged.join(broadcast(seqDf),
       relDataPath(tagged("_g_path")) === seqDf("__sf_path"), "left")
@@ -1884,7 +1905,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             .distinct().collect().map(_.getString(0)).toSet
           touched =
             if (nmsClauses.nonEmpty) files0 // every file may hold unmatched rows
-            else files0.filter(f => paths(relDataPathStr(f.path)))
+            else files0.filter(f =>
+              relDataPathForms(f.path).exists(paths))
         } finally byRow.unpersist()
       } else touched = files0
     }
@@ -2455,7 +2477,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         .select(relDataPath(col("file_path")).as("p")).distinct()
         .collect().map(_.getString(0)).toSet // O(#affected files) paths
     val (affected, untouched) = snap.files.partition(f =>
-      posTargets.contains(relDataPathStr(f.path)) ||
+      relDataPathForms(f.path).exists(posTargets) ||
         eqMaxSeq.exists(f.seq < _))
     val written =
       if (affected.isEmpty) Vector.empty[DataFileEntry]
@@ -2504,7 +2526,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           .parquet(pos.map(f => absPath(f.path)): _*)
           .select(relDataPath(col("file_path")).as("file_path"), col("pos"))
         val live = spark.createDataFrame(
-          snap.files.map(f => Tuple1(relDataPathStr(f.path))))
+          snap.files.flatMap(f => relDataPathForms(f.path)).map(Tuple1(_)))
           .toDF("__live_path")
         Some(raw.join(broadcast(live),
           raw("file_path") === live("__live_path"), "left_semi"))
@@ -2520,7 +2542,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         else {
           val tagged = readFilesTagged(m, affected)
           val seqDf = spark.createDataFrame(
-            affected.map(f => (relDataPathStr(f.path), f.seq)))
+            affected.flatMap(f => relDataPathForms(f.path).map(_ -> f.seq)))
             .toDF("__sf_path", "_g_seq")
           val withSeq = tagged.join(broadcast(seqDf),
             relDataPath(tagged("_g_path")) === seqDf("__sf_path"), "left")
@@ -3742,7 +3764,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           .parquet(newPos.map(f => absPath(f.path)): _*)
         val refd = delDf.select(relDataPath(col("file_path")).as("p"))
           .distinct().collect().map(_.getString(0)).toSet
-        val files = fromSnap.files.filter(f => refd(relDataPathStr(f.path)))
+        val files = fromSnap.files.filter(f =>
+          relDataPathForms(f.path).exists(refd))
         if (files.isEmpty) None
         else {
           val live = liveRows(m, fromSnap, files)
@@ -3759,7 +3782,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         else {
           val live = liveRows(m, fromSnap, affected)
           val seqDf = spark.createDataFrame(
-            affected.map(f => (relDataPathStr(f.path), f.seq)))
+            affected.flatMap(f => relDataPathForms(f.path).map(_ -> f.seq)))
             .toDF("__sf_path", "_g_seq")
           val withSeq = live.join(broadcast(seqDf),
             relDataPath(live("_g_path")) === seqDf("__sf_path"), "left")

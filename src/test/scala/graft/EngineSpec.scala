@@ -2038,6 +2038,43 @@ class EngineSpec extends AnyFunSuite {
     assert(dst.read().count() == 9L)
   }
 
+  test("add_files import from a path with URI-significant characters: " +
+      "deletes stay applied through compaction and delete-file rewrite " +
+      "(the scan reports %20-encoded paths, the manifest decoded ones)") {
+    import spark.implicits._
+    val extDir = tmp() + "/ext dir with spaces"
+    (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(extDir)
+    val t = GraftTable.create(spark, tmp() + "/t", "urimport",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.addFiles(extDir)
+    t.delete(col("id") === 2L)
+    assert(t.read().count() == 3L)
+    // the regression this pins: the read applied the delete (both join
+    // sides come from the scan, consistently encoded) but compaction
+    // matched the delete keys against the DECODED manifest path,
+    // found no affected file, and dropped the delete files without
+    // materializing them — resurrecting the row
+    t.rewriteDeletedDataFiles()
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "v1"), (3L, "v3"), (4L, "v4")),
+      "compaction must not resurrect rows of an encoded-path import")
+    assert(t.meta.currentSnapshot.get.deleteFiles.isEmpty)
+    // same hazard in rewriteDeleteFiles' dead-pointer pruning: a live
+    // encoded-path import's delete rows must survive the compact-into-
+    // positional pass, not be classified as dead pointers
+    val t2 = GraftTable.create(spark, tmp() + "/t2", "urimport2",
+      Seq("id" -> "long", "v" -> "string"),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t2.addFiles(extDir)
+    t2.delete(col("id") === 3L)
+    t2.rewriteDeleteFiles()
+    assert(t2.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "v1"), (2L, "v2"), (4L, "v4")),
+      "delete-file rewrite must not drop an import's live delete rows")
+  }
+
   test("rehomeClone refuses when positional deletes exist and a non-" +
       "data/ foreign file (add_files import) would change its path " +
       "suffix — the delete keys would silently stop matching") {
