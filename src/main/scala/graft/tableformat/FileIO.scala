@@ -567,7 +567,17 @@ final class ObjectStoreFileIO extends FileIO {
     // below); left standing it would mislead a crash of THIS rename
     // into rolling forward before the copy completed
     delete(doneKey)
-    if (listRecursive(toDir).exists(k => k != claimKey && k != doneKey)) {
+    // the emptiness check ignores COMMIT-STAGING artifacts: on the
+    // catalog backend every claim (including the destination claim the
+    // LOSING rename just made) transiently stages its document under
+    // `<dir>/.commit-staging/` before the CAS — a racer's staged bytes
+    // are protocol debris, not a table, and counting them made BOTH of
+    // two racing renames abort (winner saw the loser's staged doc).
+    // Real conflicts stay covered: a table here has version documents
+    // and a hint, and an in-flight CREATE is arbitrated by the claim
+    // marker plus create's own post-commit withdraw handshake.
+    if (listRecursive(toDir).exists(k => k != claimKey && k != doneKey &&
+        !k.contains(s"/${ObjectStoreFileIO.CommitStaging}/"))) {
       arbiter.delete(claimKey)
       throw new FileAlreadyExistsException(
         s"rename destination not empty: $toDir")
@@ -701,6 +711,12 @@ object ObjectStoreFileIO {
     * a finding and `maintain` can invoke the repair.
     */
   private[graft] val RenameClaimMarker = ".rename-claim"
+  /** Directory name the catalog backend stages commit documents under
+    * (see CatalogFileIO.stagedDocKey) — shared so the rename protocol's
+    * destination-emptiness check can recognize a racer's transient
+    * staged bytes as protocol debris rather than table contents.
+    */
+  private[graft] val CommitStaging = ".commit-staging"
   private[graft] val RenameDoneMarker = ".rename-complete"
 }
 
@@ -721,6 +737,10 @@ object ObjectStoreFileIO {
   *   - `LOOKUP <path>` → `DOC\t<docKey>` or `NONE` — the recorded
   *     document key for a claimed slot (healing reads it to finish a
   *     crashed winner's publish);
+  *   - `CLAIMALL <p1>\t<d1>\t<p2>\t<d2>…` → `WIN`/`LOSE` — claim every
+  *     slot or none, atomically (multi-table transactions);
+  *   - `LISTPREFIX <prefix>` → `PATHS[\t<p>…]` — claimed slots under a
+  *     location (rename's pre-copy heal of unpublished commits);
   *   - `RELEASE <path>` → `OK` — frees one slot;
   *   - `RELEASEPREFIX <prefix>` → `OK` — frees every slot under a
   *     location (DROP TABLE/VIEW: a real catalog deletes the table's
@@ -783,6 +803,19 @@ final class CatalogCommitServer {
                 case null => "NONE\n"
                 case doc  => s"DOC\t$doc\n"
               }
+            case l if l.startsWith("LISTPREFIX ") =>
+              // claimed slots under a location — rename's pre-copy heal
+              // enumerates these to publish any commit that won its CAS
+              // but crashed before the publish PUT (the copy phase moves
+              // KEYS; an unpublished document isn't a key yet)
+              val pfx = l.substring(11)
+              val hits = {
+                val b = Vector.newBuilder[String]
+                claimed.forEach((k, _) =>
+                  if (k == pfx || k.startsWith(pfx + "/")) b += k)
+                b.result()
+              }
+              ("PATHS" +: hits).mkString("\t") + "\n"
             case l if l.startsWith("RELEASE ") =>
               claimed.remove(l.substring(8)); "OK\n"
             case l if l.startsWith("RELEASEPREFIX ") =>
@@ -847,7 +880,7 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   private def stagedDocKey(path: String): String = {
     val slash = path.lastIndexOf('/')
     val (dir, name) = (path.take(slash), path.drop(slash + 1))
-    s"$dir/.commit-staging/$name.${java.util.UUID.randomUUID()}"
+    s"$dir/${ObjectStoreFileIO.CommitStaging}/$name.${java.util.UUID.randomUUID()}"
   }
 
   override def claim(path: String, content: String): Boolean = {
@@ -970,6 +1003,18 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   // able to claim v1 again — a real catalog updates the table entry's
   // identifier on rename)
   override def rename(fromDir: String, toDir: String): Unit = {
+    // PRE-COPY HEAL: a commit that won its CAS but crashed before the
+    // publish PUT is readable only through the catalog's slot record —
+    // and the copy phase moves KEYS, so an unpublished version document
+    // would not travel, and the prefix release below would then destroy
+    // the only pointer to its staged bytes: the moved table would
+    // silently lose its latest committed version. Publish every claimed
+    // slot under the source first (no-op when all are published).
+    send(s"LISTPREFIX $fromDir") match {
+      case s if s != null && s.startsWith("PATHS") =>
+        s.split('\t').drop(1).filter(_.nonEmpty).foreach(healUnpublished)
+      case _ => ()
+    }
     store.renameVia(this, fromDir, toDir)
     send(s"RELEASEPREFIX $fromDir")
   }

@@ -145,6 +145,21 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           rows.foreach { r => model(r._1) = r._2; idxModel(r._1) = r._2 }
           s"txn(${rows.size}${if (crash) ", cas-crash" else ""})"
         } else if (roll < 9) { // rename to the other location
+          // sometimes a CAS-crashed append lands IMMEDIATELY before the
+          // rename, with no healing read in between: the rename's
+          // pre-copy heal must carry the unpublished commit across (the
+          // copy phase moves keys; the commit exists only in the
+          // catalog's slot record at this point)
+          if (canCrashCas && rnd.nextInt(4) == 0) {
+            armed += "cas-crash-then-rename"
+            val rows = (0 until 1 + rnd.nextInt(2)).map { _ =>
+              nextId += 1; (nextId, s"pre$step-$nextId")
+            }
+            armCasCrash(true)
+            try intercept[Exception](t.append(rows.toDF("id", "v")))
+            finally armCasCrash(false)
+            rows.foreach(r => model(r._1) = r._2) // the CAS committed it
+          }
           val from = locs(cur); val to = locs(1 - cur)
           Vector(Option.empty[String], Some("mid-copy"),
             Some("before-complete"), Some("after-complete"),

@@ -227,6 +227,31 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
     assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("rename right after a kill-between-CAS-and-publish: the " +
+      "unpublished commit travels — the pre-copy heal publishes it " +
+      "before the key copy and the slot release") {
+    import spark.implicits._
+    val wh = tmp()
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.createTable("db", "heal_mv_src", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id").coalesce(1))
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    io.crashAfterCasForTesting = true
+    try intercept[Exception](t.append(Seq(2L).toDF("id").coalesce(1)))
+    finally io.crashAfterCasForTesting = false
+    // NO read in between (reads would heal): rename immediately — the
+    // copy phase moves keys, and without the pre-copy heal the
+    // unpublished v-doc is not a key, the source slots release, and the
+    // crashed commit's rows silently vanish at the destination
+    io.rename(s"$wh/db/heal_mv_src", s"$wh/db/heal_mv_dst")
+    val moved = new graft.engine.GraftTable(spark, s"$wh/db/heal_mv_dst")
+    assert(moved.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "the CAS-committed append must survive the rename")
+    // and the moved table keeps committing normally
+    moved.append(Seq(3L).toDF("id").coalesce(1))
+    assert(moved.read().count() == 3)
+  }
+
   test("racing renames to one destination arbitrate through the " +
       "catalog CAS: exactly one wins, the loser's source stays intact") {
     val io = FileIO.io.asInstanceOf[CatalogFileIO]
