@@ -68,7 +68,12 @@ abstract class CrashFuzzBase extends AnyFunSuite {
     val model = scala.collection.mutable.Map[Long, String]()
     val idxModel = scala.collection.mutable.Map[Long, String]()
     var nextId = 0L
-    val rnd = new scala.util.Random(20260815L)
+    // fixed seed for the committed run (failures replay exactly);
+    // GRAFT_FUZZ_SEED explores alternative interleavings in dev loops
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").flatMap(_.toLongOption)
+      .getOrElse(20260815L)
+    info(s"crash-fuzz seed=$seed")
+    val rnd = new scala.util.Random(seed)
     val armed = scala.collection.mutable.Set[String]()
 
     def t = new GraftTable(spark, locs(cur))
