@@ -52,6 +52,16 @@ final case class RenameRolledForward(fromDir: String) extends RenameRecovery
   */
 final case class RenameRolledBack(fromDir: String) extends RenameRecovery
 
+/** Outcome of [[FileIO.claimAll]]: won the whole slot set, or lost —
+  * with the conflicting slot named when the backend can tell, so a
+  * contended multi-table transaction's terminal error can point at the
+  * table that actually conflicted instead of an arbitrary member.
+  */
+sealed trait ClaimAllResult
+case object ClaimAllWon extends ClaimAllResult
+final case class ClaimAllLost(conflictSlot: Option[String])
+    extends ClaimAllResult
+
 trait FileIO {
   def readString(path: String): String
   /** Line iterator for JSON-lines manifests. */
@@ -93,11 +103,20 @@ trait FileIO {
     * mirroring Iceberg, where multi-table transactions are a
     * REST-catalog capability.
     */
-  def claimAll(entries: Seq[(String, String)]): Boolean =
+  def claimAll(entries: Seq[(String, String)]): ClaimAllResult =
     throw new UnsupportedOperationException(
       "multi-table transactions require catalog commit arbitration " +
         "(GRAFT_FILEIO=catalog:<port>); bare stores have no atomic " +
         "multi-key claim")
+  /** Commit slots currently CLAIMED at the arbiter for paths under
+    * `prefix` — catalog backends only (bare stores have no slot state
+    * beyond the keys themselves, hence the empty default). The rename
+    * protocol consults this at its destination: a claimed slot whose
+    * publish PUT hasn't landed is a committed table version no key
+    * LIST can see.
+    */
+  private[tableformat] def claimedSlotsUnder(prefix: String): Vector[String] =
+    Vector.empty
   /** Byte-exact single-file copy; `dst` is overwritten if present and
     * becomes visible complete or not at all (readers never observe a
     * torn copy). Data files are binary — the bytes must never
@@ -759,6 +778,13 @@ final class CatalogCommitServer {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val port: Int = server.getLocalPort
 
+  /** Test hook: process the next CLAIM/CLAIMALL normally but drop the
+    * response (close the socket without writing) — the ambiguous-
+    * outcome window a real network can produce after the server has
+    * already recorded the claim.
+    */
+  @volatile private[graft] var dropNextClaimResponseForTesting = false
+
   private val acceptLoop = new Thread(() => {
     try while (!server.isClosed) {
       val sock = server.accept()
@@ -777,25 +803,37 @@ final class CatalogCommitServer {
               val tab = body.indexOf('\t')
               val (path, docKey) =
                 if (tab < 0) (body, "") else (body.take(tab), body.drop(tab + 1))
-              // synchronized (not bare putIfAbsent): a single-slot
-              // claim must not interleave between a CLAIMALL's
-              // all-absent check and its puts
-              claimed.synchronized {
-                if (claimed.putIfAbsent(path, docKey) == null) "WIN\n"
-                else "LOSE\n"
-              }
+              // frame validation: fields are tab-delimited with no
+              // escaping, so a docKey carrying another tab means the
+              // CLIENT's path embedded one and the frame is ambiguous —
+              // refuse loudly rather than record a mis-split slot
+              if (path.isEmpty || docKey.contains('\t')) "ERR\tbad-frame\n"
+              else
+                // synchronized (not bare putIfAbsent): a single-slot
+                // claim must not interleave between a CLAIMALL's
+                // all-absent check and its puts
+                claimed.synchronized {
+                  if (claimed.putIfAbsent(path, docKey) == null) "WIN\n"
+                  else "LOSE\n"
+                }
             case l if l.startsWith("CLAIMALL ") =>
               // multi-table transaction: `CLAIMALL p1\td1\tp2\td2…` —
               // claim EVERY slot or none, atomically (one monitor holds
               // the whole check-then-put); this single CAS is what
-              // makes a two-table commit all-or-nothing
+              // makes a two-table commit all-or-nothing. A lost CAS
+              // names the first conflicting slot so the client's
+              // terminal conflict error can point at the right table.
               val parts = l.substring(9).split('\t')
-              if (parts.length < 2 || parts.length % 2 != 0) "LOSE\n"
+              if (parts.length < 2 || parts.length % 2 != 0 ||
+                  parts.exists(_.isEmpty)) "ERR\tbad-frame\n"
               else {
                 val pairs = parts.grouped(2).map(a => (a(0), a(1))).toVector
                 claimed.synchronized {
-                  if (pairs.exists(p => claimed.containsKey(p._1))) "LOSE\n"
-                  else { pairs.foreach(p => claimed.put(p._1, p._2)); "WIN\n" }
+                  pairs.find(p => claimed.containsKey(p._1)) match {
+                    case Some((slot, _)) => s"LOSE\t$slot\n"
+                    case None =>
+                      pairs.foreach(p => claimed.put(p._1, p._2)); "WIN\n"
+                  }
                 }
               }
             case l if l.startsWith("LOOKUP ") =>
@@ -824,7 +862,10 @@ final class CatalogCommitServer {
               "OK\n"
             case _ => "LOSE\n"
           }
-          out.write(resp.getBytes("UTF-8")); out.flush()
+          val drop = dropNextClaimResponseForTesting && line != null &&
+            (line.startsWith("CLAIM ") || line.startsWith("CLAIMALL "))
+          if (drop) dropNextClaimResponseForTesting = false
+          else { out.write(resp.getBytes("UTF-8")); out.flush() }
         } catch { case _: java.io.IOException => () }
         finally sock.close()
       }).start()
@@ -866,11 +907,49 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     } finally sock.close()
   }
 
+  /** [[send]] for the CLAIM/CLAIMALL round-trips, where a transport
+    * failure is AMBIGUOUS (the server records the claim before writing
+    * the response, so a dropped connection may hide a WIN): None =
+    * outcome unknown, resolve via LOOKUP — never assume LOSE.
+    */
+  private def sendOpt(cmd: String): Option[String] =
+    try Option(send(cmd)) catch { case _: java.io.IOException => None }
+
+  /** The wire protocol frames commands as one tab-delimited line with
+    * no escaping — a path carrying a tab or newline would mis-frame
+    * the command (the server would record a mis-split slot). Locations
+    * are engine-generated, so this is a loud refusal, not a feature.
+    */
+  private def requireFrameSafe(path: String): Unit =
+    require(!path.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"path not representable on the catalog wire protocol " +
+        s"(embedded tab/newline): ${path.replace("\t", "\\t")
+          .replace("\n", "\\n").replace("\r", "\\r")}")
+
+  /** The docKey the catalog has recorded for a slot, if claimed. Used
+    * to resolve an ambiguous CLAIM outcome — so this one must NOT
+    * swallow transport errors: with the claim outcome unknown, a
+    * failed LOOKUP means the commit outcome is unknowable right now
+    * and the caller must fail loudly rather than guess.
+    */
+  private def recordedDoc(path: String): Option[String] =
+    send(s"LOOKUP $path") match {
+      case s if s != null && s.startsWith("DOC\t") => Some(s.substring(4))
+      case _ => None
+    }
+
   /** Test hook: throw right after winning the CAS, before the publish
     * PUT — the exact crash window the REST-commit shape exists to
     * close. Disk + catalog state is what a kill there leaves.
     */
   private[graft] var crashAfterCasForTesting: Boolean = false
+
+  /** Test hook: throw after the FIRST slot's publish PUT inside a
+    * multi-table [[claimAll]] — the mid-publish-loop window where one
+    * table's canonical document is visible as a key and the rest are
+    * staged-only (readable only through per-slot healing).
+    */
+  private[graft] var crashMidPublishForTesting: Boolean = false
 
   /** Unique, never-contended staging key beside the slot: same table
     * location (deleteTree/drop cleans it; orphan GC's name filters
@@ -893,19 +972,48 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     // and losers do exactly that before reporting the conflict — so
     // the very next writer both heals the crashed commit and rebases
     // onto it.
+    requireFrameSafe(path)
     val docKey = stagedDocKey(path)
     store.writeString(docKey, content)
-    if (send(s"CLAIM $path\t$docKey") == "WIN") {
+    def won(): Boolean = {
       if (crashAfterCasForTesting)
         throw new IllegalStateException(
           "simulated crash between catalog CAS and publish PUT")
       store.writeString(path, content)
       store.delete(docKey)
       true
-    } else {
+    }
+    def lost(): Boolean = {
       store.delete(docKey)
       healUnpublished(path)
       false
+    }
+    sendOpt(s"CLAIM $path\t$docKey") match {
+      case Some("WIN") => won()
+      case Some(_)     => lost()
+      case None =>
+        // AMBIGUOUS: the connection failed, but the server records the
+        // claim BEFORE responding — deleting the staged doc on a hidden
+        // WIN would leave the slot claimed with a dangling docKey,
+        // wedging the table until manual RELEASE. LOOKUP resolves it:
+        recordedDoc(path) match {
+          case Some(d) if d == docKey => won() // hidden WIN: finish it
+          case Some(_)                => lost() // another writer owns it
+          case None =>
+            // nothing recorded — the claim line never reached the
+            // server, unless its handler thread is still parked before
+            // the put. Re-probe once after a beat to close that
+            // window, then treat persistent NONE as a lost claim. The
+            // staged doc is deliberately RETAINED: should the claim
+            // still land late, any reader's heal publishes from it;
+            // if not, it is swept with the table's orphans.
+            Thread.sleep(50L)
+            recordedDoc(path) match {
+              case Some(d) if d == docKey => won()
+              case Some(_)                => lost()
+              case None                   => false
+            }
+        }
     }
   }
 
@@ -919,8 +1027,9 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     * consult the catalog, which knows every staged key), so no reader
     * can observe one table's commit without the others'.
     */
-  override def claimAll(entries: Seq[(String, String)]): Boolean = {
+  override def claimAll(entries: Seq[(String, String)]): ClaimAllResult = {
     require(entries.nonEmpty, "empty transaction")
+    entries.foreach { case (path, _) => requireFrameSafe(path) }
     val staged = entries.map { case (path, content) =>
       val docKey = stagedDocKey(path)
       store.writeString(docKey, content)
@@ -928,19 +1037,42 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     }
     val cmd = "CLAIMALL " +
       staged.map { case (p, _, k) => s"$p\t$k" }.mkString("\t")
-    if (send(cmd) == "WIN") {
+    def won(): ClaimAllResult = {
       if (crashAfterCasForTesting)
         throw new IllegalStateException(
           "simulated crash between catalog CAS and publish PUTs")
-      staged.foreach { case (path, content, docKey) =>
+      staged.zipWithIndex.foreach { case ((path, content, docKey), i) =>
         store.writeString(path, content)
         store.delete(docKey)
+        if (crashMidPublishForTesting && i == 0)
+          throw new IllegalStateException(
+            "simulated crash between per-slot publish PUTs")
       }
-      true
-    } else {
+      ClaimAllWon
+    }
+    def lost(slot: Option[String]): ClaimAllResult = {
       staged.foreach { case (_, _, docKey) => store.delete(docKey) }
       entries.foreach { case (path, _) => healUnpublished(path) }
-      false
+      ClaimAllLost(slot)
+    }
+    // CLAIMALL is atomic server-side, so ONE slot's recorded docKey
+    // resolves an ambiguous outcome for the whole set: either every
+    // slot records our staged keys (hidden WIN) or none do.
+    def resolve(): ClaimAllResult = recordedDoc(staged.head._1) match {
+      case Some(d) if d == staged.head._3 => won()
+      case Some(_)                        => lost(Some(staged.head._1))
+      case None =>
+        // persistent NONE = the CAS never registered (same retained-
+        // staged-docs contract as the single-slot claim: a late-landing
+        // CAS is healable from the staged docs; otherwise orphan-swept)
+        ClaimAllLost(None)
+    }
+    sendOpt(cmd) match {
+      case Some("WIN") => won()
+      case Some(resp) if resp != null && resp.startsWith("LOSE\t") =>
+        lost(Some(resp.substring(5)))
+      case Some(_) => lost(None)
+      case None    => Thread.sleep(50L); resolve()
     }
   }
 
@@ -1002,6 +1134,14 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
   // sweeps anything left (a later CREATE at the old location must be
   // able to claim v1 again — a real catalog updates the table entry's
   // identifier on rename)
+  override private[tableformat] def claimedSlotsUnder(
+      prefix: String): Vector[String] =
+    send(s"LISTPREFIX $prefix") match {
+      case s if s != null && s.startsWith("PATHS") =>
+        s.split('\t').drop(1).filter(_.nonEmpty).toVector
+      case _ => Vector.empty
+    }
+
   override def rename(fromDir: String, toDir: String): Unit = {
     // PRE-COPY HEAL: a commit that won its CAS but crashed before the
     // publish PUT is readable only through the catalog's slot record —
@@ -1010,10 +1150,24 @@ final class CatalogFileIO(host: String, port: Int) extends FileIO {
     // the only pointer to its staged bytes: the moved table would
     // silently lose its latest committed version. Publish every claimed
     // slot under the source first (no-op when all are published).
-    send(s"LISTPREFIX $fromDir") match {
-      case s if s != null && s.startsWith("PATHS") =>
-        s.split('\t').drop(1).filter(_.nonEmpty).foreach(healUnpublished)
-      case _ => ()
+    claimedSlotsUnder(fromDir).foreach(healUnpublished)
+    // DESTINATION claimed slots = a commit landed there (a create that
+    // crashed or stalled between its CAS and publish PUT): the key LIST
+    // inside renameVia cannot see it, the rename would proceed, and the
+    // slow winner's later publish PUT would clobber the renamed table's
+    // copied document — with its marker-gated withdraw never firing.
+    // HEAL-THEN-REFUSE: publish the claimed document (so the committed
+    // version survives as a real key any retry's emptiness check sees)
+    // and abort. Rename-protocol marker slots are renameVia's own
+    // arbitration, handled by its claim — not destination contents.
+    val claimedAtDest = claimedSlotsUnder(toDir).filterNot(k =>
+      k.endsWith("/" + ObjectStoreFileIO.RenameClaimMarker) ||
+        k.endsWith("/" + ObjectStoreFileIO.RenameDoneMarker))
+    if (claimedAtDest.nonEmpty) {
+      claimedAtDest.foreach(healUnpublished)
+      throw new FileAlreadyExistsException(
+        s"rename destination not empty: $toDir holds claimed commit " +
+          s"slots (${claimedAtDest.head})")
     }
     store.renameVia(this, fromDir, toDir)
     send(s"RELEASEPREFIX $fromDir")

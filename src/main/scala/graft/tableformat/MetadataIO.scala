@@ -294,15 +294,25 @@ object MetadataIO {
     var n = 0
     while (true) {
       val ps = ops.map { case (loc, transform) => prepare(transform(read(loc))) }
-      if (io.claimAll(ps.map(p =>
-          metadataPath(p.meta.location, p.next) -> p.content))) {
-        ps.foreach(finish)
-        return ps.map(_.next)
+      io.claimAll(ps.map(p =>
+          metadataPath(p.meta.location, p.next) -> p.content)) match {
+        case ClaimAllWon =>
+          ps.foreach(finish)
+          return ps.map(_.next)
+        case ClaimAllLost(slot) =>
+          n += 1
+          if (n >= attempts) {
+            // name the table that ACTUALLY conflicted (the backend
+            // reports the losing slot) — a contended transaction's
+            // terminal error pointing at an arbitrary member misdirects
+            // whoever debugs it
+            val loser = slot.flatMap(s => ps.find(p =>
+              metadataPath(p.meta.location, p.next) == s))
+              .getOrElse(ps.head)
+            throw new CommitConflictException(loser.meta.location, loser.next)
+          }
+          Thread.sleep(1L + scala.util.Random.nextInt(1 << math.min(n, 5)))
       }
-      n += 1
-      if (n >= attempts)
-        throw new CommitConflictException(ps.head.meta.location, ps.head.next)
-      Thread.sleep(1L + scala.util.Random.nextInt(1 << math.min(n, 5)))
     }
     Seq.empty // unreachable
   }

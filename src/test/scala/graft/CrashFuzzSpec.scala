@@ -122,14 +122,18 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           s"delete($victim)"
         } else if (roll == 5 && canCrashCas) {
           // multi-table TRANSACTION: main + index commit through one
-          // catalog CAS, sometimes killed between CAS and publish —
-          // either way BOTH tables advance together (the CAS is the
-          // commit; reads heal), never one without the other
+          // catalog CAS, sometimes killed between CAS and publish or
+          // BETWEEN the per-slot publish PUTs — either way BOTH tables
+          // advance together (the CAS is the commit; reads heal the
+          // unpublished half), never one without the other. A racing
+          // reader probes both tables' metadata THROUGH the crash
+          // window: any probe seeing one table's new version without
+          // the other's is a torn pair.
           val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
             nextId += 1; (nextId, s"tx$step-$nextId")
           }
           val df = rows.toDF("id", "v")
-          val crash = rnd.nextInt(2) == 0
+          val crashMode = rnd.nextInt(3) // 0=clean, 1=cas, 2=mid-publish
           val ops = Seq(
             locs(cur) -> t.stageAppend(df),
             idxLoc -> new GraftTable(spark, idxLoc).stageAppend(df))
@@ -138,17 +142,53 @@ abstract class CrashFuzzBase extends AnyFunSuite {
               loc -> ((cur0: graft.tableformat.TableMetadata) =>
                 f(cur0, System.currentTimeMillis()))
             })
-          if (crash) {
-            armed += "cas-publish-txn"
-            armCasCrash(true)
+          def armMidPublish(on: Boolean): Unit = FileIO.io match {
+            case c: CatalogFileIO => c.crashMidPublishForTesting = on
+            case _                => ()
+          }
+          if (crashMode > 0) {
+            val (mainLoc, ixLoc) = (locs(cur), idxLoc)
+            val baseMain = graft.tableformat.MetadataIO
+              .read(mainLoc).snapshots.size
+            val baseIdx = graft.tableformat.MetadataIO
+              .read(ixLoc).snapshots.size
+            val stopReader = new java.util.concurrent.atomic.AtomicBoolean()
+            val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+            val reader = new Thread(() => {
+              while (!stopReader.get()) {
+                // stability sandwich: the two tables can't be read at
+                // one instant, so a sample straddling the CAS would
+                // look torn without being so — it only counts when the
+                // FIRST table is provably unchanged across the second's
+                // read, which pins both reads to one side of the commit
+                val dM1 = graft.tableformat.MetadataIO.read(mainLoc)
+                  .snapshots.size - baseMain
+                val dI = graft.tableformat.MetadataIO.read(ixLoc)
+                  .snapshots.size - baseIdx
+                val dM2 = graft.tableformat.MetadataIO.read(mainLoc)
+                  .snapshots.size - baseMain
+                if (dM1 == dM2 && dM1 != dI) torn.incrementAndGet()
+              }
+            }, s"txn-torn-probe-$step")
+            reader.start()
+            armed += (if (crashMode == 1) "cas-publish-txn"
+                      else "mid-publish-txn")
+            if (crashMode == 1) armCasCrash(true) else armMidPublish(true)
             try {
               val e = intercept[Exception](commitBoth())
               assert(e.getMessage != null &&
                 e.getMessage.contains("simulated"), e.toString)
-            } finally armCasCrash(false)
+            } finally {
+              armCasCrash(false); armMidPublish(false)
+              Thread.sleep(50) // linger in the crashed state under probes
+              stopReader.set(true); reader.join()
+            }
+            assert(torn.get() == 0,
+              s"racing reader observed ${torn.get()} torn pairs at step $step")
           } else commitBoth()
           rows.foreach { r => model(r._1) = r._2; idxModel(r._1) = r._2 }
-          s"txn(${rows.size}${if (crash) ", cas-crash" else ""})"
+          s"txn(${rows.size}${Seq("", ", cas-crash",
+            ", mid-publish-crash")(crashMode)})"
         } else if (roll < 9) { // rename to the other location
           // sometimes a CAS-crashed append lands IMMEDIATELY before the
           // rename, with no healing read in between: the rename's
@@ -206,6 +246,7 @@ abstract class CrashFuzzBase extends AnyFunSuite {
       check(s"step $step: $name")
     }
 
+    info(s"armed crash classes: ${armed.toSeq.sorted.mkString(", ")}")
     assert(armed.size >= 3, s"crash classes exercised: $armed")
     // one linear, replayable chain at whichever location survived
     val m = t.meta

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.{BeforeAndAfterAll, Suite}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.tableformat.{CatalogCommitServer, CatalogFileIO, FileIO,
-  LocalFileIO, ObjectStoreFileIO}
+  LocalFileIO, MetadataIO, ObjectStoreFileIO}
 
 /** Forked-JVM plumbing shared by the cross-process tests: same
   * classpath and --add-opens as this JVM, plus the parent's FileIO
@@ -357,5 +357,159 @@ class CatalogCommitSpec extends AnyFunSuite with CatalogBackend {
       case None     => None
     }.size
     assert(chain == m.snapshots.size, s"forked history: $chain")
+  }
+
+  test("wire framing: a slot path with an embedded tab/newline is " +
+      "refused loudly on the client, and a mis-framed CLAIMALL is " +
+      "rejected by the server rather than mis-parsed") {
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val dir = tmp()
+    val hostile = s"$dir/evil\tname/metadata/v1.metadata.json"
+    val e = intercept[IllegalArgumentException](io.claim(hostile, "doc"))
+    assert(e.getMessage.contains("wire protocol"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](io.claimAll(Seq(
+      s"$dir/ok/metadata/v1.metadata.json" -> "a",
+      s"$dir/evil\nname/metadata/v1.metadata.json" -> "b")))
+    assert(e2.getMessage.contains("wire protocol"), e2.getMessage)
+    // neither refusal recorded anything: the clean slot is still free
+    assert(io.claim(s"$dir/ok/metadata/v1.metadata.json", "a"))
+  }
+
+  test("ambiguous CLAIM outcome (response dropped after the server " +
+      "recorded WIN): LOOKUP resolves it — the hidden winner publishes " +
+      "instead of deleting its own staged doc and wedging the slot") {
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val dir = tmp()
+    val p = s"$dir/metadata/v1.metadata.json"
+    catalogServer.dropNextClaimResponseForTesting = true
+    try assert(io.claim(p, "winner-doc"), "hidden WIN must resolve to true")
+    finally catalogServer.dropNextClaimResponseForTesting = false
+    assert(io.readString(p) == "winner-doc")
+    // the slot is committed and healthy: a later claimant just loses
+    assert(!io.claim(p, "late"))
+    assert(io.readString(p) == "winner-doc")
+  }
+
+  test("ambiguous CLAIMALL outcome resolves the same way: the whole " +
+      "set publishes, no staged doc deleted under a hidden WIN") {
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val dir = tmp()
+    val slots = Seq(s"$dir/a/metadata/v1.metadata.json" -> "doc-a",
+      s"$dir/b/metadata/v1.metadata.json" -> "doc-b")
+    catalogServer.dropNextClaimResponseForTesting = true
+    try assert(io.claimAll(slots) == graft.tableformat.ClaimAllWon)
+    finally catalogServer.dropNextClaimResponseForTesting = false
+    slots.foreach { case (p, c) => assert(io.readString(p) == c) }
+  }
+
+  test("a contended multi-table transaction's terminal conflict names " +
+      "the table that actually conflicted, not an arbitrary member") {
+    val dir = tmp()
+    val (locA, locB) = (s"$dir/ta", s"$dir/tb")
+    MetadataIO.commit(graft.tableformat.TableMetadata.create(
+      "ta", locA, Seq("id" -> "long")))
+    MetadataIO.commit(graft.tableformat.TableMetadata.create(
+      "tb", locB, Seq("id" -> "long")))
+    // wedge tb's NEXT slot at the catalog with NO document behind it
+    // (a dangling claim — the manual-RELEASE shape): every transaction
+    // attempt then conflicts on tb while ta's slot stays free, and
+    // reads of tb are unaffected (nothing to heal from an empty docKey)
+    val sock = new java.net.Socket("127.0.0.1", catalogServer.port)
+    try {
+      sock.getOutputStream.write(
+        s"CLAIM $locB/metadata/v2.metadata.json\n".getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      val resp = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, "UTF-8")).readLine()
+      assert(resp == "WIN", resp)
+    } finally sock.close()
+    val e = intercept[MetadataIO.CommitConflictException](
+      MetadataIO.commitAll(Seq(
+        locA -> identity[graft.tableformat.TableMetadata] _,
+        locB -> identity[graft.tableformat.TableMetadata] _),
+        attempts = 2))
+    assert(e.getMessage.contains(locB),
+      s"conflict must name tb ($locB): ${e.getMessage}")
+  }
+
+  test("rename destination holding a claimed-but-unpublished commit " +
+      "slot: heal-then-refuse (a crashed create's commit survives as a " +
+      "real key; the rename aborts instead of getting clobbered)") {
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val dir = tmp()
+    val (src, dst) = (s"$dir/src", s"$dir/dst")
+    io.writeString(s"$src/metadata/v1.metadata.json", "src-table")
+    io.writeString(s"$src/metadata/version-hint.text", "1")
+    // a create at dst that won its CAS and died before the publish PUT:
+    // slot claimed, canonical key absent — invisible to any key LIST
+    io.crashAfterCasForTesting = true
+    try intercept[IllegalStateException](
+      io.claim(s"$dst/metadata/v1.metadata.json", "crashed-create"))
+    finally io.crashAfterCasForTesting = false
+    assert(io.storeForTesting.listRecursive(dst)
+      .forall(_.contains(".commit-staging")),
+      "precondition: the crashed create left no canonical key")
+    val e = intercept[java.nio.file.FileAlreadyExistsException](
+      io.rename(src, dst))
+    assert(e.getMessage.contains("claimed commit slots"), e.getMessage)
+    // healed: the crashed create's commit is now a real, readable key
+    assert(io.readString(s"$dst/metadata/v1.metadata.json") ==
+      "crashed-create")
+    // the source was never touched and no markers poison either side
+    assert(io.readString(s"$src/metadata/v1.metadata.json") == "src-table")
+    assert(!io.exists(s"$dst/.rename-claim") &&
+      !io.exists(s"$dst/.rename-complete"))
+  }
+
+  test("mid-publish crash inside a multi-table transaction: a racing " +
+      "reader sees both tables' new versions or both old — never a " +
+      "torn pair (per-slot healing serves the unpublished half)") {
+    import spark.implicits._
+    val io = FileIO.io.asInstanceOf[CatalogFileIO]
+    val wh = tmp()
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val a = cat.createTable("db", "mp_corpus", Seq("id" -> "long"))
+    val b = cat.createTable("db", "mp_index", Seq("id" -> "long"))
+    cat.transact(a -> Seq(1L).toDF("id").coalesce(1),
+      b -> Seq(1L).toDF("id").coalesce(1))
+    val (locA, locB) = (s"$wh/db/mp_corpus", s"$wh/db/mp_index")
+    val baseA = MetadataIO.read(locA).snapshots.size
+    val baseB = MetadataIO.read(locB).snapshots.size
+    // racing reader: probes BOTH tables' metadata through the healing
+    // read path for the whole commit window; any probe where one table
+    // shows the transaction and the other doesn't is a torn pair
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        // stability sandwich: a sample straddling the CAS instant would
+        // look torn without being so — count it only when the first
+        // table provably did not move across the second table's read
+        val dA1 = MetadataIO.read(locA).snapshots.size - baseA
+        val dB = MetadataIO.read(locB).snapshots.size - baseB
+        val dA2 = MetadataIO.read(locA).snapshots.size - baseA
+        probes.incrementAndGet()
+        if (dA1 == dA2 && dA1 != dB) torn.incrementAndGet()
+      }
+    }, "torn-pair-probe")
+    reader.start()
+    io.crashMidPublishForTesting = true
+    try {
+      val e = intercept[Exception](cat.transact(
+        a -> Seq(2L).toDF("id").coalesce(1),
+        b -> Seq(2L).toDF("id").coalesce(1)))
+      assert(e.getMessage != null && e.getMessage.contains("simulated"),
+        e.toString)
+    } finally io.crashMidPublishForTesting = false
+    // linger in the crashed state: one canonical doc published, the
+    // other staged-only — the reader must keep seeing a consistent pair
+    Thread.sleep(300)
+    stop.set(true); reader.join()
+    assert(torn.get() == 0, s"torn pairs observed: ${torn.get()}")
+    assert(probes.get() > 0, "the reader never probed")
+    // the CAS committed the transaction: both tables show it after heal
+    assert(a.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(b.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 }
