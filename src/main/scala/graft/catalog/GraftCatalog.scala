@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
 import graft.engine.GraftTable
 import graft.tableformat.MetadataIO
 
+/** One operation inside a multi-table transaction
+  * ([[GraftCatalog.transactOps]]): an append or a copy-on-write
+  * DELETE/UPDATE against one table.
+  */
+sealed trait TxOp { def table: GraftTable }
+object Tx {
+  final case class Append(table: GraftTable,
+      df: org.apache.spark.sql.DataFrame) extends TxOp
+  final case class Delete(table: GraftTable,
+      cond: org.apache.spark.sql.Column) extends TxOp
+  final case class Update(table: GraftTable,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]) extends TxOp
+}
+
 /** Two-level `graft.<db>.<table>` namespace over a warehouse directory —
   * the reference addresses everything as `iceberg.employee_db.employee`
   * (apiv15.py:65) through a Hadoop catalog whose filesystem layout IS
@@ -114,16 +129,33 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * capability); bare conditional-PUT/POSIX stores refuse loudly.
     * Returns the committed version per table, in input order.
     */
-  def transact(ops: (GraftTable, DataFrame)*): Seq[Int] = {
+  def transact(ops: (GraftTable, DataFrame)*): Seq[Int] =
+    transactOps(ops.map { case (t, df) => Tx.Append(t, df) })
+
+  /** MULTI-TABLE TRANSACTION over mixed operations — appends AND
+    * copy-on-write DML: the dedup-pipeline shape that motivated
+    * transactions needs the delete half (a sweep that CoW-deletes
+    * corpus rows must retract the matching index rows atomically, or
+    * a reader joins a shrunken corpus against a stale index). Every
+    * operation's data files are written FIRST (rewrites included —
+    * invisible until referenced), then one atomic catalog CAS claims
+    * every table's next version together; DML transforms re-validate
+    * their base snapshot at claim time and abort loudly on a racing
+    * commit ([[GraftTable.stageDelete]]'s conflict contract). One
+    * shared commit timestamp across the set (refreshed per retry by
+    * the first transform) keeps `TIMESTAMP AS OF` transaction-
+    * consistent: no probe instant falls between one transaction's
+    * per-table snapshots. (A table whose history outpaced the hint
+    * bumps past it for monotonicity; consistency then degrades to
+    * per-table correctness, never to corruption.)
+    */
+  def transactOps(ops: Seq[TxOp]): Seq[Int] = {
     require(ops.nonEmpty, "empty transaction")
-    // ONE shared commit timestamp across the set (refreshed per retry
-    // attempt by the first transform): every table's snapshot carries
-    // the same timestampMs, so `TIMESTAMP AS OF` any instant reads a
-    // transaction-consistent set — no probe time can fall between one
-    // transaction's per-table snapshots. (A table whose history
-    // outpaced the hint bumps past it for monotonicity; consistency
-    // then degrades to per-table correctness, never to corruption.)
-    val staged = ops.map { case (t, df) => t -> t.stageAppend(df) }
+    val staged = ops.map {
+      case Tx.Append(t, df)       => t -> t.stageAppend(df)
+      case Tx.Delete(t, cond)     => t -> t.stageDelete(cond)
+      case Tx.Update(t, cond, as) => t -> t.stageUpdate(cond, as)
+    }
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
     MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
       t.location -> ((cur: graft.tableformat.TableMetadata) => {

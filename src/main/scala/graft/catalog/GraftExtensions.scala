@@ -90,6 +90,18 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.child
           case other => other
         }))
+      // Join-driven file pruning needs the join (and, for the dim-side
+      // WHERE conjuncts, its enclosing Filter) RESOLVED before the
+      // probe relation swaps — defer every graft relation in a join
+      // tree whose resolution is still pending, same fixed-point trick
+      // as the Aggregate deferral above.
+      case fl @ org.apache.spark.sql.catalyst.plans.logical.Filter(
+          _, jn: org.apache.spark.sql.catalyst.plans.logical.Join)
+          if !fl.resolved && JoinFilePruning.enabled(spark) =>
+        JoinFilePruning.relationsToDefer(jn).foreach(deferred.add)
+      case jn: org.apache.spark.sql.catalyst.plans.logical.Join
+          if !jn.resolved && JoinFilePruning.enabled(spark) =>
+        JoinFilePruning.relationsToDefer(jn).foreach(deferred.add)
       case _ => ()
     }
     plan.resolveOperators {
@@ -173,6 +185,23 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         pushGroupedManifestAggregate(agg, h, cond)
           .orElse(MviewRewrite.rewrite(spark, agg, h, cond))
           .getOrElse(agg)
+
+      // ---- join-driven dynamic file pruning: a resolved join whose
+      // ---- enclosing WHERE carries the selective dim predicate (at
+      // ---- analysis time the Filter still sits ABOVE the join). The
+      // ---- build side's key domain is evaluated from its own engine
+      // ---- read and pruned into the probe's file planning; the Filter
+      // ---- and the join stay — only the probe relation swaps for the
+      // ---- domain-pruned read. (Top-down: this must see the Filter/
+      // ---- Join before the relation cases below swap the children.)
+      case fl @ org.apache.spark.sql.catalyst.plans.logical.Filter(
+          cond, jn: org.apache.spark.sql.catalyst.plans.logical.Join)
+          if fl.resolved && JoinFilePruning.enabled(spark) =>
+        val nj = JoinFilePruning.pruneTree(spark, jn, splitAnd(cond))
+        if (nj eq jn) fl else fl.copy(child = nj)
+      case jn: org.apache.spark.sql.catalyst.plans.logical.Join
+          if jn.resolved && JoinFilePruning.enabled(spark) =>
+        JoinFilePruning.pruneTree(spark, jn, Nil)
 
       // ---- filtered scans: the WHERE condition reaches the engine,
       // ---- which prunes candidate files metadata-only (partition
@@ -320,6 +349,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         case _ => false
       }
     }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
   }
 
   /** A bare (possibly unresolved) column reference. */
@@ -588,23 +623,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       rowVals.map(vs => InternalRow.fromSeq(vs.map(_.get)))))
   }
 
-  /** Parents are already bound to the relation's attribute ids: alias
-    * the fresh read's output back onto them — exact name first, then
-    * case-insensitive (unquoted SQL idents fold; rename can create
-    * columns differing only in case, which must not collide).
-    */
   private def rebind(r: DataSourceV2Relation,
-      newPlan: LogicalPlan): LogicalPlan = {
-    val exact = newPlan.output.map(a => a.name -> a).toMap
-    val ci = newPlan.output.map(a => a.name.toLowerCase -> a).toMap
-    val aliases = r.output.map { o =>
-      val n = exact.getOrElse(o.name, ci.getOrElse(o.name.toLowerCase,
-        sys.error(s"column ${o.name} missing from graft read of ${r.table.name()}")))
-      org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
-        exprId = o.exprId, qualifier = o.qualifier)
-    }
-    org.apache.spark.sql.catalyst.plans.logical.Project(aliases, newPlan)
-  }
+      newPlan: LogicalPlan): LogicalPlan = PlanRebind(r, newPlan)
 
   private def resolvedGraftIdent(name: LogicalPlan): Option[(String, String)] =
     name match {
@@ -767,5 +787,25 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     else
       java.time.LocalDate.parse(t).atStartOfDay
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+}
+
+/** Parents are already bound to the relation's attribute ids: alias
+  * the fresh read's output back onto them — exact name first, then
+  * case-insensitive (unquoted SQL idents fold; rename can create
+  * columns differing only in case, which must not collide). Shared by
+  * the relation-swap cases and [[JoinFilePruning]]'s probe swap.
+  */
+private[catalog] object PlanRebind {
+  def apply(old: LogicalPlan, newPlan: LogicalPlan): LogicalPlan = {
+    val exact = newPlan.output.map(a => a.name -> a).toMap
+    val ci = newPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val aliases = old.output.map { o =>
+      val n = exact.getOrElse(o.name, ci.getOrElse(o.name.toLowerCase,
+        sys.error(s"column ${o.name} missing from graft read of ${old.nodeName}")))
+      org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
+        exprId = o.exprId, qualifier = o.qualifier)
+    }
+    org.apache.spark.sql.catalyst.plans.logical.Project(aliases, newPlan)
   }
 }

@@ -1,0 +1,350 @@
+package graft.catalog
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.graftshim
+import graft.engine.GraftTable
+import graft.tableformat.{Snapshot, TableMetadata}
+
+/** JOIN-DRIVEN (dynamic) FILE PRUNING — the star-schema scale path.
+  *
+  * A fact-dim join whose dim side is selectively filtered reads, by
+  * default, EVERY fact file: the join's key domain is only known at
+  * runtime, so static metadata pruning (partition transforms + manifest
+  * bounds, [[graft.engine.PartitionPruning]]/[[graft.engine.StatsPruning]])
+  * never sees it. At 100 TB that is the single largest wasted scan —
+  * `orders ⋈ customer WHERE c_nation = 'KENYA'` touches a few percent
+  * of the fact's files but scans them all.
+  *
+  * This closes the gap the way Iceberg's Spark runtime filtering and
+  * Spark's own dynamic partition pruning do, but at PLANNING time
+  * against graft manifests: when one join side is a graft scan (the
+  * probe) and the other side is provably small from ITS manifest stats
+  * (the build), the build side's join-key domain is evaluated with one
+  * tiny Spark job — the distinct key set when it fits [[maxKeys]], the
+  * min/max range otherwise — and fed into the probe's file planning as
+  * a synthetic `key IN (...)` / `lo <= key <= hi` predicate.
+  * `bucket(N, key)` layouts prune by the IN-set's hashes, clustered /
+  * identity layouts by bounds; either way the probe's file list
+  * collapses BEFORE the scan plan is built, manifest-level veto
+  * included. The join itself still executes — pruning only shrinks the
+  * file list, so correctness never depends on it (files are dropped
+  * only when manifests prove they hold no key from the build domain,
+  * and NULL keys never equi-join).
+  *
+  * Two ways a join side is recognized:
+  *   - an unswapped graft relation (the SQL path — the resolution rule
+  *     defers the relation swap until the join resolves);
+  *   - a [[GraftTable.ReadRoot]]-tagged engine read (the DataFrame-API
+  *     path — `t.read().join(...)` analyzes eagerly leaf-first, so by
+  *     join time the scan is already planned; the tag carries the
+  *     captured (metadata, snapshot) and re-derivation stays pinned to
+  *     that snapshot, never drifting to later commits).
+  *
+  * Soundness by join type: Inner prunes either side; LeftSemi prunes
+  * the left (its output is left rows WITH a match); LeftOuter prunes
+  * only the right (all left rows survive); RightOuter mirrors. Anti
+  * and full joins are never pruned.
+  *
+  * Cost control: the build side's FILTERED manifest row estimate must
+  * be at most [[maxBuildRows]] and the probe estimate must exceed it
+  * by [[ratio]] — a self-join (the dedup shape) or dim-dim join never
+  * pays the evaluation job. Config:
+  *   spark.graft.dynamicPruning.enabled       (default true)
+  *   spark.graft.dynamicPruning.maxBuildRows  (default 100000)
+  *   spark.graft.dynamicPruning.maxKeys       (default 1000)
+  *   spark.graft.dynamicPruning.ratio         (default 4)
+  */
+private[graft] object JoinFilePruning {
+
+  /** Test hooks: how many joins were dynamically pruned, and the last
+    * build-side key-domain size (−1 = range fallback was used).
+    */
+  private[graft] val pruneEvents = new AtomicLong(0L)
+  private[graft] val lastBuildKeys = new AtomicLong(-1L)
+
+  /** Each Join is attempted at most once per plan instance: the tag
+    * survives because the rule either mutates the node in place (tags
+    * are node-local mutable state) or copies it through transform,
+    * which copies tags.
+    */
+  private val Attempted = TreeNodeTag[Boolean]("graft.joinPruneAttempted")
+
+  private def confBool(spark: SparkSession, key: String, d: Boolean): Boolean =
+    spark.conf.getOption(key).map(_.toBoolean).getOrElse(d)
+  private def confLong(spark: SparkSession, key: String, d: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(d)
+
+  private[graft] def enabled(spark: SparkSession): Boolean =
+    confBool(spark, "spark.graft.dynamicPruning.enabled", d = true)
+
+  /** A join side the rule understands: a graft scan — unswapped
+    * relation or tagged engine read — under any stack of aliases,
+    * filters, and alias-only projections (filters accumulate: they
+    * narrow both the build estimate and the probe's static pruning).
+    * `base` is a pruning condition the captured read already applied;
+    * re-derivations fold it back in so they never scan MORE than the
+    * original. `names` maps every attribute id visible anywhere in the
+    * wrapper stack to its underlying SCAN COLUMN name — key and filter
+    * expressions are translated through it before touching manifests,
+    * so renames in a projection can't misdirect pruning.
+    */
+  private[graft] final case class GraftSide(anchor: LogicalPlan,
+      table: GraftTable, m: TableMetadata, snap: Snapshot,
+      base: Option[Expression], filters: Seq[Expression],
+      names: Map[ExprId, String]) {
+
+    /** The expression with every attribute swapped for its scan-column
+      * name (unresolved — StatsPruning/PartitionPruning match by name,
+      * and DataFrame.filter re-resolves against the fresh read). None
+      * when any referenced attribute doesn't trace to a scan column.
+      */
+    def toScanExpr(e: Expression): Option[Expression] =
+      if (!e.references.forall(a => names.contains(a.exprId))) None
+      else Some(e.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(names(a.exprId))
+      })
+
+    def scanColumn(a: AttributeReference): Option[String] = names.get(a.exprId)
+  }
+
+  private[graft] def graftSideOf(p: LogicalPlan): Option[GraftSide] =
+    p.getTagValue(GraftTable.ReadRoot) match {
+      case Some((t, m, s, cond)) =>
+        Some(GraftSide(p, t, m, s, cond, Nil,
+          p.output.map(a => a.exprId -> a.name).toMap))
+      case None => p match {
+        case SubqueryAlias(_, c) => graftSideOf(c)
+        case Filter(cond, c) =>
+          graftSideOf(c).map(s => s.copy(filters = cond +: s.filters))
+        case org.apache.spark.sql.catalyst.plans.logical.Project(items, c) =>
+          // alias-only projections pass through (the relation-swap
+          // rebind is one; user selects of bare columns another) —
+          // outer ids map to the underlying scan names, inner ids stay
+          // valid for filters collected below
+          graftSideOf(c).flatMap { s =>
+            val mapped = items.map {
+              case a: AttributeReference =>
+                s.names.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(a: AttributeReference, _) =>
+                s.names.get(a.exprId).map(al.exprId -> _)
+              case _ => None
+            }
+            if (mapped.exists(_.isEmpty)) None
+            else Some(s.copy(names = s.names ++ mapped.flatten))
+          }
+        case r: DataSourceV2Relation => r.table match {
+          case h: GraftTableHandle if h.pinnedSnapshot.isEmpty =>
+            val m = h.table.meta
+            m.currentSnapshot.map(s => GraftSide(r, h.table, m, s, None, Nil,
+              r.output.map(a => a.exprId -> a.name).toMap))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+  /** Graft relations that must NOT be swapped yet because an enclosing
+    * join's (or its WHERE's) resolution is still pending — the swap
+    * would erase the relation before [[pruneTree]] could see the join
+    * whole. Walks only through join-tree structure (nested joins,
+    * aliases, filters).
+    */
+  private[graft] def relationsToDefer(j: Join): Seq[DataSourceV2Relation] =
+    Seq(j.left, j.right).flatMap {
+      case inner: Join => relationsToDefer(inner)
+      case other => graftSideOf(other).toSeq.collect {
+        case s if s.anchor.isInstanceOf[DataSourceV2Relation] =>
+          s.anchor.asInstanceOf[DataSourceV2Relation]
+      }
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def andAll(es: Seq[Expression]): Expression =
+    es.reduceOption(And).getOrElse(Literal.TrueLiteral)
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** Attempt dynamic pruning on every join in a join tree. `outer`
+    * carries the enclosing WHERE's conjuncts (at analysis time the
+    * selective dim predicate sits ABOVE the join — pushdown hasn't run
+    * yet), attributed to sides by reference sets.
+    */
+  private[graft] def pruneTree(spark: SparkSession, plan: LogicalPlan,
+      outer: Seq[Expression]): LogicalPlan = plan match {
+    case j: Join if j.resolved =>
+      val attempted =
+        if (j.getTagValue(Attempted).contains(true)) j
+        else {
+          j.setTagValue(Attempted, true)
+          pruneJoin(spark, j, outer).getOrElse(j)
+        }
+      val newLeft = pruneTree(spark, attempted.left, outer)
+      val newRight = pruneTree(spark, attempted.right, outer)
+      if ((newLeft eq attempted.left) && (newRight eq attempted.right)) attempted
+      else {
+        val res = attempted.copy(left = newLeft, right = newRight)
+        res.setTagValue(Attempted, true)
+        res
+      }
+    case other => other
+  }
+
+  /** The single-join attempt: pick a probe/build assignment the join
+    * type and manifest estimates permit, evaluate the build domain,
+    * swap the probe scan for the domain-pruned engine read.
+    */
+  private def pruneJoin(spark: SparkSession, j: Join,
+      outer: Seq[Expression]): Option[Join] = {
+    if (!enabled(spark)) return None
+    val cond = j.condition.getOrElse(return None)
+    val (canPruneLeft, canPruneRight) = j.joinType match {
+      case Inner      => (true, true)
+      case LeftSemi   => (true, false)
+      case LeftOuter  => (false, true)
+      case RightOuter => (true, false)
+      case _          => (false, false)
+    }
+    if (!canPruneLeft && !canPruneRight) return None
+    val leftOut = j.left.outputSet
+    val rightOut = j.right.outputSet
+    // bare-column equi pairs, oriented (leftAttr, rightAttr); implicit
+    // casts or expressions over the key stay conservative (no pruning)
+    val pairs: Seq[(AttributeReference, AttributeReference)] =
+      splitConjuncts(cond).collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if leftOut.contains(a) && rightOut.contains(b) => (a, b)
+      }
+    if (pairs.isEmpty) return None
+    // outer-WHERE conjuncts usable for a side: deterministic,
+    // subquery-free, references wholly within that side
+    val outerUsable = outer.filter(e =>
+      e.deterministic && !hasSubquery(e) && e.references.nonEmpty)
+    def sideConj(out: AttributeSet): Seq[Expression] =
+      outerUsable.filter(_.references.subsetOf(out))
+
+    val maxBuildRows = confLong(spark, "spark.graft.dynamicPruning.maxBuildRows", 100000L)
+    val ratio = confLong(spark, "spark.graft.dynamicPruning.ratio", 4L)
+
+    def estimate(s: GraftSide, conj: Seq[Expression]): Long = {
+      val total = s.snap.summary.get("total-records").flatMap(_.toLongOption)
+      total match {
+        // unfiltered: the summary answers without touching manifests
+        case Some(t) if conj.isEmpty && s.base.isEmpty => t
+        case Some(t) if t <= maxBuildRows => t // already small enough
+        case _ =>
+          // filtered (or no summary): manifest-only candidate estimate
+          s.table.candidatesFor(s.m, s.snap.files,
+            andAll(s.base.toSeq ++ conj)).map(_.recordCount).sum
+      }
+    }
+
+    def attempt(probePlan: LogicalPlan, buildPlan: LogicalPlan,
+        probeKeys: Seq[AttributeReference], buildKeys: Seq[AttributeReference],
+        probeOut: AttributeSet, buildOut: AttributeSet): Option[LogicalPlan] =
+      for {
+        probe <- graftSideOf(probePlan)
+        build <- graftSideOf(buildPlan)
+        // a self-join's build domain is the probe's own domain — the
+        // evaluation job would prune nothing
+        if probe.table.location != build.table.location
+        // every key must trace to a scan column of its side
+        if probeKeys.forall(k => probe.scanColumn(k).isDefined) &&
+          buildKeys.forall(k => build.scanColumn(k).isDefined)
+        // untranslatable conjuncts drop out — sound in every use below
+        // (a wider build domain or a laxer estimate only prunes less)
+        buildConj = (build.filters ++ sideConj(buildOut))
+          .flatMap(build.toScanExpr)
+        buildEst = estimate(build, buildConj)
+        if buildEst <= maxBuildRows
+        probeEst = estimate(probe, Nil)
+        if probeEst >= ratio * math.max(buildEst, 1L)
+        probeConj = (probe.filters ++ sideConj(probeOut))
+          .flatMap(probe.toScanExpr)
+        swapped <- swapProbe(spark, probe, build, probeKeys, buildKeys,
+          buildConj, probeConj, probePlan)
+      } yield swapped
+
+    val prunedLeft =
+      if (canPruneLeft)
+        attempt(j.left, j.right, pairs.map(_._1), pairs.map(_._2),
+          leftOut, rightOut).map(nl => j.copy(left = nl))
+      else None
+    prunedLeft.orElse {
+      if (canPruneRight)
+        attempt(j.right, j.left, pairs.map(_._2), pairs.map(_._1),
+          rightOut, leftOut).map(nr => j.copy(right = nr))
+      else None
+    }.map { nj => nj.setTagValue(Attempted, true); nj }
+  }
+
+  /** Evaluate the build side's key domain (one small job against the
+    * ENGINE's own read, pinned to the build's captured snapshot) and
+    * swap the probe scan for the domain-pruned read of ITS captured
+    * snapshot.
+    */
+  private def swapProbe(spark: SparkSession, probe: GraftSide,
+      build: GraftSide, probeKeys: Seq[AttributeReference],
+      buildKeys: Seq[AttributeReference], buildConj: Seq[Expression],
+      probeConj: Seq[Expression], probePlan: LogicalPlan): Option[LogicalPlan] = {
+    val maxKeys = confLong(spark, "spark.graft.dynamicPruning.maxKeys", 1000L).toInt
+    // buildConj/probeConj arrive scan-translated (name-based) — they
+    // re-resolve against the fresh engine reads
+    var buildDf = build.table.readPrunedIn(build.m, build.snap,
+      andAll(build.base.toSeq ++ buildConj))
+    buildConj.foreach(e => buildDf = buildDf.filter(graftshim.columnOf(e)))
+    val buildCols = buildKeys.map(b => build.scanColumn(b).get)
+    val probeCols = probeKeys.map(p =>
+      UnresolvedAttribute.quoted(probe.scanColumn(p).get))
+    val keyCols = buildCols.map(n => col(s"`$n`"))
+    // NULL keys never equi-match — drop before distinct so an all-null
+    // dim batch yields the empty domain (probe prunes to zero files)
+    val nonNull = buildCols.foldLeft(buildDf)((d, n) =>
+      d.filter(col(s"`$n`").isNotNull))
+    val rows = nonNull.select(keyCols: _*).distinct().limit(maxKeys + 1).collect()
+    val domain: Seq[Expression] =
+      if (rows.length <= maxKeys) {
+        lastBuildKeys.set(rows.length.toLong)
+        probeCols.zip(probeKeys).zipWithIndex.map { case ((pc, pk), i) =>
+          val vs = rows.map(_.get(i)).distinct.toSeq
+          In(pc, vs.map(v => Literal.create(v, pk.dataType)))
+        }
+      } else {
+        // domain too wide for an IN-set: one agg job for per-key
+        // min/max, pruned as a closed range (clustered layouts still
+        // collapse; bucket layouts simply keep their files)
+        lastBuildKeys.set(-1L)
+        val aggs = buildCols.zipWithIndex.flatMap { case (n, i) =>
+          Seq(min(col(s"`$n`")).as(s"_lo$i"),
+            max(col(s"`$n`")).as(s"_hi$i")) }
+        val r = nonNull.agg(aggs.head, aggs.tail: _*).collect()(0)
+        probeCols.zip(probeKeys).zipWithIndex.map { case ((pc, pk), i) =>
+          if (r.isNullAt(2 * i)) In(pc, Nil) // empty build: prune all
+          else And(
+            GreaterThanOrEqual(pc, Literal.create(r.get(2 * i), pk.dataType)),
+            LessThanOrEqual(pc, Literal.create(r.get(2 * i + 1), pk.dataType)))
+        }
+      }
+    val prunedDf = probe.table.readPrunedIn(probe.m, probe.snap,
+      andAll(probe.base.toSeq ++ probeConj ++ domain))
+    pruneEvents.incrementAndGet()
+    val analyzed = prunedDf.queryExecution.analyzed
+    Some(probePlan.transformUp {
+      case p if p eq probe.anchor => PlanRebind(p, analyzed)
+    })
+  }
+}

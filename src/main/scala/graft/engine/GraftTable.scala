@@ -38,7 +38,22 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   def read(): DataFrame = {
     val m = meta
-    readSnapshot(m, m.currentSnapshot)
+    tagReadRoot(readSnapshot(m, m.currentSnapshot), m, None)
+  }
+
+  /** Mark an engine read's analyzed root with its provenance so later
+    * plan composition (DataFrame-API joins are analyzed eagerly, leaf
+    * by leaf) can still recognize the scan and re-derive it pruned —
+    * see [[graft.catalog.JoinFilePruning]]. The captured metadata +
+    * snapshot keep the re-derivation SNAPSHOT-CONSISTENT: a commit
+    * landing between `read()` and the join must not change what the
+    * captured DataFrame reads.
+    */
+  private def tagReadRoot(df: DataFrame, m: TableMetadata,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): DataFrame = {
+    m.currentSnapshot.foreach(s => df.queryExecution.analyzed
+      .setTagValue(GraftTable.ReadRoot, (this, m, s, cond)))
+    df
   }
 
   /** Time travel by wall-clock (reference: FOR SYSTEM_TIME AS OF,
@@ -301,11 +316,21 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     m.currentSnapshot match {
       case None => emptyDf(m)
-      case Some(s) =>
-        val kept = prunedSnapshotFiles(m, s, cond)
-        if (s.deleteFiles.isEmpty) readFiles(m, kept)
-        else liveRows(m, s, kept).drop("_g_path", "_g_pos")
+      case Some(s) => tagReadRoot(readPrunedIn(m, s, cond), m, Some(cond))
     }
+  }
+
+  /** [[readPrunedBy]] against an EXPLICIT (metadata, snapshot) pair —
+    * the re-derivation seam join-driven pruning uses to rebuild a
+    * captured read with the join-key domain folded into its file
+    * planning, without moving the read to a newer snapshot.
+    */
+  private[graft] def readPrunedIn(m: TableMetadata, s: Snapshot,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
+    val kept = prunedSnapshotFiles(m, s, cond)
+    GraftTable.lastPrunedReadFiles.set(kept.size.toLong)
+    if (s.deleteFiles.isEmpty) readFiles(m, kept)
+    else liveRows(m, s, kept).drop("_g_path", "_g_pos")
   }
 
   private def emptyDf(m: TableMetadata): DataFrame =
@@ -1045,6 +1070,98 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         cur.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ written,
         cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty),
         tsHint = Some(sharedTs))
+  }
+
+  /** Stage a COPY-ON-WRITE DELETE without committing — the DML half of
+    * multi-table transactions ([[graft.catalog.GraftCatalog.transactOps]]):
+    * a dedup sweep that removes corpus rows must retract the matching
+    * fingerprint-index rows ATOMICALLY, or a concurrent reader joins a
+    * shrunken corpus against a stale index. The rewrite (survivor files
+    * of every touched file) is computed and WRITTEN now against the
+    * current snapshot; the returned transform produces the new snapshot
+    * referencing the rewritten files. Same conflict contract as
+    * [[commitSnapshot]]'s rewrite path: the transform re-validates that
+    * the snapshot it rewrote is STILL current and aborts the whole
+    * transaction loudly otherwise — rebasing a rewrite would silently
+    * drop a racing writer's rows.
+    */
+  private[graft] def stageDelete(cond: Column)
+      : (TableMetadata, Long) => TableMetadata = {
+    val m = meta
+    require(deleteMode(m) != "merge-on-read",
+      s"staged transactional DELETE requires copy-on-write mode ($location)")
+    stageRewrite(m, cond, "delete", identity)
+  }
+
+  /** Staged COPY-ON-WRITE UPDATE — see [[stageDelete]]. */
+  private[graft] def stageUpdate(cond: Column,
+      assignments: Map[String, Column])
+      : (TableMetadata, Long) => TableMetadata = {
+    val m = meta
+    require(updateMode(m) != "merge-on-read",
+      s"staged transactional UPDATE requires copy-on-write mode ($location)")
+    stageRewrite(m, cond, "overwrite",
+      df => applyAssignments(df, Some(cond), assignments))
+  }
+
+  /** The staged rewrite core under [[stageDelete]]/[[stageUpdate]]:
+    * [[rewriteMatching]]'s planning (metadata-candidate pruning, one
+    * predicate-pushed scan to find touched files, survivor rewrite)
+    * split from its commit. A no-match DML still returns a transform
+    * committing an unchanged-files snapshot, so every table in a
+    * transaction gets exactly one snapshot with the shared timestamp —
+    * transaction-consistent time travel stays probe-proof.
+    */
+  private def stageRewrite(m: TableMetadata, cond: Column, op: String,
+      transform: DataFrame => DataFrame)
+      : (TableMetadata, Long) => TableMetadata = {
+    val baseId = m.currentSnapshotId
+    val staged: Option[(Set[String], Vector[DataFileEntry])] =
+      m.currentSnapshot.flatMap { snap =>
+        val candidates = pruneCandidates(m, snap.files, exprOf(cond))
+        if (candidates.isEmpty) None
+        else {
+          val withFile = readFilesWithName(m, candidates)
+          val touchedAbs = withFile.filter(cond)
+            .select(col("_graft_file")).distinct().collect()
+            .map(r => normalizePath(r.getString(0))).toSet
+          if (touchedAbs.isEmpty) None
+          else {
+            val touched = snap.files.filter(f =>
+              touchedAbs.contains(normalizePath(absPath(f.path))))
+            // rewriting must not resurrect rows a positional delete
+            // already removed (write modes can change between commits)
+            val survivors0 =
+              if (snap.deleteFiles.isEmpty) readFiles(m, touched)
+              else liveRows(m, snap, touched).drop("_g_path", "_g_pos")
+            val survivors = op match {
+              case "delete" => survivors0.filter(!coalesce(cond, lit(false)))
+              case _        => transform(survivors0)
+            }
+            Some((touched.map(f => normalizePath(absPath(f.path))).toSet,
+              writeFiles(m, survivors)))
+          }
+        }
+      }
+    (cur: TableMetadata, sharedTs: Long) => {
+      if (cur.currentSnapshotId != baseId)
+        throw new ConcurrentCommitException(
+          s"concurrent commit: snapshot advanced from $baseId to " +
+            s"${cur.currentSnapshotId} during staged $op of $location — " +
+            "re-run the transaction")
+      val curFiles = cur.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+      val curDeletes =
+        cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+      staged match {
+        case None => // no matching rows: snapshot for timestamp alignment
+          withSnapshot(cur, op, curFiles, curDeletes, tsHint = Some(sharedTs))
+        case Some((touchedPaths, written)) =>
+          val untouched = curFiles.filterNot(f =>
+            touchedPaths.contains(normalizePath(absPath(f.path))))
+          withSnapshot(cur, op, untouched ++ written, curDeletes,
+            tsHint = Some(sharedTs))
+      }
+    }
   }
 
   /** Replace all contents (reference: REPLACE TABLE ... AS SELECT, cell 13). */
@@ -3871,6 +3988,25 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+
+  /** Observability hook (Manifests.parseCount-style): how many data
+    * files the most recent [[GraftTable.readPrunedBy]] kept after
+    * metadata pruning. Specs and the dynamic-pruning bench fixture pin
+    * the file-count collapse against it.
+    */
+  private[graft] val lastPrunedReadFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Provenance tag on an engine read's analyzed plan root:
+    * (table, metadata, snapshot, pruning condition already applied).
+    * Lets join-driven file pruning recognize a scan inside an
+    * eagerly-analyzed DataFrame composition and re-derive it pruned,
+    * pinned to the SAME snapshot.
+    */
+  private[graft] val ReadRoot = new org.apache.spark.sql.catalyst.trees.TreeNodeTag[
+    (GraftTable, TableMetadata, Snapshot,
+      Option[org.apache.spark.sql.catalyst.expressions.Expression])](
+    "graft.readRoot")
 
   /** Orphan GC's in-flight-write guard window (Iceberg's
     * remove_orphan_files `older_than` default): unreferenced files

@@ -1171,6 +1171,132 @@ object CatalogQueries {
                 WHERE c_custkey % 3 < b.batch) AS n_fp
         FROM (SELECT 1 AS batch UNION ALL SELECT 2 UNION ALL SELECT 3) b
         ORDER BY batch
+      """)),
+
+    // JOIN-DRIVEN DYNAMIC FILE PRUNING (JoinFilePruning): the fact is
+    // bucket(64)-partitioned on the join key (hash write distribution:
+    // one file per bucket); the dim predicate selects a handful of
+    // customers, so the evaluated key domain collapses the fact's file
+    // list to at most one bucket file per key BEFORE the scan plan is
+    // built — the star-schema shape that decides whether a 100 TB
+    // fact-dim query opens a few files or the table's. The pin is
+    // Manifests.parseCount-style: the prune must FIRE, and the kept
+    // file count must be bounded by the build key count and strictly
+    // below the table's file total, at every scale factor.
+    QueryDef(
+      "q169_join_dynamic_pruning",
+      (s, d) => {
+        val wh = setupOnce("q169", d) {
+          val w = scratch("dynprune")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val fact = cat.createTable("db1", "orders_dp", Seq(
+            "o_orderkey" -> "long", "o_custkey" -> "long",
+            "o_totalprice" -> "double"),
+            Seq("o_custkey" -> "bucket(64)"),
+            Map("write.distribution-mode" -> "hash"))
+          fact.append(Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+          cat.createTableAs("db1", "customer_dp", Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        graft.catalog.JoinFilePruning.pruneEvents.set(0L)
+        val df = s.sql("""
+          SELECT c.c_custkey, c.c_name,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 round(sum(o.o_totalprice), 2) AS revenue
+          FROM graft.db1.orders_dp o
+          JOIN graft.db1.customer_dp c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal >= 9900.0
+          GROUP BY c.c_custkey, c.c_name
+          ORDER BY c.c_custkey""")
+        val fired = graft.catalog.JoinFilePruning.pruneEvents.get()
+        val keys = graft.catalog.JoinFilePruning.lastBuildKeys.get()
+        val kept = graft.engine.GraftTable.lastPrunedReadFiles.get()
+        val total = graft.engine.GraftTable.load(s,
+          java.nio.file.Paths.get(wh, "db1", "orders_dp").toString)
+          .meta.currentSnapshot.get.files.size.toLong
+        require(fired >= 1, "dynamic pruning did not fire")
+        require(keys >= 0 && kept >= 0 && kept <= keys && kept < total,
+          s"fact file list did not collapse: kept $kept of $total " +
+            s"(build keys: $keys)")
+        df
+      },
+      Some("""
+        SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 9900.0
+        GROUP BY c_custkey, c_name ORDER BY c_custkey
+      """)),
+
+    // TRANSACTIONAL DML (GraftCatalog.transactOps / Tx.Delete /
+    // Tx.Update): the dedup-sweep shape — a CoW DELETE of corpus rows
+    // and the retraction of their fingerprint-index rows commit through
+    // ONE atomic catalog CAS, so no reader ever joins a shrunken corpus
+    // against a stale index; a second transaction stages a CoW UPDATE.
+    // Rewritten files are written before the claim; the staged
+    // transforms re-validate their base snapshot at claim time. The
+    // oracle recomputes the post-transaction state from the source
+    // table — any torn commit breaks the equijoin's counts/sums.
+    QueryDef(
+      "q170_transactional_dml",
+      (s, d) => {
+        val wh = setupOnce("q170", d) {
+          val w = scratch("txndml")
+          val before = graft.tableformat.FileIO.io
+          val server = new graft.tableformat.CatalogCommitServer
+          try {
+            graft.tableformat.FileIO.install(
+              new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+            val cat = new GraftCatalog(s, w)
+            cat.createDatabase("db1")
+            val corpus = cat.createTable("db1", "dml_corpus", Seq(
+              "c_custkey" -> "long", "c_name" -> "string",
+              "c_acctbal" -> "double"))
+            val index = cat.createTable("db1", "dml_fp", Seq(
+              "c_custkey" -> "long", "fp" -> "long"))
+            val base = Tables.customer(s, d)
+              .select("c_custkey", "c_name", "c_acctbal")
+            val fps = base.select(col("c_custkey"),
+              length(col("c_name")).cast("long").as("fp"))
+            cat.transact(corpus -> base, index -> fps)
+            // the sweep: delete every key ≡ 0 (mod 5) from BOTH tables
+            // in one transaction
+            cat.transactOps(Seq(
+              graft.catalog.Tx.Delete(corpus, col("c_custkey") % 5 === 0),
+              graft.catalog.Tx.Delete(index, col("c_custkey") % 5 === 0)))
+            require(corpus.read().count() == index.read().count(),
+              "corpus and index diverged after the transactional sweep")
+            // staged CoW UPDATE through the same commit path
+            cat.transactOps(Seq(
+              graft.catalog.Tx.Update(corpus, col("c_custkey") % 7 === 0,
+                Map("c_acctbal" -> (col("c_acctbal") + lit(1000.0))))))
+          } finally {
+            graft.tableformat.FileIO.install(before)
+            server.close()
+          }
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT count(*) AS n_rows,
+                 CAST(sum(c.c_custkey) AS BIGINT) AS sum_key,
+                 round(sum(c.c_acctbal), 2) AS sum_bal,
+                 CAST(sum(f.fp) AS BIGINT) AS sum_fp
+          FROM graft.db1.dml_corpus c
+          JOIN graft.db1.dml_fp f ON c.c_custkey = f.c_custkey""")
+      },
+      Some("""
+        SELECT count(*) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+               round(sum(CASE WHEN c_custkey % 7 = 0
+                              THEN c_acctbal + 1000.0
+                              ELSE c_acctbal END), 2) AS sum_bal,
+               CAST(sum(length(c_name)) AS BIGINT) AS sum_fp
+        FROM customer WHERE c_custkey % 5 <> 0
       """))
   )
 }

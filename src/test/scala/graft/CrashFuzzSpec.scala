@@ -129,14 +129,36 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           // reader probes both tables' metadata THROUGH the crash
           // window: any probe seeing one table's new version without
           // the other's is a torn pair.
-          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
-            nextId += 1; (nextId, s"tx$step-$nextId")
-          }
-          val df = rows.toDF("id", "v")
           val crashMode = rnd.nextInt(3) // 0=clean, 1=cas, 2=mid-publish
-          val ops = Seq(
-            locs(cur) -> t.stageAppend(df),
-            idxLoc -> new GraftTable(spark, idxLoc).stageAppend(df))
+          // sometimes the transaction is the staged-DML shape (the
+          // dedup sweep: CoW delete from main + index in one claim set)
+          // instead of the two-table append
+          val asDelete = model.nonEmpty && rnd.nextInt(3) == 0
+          val rows: Seq[(Long, String)] =
+            if (asDelete) Nil
+            else (0 until 1 + rnd.nextInt(3)).map { _ =>
+              nextId += 1; (nextId, s"tx$step-$nextId")
+            }
+          val victims: Set[Long] =
+            if (!asDelete) Set.empty
+            else {
+              val ks = model.keys.toSeq.sorted
+              Set(ks(rnd.nextInt(ks.size)))
+            }
+          val ops =
+            if (asDelete) {
+              armed += "staged-dml-txn"
+              Seq(
+                locs(cur) -> t.stageDelete(
+                  col("id").isin(victims.toSeq: _*)),
+                idxLoc -> new GraftTable(spark, idxLoc).stageDelete(
+                  col("id").isin(victims.toSeq: _*)))
+            } else {
+              val df = rows.toDF("id", "v")
+              Seq(
+                locs(cur) -> t.stageAppend(df),
+                idxLoc -> new GraftTable(spark, idxLoc).stageAppend(df))
+            }
           def commitBoth(): Unit = graft.tableformat.MetadataIO.commitAll(
             ops.map { case (loc, f) =>
               loc -> ((cur0: graft.tableformat.TableMetadata) =>
@@ -186,8 +208,12 @@ abstract class CrashFuzzBase extends AnyFunSuite {
             assert(torn.get() == 0,
               s"racing reader observed ${torn.get()} torn pairs at step $step")
           } else commitBoth()
-          rows.foreach { r => model(r._1) = r._2; idxModel(r._1) = r._2 }
-          s"txn(${rows.size}${Seq("", ", cas-crash",
+          if (asDelete) victims.foreach { k =>
+            model.remove(k); idxModel.remove(k)
+          }
+          else rows.foreach { r => model(r._1) = r._2; idxModel(r._1) = r._2 }
+          s"txn(${if (asDelete) s"delete ${victims.mkString(",")}"
+            else rows.size.toString}${Seq("", ", cas-crash",
             ", mid-publish-crash")(crashMode)})"
         } else if (roll < 9) { // rename to the other location
           // sometimes a CAS-crashed append lands IMMEDIATELY before the

@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.catalog.{GraftCatalog, JoinFilePruning}
+import graft.engine.GraftTable
+
+/** Join-driven dynamic file pruning (JoinFilePruning): a selective dim
+  * predicate collapses the fact side's FILE LIST at planning time —
+  * the star-schema scale path static pruning can't reach because the
+  * join-key domain only exists at runtime.
+  */
+class JoinPruningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", Some(4))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshCat() = new GraftCatalog(spark,
+    Files.createTempDirectory("graft-jp").toString)
+
+  /** Fact clustered into 8 single-file key-range batches (ids 0-799),
+    * dim of 80 rows tagged by decade — `tag = 't3'` selects ids
+    * 30-39, all inside fact batch 0.
+    */
+  private def starFixture(): (GraftCatalog, GraftTable, GraftTable) = {
+    import spark.implicits._
+    val cat = freshCat()
+    val fact = cat.createTable("db", "fact",
+      Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      fact.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong * 2)).toDF("id", "v").coalesce(1))
+    }
+    assert(fact.meta.currentSnapshot.get.files.size == 8)
+    val dim = cat.createTable("db", "dim",
+      Seq("id" -> "long", "tag" -> "string"))
+    dim.append((0 until 80).map(i => (i.toLong, s"t${i / 10}"))
+      .toDF("id", "tag").coalesce(1))
+    (cat, fact, dim)
+  }
+
+  private def resetHooks(): Unit = {
+    JoinFilePruning.pruneEvents.set(0L)
+    JoinFilePruning.lastBuildKeys.set(-2L)
+    GraftTable.lastPrunedReadFiles.set(-1L)
+  }
+
+  test("selective dim WHERE collapses the fact file list (SQL shape)") {
+    val (_, _, _) = starFixture()
+    resetHooks()
+    val df = spark.sql("""
+      SELECT f.id, f.v, d.tag
+      FROM graft.db.fact f JOIN graft.db.dim d ON f.id = d.id
+      WHERE d.tag = 't3'""")
+    // the swap happened during analysis: one prune event, the 10-key
+    // domain fit the IN-set, and the fact's 8 files collapsed to 1
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(JoinFilePruning.lastBuildKeys.get() == 10L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.sortBy(_._1).toSeq ==
+      (30 until 40).map(i => (i.toLong, i.toLong * 2, "t3")))
+  }
+
+  test("pruned result equals the unpruned plan row-for-row") {
+    starFixture()
+    val q = """
+      SELECT f.id, sum(f.v) AS sv
+      FROM graft.db.fact f JOIN graft.db.dim d ON f.id = d.id
+      WHERE d.tag IN ('t1', 't7') GROUP BY f.id"""
+    val pruned = spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    spark.conf.set("spark.graft.dynamicPruning.enabled", "false")
+    try {
+      val plain = spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(pruned.toSeq == plain.toSeq && pruned.length == 20)
+    } finally spark.conf.set("spark.graft.dynamicPruning.enabled", "true")
+  }
+
+  test("DataFrame-API shape: dim filter inside the join child") {
+    starFixture()
+    resetHooks()
+    val fact = spark.table("graft.db.fact")
+    val dim = spark.table("graft.db.dim").filter(col("tag") === "t5")
+    val df = fact.join(dim, fact("id") === dim("id")).select(fact("id"), col("v"))
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (50 until 60).map(_.toLong))
+  }
+
+  test("empty build domain prunes the fact to zero files") {
+    starFixture()
+    resetHooks()
+    val df = spark.sql("""
+      SELECT f.id FROM graft.db.fact f JOIN graft.db.dim d ON f.id = d.id
+      WHERE d.tag = 'nope'""")
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 0L)
+    assert(df.count() == 0L)
+  }
+
+  test("domain wider than maxKeys falls back to a min/max range") {
+    starFixture()
+    spark.conf.set("spark.graft.dynamicPruning.maxKeys", "4")
+    try {
+      resetHooks()
+      val df = spark.sql("""
+        SELECT f.id FROM graft.db.fact f JOIN graft.db.dim d ON f.id = d.id
+        WHERE d.tag IN ('t2', 't3')""")
+      assert(JoinFilePruning.pruneEvents.get() == 1L)
+      assert(JoinFilePruning.lastBuildKeys.get() == -1L) // range path
+      // ids 20-39 span exactly fact batch 0 (0-99): bounds keep 1 file
+      assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+      assert(df.count() == 20L)
+    } finally spark.conf.unset("spark.graft.dynamicPruning.maxKeys")
+  }
+
+  test("bucket-partitioned fact prunes by the IN-set's hashes") {
+    import spark.implicits._
+    val cat = freshCat()
+    val fact = cat.createTable("db", "bfact",
+      Seq("id" -> "long", "v" -> "long"), Seq("id" -> "bucket(8)"))
+    fact.append((0 until 800).map(i => (i.toLong, i.toLong))
+      .toDF("id", "v").repartition(1))
+    val nFiles = fact.meta.currentSnapshot.get.files.size
+    assert(nFiles == 8) // one file per bucket
+    val dim = cat.createTable("db", "bdim",
+      Seq("id" -> "long", "tag" -> "string"))
+    dim.append(Seq((5L, "x"), (700L, "y"), (13L, "z")).toDF("id", "tag")
+      .coalesce(1))
+    resetHooks()
+    val df = spark.sql("""
+      SELECT f.id, d.tag FROM graft.db.bfact f
+      JOIN graft.db.bdim d ON f.id = d.id""")
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    // three keys hash into at most three of the eight bucket files
+    assert(GraftTable.lastPrunedReadFiles.get() <= 3L)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((5L, "x"), (13L, "z"), (700L, "y")))
+  }
+
+  test("left outer join prunes only the non-preserved side") {
+    starFixture()
+    resetHooks()
+    // fact LEFT JOIN dim: every fact row must survive, so the FACT
+    // side must not prune; the dim (right) side may — but dim is the
+    // small side here, so nothing fires at all
+    val lo = spark.sql("""
+      SELECT f.id, d.tag FROM graft.db.fact f
+      LEFT JOIN graft.db.dim d ON f.id = d.id WHERE f.v >= 0""")
+    assert(lo.count() == 800L)
+    // dim LEFT JOIN fact: dim rows all survive, fact (right) prunes
+    resetHooks()
+    val lo2 = spark.sql("""
+      SELECT d.id, f.v FROM graft.db.dim d
+      LEFT JOIN graft.db.fact f ON d.id = f.id WHERE d.tag = 't0'""")
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    assert(lo2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      (0 until 10).map(i => (i.toLong, i.toLong * 2)))
+  }
+
+  test("self-joins and near-equal sides never pay the evaluation job") {
+    starFixture()
+    resetHooks()
+    // self-join: same table location on both sides
+    spark.sql("""
+      SELECT a.id FROM graft.db.fact a JOIN graft.db.fact b ON a.id = b.id
+      WHERE b.v < 20""").count()
+    assert(JoinFilePruning.pruneEvents.get() == 0L)
+    // dim-dim: ratio gate (80 vs 80 rows) refuses
+    resetHooks()
+    spark.sql("""
+      SELECT a.id FROM graft.db.dim a JOIN graft.db.dim b ON a.tag = b.tag
+      WHERE b.id = 3""").count()
+    assert(JoinFilePruning.pruneEvents.get() == 0L)
+  }
+
+  test("three-way star: both dims prune the fact under one WHERE") {
+    import spark.implicits._
+    val cat = freshCat()
+    val fact = cat.createTable("db", "f3",
+      Seq("id" -> "long", "rid" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      fact.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, (i % 4).toLong, i.toLong)).toDF("id", "rid", "v").coalesce(1))
+    }
+    val d1 = cat.createTable("db", "d3a", Seq("id" -> "long", "tag" -> "string"))
+    d1.append((0 until 80).map(i => (i.toLong, s"t${i / 10}")).toDF("id", "tag")
+      .coalesce(1))
+    val d2 = cat.createTable("db", "d3b", Seq("rid" -> "long", "nm" -> "string"))
+    d2.append((0 until 4).map(i => (i.toLong, s"r$i")).toDF("rid", "nm")
+      .coalesce(1))
+    resetHooks()
+    val df = spark.sql("""
+      SELECT f.id, d2.nm FROM graft.db.f3 f
+      JOIN graft.db.d3a d1 ON f.id = d1.id
+      JOIN graft.db.d3b d2 ON f.rid = d2.rid
+      WHERE d1.tag = 't2' AND d2.nm IN ('r0', 'r1')""")
+    // the inner fact-d1 join fires (d2's join may not — the fact side
+    // of the outer join is a Join node, not a relation)
+    assert(JoinFilePruning.pruneEvents.get() >= 1L)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (20 until 30).map(_.toLong).filter(i => i % 4 <= 1))
+  }
+}

@@ -163,6 +163,71 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     assert(cTs == iTs, s"per-batch snapshots not aligned: $cTs vs $iTs")
   }
 
+  test("transactOps: a CoW DELETE sweep retracts corpus + index rows " +
+      "atomically; staged UPDATE composes; conflicts abort loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(spark, tmp())
+    val corpus = cat.createTable("db", "swc",
+      Seq("id" -> "long", "v" -> "double"))
+    val fp = cat.createTable("db", "swf",
+      Seq("id" -> "long", "h" -> "long"))
+    val ids = (1L to 20L)
+    cat.transact(
+      corpus -> ids.map(i => (i, i * 1.0)).toDF("id", "v"),
+      fp -> ids.map(i => (i, i * 7L)).toDF("id", "h"))
+    // the dedup-sweep shape: delete every id ≡ 0 (mod 5) from both
+    // tables in ONE claim set
+    cat.transactOps(Seq(
+      graft.catalog.Tx.Delete(corpus, col("id") % 5 === 0),
+      graft.catalog.Tx.Delete(fp, col("id") % 5 === 0)))
+    assert(corpus.read().count() == 16 && fp.read().count() == 16)
+    assert(corpus.read().join(fp.read(), "id").count() == 16,
+      "corpus and index diverged after the sweep")
+    // snapshots timestamp-aligned (transaction-consistent time travel):
+    // AS OF the sweep's instant reads the swept PAIR; one tick earlier
+    // reads the unswept pair
+    val cTs = corpus.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs)
+    val fTs = fp.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs)
+    assert(cTs == fTs, s"not aligned: $cTs vs $fTs")
+    assert(corpus.readAsOfTime(cTs.last).count() == 16 &&
+      fp.readAsOfTime(cTs.last).count() == 16)
+    assert(corpus.readAsOfTime(cTs.last - 1).count() == 20 &&
+      fp.readAsOfTime(cTs.last - 1).count() == 20)
+    // mixed shapes: UPDATE one table while the other appends, one set
+    cat.transactOps(Seq(
+      graft.catalog.Tx.Update(corpus, col("id") === 1L,
+        Map("v" -> (col("v") + 100.0))),
+      graft.catalog.Tx.Append(fp, Seq((21L, 147L)).toDF("id", "h"))))
+    assert(corpus.read().filter(col("id") === 1L)
+      .select("v").as[Double].head() == 101.0)
+    assert(fp.read().count() == 17)
+    // a no-match DML still commits an aligned snapshot per table
+    cat.transactOps(Seq(
+      graft.catalog.Tx.Delete(corpus, col("id") === -1L),
+      graft.catalog.Tx.Delete(fp, col("id") === -1L)))
+    assert(corpus.read().count() == 16 && fp.read().count() == 17)
+    assert(corpus.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs) ==
+      fp.meta.snapshots.sortBy(_.timestampMs).map(_.timestampMs))
+    // conflict contract: a commit racing between STAGE and CLAIM makes
+    // the staged rewrite abort loudly (rebasing a rewrite would drop
+    // the racer's rows) instead of committing over it
+    val stagedDel = corpus.stageDelete(col("id") === 2L)
+    corpus.append(Seq((99L, 9.9)).toDF("id", "v"))
+    intercept[graft.engine.ConcurrentCommitException] {
+      graft.tableformat.MetadataIO.commitAll(Seq(
+        corpus.location -> ((cur: graft.tableformat.TableMetadata) =>
+          stagedDel(cur, System.currentTimeMillis()))))
+    }
+    assert(corpus.read().filter(col("id") === 2L).count() == 1,
+      "conflicted staged delete must not land")
+    // merge-on-read tables refuse staged DML (the rewrite IS the CoW)
+    corpus.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    val e = intercept[IllegalArgumentException](
+      corpus.stageDelete(col("id") === 3L))
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+  }
+
   test("bare stores refuse multi-table transactions loudly; " +
       "single-table commits are unaffected") {
     val before = FileIO.io
