@@ -209,6 +209,36 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         graft.tableformat.TableMetadata)]): Seq[Int] =
     MetadataIO.commitAll(ops.map { case (t, f) => t.location -> f })
 
+  /** [[transactTransforms]] admitting VIEW redefinitions into the same
+    * atomic claim set — the DDL + view-repair shape: a column rename
+    * and the dependent view's new SQL publish TOGETHER, so no reader
+    * window exists where the renamed table pairs with the stale
+    * definition (late-binding expansion would throw an analysis error
+    * for every reader inside that window). View ops are keyed
+    * `"db.view"`; each transform receives the current [[ViewMetadata]]
+    * and typically appends a [[ViewVersion]] — note the new SQL can't
+    * be ANALYZED until the paired DDL commits, so its definition-time
+    * schema is carried by the caller (for a source-column rename the
+    * view's output schema is unchanged). Catalog-arbitrated backends
+    * only, like every multi-document transaction.
+    */
+  def transactTransforms(
+      tableOps: Seq[(GraftTable, graft.tableformat.TableMetadata =>
+        graft.tableformat.TableMetadata)],
+      viewOps: Seq[(String, ViewMetadata => ViewMetadata)]): Seq[Int] = {
+    val slots: Seq[() => graft.tableformat.MetadataIO.PreparedSlot] =
+      tableOps.map { case (t, f) =>
+        () => MetadataIO.prepareTableSlot(t.location, f)
+      } ++ viewOps.map { case (name, f) =>
+        val parts = name.split("\\.", 2)
+        require(parts.length == 2, s"view ops are keyed db.view, got $name")
+        val loc = Paths.get(warehouse, parts(0), parts(1)).toString
+        require(ViewIO.exists(loc), s"no view $name under $warehouse")
+        () => ViewIO.prepareSlot(loc, f)
+      }
+    MetadataIO.commitSlots(slots)
+  }
+
   // --------------------------------------------------------- D8: DESCRIBE
 
   /** DESCRIBE TABLE: column name / type / field-id rows. */

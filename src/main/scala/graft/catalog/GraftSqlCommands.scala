@@ -111,7 +111,16 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
         s"INSERT provides ${df.columns.length} columns, table has ${target.length}")
       df = df.toDF(target: _*)
     }
-    if (overwrite) t.overwrite(df) else t.append(df)
+    if (GraftSqlTransactions.active(session)) {
+      // inside BEGIN TRANSACTION: stage instead of committing — the
+      // files are written now, the snapshot lands with COMMIT's one
+      // atomic claim set
+      require(!overwrite,
+        "INSERT OVERWRITE is not supported inside BEGIN TRANSACTION")
+      GraftSqlTransactions.stage(session, location, "INSERT",
+        t.stageAppend(df))
+    } else if (overwrite) t.overwrite(df)
+    else t.append(df)
     Seq.empty
   }
 }
@@ -128,6 +137,7 @@ final case class GraftCtasCommand(location: String, tableName: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlTransactions.refuse(session, "CREATE/REPLACE TABLE AS SELECT")
     val df = graftshim.dfFromPlan(session, query)
     val exists = graft.tableformat.MetadataIO.exists(location)
     if (replace) {
@@ -186,6 +196,7 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.Column
     import graft.engine._
+    GraftSqlTransactions.refuse(session, "MERGE INTO")
     val srcDf = graftshim.dfFromPlan(session, source)
     def toCol(e: Expression): Column = graftshim.columnOf(e)
     def assigns(as: Seq[(String, Expression)]): Map[String, Column] = {
@@ -218,6 +229,7 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
 final case class GraftTruncateCommand(location: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlTransactions.refuse(session, "TRUNCATE TABLE")
     GraftTable.load(session, location).truncate()
     Seq.empty
   }
@@ -227,8 +239,12 @@ final case class GraftTruncateCommand(location: String)
 final case class GraftDeleteCommand(location: String,
     condition: ExprHolder) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    GraftTable.load(session, location)
-      .delete(graftshim.columnOf(GraftSqlCommands.unbind(condition.expr)))
+    val t = GraftTable.load(session, location)
+    val cond = graftshim.columnOf(GraftSqlCommands.unbind(condition.expr))
+    if (GraftSqlTransactions.active(session))
+      GraftSqlTransactions.stage(session, location, "DELETE",
+        t.stageDelete(cond))
+    else t.delete(cond)
     Seq.empty
   }
 }
@@ -249,7 +265,11 @@ final case class GraftUpdateCommand(location: String,
     val as = assignments.map { case (name, value) =>
       name -> graftshim.columnOf(GraftSqlCommands.unbind(value))
     }.toMap
-    GraftTable.load(session, location).update(cond, as)
+    val t = GraftTable.load(session, location)
+    if (GraftSqlTransactions.active(session))
+      GraftSqlTransactions.stage(session, location, "UPDATE",
+        t.stageUpdate(cond, as))
+    else t.update(cond, as)
     Seq.empty
   }
 }

@@ -40,7 +40,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftViewSql._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    interceptViewDdl(session, delegate, sqlText)
+    GraftSqlTransactions.intercept(sqlText)
+      .orElse(interceptViewDdl(session, delegate, sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =

@@ -145,6 +145,26 @@ object ViewIO {
     }
   }
 
+  /** A view REDEFINITION as a mixed-transaction claim slot
+    * ([[graft.tableformat.MetadataIO.commitSlots]]): lets DDL and the
+    * dependent view's repair publish through ONE atomic claim set —
+    * e.g. a column rename plus the view SQL that names the new column,
+    * with no reader window seeing one without the other. Only existing
+    * views participate (the v1 create-vs-rename handshake stays on the
+    * single-commit path, where its withdraw protocol lives); the
+    * transform re-runs against fresh metadata on contention.
+    */
+  def prepareSlot(location: String,
+      transform: ViewMetadata => ViewMetadata)
+      : graft.tableformat.MetadataIO.PreparedSlot = {
+    val next = currentDocVersion(location).getOrElse(sys.error(
+      s"transactional view ops need an existing view at $location")) + 1
+    val doc = Serialization.writePretty(transform(read(location)))
+    graft.tableformat.MetadataIO.PreparedSlot(
+      docPath(location, next), doc, location, next,
+      () => io.replaceAtomic(hintPath(location), next.toString))
+  }
+
   def drop(location: String): Boolean = {
     if (!exists(location)) return false
     io.deleteTree(location)

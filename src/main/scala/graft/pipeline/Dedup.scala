@@ -98,8 +98,14 @@ object Dedup {
     // materializes the index (shingling included) ONCE and the second
     // side is a ReusedExchange — without it each side re-evaluated the
     // whole shingle pipeline (measured 3.5x at sf0.1). The capped
-    // variant filters on top of the SAME exchange.
-    val part = inv0.repartition(col("s"))
+    // variant filters on top of the SAME exchange. The partition count
+    // is PINNED (user-specified counts are exempt from AQE coalescing):
+    // with it floating on AQE's advisory sizing, the self-join's stage
+    // boundaries re-planned run-to-run and the operator oscillated
+    // ~1.9x between identical runs (BENCH_NOTES r14-r16's q41/q63
+    // lightning rod). defaultParallelism keeps it cluster-proportional.
+    val part = inv0.repartition(
+      inv0.sparkSession.sparkContext.defaultParallelism, col("s"))
     val inv1 = maxShingleDf match {
       case Some(cap) =>
         // df-cap as a broadcast ANTI join against the HOT keys only:

@@ -82,6 +82,15 @@ object MetadataIO {
       extends RuntimeException(
         s"concurrent commit: v$version already claimed under $location")
 
+  /** One prepared, not-yet-claimed document of a mixed transaction
+    * (table commits and view commits share the claim primitives, so
+    * one atomic claim set can hold both — see [[commitSlots]]).
+    * `onWin` runs post-claim bookkeeping (hint advance, metadata
+    * trimming) once the WHOLE set is claimed.
+    */
+  private[graft] final case class PreparedSlot(path: String,
+      content: String, location: String, next: Int, onWin: () => Unit)
+
   import FileIO.io
 
   private def metadataDir(location: String): String = s"$location/metadata"
@@ -288,28 +297,55 @@ object MetadataIO {
     */
   def commitAll(ops: Seq[(String, TableMetadata => TableMetadata)],
       attempts: Int = 20): Seq[Int] = {
-    require(ops.nonEmpty, "empty transaction")
     require(ops.map(_._1).distinct.size == ops.size,
       "a transaction may touch each table once (compose the transforms)")
+    commitSlots(ops.map { case (loc, transform) =>
+      () => prepareTableSlot(loc, transform)
+    }, attempts)
+  }
+
+  /** One TABLE commit as a mixed-transaction claim slot. */
+  private[graft] def prepareTableSlot(loc: String,
+      transform: TableMetadata => TableMetadata): PreparedSlot = {
+    val p = prepare(transform(read(loc)))
+    PreparedSlot(metadataPath(p.meta.location, p.next), p.content,
+      p.meta.location, p.next, () => finish(p))
+  }
+
+  /** The generic heart of [[commitAll]]: commit an arbitrary SLOT SET
+    * atomically. Tables and VIEWS route their documents through the
+    * same claim primitives, so a slot set can mix them — the DDL +
+    * dependent-view-repair shape (see
+    * [[graft.catalog.GraftCatalog.transactTransforms]]) publishes a
+    * column rename and the view's redefinition together, closing the
+    * reader window that would otherwise see the renamed table with the
+    * stale view SQL. Each preparation thunk re-runs against fresh
+    * state on contention (the commitRetry rebase contract); the
+    * terminal conflict names the slot that actually lost. Returns each
+    * slot's committed version, in input order.
+    */
+  private[graft] def commitSlots(preps: Seq[() => PreparedSlot],
+      attempts: Int = 20): Seq[Int] = {
+    require(preps.nonEmpty, "empty transaction")
     var n = 0
     while (true) {
-      val ps = ops.map { case (loc, transform) => prepare(transform(read(loc))) }
-      io.claimAll(ps.map(p =>
-          metadataPath(p.meta.location, p.next) -> p.content)) match {
+      val slots = preps.map(_())
+      require(slots.map(_.path).distinct.size == slots.size,
+        "a transaction may touch each document once (compose the transforms)")
+      io.claimAll(slots.map(s => s.path -> s.content)) match {
         case ClaimAllWon =>
-          ps.foreach(finish)
-          return ps.map(_.next)
+          slots.foreach(_.onWin())
+          return slots.map(_.next)
         case ClaimAllLost(slot) =>
           n += 1
           if (n >= attempts) {
-            // name the table that ACTUALLY conflicted (the backend
+            // name the document that ACTUALLY conflicted (the backend
             // reports the losing slot) — a contended transaction's
             // terminal error pointing at an arbitrary member misdirects
             // whoever debugs it
-            val loser = slot.flatMap(s => ps.find(p =>
-              metadataPath(p.meta.location, p.next) == s))
-              .getOrElse(ps.head)
-            throw new CommitConflictException(loser.meta.location, loser.next)
+            val loser = slot.flatMap(s => slots.find(_.path == s))
+              .getOrElse(slots.head)
+            throw new CommitConflictException(loser.location, loser.next)
           }
           Thread.sleep(1L + scala.util.Random.nextInt(1 << math.min(n, 5)))
       }

@@ -1132,4 +1132,76 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(!viaState(grouped))
     assert(spark.sql(global).head() == org.apache.spark.sql.Row(5L, 14.0))
   }
+
+  test("BEGIN TRANSACTION ... COMMIT: a two-table SQL transaction " +
+      "commits atomically; ROLLBACK discards; bare stores refuse at COMMIT") {
+    import spark.implicits._
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = freshCat()
+      val a = cat.createTable("db", "txa",
+        Seq("id" -> "long", "v" -> "double"))
+      val b = cat.createTable("db", "txb", Seq("id" -> "long"))
+      a.append(Seq((1L, 1.0)).toDF("id", "v"))
+      b.append(Seq(10L).toDF("id"))
+      // two-table append transaction through pure SQL
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.txa VALUES (2, 2.0)")
+      spark.sql("INSERT INTO graft.db.txb VALUES (20)")
+      // staged, nothing visible until COMMIT (snapshot isolation)
+      assert(spark.sql("SELECT count(*) FROM graft.db.txa")
+        .head().getLong(0) == 1)
+      // statements with no staged form refuse instead of committing
+      // outside the transaction
+      val e1 = intercept[Exception](spark.sql(
+        "CREATE TABLE graft.db.sneak AS SELECT * FROM graft.db.txb"))
+      assert(e1.getMessage.contains("BEGIN TRANSACTION"), e1.getMessage)
+      // one table per transaction — combine statements instead
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT INTO graft.db.txa VALUES (3, 3.0)"))
+      assert(e2.getMessage.contains("once"), e2.getMessage)
+      spark.sql("COMMIT")
+      assert(spark.sql("SELECT count(*) FROM graft.db.txa")
+        .head().getLong(0) == 2)
+      assert(spark.sql("SELECT count(*) FROM graft.db.txb")
+        .head().getLong(0) == 2)
+      // the pair committed with ONE shared timestamp (transaction-
+      // consistent time travel)
+      assert(a.meta.currentSnapshot.get.timestampMs ==
+        b.meta.currentSnapshot.get.timestampMs)
+      // DML transaction: DELETE one table + UPDATE the other, one set
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("DELETE FROM graft.db.txa WHERE id = 1")
+      spark.sql("UPDATE graft.db.txb SET id = id + 1 WHERE id = 10")
+      spark.sql("COMMIT")
+      assert(spark.sql("SELECT id FROM graft.db.txa").as[Long]
+        .collect().toSeq == Seq(2L))
+      assert(spark.sql("SELECT id FROM graft.db.txb ORDER BY id").as[Long]
+        .collect().toSeq == Seq(11L, 20L))
+      // ROLLBACK discards the staged work
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.txb VALUES (99)")
+      spark.sql("ROLLBACK")
+      assert(spark.sql("SELECT count(*) FROM graft.db.txb")
+        .head().getLong(0) == 2)
+      // statement grammar guards
+      intercept[Exception](spark.sql("COMMIT"))   // nothing open
+      intercept[Exception](spark.sql("ROLLBACK")) // nothing open
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+    // bare stores: the transaction surface parses, COMMIT refuses
+    // loudly (multi-document claims need the catalog), nothing lands
+    val cat2 = freshCat()
+    val c = cat2.createTable("db", "txbare", Seq("id" -> "long"))
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO graft.db.txbare VALUES (1)")
+    val e3 = intercept[UnsupportedOperationException](spark.sql("COMMIT"))
+    assert(e3.getMessage.toLowerCase.contains("catalog"), e3.getMessage)
+    assert(c.read().count() == 0, "refused COMMIT must land nothing")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.catalog.GraftCatalog
+import graft.catalog.{GraftCatalog, ViewIO, ViewMetadata}
 import graft.tableformat.{CatalogFileIO, FileIO, ObjectStoreFileIO}
 
 /** Multi-table transactions: one catalog CAS covering several tables'
@@ -226,6 +226,105 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     val e = intercept[IllegalArgumentException](
       corpus.stageDelete(col("id") === 3L))
     assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+  }
+
+  test("views in transactions: a column rename and the dependent " +
+      "view's redefinition publish atomically — a reader loop never " +
+      "observes the stale-view window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(spark, tmp())
+    val t = cat.createTable("db", "vt", Seq("a" -> "long", "b" -> "double"))
+    t.append((1L to 50L).map(i => (i, i * 0.5)).toDF("a", "b"))
+    spark.conf.set("spark.graft.warehouse", cat.warehouse)
+    spark.sql("CREATE VIEW graft.db.vv AS SELECT a, b FROM graft.db.vt")
+    assert(spark.sql("SELECT sum(a) FROM graft.db.vv").head().getLong(0)
+      == 1275L)
+
+    // table transform: rename the view's source column (evolveSchema's
+    // shape, raw so it can join the claim set)
+    def renameF(from: String, to: String)
+        : graft.tableformat.TableMetadata => graft.tableformat.TableMetadata =
+      cur => {
+        val f = cur.currentSchema.fieldByName(from).getOrElse(
+          sys.error(s"no column $from"))
+        val next = graft.tableformat.VersionedSchema(
+          cur.schemas.map(_.schemaId).max + 1,
+          cur.currentSchema.fields.map(x =>
+            if (x.id == f.id) x.copy(name = to) else x))
+        cur.copy(currentSchemaId = next.schemaId,
+          schemas = cur.schemas :+ next)
+      }
+    // view transform: redefine over the renamed column, output schema
+    // unchanged (carried — the new SQL can't analyze until the rename
+    // commits, which is the point of the shared claim set)
+    def redefineF(srcCol: String): ViewMetadata => ViewMetadata =
+      vm => {
+        val nv = vm.current.copy(
+          versionId = vm.versions.map(_.versionId).max + 1,
+          timestampMs = System.currentTimeMillis(),
+          sql = s"SELECT $srcCol AS a, b FROM graft.db.vt")
+        vm.copy(currentVersionId = nv.versionId, versions = vm.versions :+ nv)
+      }
+
+    // reader loop with a stability sandwich: the view document can't
+    // be read at the same instant as the table's, so a failure only
+    // counts when the view version is UNCHANGED across the probe —
+    // then the table read provably paired with that view definition,
+    // and an analysis error means a genuinely published stale pair.
+    val viewLoc = java.nio.file.Paths.get(cat.warehouse, "db", "vv").toString
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stale = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val v1 = ViewIO.read(viewLoc).currentVersionId
+        val ok =
+          try {
+            spark.sql("SELECT sum(a) FROM graft.db.vv").head().getLong(0)
+            true
+          } catch { case _: Exception => false }
+        val v2 = ViewIO.read(viewLoc).currentVersionId
+        if (v1 == v2) {
+          reads.incrementAndGet()
+          if (!ok) stale.incrementAndGet()
+        }
+      }
+    }, "stale-view-probe")
+    reader.start()
+    var flips = 0
+    try {
+      // bounce the rename + redefinition through transactions until
+      // the probe has accumulated enough STABLE samples (at least 5
+      // flips; paced so most probes don't straddle a commit)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ((reads.get() < 10 || flips < 5) && System.nanoTime() < deadline) {
+        val (from, to) = if (flips % 2 == 0) ("a", "a2") else ("a2", "a")
+        cat.transactTransforms(
+          Seq(t -> renameF(from, to)),
+          Seq("db.vv" -> redefineF(to)))
+        flips += 1
+        // paced so most probes complete WITHOUT straddling a commit —
+        // a straddling probe is discarded by the sandwich, so back-to-
+        // back flips would starve the stable-sample count
+        Thread.sleep(250)
+      }
+      // end on the renamed column for the final-state assertions
+      if (t.meta.currentSchema.fieldByName("a2").isEmpty) {
+        cat.transactTransforms(
+          Seq(t -> renameF("a", "a2")), Seq("db.vv" -> redefineF("a2")))
+        flips += 1
+      }
+    } finally { stop.set(true); reader.join() }
+    assert(reads.get() >= 10, "the probe never completed a stable sandwich")
+    assert(stale.get() == 0,
+      s"reader observed ${stale.get()} stale-view windows in ${reads.get()} probes")
+    // final state: the view serves over the renamed column
+    assert(t.meta.currentSchema.fieldByName("a2").isDefined)
+    assert(spark.sql("SELECT sum(a) FROM graft.db.vv").head().getLong(0)
+      == 1275L)
+    // view history recorded every transactional redefinition
+    assert(ViewIO.read(viewLoc).versions.size == 1 + flips)
   }
 
   test("bare stores refuse multi-table transactions loudly; " +
