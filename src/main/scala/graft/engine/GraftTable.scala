@@ -1955,6 +1955,19 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       m.currentSnapshot.map(sn => liveRows(m, sn, fs))
         .getOrElse(readFilesTagged(m, fs))
 
+    // ---- source-key file pruning: the CDC upsert at 100 TB must not
+    // scan the fact to find its files. NOT MATCHED BY SOURCE forces
+    // every-file reads (any file may hold unmatched target rows);
+    // otherwise matched-row discovery, the cardinality gate, and the
+    // insert anti-join only ever need files that COULD hold a source
+    // key — a pruned file's rows can never satisfy the ON
+    // equi-conjunct, so they can neither match nor block an insert.
+    val candFiles: Vector[DataFileEntry] =
+      if (nmsClauses.nonEmpty) files0
+      else mergeSourceCandidates(m, files0, source, on, targetAlias)
+    GraftTable.lastMergeCandidateFiles.set(candFiles.size.toLong)
+    lazy val liveCand = aliased(liveOf(candFiles))
+
     // first clause whose condition is TRUE wins; -1 = no clause applies
     def actionIdx(cs: Seq[(Option[Column], Any)]): Column =
       cs.zipWithIndex.foldRight(lit(-1)) { case (((cond, _), i), els) =>
@@ -2003,15 +2016,17 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       }: _*)
     }
 
-    val liveAll = aliased(liveOf(files0))
+    lazy val liveAll = aliased(liveOf(files0))
     val needRewrite = (mClauses.nonEmpty || nmsClauses.nonEmpty) && files0.nonEmpty
 
     // matched-row id aggregation: the ISO cardinality gate, and the
-    // touched-file set that keeps copy-on-write at file granularity
+    // touched-file set that keeps copy-on-write at file granularity —
+    // the probe join reads only the source-key candidates (matches
+    // cannot exist outside them)
     var touched = Vector.empty[DataFileEntry]
     if (needRewrite) {
       if (mClauses.nonEmpty) {
-        val byRow = liveAll.join(source, on, "inner")
+        val byRow = liveCand.join(source, on, "inner")
           .groupBy(col("_g_path"), col("_g_pos"))
           .agg(count(lit(1)).as("__graft_n"))
           .persist()
@@ -2022,7 +2037,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
             .distinct().collect().map(_.getString(0)).toSet
           touched =
             if (nmsClauses.nonEmpty) files0 // every file may hold unmatched rows
-            else files0.filter(f =>
+            else candFiles.filter(f =>
               relDataPathForms(f.path).exists(paths))
         } finally byRow.unpersist()
       } else touched = files0
@@ -2030,7 +2045,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
 
     val inserted: Option[DataFrame] =
       if (insClauses.isEmpty) None
-      else Some(buildInserts(source.join(liveAll, on, "left_anti")))
+      else Some(buildInserts(source.join(liveCand, on, "left_anti")))
 
     if (mergeMode(m) == "merge-on-read" && needRewrite && touched.nonEmpty) {
       // -------- merge-on-read: positional deletes + appended copies
@@ -2112,6 +2127,131 @@ final class GraftTable(val spark: SparkSession, val location: String) {
           }
       }
     }
+  }
+
+  /** Source-key file pruning for [[merge]]: evaluate the SOURCE's
+    * equi-join key domain (distinct IN-set up to
+    * `spark.graft.dynamicPruning.maxKeys`, min/max range past it) with
+    * one small job and prune the target's file list through the same
+    * partition-transform + manifest-bounds machinery reads use — a
+    * bucket(N, key) fact keeps only the batch's buckets, a
+    * key-clustered fact only the overlapping ranges. Inclusive
+    * pruning keeps every file that could hold a matching key, so the
+    * caller's discovery join / cardinality gate / anti-join results
+    * are value-identical on the kept slice. Bails to the full list
+    * (never wrong, just unpruned) when: pruning is disabled; the
+    * source plan is nondeterministic (its key domain could differ
+    * between this evaluation and the join's own — rather refuse than
+    * risk it) or estimated above
+    * `spark.graft.dynamicPruning.maxMergeSourceBytes` (default 256 MB
+    * — the extra distinct pass must stay cheap relative to the scan
+    * it saves); or no ON conjunct is a bare target-column = source-
+    * column equality attributable by name.
+    */
+  private def mergeSourceCandidates(m: TableMetadata,
+      files: Vector[DataFileEntry], source: DataFrame, on: Column,
+      targetAlias: Option[String]): Vector[DataFileEntry] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression => CExpr, GreaterThanOrEqual => CGte, In => CIn, LessThanOrEqual => CLte, Literal => CLit}
+    def confL(k: String, d: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+    if (files.size <= 1) return files
+    if (!spark.conf.getOption("spark.graft.dynamicPruning.enabled")
+        .forall(_.toBoolean)) return files
+    val analyzed = source.queryExecution.analyzed
+    if (analyzed.exists(p => p.expressions.exists(e => !e.deterministic)))
+      return files
+    val maxBytes =
+      confL("spark.graft.dynamicPruning.maxMergeSourceBytes", 256L << 20)
+    if (source.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes)
+      return files
+    val srcOut = analyzed.outputSet
+    val cur = m.currentSchema
+    def srcColOf(n: String): Option[String] =
+      source.columns.find(_ == n).orElse(
+        source.columns.filter(_.equalsIgnoreCase(n)) match {
+          case Array(one) => Some(one)
+          case _          => None
+        })
+    def tgtColOf(n: String): Option[String] =
+      cur.fieldByName(n).map(_.name).orElse(
+        cur.fields.filter(_.name.equalsIgnoreCase(n)) match {
+          case Vector(one) => Some(one.name)
+          case _           => None
+        })
+    // a conjunct side is the SOURCE (Left: selectable column) or the
+    // TARGET (Right: schema column name); ambiguous names — present on
+    // both sides — stay unclassified and the conjunct contributes no
+    // pruning
+    def classify(e: CExpr): Option[Either[Column, String]] = e match {
+      case a: AttributeReference if srcOut.contains(a) =>
+        Some(Left(org.apache.spark.sql.graftshim.columnOf(a)))
+      case a: AttributeReference => tgtColOf(a.name).map(Right(_))
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(q, n) if targetAlias.exists(_.equalsIgnoreCase(q)) =>
+          tgtColOf(n).map(Right(_))
+        case Seq(n) => (srcColOf(n), tgtColOf(n)) match {
+          case (Some(s), None) => Some(Left(source(s"`$s`")))
+          case (None, Some(t)) => Some(Right(t))
+          case _               => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    // Column-DSL conditions arrive PRE-ANALYSIS: 'and'/'=' are
+    // UnresolvedFunction nodes named after the SQL operator (the same
+    // shapes StatsPruning handles on its side)
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction => UFn}
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case UFn(Seq(fn), Seq(l, r), false, _, _, _, _)
+          if fn.equalsIgnoreCase("and") => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def equiSides(e: CExpr): Option[(CExpr, CExpr)] = e match {
+      case EqualTo(x, y) => Some((x, y))
+      case UFn(Seq(fn), Seq(x, y), false, _, _, _, _)
+          if fn == "=" || fn == "==" => Some((x, y))
+      case _ => None
+    }
+    val pairs: Seq[(String, Column)] =
+      conjuncts(exprOf(on)).flatMap(equiSides).flatMap { case (x, y) =>
+        (classify(x), classify(y)) match {
+          case (Some(Right(t)), Some(Left(s))) => Some(t -> s)
+          case (Some(Left(s)), Some(Right(t))) => Some(t -> s)
+          case _                               => None
+        }
+      }
+    if (pairs.isEmpty) return files
+    val maxKeys = confL("spark.graft.dynamicPruning.maxKeys", 1000L).toInt
+    // NULL keys never equi-match: drop them so an all-NULL batch
+    // yields the empty domain (every file prunes; the merge becomes
+    // insert-only, which is exactly its semantics)
+    val nonNull = pairs.map(_._2).foldLeft(source)((d, c) =>
+      d.filter(c.isNotNull))
+    val sel = nonNull.select(pairs.map(_._2): _*)
+    val keyTypes = sel.schema.fields.map(_.dataType)
+    val rows = sel.distinct().limit(maxKeys + 1).collect()
+    val tgtAttrs = pairs.map(p => UnresolvedAttribute.quoted(p._1))
+    val domain: Seq[CExpr] =
+      if (rows.length <= maxKeys)
+        tgtAttrs.zipWithIndex.map { case (tn, i) =>
+          CIn(tn, rows.map(_.get(i)).distinct.toSeq
+            .map(v => CLit.create(v, keyTypes(i))))
+        }
+      else {
+        val aggs = pairs.zipWithIndex.flatMap { case ((_, c), i) =>
+          Seq(min(c).as(s"_lo$i"), max(c).as(s"_hi$i")) }
+        val r = nonNull.agg(aggs.head, aggs.tail: _*).collect()(0)
+        tgtAttrs.zipWithIndex.map { case (tn, i) =>
+          if (r.isNullAt(2 * i)) CIn(tn, Nil)
+          else CAnd(CGte(tn, CLit.create(r.get(2 * i), keyTypes(i))),
+            CLte(tn, CLit.create(r.get(2 * i + 1), keyTypes(i))))
+        }
+      }
+    pruneCandidates(m, files,
+      domain.reduceOption(CAnd.apply).getOrElse(CLit.TrueLiteral))
   }
 
   /** Files that could contain rows matching cond, decided purely from
@@ -3995,6 +4135,13 @@ object GraftTable {
     * the file-count collapse against it.
     */
   private[graft] val lastPrunedReadFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Observability hook: how many candidate files the most recent
+    * [[GraftTable.merge]] planned against after source-key pruning
+    * (equals the snapshot's file count when pruning didn't apply).
+    */
+  private[graft] val lastMergeCandidateFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
   /** Provenance tag on an engine read's analyzed plan root:

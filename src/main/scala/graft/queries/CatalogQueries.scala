@@ -1232,6 +1232,69 @@ object CatalogQueries {
         GROUP BY c_custkey, c_name ORDER BY c_custkey
       """)),
 
+    // MERGE SOURCE-KEY PRUNING: the CDC upsert at scale — a small
+    // batch merges into a bucket(256, o_orderkey) fact (hash write
+    // distribution: one file per bucket), and the engine evaluates the
+    // SOURCE's key domain to plan the merge against only the buckets
+    // holding those keys instead of scanning the fact. The pin (inside
+    // the memoized setup, where the merge runs) requires the planned
+    // candidate count to be bounded by the batch's key count and
+    // strictly below the fact's file total at every scale factor; the
+    // oracle recomputes the merged end state, so a lost update or a
+    // wrongly-pruned match breaks the sums.
+    QueryDef(
+      "q171_merge_source_pruning",
+      (s, d) => {
+        val wh = setupOnce("q171", d) {
+          val w = scratch("mergeprune")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val orders = Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          val fact = cat.createTable("db1", "orders_mp", Seq(
+            "o_orderkey" -> "long", "o_custkey" -> "long",
+            "o_totalprice" -> "double"),
+            Seq("o_orderkey" -> "bucket(256)"),
+            Map("write.distribution-mode" -> "hash"))
+          fact.append(orders)
+          val total = fact.meta.currentSnapshot.get.files.size.toLong
+          s.conf.set("spark.graft.warehouse", w)
+          orders.filter(col("o_orderkey") % 4000 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .union(s.range(1).select(lit(-1L), lit(9.99)))
+            .toDF("k", "p").createOrReplaceTempView("q171_src")
+          val keys = s.table("q171_src").count()
+          graft.engine.GraftTable.lastMergeCandidateFiles.set(-1L)
+          s.sql("""
+            MERGE INTO graft.db1.orders_mp t
+            USING q171_src s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED THEN UPDATE SET o_totalprice = s.p + 1000.0
+            WHEN NOT MATCHED THEN
+              INSERT (o_orderkey, o_totalprice) VALUES (s.k, s.p)""")
+          val cand = graft.engine.GraftTable.lastMergeCandidateFiles.get()
+          require(cand >= 0 && cand <= keys && cand < total,
+            s"merge did not prune: planned $cand of $total files " +
+              s"for a $keys-key batch")
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 round(sum(o_totalprice), 2) AS sum_price,
+                 CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END)
+                   AS BIGINT) AS n_inserted
+          FROM graft.db1.orders_mp""")
+      },
+      Some("""
+        SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+               round(sum(CASE WHEN o_orderkey % 4000 = 0
+                              THEN o_totalprice + 1000.0
+                              ELSE o_totalprice END) + 9.99, 2) AS sum_price,
+               CAST(1 AS BIGINT) AS n_inserted
+        FROM orders
+      """)),
+
     // TRANSACTIONAL DML (GraftCatalog.transactOps / Tx.Delete /
     // Tx.Update): the dedup-sweep shape — a CoW DELETE of corpus rows
     // and the retraction of their fingerprint-index rows commit through

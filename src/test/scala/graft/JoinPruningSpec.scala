@@ -179,6 +179,107 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(JoinFilePruning.pruneEvents.get() == 0L)
   }
 
+  test("MERGE source-key pruning: a small batch upsert plans against " +
+      "only the buckets holding its keys") {
+    import spark.implicits._
+    import graft.engine.{MergeUpdateClause, MergeInsertValuesClause}
+    val cat = freshCat()
+    val t = cat.createTable("db", "mfact",
+      Seq("id" -> "long", "v" -> "long"), Seq("id" -> "bucket(8)"),
+      Map("write.distribution-mode" -> "hash"))
+    t.append((0L until 800L).map(i => (i, i)).toDF("id", "v"))
+    assert(t.meta.currentSnapshot.get.files.size == 8)
+    val batch = Seq((5L, 5000L), (5L + 64L, 6900L), (9999L, 1L))
+      .toDF("sid", "sv")
+    GraftTable.lastMergeCandidateFiles.set(-1L)
+    t.merge(batch, col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Seq(MergeInsertValuesClause(None,
+        Map("id" -> col("sid"), "v" -> col("sv")))))
+    // three keys → at most three of the eight bucket files planned
+    val cand = GraftTable.lastMergeCandidateFiles.get()
+    assert(cand >= 1 && cand <= 3, s"candidates: $cand")
+    val got = t.read().filter(col("id").isin(5L, 69L, 9999L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((5L, 5000L), (69L, 6900L), (9999L, 1L)))
+    assert(t.read().count() == 801)
+    // untouched rows intact
+    assert(t.read().filter(col("id") === 6L).head().getLong(1) == 6L)
+  }
+
+  test("MERGE pruning stays off when NOT MATCHED BY SOURCE needs " +
+      "every file, and the cardinality gate still fires on candidates") {
+    import spark.implicits._
+    import graft.engine.{MergeUpdateClause, MergeDeleteClause}
+    val cat = freshCat()
+    val t = cat.createTable("db", "mnms",
+      Seq("id" -> "long", "v" -> "long"), Seq("id" -> "bucket(8)"),
+      Map("write.distribution-mode" -> "hash"))
+    t.append((0L until 800L).map(i => (i, i)).toDF("id", "v"))
+    GraftTable.lastMergeCandidateFiles.set(-1L)
+    t.merge(Seq((5L, 1L)).toDF("sid", "sv"), col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Nil,
+      notMatchedBySource = Seq(MergeDeleteClause(Some(col("id") >= 790L))))
+    assert(GraftTable.lastMergeCandidateFiles.get() == 8L,
+      "NOT MATCHED BY SOURCE must plan against every file")
+    assert(t.read().count() == 790)
+    assert(t.read().filter(col("id") === 5L).head().getLong(1) == 1L)
+    // duplicate source keys: the violation is caught on the pruned
+    // candidate slice (all matches live inside it by construction)
+    val dup = Seq((3L, 1L), (3L, 2L)).toDF("sid", "sv")
+    val e = intercept[Exception](t.merge(dup, col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Nil))
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+  }
+
+  test("MERGE pruning: range fallback past maxKeys; empty and " +
+      "nondeterministic sources stay sound") {
+    import spark.implicits._
+    import graft.engine.{MergeUpdateClause, MergeInsertValuesClause}
+    val cat = freshCat()
+    val t = cat.createTable("db", "mrange",
+      Seq("id" -> "long", "v" -> "long"))
+    // key-clustered: 8 single-file range batches
+    (0 until 8).foreach { b =>
+      t.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong)).toDF("id", "v").coalesce(1))
+    }
+    spark.conf.set("spark.graft.dynamicPruning.maxKeys", "4")
+    try {
+      GraftTable.lastMergeCandidateFiles.set(-1L)
+      // 10 keys inside batch 2 (200-299): min/max range keeps 1 file
+      val batch = (200L until 210L).map(i => (i, i + 10000L)).toDF("sid", "sv")
+      t.merge(batch, col("id") === col("sid"),
+        matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+        notMatched = Nil)
+      assert(GraftTable.lastMergeCandidateFiles.get() == 1L)
+      assert(t.read().filter(col("id") === 205L).head().getLong(1) == 10205L)
+    } finally spark.conf.unset("spark.graft.dynamicPruning.maxKeys")
+    // empty source: nothing matches, nothing inserts, no commit needed
+    val before = t.meta.currentSnapshot.get.snapshotId
+    t.merge(Seq.empty[(Long, Long)].toDF("sid", "sv"),
+      col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Seq(MergeInsertValuesClause(None,
+        Map("id" -> col("sid"), "v" -> col("sv")))))
+    assert(t.read().count() == 800)
+    // nondeterministic source: pruning refuses (domain could differ
+    // between evaluations), merge still correct over every file
+    GraftTable.lastMergeCandidateFiles.set(-1L)
+    val nd = spark.range(3).select(
+      (col("id") + (rand(7) * 0).cast("long") + 100L).as("sid"),
+      lit(42L).as("sv"))
+    val allFiles = t.meta.currentSnapshot.get.files.size.toLong
+    t.merge(nd, col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Nil)
+    assert(GraftTable.lastMergeCandidateFiles.get() == allFiles,
+      "nondeterministic source must not prune")
+    assert(t.read().filter(col("id") === 101L).head().getLong(1) == 42L)
+  }
+
   test("three-way star: both dims prune the fact under one WHERE") {
     import spark.implicits._
     val cat = freshCat()
