@@ -327,14 +327,22 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     */
   private[graft] def readPrunedIn(m: TableMetadata, s: Snapshot,
       cond: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
-    val kept = prunedSnapshotFiles(m, s, cond)
+    // subquery-domain pruning: evaluated once here, used for BOTH the
+    // manifest veto and the file pruning below (the caller's own
+    // Filter node still executes the original predicate)
+    val pruneCond = SubqueryPruning.augment(spark, cond)
+    val kept = prunedSnapshotFiles(m, s, pruneCond)
     GraftTable.lastPrunedReadFiles.set(kept.size.toLong)
     if (s.deleteFiles.isEmpty) readFiles(m, kept)
     else liveRows(m, s, kept).drop("_g_path", "_g_pos")
   }
 
+  // LocalRelation-backed, NOT an empty RDD: plans as LocalTableScan
+  // (zero jobs), and its stats are a true 0 bytes — an RDD-backed empty
+  // frame reports unknown (Long.MaxValue) stats, which e.g. makes a
+  // pruned-to-empty subquery look too big for domain evaluation
   private def emptyDf(m: TableMetadata): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       m.currentSchema.toStructType)
 
   private def readSnapshot(m: TableMetadata, snap: Option[Snapshot]): DataFrame =
@@ -1841,7 +1849,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def mergeOnReadDml(m: TableMetadata, cond: Column,
       assignments: Option[Map[String, Column]]): GraftTable = {
     val snap = m.currentSnapshot.getOrElse(return this)
-    val candidates = pruneCandidates(m, snap.files, exprOf(cond))
+    val candidates = pruneCandidates(m, snap.files,
+      SubqueryPruning.augment(spark, exprOf(cond)))
+    GraftTable.lastDmlCandidateFiles.set(candidates.size.toLong)
     if (candidates.isEmpty) return this
     // existing deletes must apply first: an already-deleted row must not
     // be re-deleted (harmless) or re-updated (row resurrection!)
@@ -2349,7 +2359,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def rewriteMatching(m: TableMetadata, cond: Column, op: String,
       transform: DataFrame => DataFrame): GraftTable = {
     val snap = m.currentSnapshot.getOrElse(return this)
-    val candidates = pruneCandidates(m, snap.files, exprOf(cond))
+    val candidates = pruneCandidates(m, snap.files,
+      SubqueryPruning.augment(spark, exprOf(cond)))
+    GraftTable.lastDmlCandidateFiles.set(candidates.size.toLong)
     if (candidates.isEmpty) return this
     val withFile = readFilesWithName(m, candidates)
     val touchedAbs = withFile.filter(cond)
@@ -4142,6 +4154,13 @@ object GraftTable {
     * (equals the snapshot's file count when pruning didn't apply).
     */
   private[graft] val lastMergeCandidateFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Observability hook: the candidate-file count of the most recent
+    * row-level DML (CoW rewrite or MoR delta), after metadata pruning
+    * including evaluated subquery domains.
+    */
+  private[graft] val lastDmlCandidateFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
   /** Provenance tag on an engine read's analyzed plan root:

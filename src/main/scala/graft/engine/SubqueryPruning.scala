@@ -1,0 +1,174 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.graftshim
+
+/** SUBQUERY-DOMAIN file pruning: predicates whose selective half lives
+  * in a SUBQUERY prune nothing statically — the two shapes that matter
+  * at 100 TB are the dedup sweep
+  * (`DELETE FROM corpus WHERE id IN (SELECT id FROM dup_ids)`) and the
+  * latest-watermark read (`WHERE ts = (SELECT max(ts) FROM ...)`),
+  * both of which would otherwise plan every file of a keyed fact. When
+  * a top-level conjunct is `attr IN (uncorrelated small subquery)` or
+  * `attr <cmp> (uncorrelated small scalar subquery)`, the subquery is
+  * evaluated ONCE with a small job and the resulting literal domain
+  * (IN-set up to `spark.graft.dynamicPruning.maxKeys`, min/max range
+  * past it; the evaluated literal for scalars) is ANDed into the
+  * pruning expression — the ORIGINAL predicate still executes, so
+  * correctness never depends on this (inclusive pruning only drops
+  * files that provably hold no qualifying row).
+  *
+  * Sound by construction:
+  *   - a row satisfies `a IN (q)` only by EQUALLING a non-null value
+  *     of q, so pruning by q's non-null value set (or its closed
+  *     range) can only drop rows the filter would drop;
+  *   - an empty or all-NULL subquery makes the conjunct unsatisfiable
+  *     (`x IN ()` / `x = NULL` is never TRUE) — every file prunes,
+  *     which is exactly the filter's result;
+  *   - NOT IN / correlated / nondeterministic / large subqueries are
+  *     left untouched (refuse rather than risk: a nondeterministic
+  *     domain could differ between this evaluation and the filter's
+  *     own, and a large one would cost more to evaluate than it
+  *     saves — `spark.graft.dynamicPruning.maxSubqueryBytes`,
+  *     default 256 MB);
+  *   - ANY evaluation failure falls back to no augmentation (pruning
+  *     is an optimization; it must never introduce a new failure mode
+  *     into DML or reads).
+  */
+private[graft] object SubqueryPruning {
+
+  /** Test hook: extra pruning conjuncts produced by the most recent
+    * [[augment]] call that produced any.
+    */
+  private[graft] val lastAugmented =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** The condition with evaluated subquery domains ANDed in — for
+    * PRUNING ONLY; callers keep executing the original predicate.
+    */
+  def augment(spark: SparkSession, cond: Expression): Expression = {
+    val extra =
+      try conjunctsFor(spark, cond)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    if (extra.isEmpty) cond
+    else {
+      lastAugmented.set(extra.size.toLong)
+      extra.foldLeft(cond)(And(_, _))
+    }
+  }
+
+  private def confL(spark: SparkSession, k: String, d: Long): Long =
+    spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+
+  private def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dynamicPruning.enabled")
+      .forall(_.toBoolean)
+
+  // top-level conjuncts only: a subquery under OR/NOT has no sound
+  // per-conjunct pruning form. Column-DSL conditions arrive
+  // pre-analysis with 'and' as an UnresolvedFunction.
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case UnresolvedFunction(Seq(fn), Seq(l, r), false, _, _, _, _)
+        if fn.equalsIgnoreCase("and") => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def attrish(e: Expression): Boolean = e match {
+    case _: AttributeReference | _: UnresolvedAttribute => true
+    case _                                              => false
+  }
+
+  private def conjunctsFor(spark: SparkSession,
+      cond: Expression): Seq[Expression] = {
+    if (!enabled(spark)) return Nil
+    // fast bail: no subqueries anywhere
+    if (!cond.exists(_.isInstanceOf[SubqueryExpression])) return Nil
+    conjuncts(cond).flatMap {
+      case InSubquery(Seq(a), l: ListQuery)
+          if attrish(a) && l.outerAttrs.isEmpty =>
+        tryEval(inDomain(spark, a, l))
+      case EqualTo(a, s: ScalarSubquery)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, EqualTo))
+      case EqualTo(s: ScalarSubquery, a)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, EqualTo))
+      case GreaterThanOrEqual(a, s: ScalarSubquery)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, GreaterThanOrEqual))
+      case LessThanOrEqual(a, s: ScalarSubquery)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, LessThanOrEqual))
+      case GreaterThan(a, s: ScalarSubquery)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, GreaterThan))
+      case LessThan(a, s: ScalarSubquery)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, LessThan))
+      // mirrored inequalities: literal-side subquery flips the operator
+      case GreaterThanOrEqual(s: ScalarSubquery, a)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, LessThanOrEqual))
+      case LessThanOrEqual(s: ScalarSubquery, a)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, GreaterThanOrEqual))
+      case GreaterThan(s: ScalarSubquery, a)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, LessThan))
+      case LessThan(s: ScalarSubquery, a)
+          if attrish(a) && s.outerAttrs.isEmpty =>
+        tryEval(scalarCmp(spark, a, s, GreaterThan))
+      case _ => Nil
+    }
+  }
+
+  private def tryEval(body: => Seq[Expression]): Seq[Expression] =
+    try body catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Plan gates shared by both shapes: deterministic, size-bounded. */
+  private def evaluable(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Boolean = {
+    val maxBytes =
+      confL(spark, "spark.graft.dynamicPruning.maxSubqueryBytes", 256L << 20)
+    !df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => !e.deterministic)) &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+  }
+
+  private def inDomain(spark: SparkSession, a: Expression,
+      l: ListQuery): Seq[Expression] = {
+    val df = graftshim.dfFromPlan(spark, l.plan)
+    if (!evaluable(spark, df)) return Nil
+    val maxKeys = confL(spark, "spark.graft.dynamicPruning.maxKeys", 1000L).toInt
+    val c = col(s"`${df.columns.head}`")
+    val dt = df.schema.head.dataType
+    val nonNull = df.filter(c.isNotNull)
+    val rows = nonNull.select(c).distinct().limit(maxKeys + 1).collect()
+    if (rows.length <= maxKeys)
+      Seq(In(a, rows.toSeq.map(r => Literal.create(r.get(0), dt))))
+    else {
+      val r = nonNull.agg(min(c).as("_lo"), max(c).as("_hi")).collect()(0)
+      if (r.isNullAt(0)) Seq(In(a, Nil))
+      else Seq(And(GreaterThanOrEqual(a, Literal.create(r.get(0), dt)),
+        LessThanOrEqual(a, Literal.create(r.get(1), dt))))
+    }
+  }
+
+  private def scalarCmp(spark: SparkSession, a: Expression,
+      s: ScalarSubquery,
+      cmp: (Expression, Expression) => Expression): Seq[Expression] = {
+    val df = graftshim.dfFromPlan(spark, s.plan)
+    if (!evaluable(spark, df)) return Nil
+    val rows = df.limit(2).collect()
+    // >1 row is a runtime error the real execution will raise — don't
+    // preempt it here; 0 rows / NULL value makes the comparison
+    // unsatisfiable, so every file prunes (the filter's own result)
+    if (rows.length > 1) Nil
+    else if (rows.isEmpty || rows(0).isNullAt(0)) Seq(In(a, Nil))
+    else Seq(cmp(a, Literal.create(rows(0).get(0), df.schema.head.dataType)))
+  }
+}

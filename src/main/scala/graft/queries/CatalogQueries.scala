@@ -1295,6 +1295,57 @@ object CatalogQueries {
         FROM orders
       """)),
 
+    // SUBQUERY-DOMAIN DML PRUNING: the dedup-sweep DELETE —
+    // `DELETE ... WHERE key IN (SELECT key FROM dup_ids)` — evaluates
+    // the subquery's key domain once and plans the CoW rewrite against
+    // only the buckets holding those keys (SubqueryPruning), instead
+    // of scanning the corpus to find them. The pin (inside the
+    // memoized setup, where the DELETE runs) bounds the planned
+    // candidates by the dup-table's key count and strictly below the
+    // corpus's file total; the oracle recomputes the swept end state.
+    QueryDef(
+      "q172_subquery_dml_pruning",
+      (s, d) => {
+        val wh = setupOnce("q172", d) {
+          val w = scratch("subqdml")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val corpus = cat.createTable("db1", "corpus_sq", Seq(
+            "c_custkey" -> "long", "c_name" -> "string",
+            "c_acctbal" -> "double"),
+            Seq("c_custkey" -> "bucket(64)"),
+            Map("write.distribution-mode" -> "hash"))
+          corpus.append(Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_acctbal"))
+          val dup = cat.createTable("db1", "dup_sq", Seq("c_custkey" -> "long"))
+          dup.append(Tables.customer(s, d)
+            .filter(col("c_custkey") % 250 === 0).select("c_custkey"))
+          val total = corpus.meta.currentSnapshot.get.files.size.toLong
+          val keys = dup.read().count()
+          s.conf.set("spark.graft.warehouse", w)
+          graft.engine.GraftTable.lastDmlCandidateFiles.set(-1L)
+          s.sql("""DELETE FROM graft.db1.corpus_sq
+            WHERE c_custkey IN (SELECT c_custkey FROM graft.db1.dup_sq)""")
+          val cand = graft.engine.GraftTable.lastDmlCandidateFiles.get()
+          require(cand >= 0 && cand <= keys && cand < total,
+            s"sweep did not prune: planned $cand of $total files " +
+              s"for a $keys-key dup set")
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+                 round(sum(c_acctbal), 2) AS sum_bal
+          FROM graft.db1.corpus_sq""")
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer WHERE c_custkey % 250 <> 0
+      """)),
+
     // TRANSACTIONAL DML (GraftCatalog.transactOps / Tx.Delete /
     // Tx.Update): the dedup-sweep shape — a CoW DELETE of corpus rows
     // and the retraction of their fingerprint-index rows commit through

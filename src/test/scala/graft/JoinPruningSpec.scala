@@ -280,6 +280,85 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(t.read().filter(col("id") === 101L).head().getLong(1) == 42L)
   }
 
+  test("subquery-domain pruning: the dedup-sweep DELETE plans only " +
+      "the buckets holding the subquery's keys (CoW and MoR)") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "swfact",
+      Seq("id" -> "long", "v" -> "long"), Seq("id" -> "bucket(8)"),
+      Map("write.distribution-mode" -> "hash"))
+    t.append((0L until 800L).map(i => (i, i)).toDF("id", "v"))
+    assert(t.meta.currentSnapshot.get.files.size == 8)
+    val dup = cat.createTable("db", "swdup", Seq("id" -> "long"))
+    dup.append(Seq(7L, 7L + 64L, 7L + 128L).toDF("id").coalesce(1))
+    GraftTable.lastDmlCandidateFiles.set(-1L)
+    spark.sql("""DELETE FROM graft.db.swfact
+      WHERE id IN (SELECT id FROM graft.db.swdup)""")
+    val cand = GraftTable.lastDmlCandidateFiles.get()
+    // three keys hash into at most three of the eight bucket files
+    assert(cand >= 1 && cand <= 3, s"candidates: $cand")
+    assert(t.read().count() == 797)
+    assert(t.read().filter(col("id").isin(7L, 71L, 135L)).count() == 0)
+    // merge-on-read flavor: the delta write is also candidate-local
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    GraftTable.lastDmlCandidateFiles.set(-1L)
+    spark.sql("""DELETE FROM graft.db.swfact
+      WHERE id IN (SELECT id + 1 FROM graft.db.swdup)""")
+    val cand2 = GraftTable.lastDmlCandidateFiles.get()
+    assert(cand2 >= 1 && cand2 <= 3, s"MoR candidates: $cand2")
+    assert(t.read().count() == 794)
+  }
+
+  test("subquery-domain pruning: scalar comparisons, empty domains, " +
+      "and the shapes that must refuse") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "scfact",
+      Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      t.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong)).toDF("id", "v").coalesce(1))
+    }
+    val dim = cat.createTable("db", "scdim", Seq("k" -> "long"))
+    dim.append(Seq(205L, 207L, 290L).toDF("k").coalesce(1))
+    // read path: WHERE id IN (subquery) — the engine read plans one of
+    // the eight key-range files
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    val got = spark.sql("""SELECT id, v FROM graft.db.scfact
+      WHERE id IN (SELECT k FROM graft.db.scdim)""")
+      .collect().map(_.getLong(0)).sorted
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    assert(got.toSeq == Seq(205L, 207L, 290L))
+    // scalar: = (SELECT max(...)) collapses to one file
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT v FROM graft.db.scfact
+      WHERE id = (SELECT max(k) FROM graft.db.scdim)""")
+      .head().getLong(0) == 290L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    // scalar range: >= (SELECT ...) keeps only the tail files
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.scfact
+      WHERE id >= (SELECT max(k) + 410 FROM graft.db.scdim)""")
+      .head().getLong(0) == 100L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    // empty subquery: unsatisfiable conjunct — zero files planned
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.scfact
+      WHERE id IN (SELECT k FROM graft.db.scdim WHERE k < 0)""")
+      .head().getLong(0) == 0L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 0L)
+    // NOT IN must not prune (anti semantics have no sound domain form)
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.scfact
+      WHERE id NOT IN (SELECT k FROM graft.db.scdim)""")
+      .head().getLong(0) == 797L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 8L)
+    // correlated subquery must not prune — and stays correct
+    assert(spark.sql("""SELECT count(*) FROM graft.db.scfact f
+      WHERE f.id IN (SELECT k FROM graft.db.scdim d WHERE d.k = f.v)""")
+      .head().getLong(0) == 3L)
+  }
+
   test("three-way star: both dims prune the fact under one WHERE") {
     import spark.implicits._
     val cat = freshCat()
