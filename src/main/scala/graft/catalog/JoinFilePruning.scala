@@ -230,9 +230,13 @@ private[graft] object JoinFilePruning {
             if leftOut.contains(a) && rightOut.contains(b) => (a, b)
       }
     if (pairs.isEmpty) return None
-    // outer-WHERE conjuncts usable for a side: deterministic,
-    // subquery-free, references wholly within that side
-    val outerUsable = outer.filter(e =>
+    // conjuncts usable for a side: deterministic, subquery-free,
+    // references wholly within that side — from the outer WHERE and
+    // from the ON clause itself (a side we're ALLOWED to prune only
+    // keeps rows that match, and a row failing a single-sided ON
+    // conjunct can never match; equi pairs reference both sides and
+    // fall out of the subset check naturally)
+    val outerUsable = (outer ++ splitConjuncts(cond)).filter(e =>
       e.deterministic && !hasSubquery(e) && e.references.nonEmpty)
     def sideConj(out: AttributeSet): Seq[Expression] =
       outerUsable.filter(_.references.subsetOf(out))
@@ -255,29 +259,56 @@ private[graft] object JoinFilePruning {
 
     def attempt(probePlan: LogicalPlan, buildPlan: LogicalPlan,
         probeKeys: Seq[AttributeReference], buildKeys: Seq[AttributeReference],
-        probeOut: AttributeSet, buildOut: AttributeSet): Option[LogicalPlan] =
-      for {
-        probe <- graftSideOf(probePlan)
-        build <- graftSideOf(buildPlan)
-        // a self-join's build domain is the probe's own domain — the
-        // evaluation job would prune nothing
-        if probe.table.location != build.table.location
-        // every key must trace to a scan column of its side
-        if probeKeys.forall(k => probe.scanColumn(k).isDefined) &&
-          buildKeys.forall(k => build.scanColumn(k).isDefined)
-        // untranslatable conjuncts drop out — sound in every use below
-        // (a wider build domain or a laxer estimate only prunes less)
-        buildConj = (build.filters ++ sideConj(buildOut))
-          .flatMap(build.toScanExpr)
-        buildEst = estimate(build, buildConj)
-        if buildEst <= maxBuildRows
-        probeEst = estimate(probe, Nil)
-        if probeEst >= ratio * math.max(buildEst, 1L)
-        probeConj = (probe.filters ++ sideConj(probeOut))
+        probeOut: AttributeSet, buildOut: AttributeSet): Option[LogicalPlan] = {
+      val probeSide = graftSideOf(probePlan)
+        .filter(p => probeKeys.forall(k => p.scanColumn(k).isDefined))
+      probeSide.flatMap { probe =>
+        val probeConj = (probe.filters ++ sideConj(probeOut))
           .flatMap(probe.toScanExpr)
-        swapped <- swapProbe(spark, probe, build, probeKeys, buildKeys,
-          buildConj, probeConj, probePlan)
-      } yield swapped
+        val probeEst = estimate(probe, Nil)
+        // graft build: manifest-estimated, evaluated via a pinned
+        // engine read
+        val viaGraft = for {
+          build <- graftSideOf(buildPlan)
+          // a self-join's build domain is the probe's own domain — the
+          // evaluation job would prune nothing
+          if probe.table.location != build.table.location
+          if buildKeys.forall(k => build.scanColumn(k).isDefined)
+          // untranslatable conjuncts drop out — sound in every use
+          // below (a wider build domain or a laxer estimate only
+          // prunes less)
+          buildConj = (build.filters ++ sideConj(buildOut))
+            .flatMap(build.toScanExpr)
+          buildEst = estimate(build, buildConj)
+          if buildEst <= maxBuildRows
+          if probeEst >= ratio * math.max(buildEst, 1L)
+          swapped <- swapProbe(spark, probe, Some(build), buildPlan,
+            probeKeys, buildKeys, buildConj, probeConj, probePlan)
+        } yield swapped
+        // plain build: any EXECUTABLE resolved subtree with no
+        // unswapped graft handle — a VALUES list, an in-memory lookup
+        // frame — size-gated on its logical stats (products through
+        // joins inflate past the gate, which is exactly right)
+        def viaPlain: Option[LogicalPlan] = {
+          val maxBytes = confLong(spark,
+            "spark.graft.dynamicPruning.maxBuildBytes", 8L << 20)
+          if (buildPlan.exists {
+            case r: DataSourceV2Relation =>
+              r.table.isInstanceOf[GraftTableHandle]
+            case _ => false
+          }) None
+          else if (graftshim.dfFromPlan(spark, buildPlan)
+            .queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes) None
+          else if (!buildKeys.forall(buildPlan.outputSet.contains)) None
+          // a single-file probe can't benefit — skip the job
+          else if (probe.snap.summary.get("total-data-files")
+            .flatMap(_.toLongOption).exists(_ <= 1L)) None
+          else swapProbe(spark, probe, None, buildPlan, probeKeys,
+            buildKeys, sideConj(buildOut), probeConj, probePlan)
+        }
+        viaGraft.orElse(viaPlain)
+      }
+    }
 
     val prunedLeft =
       if (canPruneLeft)
@@ -292,29 +323,38 @@ private[graft] object JoinFilePruning {
     }.map { nj => nj.setTagValue(Attempted, true); nj }
   }
 
-  /** Evaluate the build side's key domain (one small job against the
-    * ENGINE's own read, pinned to the build's captured snapshot) and
-    * swap the probe scan for the domain-pruned read of ITS captured
-    * snapshot.
+  /** Evaluate the build side's key domain (one small job — against
+    * the ENGINE's own read pinned to the build's captured snapshot for
+    * a graft build, or the executable subtree itself for a plain one)
+    * and swap the probe scan for the domain-pruned read of ITS
+    * captured snapshot.
     */
   private def swapProbe(spark: SparkSession, probe: GraftSide,
-      build: GraftSide, probeKeys: Seq[AttributeReference],
+      build: Option[GraftSide], buildPlan: LogicalPlan,
+      probeKeys: Seq[AttributeReference],
       buildKeys: Seq[AttributeReference], buildConj: Seq[Expression],
       probeConj: Seq[Expression], probePlan: LogicalPlan): Option[LogicalPlan] = {
     val maxKeys = confLong(spark, "spark.graft.dynamicPruning.maxKeys", 1000L).toInt
-    // buildConj/probeConj arrive scan-translated (name-based) — they
-    // re-resolve against the fresh engine reads
-    var buildDf = build.table.readPrunedIn(build.m, build.snap,
-      andAll(build.base.toSeq ++ buildConj))
-    buildConj.foreach(e => buildDf = buildDf.filter(graftshim.columnOf(e)))
-    val buildCols = buildKeys.map(b => build.scanColumn(b).get)
+    val (buildDf0, keyCols) = build match {
+      case Some(b) =>
+        // buildConj arrives scan-translated (name-based) — it
+        // re-resolves against the fresh engine read
+        var df = b.table.readPrunedIn(b.m, b.snap,
+          andAll(b.base.toSeq ++ buildConj))
+        buildConj.foreach(e => df = df.filter(graftshim.columnOf(e)))
+        (df, buildKeys.map(k => col(s"`${b.scanColumn(k).get}`")))
+      case None =>
+        // plain build: the subtree executes as-is; outer conjuncts are
+        // bound to its own attribute ids, so they apply directly
+        var df = graftshim.dfFromPlan(spark, buildPlan)
+        buildConj.foreach(e => df = df.filter(graftshim.columnOf(e)))
+        (df, buildKeys.map(k => graftshim.columnOf(k)))
+    }
     val probeCols = probeKeys.map(p =>
       UnresolvedAttribute.quoted(probe.scanColumn(p).get))
-    val keyCols = buildCols.map(n => col(s"`$n`"))
     // NULL keys never equi-match — drop before distinct so an all-null
     // dim batch yields the empty domain (probe prunes to zero files)
-    val nonNull = buildCols.foldLeft(buildDf)((d, n) =>
-      d.filter(col(s"`$n`").isNotNull))
+    val nonNull = keyCols.foldLeft(buildDf0)((d, c) => d.filter(c.isNotNull))
     val rows = nonNull.select(keyCols: _*).distinct().limit(maxKeys + 1).collect()
     val domain: Seq[Expression] =
       if (rows.length <= maxKeys) {
@@ -328,9 +368,8 @@ private[graft] object JoinFilePruning {
         // min/max, pruned as a closed range (clustered layouts still
         // collapse; bucket layouts simply keep their files)
         lastBuildKeys.set(-1L)
-        val aggs = buildCols.zipWithIndex.flatMap { case (n, i) =>
-          Seq(min(col(s"`$n`")).as(s"_lo$i"),
-            max(col(s"`$n`")).as(s"_hi$i")) }
+        val aggs = keyCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(c).as(s"_lo$i"), max(c).as(s"_hi$i")) }
         val r = nonNull.agg(aggs.head, aggs.tail: _*).collect()(0)
         probeCols.zip(probeKeys).zipWithIndex.map { case ((pc, pk), i) =>
           if (r.isNullAt(2 * i)) In(pc, Nil) // empty build: prune all

@@ -280,6 +280,29 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(t.read().filter(col("id") === 101L).head().getLong(1) == 42L)
   }
 
+  test("plain build sides: VALUES lists and in-memory frames prune " +
+      "the fact without being graft tables") {
+    import spark.implicits._
+    starFixture()
+    // SQL VALUES join
+    resetHooks()
+    val df = spark.sql("""
+      SELECT f.id, f.v FROM graft.db.fact f
+      JOIN (VALUES (30L), (31L), (732L)) AS k(id) ON f.id = k.id""")
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 2L) // batches 0 and 7
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(30L, 31L, 732L))
+    // DataFrame-API join against a local Dataset
+    resetHooks()
+    val keys = Seq(205L, 206L).toDF("kid")
+    val fact = spark.table("graft.db.fact")
+    val got = fact.join(keys, fact("id") === keys("kid"))
+      .select(fact("v")).collect().map(_.getLong(0)).sorted
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    assert(got.toSeq == Seq(410L, 412L))
+  }
+
   test("subquery-domain pruning: the dedup-sweep DELETE plans only " +
       "the buckets holding the subquery's keys (CoW and MoR)") {
     import spark.implicits._
