@@ -292,7 +292,11 @@ private[graft] object JoinFilePruning {
         def viaPlain: Option[LogicalPlan] = {
           val maxBytes = confLong(spark,
             "spark.graft.dynamicPruning.maxBuildBytes", 8L << 20)
-          if (buildPlan.exists {
+          // a STREAMING build side cannot be evaluated with a batch
+          // collect (stream-static joins are legal and must analyze
+          // untouched — the domain only exists per micro-batch)
+          if (buildPlan.isStreaming) None
+          else if (buildPlan.exists {
             case r: DataSourceV2Relation =>
               r.table.isInstanceOf[GraftTableHandle]
             case _ => false

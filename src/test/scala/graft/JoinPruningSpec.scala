@@ -303,6 +303,36 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(410L, 412L))
   }
 
+  test("stream-static join: a streaming build side analyzes untouched " +
+      "(no batch evaluation of a streaming plan)") {
+    import spark.implicits._
+    starFixture()
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-jpstream").toString
+    (100L until 110L).map(i => (i, s"s$i")).toDF("kid", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val fact = spark.table("graft.db.fact")
+    resetHooks()
+    val joined = stream.join(fact, stream("kid") === fact("id"))
+      .select(col("kid"), col("v"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-jpsout").toString
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the static graft side never fired an analysis-time evaluation of
+    // the streaming side, and the join still produced correct rows
+    assert(JoinFilePruning.pruneEvents.get() == 0L)
+    val got = spark.read.parquet(s"$outDir/data")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == (100L until 110L).map(i => (i, i * 2)))
+  }
+
   test("subquery-domain pruning: the dedup-sweep DELETE plans only " +
       "the buckets holding the subquery's keys (CoW and MoR)") {
     import spark.implicits._
