@@ -273,6 +273,32 @@ object Soak {
           .count(_.upperBounds.get("1").forall(_.toLong >= pcut))
         (sec, loads, survivors)
       }
+      // DYNAMIC-DOMAIN pruning at the 10⁶-file shape: the evaluated
+      // IN-set that join-driven pruning, MERGE source-key pruning, and
+      // subquery-domain pruning hand to file planning. A 10-key "CDC
+      // batch" spread across the clustered inventory must collapse to
+      // EXACTLY its 10 files, opening only the 10 manifests that hold
+      // them (summaries veto the rest unopened) — the difference
+      // between an upsert planning in milliseconds and scanning a
+      // 100 TB fact to find its rows.
+      val (dynSec, dynLoads, dynKept) = {
+        Manifests.clearCachesForTesting()
+        val n = (perCommit * nCommits).toLong
+        val keys = (0 until 10).map(i => i * n / 10L * 1000L + 500L)
+        val expr = org.apache.spark.sql.catalyst.expressions.In(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted("id"),
+          keys.map(k => org.apache.spark.sql.catalyst.expressions.Literal(k)))
+        val before = Manifests.parseCount.get()
+        var kept = 0
+        val sec = time {
+          val m2 = t.meta
+          val s2 = m2.currentSnapshot.get
+          kept = t.prunedSnapshotFiles(m2, s2, expr).size
+        }
+        require(kept == 10, s"dynamic-domain prune kept $kept files")
+        (sec, Manifests.parseCount.get() - before, kept)
+      }
       val countRowsSec = time(require(t.countRows() == 1000L * perCommit * nCommits))
       // boundary-aligned predicate: half the inventory, proven wholly
       // from manifest/file stats — zero parquet reads (paths are fake)
@@ -330,6 +356,8 @@ object Soak {
         f""""plan_pruned_s":$planPruned%.4f,""" +
         f""""pruned_manifest_loads":$prunedLoads,""" +
         f""""pruned_manifest_survivors":$prunedSurvivors,""" +
+        f""""dyn_prune_s":$dynSec%.4f,"dyn_manifest_loads":$dynLoads,""" +
+        f""""dyn_files_kept":$dynKept,""" +
         f""""count_rows_s":$countRowsSec%.4f,"count_where_s":$countWhereSec%.3f,""" +
         f""""manifests":${dataRefs.size},"manifest_skip_frac":$skipFrac%.3f,""" +
         churnTerms +
