@@ -177,12 +177,31 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * could expose a corpus batch whose index batch hadn't landed yet.
     */
   def transactIfNewMarker(markerKey: String, markerValue: Long,
-      ops: (GraftTable, DataFrame)*): Boolean = {
+      ops: (GraftTable, DataFrame)*): Boolean =
+    transactOpsIfNewMarker(markerKey, markerValue,
+      ops.map { case (t, df) => Tx.Append(t, df) })
+
+  /** Exactly-once [[transactOps]] — the `foreachBatch` SWEEP shape: a
+    * streaming dedup pass that CoW-deletes corpus rows and retracts
+    * their index rows must survive micro-batch replay without
+    * re-deleting or half-applying. The op set and
+    * `markerKey -> markerValue` publish on every table in the SAME
+    * atomic claim set; a batch already at-or-past the marker skips
+    * WHOLE (checked before any file is written). Returns whether the
+    * ops were committed.
+    */
+  def transactOpsIfNewMarker(markerKey: String, markerValue: Long,
+      ops: Seq[TxOp]): Boolean = {
     require(ops.nonEmpty, "empty transaction")
     def seen(m: graft.tableformat.TableMetadata): Boolean =
       m.properties.get(markerKey).exists(_.toLong >= markerValue)
-    if (ops.exists(o => seen(o._1.meta))) return false
-    val staged = ops.map { case (t, df) => t -> t.stageAppend(df) }
+    // common replay path: skip before staging writes anything
+    if (ops.exists(o => seen(o.table.meta))) return false
+    val staged = ops.map {
+      case Tx.Append(t, df)       => t -> t.stageAppend(df)
+      case Tx.Delete(t, cond)     => t -> t.stageDelete(cond)
+      case Tx.Update(t, cond, as) => t -> t.stageUpdate(cond, as)
+    }
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
     final class SeenMarker extends RuntimeException
     try {

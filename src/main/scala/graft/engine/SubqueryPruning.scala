@@ -122,7 +122,85 @@ private[graft] object SubqueryPruning {
       case LessThan(s: ScalarSubquery, a)
           if attrish(a) && s.outerAttrs.isEmpty =>
         tryEval(scalarCmp(spark, a, s, GreaterThan))
+      // correlated EXISTS with an equi-correlation — the idiomatic SQL
+      // dedup probe, `EXISTS (SELECT 1 FROM dup d WHERE d.k = f.id
+      // AND ...)`: the inner side of the correlation's domain prunes
+      // the outer attribute. Not(Exists) has no sound domain form.
+      case ex: Exists => tryEval(existsDomain(spark, ex))
       case _ => Nil
+    }
+  }
+
+  /** Domain pruning for a correlated EXISTS: find the Filter inside
+    * the plan whose condition carries equi-conjuncts between an
+    * OUTER attribute and an inner attribute; strip those conjuncts
+    * and evaluate the INNER attributes' value domain over that Filter
+    * subtree alone. Sound by widening: any operator ABOVE the Filter
+    * (another filter, a join, a limit) can only REMOVE inner rows, so
+    * the subtree's domain is a superset of the values that could make
+    * EXISTS true — pruning by it never drops a qualifying outer row.
+    * Bails (no pruning) when any OTHER correlated reference remains:
+    * its effect on the domain can't be bounded from here.
+    */
+  private def existsDomain(spark: SparkSession,
+      ex: Exists): Seq[Expression] = {
+    // the single Filter carrying ALL the plan's outer references
+    val filters = ex.plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists(_.isInstanceOf[OuterReference]) => f
+    }
+    val outerRefsInPlan = ex.plan.flatMap(p =>
+      p.expressions.flatMap(_.collect { case o: OuterReference => o })).size
+    if (filters.size != 1) return Nil
+    val f = filters.head
+    // split the condition: equi pairs (outer attr, inner attr) vs rest
+    val parts = conjuncts(f.condition)
+    val pairs = parts.collect {
+      case EqualTo(OuterReference(a: AttributeReference),
+          b: AttributeReference) => (a, b)
+      case EqualTo(b: AttributeReference,
+          OuterReference(a: AttributeReference)) => (a, b)
+    }
+    if (pairs.isEmpty) return Nil
+    val rest = parts.filterNot {
+      case EqualTo(OuterReference(_: AttributeReference),
+        _: AttributeReference) => true
+      case EqualTo(_: AttributeReference,
+        OuterReference(_: AttributeReference)) => true
+      case _ => false
+    }
+    // every outer reference of the WHOLE plan must be one of the
+    // stripped equi conjuncts — a residual correlation (in `rest`, in
+    // a projection, anywhere) makes the domain unboundable from here
+    val strippedRefs = pairs.size
+    if (outerRefsInPlan != strippedRefs ||
+      rest.exists(_.exists(_.isInstanceOf[OuterReference]))) return Nil
+    val inner = org.apache.spark.sql.catalyst.plans.logical.Project(
+      pairs.map(_._2),
+      if (rest.isEmpty) f.child
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        rest.reduce(And), f.child))
+    val df = graftshim.dfFromPlan(spark, inner)
+    if (!evaluable(spark, df)) return Nil
+    val maxKeys = confL(spark, "spark.graft.dynamicPruning.maxKeys", 1000L).toInt
+    val cols = df.columns.map(n => col(s"`$n`")).toSeq
+    val nonNull = cols.foldLeft(df)((d, c) => d.filter(c.isNotNull))
+    val rows = nonNull.select(cols: _*).distinct().limit(maxKeys + 1).collect()
+    if (rows.length <= maxKeys)
+      pairs.map(_._1).zipWithIndex.map { case (a, i) =>
+        In(a, rows.toSeq.map(r =>
+          Literal.create(r.get(i), df.schema(i).dataType)).distinct)
+      }
+    else {
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(c).as(s"_lo$i"), max(c).as(s"_hi$i")) }
+      val r = nonNull.agg(aggs.head, aggs.tail: _*).collect()(0)
+      pairs.map(_._1).zipWithIndex.map { case (a, i) =>
+        if (r.isNullAt(2 * i)) In(a, Nil)
+        else And(
+          GreaterThanOrEqual(a, Literal.create(r.get(2 * i), df.schema(i).dataType)),
+          LessThanOrEqual(a, Literal.create(r.get(2 * i + 1), df.schema(i).dataType)))
+      }
     }
   }
 

@@ -412,6 +412,59 @@ class JoinPruningSpec extends AnyFunSuite {
       .head().getLong(0) == 3L)
   }
 
+  test("correlated EXISTS: the equi-correlation's inner domain prunes " +
+      "the fact; residual correlations and NOT EXISTS refuse") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "exfact",
+      Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      t.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong)).toDF("id", "v").coalesce(1))
+    }
+    val dup = cat.createTable("db", "exdup",
+      Seq("k" -> "long", "tag" -> "string"))
+    dup.append(Seq((301L, "x"), (302L, "x"), (720L, "y")).toDF("k", "tag")
+      .coalesce(1))
+    // the idiomatic dedup probe: EXISTS with an equi-correlation plus
+    // an uncorrelated inner predicate — only batch 3's file plans
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    val got = spark.sql("""SELECT id FROM graft.db.exfact f
+      WHERE EXISTS (SELECT 1 FROM graft.db.exdup d
+                    WHERE d.k = f.id AND d.tag = 'x')""")
+      .collect().map(_.getLong(0)).sorted
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    assert(got.toSeq == Seq(301L, 302L))
+    // no tag filter: both touched batches plan, nothing else
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.exfact f
+      WHERE EXISTS (SELECT 1 FROM graft.db.exdup d WHERE d.k = f.id)""")
+      .head().getLong(0) == 3L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 2L)
+    // residual correlation (d.k < f.v) is unboundable — full plan,
+    // correct result
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.exfact f
+      WHERE EXISTS (SELECT 1 FROM graft.db.exdup d
+                    WHERE d.k = f.id AND d.k <= f.v)""")
+      .head().getLong(0) == 3L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 8L)
+    // NOT EXISTS keeps every file (anti semantics)
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.exfact f
+      WHERE NOT EXISTS (SELECT 1 FROM graft.db.exdup d
+                        WHERE d.k = f.id)""")
+      .head().getLong(0) == 797L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 8L)
+    // DML flavor: the EXISTS dedup sweep as a DELETE
+    GraftTable.lastDmlCandidateFiles.set(-1L)
+    spark.sql("""DELETE FROM graft.db.exfact f
+      WHERE EXISTS (SELECT 1 FROM graft.db.exdup d
+                    WHERE d.k = f.id AND d.tag = 'y')""")
+    assert(t.read().count() == 799)
+    assert(t.read().filter(col("id") === 720L).count() == 0)
+  }
+
   test("three-way star: both dims prune the fact under one WHERE") {
     import spark.implicits._
     val cat = freshCat()

@@ -104,16 +104,23 @@ class PruneFuzzSpec extends AnyFunSuite {
           checked += 1
         case 1 => // IN-subquery / scalar-subquery read predicate
           val f = randFact()
-          val q = rnd.nextInt(3) match {
+          val q = rnd.nextInt(5) match {
             case 0 => s"""SELECT id, v FROM graft.db.$f
               WHERE id IN (SELECT k FROM graft.db.fz_dim
                            WHERE tag = '${randTag()}')"""
             case 1 => s"""SELECT id, v FROM graft.db.$f
               WHERE id >= (SELECT max(k) - ${rnd.nextInt(200)}
                            FROM graft.db.fz_dim WHERE tag = '${randTag()}')"""
-            case _ => s"""SELECT count(*) AS n FROM graft.db.$f
+            case 2 => s"""SELECT count(*) AS n FROM graft.db.$f
               WHERE id NOT IN (SELECT k FROM graft.db.fz_dim
                                WHERE tag = '${randTag()}' AND k IS NOT NULL)"""
+            case 3 => s"""SELECT id, v FROM graft.db.$f t
+              WHERE ${if (rnd.nextBoolean()) "" else "NOT"} EXISTS
+                (SELECT 1 FROM graft.db.fz_dim d
+                 WHERE d.k = t.id AND d.tag = '${randTag()}')"""
+            case _ => s"""SELECT count(*) AS n FROM graft.db.$f t
+              WHERE EXISTS (SELECT 1 FROM graft.db.fz_dim d
+                            WHERE d.k = t.id AND d.k <= t.v)"""
           }
           val on = withPruning(true)(rowsOf(spark.sql(q)))
           val off = withPruning(false)(rowsOf(spark.sql(q)))

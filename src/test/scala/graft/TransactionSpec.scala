@@ -228,6 +228,36 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     assert(e.getMessage.contains("copy-on-write"), e.getMessage)
   }
 
+  test("transactOpsIfNewMarker: a replayed sweep skips whole — no " +
+      "double delete, no torn marker") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(spark, tmp())
+    val corpus = cat.createTable("db", "swm_c",
+      Seq("id" -> "long", "v" -> "long"))
+    val fp = cat.createTable("db", "swm_f",
+      Seq("id" -> "long", "h" -> "long"))
+    cat.transact(
+      corpus -> (1L to 30L).map(i => (i, i)).toDF("id", "v"),
+      fp -> (1L to 30L).map(i => (i, i * 7L)).toDF("id", "h"))
+    def sweep(batch: Long, mod: Long): Boolean =
+      cat.transactOpsIfNewMarker("graft.sweep.batch", batch, Seq(
+        graft.catalog.Tx.Delete(corpus, col("id") % mod === 0),
+        graft.catalog.Tx.Delete(fp, col("id") % mod === 0)))
+    assert(sweep(1L, 5L))
+    assert(corpus.read().count() == 24 && fp.read().count() == 24)
+    // micro-batch REPLAY: same marker — skipped whole, nothing changes
+    assert(!sweep(1L, 3L))
+    assert(corpus.read().count() == 24 && fp.read().count() == 24)
+    // next batch commits, markers advance in lockstep on both tables
+    assert(sweep(2L, 3L))
+    assert(corpus.read().count() == 16 && fp.read().count() == 16)
+    assert(corpus.meta.properties("graft.sweep.batch") == "2" &&
+      fp.meta.properties("graft.sweep.batch") == "2")
+    assert(corpus.read().join(fp.read(), "id").count() == 16,
+      "corpus and index must stay joined after replayed sweeps")
+  }
+
   test("views in transactions: a column rename and the dependent " +
       "view's redefinition publish atomically — a reader loop never " +
       "observes the stale-view window") {
