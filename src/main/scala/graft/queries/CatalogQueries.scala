@@ -1411,6 +1411,58 @@ object CatalogQueries {
                               ELSE c_acctbal END), 2) AS sum_bal,
                CAST(sum(length(c_name)) AS BIGINT) AS sum_fp
         FROM customer WHERE c_custkey % 5 <> 0
+      """)),
+
+    // EXISTS-DOMAIN pruning end-to-end (SubqueryPruning.existsDomain):
+    // the idiomatic SQL dedup probe — `EXISTS (SELECT 1 FROM dup d
+    // WHERE d.key = f.key)` — evaluates the correlated
+    // equi-conjunct's inner domain once and plans the bucket(64) probe
+    // against only the buckets holding those keys. The pin requires
+    // the probe read to have collapsed below the key count and the
+    // file total; the oracle recomputes the probe from the source.
+    QueryDef(
+      "q173_exists_probe_pruning",
+      (s, d) => {
+        val wh = setupOnce("q173", d) {
+          val w = scratch("existsprobe")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val corpus = cat.createTable("db1", "corpus_ex", Seq(
+            "c_custkey" -> "long", "c_acctbal" -> "double"),
+            Seq("c_custkey" -> "bucket(64)"),
+            Map("write.distribution-mode" -> "hash"))
+          corpus.append(Tables.customer(s, d)
+            .select("c_custkey", "c_acctbal"))
+          val probe = cat.createTable("db1", "probe_ex",
+            Seq("c_custkey" -> "long"))
+          probe.append(Tables.customer(s, d)
+            .filter(col("c_custkey") % 300 === 0).select("c_custkey"))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        graft.engine.GraftTable.lastPrunedReadFiles.set(-1L)
+        val df = s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n_probe,
+                 CAST(sum(f.c_custkey) AS BIGINT) AS sum_key
+          FROM graft.db1.corpus_ex f
+          WHERE EXISTS (SELECT 1 FROM graft.db1.probe_ex d
+                        WHERE d.c_custkey = f.c_custkey)""")
+        val kept = graft.engine.GraftTable.lastPrunedReadFiles.get()
+        val keys = graft.engine.GraftTable.load(s,
+          java.nio.file.Paths.get(wh, "db1", "probe_ex").toString)
+          .read().count()
+        val total = graft.engine.GraftTable.load(s,
+          java.nio.file.Paths.get(wh, "db1", "corpus_ex").toString)
+          .meta.currentSnapshot.get.files.size.toLong
+        require(kept >= 0 && kept <= keys && kept < total,
+          s"EXISTS probe did not prune: kept $kept of $total " +
+            s"for a $keys-key probe set")
+        df
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        FROM customer WHERE c_custkey % 300 = 0
       """))
   )
 }
