@@ -177,6 +177,35 @@ private[graft] object JoinFilePruning {
   private def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[SubqueryExpression])
 
+  /** TRUE when `e` cannot evaluate to TRUE once every attribute of
+    * `side` is NULL — the EliminateOuterJoin test. An enclosing WHERE
+    * runs AFTER an outer join null-extends, so its conjuncts only
+    * constrain the STORED rows of a null-supplying side when they are
+    * null-intolerant: `f.id IS NULL` over `dim LEFT JOIN fact` (the
+    * anti-join idiom) is satisfied by exactly the manufactured rows and
+    * must never prune fact files. Conservative: any failure to fold
+    * means "tolerant" and the conjunct is not used for pruning.
+    */
+  private def nullIntolerant(e: Expression, side: AttributeSet): Boolean =
+    try {
+      val nulled = e.transform {
+        case a: AttributeReference if side.contains(a) =>
+          Literal.create(null, a.dataType)
+      }
+      nulled.foldable && {
+        val v = nulled.eval(null)
+        v == null || v == false
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  private def nullSupplyingSides(jt: JoinType): (Boolean, Boolean) =
+    jt match {
+      case LeftOuter  => (false, true)
+      case RightOuter => (true, false)
+      case FullOuter  => (true, true)
+      case _          => (false, false)
+    }
+
   /** Attempt dynamic pruning on every join in a join tree. `outer`
     * carries the enclosing WHERE's conjuncts (at analysis time the
     * selective dim predicate sits ABOVE the join — pushdown hasn't run
@@ -191,8 +220,19 @@ private[graft] object JoinFilePruning {
           j.setTagValue(Attempted, true)
           pruneJoin(spark, j, outer).getOrElse(j)
         }
-      val newLeft = pruneTree(spark, attempted.left, outer)
-      val newRight = pruneTree(spark, attempted.right, outer)
+      // recursing INTO the null-supplying side of an outer join: only
+      // null-intolerant WHERE conjuncts survive — a nested join under
+      // that side must not prune by a predicate the null-extended rows
+      // the outer join manufactures would satisfy
+      def childOuter(child: LogicalPlan, ns: Boolean): Seq[Expression] =
+        if (!ns) outer
+        else outer.filter(e => e.references.subsetOf(child.outputSet) &&
+          nullIntolerant(e, child.outputSet))
+      val (lNS, rNS) = nullSupplyingSides(attempted.joinType)
+      val newLeft =
+        pruneTree(spark, attempted.left, childOuter(attempted.left, lNS))
+      val newRight =
+        pruneTree(spark, attempted.right, childOuter(attempted.right, rNS))
       if ((newLeft eq attempted.left) && (newRight eq attempted.right)) attempted
       else {
         val res = attempted.copy(left = newLeft, right = newRight)
@@ -231,15 +271,24 @@ private[graft] object JoinFilePruning {
       }
     if (pairs.isEmpty) return None
     // conjuncts usable for a side: deterministic, subquery-free,
-    // references wholly within that side — from the outer WHERE and
-    // from the ON clause itself (a side we're ALLOWED to prune only
-    // keeps rows that match, and a row failing a single-sided ON
-    // conjunct can never match; equi pairs reference both sides and
-    // fall out of the subset check naturally)
-    val outerUsable = (outer ++ splitConjuncts(cond)).filter(e =>
-      e.deterministic && !hasSubquery(e) && e.references.nonEmpty)
-    def sideConj(out: AttributeSet): Seq[Expression] =
-      outerUsable.filter(_.references.subsetOf(out))
+    // references wholly within that side — from the ON clause (always
+    // sound: a row failing a single-sided ON conjunct never matches,
+    // and a null-supplied output row only exists because some stored
+    // row passed the ON; equi pairs reference both sides and fall out
+    // of the subset check naturally) and from the enclosing WHERE,
+    // which for a NULL-SUPPLYING side is only sound when the conjunct
+    // is null-intolerant — WHERE runs after null-extension, so a
+    // null-tolerant predicate (`f.id IS NULL`) holds on manufactured
+    // rows that no stored file contains
+    def usable(e: Expression): Boolean =
+      e.deterministic && !hasSubquery(e) && e.references.nonEmpty
+    val onUsable = splitConjuncts(cond).filter(usable)
+    val whereUsable = outer.filter(usable)
+    val (leftNS, rightNS) = nullSupplyingSides(j.joinType)
+    def sideConj(out: AttributeSet, nullSupplying: Boolean): Seq[Expression] =
+      onUsable.filter(_.references.subsetOf(out)) ++
+        whereUsable.filter(e => e.references.subsetOf(out) &&
+          (!nullSupplying || nullIntolerant(e, out)))
 
     val maxBuildRows = confLong(spark, "spark.graft.dynamicPruning.maxBuildRows", 100000L)
     val ratio = confLong(spark, "spark.graft.dynamicPruning.ratio", 4L)
@@ -259,11 +308,12 @@ private[graft] object JoinFilePruning {
 
     def attempt(probePlan: LogicalPlan, buildPlan: LogicalPlan,
         probeKeys: Seq[AttributeReference], buildKeys: Seq[AttributeReference],
-        probeOut: AttributeSet, buildOut: AttributeSet): Option[LogicalPlan] = {
+        probeOut: AttributeSet, buildOut: AttributeSet,
+        probeNS: Boolean, buildNS: Boolean): Option[LogicalPlan] = {
       val probeSide = graftSideOf(probePlan)
         .filter(p => probeKeys.forall(k => p.scanColumn(k).isDefined))
       probeSide.flatMap { probe =>
-        val probeConj = (probe.filters ++ sideConj(probeOut))
+        val probeConj = (probe.filters ++ sideConj(probeOut, probeNS))
           .flatMap(probe.toScanExpr)
         val probeEst = estimate(probe, Nil)
         // graft build: manifest-estimated, evaluated via a pinned
@@ -277,7 +327,7 @@ private[graft] object JoinFilePruning {
           // untranslatable conjuncts drop out — sound in every use
           // below (a wider build domain or a laxer estimate only
           // prunes less)
-          buildConj = (build.filters ++ sideConj(buildOut))
+          buildConj = (build.filters ++ sideConj(buildOut, buildNS))
             .flatMap(build.toScanExpr)
           buildEst = estimate(build, buildConj)
           if buildEst <= maxBuildRows
@@ -308,7 +358,7 @@ private[graft] object JoinFilePruning {
           else if (probe.snap.summary.get("total-data-files")
             .flatMap(_.toLongOption).exists(_ <= 1L)) None
           else swapProbe(spark, probe, None, buildPlan, probeKeys,
-            buildKeys, sideConj(buildOut), probeConj, probePlan)
+            buildKeys, sideConj(buildOut, buildNS), probeConj, probePlan)
         }
         viaGraft.orElse(viaPlain)
       }
@@ -317,12 +367,12 @@ private[graft] object JoinFilePruning {
     val prunedLeft =
       if (canPruneLeft)
         attempt(j.left, j.right, pairs.map(_._1), pairs.map(_._2),
-          leftOut, rightOut).map(nl => j.copy(left = nl))
+          leftOut, rightOut, leftNS, rightNS).map(nl => j.copy(left = nl))
       else None
     prunedLeft.orElse {
       if (canPruneRight)
         attempt(j.right, j.left, pairs.map(_._2), pairs.map(_._1),
-          rightOut, leftOut).map(nr => j.copy(right = nr))
+          rightOut, leftOut, rightNS, leftNS).map(nr => j.copy(right = nr))
       else None
     }.map { nj => nj.setTagValue(Attempted, true); nj }
   }

@@ -149,10 +149,16 @@ private[graft] object SubqueryPruning {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
           if f.condition.exists(_.isInstanceOf[OuterReference]) => f
     }
-    val outerRefsInPlan = ex.plan.flatMap(p =>
-      p.expressions.flatMap(_.collect { case o: OuterReference => o })).size
+    val outerRefsInPlan = outerRefCensus(ex.plan)
     if (filters.size != 1) return Nil
     val f = filters.head
+    // every operator between the plan root and the correlated Filter
+    // must propagate emptiness, or EXISTS can be TRUE for outer values
+    // outside the subtree's domain (an ungrouped Aggregate yields one
+    // row regardless; a Union's other branch supplies rows; the
+    // preserved side of an outer join null-extends) — pruning by the
+    // subtree domain would then drop qualifying files
+    if (!emptyPropagating(ex.plan, f)) return Nil
     // split the condition: equi pairs (outer attr, inner attr) vs rest
     val parts = conjuncts(f.condition)
     val pairs = parts.collect {
@@ -201,6 +207,71 @@ private[graft] object SubqueryPruning {
           GreaterThanOrEqual(a, Literal.create(r.get(2 * i), df.schema(i).dataType)),
           LessThanOrEqual(a, Literal.create(r.get(2 * i + 1), df.schema(i).dataType)))
       }
+    }
+  }
+
+  /** Count OuterReference nodes anywhere in the plan, INCLUDING inside
+    * nested subquery plans — expression traversal alone does not
+    * descend a SubqueryExpression's plan, so a correlation hidden one
+    * subquery level down would otherwise escape the
+    * all-refs-stripped check (safe today only because resolution
+    * happens to fail downstream; the census makes the refusal
+    * explicit). Over-counting is conservative — it can only bail.
+    */
+  private def outerRefCensus(plan: org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan): Int = {
+    var n = 0
+    plan.foreach { p =>
+      p.expressions.foreach(_.foreach {
+        case _: OuterReference     => n += 1
+        case s: SubqueryExpression => n += outerRefCensus(s.plan)
+        case _                     => ()
+      })
+    }
+    n
+  }
+
+  /** TRUE when every operator on the path from `node` down to `target`
+    * only produces output rows if its target-side input produced rows
+    * (per correlation binding) — the widening argument
+    * [[existsDomain]] rests on. Whitelist: row-preserving or
+    * row-removing single-child operators, GROUPED aggregates (output
+    * nonempty iff input nonempty), and joins whose emptiness follows
+    * the target-side child. Everything else — ungrouped Aggregate,
+    * Union, the preserved side of an outer join — refuses.
+    */
+  private def emptyPropagating(
+      node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      target: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    if (node eq target) true
+    else node match {
+      case p: Project       => emptyPropagating(p.child, target)
+      case f: Filter        => emptyPropagating(f.child, target)
+      case s: SubqueryAlias => emptyPropagating(s.child, target)
+      case d: Distinct      => emptyPropagating(d.child, target)
+      case l: GlobalLimit   => emptyPropagating(l.child, target)
+      case l: LocalLimit    => emptyPropagating(l.child, target)
+      case s: Sort          => emptyPropagating(s.child, target)
+      case w: Window        => emptyPropagating(w.child, target)
+      case a: Aggregate if a.groupingExpressions.nonEmpty =>
+        emptyPropagating(a.child, target)
+      case j: Join =>
+        val onLeft = j.left.exists(_ eq target)
+        val child = if (onLeft) j.left else j.right
+        val joinOk = j.joinType match {
+          // inner/cross/semi: empty either side ⇒ empty output;
+          // anti and the outer types only from their restricting side
+          case Inner | Cross | LeftSemi => true
+          case LeftAnti                 => onLeft
+          case LeftOuter                => onLeft
+          case RightOuter               => !onLeft
+          case _                        => false
+        }
+        joinOk && emptyPropagating(child, target)
+      case _ => false
     }
   }
 

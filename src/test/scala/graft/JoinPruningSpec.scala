@@ -465,6 +465,113 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(t.read().filter(col("id") === 720L).count() == 0)
   }
 
+  test("outer anti-join idiom: a null-tolerant WHERE on the " +
+      "null-supplying side never prunes it (the IN-set still does)") {
+    import spark.implicits._
+    val cat = freshCat()
+    val fact = cat.createTable("db", "afact",
+      Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      fact.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong * 2)).toDF("id", "v").coalesce(1))
+    }
+    val dim = cat.createTable("db", "adim",
+      Seq("id" -> "long", "tag" -> "string"))
+    // ids 30-39 match fact batch 0; 900/901 match nothing
+    dim.append(((30L until 40L) ++ Seq(900L, 901L)).map(i => (i, "t"))
+      .toDF("id", "tag").coalesce(1))
+    resetHooks()
+    // f.id IS NULL is satisfied by exactly the null-extended rows a
+    // LEFT JOIN manufactures — a stats IS-NULL veto on the fact would
+    // prune all 8 files and null-extend EVERY dim row. The build
+    // IN-set is still sound: 12 keys keep 1 file.
+    val got = spark.sql("""
+      SELECT d.id FROM graft.db.adim d
+      LEFT JOIN graft.db.afact f ON d.id = f.id
+      WHERE f.id IS NULL""").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(900L, 901L))
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    // a null-INTOLERANT WHERE on the null-supplying side still prunes
+    // and stays correct (v = 66 can never hold on a manufactured row)
+    resetHooks()
+    val got2 = spark.sql("""
+      SELECT d.id, f.v FROM graft.db.adim d
+      LEFT JOIN graft.db.afact f ON d.id = f.id
+      WHERE f.v = 66""").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq == Seq((33L, 66L)))
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+  }
+
+  test("nested join under the null-supplying side: the enclosing " +
+      "WHERE's null-tolerant conjuncts do not reach it") {
+    import spark.implicits._
+    val cat = freshCat()
+    val fact = cat.createTable("db", "nnfact",
+      Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      fact.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong)).toDF("id", "v").coalesce(1))
+    }
+    val d2 = cat.createTable("db", "nnd2",
+      Seq("id" -> "long", "nm" -> "string"))
+    d2.append((0 until 80).map(i => (i.toLong, s"n$i")).toDF("id", "nm")
+      .coalesce(1))
+    val probe = cat.createTable("db", "nnprobe", Seq("pid" -> "long"))
+    probe.append(Seq(5L, 900L).toDF("pid").coalesce(1))
+    resetHooks()
+    // probe LEFT JOIN (fact JOIN d2): pid 5 matches, 900 null-extends.
+    // The inner fact⋈d2 join prunes fact by d2's keys — but must never
+    // see the enclosing IS NULL (it would veto every fact file, empty
+    // the inner join, and null-extend pid 5 too).
+    val got = spark.sql("""
+      SELECT p.pid FROM graft.db.nnprobe p
+      LEFT JOIN (graft.db.nnfact f JOIN graft.db.nnd2 d ON f.id = d.id)
+        ON p.pid = f.id
+      WHERE f.id IS NULL""").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(900L))
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+  }
+
+  test("EXISTS domains refuse when an ancestor above the correlated " +
+      "filter can manufacture rows") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "egfact",
+      Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      t.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong)).toDF("id", "v").coalesce(1))
+    }
+    val dup = cat.createTable("db", "egdup", Seq("k" -> "long"))
+    dup.append(Seq(301L, 720L).toDF("k").coalesce(1))
+    // ungrouped aggregate: count(*) yields a row even when nothing
+    // matches, so EXISTS is TRUE for EVERY outer row — must not prune
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.egfact f
+      WHERE EXISTS (SELECT count(*) FROM graft.db.egdup d
+                    WHERE d.k = f.id)""").head().getLong(0) == 800L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 8L)
+    // GROUPED aggregate above the filter propagates emptiness — prunes
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.egfact f
+      WHERE EXISTS (SELECT d.k, count(*) FROM graft.db.egdup d
+                    WHERE d.k = f.id GROUP BY d.k)""")
+      .head().getLong(0) == 2L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 2L)
+    // a nested correlated subquery inside the EXISTS: the recursive
+    // census sees the hidden OuterReference and bails explicitly
+    GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.egfact f
+      WHERE EXISTS (SELECT 1 FROM graft.db.egdup d WHERE d.k = f.id
+                    AND EXISTS (SELECT 1 FROM graft.db.egdup e
+                                WHERE e.k = d.k))""")
+      .head().getLong(0) == 2L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 8L)
+  }
+
   test("three-way star: both dims prune the fact under one WHERE") {
     import spark.implicits._
     val cat = freshCat()
