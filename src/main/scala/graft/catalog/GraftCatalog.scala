@@ -8,8 +8,8 @@ import graft.engine.GraftTable
 import graft.tableformat.MetadataIO
 
 /** One operation inside a multi-table transaction
-  * ([[GraftCatalog.transactOps]]): an append or a copy-on-write
-  * DELETE/UPDATE against one table.
+  * ([[GraftCatalog.transactOps]]): an append, a copy-on-write
+  * DELETE/UPDATE, or a copy-on-write MERGE against one table.
   */
 sealed trait TxOp { def table: GraftTable }
 object Tx {
@@ -20,6 +20,17 @@ object Tx {
   final case class Update(table: GraftTable,
       cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]) extends TxOp
+  /** The CDC-upsert shape: MERGE the batch into the fact AND append
+    * its index rows in one claim set ([[graft.engine.GraftTable.merge]]
+    * semantics, copy-on-write targets only).
+    */
+  final case class Merge(table: GraftTable,
+      source: org.apache.spark.sql.DataFrame,
+      on: org.apache.spark.sql.Column,
+      matched: Seq[graft.engine.MergeMatchedClause],
+      notMatched: Seq[graft.engine.MergeInsertClause],
+      notMatchedBySource: Seq[graft.engine.MergeMatchedClause] = Nil,
+      targetAlias: Option[String] = None) extends TxOp
 }
 
 /** Two-level `graft.<db>.<table>` namespace over a warehouse directory —
@@ -155,6 +166,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case Tx.Append(t, df)       => t -> t.stageAppend(df)
       case Tx.Delete(t, cond)     => t -> t.stageDelete(cond)
       case Tx.Update(t, cond, as) => t -> t.stageUpdate(cond, as)
+      case Tx.Merge(t, src, on, m, nm, nms, al) =>
+        t -> t.stageMerge(src, on, m, nm, nms, al)
     }
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
     MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
@@ -201,6 +214,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case Tx.Append(t, df)       => t -> t.stageAppend(df)
       case Tx.Delete(t, cond)     => t -> t.stageDelete(cond)
       case Tx.Update(t, cond, as) => t -> t.stageUpdate(cond, as)
+      case Tx.Merge(t, src, on, m, nm, nms, al) =>
+        t -> t.stageMerge(src, on, m, nm, nms, al)
     }
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
     final class SeenMarker extends RuntimeException

@@ -166,7 +166,11 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if agg.resolved && agg.groupingExpressions.isEmpty &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        pushManifestAggregate(agg, h, cond)
+        // a staged table's manifest arithmetic / mview would answer
+        // from PRE-transaction metadata — bail to the scan path, which
+        // serves read-your-own-writes from the preview
+        if (txnPreview(h).isDefined) agg
+        else pushManifestAggregate(agg, h, cond)
           .orElse(MviewRewrite.rewrite(spark, agg, h, cond))
           .getOrElse(agg)
 
@@ -182,7 +186,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
             agg.groupingExpressions.forall(groupish) &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        pushGroupedManifestAggregate(agg, h, cond)
+        if (txnPreview(h).isDefined) agg
+        else pushGroupedManifestAggregate(agg, h, cond)
           .orElse(MviewRewrite.rewrite(spark, agg, h, cond))
           .getOrElse(agg)
 
@@ -214,8 +219,13 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if handleOf(child).exists(_.pinnedSnapshot.isEmpty) &&
             !deferred.contains(relationIn(child)) =>
         val h = handleOf(child).get
-        val swapped = rebind(relationIn(child),
-          h.table.readPrunedBy(cond).queryExecution.analyzed)
+        // read-your-own-writes: inside an open SQL transaction a
+        // staged table reads from the transaction's PREVIEW metadata
+        val read = txnPreview(h) match {
+          case Some(pm) => h.table.readPreviewPrunedBy(pm, cond)
+          case None     => h.table.readPrunedBy(cond)
+        }
+        val swapped = rebind(relationIn(child), read.queryExecution.analyzed)
         val newChild = child match {
           case s: SubqueryAlias => s.copy(child = swapped)
           case _                => swapped
@@ -228,7 +238,10 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         val h = handleOf(r).get
         val df = h.pinnedSnapshot match {
           case Some(s) => h.table.readAsOfVersion(s.snapshotId)
-          case None    => h.table.read()
+          case None => txnPreview(h) match {
+            case Some(pm) => h.table.readPreview(pm)
+            case None     => h.table.read()
+          }
         }
         rebind(r, df.queryExecution.analyzed)
 
@@ -350,6 +363,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       }
     }
   }
+
+  /** The open transaction's preview metadata for a handle's table, if
+    * this session staged it — the read-your-own-writes source.
+    */
+  private def txnPreview(h: GraftTableHandle) =
+    GraftSqlTransactions.previewFor(spark, h.table.location)
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>

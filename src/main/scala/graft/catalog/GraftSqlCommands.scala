@@ -114,11 +114,14 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
     if (GraftSqlTransactions.active(session)) {
       // inside BEGIN TRANSACTION: stage instead of committing — the
       // files are written now, the snapshot lands with COMMIT's one
-      // atomic claim set
+      // atomic claim set; a repeat statement on the same table plans
+      // against the transaction's preview of it
       require(!overwrite,
         "INSERT OVERWRITE is not supported inside BEGIN TRANSACTION")
-      GraftSqlTransactions.stage(session, location, "INSERT",
-        t.stageAppend(df))
+      val baseM = GraftSqlTransactions.previewFor(session, location)
+        .getOrElse(t.meta)
+      GraftSqlTransactions.stage(session, location, "INSERT", baseM,
+        t.stageAppend(df, Some(baseM)))
     } else if (overwrite) t.overwrite(df)
     else t.append(df)
     Seq.empty
@@ -196,7 +199,6 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.Column
     import graft.engine._
-    GraftSqlTransactions.refuse(session, "MERGE INTO")
     val srcDf = graftshim.dfFromPlan(session, source)
     def toCol(e: Expression): Column = graftshim.columnOf(e)
     def assigns(as: Seq[(String, Expression)]): Map[String, Column] = {
@@ -218,7 +220,20 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
       case MergeInsertAllSpec(c)  => MergeInsertAllClause(c.map(toCol))
       case other => sys.error(s"only INSERT is valid WHEN NOT MATCHED: $other")
     }
-    GraftTable.load(session, location).merge(srcDf, toCol(condition.expr),
+    val t = GraftTable.load(session, location)
+    if (GraftSqlTransactions.active(session)) {
+      // inside BEGIN TRANSACTION: the merge is planned and written NOW
+      // (copy-on-write only), its snapshot lands with COMMIT's one
+      // atomic claim set — the CDC-upsert-plus-index shape commits
+      // transactionally
+      val prev = GraftSqlTransactions.previewFor(session, location)
+      val baseM = prev.getOrElse(t.meta)
+      GraftSqlTransactions.stage(session, location, "MERGE", baseM,
+        t.stageMerge(srcDf, toCol(condition.expr),
+          matched.map(matchedClause), notMatched.map(insertClause),
+          notMatchedBySource.map(matchedClause), Some(targetAlias),
+          Some(baseM), revalidate = prev.isEmpty))
+    } else t.merge(srcDf, toCol(condition.expr),
       matched.map(matchedClause), notMatched.map(insertClause),
       notMatchedBySource.map(matchedClause), Some(targetAlias))
     Seq.empty
@@ -241,10 +256,12 @@ final case class GraftDeleteCommand(location: String,
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftTable.load(session, location)
     val cond = graftshim.columnOf(GraftSqlCommands.unbind(condition.expr))
-    if (GraftSqlTransactions.active(session))
-      GraftSqlTransactions.stage(session, location, "DELETE",
-        t.stageDelete(cond))
-    else t.delete(cond)
+    if (GraftSqlTransactions.active(session)) {
+      val prev = GraftSqlTransactions.previewFor(session, location)
+      val baseM = prev.getOrElse(t.meta)
+      GraftSqlTransactions.stage(session, location, "DELETE", baseM,
+        t.stageDelete(cond, Some(baseM), revalidate = prev.isEmpty))
+    } else t.delete(cond)
     Seq.empty
   }
 }
@@ -266,10 +283,12 @@ final case class GraftUpdateCommand(location: String,
       name -> graftshim.columnOf(GraftSqlCommands.unbind(value))
     }.toMap
     val t = GraftTable.load(session, location)
-    if (GraftSqlTransactions.active(session))
-      GraftSqlTransactions.stage(session, location, "UPDATE",
-        t.stageUpdate(cond, as))
-    else t.update(cond, as)
+    if (GraftSqlTransactions.active(session)) {
+      val prev = GraftSqlTransactions.previewFor(session, location)
+      val baseM = prev.getOrElse(t.meta)
+      GraftSqlTransactions.stage(session, location, "UPDATE", baseM,
+        t.stageUpdate(cond, as, Some(baseM), revalidate = prev.isEmpty))
+    } else t.update(cond, as)
     Seq.empty
   }
 }

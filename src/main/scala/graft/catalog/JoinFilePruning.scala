@@ -312,6 +312,12 @@ private[graft] object JoinFilePruning {
         probeNS: Boolean, buildNS: Boolean): Option[LogicalPlan] = {
       val probeSide = graftSideOf(probePlan)
         .filter(p => probeKeys.forall(k => p.scanColumn(k).isDefined))
+        // a table staged by this session's open SQL transaction must
+        // read its PREVIEW (read-your-own-writes) — the captured
+        // metadata here is pre-transaction, so pruning stands down and
+        // the ordinary relation swap serves the preview
+        .filter(p =>
+          GraftSqlTransactions.previewFor(spark, p.table.location).isEmpty)
       probeSide.flatMap { probe =>
         val probeConj = (probe.filters ++ sideConj(probeOut, probeNS))
           .flatMap(probe.toScanExpr)
@@ -320,6 +326,9 @@ private[graft] object JoinFilePruning {
         // engine read
         val viaGraft = for {
           build <- graftSideOf(buildPlan)
+          // staged build: its committed metadata is stale inside the
+          // transaction (see the probe guard above)
+          if GraftSqlTransactions.previewFor(spark, build.table.location).isEmpty
           // a self-join's build domain is the probe's own domain — the
           // evaluation job would prune nothing
           if probe.table.location != build.table.location
@@ -432,8 +441,13 @@ private[graft] object JoinFilePruning {
             LessThanOrEqual(pc, Literal.create(r.get(2 * i + 1), pk.dataType)))
         }
       }
+    // the domain is retained by NOTHING above the swapped scan (only
+    // the join itself implies it) — hand it to the read as a residual
+    // DATA filter so parquet skips row groups inside kept files too;
+    // base/probeConj stay out (the captured read's own Filter nodes
+    // and the enclosing WHERE still execute them)
     val prunedDf = probe.table.readPrunedIn(probe.m, probe.snap,
-      andAll(probe.base.toSeq ++ probeConj ++ domain))
+      andAll(probe.base.toSeq ++ probeConj ++ domain), residual = domain)
     pruneEvents.incrementAndGet()
     val analyzed = prunedDf.queryExecution.analyzed
     Some(probePlan.transformUp {

@@ -326,16 +326,99 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * planning, without moving the read to a newer snapshot.
     */
   private[graft] def readPrunedIn(m: TableMetadata, s: Snapshot,
-      cond: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      residual: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+      : DataFrame = {
     // subquery-domain pruning: evaluated once here, used for BOTH the
     // manifest veto and the file pruning below (the caller's own
     // Filter node still executes the original predicate)
-    val pruneCond = SubqueryPruning.augment(spark, cond)
+    val (pruneCond, extras) = SubqueryPruning.augmentSplit(spark, cond)
     val kept = prunedSnapshotFiles(m, s, pruneCond)
     GraftTable.lastPrunedReadFiles.set(kept.size.toLong)
-    if (s.deleteFiles.isEmpty) readFiles(m, kept)
-    else liveRows(m, s, kept).drop("_g_path", "_g_pos")
+    val base =
+      if (s.deleteFiles.isEmpty) readFiles(m, kept)
+      else liveRows(m, s, kept).drop("_g_path", "_g_pos")
+    // evaluated domains — the caller's `residual` (join-key IN-set /
+    // range, retained by NOTHING above the swapped scan) plus the
+    // subquery extras (retained only as the original, unevaluated
+    // subquery form) — are re-applied as DATA filters so the kept
+    // files' scans skip INSIDE files too
+    applyResidual(m, base, residual ++ extras)
   }
+
+  /** Push evaluated pruning domains into the kept files' SCANS.
+    * File-level pruning decides candidacy from manifests, but a kept
+    * file is otherwise read whole; re-applying the same IN-set/range
+    * as a data filter lets parquet row-group stats, dictionary pages,
+    * and armed bloom filters skip row groups inside kept files — at
+    * 100 TB with large files this is the next order of magnitude after
+    * file-level pruning. Sound by the same argument as the file veto:
+    * every conjunct here is implied by the caller's own predicate or
+    * join, so rows it removes could never reach the output. Guards: a
+    * conjunct is re-applied only when deterministic, subquery-free,
+    * resolvable by NAME against the current schema, and with IN-sets
+    * no wider than spark.graft.dynamicPruning.residualMaxIn (default
+    * 1000 — still a pushable parquet predicate; wider domains skip the
+    * residual rather than bloat every task). Any analysis failure
+    * falls back to the unfiltered read — pruning must never introduce
+    * a failure mode.
+    */
+  private def applyResidual(m: TableMetadata, base: DataFrame,
+      conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      AttributeReference, Expression => CExpr, In => CIn,
+      Literal => CLit, SubqueryExpression}
+    if (conjs.isEmpty) return base
+    val maxIn = spark.conf
+      .getOption("spark.graft.dynamicPruning.residualMaxIn")
+      .map(_.toInt).getOrElse(1000)
+    val colNames = m.currentSchema.fields.map(_.name).toSet
+    def usable(e: CExpr): Boolean =
+      e.deterministic && e != CLit.TrueLiteral &&
+        !e.exists(_.isInstanceOf[SubqueryExpression]) &&
+        !e.exists { case i: CIn => i.list.size > maxIn; case _ => false }
+    def byName(e: CExpr): Option[CExpr] = {
+      var ok = true
+      val named = e.transform {
+        case a: AttributeReference =>
+          if (colNames.contains(a.name)) UnresolvedAttribute.quoted(a.name)
+          else { ok = false; a }
+        case u: UnresolvedAttribute =>
+          if (u.nameParts.size == 1 && colNames.contains(u.nameParts.head)) u
+          else { ok = false; u }
+      }
+      if (ok) Some(named) else None
+    }
+    val exprs = conjs.filter(usable).flatMap(byName)
+    if (exprs.isEmpty) base
+    else
+      try base.filter(org.apache.spark.sql.graftshim.columnOf(
+        exprs.reduce(CAnd(_, _))))
+      catch { case scala.util.control.NonFatal(_) => base }
+  }
+
+  /** Current-state read of an EXPLICIT metadata document — the
+    * read-your-own-writes seam: SQL reads inside an open transaction
+    * resolve against the transaction's PREVIEW metadata (the staged
+    * transforms applied to the base), so a SELECT after a staged
+    * INSERT/DELETE/UPDATE/MERGE sees the statements before it, exactly
+    * as sequential SQL promises. Staged data files are on disk already
+    * (files-before-metadata staging order), so the read is ordinary;
+    * metadata tables (history/snapshots/refs) intentionally keep
+    * showing COMMITTED state — staged work is not a snapshot yet.
+    */
+  private[graft] def readPreview(m: TableMetadata): DataFrame =
+    readSnapshot(m, m.currentSnapshot)
+
+  /** [[readPrunedBy]] against preview metadata — see [[readPreview]]. */
+  private[graft] def readPreviewPrunedBy(m: TableMetadata,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame =
+    m.currentSnapshot match {
+      case None    => emptyDf(m)
+      case Some(s) => readPrunedIn(m, s, cond)
+    }
 
   // LocalRelation-backed, NOT an empty RDD: plans as LocalTableScan
   // (zero jobs), and its stats are a true 0 bytes — an RDD-backed empty
@@ -1070,9 +1153,10 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * snapshot holds), so transaction retries re-run it against fresh
     * metadata without rewriting any data.
     */
-  private[graft] def stageAppend(df: DataFrame)
+  private[graft] def stageAppend(df: DataFrame,
+      base: Option[TableMetadata] = None)
       : (TableMetadata, Long) => TableMetadata = {
-    val written = writeFiles(meta, df)
+    val written = writeFiles(base.getOrElse(meta), df)
     (cur: TableMetadata, sharedTs: Long) =>
       withSnapshot(cur, "append",
         cur.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++ written,
@@ -1093,23 +1177,34 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * transaction loudly otherwise — rebasing a rewrite would silently
     * drop a racing writer's rows.
     */
-  private[graft] def stageDelete(cond: Column)
+  /** `base`/`revalidate` are the CHAINING seam: a transaction staging a
+    * SECOND statement on the same table plans it against the chain's
+    * PREVIEW metadata (the prior transforms applied to the validated
+    * base) and skips the base-snapshot re-validation — the chain's
+    * FIRST transform already validates the real base at claim time,
+    * and later links' inputs derive deterministically from it (file
+    * sets are path-keyed; only snapshot ids/timestamps differ between
+    * preview and commit application).
+    */
+  private[graft] def stageDelete(cond: Column,
+      base: Option[TableMetadata] = None, revalidate: Boolean = true)
       : (TableMetadata, Long) => TableMetadata = {
-    val m = meta
+    val m = base.getOrElse(meta)
     require(deleteMode(m) != "merge-on-read",
       s"staged transactional DELETE requires copy-on-write mode ($location)")
-    stageRewrite(m, cond, "delete", identity)
+    stageRewrite(m, cond, "delete", identity, revalidate)
   }
 
   /** Staged COPY-ON-WRITE UPDATE — see [[stageDelete]]. */
   private[graft] def stageUpdate(cond: Column,
-      assignments: Map[String, Column])
+      assignments: Map[String, Column],
+      base: Option[TableMetadata] = None, revalidate: Boolean = true)
       : (TableMetadata, Long) => TableMetadata = {
-    val m = meta
+    val m = base.getOrElse(meta)
     require(updateMode(m) != "merge-on-read",
       s"staged transactional UPDATE requires copy-on-write mode ($location)")
     stageRewrite(m, cond, "overwrite",
-      df => applyAssignments(df, Some(cond), assignments))
+      df => applyAssignments(df, Some(cond), assignments), revalidate)
   }
 
   /** The staged rewrite core under [[stageDelete]]/[[stageUpdate]]:
@@ -1121,7 +1216,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * transaction-consistent time travel stays probe-proof.
     */
   private def stageRewrite(m: TableMetadata, cond: Column, op: String,
-      transform: DataFrame => DataFrame)
+      transform: DataFrame => DataFrame, revalidate: Boolean = true)
       : (TableMetadata, Long) => TableMetadata = {
     val baseId = m.currentSnapshotId
     val staged: Option[(Set[String], Vector[DataFileEntry])] =
@@ -1152,7 +1247,7 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         }
       }
     (cur: TableMetadata, sharedTs: Long) => {
-      if (cur.currentSnapshotId != baseId)
+      if (revalidate && cur.currentSnapshotId != baseId)
         throw new ConcurrentCommitException(
           s"concurrent commit: snapshot advanced from $baseId to " +
             s"${cur.currentSnapshotId} during staged $op of $location — " +
@@ -1909,10 +2004,64 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       matched: Seq[MergeMatchedClause],
       notMatched: Seq[MergeInsertClause],
       notMatchedBySource: Seq[MergeMatchedClause] = Nil,
-      targetAlias: Option[String] = None): GraftTable = {
+      targetAlias: Option[String] = None): GraftTable =
+    mergeImpl(source, on, matched, notMatched, notMatchedBySource,
+      targetAlias, base = None, staging = false, revalidate = true)
+      .swap.getOrElse(this)
+
+  /** Staged COPY-ON-WRITE MERGE — the transactional form of [[merge]]:
+    * the whole merge is PLANNED AND WRITTEN now (matched-file
+    * discovery, cardinality gate, survivor rewrite + inserts — data
+    * files on disk, invisible until referenced) and the returned
+    * transform publishes the snapshot inside a multi-table claim set
+    * ([[graft.catalog.GraftCatalog.transactOps]] /
+    * `BEGIN TRANSACTION ... COMMIT`), so the CDC-upsert-plus-index
+    * shape commits atomically. Same conflict contract as
+    * [[stageDelete]]: the transform re-validates the base snapshot at
+    * claim time and aborts loudly on a racing commit. Merge-on-read
+    * targets refuse (their delete-file bookkeeping has no staged form
+    * yet), matching staged DELETE/UPDATE.
+    */
+  private[graft] def stageMerge(source: DataFrame, on: Column,
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[MergeInsertClause],
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil,
+      targetAlias: Option[String] = None,
+      base: Option[TableMetadata] = None, revalidate: Boolean = true)
+      : (TableMetadata, Long) => TableMetadata =
+    mergeImpl(source, on, matched, notMatched, notMatchedBySource,
+      targetAlias, base, staging = true, revalidate)
+      .getOrElse(sys.error("stageMerge produced no transform"))
+
+  private def mergeImpl(source: DataFrame, on: Column,
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[MergeInsertClause],
+      notMatchedBySource: Seq[MergeMatchedClause],
+      targetAlias: Option[String],
+      base: Option[TableMetadata], staging: Boolean, revalidate: Boolean)
+      : Either[GraftTable, (TableMetadata, Long) => TableMetadata] = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE requires at least one WHEN clause")
-    val m = meta
+    val m = base.getOrElse(meta)
+    if (staging) require(mergeMode(m) != "merge-on-read",
+      s"staged transactional MERGE requires copy-on-write mode ($location)")
+    val mergeBaseId = m.currentSnapshotId
+    // staged no-op merges still commit an unchanged-files snapshot so
+    // every table in a transaction gets exactly one snapshot with the
+    // shared timestamp (stageRewrite's no-match convention)
+    def aligned: Either[GraftTable, (TableMetadata, Long) => TableMetadata] =
+      if (!staging) Left(this)
+      else Right((curM: TableMetadata, sharedTs: Long) => {
+        if (revalidate && curM.currentSnapshotId != mergeBaseId)
+          throw new ConcurrentCommitException(
+            s"concurrent commit: snapshot advanced from $mergeBaseId to " +
+              s"${curM.currentSnapshotId} during staged MERGE of $location — " +
+              "re-run the transaction")
+        withSnapshot(curM, "overwrite",
+          curM.currentSnapshot.map(_.files).getOrElse(Vector.empty),
+          curM.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty),
+          tsHint = Some(sharedTs))
+      })
     val cur = m.currentSchema
     Seq("_g_path", "_g_pos", "__graft_action").foreach(c =>
       require(!source.columns.contains(c),
@@ -2087,14 +2236,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       try {
         val newData = (Seq(matchedPart, nmsPart).flatten.flatMap(_._2) ++ inserted)
           .reduceOption(_ unionByName _)
-        if (delRows.isEmpty && newData.forall(_.isEmpty)) return this
+        if (delRows.isEmpty && newData.forall(_.isEmpty)) return Left(this)
         val delEntries =
           if (delRows.isEmpty) Vector.empty[DataFileEntry]
           else writeDeleteFile(m, delRows)
         val written = newData.map(d => writeFiles(m, d)).getOrElse(Vector.empty)
         commitSnapshot(m, "overwrite", files0 ++ written, dels0 ++ delEntries)
       } finally delRows.unpersist()
-      this
+      Left(this)
     } else {
       // -------- copy-on-write (also the empty-table / insert-only path)
       val survivors: Option[DataFrame] =
@@ -2121,19 +2270,40 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         case (a, b)             => a.orElse(b)
       }
       newRows match {
-        case None => this
+        case None => aligned
         case Some(rows) =>
           // pure-insert merges skip the commit when nothing inserts
-          // (matching DELETE/UPDATE's no-match convention)
-          if (survivors.isEmpty && rows.isEmpty) this
+          // (matching DELETE/UPDATE's no-match convention); a STAGED
+          // one still aligns timestamps
+          if (survivors.isEmpty && rows.isEmpty) aligned
           else {
             // set-keyed by path: Vector.contains inside a per-file
             // filter is O(F·T) — quadratic when NOT MATCHED BY SOURCE
             // touches every file of a million-file table
             val touchedPaths = touched.iterator.map(_.path).toSet
-            val untouchedF = files0.filterNot(f => touchedPaths(f.path))
-            commitSnapshot(m, "overwrite", untouchedF ++ writeFiles(m, rows), dels0)
-            this
+            if (staging) {
+              // write now (invisible until referenced); publish inside
+              // the transaction's one claim set
+              val written = writeFiles(m, rows)
+              Right((curM: TableMetadata, sharedTs: Long) => {
+                if (revalidate && curM.currentSnapshotId != mergeBaseId)
+                  throw new ConcurrentCommitException(
+                    s"concurrent commit: snapshot advanced from " +
+                      s"$mergeBaseId to ${curM.currentSnapshotId} during " +
+                      s"staged MERGE of $location — re-run the transaction")
+                val curFiles =
+                  curM.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+                val curDeletes =
+                  curM.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+                val untouched = curFiles.filterNot(f => touchedPaths(f.path))
+                withSnapshot(curM, "overwrite", untouched ++ written,
+                  curDeletes, tsHint = Some(sharedTs))
+              })
+            } else {
+              val untouchedF = files0.filterNot(f => touchedPaths(f.path))
+              commitSnapshot(m, "overwrite", untouchedF ++ writeFiles(m, rows), dels0)
+              Left(this)
+            }
           }
       }
     }

@@ -49,14 +49,24 @@ private[graft] object SubqueryPruning {
   /** The condition with evaluated subquery domains ANDed in — for
     * PRUNING ONLY; callers keep executing the original predicate.
     */
-  def augment(spark: SparkSession, cond: Expression): Expression = {
+  def augment(spark: SparkSession, cond: Expression): Expression =
+    augmentSplit(spark, cond)._1
+
+  /** [[augment]] with the evaluated extra conjuncts ALSO returned on
+    * their own: the read path re-applies exactly those as residual
+    * DATA filters on the kept files' scans (the original predicate's
+    * conjuncts are already retained by the caller — re-applying them
+    * would only double row-level evaluation).
+    */
+  def augmentSplit(spark: SparkSession,
+      cond: Expression): (Expression, Seq[Expression]) = {
     val extra =
       try conjunctsFor(spark, cond)
       catch { case scala.util.control.NonFatal(_) => Nil }
-    if (extra.isEmpty) cond
+    if (extra.isEmpty) (cond, Nil)
     else {
       lastAugmented.set(extra.size.toLong)
-      extra.foldLeft(cond)(And(_, _))
+      (extra.foldLeft(cond)(And(_, _)), extra)
     }
   }
 

@@ -1463,6 +1463,107 @@ object CatalogQueries {
         SELECT CAST(count(*) AS BIGINT) AS n_probe,
                CAST(sum(c_custkey) AS BIGINT) AS sum_key
         FROM customer WHERE c_custkey % 300 = 0
+      """)),
+
+    // TRANSACTIONAL MERGE + multi-statement chain + read-your-own-
+    // writes: the CDC upsert (MERGE into the fact) commits with its
+    // index append AND a follow-up DELETE on the same fact in ONE SQL
+    // transaction — the fact's two statements compose into a single
+    // published snapshot (chained planning against the transaction's
+    // preview), reads inside the transaction see the staged merge
+    // (RYOW pin) while the committed table does not, and the oracle
+    // recomputes the end state from the source: a torn commit, a lost
+    // chain link, or a stale-read-fed plan all break the join's sums.
+    QueryDef(
+      "q174_transactional_merge",
+      (s, d) => {
+        val wh = setupOnce("q174", d) {
+          val w = scratch("txnmerge")
+          val before = graft.tableformat.FileIO.io
+          val server = new graft.tableformat.CatalogCommitServer
+          try {
+            graft.tableformat.FileIO.install(
+              new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+            val cat = new GraftCatalog(s, w)
+            cat.createDatabase("db1")
+            val orders = Tables.orders(s, d)
+              .select("o_orderkey", "o_totalprice")
+            val fact = cat.createTable("db1", "orders_tm", Seq(
+              "o_orderkey" -> "long", "o_totalprice" -> "double"),
+              Seq("o_orderkey" -> "bucket(64)"),
+              Map("write.distribution-mode" -> "hash"))
+            fact.append(orders)
+            val index = cat.createTable("db1", "tm_fp", Seq(
+              "o_orderkey" -> "long", "fp" -> "long"))
+            index.append(orders.select(col("o_orderkey"),
+              (col("o_orderkey") % 97).cast("long").as("fp")))
+            s.conf.set("spark.graft.warehouse", w)
+            val probeKey = orders.filter(col("o_orderkey") % 3000 === 0)
+              .agg(min(col("o_orderkey"))).head().getLong(0)
+            val oldPrice = fact.read()
+              .filter(col("o_orderkey") === probeKey)
+              .head().getDouble(1)
+            val snaps0 = fact.meta.snapshots.size
+            try {
+              s.sql("BEGIN TRANSACTION")
+              s.sql("""
+                MERGE INTO graft.db1.orders_tm t
+                USING (SELECT o_orderkey AS k,
+                              o_totalprice + 1000.0 AS p
+                       FROM graft.db1.orders_tm
+                       WHERE o_orderkey % 3000 = 0
+                       UNION ALL SELECT -1L, 9.99) s
+                ON t.o_orderkey = s.k
+                WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+                WHEN NOT MATCHED THEN
+                  INSERT (o_orderkey, o_totalprice) VALUES (s.k, s.p)""")
+              s.sql("INSERT INTO graft.db1.tm_fp VALUES (-1, 0)")
+              // read-your-own-writes pin: this session's SQL reads see
+              // the staged merge; the committed table does not
+              val staged = s.sql("SELECT o_totalprice FROM " +
+                s"graft.db1.orders_tm WHERE o_orderkey = $probeKey")
+                .head().getDouble(0)
+              require(math.abs(staged - (oldPrice + 1000.0)) < 1e-6,
+                s"RYOW: staged merge invisible ($staged vs " +
+                  s"${oldPrice + 1000.0})")
+              require(math.abs(fact.read()
+                .filter(col("o_orderkey") === probeKey).head().getDouble(1)
+                - oldPrice) < 1e-6,
+                "staged merge leaked into the committed table")
+              // second statement on the SAME fact: chained against the
+              // transaction's preview (sees the merge's output)
+              s.sql("DELETE FROM graft.db1.orders_tm WHERE o_orderkey % 9000 = 0")
+              s.sql("COMMIT")
+            } finally {
+              if (graft.catalog.GraftSqlTransactions.active(s))
+                s.sql("ROLLBACK")
+            }
+            require(fact.meta.snapshots.size == snaps0 + 1,
+              "chained MERGE+DELETE must publish ONE fact snapshot")
+            require(fact.meta.currentSnapshot.get.timestampMs ==
+              index.meta.currentSnapshot.get.timestampMs,
+              "transaction timestamps diverged")
+          } finally {
+            graft.tableformat.FileIO.install(before)
+            server.close()
+          }
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 round(sum(t.o_totalprice), 2) AS sum_price,
+                 CAST(sum(f.fp) AS BIGINT) AS sum_fp
+          FROM graft.db1.orders_tm t
+          JOIN graft.db1.tm_fp f ON t.o_orderkey = f.o_orderkey""")
+      },
+      Some("""
+        SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+               round(sum(CASE WHEN o_orderkey % 3000 = 0
+                              THEN o_totalprice + 1000.0
+                              ELSE o_totalprice END) + 9.99, 2) AS sum_price,
+               CAST(sum(o_orderkey % 97) AS BIGINT) AS sum_fp
+        FROM orders WHERE o_orderkey % 9000 <> 0
       """))
   )
 }

@@ -131,11 +131,14 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           // the other's is a torn pair.
           val crashMode = rnd.nextInt(3) // 0=clean, 1=cas, 2=mid-publish
           // sometimes the transaction is the staged-DML shape (the
-          // dedup sweep: CoW delete from main + index in one claim set)
-          // instead of the two-table append
-          val asDelete = model.nonEmpty && rnd.nextInt(3) == 0
+          // dedup sweep: CoW delete from main + index in one claim
+          // set) or the staged-MERGE shape (the CDC upsert, q171's
+          // transactional form) instead of the two-table append
+          val shapeRoll = rnd.nextInt(5)
+          val asDelete = model.nonEmpty && shapeRoll == 0
+          val asMerge = model.nonEmpty && !asDelete && shapeRoll == 1
           val rows: Seq[(Long, String)] =
-            if (asDelete) Nil
+            if (asDelete || asMerge) Nil
             else (0 until 1 + rnd.nextInt(3)).map { _ =>
               nextId += 1; (nextId, s"tx$step-$nextId")
             }
@@ -145,6 +148,17 @@ abstract class CrashFuzzBase extends AnyFunSuite {
               val ks = model.keys.toSeq.sorted
               Set(ks(rnd.nextInt(ks.size)))
             }
+          // merge source: upsert one EXISTING main key + one fresh key
+          // on BOTH tables (matched rows update, unmatched insert — the
+          // model mirror is the same upsert either way)
+          val mergeSrc: Seq[(Long, String)] =
+            if (!asMerge) Nil
+            else {
+              val ks = model.keys.toSeq.sorted
+              val victim = ks(rnd.nextInt(ks.size))
+              nextId += 1
+              Seq((victim, s"m$step-$victim"), (nextId, s"m$step-$nextId"))
+            }
           val ops =
             if (asDelete) {
               armed += "staged-dml-txn"
@@ -153,6 +167,17 @@ abstract class CrashFuzzBase extends AnyFunSuite {
                   col("id").isin(victims.toSeq: _*)),
                 idxLoc -> new GraftTable(spark, idxLoc).stageDelete(
                   col("id").isin(victims.toSeq: _*)))
+            } else if (asMerge) {
+              armed += "staged-merge-txn"
+              val src = mergeSrc.toDF("sid", "sv")
+              def mergeOp(loc: String) =
+                new GraftTable(spark, loc).stageMerge(
+                  src, col("id") === col("sid"),
+                  matched = Seq(graft.engine.MergeUpdateClause(None,
+                    Map("v" -> col("sv")))),
+                  notMatched = Seq(graft.engine.MergeInsertValuesClause(
+                    None, Map("id" -> col("sid"), "v" -> col("sv")))))
+              Seq(locs(cur) -> mergeOp(locs(cur)), idxLoc -> mergeOp(idxLoc))
             } else {
               val df = rows.toDF("id", "v")
               Seq(
@@ -211,8 +236,12 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           if (asDelete) victims.foreach { k =>
             model.remove(k); idxModel.remove(k)
           }
+          else if (asMerge) mergeSrc.foreach { case (k, v) =>
+            model(k) = v; idxModel(k) = v
+          }
           else rows.foreach { r => model(r._1) = r._2; idxModel(r._1) = r._2 }
           s"txn(${if (asDelete) s"delete ${victims.mkString(",")}"
+            else if (asMerge) s"merge ${mergeSrc.map(_._1).mkString(",")}"
             else rows.size.toString}${Seq("", ", cas-crash",
             ", mid-publish-crash")(crashMode)})"
         } else if (roll < 9) { // rename to the other location

@@ -572,6 +572,50 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(GraftTable.lastPrunedReadFiles.get() == 8L)
   }
 
+  test("domain residual reaches the kept files' scans: armed blooms " +
+      "skip every row group of files the IN-set could not prune") {
+    import spark.implicits._
+    val cat = freshCat()
+    // bloom-proof fixture (EngineSpec's shape): interleaved ids defeat
+    // per-file min/max, 150k distinct longs/file overflow the
+    // dictionary page — only the bloom can prove absence without
+    // decoding, and it only sees the join domain if the residual
+    // filter pushed it into the scan
+    val fact = cat.createTable("db", "rbfact",
+      Seq("id" -> "long", "v" -> "long"), Seq.empty,
+      Map("write.parquet.bloom-filter-enabled.column.id" -> "true",
+        "write.parquet.bloom-filter-fpp.column.id" -> "0.01"))
+    (0 until 4).foreach { f =>
+      fact.append((0 until 150000).map(i => (i.toLong * 8 + f, i.toLong))
+        .toDF("id", "v").coalesce(1))
+    }
+    val dim = cat.createTable("db", "rbdim",
+      Seq("id" -> "long", "tag" -> "string"))
+    // residue 5 mod 8 — in-range everywhere, present nowhere
+    dim.append(Seq((37L, "a"), (133L, "b"), (1037L, "c"))
+      .toDF("id", "tag").coalesce(1))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      resetHooks()
+      val df = spark.sql("""SELECT f.id, d.tag FROM graft.db.rbfact f
+        JOIN graft.db.rbdim d ON f.id = d.id""")
+      assert(JoinFilePruning.pruneEvents.get() == 1L)
+      assert(GraftTable.lastPrunedReadFiles.get() == 4L,
+        "interleaving must defeat file-level bounds — all files kept")
+      assert(df.count() == 0L)
+      df.collect()
+      val decoded = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "v") =>
+          s.metrics("numOutputRows").value
+      }.sum
+      assert(decoded == 0L,
+        s"armed bloom must skip every row group via the pushed IN-set, " +
+          s"decoded $decoded rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("three-way star: both dims prune the fact under one WHERE") {
     import spark.implicits._
     val cat = freshCat()

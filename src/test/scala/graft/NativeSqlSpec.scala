@@ -1147,38 +1147,46 @@ class NativeSqlSpec extends AnyFunSuite {
       val b = cat.createTable("db", "txb", Seq("id" -> "long"))
       a.append(Seq((1L, 1.0)).toDF("id", "v"))
       b.append(Seq(10L).toDF("id"))
+      val snapsBefore = a.meta.snapshots.size
       // two-table append transaction through pure SQL
       spark.sql("BEGIN TRANSACTION")
       spark.sql("INSERT INTO graft.db.txa VALUES (2, 2.0)")
       spark.sql("INSERT INTO graft.db.txb VALUES (20)")
-      // staged, nothing visible until COMMIT (snapshot isolation)
+      // read-your-own-writes: THIS session's SQL reads see the staged
+      // insert; the committed table is untouched (engine-API read)
       assert(spark.sql("SELECT count(*) FROM graft.db.txa")
-        .head().getLong(0) == 1)
+        .head().getLong(0) == 2)
+      assert(a.read().count() == 1)
       // statements with no staged form refuse instead of committing
       // outside the transaction
       val e1 = intercept[Exception](spark.sql(
         "CREATE TABLE graft.db.sneak AS SELECT * FROM graft.db.txb"))
       assert(e1.getMessage.contains("BEGIN TRANSACTION"), e1.getMessage)
-      // one table per transaction — combine statements instead
-      val e2 = intercept[Exception](spark.sql(
-        "INSERT INTO graft.db.txa VALUES (3, 3.0)"))
-      assert(e2.getMessage.contains("once"), e2.getMessage)
+      // a SECOND statement on the same table stages against the
+      // transaction's preview and composes into the same claim slot
+      spark.sql("INSERT INTO graft.db.txa VALUES (3, 3.0)")
+      assert(spark.sql("SELECT count(*) FROM graft.db.txa")
+        .head().getLong(0) == 3)
       spark.sql("COMMIT")
       assert(spark.sql("SELECT count(*) FROM graft.db.txa")
-        .head().getLong(0) == 2)
+        .head().getLong(0) == 3)
       assert(spark.sql("SELECT count(*) FROM graft.db.txb")
         .head().getLong(0) == 2)
       // the pair committed with ONE shared timestamp (transaction-
-      // consistent time travel)
+      // consistent time travel) — txa's two statements COLLAPSED into
+      // one published snapshot
       assert(a.meta.currentSnapshot.get.timestampMs ==
         b.meta.currentSnapshot.get.timestampMs)
+      assert(a.meta.snapshots.size == snapsBefore + 1,
+        s"chained statements must publish ONE snapshot, " +
+          s"history: ${a.meta.snapshots.map(_.operation)}")
       // DML transaction: DELETE one table + UPDATE the other, one set
       spark.sql("BEGIN TRANSACTION")
       spark.sql("DELETE FROM graft.db.txa WHERE id = 1")
       spark.sql("UPDATE graft.db.txb SET id = id + 1 WHERE id = 10")
       spark.sql("COMMIT")
-      assert(spark.sql("SELECT id FROM graft.db.txa").as[Long]
-        .collect().toSeq == Seq(2L))
+      assert(spark.sql("SELECT id FROM graft.db.txa ORDER BY id").as[Long]
+        .collect().toSeq == Seq(2L, 3L))
       assert(spark.sql("SELECT id FROM graft.db.txb ORDER BY id").as[Long]
         .collect().toSeq == Seq(11L, 20L))
       // ROLLBACK discards the staged work
@@ -1203,5 +1211,100 @@ class NativeSqlSpec extends AnyFunSuite {
     val e3 = intercept[UnsupportedOperationException](spark.sql("COMMIT"))
     assert(e3.getMessage.toLowerCase.contains("catalog"), e3.getMessage)
     assert(c.read().count() == 0, "refused COMMIT must land nothing")
+  }
+
+  test("transactional MERGE, read-your-own-writes over DML chains, and " +
+      "thread-safe staging") {
+    import spark.implicits._
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = freshCat()
+      val fact = cat.createTable("db", "mtxf",
+        Seq("id" -> "long", "v" -> "long"))
+      val idx = cat.createTable("db", "mtxi",
+        Seq("id" -> "long", "fp" -> "string"))
+      fact.append((0L until 100L).map(i => (i, i)).toDF("id", "v"))
+      idx.append((0L until 100L).map(i => (i, s"f$i")).toDF("id", "fp"))
+      // the CDC-upsert-plus-index shape: MERGE the batch into the fact
+      // AND append its index rows in ONE transaction
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("""
+        MERGE INTO graft.db.mtxf t
+        USING (SELECT * FROM VALUES (5L, 5000L), (200L, 200L) AS s(sid, sv)) s
+        ON t.id = s.sid
+        WHEN MATCHED THEN UPDATE SET v = s.sv
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)""")
+      spark.sql("INSERT INTO graft.db.mtxi VALUES (200, 'f200')")
+      // read-your-own-writes: the staged merge is visible to this
+      // session's reads, the committed table untouched
+      assert(spark.sql(
+        "SELECT v FROM graft.db.mtxf WHERE id = 5").head().getLong(0) == 5000L)
+      assert(spark.sql("SELECT count(*) FROM graft.db.mtxf")
+        .head().getLong(0) == 101L)
+      assert(fact.read().filter(col("id") === 5L).head().getLong(1) == 5L)
+      spark.sql("COMMIT")
+      assert(fact.read().filter(col("id") === 5L).head().getLong(1) == 5000L)
+      assert(fact.read().count() == 101)
+      assert(idx.read().count() == 101)
+      assert(fact.meta.currentSnapshot.get.timestampMs ==
+        idx.meta.currentSnapshot.get.timestampMs)
+      // ROLLBACK discards a staged merge whole
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("""
+        MERGE INTO graft.db.mtxf t
+        USING (SELECT 5L AS sid, 1L AS sv) s ON t.id = s.sid
+        WHEN MATCHED THEN UPDATE SET v = s.sv""")
+      assert(spark.sql(
+        "SELECT v FROM graft.db.mtxf WHERE id = 5").head().getLong(0) == 1L)
+      spark.sql("ROLLBACK")
+      assert(fact.read().filter(col("id") === 5L).head().getLong(1) == 5000L)
+      // multi-statement chain on ONE table with sequential semantics:
+      // the DELETE sees the INSERT staged before it, and both land as
+      // one published snapshot
+      val snaps0 = fact.meta.snapshots.size
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.mtxf VALUES (300, 300), (301, 301)")
+      spark.sql("DELETE FROM graft.db.mtxf WHERE id >= 300 AND id <> 301")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.db.mtxf WHERE id >= 300")
+        .head().getLong(0) == 1L)
+      spark.sql("COMMIT")
+      assert(fact.read().filter(col("id") >= 300L).collect()
+        .map(_.getLong(0)).toSeq == Seq(301L))
+      assert(fact.meta.snapshots.size == snaps0 + 1,
+        "a chained INSERT+DELETE must publish one snapshot")
+      // transaction-consistent time travel across the chain: no probe
+      // instant can see the INSERT without the DELETE
+      val txTs = fact.meta.currentSnapshot.get.timestampMs
+      assert(fact.readAsOfTime(txTs - 1).filter(col("id") >= 300L).count() == 0)
+      assert(fact.readAsOfTime(txTs).filter(col("id") >= 300L).count() == 1)
+      // thread-safe staging: two threads INSERT into different tables
+      // inside ONE open transaction; both land (or the suite fails) —
+      // the per-state lock makes interleaved staging safe
+      spark.sql("BEGIN TRANSACTION")
+      val threads = Seq("graft.db.mtxf" -> "(400, 400)",
+        "graft.db.mtxi" -> "(400, 'f400')").map { case (tbl, row) =>
+        new Thread(() => spark.sql(s"INSERT INTO $tbl VALUES $row"))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      spark.sql("COMMIT")
+      assert(fact.read().filter(col("id") === 400L).count() == 1)
+      assert(idx.read().filter(col("id") === 400L).count() == 1)
+      // MoR targets refuse staged MERGE loudly (no staged delete-file
+      // form), and the refusal leaves the transaction usable
+      fact.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+      spark.sql("BEGIN TRANSACTION")
+      val em = intercept[Exception](spark.sql("""
+        MERGE INTO graft.db.mtxf t USING (SELECT 5L AS sid) s
+        ON t.id = s.sid WHEN MATCHED THEN DELETE"""))
+      assert(em.getMessage.contains("copy-on-write"), em.getMessage)
+      spark.sql("ROLLBACK")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
   }
 }

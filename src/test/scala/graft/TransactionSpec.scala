@@ -228,6 +228,59 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     assert(e.getMessage.contains("copy-on-write"), e.getMessage)
   }
 
+  test("transactOps: a CoW MERGE commits with its index append in one " +
+      "claim set; racing commits abort the staged merge loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{MergeInsertValuesClause, MergeUpdateClause}
+    val cat = new GraftCatalog(spark, tmp())
+    val fact = cat.createTable("db", "mgc",
+      Seq("id" -> "long", "v" -> "long"))
+    val idx = cat.createTable("db", "mgi",
+      Seq("id" -> "long", "fp" -> "string"))
+    cat.transact(
+      fact -> (1L to 50L).map(i => (i, i)).toDF("id", "v"),
+      idx -> (1L to 50L).map(i => (i, s"f$i")).toDF("id", "fp"))
+    // the CDC upsert + its index rows, ONE claim set
+    val batch = Seq((5L, 5000L), (99L, 99L)).toDF("sid", "sv")
+    cat.transactOps(Seq(
+      graft.catalog.Tx.Merge(fact, batch, col("id") === col("sid"),
+        matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+        notMatched = Seq(MergeInsertValuesClause(None,
+          Map("id" -> col("sid"), "v" -> col("sv"))))),
+      graft.catalog.Tx.Append(idx, Seq((99L, "f99")).toDF("id", "fp"))))
+    assert(fact.read().filter(col("id") === 5L).head().getLong(1) == 5000L)
+    assert(fact.read().count() == 51 && idx.read().count() == 51)
+    assert(fact.read().join(idx.read(), "id").count() == 51,
+      "fact and index diverged after the transactional merge")
+    assert(fact.meta.currentSnapshot.get.timestampMs ==
+      idx.meta.currentSnapshot.get.timestampMs)
+    // conflict contract: a commit racing between STAGE and CLAIM makes
+    // the staged merge abort loudly (its rewrite planned against the
+    // old snapshot; rebasing would drop the racer's rows)
+    val stagedMerge = fact.stageMerge(
+      Seq((5L, 1L)).toDF("sid", "sv"), col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Nil)
+    fact.append(Seq((200L, 200L)).toDF("id", "v"))
+    intercept[graft.engine.ConcurrentCommitException] {
+      graft.tableformat.MetadataIO.commitAll(Seq(
+        fact.location -> ((cur: graft.tableformat.TableMetadata) =>
+          stagedMerge(cur, System.currentTimeMillis()))))
+    }
+    assert(fact.read().filter(col("id") === 5L).head().getLong(1) == 5000L,
+      "conflicted staged merge must not land")
+    assert(fact.read().filter(col("id") === 200L).count() == 1,
+      "the racing append must survive")
+    // merge-on-read targets refuse the staged form
+    fact.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    val e = intercept[IllegalArgumentException](fact.stageMerge(
+      Seq((5L, 1L)).toDF("sid", "sv"), col("id") === col("sid"),
+      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+      notMatched = Nil))
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+  }
+
   test("transactOpsIfNewMarker: a replayed sweep skips whole — no " +
       "double delete, no torn marker") {
     import spark.implicits._
