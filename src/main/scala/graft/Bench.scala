@@ -126,8 +126,20 @@ object Bench {
     * 3.16 s prior, spread under 3) sat exactly in the blind spot a
     * flat 3x threshold leaves over the expensive tier.
     */
+  /** Absolute-time floor for ANY stall signal: below a quarter second
+    * every observation is dominated by scheduler quanta, GC ticks, and
+    * page-cache luck — a 4x spread on an 0.08 s query moves the total
+    * by a quarter second and reproduces on an idle host, so no ratio
+    * at that scale is evidence of a stall (r17 recorded 11 such flags,
+    * all noise-floor; the adjudication is now the rule).
+    */
+  private val flagFloorSec = 0.25
+
   private def spreadLimitFor(measured: Seq[Double]): Double =
-    if (measured.nonEmpty && measured.min > 3.0) 1.5 else 3.0
+    if (measured.nonEmpty && measured.max < flagFloorSec)
+      Double.PositiveInfinity
+    else if (measured.nonEmpty && measured.min > 3.0) 1.5
+    else 3.0
 
   def stallFlags(
       measured: Seq[Double], warmup: Double, escalations: Int): StallFlags = {
@@ -140,7 +152,8 @@ object Bench {
     // in every artifact. The r9 q48 stall this flag exists for had the
     // warmup 1.34x faster than the best measured pass.
     val warmupWon =
-      warmup > 0.05 && measured.nonEmpty && measured.min > 1.2 * warmup
+      warmup > 0.05 && measured.nonEmpty && measured.min > 1.2 * warmup &&
+        measured.min >= flagFloorSec
     StallFlags(escalations, warmupWon, spread, spreadLimitFor(measured))
   }
 
@@ -260,8 +273,8 @@ object Bench {
           val spread = okSecs.max / okSecs.min.max(1e-9)
           val wu = warmupSec.getOrElse(q.name, -1.0)
           spread > spreadLimitFor(okSecs) ||
-            (wu > 0.05 && okSecs.min > 3.0 * wu) ||
-            (wu > 0.05 && okSecs.min > 1.5 * wu)
+            (wu > 0.05 && okSecs.min >= flagFloorSec &&
+              okSecs.min > 1.5 * wu)
         }
       }
       var extra = 0

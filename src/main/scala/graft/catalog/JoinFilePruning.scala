@@ -339,8 +339,13 @@ private[graft] object JoinFilePruning {
           buildConj = (build.filters ++ sideConj(buildOut, buildNS))
             .flatMap(build.toScanExpr)
           buildEst = estimate(build, buildConj)
-          if buildEst <= maxBuildRows
-          if probeEst >= ratio * math.max(buildEst, 1L)
+          smallBuild = buildEst <= maxBuildRows
+          // past the row gate, a build can still drive pruning when
+          // its KEY DOMAIN is provably tiny (sampled admission below);
+          // the ratio gate applies per-path (sampled embeds its own)
+          if smallBuild || sampledDomainFits(spark, build, buildConj,
+            buildKeys, probeEst, ratio, maxBuildRows)
+          if !smallBuild || probeEst >= ratio * math.max(buildEst, 1L)
           swapped <- swapProbe(spark, probe, Some(build), buildPlan,
             probeKeys, buildKeys, buildConj, probeConj, probePlan)
         } yield swapped
@@ -385,6 +390,65 @@ private[graft] object JoinFilePruning {
       else None
     }.map { nj => nj.setTagValue(Attempted, true); nj }
   }
+
+  /** SAMPLED-BUILD admission: a build side ABOVE `maxBuildRows` can
+    * still drive pruning when its JOIN-KEY DOMAIN is provably tiny —
+    * the 10M-row dim whose filter leaves 3 distinct join keys. One
+    * cheap `approx_count_distinct` pass over the filtered build gates
+    * the exact domain evaluation; the pass itself is bounded by the
+    * manifest byte estimate
+    * (`spark.graft.dynamicPruning.maxSampledBuildBytes`, default
+    * 256 MB — the same ceiling subquery evaluation uses) and by
+    * requiring the probe to dwarf `maxBuildRows` (collapsing a small
+    * probe cannot pay for two passes over a big build; this also keeps
+    * dim-dim shapes off the sampled path). A ~5% HLL overestimate past
+    * `maxKeys` is harmless: the exact distinct-limit evaluation still
+    * caps and falls to the min/max range. Kill switch:
+    * `spark.graft.dynamicPruning.sampledBuild` (default true).
+    */
+  private def sampledDomainFits(spark: SparkSession, build: GraftSide,
+      buildConj: Seq[Expression], buildKeys: Seq[AttributeReference],
+      probeEst: Long, ratio: Long, maxBuildRows: Long): Boolean = {
+    if (!confBool(spark, "spark.graft.dynamicPruning.sampledBuild", d = true))
+      return false
+    if (probeEst < ratio * maxBuildRows) return false
+    val maxBytes = confLong(spark,
+      "spark.graft.dynamicPruning.maxSampledBuildBytes", 256L << 20)
+    val bytes = build.table.candidatesFor(build.m, build.snap.files,
+      andAll(build.base.toSeq ++ buildConj)).map(_.fileSizeBytes).sum
+    if (bytes > maxBytes) return false
+    val maxKeys = confLong(spark, "spark.graft.dynamicPruning.maxKeys", 1000L)
+    try {
+      // the sampling job's result is an immutable fact about a pinned
+      // snapshot — cache it so repeated analyses of the same join
+      // (bench loops, interactive re-runs) pay it once per JVM
+      val cacheKey = build.table.location + "#" + build.snap.snapshotId +
+        "#" + (build.base.toSeq ++ buildConj).map(_.toString).sorted
+          .mkString("&") +
+        "#" + buildKeys.map(k => build.scanColumn(k).get).mkString(",")
+      if (sampledCardCache.size > 512) sampledCardCache.clear()
+      val approx = sampledCardCache.computeIfAbsent(cacheKey, _ => {
+        var df = build.table.readPrunedIn(build.m, build.snap,
+          andAll(build.base.toSeq ++ buildConj))
+        buildConj.foreach(e => df = df.filter(graftshim.columnOf(e)))
+        val keyCols = buildKeys.map(k => col(s"`${build.scanColumn(k).get}`"))
+        val key =
+          if (keyCols.size == 1) keyCols.head
+          else org.apache.spark.sql.functions.struct(keyCols: _*)
+        Long.box(df.agg(
+          org.apache.spark.sql.functions.approx_count_distinct(key))
+          .head().getLong(0))
+      })
+      approx <= maxKeys
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** See [[sampledDomainFits]] — keyed by (location, snapshot, filter,
+    * key columns), cleared wholesale past 512 entries (a bench-length
+    * working set never reaches it; correctness never depends on it).
+    */
+  private val sampledCardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Evaluate the build side's key domain (one small job — against
     * the ENGINE's own read pinned to the build's captured snapshot for

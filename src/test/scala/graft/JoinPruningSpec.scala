@@ -616,6 +616,60 @@ class JoinPruningSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("sampled-build admission: a wide-but-low-cardinality build " +
+      "prunes the fact; high-cardinality wide builds still refuse") {
+    import spark.implicits._
+    val cat = freshCat()
+    val fact = cat.createTable("db", "sbfact",
+      Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      fact.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong * 2)).toDF("id", "v").coalesce(1))
+    }
+    // 200 rows but only TWO distinct join keys (30, 31) — over the
+    // row gate, under the key-domain gate
+    val wide = cat.createTable("db", "sbwide",
+      Seq("id" -> "long", "tag" -> "string"))
+    wide.append((0 until 200).map(i => (30L + i % 2, s"t$i"))
+      .toDF("id", "tag").coalesce(1))
+    // 200 rows, 200 distinct keys — the sampled gate must refuse
+    val hi = cat.createTable("db", "sbhi",
+      Seq("id" -> "long", "tag" -> "string"))
+    hi.append((0 until 200).map(i => (i.toLong * 4, s"h$i"))
+      .toDF("id", "tag").coalesce(1))
+    spark.conf.set("spark.graft.dynamicPruning.maxBuildRows", "50")
+    spark.conf.set("spark.graft.dynamicPruning.maxKeys", "50")
+    try {
+      resetHooks()
+      val df = spark.sql("""
+        SELECT f.id, w.tag FROM graft.db.sbfact f
+        JOIN graft.db.sbwide w ON f.id = w.id""")
+      assert(JoinFilePruning.pruneEvents.get() == 1L)
+      assert(JoinFilePruning.lastBuildKeys.get() == 2L)
+      assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+      assert(df.count() == 200L) // every wide row matches its fact key
+      // high-cardinality wide build: approx_count_distinct > maxKeys
+      resetHooks()
+      val df2 = spark.sql("""
+        SELECT f.id FROM graft.db.sbfact f
+        JOIN graft.db.sbhi h ON f.id = h.id""")
+      assert(JoinFilePruning.pruneEvents.get() == 0L,
+        "a 200-key wide build must not pass the sampled gate")
+      assert(df2.count() == 200L) // keys 0,4,...796 all inside 0-799
+      // kill switch
+      spark.conf.set("spark.graft.dynamicPruning.sampledBuild", "false")
+      resetHooks()
+      spark.sql("""
+        SELECT f.id FROM graft.db.sbfact f
+        JOIN graft.db.sbwide w ON f.id = w.id""").count()
+      assert(JoinFilePruning.pruneEvents.get() == 0L)
+    } finally {
+      spark.conf.unset("spark.graft.dynamicPruning.maxBuildRows")
+      spark.conf.unset("spark.graft.dynamicPruning.maxKeys")
+      spark.conf.unset("spark.graft.dynamicPruning.sampledBuild")
+    }
+  }
+
   test("three-way star: both dims prune the fact under one WHERE") {
     import spark.implicits._
     val cat = freshCat()
