@@ -144,7 +144,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     transactOps(ops.map { case (t, df) => Tx.Append(t, df) })
 
   /** MULTI-TABLE TRANSACTION over mixed operations — appends AND
-    * copy-on-write DML: the dedup-pipeline shape that motivated
+    * row-level DML (copy-on-write rewrites, or positional delete
+    * files + appended copies on merge-on-read tables): the
+    * dedup-pipeline shape that motivated
     * transactions needs the delete half (a sweep that CoW-deletes
     * corpus rows must retract the matching index rows atomically, or
     * a reader joins a shrunken corpus against a stale index). Every

@@ -223,9 +223,9 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
     val t = GraftTable.load(session, location)
     if (GraftSqlTransactions.active(session)) {
       // inside BEGIN TRANSACTION: the merge is planned and written NOW
-      // (copy-on-write only), its snapshot lands with COMMIT's one
-      // atomic claim set — the CDC-upsert-plus-index shape commits
-      // transactionally
+      // (CoW rewrite, or delete file + copies on merge-on-read), its
+      // snapshot lands with COMMIT's one atomic claim set — the
+      // CDC-upsert-plus-index shape commits transactionally
       val prev = GraftSqlTransactions.previewFor(session, location)
       val baseM = prev.getOrElse(t.meta)
       GraftSqlTransactions.stage(session, location, "MERGE", baseM,

@@ -1164,7 +1164,9 @@ final class GraftTable(val spark: SparkSession, val location: String) {
         tsHint = Some(sharedTs))
   }
 
-  /** Stage a COPY-ON-WRITE DELETE without committing — the DML half of
+  /** Stage a row-level DELETE without committing (copy-on-write
+    * rewrite, or a positional delete file on merge-on-read tables —
+    * [[stageMorDml]]) — the DML half of
     * multi-table transactions ([[graft.catalog.GraftCatalog.transactOps]]):
     * a dedup sweep that removes corpus rows must retract the matching
     * fingerprint-index rows ATOMICALLY, or a concurrent reader joins a
@@ -1190,21 +1192,84 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       base: Option[TableMetadata] = None, revalidate: Boolean = true)
       : (TableMetadata, Long) => TableMetadata = {
     val m = base.getOrElse(meta)
-    require(deleteMode(m) != "merge-on-read",
-      s"staged transactional DELETE requires copy-on-write mode ($location)")
-    stageRewrite(m, cond, "delete", identity, revalidate)
+    if (deleteMode(m) == "merge-on-read")
+      stageMorDml(m, cond, None, "delete", revalidate)
+    else stageRewrite(m, cond, "delete", identity, revalidate)
   }
 
-  /** Staged COPY-ON-WRITE UPDATE — see [[stageDelete]]. */
+  /** Staged UPDATE — see [[stageDelete]]. */
   private[graft] def stageUpdate(cond: Column,
       assignments: Map[String, Column],
       base: Option[TableMetadata] = None, revalidate: Boolean = true)
       : (TableMetadata, Long) => TableMetadata = {
     val m = base.getOrElse(meta)
-    require(updateMode(m) != "merge-on-read",
-      s"staged transactional UPDATE requires copy-on-write mode ($location)")
-    stageRewrite(m, cond, "overwrite",
+    if (updateMode(m) == "merge-on-read")
+      stageMorDml(m, cond, Some(assignments), "overwrite", revalidate)
+    else stageRewrite(m, cond, "overwrite",
       df => applyAssignments(df, Some(cond), assignments), revalidate)
+  }
+
+  /** Staged MERGE-ON-READ DML — the transactional form of
+    * [[mergeOnReadDml]]: the positional delete file (and, for UPDATE,
+    * the appended copies) are WRITTEN NOW against the base snapshot,
+    * and the returned transform publishes them in the transaction's
+    * one claim set. The conflict contract is CoW's in mechanism and
+    * stricter by necessity: the delete file names (path, pos) pairs of
+    * the base snapshot's files, so ANY concurrent commit aborts the
+    * transaction — a racer's compaction would orphan the positions,
+    * and its own row-level DML could hide different rows at the same
+    * positions. A no-match DML still commits an unchanged snapshot for
+    * the shared-timestamp alignment, like [[stageRewrite]].
+    */
+  private def stageMorDml(m: TableMetadata, cond: Column,
+      assignments: Option[Map[String, Column]], op: String,
+      revalidate: Boolean): (TableMetadata, Long) => TableMetadata = {
+    val baseId = m.currentSnapshotId
+    val staged: Option[(Vector[DataFileEntry], Vector[DataFileEntry])] =
+      m.currentSnapshot.flatMap { snap =>
+        val candidates = pruneCandidates(m, snap.files,
+          SubqueryPruning.augment(spark, exprOf(cond)))
+        GraftTable.lastDmlCandidateFiles.set(candidates.size.toLong)
+        if (candidates.isEmpty) None
+        else {
+          // existing deletes apply first — an already-deleted row must
+          // not be re-deleted or re-updated (row resurrection)
+          val live = liveRows(m, snap, candidates)
+          val matched = live.filter(cond).cache()
+          try {
+            val delRows = matched.select(
+              relDataPath(col("_g_path")).as("file_path"),
+              col("_g_pos").as("pos"))
+            if (delRows.isEmpty) None
+            else {
+              val delEntries = writeDeleteFile(m, delRows)
+              val written = assignments match {
+                case None => Vector.empty[DataFileEntry]
+                case Some(as) => writeFiles(m, applyAssignments(
+                  matched.drop("_g_path", "_g_pos"), None, as))
+              }
+              Some((delEntries, written))
+            }
+          } finally matched.unpersist()
+        }
+      }
+    (cur: TableMetadata, sharedTs: Long) => {
+      if (revalidate && cur.currentSnapshotId != baseId)
+        throw new ConcurrentCommitException(
+          s"concurrent commit: snapshot advanced from $baseId to " +
+            s"${cur.currentSnapshotId} during staged merge-on-read $op " +
+            s"of $location — re-run the transaction")
+      val curFiles = cur.currentSnapshot.map(_.files).getOrElse(Vector.empty)
+      val curDels =
+        cur.currentSnapshot.map(_.deleteFiles).getOrElse(Vector.empty)
+      staged match {
+        case None =>
+          withSnapshot(cur, op, curFiles, curDels, tsHint = Some(sharedTs))
+        case Some((delEntries, written)) =>
+          withSnapshot(cur, op, curFiles ++ written,
+            curDels ++ delEntries, tsHint = Some(sharedTs))
+      }
+    }
   }
 
   /** The staged rewrite core under [[stageDelete]]/[[stageUpdate]]:
@@ -2019,8 +2084,8 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * shape commits atomically. Same conflict contract as
     * [[stageDelete]]: the transform re-validates the base snapshot at
     * claim time and aborts loudly on a racing commit. Merge-on-read
-    * targets refuse (their delete-file bookkeeping has no staged form
-    * yet), matching staged DELETE/UPDATE.
+    * targets stage their positional delete file + appended copies the
+    * same way (see [[stageMorDml]]'s contract).
     */
   private[graft] def stageMerge(source: DataFrame, on: Column,
       matched: Seq[MergeMatchedClause],
@@ -2043,8 +2108,6 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE requires at least one WHEN clause")
     val m = base.getOrElse(meta)
-    if (staging) require(mergeMode(m) != "merge-on-read",
-      s"staged transactional MERGE requires copy-on-write mode ($location)")
     val mergeBaseId = m.currentSnapshotId
     // staged no-op merges still commit an unchanged-files snapshot so
     // every table in a transaction gets exactly one snapshot with the
@@ -2236,11 +2299,30 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       try {
         val newData = (Seq(matchedPart, nmsPart).flatten.flatMap(_._2) ++ inserted)
           .reduceOption(_ unionByName _)
-        if (delRows.isEmpty && newData.forall(_.isEmpty)) return Left(this)
+        if (delRows.isEmpty && newData.forall(_.isEmpty))
+          return (if (staging) aligned else Left(this))
         val delEntries =
           if (delRows.isEmpty) Vector.empty[DataFileEntry]
           else writeDeleteFile(m, delRows)
         val written = newData.map(d => writeFiles(m, d)).getOrElse(Vector.empty)
+        if (staging)
+          // staged merge-on-read merge: delete file + appended copies
+          // written above; publish in the transaction's claim set with
+          // the same any-concurrent-commit-aborts contract as
+          // stageMorDml (the delete file names base-file positions)
+          return Right((curM: TableMetadata, sharedTs: Long) => {
+            if (revalidate && curM.currentSnapshotId != mergeBaseId)
+              throw new ConcurrentCommitException(
+                s"concurrent commit: snapshot advanced from $mergeBaseId " +
+                  s"to ${curM.currentSnapshotId} during staged MERGE of " +
+                  s"$location — re-run the transaction")
+            withSnapshot(curM, "overwrite",
+              curM.currentSnapshot.map(_.files).getOrElse(Vector.empty) ++
+                written,
+              curM.currentSnapshot.map(_.deleteFiles)
+                .getOrElse(Vector.empty) ++ delEntries,
+              tsHint = Some(sharedTs))
+          })
         commitSnapshot(m, "overwrite", files0 ++ written, dels0 ++ delEntries)
       } finally delRows.unpersist()
       Left(this)

@@ -1564,6 +1564,88 @@ object CatalogQueries {
                               ELSE o_totalprice END) + 9.99, 2) AS sum_price,
                CAST(sum(o_orderkey % 97) AS BIGINT) AS sum_fp
         FROM orders WHERE o_orderkey % 9000 <> 0
+      """)),
+
+    // TRANSACTIONAL MERGE-ON-READ DML: the dedup sweep on a
+    // merge-on-read corpus — DELETE + a chained UPDATE on the corpus
+    // plus the index retraction commit in ONE SQL transaction as
+    // positional delete files + appended copies, with the corpus's
+    // base data files untouched (pinned: the file list is unchanged
+    // across the transaction and exactly one snapshot publishes). The
+    // oracle recomputes the swept-then-updated end state; a rewrite, a
+    // torn commit, or a chain link planning against the wrong preview
+    // all break the join's sums.
+    QueryDef(
+      "q175_transactional_mor_sweep",
+      (s, d) => {
+        val wh = setupOnce("q175", d) {
+          val w = scratch("txnmor")
+          val before = graft.tableformat.FileIO.io
+          val server = new graft.tableformat.CatalogCommitServer
+          try {
+            graft.tableformat.FileIO.install(
+              new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+            val cat = new GraftCatalog(s, w)
+            cat.createDatabase("db1")
+            val corpus = cat.createTable("db1", "mor_corpus", Seq(
+              "c_custkey" -> "long", "c_acctbal" -> "double"),
+              Nil, Map(
+                "write.delete.mode" -> "merge-on-read",
+                "write.update.mode" -> "merge-on-read"))
+            corpus.append(Tables.customer(s, d)
+              .select("c_custkey", "c_acctbal"))
+            val index = cat.createTable("db1", "mor_fp", Seq(
+              "c_custkey" -> "long", "fp" -> "long"))
+            index.append(Tables.customer(s, d).select(col("c_custkey"),
+              (col("c_custkey") % 89).cast("long").as("fp")))
+            s.conf.set("spark.graft.warehouse", w)
+            val filesBefore = corpus.meta.currentSnapshot.get.files.map(_.path)
+            val snaps0 = corpus.meta.snapshots.size
+            try {
+              s.sql("BEGIN TRANSACTION")
+              s.sql("DELETE FROM graft.db1.mor_corpus WHERE c_custkey % 11 = 0")
+              s.sql("DELETE FROM graft.db1.mor_fp WHERE c_custkey % 11 = 0")
+              // chained second statement on the MoR corpus: planned
+              // against the preview, so it must NOT resurrect or
+              // re-update the rows the first statement deleted
+              s.sql("""UPDATE graft.db1.mor_corpus
+                SET c_acctbal = c_acctbal + 500.0 WHERE c_custkey % 13 = 0""")
+              s.sql("COMMIT")
+            } finally {
+              if (graft.catalog.GraftSqlTransactions.active(s))
+                s.sql("ROLLBACK")
+            }
+            require(corpus.meta.currentSnapshot.get.files.map(_.path)
+              .containsSlice(filesBefore),
+              "merge-on-read transaction must not rewrite base data files")
+            require(corpus.meta.currentSnapshot.get.deleteFiles.nonEmpty,
+              "merge-on-read transaction must publish delete files")
+            require(corpus.meta.snapshots.size == snaps0 + 1,
+              "chained DELETE+UPDATE must publish ONE corpus snapshot")
+            require(corpus.meta.currentSnapshot.get.timestampMs ==
+              index.meta.currentSnapshot.get.timestampMs,
+              "transaction timestamps diverged")
+          } finally {
+            graft.tableformat.FileIO.install(before)
+            server.close()
+          }
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 round(sum(c.c_acctbal), 2) AS sum_bal,
+                 CAST(sum(f.fp) AS BIGINT) AS sum_fp
+          FROM graft.db1.mor_corpus c
+          JOIN graft.db1.mor_fp f ON c.c_custkey = f.c_custkey""")
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(CASE WHEN c_custkey % 13 = 0
+                              THEN c_acctbal + 500.0
+                              ELSE c_acctbal END), 2) AS sum_bal,
+               CAST(sum(c_custkey % 89) AS BIGINT) AS sum_fp
+        FROM customer WHERE c_custkey % 11 <> 0
       """))
   )
 }

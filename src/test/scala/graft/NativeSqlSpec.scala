@@ -1293,15 +1293,27 @@ class NativeSqlSpec extends AnyFunSuite {
       spark.sql("COMMIT")
       assert(fact.read().filter(col("id") === 400L).count() == 1)
       assert(idx.read().filter(col("id") === 400L).count() == 1)
-      // MoR targets refuse staged MERGE loudly (no staged delete-file
-      // form), and the refusal leaves the transaction usable
-      fact.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+      // MoR targets stage through SQL too: the transactional MERGE
+      // writes a positional delete file + appended copy instead of
+      // rewriting, and RYOW still serves the staged state
+      fact.setProperties(Map(
+        "write.merge.mode" -> "merge-on-read",
+        "write.delete.mode" -> "merge-on-read"))
+      val morData = fact.meta.currentSnapshot.get.files.map(_.path)
       spark.sql("BEGIN TRANSACTION")
-      val em = intercept[Exception](spark.sql("""
-        MERGE INTO graft.db.mtxf t USING (SELECT 5L AS sid) s
-        ON t.id = s.sid WHEN MATCHED THEN DELETE"""))
-      assert(em.getMessage.contains("copy-on-write"), em.getMessage)
-      spark.sql("ROLLBACK")
+      spark.sql("""
+        MERGE INTO graft.db.mtxf t
+        USING (SELECT 5L AS sid, 55L AS sv) s ON t.id = s.sid
+        WHEN MATCHED THEN UPDATE SET v = s.sv""")
+      assert(spark.sql(
+        "SELECT v FROM graft.db.mtxf WHERE id = 5").head().getLong(0) == 55L)
+      spark.sql("DELETE FROM graft.db.mtxf WHERE id = 301")
+      spark.sql("COMMIT")
+      assert(fact.read().filter(col("id") === 5L).head().getLong(1) == 55L)
+      assert(fact.read().filter(col("id") === 301L).count() == 0)
+      assert(fact.meta.currentSnapshot.get.files.map(_.path)
+        .containsSlice(morData),
+        "MoR transactional DML must not rewrite base data files")
     } finally {
       graft.tableformat.FileIO.install(before)
       server.close()

@@ -221,11 +221,29 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     }
     assert(corpus.read().filter(col("id") === 2L).count() == 1,
       "conflicted staged delete must not land")
-    // merge-on-read tables refuse staged DML (the rewrite IS the CoW)
+    // merge-on-read tables stage DML as positional delete files with
+    // the same conflict contract: the sweep retracts from both tables
+    // in one claim set without rewriting corpus data files
     corpus.setProperties(Map("write.delete.mode" -> "merge-on-read"))
-    val e = intercept[IllegalArgumentException](
-      corpus.stageDelete(col("id") === 3L))
-    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    val dataFilesBefore = corpus.meta.currentSnapshot.get.files.map(_.path)
+    cat.transactOps(Seq(
+      graft.catalog.Tx.Delete(corpus, col("id") === 3L),
+      graft.catalog.Tx.Delete(fp, col("id") === 3L)))
+    assert(corpus.read().filter(col("id") === 3L).count() == 0)
+    assert(fp.read().filter(col("id") === 3L).count() == 0)
+    assert(corpus.meta.currentSnapshot.get.files.map(_.path) ==
+      dataFilesBefore, "MoR staged delete must not rewrite data files")
+    assert(corpus.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    // and the staged MoR form aborts on a racing commit like CoW
+    val stagedMor = corpus.stageDelete(col("id") === 4L)
+    corpus.append(Seq((98L, 9.8)).toDF("id", "v"))
+    intercept[graft.engine.ConcurrentCommitException] {
+      graft.tableformat.MetadataIO.commitAll(Seq(
+        corpus.location -> ((cur: graft.tableformat.TableMetadata) =>
+          stagedMor(cur, System.currentTimeMillis()))))
+    }
+    assert(corpus.read().filter(col("id") === 4L).count() == 1,
+      "conflicted staged MoR delete must not land")
   }
 
   test("transactOps: a CoW MERGE commits with its index append in one " +
@@ -272,13 +290,22 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
       "conflicted staged merge must not land")
     assert(fact.read().filter(col("id") === 200L).count() == 1,
       "the racing append must survive")
-    // merge-on-read targets refuse the staged form
+    // merge-on-read targets stage too: positional delete + appended
+    // copy, no data-file rewrite, same atomic claim with the index
     fact.setProperties(Map("write.merge.mode" -> "merge-on-read"))
-    val e = intercept[IllegalArgumentException](fact.stageMerge(
-      Seq((5L, 1L)).toDF("sid", "sv"), col("id") === col("sid"),
-      matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
-      notMatched = Nil))
-    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    val dataBefore = fact.meta.currentSnapshot.get.files.map(_.path)
+    cat.transactOps(Seq(
+      graft.catalog.Tx.Merge(fact, Seq((7L, 7000L)).toDF("sid", "sv"),
+        col("id") === col("sid"),
+        matched = Seq(MergeUpdateClause(None, Map("v" -> col("sv")))),
+        notMatched = Nil),
+      graft.catalog.Tx.Append(idx, Seq((7L, "f7b")).toDF("id", "fp"))))
+    assert(fact.read().filter(col("id") === 7L).head().getLong(1) == 7000L)
+    assert(fact.meta.currentSnapshot.get.files.map(_.path)
+      .containsSlice(dataBefore),
+      "MoR staged merge must keep base data files (appends copies only)")
+    assert(fact.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+    assert(idx.read().filter(col("fp") === "f7b").count() == 1)
   }
 
   test("transactOpsIfNewMarker: a replayed sweep skips whole — no " +
