@@ -38,6 +38,13 @@ object GraftSession {
       // evicts them in sessions running many distinct queries, forcing
       // multi-second Janino recompiles on every execution
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // dynamic pruning's residual domains reach parquet as IN-sets;
+      // above this threshold Spark degrades the pushed filter to a
+      // min/max range, losing dictionary + bloom point skipping — a
+      // CDC batch of a few hundred scattered keys is exactly the shape
+      // blooms exist for, and a 128-branch OR is evaluated per ROW
+      // GROUP (stats/bloom), not per row
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "128")
       // InferFiltersFromGenerate turns explode(f(x)) into
       // `size(f(x)) > 0 AND isnotnull(f(x))` filters which predicate
       // pushdown then inlines BELOW exchanges — for the pipeline tier's

@@ -1227,14 +1227,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val baseId = m.currentSnapshotId
     val staged: Option[(Vector[DataFileEntry], Vector[DataFileEntry])] =
       m.currentSnapshot.flatMap { snap =>
-        val candidates = pruneCandidates(m, snap.files,
-          SubqueryPruning.augment(spark, exprOf(cond)))
+        val (pruneCond, extras) =
+          SubqueryPruning.augmentSplit(spark, exprOf(cond))
+        val candidates = pruneCandidates(m, snap.files, pruneCond)
         GraftTable.lastDmlCandidateFiles.set(candidates.size.toLong)
         if (candidates.isEmpty) None
         else {
           // existing deletes apply first — an already-deleted row must
-          // not be re-deleted or re-updated (row resurrection)
-          val live = liveRows(m, snap, candidates)
+          // not be re-deleted or re-updated (row resurrection); the
+          // evaluated domains re-apply as data filters (applyResidual)
+          val live = applyResidual(m, liveRows(m, snap, candidates), extras)
           val matched = live.filter(cond).cache()
           try {
             val delRows = matched.select(
@@ -1286,10 +1288,13 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     val baseId = m.currentSnapshotId
     val staged: Option[(Set[String], Vector[DataFileEntry])] =
       m.currentSnapshot.flatMap { snap =>
-        val candidates = pruneCandidates(m, snap.files, exprOf(cond))
+        val (pruneCond, extras) =
+          SubqueryPruning.augmentSplit(spark, exprOf(cond))
+        val candidates = pruneCandidates(m, snap.files, pruneCond)
         if (candidates.isEmpty) None
         else {
-          val withFile = readFilesWithName(m, candidates)
+          val withFile =
+            applyResidual(m, readFilesWithName(m, candidates), extras)
           val touchedAbs = withFile.filter(cond)
             .select(col("_graft_file")).distinct().collect()
             .map(r => normalizePath(r.getString(0))).toSet
@@ -2009,13 +2014,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def mergeOnReadDml(m: TableMetadata, cond: Column,
       assignments: Option[Map[String, Column]]): GraftTable = {
     val snap = m.currentSnapshot.getOrElse(return this)
-    val candidates = pruneCandidates(m, snap.files,
-      SubqueryPruning.augment(spark, exprOf(cond)))
+    val (pruneCond, extras) =
+      SubqueryPruning.augmentSplit(spark, exprOf(cond))
+    val candidates = pruneCandidates(m, snap.files, pruneCond)
     GraftTable.lastDmlCandidateFiles.set(candidates.size.toLong)
     if (candidates.isEmpty) return this
     // existing deletes must apply first: an already-deleted row must not
-    // be re-deleted (harmless) or re-updated (row resurrection!)
-    val live = liveRows(m, snap, candidates)
+    // be re-deleted (harmless) or re-updated (row resurrection!);
+    // evaluated domains re-apply as data filters (row-group skipping
+    // inside kept candidates — see applyResidual)
+    val live = applyResidual(m, liveRows(m, snap, candidates), extras)
     val matched = live.filter(cond).cache()
     try {
       val delRows = matched.select(
@@ -2611,11 +2619,16 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   private def rewriteMatching(m: TableMetadata, cond: Column, op: String,
       transform: DataFrame => DataFrame): GraftTable = {
     val snap = m.currentSnapshot.getOrElse(return this)
-    val candidates = pruneCandidates(m, snap.files,
-      SubqueryPruning.augment(spark, exprOf(cond)))
+    val (pruneCond, extras) =
+      SubqueryPruning.augmentSplit(spark, exprOf(cond))
+    val candidates = pruneCandidates(m, snap.files, pruneCond)
     GraftTable.lastDmlCandidateFiles.set(candidates.size.toLong)
     if (candidates.isEmpty) return this
-    val withFile = readFilesWithName(m, candidates)
+    // evaluated subquery domains re-apply as DATA filters on the
+    // discovery scan (same soundness as the read path's residual:
+    // rows they remove cannot match `cond`), so row groups inside
+    // kept candidate files skip too
+    val withFile = applyResidual(m, readFilesWithName(m, candidates), extras)
     val touchedAbs = withFile.filter(cond)
       .select(col("_graft_file")).distinct().collect()
       .map(r => normalizePath(r.getString(0))).toSet

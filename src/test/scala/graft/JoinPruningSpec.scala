@@ -591,8 +591,12 @@ class JoinPruningSpec extends AnyFunSuite {
     }
     val dim = cat.createTable("db", "rbdim",
       Seq("id" -> "long", "tag" -> "string"))
-    // residue 5 mod 8 — in-range everywhere, present nowhere
-    dim.append(Seq((37L, "a"), (133L, "b"), (1037L, "c"))
+    // 50 keys of residue 5 mod 8 — in-range everywhere, present
+    // nowhere, and ABOVE Spark's default parquet inFilterThreshold
+    // (10): this also pins the raised threshold in GraftSession —
+    // degraded to a min/max range, the pushed filter could skip
+    // nothing and the bloom would never fire
+    dim.append((0 until 50).map(i => (5L + 8L * i * 13L, s"t$i"))
       .toDF("id", "tag").coalesce(1))
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
