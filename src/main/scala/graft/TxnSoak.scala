@@ -69,6 +69,56 @@ object TxnSoak {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // ---- r18: SQL transaction CHAINS — MERGE + a chained DELETE on
+    // the corpus plus an index insert per transaction. The preview
+    // machinery (plan against the chain's preview, collapse to ONE
+    // published snapshot) must stay flat as history accretes.
+    val corpus3 = cat.createTable("db", "soak_docs3",
+      Seq("doc_id" -> "long", "text" -> "string"))
+    val idx3 = cat.createTable("db", "soak_fp3", Seq("fp" -> "string"))
+    corpus3.append(batch(0))
+    spark.conf.set("spark.graft.warehouse", wh)
+    val nChains = math.max(nTxns / 3, 10)
+    val chainTimes = (0 until nChains).map { i =>
+      val t0 = System.nanoTime()
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql(s"""MERGE INTO graft.db.soak_docs3 t
+        USING (SELECT CAST($i AS BIGINT) AS k, 'upd-$i' AS v
+               UNION ALL SELECT CAST(${1000000L + i} AS BIGINT), 'tmp-$i') s
+        ON t.doc_id = s.k
+        WHEN MATCHED THEN UPDATE SET text = s.v
+        WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (s.k, s.v)""")
+      spark.sql(s"INSERT INTO graft.db.soak_fp3 VALUES ('fp-$i')")
+      spark.sql(
+        s"DELETE FROM graft.db.soak_docs3 WHERE doc_id = ${1000000L + i}")
+      spark.sql("COMMIT")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // ids 0..9 update in place; i ≥ 10 inserts id i; the chained
+    // DELETE always removes the transaction's own temp row
+    require(corpus3.read().count() == 10L + math.max(0, nChains - 10),
+      "chain content drift")
+    require(corpus3.meta.snapshots.size == 1 + nChains,
+      "chained statements must publish ONE snapshot per transaction")
+    require(idx3.meta.snapshots.size == nChains, "index snapshot drift")
+
+    // ---- r18: merge-on-read transactional sweeps — positional delete
+    // files, base data files untouched
+    corpus3.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    val morBase = corpus3.meta.currentSnapshot.get.files.map(_.path)
+    val morTimes = (0 until 10).map { i =>
+      val t0 = System.nanoTime()
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql(s"DELETE FROM graft.db.soak_docs3 WHERE doc_id = $i")
+      spark.sql(s"INSERT INTO graft.db.soak_fp3 VALUES ('mor-$i')")
+      spark.sql("COMMIT")
+      (System.nanoTime() - t0) / 1e9
+    }
+    require(corpus3.read().count() == math.max(0, nChains - 10),
+      "MoR sweep content drift")
+    require(corpus3.meta.currentSnapshot.get.files.map(_.path)
+      .containsSlice(morBase), "MoR sweep rewrote base data files")
+
     // ---- many-key rename through the parallel protocol
     val io = new graft.tableformat.ObjectStoreFileIO
     val rdir = java.nio.file.Files.createTempDirectory("graft-rensoak").toString
@@ -93,6 +143,13 @@ object TxnSoak {
       s""","txn_first10_avg_s":$first10,"txn_last10_avg_s":$last10""" +
       s""","txn_avg_s":$txnAvg,"single_pair_avg_s":$pairAvg""" +
       s""","txn_overhead_ratio":${r3(txnAvg / pairAvg)}""" +
+      s""","chains":$nChains""" +
+      s""","chain_first10_avg_s":${r3(avg(chainTimes.take(10)))}""" +
+      s""","chain_last10_avg_s":${r3(avg(chainTimes.takeRight(10)))}""" +
+      s""","chain_avg_s":${r3(avg(chainTimes))}""" +
+      s""","chain_one_snapshot_per_txn":true""" +
+      s""","mor_sweep_avg_s":${r3(avg(morTimes))}""" +
+      s""","mor_base_files_untouched":true""" +
       s""","rename_keys":${nKeys + 1},"rename_s":${r3(renameS)}""" +
       s""","rename_keys_per_s":${math.rint((nKeys + 1) / renameS)}}""")
     server.close()

@@ -140,6 +140,43 @@ private[graft] object JoinFilePruning {
             if (mapped.exists(_.isEmpty)) None
             else Some(s.copy(names = s.names ++ mapped.flatten))
           }
+        // DISTINCT / pure GROUP-BY-the-output-columns shapes pass
+        // through: deduplication never changes a column's VALUE SET
+        // (every surviving row existed below), so names, filters, and
+        // the evaluated key domain stay exact — the common
+        // `JOIN (SELECT DISTINCT k FROM dim WHERE ...)` build. The
+        // manifest row estimate stays PRE-distinct, an overestimate
+        // that can only refuse, and swapProbe's own `.distinct()`
+        // makes the evaluation value-identical to the subquery's.
+        case d: org.apache.spark.sql.catalyst.plans.logical.Distinct =>
+          graftSideOf(d.child)
+        case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if agg.groupingExpressions
+              .forall(_.isInstanceOf[AttributeReference]) &&
+              agg.aggregateExpressions.forall {
+                case a: AttributeReference =>
+                  agg.groupingExpressions.exists {
+                    case g: AttributeReference => g.exprId == a.exprId
+                    case _                     => false
+                  }
+                case Alias(a: AttributeReference, _) =>
+                  agg.groupingExpressions.exists {
+                    case g: AttributeReference => g.exprId == a.exprId
+                    case _                     => false
+                  }
+                case _ => false
+              } =>
+          graftSideOf(agg.child).flatMap { s =>
+            val mapped = agg.aggregateExpressions.map {
+              case a: AttributeReference =>
+                s.names.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(a: AttributeReference, _) =>
+                s.names.get(a.exprId).map(al.exprId -> _)
+              case _ => None
+            }
+            if (mapped.exists(_.isEmpty)) None
+            else Some(s.copy(names = s.names ++ mapped.flatten))
+          }
         case r: DataSourceV2Relation => r.table match {
           case h: GraftTableHandle if h.pinnedSnapshot.isEmpty =>
             val m = h.table.meta

@@ -674,6 +674,45 @@ class JoinPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("DISTINCT / pure GROUP BY build subqueries pass through: " +
+      "JOIN (SELECT DISTINCT k FROM dim WHERE ...) prunes the fact") {
+    starFixture()
+    resetHooks()
+    val df = spark.sql("""
+      SELECT f.id, f.v FROM graft.db.fact f
+      JOIN (SELECT DISTINCT id FROM graft.db.dim WHERE tag = 't3') d
+        ON f.id = d.id""")
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(JoinFilePruning.lastBuildKeys.get() == 10L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (30 until 40).map(_.toLong))
+    // GROUP BY flavor of the same shape
+    resetHooks()
+    val df2 = spark.sql("""
+      SELECT f.id FROM graft.db.fact f
+      JOIN (SELECT id FROM graft.db.dim WHERE tag = 't5' GROUP BY id) d
+        ON f.id = d.id""")
+    assert(JoinFilePruning.pruneEvents.get() == 1L)
+    assert(GraftTable.lastPrunedReadFiles.get() == 1L)
+    assert(df2.count() == 10L)
+    // an aggregate COMPUTING something is not a pass-through shape for
+    // the graft-side walk — but its relation swaps (never deferred) and
+    // the PLAIN-build path evaluates the subtree as-is when its stats
+    // fit: the output domain is exact, so pruning is still sound
+    resetHooks()
+    val df3 = spark.sql("""
+      SELECT f.id, d.n FROM graft.db.fact f
+      JOIN (SELECT id, count(*) AS n FROM graft.db.dim
+            WHERE tag = 't2' GROUP BY id) d
+        ON f.id = d.id""")
+    assert(df3.count() == 10L)
+    assert(JoinFilePruning.pruneEvents.get() == 0L ||
+      GraftTable.lastPrunedReadFiles.get() == 1L,
+      "computed-aggregate build must either prune via the plain path " +
+        "or stand down — never prune wrongly (the count above is the proof)")
+  }
+
   test("three-way star: both dims prune the fact under one WHERE") {
     import spark.implicits._
     val cat = freshCat()
