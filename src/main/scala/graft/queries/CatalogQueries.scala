@@ -1646,6 +1646,68 @@ object CatalogQueries {
                               ELSE c_acctbal END), 2) AS sum_bal,
                CAST(sum(c_custkey % 89) AS BIGINT) AS sum_fp
         FROM customer WHERE c_custkey % 11 <> 0
+      """)),
+
+    // DISTINCT-BUILD dynamic pruning: the idiomatic
+    // `JOIN (SELECT DISTINCT key FROM dim WHERE ...)` build — the
+    // graft-side walk passes through DISTINCT (deduplication never
+    // changes a column's value set), so the duplicated dim keeps the
+    // manifest-estimated path and its evaluated key domain collapses
+    // the bucket(64) fact's file list. Pin: pruning fired and
+    // kept ≤ distinct keys < total files, at every scale factor.
+    QueryDef(
+      "q176_distinct_build_pruning",
+      (s, d) => {
+        val wh = setupOnce("q176", d) {
+          val w = scratch("distinctprune")
+          val cat = new GraftCatalog(s, w)
+          cat.createDatabase("db1")
+          val fact = cat.createTable("db1", "orders_dd", Seq(
+            "o_orderkey" -> "long", "o_custkey" -> "long",
+            "o_totalprice" -> "double"),
+            Seq("o_custkey" -> "bucket(64)"),
+            Map("write.distribution-mode" -> "hash"))
+          fact.append(Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+          // every customer TWICE: the DISTINCT genuinely dedups
+          val c = Tables.customer(s, d)
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+          cat.createTableAs("db1", "ddup", c.unionAll(c))
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        graft.catalog.JoinFilePruning.pruneEvents.set(0L)
+        graft.engine.GraftTable.lastPrunedReadFiles.set(-1L)
+        val df = s.sql("""
+          SELECT f.o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                 round(sum(f.o_totalprice), 2) AS revenue
+          FROM graft.db1.orders_dd f
+          JOIN (SELECT DISTINCT c_custkey FROM graft.db1.ddup
+                WHERE c_mktsegment = 'BUILDING'
+                  AND c_acctbal >= 9900.0) d
+            ON f.o_custkey = d.c_custkey
+          GROUP BY f.o_custkey
+          ORDER BY f.o_custkey""")
+        val fired = graft.catalog.JoinFilePruning.pruneEvents.get()
+        val keys = graft.catalog.JoinFilePruning.lastBuildKeys.get()
+        val kept = graft.engine.GraftTable.lastPrunedReadFiles.get()
+        val total = graft.engine.GraftTable.load(s,
+          java.nio.file.Paths.get(wh, "db1", "orders_dd").toString)
+          .meta.currentSnapshot.get.files.size.toLong
+        require(fired >= 1, "DISTINCT-build pruning did not fire")
+        require(keys >= 0 && kept >= 0 && kept <= keys && kept < total,
+          s"fact file list did not collapse: kept $kept of $total " +
+            s"(distinct build keys: $keys)")
+        df
+      },
+      Some("""
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING'
+                              AND c_acctbal >= 9900.0)
+        GROUP BY o_custkey ORDER BY o_custkey
       """))
   )
 }
