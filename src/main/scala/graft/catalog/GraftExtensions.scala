@@ -286,16 +286,17 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
           if GraftViewSql.viewParts(spark, u.multipartIdentifier).isDefined =>
         val (db, v) = GraftViewSql.viewParts(spark, u.multipartIdentifier).get
-        GraftViewSql.expand(spark, db, v,
+        resolveExpansion(GraftViewSql.expand(spark, db, v,
           ver.map(x => x.toIntOption.getOrElse(sys.error(
             s"view $db.$v: VERSION AS OF takes an integer definition " +
-              s"version id, got '$x'"))), ts.map(evalTsMillis))
+              s"version id, got '$x'"))), ts.map(evalTsMillis)))
       case u: UnresolvedRelation
           if GraftViewSql.viewParts(spark, u.multipartIdentifier).isDefined =>
         val (db, v) = GraftViewSql.viewParts(spark, u.multipartIdentifier).get
-        GraftViewSql.expand(spark, db, v, None, None)
+        resolveExpansion(GraftViewSql.expand(spark, db, v, None, None))
 
-      // ---- fallbacks: extension installed without the catalog plugin
+      // ---- fallbacks: extension installed without the catalog plugin.
+      // Preview-aware (read-your-own-writes) like the catalog path.
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) if isGraft(u) =>
         withTable(u) { t =>
           (ts, ver) match {
@@ -312,7 +313,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           }
         }.getOrElse(tt) // leave unresolved; Spark reports the error
       case u: UnresolvedRelation if isGraft(u) =>
-        withTable(u)(_.read()).getOrElse(u)
+        withTable(u) { t =>
+          GraftSqlTransactions.previewFor(spark, t.location) match {
+            case Some(pm) => t.readPreview(pm)
+            case None     => t.read()
+          }
+        }.getOrElse(u)
     }
   }
 
@@ -776,6 +782,31 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
   private def isGraft(u: UnresolvedRelation): Boolean =
     u.multipartIdentifier.length == 3 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft")
+
+  /** Pre-resolve a view expansion's graft TABLE relations to DSv2
+    * handles: the rule recurses into the expansion subtree within this
+    * SAME apply (top-down), so a fresh UnresolvedRelation would hit
+    * the bare fallback — a committed-state `read()` that bypasses
+    * read-your-own-writes, the filtered-scan file pruning, and every
+    * deferral — before Spark's own catalog resolution sees it.
+    * Resolving here puts view bodies on exactly the path a top-level
+    * query takes. Unresolvable names stay unresolved for Spark's own
+    * error reporting; nested views were already expanded inline.
+    */
+  private def resolveExpansion(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case u: UnresolvedRelation if isGraft(u) =>
+        val Seq(_, db, tbl) = u.multipartIdentifier
+        try {
+          val cat = spark.sessionState.catalogManager.catalog("graft")
+            .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          val ident = org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array(db), tbl)
+          SubqueryAlias(Seq("graft", db, tbl),
+            DataSourceV2Relation.create(cat.loadTable(ident), Some(cat),
+              Some(ident)))
+        } catch { case scala.util.control.NonFatal(_) => u }
+    }
 
   private def withTable(u: UnresolvedRelation)(
       f: GraftTable => org.apache.spark.sql.DataFrame): Option[LogicalPlan] = {

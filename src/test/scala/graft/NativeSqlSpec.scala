@@ -1213,6 +1213,25 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(c.read().count() == 0, "refused COMMIT must land nothing")
   }
 
+  test("view bodies resolve through the catalog path: a WHERE inside " +
+      "the view file-prunes like a top-level query") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "vprune", Seq("id" -> "long", "v" -> "long"))
+    (0 until 8).foreach { b =>
+      t.append((b * 100 until (b + 1) * 100).map(i =>
+        (i.toLong, i.toLong)).toDF("id", "v").coalesce(1))
+    }
+    spark.sql("CREATE VIEW graft.db.vprune_tail AS " +
+      "SELECT id, v FROM graft.db.vprune WHERE id >= 700")
+    graft.engine.GraftTable.lastPrunedReadFiles.set(-1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.vprune_tail")
+      .head().getLong(0) == 100L)
+    assert(graft.engine.GraftTable.lastPrunedReadFiles.get() == 1L,
+      "a view body's WHERE must reach the metadata-pruned read " +
+        "(8 key-range files, predicate keeps 1)")
+  }
+
   test("transactional MERGE, read-your-own-writes over DML chains, and " +
       "thread-safe staging") {
     import spark.implicits._
@@ -1293,6 +1312,33 @@ class NativeSqlSpec extends AnyFunSuite {
       spark.sql("COMMIT")
       assert(fact.read().filter(col("id") === 400L).count() == 1)
       assert(idx.read().filter(col("id") === 400L).count() == 1)
+      // RYOW corners: (a) a self-referential INSERT's source reads the
+      // transaction's preview (sequential SQL semantics), (b) a stored
+      // view over a staged table expands to the preview (late binding
+      // resolves through the same relation swap), (c) time travel
+      // stays COMMITTED history — staged work is not a snapshot yet
+      spark.sql("CREATE VIEW graft.db.mtx_v AS " +
+        "SELECT count(*) AS n FROM graft.db.mtxi")
+      val v0 = fact.meta.currentSnapshot.get.snapshotId
+      val idxN = idx.read().count()
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.mtxi VALUES (500, 'f500')")
+      assert(spark.sql("SELECT n FROM graft.db.mtx_v").head().getLong(0) ==
+        idxN + 1, "view over a staged table must serve the preview")
+      // self-referential: INSERT INTO t SELECT FROM t doubles the
+      // preview's rows, not the committed table's
+      spark.sql("INSERT INTO graft.db.mtxi " +
+        "SELECT id + 1000, fp FROM graft.db.mtxi WHERE id >= 500")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.db.mtxi WHERE id IN (500, 1500)")
+        .head().getLong(0) == 2L,
+        "self-referential INSERT must read the chain's preview")
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.db.mtxf VERSION AS OF $v0")
+        .head().getLong(0) == fact.read().count(),
+        "time travel inside a transaction reads committed history")
+      spark.sql("ROLLBACK")
+      assert(idx.read().count() == idxN, "rollback must discard the chain")
       // MoR targets stage through SQL too: the transactional MERGE
       // writes a positional delete file + appended copy instead of
       // rewriting, and RYOW still serves the staged state
