@@ -308,6 +308,73 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     assert(idx.read().filter(col("fp") === "f7b").count() == 1)
   }
 
+  test("chained-transaction differential fuzz: a random statement " +
+      "chain committed as ONE transaction equals the same statements " +
+      "run sequentially, on CoW and MoR tables, one snapshot per chain") {
+    import spark.implicits._
+    val seed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "1809").toLong
+    val rnd = new scala.util.Random(seed)
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = new GraftCatalog(spark, tmp())
+      for (round <- 0 until 4) {
+        val txn = cat.createTable("db", s"chf_t$round",
+          Seq("id" -> "long", "v" -> "long"))
+        val seqT = cat.createTable("db", s"chf_s$round",
+          Seq("id" -> "long", "v" -> "long"))
+        val init = (0L until 50L).map(i => (i, i)).toDF("id", "v")
+        txn.append(init); seqT.append(init)
+        if (round % 2 == 1) {
+          val mor = Map("write.delete.mode" -> "merge-on-read",
+            "write.update.mode" -> "merge-on-read",
+            "write.merge.mode" -> "merge-on-read")
+          txn.setProperties(mor); seqT.setProperties(mor)
+        }
+        val stmts: Seq[String => String] =
+          (0 until 2 + rnd.nextInt(3)).map { k =>
+            rnd.nextInt(4) match {
+              case 0 =>
+                val id = 100 + round * 10 + k
+                (t: String) => s"INSERT INTO $t VALUES ($id, $k)"
+              case 1 =>
+                val m = 2 + rnd.nextInt(5)
+                (t: String) => s"DELETE FROM $t WHERE id % $m = 1"
+              case 2 =>
+                val m = 2 + rnd.nextInt(5)
+                (t: String) => s"UPDATE $t SET v = v + 10 WHERE id % $m = 0"
+              case _ =>
+                val sid = rnd.nextInt(60); val sv = k * 7
+                (t: String) => s"MERGE INTO $t x USING " +
+                  s"(SELECT CAST($sid AS BIGINT) AS sid, " +
+                  s"CAST($sv AS BIGINT) AS sv) s ON x.id = s.sid " +
+                  "WHEN MATCHED THEN UPDATE SET v = s.sv " +
+                  "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)"
+            }
+          }
+        val snaps0 = txn.meta.snapshots.size
+        spark.sql("BEGIN TRANSACTION")
+        stmts.foreach(f => spark.sql(f(s"graft.db.chf_t$round")))
+        spark.sql("COMMIT")
+        stmts.foreach(f => spark.sql(f(s"graft.db.chf_s$round")))
+        val a = txn.read().orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val b = seqT.read().orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(a == b,
+          s"round $round (seed $seed, ${stmts.size} statements): " +
+            s"chained != sequential")
+        assert(txn.meta.snapshots.size == snaps0 + 1,
+          s"round $round: the chain must publish ONE snapshot")
+      }
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+  }
+
   test("transactOpsIfNewMarker: a replayed sweep skips whole — no " +
       "double delete, no torn marker") {
     import spark.implicits._
