@@ -166,10 +166,12 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if agg.resolved && agg.groupingExpressions.isEmpty &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        // a staged table's manifest arithmetic / mview would answer
-        // from PRE-transaction metadata — bail to the scan path, which
-        // serves read-your-own-writes from the preview
-        if (txnPreview(h).isDefined) agg
+        // inside an open transaction every graft read is transaction-
+        // local (staged preview, or the begin-time snapshot pin) —
+        // manifest arithmetic / mview would answer from LIVE committed
+        // metadata, so bail to the scan path, which serves the
+        // transaction's view through the relation swap
+        if (GraftSqlTransactions.active(spark)) agg
         else pushManifestAggregate(agg, h, cond)
           .orElse(MviewRewrite.rewrite(spark, agg, h, cond))
           .getOrElse(agg)
@@ -186,7 +188,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
             agg.groupingExpressions.forall(groupish) &&
             aggSource(agg.child).isDefined =>
         val (h, cond) = aggSource(agg.child).get
-        if (txnPreview(h).isDefined) agg
+        if (GraftSqlTransactions.active(spark)) agg
         else pushGroupedManifestAggregate(agg, h, cond)
           .orElse(MviewRewrite.rewrite(spark, agg, h, cond))
           .getOrElse(agg)
@@ -219,9 +221,10 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
           if handleOf(child).exists(_.pinnedSnapshot.isEmpty) &&
             !deferred.contains(relationIn(child)) =>
         val h = handleOf(child).get
-        // read-your-own-writes: inside an open SQL transaction a
-        // staged table reads from the transaction's PREVIEW metadata
-        val read = txnPreview(h) match {
+        // transaction view: a staged table reads its PREVIEW
+        // (read-your-own-writes); an untouched one PINS to its
+        // committed snapshot at first touch (snapshot isolation)
+        val read = txnView(h) match {
           case Some(pm) => h.table.readPreviewPrunedBy(pm, cond)
           case None     => h.table.readPrunedBy(cond)
         }
@@ -238,7 +241,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         val h = handleOf(r).get
         val df = h.pinnedSnapshot match {
           case Some(s) => h.table.readAsOfVersion(s.snapshotId)
-          case None => txnPreview(h) match {
+          case None => txnView(h) match {
             case Some(pm) => h.table.readPreview(pm)
             case None     => h.table.read()
           }
@@ -314,7 +317,7 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
         }.getOrElse(tt) // leave unresolved; Spark reports the error
       case u: UnresolvedRelation if isGraft(u) =>
         withTable(u) { t =>
-          GraftSqlTransactions.previewFor(spark, t.location) match {
+          GraftSqlTransactions.readView(spark, t.location, t.meta) match {
             case Some(pm) => t.readPreview(pm)
             case None     => t.read()
           }
@@ -370,11 +373,13 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     }
   }
 
-  /** The open transaction's preview metadata for a handle's table, if
-    * this session staged it — the read-your-own-writes source.
+  /** The open transaction's view of a handle's table: the staged
+    * preview (read-your-own-writes) or the begin-time snapshot pin
+    * (recorded here on first touch — snapshot isolation for reads of
+    * untouched tables).
     */
-  private def txnPreview(h: GraftTableHandle) =
-    GraftSqlTransactions.previewFor(spark, h.table.location)
+  private def txnView(h: GraftTableHandle) =
+    GraftSqlTransactions.readView(spark, h.table.location, h.table.meta)
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>

@@ -220,6 +220,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
+    GraftSqlTransactions.refuse(
+      org.apache.spark.sql.SparkSession.active, "CREATE TABLE")
     val loc = location(ident).getOrElse(
       sys.error("set spark.graft.warehouse to create graft tables via SQL"))
     val fields = schema.fields.toSeq.map(f =>
@@ -235,37 +237,69 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       fullName(ident))
   }
 
-  /** ALTER TABLE graft.db.t ADD/RENAME/DROP COLUMN, SET TBLPROPERTIES. */
+  /** ALTER TABLE graft.db.t ADD/RENAME/DROP COLUMN, SET TBLPROPERTIES.
+    *
+    * Inside an open SQL transaction the changes STAGE instead of
+    * committing (each change's transform — preconditions included —
+    * applies to the transaction's preview immediately, so errors
+    * surface at the statement; the schema publishes with COMMIT's one
+    * claim set and ROLLBACK discards it). This is what makes the
+    * reference's rename-then-repair story (apiv15.py:352) expressible
+    * as ONE transaction: ALTER TABLE ... RENAME COLUMN plus the
+    * dependent CREATE OR REPLACE VIEW land atomically.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = graftTable(ident)
-    changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1, "nested columns unsupported")
-        t.addColumn(a.fieldNames()(0), FieldDef.nameType(a.dataType()))
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1, "nested columns unsupported")
-        t.renameColumn(r.fieldNames()(0), r.newName())
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1, "nested columns unsupported")
-        t.dropColumn(d.fieldNames()(0))
-      case p: TableChange.SetProperty =>
-        t.setProperties(Map(p.property() -> p.value()))
-      case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames().length == 1, "nested columns unsupported")
-        t.alterColumnType(u.fieldNames()(0), FieldDef.nameType(u.newDataType()))
-      case other =>
-        throw new UnsupportedOperationException(s"table change $other")
+    val session = org.apache.spark.sql.SparkSession.active
+    def one(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1, "nested columns unsupported")
+      fieldNames(0)
+    }
+    def transformOf(c: TableChange)
+        : graft.tableformat.TableMetadata => graft.tableformat.TableMetadata =
+      c match {
+        case a: TableChange.AddColumn =>
+          t.addColumnTransform(one(a.fieldNames()),
+            FieldDef.nameType(a.dataType()))
+        case r: TableChange.RenameColumn =>
+          t.renameColumnTransform(one(r.fieldNames()), r.newName())
+        case d: TableChange.DeleteColumn =>
+          t.dropColumnTransform(one(d.fieldNames()))
+        case p: TableChange.SetProperty =>
+          cur => cur.copy(properties =
+            cur.properties + (p.property() -> p.value()))
+        case u: TableChange.UpdateColumnType =>
+          t.alterColumnTypeTransform(one(u.fieldNames()),
+            FieldDef.nameType(u.newDataType()))
+        case other =>
+          throw new UnsupportedOperationException(s"table change $other")
+      }
+    if (GraftSqlTransactions.active(session)) {
+      val composed = changes.map(transformOf)
+        .reduce((f, g) => f.andThen(g))
+      val (baseM, _) = GraftSqlTransactions.planBase(session, t.location, t.meta)
+      // revalidates: the evolution was planned (and previewed) against
+      // the pinned base — a racing commit must abort the transaction,
+      // not silently compose under it
+      GraftSqlTransactions.stage(session, t.location, "ALTER TABLE", baseM,
+        revalidates = true, (cur, _) => composed(cur))
+    } else {
+      changes.foreach(c =>
+        graft.tableformat.MetadataIO.commitRetry(t.location)(transformOf(c)))
     }
     GraftTableHandle(t, fullName(ident))
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    GraftSqlTransactions.refuse(
+      org.apache.spark.sql.SparkSession.active, "DROP TABLE")
     location(ident).filter(MetadataIO.exists) match {
       case None => false
       case Some(loc) =>
         graft.tableformat.FileIO.io.deleteTree(loc)
         true
     }
+  }
 
   // -------- views (persistent SQL views, Iceberg view semantics) ----
   // Storage + versioning live in [[ViewIO]]; a location is a table XOR
@@ -318,6 +352,11 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
         .map(_.toVector).getOrElse(Vector.empty))
 
   override def createView(info: ViewInfo): View = {
+    // a brand-new view has no document for a transactional claim slot
+    // to replace (the create-vs-rename handshake lives on the
+    // single-commit path) — refuse rather than commit outside the txn
+    GraftSqlTransactions.refuse(
+      org.apache.spark.sql.SparkSession.active, "CREATE VIEW (new view)")
     val ident = info.ident()
     val loc = viewLocation(ident)
       .getOrElse(sys.error("spark.graft.warehouse not set"))
@@ -346,36 +385,65 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       return createView(info)
     }
     // REPLACE appends a version — the old definition stays readable via
-    // VERSION AS OF, the Iceberg-view audit-trail contract
-    val cur = ViewIO.read(loc)
-    val nextId = cur.versions.map(_.versionId).max + 1
-    val m = cur.copy(
-      currentVersionId = nextId,
-      versions = cur.versions :+ versionFrom(info, nextId),
-      properties = info.properties().asScala.toMap)
-    ViewIO.commit(loc, m)
-    GraftViewHandle(m, m.current)
+    // VERSION AS OF, the Iceberg-view audit-trail contract. The next
+    // version id is computed INSIDE the transform so a staged or
+    // contended redefinition re-numbers against whatever it finally
+    // applies to.
+    val redefine = (cur: ViewMetadata) => {
+      val nextId = cur.versions.map(_.versionId).max + 1
+      cur.copy(
+        currentVersionId = nextId,
+        versions = cur.versions :+ versionFrom(info, nextId),
+        properties = info.properties().asScala.toMap)
+    }
+    val session = org.apache.spark.sql.SparkSession.active
+    if (GraftSqlTransactions.active(session)) {
+      // inside BEGIN TRANSACTION: the redefinition STAGES — it
+      // publishes in COMMIT's claim set together with any staged DDL
+      // (the rename + dependent-view-repair shape), and this session's
+      // view reads serve the staged definition meanwhile
+      GraftSqlTransactions.stageView(session, loc,
+        "CREATE OR REPLACE VIEW", redefine)
+      val pm = GraftSqlTransactions.viewPreviewFor(session, loc).get
+      GraftViewHandle(pm, pm.current)
+    } else {
+      val m = redefine(ViewIO.read(loc))
+      ViewIO.commit(loc, m)
+      GraftViewHandle(m, m.current)
+    }
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
     val loc = viewLocation(ident).filter(ViewIO.exists)
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
-    val cur = ViewIO.read(loc)
-    val props = changes.foldLeft(cur.properties) {
-      case (p, s: ViewChange.SetProperty)    => p + (s.property -> s.value)
-      case (p, r: ViewChange.RemoveProperty) => p - r.property
-      case (_, other) =>
-        sys.error(s"unsupported view change: ${other.getClass.getSimpleName}")
+    val alter = (cur: ViewMetadata) => cur.copy(
+      properties = changes.foldLeft(cur.properties) {
+        case (p, s: ViewChange.SetProperty)    => p + (s.property -> s.value)
+        case (p, r: ViewChange.RemoveProperty) => p - r.property
+        case (_, other) =>
+          sys.error(s"unsupported view change: ${other.getClass.getSimpleName}")
+      })
+    val session = org.apache.spark.sql.SparkSession.active
+    if (GraftSqlTransactions.active(session)) {
+      GraftSqlTransactions.stageView(session, loc, "ALTER VIEW", alter)
+      val pm = GraftSqlTransactions.viewPreviewFor(session, loc).get
+      GraftViewHandle(pm, pm.current)
+    } else {
+      val m = alter(ViewIO.read(loc))
+      ViewIO.commit(loc, m)
+      GraftViewHandle(m, m.current)
     }
-    val m = cur.copy(properties = props)
-    ViewIO.commit(loc, m)
-    GraftViewHandle(m, m.current)
   }
 
-  override def dropView(ident: Identifier): Boolean =
+  override def dropView(ident: Identifier): Boolean = {
+    GraftSqlTransactions.refuse(
+      org.apache.spark.sql.SparkSession.active, "DROP VIEW")
     viewLocation(ident).exists(ViewIO.drop)
+  }
 
   override def renameView(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    GraftSqlTransactions.refuse(
+      org.apache.spark.sql.SparkSession.active, "ALTER VIEW ... RENAME TO")
     val newIdent = stripOwnCatalog(newIdent0) // see renameTable
     val from = viewLocation(oldIdent).filter(ViewIO.exists)
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
@@ -425,6 +493,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    GraftSqlTransactions.refuse(
+      org.apache.spark.sql.SparkSession.active, "ALTER TABLE ... RENAME TO")
     val newIdent = stripOwnCatalog(newIdent0)
     val from = location(oldIdent).filter(MetadataIO.exists)
       .getOrElse(throw new NoSuchTableException(oldIdent))

@@ -71,8 +71,15 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit}
     val t = GraftTable.load(session, location)
+    // inside a transaction the statement plans against the chain's
+    // preview (or the begin-time pin): a staged ALTER TABLE earlier in
+    // the transaction must shape THIS insert's schema, not live state
+    val txBase: Option[(graft.tableformat.TableMetadata, Boolean)] =
+      if (GraftSqlTransactions.active(session))
+        Some(GraftSqlTransactions.planBase(session, location, t.meta))
+      else None
     var df = graftshim.dfFromPlan(session, query)
-    val fields = t.meta.currentSchema.fields
+    val fields = txBase.map(_._1).getOrElse(t.meta).currentSchema.fields
     val target = fields.map(_.name)
     if (columnNames.nonEmpty) {
       // an explicit column list names the query's positional output
@@ -111,19 +118,20 @@ final case class GraftInsertCommand(location: String, query: LogicalPlan,
         s"INSERT provides ${df.columns.length} columns, table has ${target.length}")
       df = df.toDF(target: _*)
     }
-    if (GraftSqlTransactions.active(session)) {
-      // inside BEGIN TRANSACTION: stage instead of committing — the
-      // files are written now, the snapshot lands with COMMIT's one
-      // atomic claim set; a repeat statement on the same table plans
-      // against the transaction's preview of it
-      require(!overwrite,
-        "INSERT OVERWRITE is not supported inside BEGIN TRANSACTION")
-      val baseM = GraftSqlTransactions.previewFor(session, location)
-        .getOrElse(t.meta)
-      GraftSqlTransactions.stage(session, location, "INSERT", baseM,
-        t.stageAppend(df, Some(baseM)))
-    } else if (overwrite) t.overwrite(df)
-    else t.append(df)
+    txBase match {
+      case Some((baseM, _)) =>
+        // inside BEGIN TRANSACTION: stage instead of committing — the
+        // files are written now, the snapshot lands with COMMIT's one
+        // atomic claim set; a repeat statement on the same table plans
+        // against the transaction's preview of it. Appends don't
+        // revalidate: they compose with any base by construction.
+        require(!overwrite,
+          "INSERT OVERWRITE is not supported inside BEGIN TRANSACTION")
+        GraftSqlTransactions.stage(session, location, "INSERT", baseM,
+          revalidates = false, t.stageAppend(df, Some(baseM)))
+      case None =>
+        if (overwrite) t.overwrite(df) else t.append(df)
+    }
     Seq.empty
   }
 }
@@ -226,13 +234,14 @@ final case class GraftMergeCommand(location: String, targetAlias: String,
       // (CoW rewrite, or delete file + copies on merge-on-read), its
       // snapshot lands with COMMIT's one atomic claim set — the
       // CDC-upsert-plus-index shape commits transactionally
-      val prev = GraftSqlTransactions.previewFor(session, location)
-      val baseM = prev.getOrElse(t.meta)
+      val (baseM, isFirst) =
+        GraftSqlTransactions.planBase(session, location, t.meta)
       GraftSqlTransactions.stage(session, location, "MERGE", baseM,
+        revalidates = true,
         t.stageMerge(srcDf, toCol(condition.expr),
           matched.map(matchedClause), notMatched.map(insertClause),
           notMatchedBySource.map(matchedClause), Some(targetAlias),
-          Some(baseM), revalidate = prev.isEmpty))
+          Some(baseM), revalidate = isFirst))
     } else t.merge(srcDf, toCol(condition.expr),
       matched.map(matchedClause), notMatched.map(insertClause),
       notMatchedBySource.map(matchedClause), Some(targetAlias))
@@ -257,10 +266,11 @@ final case class GraftDeleteCommand(location: String,
     val t = GraftTable.load(session, location)
     val cond = graftshim.columnOf(GraftSqlCommands.unbind(condition.expr))
     if (GraftSqlTransactions.active(session)) {
-      val prev = GraftSqlTransactions.previewFor(session, location)
-      val baseM = prev.getOrElse(t.meta)
+      val (baseM, isFirst) =
+        GraftSqlTransactions.planBase(session, location, t.meta)
       GraftSqlTransactions.stage(session, location, "DELETE", baseM,
-        t.stageDelete(cond, Some(baseM), revalidate = prev.isEmpty))
+        revalidates = true,
+        t.stageDelete(cond, Some(baseM), revalidate = isFirst))
     } else t.delete(cond)
     Seq.empty
   }
@@ -284,10 +294,11 @@ final case class GraftUpdateCommand(location: String,
     }.toMap
     val t = GraftTable.load(session, location)
     if (GraftSqlTransactions.active(session)) {
-      val prev = GraftSqlTransactions.previewFor(session, location)
-      val baseM = prev.getOrElse(t.meta)
+      val (baseM, isFirst) =
+        GraftSqlTransactions.planBase(session, location, t.meta)
       GraftSqlTransactions.stage(session, location, "UPDATE", baseM,
-        t.stageUpdate(cond, as, Some(baseM), revalidate = prev.isEmpty))
+        revalidates = true,
+        t.stageUpdate(cond, as, Some(baseM), revalidate = isFirst))
     } else t.update(cond, as)
     Seq.empty
   }

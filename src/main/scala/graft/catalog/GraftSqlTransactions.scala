@@ -14,7 +14,7 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   *   COMMIT;
   *
   * While a transaction is open on the session, graft INSERT / DELETE /
-  * UPDATE commands STAGE their work here (data files written
+  * UPDATE / MERGE commands STAGE their work here (data files written
   * immediately — invisible until referenced, the same order every
   * commit uses) instead of committing; COMMIT publishes every staged
   * op in one claim set with one shared commit timestamp, ROLLBACK
@@ -22,20 +22,36 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   * arbitrated backends only — COMMIT on a bare store refuses loudly,
   * like every multi-document transaction.
   *
-  * Scope, stated plainly: DML only (INSERT INTO, DELETE, UPDATE,
-  * MERGE — staged rewrites abort on a racing commit,
-  * [[graft.engine.GraftTable.stageDelete]]'s contract). A table may
-  * appear in SEVERAL statements: each statement past the first plans
-  * against the transaction's PREVIEW of that table (the prior staged
-  * transforms applied in order) and the statements compose into ONE
-  * claim-set slot at COMMIT. DDL / CTAS / TRUNCATE / INSERT OVERWRITE
-  * inside an open transaction refuse loudly rather than silently
-  * committing outside it. Reads inside the transaction are
-  * READ-YOUR-OWN-WRITES: a SELECT of a staged table resolves against
-  * the preview metadata ([[previewFor]], wired through the relation
-  * swap in [[ResolveGraftRelations]]), so sequential SQL semantics
-  * hold; metadata tables (history/snapshots/refs) keep showing
-  * committed state — staged work is not a snapshot yet.
+  * Scope, stated plainly: DML (INSERT INTO, DELETE, UPDATE, MERGE)
+  * plus the STAGEABLE DDL — ALTER TABLE column evolution /
+  * SET TBLPROPERTIES and view redefinition (CREATE OR REPLACE VIEW of
+  * an existing view, ALTER VIEW) — so the reference's own
+  * rename-then-repair story (apiv15.py:352) commits atomically with
+  * its dependent view. A table may appear in SEVERAL statements: each
+  * statement past the first plans against the transaction's PREVIEW
+  * of that table (the prior staged transforms applied in order) and
+  * the statements compose into ONE claim-set slot at COMMIT.
+  * Non-stageable statements (CTAS, TRUNCATE, INSERT OVERWRITE,
+  * CREATE/DROP/RENAME TABLE, brand-new CREATE VIEW, DROP/RENAME VIEW)
+  * refuse loudly rather than silently committing outside the
+  * transaction.
+  *
+  * Reads are SNAPSHOT-ISOLATED: a staged table resolves against the
+  * preview metadata (read-your-own-writes, [[readView]] wired through
+  * the relation swap in [[ResolveGraftRelations]]); an untouched table
+  * is PINNED to its committed snapshot at first touch, so a concurrent
+  * commit between two statements cannot change the second statement's
+  * input. Explicit VERSION/TIMESTAMP AS OF overrides the pin (it
+  * names its own snapshot); metadata tables (history/snapshots/refs)
+  * keep showing committed state — staged work is not a snapshot yet.
+  *
+  * Conflict contract: any chain containing row-level DML or DDL
+  * REVALIDATES its table's committed snapshot id against the
+  * transaction's pin at claim time — a racing commit between BEGIN and
+  * COMMIT aborts the whole transaction loudly (first-committer-wins
+  * snapshot isolation), never silently lands a rewrite planned against
+  * stale files. Pure-append chains skip the check: appends compose
+  * with any base by construction.
   */
 object GraftSqlTransactions {
 
@@ -48,16 +64,37 @@ object GraftSqlTransactions {
     * both land (or refuse cleanly), never corrupt the list. `closed`
     * marks the COMMIT/ROLLBACK point: a stager racing past it refuses
     * loudly instead of appending into a buffer whose snapshot was
-    * already taken (the op would silently vanish). `previews` holds,
-    * per table location, the metadata produced by applying the staged
-    * transforms so far — the read-your-own-writes source and the
-    * planning base for follow-up statements on the same table.
+    * already taken (the op would silently vanish).
+    *
+    * `previews` holds, per table location, the metadata produced by
+    * applying the staged transforms so far — the read-your-own-writes
+    * source and the planning base for follow-up statements on the same
+    * table. `pins` records each location's COMMITTED metadata at its
+    * first touch (read or write) — the snapshot-isolation read view
+    * and the base that revalidating chains check at claim time.
+    * `revalidating` marks locations whose chain contains row-level DML
+    * or DDL (planned against specific files/schema — a racing commit
+    * must abort, not silently compose).
     */
   private final class TxState {
     val ops = scala.collection.mutable.ArrayBuffer.empty[Staged]
     val previews =
       scala.collection.mutable.LinkedHashMap.empty[String, TableMetadata]
+    val pins =
+      scala.collection.mutable.LinkedHashMap.empty[String, TableMetadata]
+    val revalidating = scala.collection.mutable.Set.empty[String]
+    val viewOps = scala.collection.mutable.ArrayBuffer
+      .empty[(String, ViewMetadata => ViewMetadata)]
+    val viewPreviews =
+      scala.collection.mutable.LinkedHashMap.empty[String, ViewMetadata]
     var closed = false
+    /** `BEGIN TRANSACTION AS OF '<ts>'`: every table pins to its
+      * snapshot at this instant instead of its current one — a
+      * reproducible multi-statement read over one historical moment
+      * (the audit/debug twin of transaction-consistent time travel).
+      * Read-only: staging refuses.
+      */
+    var asOfMillis: Option[Long] = None
   }
 
   // session-keyed so independent SparkSessions (tests, notebooks
@@ -68,9 +105,10 @@ object GraftSqlTransactions {
 
   def active(session: SparkSession): Boolean = open.containsKey(session)
 
-  /** The transaction's PREVIEW metadata for a location — what reads
-    * and follow-up statements inside the transaction plan against.
-    * None when no open transaction has staged that table.
+  /** The transaction's PREVIEW metadata for a location — what
+    * follow-up statements on a STAGED table plan against. None when no
+    * open transaction has staged that table (an untouched table's read
+    * view is the PIN — see [[readView]]).
     */
   private[catalog] def previewFor(session: SparkSession,
       location: String): Option[TableMetadata] = {
@@ -78,20 +116,109 @@ object GraftSqlTransactions {
     if (st == null) None else st.synchronized(st.previews.get(location))
   }
 
-  def begin(session: SparkSession): Unit = {
+  /** The transaction's READ view of a location: the staged PREVIEW
+    * when this transaction staged the table (read-your-own-writes),
+    * else the BEGIN-TIME PIN — on first touch the caller's `live`
+    * committed metadata is recorded, and every later statement
+    * resolves the table to that same instant. This upgrades reads from
+    * read-committed-per-statement to snapshot isolation: a concurrent
+    * commit between two SELECTs of an untouched table cannot change
+    * the second result. None when no transaction is open.
+    */
+  private[catalog] def readView(session: SparkSession, location: String,
+      live: => TableMetadata): Option[TableMetadata] = {
+    val st = open.get(session)
+    if (st == null) None
+    else st.synchronized {
+      if (st.closed) None
+      else Some(st.previews.getOrElse(location,
+        st.pins.getOrElseUpdate(location, st.asOfMillis match {
+          // AS OF transaction: the pin is the table's snapshot AT the
+          // requested instant (a table with no snapshot then reads
+          // empty — the engine's own readAsOfTime contract)
+          case Some(ts) =>
+            val m = live
+            m.copy(currentSnapshotId =
+              m.snapshotAsOfTime(ts).map(_.snapshotId))
+          case None => live
+        })))
+    }
+  }
+
+  /** Non-mutating twin of [[readView]] for plan-rule guards: the
+    * preview or the EXISTING pin, never recording a new one. A
+    * defined result means the table's reads inside this transaction
+    * are transaction-local — fast paths that would consult live
+    * committed metadata (manifest aggregates, mview rewrite, dynamic
+    * file pruning) must stand down.
+    */
+  private[catalog] def viewOf(session: SparkSession,
+      location: String): Option[TableMetadata] = {
+    val st = open.get(session)
+    if (st == null) None
+    else st.synchronized(
+      st.previews.get(location).orElse(st.pins.get(location)))
+  }
+
+  /** The staged view-metadata preview for a view location — the
+    * read-your-own-writes source for view expansion: a CREATE OR
+    * REPLACE VIEW staged in this transaction serves its NEW definition
+    * to this session's reads while the committed document is untouched.
+    */
+  private[catalog] def viewPreviewFor(session: SparkSession,
+      location: String): Option[ViewMetadata] = {
+    val st = open.get(session)
+    if (st == null) None
+    else st.synchronized(st.viewPreviews.get(location))
+  }
+
+  def begin(session: SparkSession, asOfMillis: Option[Long] = None): Unit = {
     require(!active(session),
       "a transaction is already open on this session — COMMIT or " +
         "ROLLBACK it first (nested transactions are not supported)")
-    open.put(session, new TxState)
+    val st = new TxState
+    st.asOfMillis = asOfMillis
+    open.put(session, st)
   }
 
-  /** Called by the DML commands when a transaction is open.
-    * `stagedAgainst` is the metadata the statement planned against
-    * (the prior preview, or live metadata for the table's first
-    * statement); the new preview is the transform applied to it.
+  /** The metadata a DML/DDL statement must PLAN against: the staged
+    * preview if this transaction already staged the table, else the
+    * begin-time pin (recorded from `live` on first touch). The caller
+    * passes the SAME object back to [[stage]] as `plannedAgainst`,
+    * which verifies under the lock that no concurrent thread staged in
+    * between (the plan would silently drop that thread's statement).
+    * The boolean is `isFirstStatement` — true when no statement has
+    * staged this table yet (the engine stage-transform should
+    * revalidate its own base).
+    */
+  private[catalog] def planBase(session: SparkSession, location: String,
+      live: => TableMetadata): (TableMetadata, Boolean) = {
+    val st = open.get(session)
+    require(st != null, "no open transaction")
+    st.synchronized {
+      require(!st.closed,
+        "transaction already closed by a concurrent COMMIT/ROLLBACK")
+      require(st.asOfMillis.isEmpty,
+        "DML/DDL is not supported inside BEGIN TRANSACTION AS OF — " +
+          "a historical transaction is read-only")
+      st.previews.get(location) match {
+        case Some(p) => (p, false)
+        case None    => (st.pins.getOrElseUpdate(location, live), true)
+      }
+    }
+  }
+
+  /** Called by the DML/DDL commands when a transaction is open.
+    * `plannedAgainst` is the metadata the statement planned against
+    * (from [[planBase]]); the new preview is the transform applied to
+    * it. `revalidates` marks the chain as requiring the committed-base
+    * check at claim time — true for anything planned against specific
+    * files or a specific schema (row-level DML, DDL), false for pure
+    * appends, which compose with any base.
     */
   private[catalog] def stage(session: SparkSession, location: String,
-      statement: String, stagedAgainst: TableMetadata,
+      statement: String, plannedAgainst: TableMetadata,
+      revalidates: Boolean,
       f: (TableMetadata, Long) => TableMetadata): Unit = {
     val st = open.get(session)
     require(st != null, "no open transaction")
@@ -99,10 +226,58 @@ object GraftSqlTransactions {
       require(!st.closed,
         "transaction already closed by a concurrent COMMIT/ROLLBACK — " +
           s"$statement on $location was not staged")
+      require(st.asOfMillis.isEmpty,
+        s"$statement is not supported inside BEGIN TRANSACTION AS OF — " +
+          "a historical transaction is read-only")
+      // two threads planning statements on the SAME table in one open
+      // transaction: the later stage would record a preview (and a
+      // commit transform) planned WITHOUT the earlier statement's
+      // effects, silently dropping it at COMMIT. Plan-dependent ops
+      // (row-level DML, DDL — anything that chose files or a schema
+      // from its base) refuse loudly and the caller re-plans; appends
+      // depend on no base state, so they REBASE onto the current
+      // preview and both land. (eq, not ==: the planning base IS the
+      // object this state handed out.)
+      val current = st.previews.get(location)
+        .orElse(st.pins.get(location)).getOrElse(plannedAgainst)
+      if (revalidates) require(current eq plannedAgainst,
+        s"$statement on $location was planned against a stale " +
+          "transaction preview (another statement staged on this table " +
+          "concurrently) — re-run the statement")
+      // preview FIRST: if the transform's own preconditions throw
+      // (e.g. a staged ALTER adding a duplicate column), nothing is
+      // recorded — an op buffered without its preview would publish a
+      // statement the session never saw succeed. Preview timestamps/
+      // snapshot ids are preview-only; COMMIT re-applies the chain
+      // with the shared transaction timestamp.
+      val next = f(current, System.currentTimeMillis())
       st.ops += Staged(location, statement, f)
-      // preview timestamps/snapshot ids are preview-only; COMMIT
-      // re-applies the chain with the shared transaction timestamp
-      st.previews(location) = f(stagedAgainst, System.currentTimeMillis())
+      if (revalidates) st.revalidating += location
+      st.previews(location) = next
+    }
+  }
+
+  /** Stage a VIEW redefinition (CREATE OR REPLACE VIEW / ALTER VIEW of
+    * an existing view) — it publishes in COMMIT's same atomic claim
+    * set as the table slots, so a column rename and its dependent
+    * view's repair land together with no stale-pair reader window.
+    * The preview is applied immediately (its `require`s surface at the
+    * statement) and serves this session's view reads ([[viewPreviewFor]]).
+    */
+  private[catalog] def stageView(session: SparkSession, location: String,
+      statement: String, f: ViewMetadata => ViewMetadata): Unit = {
+    val st = open.get(session)
+    require(st != null, "no open transaction")
+    st.synchronized {
+      require(!st.closed,
+        "transaction already closed by a concurrent COMMIT/ROLLBACK — " +
+          s"$statement on $location was not staged")
+      require(st.asOfMillis.isEmpty,
+        s"$statement is not supported inside BEGIN TRANSACTION AS OF — " +
+          "a historical transaction is read-only")
+      st.viewPreviews(location) =
+        f(st.viewPreviews.getOrElse(location, ViewIO.read(location)))
+      st.viewOps += location -> f
     }
   }
 
@@ -122,18 +297,20 @@ object GraftSqlTransactions {
   def commit(session: SparkSession): Int = {
     val st = open.remove(session)
     require(st != null, "COMMIT without an open transaction")
-    val ops = st.synchronized { st.closed = true; st.ops.toVector }
-    if (ops.isEmpty) return 0
+    val (ops, viewOps, pins, revalidating) = st.synchronized {
+      st.closed = true
+      (st.ops.toVector, st.viewOps.toVector, st.pins.toMap,
+        st.revalidating.toSet)
+    }
+    if (ops.isEmpty && viewOps.isEmpty) return 0
     // compose per-location chains in statement order: each table gets
     // ONE claim-set slot whose transform applies its statements
-    // sequentially — the first link validates the real base snapshot,
-    // later links were planned against the chain's preview (stage's
-    // contract) and skip revalidation. The chain's intermediate
-    // snapshots are then COLLAPSED: one published snapshot per table
-    // per transaction, stamped with the shared timestamp, so
-    // transaction-consistent time travel holds (no probe instant can
-    // fall between a table's own statements) and incremental consumers
-    // see the transaction as one commit.
+    // sequentially. The chain's intermediate snapshots are then
+    // COLLAPSED: one published snapshot per table per transaction,
+    // stamped with the shared timestamp, so transaction-consistent
+    // time travel holds (no probe instant can fall between a table's
+    // own statements) and incremental consumers see the transaction as
+    // one commit.
     val byLoc = scala.collection.mutable.LinkedHashMap
       .empty[String, (TableMetadata, Long) => TableMetadata]
     ops.foreach { s =>
@@ -143,13 +320,50 @@ object GraftSqlTransactions {
       }
     }
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
-    MetadataIO.commitAll(byLoc.toSeq.zipWithIndex.map { case ((loc, f), i) =>
+    val tableTransforms = byLoc.toSeq.zipWithIndex.map { case ((loc, f), i) =>
+      // a chain containing row-level DML or DDL was planned against
+      // the transaction's pinned base — whatever kind its FIRST link
+      // was (an INSERT-led chain validates nothing on its own):
+      // revalidate the committed snapshot id at claim time and abort
+      // loudly on a racing commit, never silently land a rewrite
+      // planned against stale files
+      val pinnedBase = pins.get(loc).map(_.currentSnapshotId)
       loc -> ((cur: TableMetadata) => {
+        if (revalidating(loc))
+          pinnedBase.filter(_ != cur.currentSnapshotId).foreach { base =>
+            throw new java.util.ConcurrentModificationException(
+              s"transaction aborted: $loc was committed concurrently " +
+                s"(planned against snapshot ${base.getOrElse("none")}, " +
+                s"now at ${cur.currentSnapshotId.getOrElse("none")}) — " +
+                "the staged statements were planned against stale state; " +
+                "retry the transaction")
+          }
         if (i == 0) sharedTs.set(System.currentTimeMillis())
         f(cur, sharedTs.get)
       })
-    })
-    ops.size
+    }
+    if (viewOps.isEmpty) {
+      MetadataIO.commitAll(tableTransforms)
+    } else {
+      // view redefinitions join the SAME claim set (the DDL +
+      // dependent-view-repair shape); per-location view chains compose
+      // in statement order like table chains
+      val viewByLoc = scala.collection.mutable.LinkedHashMap
+        .empty[String, ViewMetadata => ViewMetadata]
+      viewOps.foreach { case (loc, f) =>
+        viewByLoc(loc) = viewByLoc.get(loc) match {
+          case None    => f
+          case Some(g) => (m: ViewMetadata) => f(g(m))
+        }
+      }
+      MetadataIO.commitSlots(
+        tableTransforms.map { case (loc, f) =>
+          () => MetadataIO.prepareTableSlot(loc, f)
+        } ++ viewByLoc.toSeq.map { case (loc, f) =>
+          () => ViewIO.prepareSlot(loc, f)
+        })
+    }
+    ops.size + viewOps.size
   }
 
   /** Splice a multi-statement chain's intermediate snapshots out of
@@ -192,38 +406,58 @@ object GraftSqlTransactions {
   }
 
   /** Discard the staged set (data files already written become
-    * orphans for GC). Returns how many ops were discarded.
+    * orphans for GC; staged DDL and view redefinitions are
+    * metadata-only and vanish with the buffer). Returns how many ops
+    * were discarded.
     */
   def rollback(session: SparkSession): Int = {
     val st = open.remove(session)
     require(st != null, "ROLLBACK without an open transaction")
-    st.synchronized { st.closed = true; st.ops.size }
+    st.synchronized { st.closed = true; st.ops.size + st.viewOps.size }
   }
 
-  private val BeginRe = "(?is)^\\s*BEGIN\\s+TRANSACTION\\s*;?\\s*$".r
+  private val BeginRe =
+    "(?is)^\\s*BEGIN\\s+TRANSACTION(?:\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*$".r
   private val CommitRe = "(?is)^\\s*COMMIT(\\s+TRANSACTION)?\\s*;?\\s*$".r
   private val RollbackRe =
     "(?is)^\\s*ROLLBACK(\\s+TRANSACTION)?\\s*;?\\s*$".r
 
   /** Parser hook ([[GraftSqlParser]]): claim the three transaction
-    * statements. Spark has no COMMIT/ROLLBACK of its own, and BEGIN is
-    * claimed only in its `BEGIN TRANSACTION` form so SQL-scripting
-    * `BEGIN ... END` blocks stay Spark's.
+    * statements (BEGIN TRANSACTION optionally `AS OF '<ts>'` for a
+    * read-only historical transaction). Spark has no COMMIT/ROLLBACK
+    * of its own, and BEGIN is claimed only in its `BEGIN TRANSACTION`
+    * form so SQL-scripting `BEGIN ... END` blocks stay Spark's.
     */
   private[catalog] def intercept(sqlText: String)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     sqlText match {
-      case BeginRe()       => Some(GraftBeginTransactionCommand())
+      case BeginRe(asOf)   =>
+        Some(GraftBeginTransactionCommand(Option(asOf)))
       case CommitRe(_)     => Some(GraftCommitTransactionCommand())
       case RollbackRe(_)   => Some(GraftRollbackTransactionCommand())
       case _               => None
     }
+
+  /** Timestamps/dates in the AS OF clause are interpreted in UTC,
+    * matching the pinned session timezone and the engine's other
+    * time-travel surfaces.
+    */
+  private[catalog] def parseTsUtc(s: String): Long = {
+    val t = s.trim
+    if (t.contains(":"))
+      java.time.LocalDateTime.parse(t.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    else
+      java.time.LocalDate.parse(t).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
 }
 
-final case class GraftBeginTransactionCommand()
+final case class GraftBeginTransactionCommand(asOf: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    GraftSqlTransactions.begin(session)
+    GraftSqlTransactions.begin(session,
+      asOf.map(GraftSqlTransactions.parseTsUtc))
     Nil
   }
 }

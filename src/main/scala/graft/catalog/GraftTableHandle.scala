@@ -25,8 +25,18 @@ final case class GraftTableHandle(table: GraftTable, tableName: String,
 
   override def name(): String = tableName
 
+  /** Inside an open SQL transaction the handle must present the
+    * TRANSACTION's schema (staged DDL preview, or the begin-time pin):
+    * the relation's output attributes come from here, and the
+    * relation-swap rebind maps them by name onto the transaction-view
+    * read — a committed schema here would desync from a staged rename.
+    */
+  private def viewMeta: graft.tableformat.TableMetadata =
+    GraftSqlTransactions.viewOf(table.spark, table.location)
+      .getOrElse(table.meta)
+
   override def schema(): StructType =
-    table.meta.currentSchema.toStructType
+    viewMeta.currentSchema.toStructType
 
   override def partitioning(): Array[Transform] = {
     val m = table.meta

@@ -455,7 +455,11 @@ object GraftViewSql {
       s"view cycle detected through $db.$view (${(seen + key).mkString(" -> ")})")
     val loc = viewLocation(spark, db, view)
       .getOrElse(sys.error(s"view $db.$view not found"))
-    val meta = ViewIO.read(loc)
+    // read-your-own-writes for view DDL: a redefinition staged in this
+    // session's open transaction serves its NEW definition here, the
+    // committed document is untouched until COMMIT
+    val meta = GraftSqlTransactions.viewPreviewFor(spark, loc)
+      .getOrElse(ViewIO.read(loc))
     val v = (versionId, tsMillis) match {
       case (Some(id), _) => meta.version(id).getOrElse(
         sys.error(s"view $db.$view has no version $id " +

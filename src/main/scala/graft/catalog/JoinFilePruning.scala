@@ -250,6 +250,14 @@ private[graft] object JoinFilePruning {
     */
   private[graft] def pruneTree(spark: SparkSession, plan: LogicalPlan,
       outer: Seq[Expression]): LogicalPlan = plan match {
+    // inside an open SQL transaction every graft read is transaction-
+    // local (staged preview, or the begin-time snapshot pin recorded by
+    // the relation swap) — pruning here would capture LIVE committed
+    // metadata for not-yet-swapped handles and evaluate build domains
+    // against it, breaking snapshot isolation. Stand down whole: the
+    // ordinary swap serves the transaction's view; transactions are
+    // short-lived, correctness over plan quality.
+    case _ if GraftSqlTransactions.active(spark) => plan
     case j: Join if j.resolved =>
       val attempted =
         if (j.getTagValue(Attempted).contains(true)) j

@@ -371,9 +371,11 @@ final class GraftTable(val spark: SparkSession, val location: String) {
       AttributeReference, Expression => CExpr, In => CIn,
       Literal => CLit, SubqueryExpression}
     if (conjs.isEmpty) return base
+    // toIntOption, not toInt: a malformed conf value must degrade to
+    // the default, not fail every pruned read (the no-failure contract)
     val maxIn = spark.conf
       .getOption("spark.graft.dynamicPruning.residualMaxIn")
-      .map(_.toInt).getOrElse(1000)
+      .flatMap(_.toIntOption).getOrElse(1000)
     val colNames = m.currentSchema.fields.map(_.name).toSet
     def usable(e: CExpr): Boolean =
       e.deterministic && e != CLit.TrueLiteral &&
@@ -2668,15 +2670,27 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   // ------------------------------------------------------------------ DDL
 
   /** ALTER TABLE ADD COLUMN (reference: apiv15.py:94; SURVEY D3). */
-  def addColumn(name: String, dataType: String): GraftTable =
-    evolveSchema(s"add-column $name") { m =>
+  def addColumn(name: String, dataType: String): GraftTable = {
+    MetadataIO.commitRetry(location)(addColumnTransform(name, dataType))
+    this
+  }
+
+  private[graft] def addColumnTransform(name: String,
+      dataType: String): TableMetadata => TableMetadata =
+    schemaEvolution(s"add-column $name") { m =>
       require(m.currentSchema.fieldByName(name).isEmpty, s"column $name exists")
       m.currentSchema.fields :+ FieldDef(m.nextFieldId, name, dataType)
     }
 
   /** ALTER TABLE DROP COLUMN (reference: apiv15.py:122; SURVEY D4). */
-  def dropColumn(name: String): GraftTable =
-    evolveSchema(s"drop-column $name") { m =>
+  def dropColumn(name: String): GraftTable = {
+    MetadataIO.commitRetry(location)(dropColumnTransform(name))
+    this
+  }
+
+  private[graft] def dropColumnTransform(name: String)
+      : TableMetadata => TableMetadata =
+    schemaEvolution(s"drop-column $name") { m =>
       val f = m.currentSchema.fieldByName(name)
         .getOrElse(sys.error(s"no column $name"))
       // dropping a live equality-delete key would make every read —
@@ -2693,30 +2707,39 @@ final class GraftTable(val spark: SparkSession, val location: String) {
   /** ALTER TABLE RENAME COLUMN — same field-id, new name; the core
     * evolution semantic (reference: apiv15.py:352; SURVEY D5).
     */
-  def renameColumn(oldName: String, newName: String): GraftTable =
-    evolveSchema(s"rename-column $oldName->$newName") { m =>
+  def renameColumn(oldName: String, newName: String): GraftTable = {
+    MetadataIO.commitRetry(location)(renameColumnTransform(oldName, newName))
+    this
+  }
+
+  private[graft] def renameColumnTransform(oldName: String,
+      newName: String): TableMetadata => TableMetadata =
+    schemaEvolution(s"rename-column $oldName->$newName") { m =>
       val f = m.currentSchema.fieldByName(oldName)
         .getOrElse(sys.error(s"no column $oldName"))
       require(m.currentSchema.fieldByName(newName).isEmpty, s"column $newName exists")
       m.currentSchema.fields.map(x => if (x.id == f.id) x.copy(name = newName) else x)
     }
 
-  /** Each evolution records provenance as a table property (the
-    * reference's schema_api_mapping.json side-file, H4, folded into
-    * metadata: schema-id -> what changed).
+  /** The pure metadata transform behind every schema evolution —
+    * each records provenance as a table property (the reference's
+    * schema_api_mapping.json side-file, H4, folded into metadata:
+    * schema-id -> what changed). Exposed so
+    * DDL can STAGE inside a SQL transaction
+    * ([[graft.catalog.GraftSqlTransactions]]): the same transform
+    * either commits immediately (commitRetry) or joins a transaction's
+    * claim-set slot, re-running its own preconditions against whatever
+    * metadata it is finally applied to.
     */
-  private def evolveSchema(op: String)(f: TableMetadata => Vector[FieldDef]): GraftTable = {
-    // f re-runs against the freshest metadata on a commit conflict, so
-    // its own preconditions (column exists / doesn't) re-validate too
-    MetadataIO.commitRetry(location) { cur =>
+  private[graft] def schemaEvolution(op: String)(
+      f: TableMetadata => Vector[FieldDef]): TableMetadata => TableMetadata =
+    cur => {
       val next = VersionedSchema(cur.schemas.map(_.schemaId).max + 1, f(cur))
       cur.copy(currentSchemaId = next.schemaId,
         schemas = cur.schemas :+ next,
         properties = cur.properties +
           (s"graft.schema-log.${next.schemaId}" -> op))
     }
-    this
-  }
 
   def setProperties(props: Map[String, String]): GraftTable = {
     MetadataIO.commitRetry(location)(cur =>
@@ -2762,8 +2785,14 @@ final class GraftTable(val spark: SparkSession, val location: String) {
     * mapping's cast. Only safe widenings are allowed — a lossy change
     * would silently corrupt historical files at read time.
     */
-  def alterColumnType(name: String, newType: String): GraftTable =
-    evolveSchema(s"alter-column-type $name->$newType") { m =>
+  def alterColumnType(name: String, newType: String): GraftTable = {
+    MetadataIO.commitRetry(location)(alterColumnTypeTransform(name, newType))
+    this
+  }
+
+  private[graft] def alterColumnTypeTransform(name: String,
+      newType: String): TableMetadata => TableMetadata =
+    schemaEvolution(s"alter-column-type $name->$newType") { m =>
       val f = m.currentSchema.fieldByName(name)
         .getOrElse(sys.error(s"no column $name"))
       def decimalOf(t: String): Option[(Int, Int)] =

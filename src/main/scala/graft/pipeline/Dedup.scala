@@ -650,7 +650,7 @@ object Dedup {
     cutAndReassemble(base, grams, owners, idCol, k)
   }
 
-  private def spanBase(df: DataFrame, idCol: String,
+  private[pipeline] def spanBase(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     spread(df).select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__toks", tokens(col("__text")))
@@ -658,7 +658,7 @@ object Dedup {
   /** Positional k-gram hashes: one (id, pos, gram-hash) row per
     * starting token position — one codegen'd pass per document.
     */
-  private def spanGrams(base: DataFrame, k: Int): DataFrame =
+  private[pipeline] def spanGrams(base: DataFrame, k: Int): DataFrame =
     base.select(col("__id"), posexplode(
         when(size(col("__toks")) >= k, expr(
           s"transform(sequence(0, size(__toks) - $k), " +

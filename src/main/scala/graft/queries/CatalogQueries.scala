@@ -1708,6 +1708,85 @@ object CatalogQueries {
                             WHERE c_mktsegment = 'BUILDING'
                               AND c_acctbal >= 9900.0)
         GROUP BY o_custkey ORDER BY o_custkey
+      """)),
+
+    // TRANSACTIONAL DDL + DEPENDENT-VIEW REPAIR: the reference's own
+    // schema-evolution story (apiv15.py:352 renames Phone and repairs
+    // the API layer) as ONE SQL transaction — ALTER TABLE ... RENAME
+    // COLUMN and the dependent view's CREATE OR REPLACE publish
+    // through one atomic claim set, so no reader window pairs the
+    // renamed table with the stale definition. Pins: ROLLBACK discards
+    // a staged rename whole; inside the transaction the STAGED view
+    // over the STAGED schema serves read-your-own-writes; after COMMIT
+    // the pair flips together. The oracle recomputes the repaired
+    // view's result from the base parquet — a half-applied pair breaks
+    // it as an analysis error (stale view names a dead column), a torn
+    // rename breaks the sums.
+    QueryDef(
+      "q177_transactional_ddl_view",
+      (s, d) => {
+        val wh = setupOnce("q177", d) {
+          val w = scratch("txnddl")
+          val before = graft.tableformat.FileIO.io
+          val server = new graft.tableformat.CatalogCommitServer
+          try {
+            graft.tableformat.FileIO.install(
+              new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+            val cat = new GraftCatalog(s, w)
+            cat.createDatabase("db1")
+            val emp = cat.createTable("db1", "emp_ddl", Seq(
+              "c_custkey" -> "long", "Phone" -> "string"))
+            emp.append(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_name").as("Phone")))
+            s.conf.set("spark.graft.warehouse", w)
+            s.sql("CREATE VIEW graft.db1.emp_v AS " +
+              "SELECT Phone AS phone, c_custkey FROM graft.db1.emp_ddl")
+            try {
+              // ROLLBACK discards a staged rename whole
+              s.sql("BEGIN TRANSACTION")
+              s.sql("ALTER TABLE graft.db1.emp_ddl " +
+                "RENAME COLUMN Phone TO `Phone number`")
+              s.sql("ROLLBACK")
+              require(emp.meta.currentSchema.fieldByName("Phone").isDefined,
+                "ROLLBACK must discard the staged rename")
+              // rename + view repair in ONE transaction
+              s.sql("BEGIN TRANSACTION")
+              s.sql("ALTER TABLE graft.db1.emp_ddl " +
+                "RENAME COLUMN Phone TO `Phone number`")
+              s.sql("CREATE OR REPLACE VIEW graft.db1.emp_v AS " +
+                "SELECT `Phone number` AS phone, c_custkey " +
+                "FROM graft.db1.emp_ddl")
+              require(s.sql("SELECT count(*) FROM graft.db1.emp_v")
+                .head().getLong(0) > 0,
+                "the staged view over the staged schema must serve RYOW")
+              require(emp.meta.currentSchema.fieldByName("Phone").isDefined,
+                "the staged rename leaked into the committed schema")
+              s.sql("COMMIT")
+            } finally {
+              if (graft.catalog.GraftSqlTransactions.active(s))
+                s.sql("ROLLBACK")
+            }
+            require(emp.meta.currentSchema
+              .fieldByName("Phone number").isDefined,
+              "the rename did not commit")
+          } finally {
+            graft.tableformat.FileIO.install(before)
+            server.close()
+          }
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 min(phone) AS min_phone, max(phone) AS max_phone,
+                 CAST(sum(c_custkey) AS BIGINT) AS sum_key
+          FROM graft.db1.emp_v""")
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               min(c_name) AS min_phone, max(c_name) AS max_phone,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        FROM customer
       """))
   )
 }

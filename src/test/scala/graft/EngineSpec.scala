@@ -2242,4 +2242,70 @@ class EngineSpec extends AnyFunSuite {
     assert(!c3.meta.properties.contains("graft.clones"))
     assert(!c3.meta.properties.contains("graft.clones.allow-unsafe-retention"))
   }
+
+  test("ROLLBACK's staged files are reclaimable orphans: the audit stays " +
+      "clean meanwhile, the age guard spares a LIVE transaction's staged " +
+      "files, and the zero-guard sweep restores the exact pre-transaction " +
+      "file population") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-orph").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val cow = cat.createTable("db", "orph_cow",
+      Seq("id" -> "long", "v" -> "long"))
+    val mor = cat.createTable("db", "orph_mor",
+      Seq("id" -> "long", "v" -> "long"),
+      properties = Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read",
+        "write.merge.mode" -> "merge-on-read"))
+    cow.append((1L to 10L).map(i => (i, i)).toDF("id", "v"))
+    mor.append((1L to 10L).map(i => (i, i)).toDF("id", "v"))
+    val io = graft.tableformat.FileIO.io
+    // FILES only (parquet + metadata documents): Spark's writer leaves
+    // per-write DIRECTORIES under data/ that survive reclamation empty
+    // — the sweep's contract is about bytes, not directory entries
+    def population(t: GraftTable): Set[String] =
+      (io.listRecursive(s"${t.location}/data")
+        .filter(_.endsWith(".parquet")) ++
+        io.listDir(s"${t.location}/metadata")).toSet
+    val cowBefore = population(cow)
+    val morBefore = population(mor)
+    // stage CoW DELETE + MERGE and a MoR UPDATE in one transaction —
+    // their rewrite files / positional-delete files / copies hit disk
+    // now, referenced by nothing committed
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("DELETE FROM graft.db.orph_cow WHERE id <= 3")
+    spark.sql("MERGE INTO graft.db.orph_cow t " +
+      "USING (SELECT 4L AS sid, 40L AS sv) s ON t.id = s.sid " +
+      "WHEN MATCHED THEN UPDATE SET v = s.sv")
+    spark.sql("UPDATE graft.db.orph_mor SET v = v + 1 WHERE id = 5")
+    assert((population(cow) -- cowBefore).nonEmpty,
+      "staging must have written CoW rewrite files")
+    assert((population(mor) -- morBefore).nonEmpty,
+      "staging must have written MoR delete/copy files")
+    // (c) the age-guarded sweep (default 3-day window) must SPARE the
+    // open transaction's young staged files — an unguarded GC racing
+    // the staging window is the corruption the guard exists for
+    assert(cow.removeOrphanFiles().isEmpty &&
+      mor.removeOrphanFiles().isEmpty,
+      "the in-flight-write guard must spare a live transaction's files")
+    // (a) the integrity audit reports NO findings on unreferenced
+    // staged files (it verifies referenced bytes exist, not that
+    // unreferenced bytes don't)
+    assert(cow.verifyIntegrity(allSnapshots = true).isEmpty)
+    assert(mor.verifyIntegrity(allSnapshots = true).isEmpty)
+    spark.sql("ROLLBACK")
+    assert(cow.verifyIntegrity(allSnapshots = true).isEmpty)
+    // (b) the zero-guard sweep reclaims the staged files — and ONLY
+    // them: the file population returns byte-identical to the
+    // pre-transaction state, so nothing referenced was touched
+    assert(cow.removeOrphanFiles(0).nonEmpty)
+    assert(mor.removeOrphanFiles(0).nonEmpty)
+    assert(population(cow) == cowBefore,
+      "the sweep must reclaim exactly the rolled-back staged files")
+    assert(population(mor) == morBefore)
+    assert(cow.read().count() == 10 && mor.read().count() == 10)
+    assert(cow.verifyIntegrity(allSnapshots = true).isEmpty)
+    assert(mor.verifyIntegrity(allSnapshots = true).isEmpty)
+  }
 }

@@ -1365,4 +1365,205 @@ class NativeSqlSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("snapshot-isolated reads inside a transaction: the begin-time " +
+      "pin holds across statements, explicit AS OF overrides, " +
+      "COMMIT/ROLLBACK release the pin") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "si", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    def n(): Long =
+      spark.sql("SELECT count(*) FROM graft.db.si").head().getLong(0)
+    spark.sql("BEGIN TRANSACTION")
+    assert(n() == 2, "first touch pins the committed snapshot")
+    // a concurrent commit lands BETWEEN two statements of the open
+    // transaction (API-level append — not transaction-mediated)
+    t.append(Seq(3L).toDF("id"))
+    assert(n() == 2,
+      "a concurrent commit must not change a later statement's input " +
+        "(snapshot isolation, not read-committed-per-statement)")
+    // filtered reads take the same pin (the Filter-case swap path)
+    assert(spark.sql("SELECT count(*) FROM graft.db.si WHERE id >= 3")
+      .head().getLong(0) == 0)
+    // explicit time travel names its own snapshot — it overrides
+    val vNew = t.meta.currentSnapshot.get.snapshotId
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.si VERSION AS OF $vNew")
+      .head().getLong(0) == 3)
+    // a read-only transaction commits vacuously on any backend
+    spark.sql("COMMIT")
+    assert(n() == 3, "COMMIT releases the pin")
+    spark.sql("BEGIN TRANSACTION")
+    assert(n() == 3)
+    t.append(Seq(4L).toDF("id"))
+    assert(n() == 3)
+    spark.sql("ROLLBACK")
+    assert(n() == 4, "ROLLBACK releases the pin")
+  }
+
+  test("BEGIN TRANSACTION AS OF: reproducible multi-statement reads " +
+      "over one historical instant; DML refuses (read-only)") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "asof", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    val ts = t.meta.currentSnapshot.get.timestampMs
+    Thread.sleep(5)
+    t.append(Seq(3L).toDF("id"))
+    val tsStr = java.time.Instant.ofEpochMilli(ts)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace("T", " ")
+    def n(): Long =
+      spark.sql("SELECT count(*) FROM graft.db.asof").head().getLong(0)
+    spark.sql(s"BEGIN TRANSACTION AS OF '$tsStr'")
+    assert(n() == 2, "reads must resolve to the instant's snapshot")
+    // commits after BEGIN are invisible — the instant is pinned
+    t.append(Seq(4L).toDF("id"))
+    assert(n() == 2)
+    // a table that had no snapshot at the instant reads empty (the
+    // engine's readAsOfTime contract)
+    val young = cat.createTable("db", "asof_young", Seq("id" -> "long"))
+    young.append(Seq(7L).toDF("id"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.asof_young")
+      .head().getLong(0) == 0)
+    // historical transactions are read-only
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.db.asof VALUES (9)"))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.asof ADD COLUMN extra string"))
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    spark.sql("COMMIT") // vacuous: nothing staged, any backend
+    assert(n() == 4, "COMMIT releases the historical pin")
+  }
+
+  test("a chain led by INSERT still revalidates its base at COMMIT: a " +
+      "racing commit aborts the transaction; pure-append chains compose") {
+    import spark.implicits._
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = freshCat()
+      val t = cat.createTable("db", "rv", Seq("id" -> "long"))
+      t.append(Seq(1L, 2L, 3L).toDF("id"))
+      // INSERT first, DELETE second: the chain's first link is an
+      // append (which validates nothing on its own) — the transaction
+      // must STILL abort when a racing commit moves the base, or the
+      // DELETE's rewrite (planned against the stale file set) would
+      // silently resurrect the racer's rows
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.rv VALUES (10)")
+      spark.sql("DELETE FROM graft.db.rv WHERE id = 2")
+      t.append(Seq(100L).toDF("id")) // the racing commit
+      val e = intercept[Exception](spark.sql("COMMIT"))
+      assert(e.getMessage.contains("committed concurrently"),
+        s"expected the concurrent-commit abort, got: ${e.getMessage}")
+      assert(t.read().as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 100L),
+        "the aborted transaction must land NOTHING; the racer's commit stands")
+      // the same race against a pure-append chain composes fine —
+      // appends conflict with no base by construction
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.rv VALUES (11)")
+      spark.sql("INSERT INTO graft.db.rv VALUES (12)")
+      t.append(Seq(200L).toDF("id")) // racing commit again
+      spark.sql("COMMIT")
+      assert(t.read().as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 11L, 12L, 100L, 200L))
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+  }
+
+  test("DDL stages inside transactions: rename + dependent view repair " +
+      "commit atomically, ROLLBACK discards, non-stageable DDL refuses") {
+    import spark.implicits._
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = freshCat()
+      val t = cat.createTable("db", "ddl",
+        Seq("id" -> "long", "Phone" -> "string"))
+      t.append(Seq((1L, "555")).toDF("id", "Phone"))
+      spark.sql("CREATE VIEW graft.db.ddl_v AS " +
+        "SELECT Phone AS p FROM graft.db.ddl")
+      val viewLoc = cat.location("db", "ddl_v")
+      val schemaBefore = t.meta.currentSchema
+      val viewBefore = graft.catalog.ViewIO.read(viewLoc)
+      // staged ALTER: visible to this session (RYOW), committed state
+      // untouched, ROLLBACK leaves schema + view catalog identical
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql(
+        "ALTER TABLE graft.db.ddl RENAME COLUMN Phone TO `Phone number`")
+      assert(spark.sql(
+        "SELECT `Phone number` FROM graft.db.ddl").count() == 1,
+        "the staged rename must serve this session's reads")
+      assert(t.meta.currentSchema.fieldByName("Phone").isDefined,
+        "the committed schema must be untouched while staged")
+      // the staged-DDL preconditions surface AT the statement
+      val dup = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.db.ddl ADD COLUMN `Phone number` string"))
+      assert(dup.getMessage.contains("exists"), dup.getMessage)
+      spark.sql("ROLLBACK")
+      assert(t.meta.currentSchema == schemaBefore,
+        "ROLLBACK must leave the schema byte-identical")
+      assert(graft.catalog.ViewIO.read(viewLoc) == viewBefore)
+      // the reference's rename-resilience story as ONE transaction
+      // (apiv15.py:352): rename the column AND repair the dependent
+      // view — both land in one atomic claim set
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql(
+        "ALTER TABLE graft.db.ddl RENAME COLUMN Phone TO `Phone number`")
+      spark.sql("CREATE OR REPLACE VIEW graft.db.ddl_v AS " +
+        "SELECT `Phone number` AS p FROM graft.db.ddl")
+      // RYOW through the STAGED view over the STAGED schema
+      assert(spark.sql("SELECT p FROM graft.db.ddl_v")
+        .head().getString(0) == "555")
+      // committed view still serves the old pair to other readers
+      assert(graft.catalog.ViewIO.read(viewLoc).current.sql
+        .contains("Phone AS p"))
+      spark.sql("COMMIT")
+      assert(t.meta.currentSchema.fieldByName("Phone number").isDefined)
+      assert(graft.catalog.ViewIO.read(viewLoc).current.sql
+        .contains("`Phone number` AS p"))
+      assert(spark.sql("SELECT p FROM graft.db.ddl_v")
+        .head().getString(0) == "555")
+      // INSERT after a staged ADD COLUMN plans against the NEW schema
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("ALTER TABLE graft.db.ddl ADD COLUMN note string")
+      spark.sql("INSERT INTO graft.db.ddl VALUES (2, '666', 'hi')")
+      assert(spark.sql(
+        "SELECT note FROM graft.db.ddl WHERE id = 2").head().getString(0)
+        == "hi")
+      spark.sql("COMMIT")
+      assert(spark.sql(
+        "SELECT note FROM graft.db.ddl WHERE id = 2").head().getString(0)
+        == "hi")
+      // non-stageable DDL refuses loudly instead of committing outside
+      // the transaction (and ROLLBACK-surviving)
+      spark.sql("BEGIN TRANSACTION")
+      def refused(sql: String): Unit = {
+        val e = intercept[Exception](spark.sql(sql))
+        assert(e.getMessage.contains("BEGIN TRANSACTION"),
+          s"$sql -> ${e.getMessage}")
+      }
+      refused("DROP TABLE graft.db.ddl")
+      refused("ALTER TABLE graft.db.ddl RENAME TO graft.db.ddl2")
+      refused("CREATE TABLE graft.db.brandnew (id bigint)")
+      refused("DROP VIEW graft.db.ddl_v")
+      refused("CREATE VIEW graft.db.brandnew_v AS SELECT 1 AS one")
+      spark.sql("ROLLBACK")
+      assert(t.meta.currentSchema.fieldByName("Phone number").isDefined,
+        "refused statements must leave committed state untouched")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+  }
 }
