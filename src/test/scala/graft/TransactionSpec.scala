@@ -310,7 +310,8 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
 
   test("chained-transaction differential fuzz: a random statement " +
       "chain committed as ONE transaction equals the same statements " +
-      "run sequentially, on CoW and MoR tables, one snapshot per chain") {
+      "run sequentially, on CoW and MoR tables, one snapshot per chain " +
+      "(DML + staged-DDL arms)") {
     import spark.implicits._
     val seed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "1809").toLong
     val rnd = new scala.util.Random(seed)
@@ -321,11 +322,14 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
         new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
       val cat = new GraftCatalog(spark, tmp())
       for (round <- 0 until 4) {
+        // `tag` exists for the RENAME arm only — DML never names it,
+        // so a mid-chain rename can't invalidate later statements
         val txn = cat.createTable("db", s"chf_t$round",
-          Seq("id" -> "long", "v" -> "long"))
+          Seq("id" -> "long", "v" -> "long", "tag" -> "string"))
         val seqT = cat.createTable("db", s"chf_s$round",
-          Seq("id" -> "long", "v" -> "long"))
-        val init = (0L until 50L).map(i => (i, i)).toDF("id", "v")
+          Seq("id" -> "long", "v" -> "long", "tag" -> "string"))
+        val init = (0L until 50L).map(i => (i, i, s"t$i"))
+          .toDF("id", "v", "tag")
         txn.append(init); seqT.append(init)
         if (round % 2 == 1) {
           val mor = Map("write.delete.mode" -> "merge-on-read",
@@ -333,25 +337,44 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
             "write.merge.mode" -> "merge-on-read")
           txn.setProperties(mor); seqT.setProperties(mor)
         }
+        // generation is sequential, so the rename arm can track the
+        // tag column's current name deterministically
+        var tagName = "tag"
+        var dataStmts = 0
         val stmts: Seq[String => String] =
           (0 until 2 + rnd.nextInt(3)).map { k =>
-            rnd.nextInt(4) match {
+            rnd.nextInt(7) match {
               case 0 =>
+                dataStmts += 1
                 val id = 100 + round * 10 + k
-                (t: String) => s"INSERT INTO $t VALUES ($id, $k)"
+                (t: String) => s"INSERT INTO $t (id, v) VALUES ($id, $k)"
               case 1 =>
+                dataStmts += 1
                 val m = 2 + rnd.nextInt(5)
                 (t: String) => s"DELETE FROM $t WHERE id % $m = 1"
               case 2 =>
+                dataStmts += 1
                 val m = 2 + rnd.nextInt(5)
                 (t: String) => s"UPDATE $t SET v = v + 10 WHERE id % $m = 0"
-              case _ =>
+              case 3 =>
+                dataStmts += 1
                 val sid = rnd.nextInt(60); val sv = k * 7
                 (t: String) => s"MERGE INTO $t x USING " +
                   s"(SELECT CAST($sid AS BIGINT) AS sid, " +
                   s"CAST($sv AS BIGINT) AS sv) s ON x.id = s.sid " +
                   "WHEN MATCHED THEN UPDATE SET v = s.sv " +
                   "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)"
+              // DDL arms (r19: staged DDL must compose with DML in one
+              // chain and land in the same claim set)
+              case 4 =>
+                (t: String) => s"ALTER TABLE $t ADD COLUMN extra$k string"
+              case 5 =>
+                val old = tagName; tagName = s"tag$k"
+                (t: String) =>
+                  s"ALTER TABLE $t RENAME COLUMN $old TO $tagName"
+              case _ =>
+                (t: String) => s"ALTER TABLE $t SET TBLPROPERTIES " +
+                  s"('fuzz.k$k' = 'v$k')"
             }
           }
         val snaps0 = txn.meta.snapshots.size
@@ -359,15 +382,22 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
         stmts.foreach(f => spark.sql(f(s"graft.db.chf_t$round")))
         spark.sql("COMMIT")
         stmts.foreach(f => spark.sql(f(s"graft.db.chf_s$round")))
-        val a = txn.read().orderBy("id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq
-        val b = seqT.read().orderBy("id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val a = txn.read().orderBy("id").collect().map(_.toSeq).toSeq
+        val b = seqT.read().orderBy("id").collect().map(_.toSeq).toSeq
         assert(a == b,
           s"round $round (seed $seed, ${stmts.size} statements): " +
             s"chained != sequential")
-        assert(txn.meta.snapshots.size == snaps0 + 1,
-          s"round $round: the chain must publish ONE snapshot")
+        assert(txn.meta.currentSchema.fields ==
+          seqT.meta.currentSchema.fields,
+          s"round $round: staged-DDL schema diverged from sequential")
+        assert(txn.meta.properties.filter(_._1.startsWith("fuzz.")) ==
+          seqT.meta.properties.filter(_._1.startsWith("fuzz.")),
+          s"round $round: staged properties diverged")
+        // DDL adds no snapshot; any data statements collapse to ONE
+        assert(txn.meta.snapshots.size ==
+          snaps0 + (if (dataStmts > 0) 1 else 0),
+          s"round $round: the chain must publish ONE snapshot " +
+            s"($dataStmts data statements)")
       }
     } finally {
       graft.tableformat.FileIO.install(before)
