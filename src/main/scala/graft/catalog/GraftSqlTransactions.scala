@@ -87,6 +87,17 @@ object GraftSqlTransactions {
       .empty[(String, ViewMetadata => ViewMetadata)]
     val viewPreviews =
       scala.collection.mutable.LinkedHashMap.empty[String, ViewMetadata]
+    // begin-time pins for VIEW DOCUMENTS (the definition a reader
+    // expands) — views get the same snapshot-isolation contract as
+    // tables: first touch records the committed document, later
+    // statements expand the same definition whatever concurrent
+    // redefinitions commit
+    val viewPins =
+      scala.collection.mutable.LinkedHashMap.empty[String, ViewMetadata]
+    // committed currentVersionId at each staged view's first touch —
+    // COMMIT revalidates it (a racing redefinition aborts loudly
+    // instead of being silently superseded)
+    val viewBases = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var closed = false
     /** `BEGIN TRANSACTION AS OF '<ts>'`: every table pins to its
       * snapshot at this instant instead of its current one — a
@@ -105,17 +116,6 @@ object GraftSqlTransactions {
 
   def active(session: SparkSession): Boolean = open.containsKey(session)
 
-  /** The transaction's PREVIEW metadata for a location — what
-    * follow-up statements on a STAGED table plan against. None when no
-    * open transaction has staged that table (an untouched table's read
-    * view is the PIN — see [[readView]]).
-    */
-  private[catalog] def previewFor(session: SparkSession,
-      location: String): Option[TableMetadata] = {
-    val st = open.get(session)
-    if (st == null) None else st.synchronized(st.previews.get(location))
-  }
-
   /** The transaction's READ view of a location: the staged PREVIEW
     * when this transaction staged the table (read-your-own-writes),
     * else the BEGIN-TIME PIN — on first touch the caller's `live`
@@ -128,21 +128,67 @@ object GraftSqlTransactions {
   private[catalog] def readView(session: SparkSession, location: String,
       live: => TableMetadata): Option[TableMetadata] = {
     val st = open.get(session)
-    if (st == null) None
-    else st.synchronized {
+    if (st == null) return None
+    // fast path: an existing preview/pin answers under the lock alone
+    st.synchronized {
+      if (st.closed) return None
+      val hit = st.previews.get(location).orElse(st.pins.get(location))
+      if (hit.isDefined) return hit
+    }
+    // first touch: evaluate the committed metadata OUTSIDE the lock —
+    // it is file/network I/O (CatalogFileIO round-trips), and holding
+    // the state lock through it would serialize every concurrent
+    // stage()/readView() on the session behind the fetch. A losing
+    // racer's extra read is an idempotent committed read; the first
+    // recorded pin wins, as before.
+    val fresh = st.asOfMillis match {
+      // AS OF transaction: the pin is the table's snapshot AT the
+      // requested instant (a table with no snapshot then reads
+      // empty — the engine's own readAsOfTime contract)
+      case Some(ts) =>
+        val m = live
+        m.copy(currentSnapshotId = m.snapshotAsOfTime(ts).map(_.snapshotId))
+      case None => live
+    }
+    st.synchronized {
       if (st.closed) None
       else Some(st.previews.getOrElse(location,
-        st.pins.getOrElseUpdate(location, st.asOfMillis match {
-          // AS OF transaction: the pin is the table's snapshot AT the
-          // requested instant (a table with no snapshot then reads
-          // empty — the engine's own readAsOfTime contract)
-          case Some(ts) =>
-            val m = live
-            m.copy(currentSnapshotId =
-              m.snapshotAsOfTime(ts).map(_.snapshotId))
-          case None => live
-        })))
+        st.pins.getOrElseUpdate(location, fresh)))
     }
+  }
+
+  /** [[readView]] for VIEW DOCUMENTS: the staged redefinition preview
+    * (read-your-own-writes), else the begin-time document pin — a
+    * concurrent CREATE OR REPLACE VIEW between two statements cannot
+    * change which definition the second statement expands. None when
+    * no transaction is open.
+    */
+  private[catalog] def viewReadView(session: SparkSession,
+      location: String, live: => ViewMetadata): Option[ViewMetadata] = {
+    val st = open.get(session)
+    if (st == null) return None
+    st.synchronized {
+      if (st.closed) return None
+      val hit = st.viewPreviews.get(location)
+        .orElse(st.viewPins.get(location))
+      if (hit.isDefined) return hit
+    }
+    val fresh = live // I/O outside the lock, like readView
+    st.synchronized {
+      if (st.closed) None
+      else Some(st.viewPreviews.getOrElse(location,
+        st.viewPins.getOrElseUpdate(location, fresh)))
+    }
+  }
+
+  /** The open transaction's AS OF instant, if any — view expansion
+    * resolves the DEFINITION version at this instant (tables pin their
+    * data snapshot through [[readView]]; views version their SQL, so
+    * the historical read needs the definition that was current then).
+    */
+  private[catalog] def asOfMillisOf(session: SparkSession): Option[Long] = {
+    val st = open.get(session)
+    if (st == null) None else st.synchronized(st.asOfMillis)
   }
 
   /** Non-mutating twin of [[readView]] for plan-rule guards: the
@@ -195,15 +241,30 @@ object GraftSqlTransactions {
       live: => TableMetadata): (TableMetadata, Boolean) = {
     val st = open.get(session)
     require(st != null, "no open transaction")
-    st.synchronized {
+    def guards(): Unit = {
       require(!st.closed,
         "transaction already closed by a concurrent COMMIT/ROLLBACK")
       require(st.asOfMillis.isEmpty,
         "DML/DDL is not supported inside BEGIN TRANSACTION AS OF — " +
           "a historical transaction is read-only")
+    }
+    st.synchronized {
+      guards()
+      st.previews.get(location) match {
+        case Some(p) => return (p, false)
+        case None =>
+      }
+      st.pins.get(location) match {
+        case Some(p) => return (p, true)
+        case None =>
+      }
+    }
+    val fresh = live // metadata I/O outside the lock (see readView)
+    st.synchronized {
+      guards()
       st.previews.get(location) match {
         case Some(p) => (p, false)
-        case None    => (st.pins.getOrElseUpdate(location, live), true)
+        case None    => (st.pins.getOrElseUpdate(location, fresh), true)
       }
     }
   }
@@ -268,6 +329,13 @@ object GraftSqlTransactions {
       statement: String, f: ViewMetadata => ViewMetadata): Unit = {
     val st = open.get(session)
     require(st != null, "no open transaction")
+    // first touch pins the committed document (I/O outside the lock);
+    // the pin's version id is the base COMMIT revalidates against — a
+    // racing redefinition must abort the transaction, never be
+    // silently buried as a non-current version
+    val base = viewReadView(session, location, ViewIO.read(location))
+      .getOrElse(sys.error(
+        s"$statement on $location: transaction closed concurrently"))
     st.synchronized {
       require(!st.closed,
         "transaction already closed by a concurrent COMMIT/ROLLBACK — " +
@@ -275,8 +343,11 @@ object GraftSqlTransactions {
       require(st.asOfMillis.isEmpty,
         s"$statement is not supported inside BEGIN TRANSACTION AS OF — " +
           "a historical transaction is read-only")
+      if (!st.viewBases.contains(location))
+        st.viewBases(location) = st.viewPins.get(location)
+          .map(_.currentVersionId).getOrElse(base.currentVersionId)
       st.viewPreviews(location) =
-        f(st.viewPreviews.getOrElse(location, ViewIO.read(location)))
+        f(st.viewPreviews.getOrElse(location, base))
       st.viewOps += location -> f
     }
   }
@@ -297,10 +368,10 @@ object GraftSqlTransactions {
   def commit(session: SparkSession): Int = {
     val st = open.remove(session)
     require(st != null, "COMMIT without an open transaction")
-    val (ops, viewOps, pins, revalidating) = st.synchronized {
+    val (ops, viewOps, pins, revalidating, viewBases) = st.synchronized {
       st.closed = true
       (st.ops.toVector, st.viewOps.toVector, st.pins.toMap,
-        st.revalidating.toSet)
+        st.revalidating.toSet, st.viewBases.toMap)
     }
     if (ops.isEmpty && viewOps.isEmpty) return 0
     // compose per-location chains in statement order: each table gets
@@ -360,7 +431,20 @@ object GraftSqlTransactions {
         tableTransforms.map { case (loc, f) =>
           () => MetadataIO.prepareTableSlot(loc, f)
         } ++ viewByLoc.toSeq.map { case (loc, f) =>
-          () => ViewIO.prepareSlot(loc, f)
+          // view twin of the table chains' base revalidation: the
+          // redefinition was planned against the pinned document — a
+          // racing committed redefinition aborts loudly (first
+          // committer wins), never gets silently superseded
+          val baseVid = viewBases.get(loc)
+          () => ViewIO.prepareSlot(loc, (cur: ViewMetadata) => {
+            baseVid.filter(_ != cur.currentVersionId).foreach { b =>
+              throw new java.util.ConcurrentModificationException(
+                s"transaction aborted: view $loc was redefined " +
+                  s"concurrently (planned against version $b, now at " +
+                  s"${cur.currentVersionId}) — retry the transaction")
+            }
+            f(cur)
+          })
         })
     }
     ops.size + viewOps.size

@@ -48,7 +48,7 @@ final case class GraftTableHandle(table: GraftTable, tableName: String,
   }
 
   override def properties(): java.util.Map[String, String] =
-    Collections.unmodifiableMap(table.meta.properties.asJava)
+    Collections.unmodifiableMap(viewMeta.properties.asJava)
 
   override def capabilities(): java.util.Set[TableCapability] =
     Collections.emptySet()

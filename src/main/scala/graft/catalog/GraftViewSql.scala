@@ -455,12 +455,19 @@ object GraftViewSql {
       s"view cycle detected through $db.$view (${(seen + key).mkString(" -> ")})")
     val loc = viewLocation(spark, db, view)
       .getOrElse(sys.error(s"view $db.$view not found"))
-    // read-your-own-writes for view DDL: a redefinition staged in this
-    // session's open transaction serves its NEW definition here, the
-    // committed document is untouched until COMMIT
-    val meta = GraftSqlTransactions.viewPreviewFor(spark, loc)
+    // transaction view of the DOCUMENT: a redefinition staged in this
+    // session's open transaction serves its NEW definition here
+    // (read-your-own-writes); an untouched view PINS its committed
+    // document at first touch, so a concurrent CREATE OR REPLACE
+    // cannot change which definition a later statement expands —
+    // views get the same snapshot-isolation contract as tables
+    val meta = GraftSqlTransactions.viewReadView(spark, loc, ViewIO.read(loc))
       .getOrElse(ViewIO.read(loc))
-    val v = (versionId, tsMillis) match {
+    // BEGIN TRANSACTION AS OF: with no explicit definition pin, the
+    // historical instant selects the definition that was current THEN
+    // (tables pin their data snapshot; views version their SQL)
+    val v = (versionId,
+        tsMillis.orElse(GraftSqlTransactions.asOfMillisOf(spark))) match {
       case (Some(id), _) => meta.version(id).getOrElse(
         sys.error(s"view $db.$view has no version $id " +
           s"(has ${meta.versions.map(_.versionId).mkString(",")})"))
@@ -655,7 +662,10 @@ final case class GraftCreateViewCommand(catalogName: String, db: String,
     val existing =
       if (preserveProperties)
         GraftViewSql.viewLocation(spark, db, view)
-          .map(l => ViewIO.read(l).properties).getOrElse(Map.empty)
+          .map(l => GraftSqlTransactions
+            .viewReadView(spark, l, ViewIO.read(l))
+            .getOrElse(ViewIO.read(l)).properties)
+          .getOrElse(Map.empty)
       else Map.empty[String, String]
     val props = existing ++ properties ++ comment.map("comment" -> _)
     val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),

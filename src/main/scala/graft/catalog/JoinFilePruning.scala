@@ -355,14 +355,12 @@ private[graft] object JoinFilePruning {
         probeKeys: Seq[AttributeReference], buildKeys: Seq[AttributeReference],
         probeOut: AttributeSet, buildOut: AttributeSet,
         probeNS: Boolean, buildNS: Boolean): Option[LogicalPlan] = {
+      // no staged/pinned-table guard needed here: pruneTree stands
+      // down WHOLE whenever a transaction is open on the session (its
+      // first case), which covers every state where a table could
+      // have a transaction-local view
       val probeSide = graftSideOf(probePlan)
         .filter(p => probeKeys.forall(k => p.scanColumn(k).isDefined))
-        // a table staged by this session's open SQL transaction must
-        // read its PREVIEW (read-your-own-writes) — the captured
-        // metadata here is pre-transaction, so pruning stands down and
-        // the ordinary relation swap serves the preview
-        .filter(p =>
-          GraftSqlTransactions.previewFor(spark, p.table.location).isEmpty)
       probeSide.flatMap { probe =>
         val probeConj = (probe.filters ++ sideConj(probeOut, probeNS))
           .flatMap(probe.toScanExpr)
@@ -371,9 +369,6 @@ private[graft] object JoinFilePruning {
         // engine read
         val viaGraft = for {
           build <- graftSideOf(buildPlan)
-          // staged build: its committed metadata is stale inside the
-          // transaction (see the probe guard above)
-          if GraftSqlTransactions.previewFor(spark, build.table.location).isEmpty
           // a self-join's build domain is the probe's own domain — the
           // evaluation job would prune nothing
           if probe.table.location != build.table.location

@@ -1402,6 +1402,78 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(n() == 4, "ROLLBACK releases the pin")
   }
 
+  test("views are snapshot-isolated inside transactions: the definition " +
+      "pins at first touch; a staged redefinition aborts at COMMIT when " +
+      "a racer redefined; AS OF expands the definition current then") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "vsi", Seq("id" -> "long", "v" -> "long"))
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    spark.sql("CREATE VIEW graft.db.vsi_v AS SELECT sum(v) AS s FROM graft.db.vsi")
+    val loc = cat.location("db", "vsi_v")
+    def s(): Long =
+      spark.sql("SELECT * FROM graft.db.vsi_v").head().getLong(0)
+    // --- definition pin: a racing committed redefinition between two
+    // statements must not change which definition the second expands
+    spark.sql("BEGIN TRANSACTION")
+    assert(s() == 30L) // first touch pins definition d1 (and the table)
+    val d1 = graft.catalog.ViewIO.read(loc)
+    // a racer redefines the view (simulated direct commit — same-
+    // session DDL would stage into OUR transaction)
+    val nextId = d1.versions.map(_.versionId).max + 1
+    graft.catalog.ViewIO.commit(loc, d1.copy(
+      currentVersionId = nextId,
+      versions = d1.versions :+ d1.current.copy(versionId = nextId,
+        sql = "SELECT count(*) AS s FROM graft.db.vsi")))
+    assert(s() == 30L,
+      "the second statement must expand the PINNED definition")
+    spark.sql("COMMIT") // read-only
+    assert(s() == 2L, "COMMIT releases the definition pin")
+    // --- AS OF: the historical instant selects the definition that
+    // was current THEN, and the view body reads the table as of then
+    val tsAfterD1 = d1.versions.last.timestampMs
+    Thread.sleep(5)
+    t.append(Seq((3L, 30L)).toDF("id", "v"))
+    val tsStr = java.time.Instant.ofEpochMilli(tsAfterD1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace("T", " ")
+    spark.sql(s"BEGIN TRANSACTION AS OF '$tsStr'")
+    assert(s() == 30L,
+      "AS OF must expand the instant's definition over the instant's data")
+    spark.sql("COMMIT")
+    assert(s() == 3L)
+    // --- staged-redefinition revalidation: first-committer-wins
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat2 = freshCat()
+      val t2 = cat2.createTable("db", "vsi2", Seq("id" -> "long"))
+      t2.append(Seq(1L).toDF("id"))
+      spark.sql("CREATE VIEW graft.db.vsi2_v AS " +
+        "SELECT count(*) AS n FROM graft.db.vsi2")
+      val loc2 = cat2.location("db", "vsi2_v")
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("CREATE OR REPLACE VIEW graft.db.vsi2_v AS " +
+        "SELECT max(id) AS n FROM graft.db.vsi2")
+      // racer redefines and COMMITS while ours is staged
+      val cur = graft.catalog.ViewIO.read(loc2)
+      val nid = cur.versions.map(_.versionId).max + 1
+      graft.catalog.ViewIO.commit(loc2, cur.copy(
+        currentVersionId = nid,
+        versions = cur.versions :+ cur.current.copy(versionId = nid,
+          sql = "SELECT min(id) AS n FROM graft.db.vsi2")))
+      val e = intercept[Exception](spark.sql("COMMIT"))
+      assert(e.getMessage.contains("redefined concurrently"), e.getMessage)
+      assert(graft.catalog.ViewIO.read(loc2).current.sql.contains("min(id)"),
+        "the racer's committed definition must stand")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+  }
+
   test("BEGIN TRANSACTION AS OF: reproducible multi-statement reads " +
       "over one historical instant; DML refuses (read-only)") {
     import spark.implicits._
@@ -1545,6 +1617,19 @@ class NativeSqlSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT note FROM graft.db.ddl WHERE id = 2").head().getString(0)
         == "hi")
+      // DML naming a column RENAMED earlier in the same transaction:
+      // the captured condition/assignments re-resolve against the
+      // chain's preview schema
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("ALTER TABLE graft.db.ddl RENAME COLUMN note TO memo")
+      spark.sql("UPDATE graft.db.ddl SET memo = 'bye' WHERE id = 2")
+      assert(spark.sql(
+        "SELECT memo FROM graft.db.ddl WHERE id = 2").head().getString(0)
+        == "bye")
+      spark.sql("COMMIT")
+      assert(spark.sql(
+        "SELECT memo FROM graft.db.ddl WHERE id = 2").head().getString(0)
+        == "bye")
       // non-stageable DDL refuses loudly instead of committing outside
       // the transaction (and ROLLBACK-surviving)
       spark.sql("BEGIN TRANSACTION")
