@@ -393,7 +393,16 @@ object GraftProcedures {
         override def description(): String = s"graft maintenance: ${d.name}"
         override def parameters(): Array[ProcedureParameter] = d.params.toArray
         override def isDeterministic: Boolean = false
-        override def call(input: InternalRow): java.util.Iterator[Scan] =
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          // maintenance mutates tables IMMEDIATELY through the engine
+          // API — inside an open SQL transaction that would commit
+          // OUTSIDE it and survive ROLLBACK (the DDL footgun, procedure
+          // flavor; same contract as GraftNamespaceCatalog's refusals).
+          // The read-only audits stay callable: inspecting committed
+          // state mid-transaction is legitimate and mutates nothing.
+          if (!readOnlyProcs(d.name))
+            GraftSqlTransactions.refuse(SparkSession.active,
+              s"CALL graft.system.${d.name}")
           d.rowsOut match {
             case None =>
               d.run(warehouse, input)
@@ -406,9 +415,16 @@ object GraftProcedures {
                   override def rows(): Array[InternalRow] = out
                 }).iterator()
           }
+        }
       }
     }
   }
+
+  /** Procedures that only INSPECT committed state — callable inside an
+    * open SQL transaction (everything else refuses there).
+    */
+  private val readOnlyProcs: Set[String] =
+    Set("audit_integrity", "verify_table")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))

@@ -1643,6 +1643,13 @@ class NativeSqlSpec extends AnyFunSuite {
       refused("CREATE TABLE graft.db.brandnew (id bigint)")
       refused("DROP VIEW graft.db.ddl_v")
       refused("CREATE VIEW graft.db.brandnew_v AS SELECT 1 AS one")
+      // maintenance procedures mutate immediately through the engine
+      // API — the procedure flavor of the same footgun
+      refused("CALL graft.system.expire_snapshots('db.ddl', 1)")
+      refused("CALL graft.system.rewrite_manifests('db.ddl')")
+      // ...but the read-only audits stay callable mid-transaction
+      assert(spark.sql("CALL graft.system.audit_integrity('db.ddl')")
+        .collect() != null)
       spark.sql("ROLLBACK")
       assert(t.meta.currentSchema.fieldByName("Phone number").isDefined,
         "refused statements must leave committed state untouched")
