@@ -402,9 +402,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       // publishes in COMMIT's claim set together with any staged DDL
       // (the rename + dependent-view-repair shape), and this session's
       // view reads serve the staged definition meanwhile
-      GraftSqlTransactions.stageView(session, loc,
+      val pm = GraftSqlTransactions.stageView(session, loc,
         "CREATE OR REPLACE VIEW", redefine)
-      val pm = GraftSqlTransactions.viewPreviewFor(session, loc).get
       GraftViewHandle(pm, pm.current)
     } else {
       val m = redefine(ViewIO.read(loc))
@@ -425,8 +424,8 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
       })
     val session = org.apache.spark.sql.SparkSession.active
     if (GraftSqlTransactions.active(session)) {
-      GraftSqlTransactions.stageView(session, loc, "ALTER VIEW", alter)
-      val pm = GraftSqlTransactions.viewPreviewFor(session, loc).get
+      val pm = GraftSqlTransactions.stageView(session, loc,
+        "ALTER VIEW", alter)
       GraftViewHandle(pm, pm.current)
     } else {
       val m = alter(ViewIO.read(loc))

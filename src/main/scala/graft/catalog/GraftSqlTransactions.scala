@@ -46,12 +46,15 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   * keep showing committed state — staged work is not a snapshot yet.
   *
   * Conflict contract: any chain containing row-level DML or DDL
-  * REVALIDATES its table's committed snapshot id against the
-  * transaction's pin at claim time — a racing commit between BEGIN and
-  * COMMIT aborts the whole transaction loudly (first-committer-wins
-  * snapshot isolation), never silently lands a rewrite planned against
-  * stale files. Pure-append chains skip the check: appends compose
-  * with any base by construction.
+  * REVALIDATES its table's committed metadata DOCUMENT version against
+  * the transaction's pin at claim time — a racing commit between BEGIN
+  * and COMMIT (data OR metadata-only: schema evolution and property
+  * commits produce no snapshot but still invalidate the plan) aborts
+  * the whole transaction loudly (first-committer-wins snapshot
+  * isolation), never silently lands a rewrite planned against stale
+  * state. Staged view redefinitions revalidate their document's
+  * version id the same way. Pure-append chains skip the check: appends
+  * compose with any base by construction.
   */
 object GraftSqlTransactions {
 
@@ -206,18 +209,6 @@ object GraftSqlTransactions {
       st.previews.get(location).orElse(st.pins.get(location)))
   }
 
-  /** The staged view-metadata preview for a view location — the
-    * read-your-own-writes source for view expansion: a CREATE OR
-    * REPLACE VIEW staged in this transaction serves its NEW definition
-    * to this session's reads while the committed document is untouched.
-    */
-  private[catalog] def viewPreviewFor(session: SparkSession,
-      location: String): Option[ViewMetadata] = {
-    val st = open.get(session)
-    if (st == null) None
-    else st.synchronized(st.viewPreviews.get(location))
-  }
-
   def begin(session: SparkSession, asOfMillis: Option[Long] = None): Unit = {
     require(!active(session),
       "a transaction is already open on this session — COMMIT or " +
@@ -323,10 +314,13 @@ object GraftSqlTransactions {
     * set as the table slots, so a column rename and its dependent
     * view's repair land together with no stale-pair reader window.
     * The preview is applied immediately (its `require`s surface at the
-    * statement) and serves this session's view reads ([[viewPreviewFor]]).
+    * statement) and serves this session's view reads ([[viewReadView]]).
+    */
+  /** Returns the staged PREVIEW document, so callers hand back a
+    * handle without a second (race-prone) state lookup.
     */
   private[catalog] def stageView(session: SparkSession, location: String,
-      statement: String, f: ViewMetadata => ViewMetadata): Unit = {
+      statement: String, f: ViewMetadata => ViewMetadata): ViewMetadata = {
     val st = open.get(session)
     require(st != null, "no open transaction")
     // first touch pins the committed document (I/O outside the lock);
@@ -346,9 +340,10 @@ object GraftSqlTransactions {
       if (!st.viewBases.contains(location))
         st.viewBases(location) = st.viewPins.get(location)
           .map(_.currentVersionId).getOrElse(base.currentVersionId)
-      st.viewPreviews(location) =
-        f(st.viewPreviews.getOrElse(location, base))
+      val next = f(st.viewPreviews.getOrElse(location, base))
+      st.viewPreviews(location) = next
       st.viewOps += location -> f
+      next
     }
   }
 
@@ -395,18 +390,21 @@ object GraftSqlTransactions {
       // a chain containing row-level DML or DDL was planned against
       // the transaction's pinned base — whatever kind its FIRST link
       // was (an INSERT-led chain validates nothing on its own):
-      // revalidate the committed snapshot id at claim time and abort
-      // loudly on a racing commit, never silently land a rewrite
-      // planned against stale files
-      val pinnedBase = pins.get(loc).map(_.currentSnapshotId)
+      // revalidate the committed METADATA DOCUMENT version at claim
+      // time and abort loudly on a racing commit, never silently land
+      // a rewrite planned against stale state. The doc version (not
+      // the snapshot id) is the pin: a racing schema evolution or
+      // property commit produces no snapshot but still invalidates
+      // the plan — and must never be silently overwritten either.
+      val pinnedDoc = pins.get(loc).map(MetadataIO.docVersion)
       loc -> ((cur: TableMetadata) => {
         if (revalidating(loc))
-          pinnedBase.filter(_ != cur.currentSnapshotId).foreach { base =>
+          pinnedDoc.filter(_ != MetadataIO.docVersion(cur)).foreach { base =>
             throw new java.util.ConcurrentModificationException(
               s"transaction aborted: $loc was committed concurrently " +
-                s"(planned against snapshot ${base.getOrElse("none")}, " +
-                s"now at ${cur.currentSnapshotId.getOrElse("none")}) — " +
-                "the staged statements were planned against stale state; " +
+                s"(planned against metadata v$base, now at " +
+                s"v${MetadataIO.docVersion(cur)}) — the staged " +
+                "statements were planned against stale state; " +
                 "retry the transaction")
           }
         if (i == 0) sharedTs.set(System.currentTimeMillis())
@@ -443,7 +441,21 @@ object GraftSqlTransactions {
                   s"concurrently (planned against version $b, now at " +
                   s"${cur.currentVersionId}) — retry the transaction")
             }
-            f(cur)
+            val next = f(cur)
+            // stamp ADDED versions with the transaction's shared
+            // instant: the rename + view-repair pair must leave no
+            // probe window where TIMESTAMP AS OF pairs the renamed
+            // table with the stale definition. Table slots prepare
+            // first (slot order), so sharedTs is set when any exist;
+            // a view-only transaction stamps here. Monotonic vs the
+            // document's own history, like the table collapse.
+            if (sharedTs.get == 0L)
+              sharedTs.set(System.currentTimeMillis())
+            val ts = math.max(sharedTs.get,
+              cur.versions.map(_.timestampMs).maxOption.getOrElse(0L) + 1)
+            val curIds = cur.versions.map(_.versionId).toSet
+            next.copy(versions = next.versions.map(v =>
+              if (curIds(v.versionId)) v else v.copy(timestampMs = ts)))
           })
         })
     }

@@ -26,12 +26,15 @@ final case class GraftTableHandle(table: GraftTable, tableName: String,
   override def name(): String = tableName
 
   /** Inside an open SQL transaction the handle must present the
-    * TRANSACTION's schema (staged DDL preview, or the begin-time pin):
-    * the relation's output attributes come from here, and the
+    * TRANSACTION's metadata (staged DDL preview, or the begin-time
+    * pin): the relation's output attributes come from here, and the
     * relation-swap rebind maps them by name onto the transaction-view
     * read — a committed schema here would desync from a staged rename.
+    * ONE read, cached for the handle's lifetime (a resolution-scoped
+    * object), so schema/partitioning/properties can never pair fields
+    * from two different metadata versions.
     */
-  private def viewMeta: graft.tableformat.TableMetadata =
+  private lazy val viewMeta: graft.tableformat.TableMetadata =
     GraftSqlTransactions.viewOf(table.spark, table.location)
       .getOrElse(table.meta)
 
@@ -39,7 +42,7 @@ final case class GraftTableHandle(table: GraftTable, tableName: String,
     viewMeta.currentSchema.toStructType
 
   override def partitioning(): Array[Transform] = {
-    val m = table.meta
+    val m = viewMeta
     m.currentSpec.fields.map { pf =>
       val src = m.currentSchema.fieldById(pf.sourceId)
         .map(_.name).getOrElse(pf.name)

@@ -115,6 +115,16 @@ object MetadataIO {
     e.file.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
       .getOrElse(sys.error(s"unparseable metadata log entry ${e.file}"))
 
+  /** The metadata DOCUMENT version this instance was read at — the
+    * same lineage `prepare` claims (last metadataLog entry), so it
+    * moves on EVERY commit, snapshot-producing or metadata-only.
+    * Transaction base revalidation pins this, not the snapshot id: a
+    * racing schema evolution or property commit changes no snapshot
+    * but must still abort a transaction planned against the old doc.
+    */
+  private[graft] def docVersion(m: TableMetadata): Int =
+    m.metadataLog.lastOption.map(versionOfLogFile).getOrElse(0)
+
   def read(location: String): TableMetadata = {
     val v = currentVersion(location)
       .getOrElse(sys.error(s"no version-hint.text under $location"))

@@ -1545,6 +1545,21 @@ class NativeSqlSpec extends AnyFunSuite {
       spark.sql("COMMIT")
       assert(t.read().as[Long].collect().sorted.toSeq ==
         Seq(1L, 2L, 3L, 11L, 12L, 100L, 200L))
+      // a racing METADATA-ONLY commit (schema/property change — no
+      // snapshot produced) must ALSO abort a revalidating chain: the
+      // pin is the metadata document version, not the snapshot id, so
+      // the racer's committed property can never be silently
+      // overwritten by the staged chain
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("ALTER TABLE graft.db.rv SET TBLPROPERTIES ('mine' = '1')")
+      t.setProperties(Map("racer" -> "yes")) // metadata-only racer
+      val e2 = intercept[Exception](spark.sql("COMMIT"))
+      assert(e2.getMessage.contains("committed concurrently"),
+        e2.getMessage)
+      assert(!t.meta.properties.contains("mine"),
+        "the aborted transaction must land nothing")
+      assert(t.meta.properties.get("racer").contains("yes"),
+        "the racer's metadata-only commit must stand")
     } finally {
       graft.tableformat.FileIO.install(before)
       server.close()
