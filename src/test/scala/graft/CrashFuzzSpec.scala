@@ -65,20 +65,46 @@ abstract class CrashFuzzBase extends AnyFunSuite {
     val idxLoc = s"$wh/db/idx"
     GraftTable.create(spark, idxLoc, "cfidx",
       Seq("id" -> "long", "v" -> "string"))
+    // the staged-DDL transaction shape (r19): schema evolution on a
+    // DEDICATED table + dependent-view repair publish through one
+    // claim set — the crash arms must never expose one without the
+    // other. Dedicated because the row arms' API appends provide the
+    // base (id, v) shape, and the engine's append (correctly) refuses
+    // an input missing a live column.
+    val ddlLoc = s"$wh/db/ddlt"
+    GraftTable.create(spark, ddlLoc, "cfddl",
+      Seq("id" -> "long", "v" -> "string"))
+    val vLoc = s"$wh/db/cfv"
+    graft.catalog.ViewIO.commit(vLoc, graft.catalog.ViewMetadata(
+      name = "db.cfv", currentVersionId = 1,
+      versions = Vector(graft.catalog.ViewVersion(
+        versionId = 1, timestampMs = System.currentTimeMillis(),
+        sql = "SELECT id, v FROM base", schemaJson = "{}",
+        defaultCatalog = "graft", defaultNamespace = Vector("db"),
+        queryColumnNames = Vector("id", "v"),
+        columnAliases = Vector.empty, columnComments = Vector.empty)),
+      properties = Map.empty))
     val model = scala.collection.mutable.Map[Long, String]()
     val idxModel = scala.collection.mutable.Map[Long, String]()
     var nextId = 0L
     // fixed seed for the committed run (failures replay exactly);
-    // GRAFT_FUZZ_SEED explores alternative interleavings in dev loops
+    // GRAFT_FUZZ_SEED explores alternative interleavings in dev loops.
+    // 53 was selected (r19) because its catalog-backend stream arms
+    // every crash class at once: all four rename kill-points,
+    // cas-publish, cas-crash-then-rename, create-at-claimed, the three
+    // transaction crash windows, and all three staged transaction
+    // shapes (DML, MERGE, DDL+view).
     val seed = sys.env.get("GRAFT_FUZZ_SEED").flatMap(_.toLongOption)
-      .getOrElse(20260815L)
+      .getOrElse(53L)
     info(s"crash-fuzz seed=$seed")
     val rnd = new scala.util.Random(seed)
     val armed = scala.collection.mutable.Set[String]()
 
     def t = new GraftTable(spark, locs(cur))
     def check(opName: String): Unit = {
-      val got = t.read().as[(Long, String)].collect()
+      // select the base pair explicitly: the staged-DDL arm adds
+      // columns, and the row model is column-set-agnostic
+      val got = t.read().select("id", "v").as[(Long, String)].collect()
         .map(r => r._1 -> r._2).toMap
       assert(got == model.toMap,
         s"divergence after $opName: table=${got.size} model=${model.size}\n" +
@@ -132,13 +158,16 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           val crashMode = rnd.nextInt(3) // 0=clean, 1=cas, 2=mid-publish
           // sometimes the transaction is the staged-DML shape (the
           // dedup sweep: CoW delete from main + index in one claim
-          // set) or the staged-MERGE shape (the CDC upsert, q171's
-          // transactional form) instead of the two-table append
-          val shapeRoll = rnd.nextInt(5)
+          // set), the staged-MERGE shape (the CDC upsert, q171's
+          // transactional form), or the staged-DDL shape (r19: schema
+          // evolution + dependent-view repair in one claim set)
+          // instead of the two-table append
+          val shapeRoll = rnd.nextInt(6)
           val asDelete = model.nonEmpty && shapeRoll == 0
           val asMerge = model.nonEmpty && !asDelete && shapeRoll == 1
+          val asDdl = !asDelete && !asMerge && shapeRoll == 2
           val rows: Seq[(Long, String)] =
-            if (asDelete || asMerge) Nil
+            if (asDelete || asMerge || asDdl) Nil
             else (0 until 1 + rnd.nextInt(3)).map { _ =>
               nextId += 1; (nextId, s"tx$step-$nextId")
             }
@@ -160,7 +189,10 @@ abstract class CrashFuzzBase extends AnyFunSuite {
               Seq((victim, s"m$step-$victim"), (nextId, s"m$step-$nextId"))
             }
           val ops =
-            if (asDelete) {
+            if (asDdl) {
+              armed += "staged-ddl-txn"
+              Nil // commits through commitDdl() below (view slot)
+            } else if (asDelete) {
               armed += "staged-dml-txn"
               Seq(
                 locs(cur) -> t.stageDelete(
@@ -184,11 +216,28 @@ abstract class CrashFuzzBase extends AnyFunSuite {
                 locs(cur) -> t.stageAppend(df),
                 idxLoc -> new GraftTable(spark, idxLoc).stageAppend(df))
             }
-          def commitBoth(): Unit = graft.tableformat.MetadataIO.commitAll(
-            ops.map { case (loc, f) =>
-              loc -> ((cur0: graft.tableformat.TableMetadata) =>
-                f(cur0, System.currentTimeMillis()))
-            })
+          // the rename-resilience pair: evolve the table's schema AND
+          // append a view version in the SAME claim set (the shape
+          // GraftSqlTransactions.commit publishes for staged DDL +
+          // CREATE OR REPLACE VIEW)
+          def commitDdl(): Unit = graft.tableformat.MetadataIO.commitSlots(Seq(
+            () => graft.tableformat.MetadataIO.prepareTableSlot(ddlLoc,
+              new GraftTable(spark, ddlLoc)
+                .addColumnTransform(s"ddl$step", "string")),
+            () => graft.catalog.ViewIO.prepareSlot(vLoc,
+              (v0: graft.catalog.ViewMetadata) => {
+                val nid = v0.versions.map(_.versionId).max + 1
+                v0.copy(currentVersionId = nid, versions = v0.versions :+
+                  v0.current.copy(versionId = nid,
+                    sql = s"SELECT id, v, ddl$step FROM base"))
+              })))
+          def commitBoth(): Unit =
+            if (asDdl) commitDdl()
+            else graft.tableformat.MetadataIO.commitAll(
+              ops.map { case (loc, f) =>
+                loc -> ((cur0: graft.tableformat.TableMetadata) =>
+                  f(cur0, System.currentTimeMillis()))
+              })
           def armMidPublish(on: Boolean): Unit = FileIO.io match {
             case c: CatalogFileIO => c.crashMidPublishForTesting = on
             case _                => ()
@@ -199,22 +248,38 @@ abstract class CrashFuzzBase extends AnyFunSuite {
               .read(mainLoc).snapshots.size
             val baseIdx = graft.tableformat.MetadataIO
               .read(ixLoc).snapshots.size
+            val baseSchema = graft.tableformat.MetadataIO
+              .read(ddlLoc).currentSchemaId
+            val baseVid = graft.catalog.ViewIO.read(vLoc).currentVersionId
             val stopReader = new java.util.concurrent.atomic.AtomicBoolean()
             val torn = new java.util.concurrent.atomic.AtomicInteger(0)
             val reader = new Thread(() => {
               while (!stopReader.get()) {
-                // stability sandwich: the two tables can't be read at
-                // one instant, so a sample straddling the CAS would
+                // stability sandwich: the two documents can't be read
+                // at one instant, so a sample straddling the CAS would
                 // look torn without being so — it only counts when the
-                // FIRST table is provably unchanged across the second's
-                // read, which pins both reads to one side of the commit
-                val dM1 = graft.tableformat.MetadataIO.read(mainLoc)
-                  .snapshots.size - baseMain
-                val dI = graft.tableformat.MetadataIO.read(ixLoc)
-                  .snapshots.size - baseIdx
-                val dM2 = graft.tableformat.MetadataIO.read(mainLoc)
-                  .snapshots.size - baseMain
-                if (dM1 == dM2 && dM1 != dI) torn.incrementAndGet()
+                // FIRST document is provably unchanged across the
+                // second's read, which pins both reads to one side of
+                // the commit
+                if (asDdl) {
+                  // schema evolution + view repair: never one without
+                  // the other
+                  val a1 = graft.tableformat.MetadataIO.read(ddlLoc)
+                    .currentSchemaId != baseSchema
+                  val b = graft.catalog.ViewIO.read(vLoc)
+                    .currentVersionId != baseVid
+                  val a2 = graft.tableformat.MetadataIO.read(ddlLoc)
+                    .currentSchemaId != baseSchema
+                  if (a1 == a2 && a1 != b) torn.incrementAndGet()
+                } else {
+                  val dM1 = graft.tableformat.MetadataIO.read(mainLoc)
+                    .snapshots.size - baseMain
+                  val dI = graft.tableformat.MetadataIO.read(ixLoc)
+                    .snapshots.size - baseIdx
+                  val dM2 = graft.tableformat.MetadataIO.read(mainLoc)
+                    .snapshots.size - baseMain
+                  if (dM1 == dM2 && dM1 != dI) torn.incrementAndGet()
+                }
               }
             }, s"txn-torn-probe-$step")
             reader.start()
@@ -242,6 +307,7 @@ abstract class CrashFuzzBase extends AnyFunSuite {
           else rows.foreach { r => model(r._1) = r._2; idxModel(r._1) = r._2 }
           s"txn(${if (asDelete) s"delete ${victims.mkString(",")}"
             else if (asMerge) s"merge ${mergeSrc.map(_._1).mkString(",")}"
+            else if (asDdl) s"ddl+view ddl$step"
             else rows.size.toString}${Seq("", ", cas-crash",
             ", mid-publish-crash")(crashMode)})"
         } else if (roll < 9) { // rename to the other location
