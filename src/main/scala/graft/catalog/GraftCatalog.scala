@@ -356,7 +356,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           val df = (Option(m.group(4)), Option(m.group(5))) match {
             case (Some(ts), _) => t.readAsOfTime(parseTs(ts))
             case (_, Some(v))  => t.readAsOfVersion(v.toLong)
-            case _             => t.read()
+            // plain reads take the session's transaction view (staged
+            // preview / begin-time pin) like the native-SQL path —
+            // cat.sql() inside an open transaction must not leak live
+            // state past the snapshot-isolation contract
+            case _ =>
+              GraftSqlTransactions.readView(spark, t.location, t.meta) match {
+                case Some(pm) => t.readPreview(pm)
+                case None     => t.read()
+              }
           }
           val view = s"graft_${db}_${tbl}_${views.size}"
           df.createOrReplaceTempView(view)

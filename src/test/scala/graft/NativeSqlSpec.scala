@@ -1386,6 +1386,10 @@ class NativeSqlSpec extends AnyFunSuite {
     // filtered reads take the same pin (the Filter-case swap path)
     assert(spark.sql("SELECT count(*) FROM graft.db.si WHERE id >= 3")
       .head().getLong(0) == 0)
+    // the API-level cat.sql() text-rewrite path takes the same pin —
+    // no surface may leak live state past the transaction view
+    assert(cat.sql("SELECT count(*) AS n FROM graft.db.si")
+      .head().getLong(0) == 2)
     // explicit time travel names its own snapshot — it overrides
     val vNew = t.meta.currentSnapshot.get.snapshotId
     assert(spark.sql(
