@@ -97,10 +97,12 @@ object GraftSqlTransactions {
     // redefinitions commit
     val viewPins =
       scala.collection.mutable.LinkedHashMap.empty[String, ViewMetadata]
-    // committed currentVersionId at each staged view's first touch —
-    // COMMIT revalidates it (a racing redefinition aborts loudly
-    // instead of being silently superseded)
-    val viewBases = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // committed DOCUMENT version at each view's first touch (the doc
+    // version moves on EVERY commit, property-only ones included) —
+    // COMMIT revalidates staged views against it, so a racing commit
+    // of ANY kind aborts loudly instead of being silently superseded
+    val viewPinVersions =
+      scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var closed = false
     /** `BEGIN TRANSACTION AS OF '<ts>'`: every table pins to its
       * snapshot at this instant instead of its current one — a
@@ -163,11 +165,13 @@ object GraftSqlTransactions {
   /** [[readView]] for VIEW DOCUMENTS: the staged redefinition preview
     * (read-your-own-writes), else the begin-time document pin — a
     * concurrent CREATE OR REPLACE VIEW between two statements cannot
-    * change which definition the second statement expands. None when
-    * no transaction is open.
+    * change which definition the second statement expands. The pin
+    * records the committed DOCUMENT version alongside the document
+    * (one atomic readWithVersion), the base staged redefinitions
+    * revalidate at COMMIT. None when no transaction is open.
     */
   private[catalog] def viewReadView(session: SparkSession,
-      location: String, live: => ViewMetadata): Option[ViewMetadata] = {
+      location: String): Option[ViewMetadata] = {
     val st = open.get(session)
     if (st == null) return None
     st.synchronized {
@@ -176,11 +180,16 @@ object GraftSqlTransactions {
         .orElse(st.viewPins.get(location))
       if (hit.isDefined) return hit
     }
-    val fresh = live // I/O outside the lock, like readView
+    val (doc, v) = ViewIO.readWithVersion(location) // I/O outside the lock
     st.synchronized {
       if (st.closed) None
-      else Some(st.viewPreviews.getOrElse(location,
-        st.viewPins.getOrElseUpdate(location, fresh)))
+      else Some(st.viewPreviews.getOrElse(location, {
+        if (!st.viewPins.contains(location)) {
+          st.viewPins(location) = doc
+          st.viewPinVersions(location) = v
+        }
+        st.viewPins(location)
+      }))
     }
   }
 
@@ -314,20 +323,21 @@ object GraftSqlTransactions {
     * set as the table slots, so a column rename and its dependent
     * view's repair land together with no stale-pair reader window.
     * The preview is applied immediately (its `require`s surface at the
-    * statement) and serves this session's view reads ([[viewReadView]]).
-    */
-  /** Returns the staged PREVIEW document, so callers hand back a
-    * handle without a second (race-prone) state lookup.
+    * statement) and serves this session's view reads
+    * ([[viewReadView]]). Returns the staged PREVIEW document, so
+    * callers hand back a handle without a second (race-prone) state
+    * lookup.
     */
   private[catalog] def stageView(session: SparkSession, location: String,
       statement: String, f: ViewMetadata => ViewMetadata): ViewMetadata = {
     val st = open.get(session)
     require(st != null, "no open transaction")
-    // first touch pins the committed document (I/O outside the lock);
-    // the pin's version id is the base COMMIT revalidates against — a
-    // racing redefinition must abort the transaction, never be
-    // silently buried as a non-current version
-    val base = viewReadView(session, location, ViewIO.read(location))
+    // first touch pins the committed document AND its doc version (I/O
+    // outside the lock); the doc version is the base COMMIT
+    // revalidates against — a racing commit of ANY kind (redefinition
+    // or property-only) must abort the transaction, never be silently
+    // buried or overwritten
+    val base = viewReadView(session, location)
       .getOrElse(sys.error(
         s"$statement on $location: transaction closed concurrently"))
     st.synchronized {
@@ -337,9 +347,6 @@ object GraftSqlTransactions {
       require(st.asOfMillis.isEmpty,
         s"$statement is not supported inside BEGIN TRANSACTION AS OF — " +
           "a historical transaction is read-only")
-      if (!st.viewBases.contains(location))
-        st.viewBases(location) = st.viewPins.get(location)
-          .map(_.currentVersionId).getOrElse(base.currentVersionId)
       val next = f(st.viewPreviews.getOrElse(location, base))
       st.viewPreviews(location) = next
       st.viewOps += location -> f
@@ -363,11 +370,13 @@ object GraftSqlTransactions {
   def commit(session: SparkSession): Int = {
     val st = open.remove(session)
     require(st != null, "COMMIT without an open transaction")
-    val (ops, viewOps, pins, revalidating, viewBases) = st.synchronized {
-      st.closed = true
-      (st.ops.toVector, st.viewOps.toVector, st.pins.toMap,
-        st.revalidating.toSet, st.viewBases.toMap)
-    }
+    val (ops, viewOps, pins, revalidating, viewPins, viewPinVersions) =
+      st.synchronized {
+        st.closed = true
+        (st.ops.toVector, st.viewOps.toVector, st.pins.toMap,
+          st.revalidating.toSet, st.viewPins.toMap,
+          st.viewPinVersions.toMap)
+      }
     if (ops.isEmpty && viewOps.isEmpty) return 0
     // compose per-location chains in statement order: each table gets
     // ONE claim-set slot whose transform applies its statements
@@ -385,6 +394,19 @@ object GraftSqlTransactions {
         case Some(g) => collapsed((cur, ts) => s.f(g(cur, ts), ts))
       }
     }
+    // the shared instant is FLOORED past every participating
+    // document's observed history (pinned table snapshots, pinned view
+    // versions): a prior writer with a skewed-forward clock — or
+    // same-millisecond crowding — must not leave the transaction's
+    // table stamp behind its view stamp, or a TIMESTAMP AS OF probe
+    // in between would pair the new table state with the stale view
+    // definition. Post-pin racers can't widen the window: revalidating
+    // chains and staged views abort on them.
+    val tsFloor = (pins.values.flatMap(m =>
+      m.snapshots.map(_.timestampMs) ++ m.snapshotLog.map(_.timestampMs)) ++
+      viewPins.values.flatMap(_.versions.map(_.timestampMs)))
+      .maxOption.getOrElse(0L)
+    def nowTs(): Long = math.max(System.currentTimeMillis(), tsFloor + 1)
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
     val tableTransforms = byLoc.toSeq.zipWithIndex.map { case ((loc, f), i) =>
       // a chain containing row-level DML or DDL was planned against
@@ -407,7 +429,7 @@ object GraftSqlTransactions {
                 "statements were planned against stale state; " +
                 "retry the transaction")
           }
-        if (i == 0) sharedTs.set(System.currentTimeMillis())
+        if (i == 0) sharedTs.set(nowTs())
         f(cur, sharedTs.get)
       })
     }
@@ -429,34 +451,39 @@ object GraftSqlTransactions {
         tableTransforms.map { case (loc, f) =>
           () => MetadataIO.prepareTableSlot(loc, f)
         } ++ viewByLoc.toSeq.map { case (loc, f) =>
-          // view twin of the table chains' base revalidation: the
-          // redefinition was planned against the pinned document — a
-          // racing committed redefinition aborts loudly (first
-          // committer wins), never gets silently superseded
-          val baseVid = viewBases.get(loc)
-          () => ViewIO.prepareSlot(loc, (cur: ViewMetadata) => {
-            baseVid.filter(_ != cur.currentVersionId).foreach { b =>
+          // view twin of the table chains' base revalidation, on the
+          // DOCUMENT version (it moves on every commit, property-only
+          // included): the redefinition was planned against the pinned
+          // document — a racing commit of any kind aborts loudly
+          // (first committer wins), never gets silently superseded or
+          // overwritten. Checked in the slot thunk: a racer landing
+          // between this check and our claim fails the claim itself,
+          // and commitSlots' retry re-runs the thunk into the abort.
+          val baseDocV = viewPinVersions.get(loc)
+          () => {
+            baseDocV.filter(_ != ViewIO.docVersionOf(loc)).foreach { b =>
               throw new java.util.ConcurrentModificationException(
-                s"transaction aborted: view $loc was redefined " +
-                  s"concurrently (planned against version $b, now at " +
-                  s"${cur.currentVersionId}) — retry the transaction")
+                s"transaction aborted: view $loc was committed " +
+                  s"concurrently (planned against document v$b, now at " +
+                  s"v${ViewIO.docVersionOf(loc)}) — retry the transaction")
             }
-            val next = f(cur)
-            // stamp ADDED versions with the transaction's shared
-            // instant: the rename + view-repair pair must leave no
-            // probe window where TIMESTAMP AS OF pairs the renamed
-            // table with the stale definition. Table slots prepare
-            // first (slot order), so sharedTs is set when any exist;
-            // a view-only transaction stamps here. Monotonic vs the
-            // document's own history, like the table collapse.
-            if (sharedTs.get == 0L)
-              sharedTs.set(System.currentTimeMillis())
-            val ts = math.max(sharedTs.get,
-              cur.versions.map(_.timestampMs).maxOption.getOrElse(0L) + 1)
-            val curIds = cur.versions.map(_.versionId).toSet
-            next.copy(versions = next.versions.map(v =>
-              if (curIds(v.versionId)) v else v.copy(timestampMs = ts)))
-          })
+            ViewIO.prepareSlot(loc, (cur: ViewMetadata) => {
+              val next = f(cur)
+              // stamp ADDED versions with the transaction's shared
+              // instant: the rename + view-repair pair must leave no
+              // probe window where TIMESTAMP AS OF pairs the renamed
+              // table with the stale definition. Table slots prepare
+              // first (slot order), so sharedTs is set when any exist;
+              // a view-only transaction stamps here. The shared
+              // instant is already floored past every pinned
+              // document's history (nowTs).
+              if (sharedTs.get == 0L) sharedTs.set(nowTs())
+              val curIds = cur.versions.map(_.versionId).toSet
+              next.copy(versions = next.versions.map(v =>
+                if (curIds(v.versionId)) v
+                else v.copy(timestampMs = sharedTs.get)))
+            })
+          }
         })
     }
     ops.size + viewOps.size

@@ -460,9 +460,15 @@ object GraftViewSql {
     // (read-your-own-writes); an untouched view PINS its committed
     // document at first touch, so a concurrent CREATE OR REPLACE
     // cannot change which definition a later statement expands —
-    // views get the same snapshot-isolation contract as tables
-    val meta = GraftSqlTransactions.viewReadView(spark, loc, ViewIO.read(loc))
-      .getOrElse(ViewIO.read(loc))
+    // views get the same snapshot-isolation contract as tables.
+    // EXPLICIT time travel overrides the pin (it names its own
+    // version, like VERSION AS OF on a table inside a transaction):
+    // it always resolves against the COMMITTED document.
+    val explicit = versionId.isDefined || tsMillis.isDefined
+    val meta =
+      if (explicit) ViewIO.read(loc)
+      else GraftSqlTransactions.viewReadView(spark, loc)
+        .getOrElse(ViewIO.read(loc))
     // BEGIN TRANSACTION AS OF: with no explicit definition pin, the
     // historical instant selects the definition that was current THEN
     // (tables pin their data snapshot; views version their SQL)
@@ -662,8 +668,7 @@ final case class GraftCreateViewCommand(catalogName: String, db: String,
     val existing =
       if (preserveProperties)
         GraftViewSql.viewLocation(spark, db, view)
-          .map(l => GraftSqlTransactions
-            .viewReadView(spark, l, ViewIO.read(l))
+          .map(l => GraftSqlTransactions.viewReadView(spark, l)
             .getOrElse(ViewIO.read(l)).properties)
           .getOrElse(Map.empty)
       else Map.empty[String, String]

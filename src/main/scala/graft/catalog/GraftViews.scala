@@ -103,12 +103,24 @@ object ViewIO {
     }
   }
 
-  def read(location: String): ViewMetadata = {
+  def read(location: String): ViewMetadata = readWithVersion(location)._1
+
+  /** [[read]] returning the DOCUMENT version it read — the seam
+    * transaction pinning/revalidation needs: the doc version moves on
+    * EVERY commit (redefinitions AND metadata-only property/retention
+    * commits), unlike `currentVersionId`, which only a redefinition
+    * advances.
+    */
+  private[catalog] def readWithVersion(location: String): (ViewMetadata, Int) = {
     val v = currentDocVersion(location).getOrElse(
       sys.error(s"no view-hint.text under $location"))
-    JsonMethods.parse(io.readString(docPath(location, v)))
-      .extract[ViewMetadata]
+    (JsonMethods.parse(io.readString(docPath(location, v)))
+      .extract[ViewMetadata], v)
   }
+
+  /** The current committed DOCUMENT version (0 = no view yet). */
+  private[catalog] def docVersionOf(location: String): Int =
+    currentDocVersion(location).getOrElse(0)
 
   /** Claim the next document slot atomically; conflict = a racer won. */
   def commit(location: String, meta: ViewMetadata): Unit = {

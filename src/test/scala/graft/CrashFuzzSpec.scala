@@ -369,6 +369,20 @@ abstract class CrashFuzzBase extends AnyFunSuite {
 
     info(s"armed crash classes: ${armed.toSeq.sorted.mkString(", ")}")
     assert(armed.size >= 3, s"crash classes exercised: $armed")
+    // the committed seed was CHOSEN to arm every class on the catalog
+    // backend — pin the full set, or an RNG-stream shift (any added
+    // rnd draw moves every seed's path) would silently disarm classes
+    // while armed.size >= 3 stays green
+    if (sys.env.get("GRAFT_FUZZ_SEED").isEmpty && canCrashCas)
+      assert(armed == Set("cas-crash-then-rename", "cas-publish",
+        "cas-publish-txn", "create-at-claimed", "mid-publish-txn",
+        "rename-after-complete", "rename-before-complete",
+        "rename-mid-copy", "rename-mid-unmark", "staged-ddl-txn",
+        "staged-dml-txn", "staged-merge-txn"),
+        s"the committed seed no longer arms every crash class " +
+          s"(got ${armed.toSeq.sorted.mkString(", ")}) — the RNG " +
+          "stream shifted; re-run the seed search and update the " +
+          "default seed")
     // one linear, replayable chain at whichever location survived
     val m = t.meta
     val chain = Iterator.unfold(m.currentSnapshotId) {

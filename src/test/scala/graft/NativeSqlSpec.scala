@@ -1431,6 +1431,13 @@ class NativeSqlSpec extends AnyFunSuite {
         sql = "SELECT count(*) AS s FROM graft.db.vsi")))
     assert(s() == 30L,
       "the second statement must expand the PINNED definition")
+    // explicit time travel on the view OVERRIDES the pin (it names its
+    // own version) and resolves against COMMITTED state — it must see
+    // the racer's version even though the pin predates it
+    assert(spark.sql(
+      s"SELECT * FROM graft.db.vsi_v VERSION AS OF $nextId")
+      .head().getLong(0) == 2L,
+      "explicit VERSION AS OF must override the definition pin")
     spark.sql("COMMIT") // read-only
     assert(s() == 2L, "COMMIT releases the definition pin")
     // --- AS OF: the historical instant selects the definition that
@@ -1469,9 +1476,27 @@ class NativeSqlSpec extends AnyFunSuite {
         versions = cur.versions :+ cur.current.copy(versionId = nid,
           sql = "SELECT min(id) AS n FROM graft.db.vsi2")))
       val e = intercept[Exception](spark.sql("COMMIT"))
-      assert(e.getMessage.contains("redefined concurrently"), e.getMessage)
+      assert(e.getMessage.contains("committed concurrently"), e.getMessage)
       assert(graft.catalog.ViewIO.read(loc2).current.sql.contains("min(id)"),
         "the racer's committed definition must stand")
+      // a racing METADATA-ONLY view commit (property change — the
+      // currentVersionId does not move) must ALSO abort: the pin is
+      // the view DOCUMENT version, so the racer's property can never
+      // be silently overwritten by the staged redefinition
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("CREATE OR REPLACE VIEW graft.db.vsi2_v AS " +
+        "SELECT count(*) AS n FROM graft.db.vsi2")
+      val cur2 = graft.catalog.ViewIO.read(loc2)
+      graft.catalog.ViewIO.commit(loc2,
+        cur2.copy(properties = cur2.properties + ("owner" -> "racer")))
+      val e2 = intercept[Exception](spark.sql("COMMIT"))
+      assert(e2.getMessage.contains("committed concurrently"),
+        e2.getMessage)
+      assert(graft.catalog.ViewIO.read(loc2)
+        .properties.get("owner").contains("racer"),
+        "the racer's metadata-only view commit must stand")
+      assert(graft.catalog.ViewIO.read(loc2).current.sql.contains("min(id)"),
+        "the staged redefinition must not land")
     } finally {
       graft.tableformat.FileIO.install(before)
       server.close()
