@@ -75,6 +75,11 @@ class GraftNamespaceCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
+    // same contract as the table/view DDL refusals: a namespace has no
+    // staged form, and silently committing it outside the transaction
+    // (surviving ROLLBACK) is the footgun the refusals exist for
+    GraftSqlTransactions.refuse(
+      org.apache.spark.sql.SparkSession.active, "CREATE DATABASE")
     require(namespace.length == 1, "graft namespaces are single-level")
     warehouse.foreach(w => Files.createDirectories(Paths.get(w, namespace.head)))
   }

@@ -203,21 +203,6 @@ object GraftSqlTransactions {
     if (st == null) None else st.synchronized(st.asOfMillis)
   }
 
-  /** Non-mutating twin of [[readView]] for plan-rule guards: the
-    * preview or the EXISTING pin, never recording a new one. A
-    * defined result means the table's reads inside this transaction
-    * are transaction-local — fast paths that would consult live
-    * committed metadata (manifest aggregates, mview rewrite, dynamic
-    * file pruning) must stand down.
-    */
-  private[catalog] def viewOf(session: SparkSession,
-      location: String): Option[TableMetadata] = {
-    val st = open.get(session)
-    if (st == null) None
-    else st.synchronized(
-      st.previews.get(location).orElse(st.pins.get(location)))
-  }
-
   def begin(session: SparkSession, asOfMillis: Option[Long] = None): Unit = {
     require(!active(session),
       "a transaction is already open on this session — COMMIT or " +

@@ -30,12 +30,24 @@ final case class GraftTableHandle(table: GraftTable, tableName: String,
     * pin): the relation's output attributes come from here, and the
     * relation-swap rebind maps them by name onto the transaction-view
     * read — a committed schema here would desync from a staged rename.
+    * Resolving through [[GraftSqlTransactions.readView]] also RECORDS
+    * the begin-time pin, so a schema-only first touch (DESCRIBE, a
+    * resolution that never executes) pins the table like any read —
+    * otherwise a commit racing in before the first actual SELECT
+    * would hand the transaction post-race state. EXPLICIT time-travel
+    * handles are the exception: they resolve against COMMITTED
+    * metadata (the engine's readAsOfVersion/Time pair historical
+    * files with the live schema), so their attributes must come from
+    * the same document — a staged rename must not reshape a read that
+    * overrides the transaction view by naming its own snapshot.
     * ONE read, cached for the handle's lifetime (a resolution-scoped
     * object), so schema/partitioning/properties can never pair fields
     * from two different metadata versions.
     */
   private lazy val viewMeta: graft.tableformat.TableMetadata =
-    GraftSqlTransactions.viewOf(table.spark, table.location)
+    if (pinnedSnapshot.isDefined) table.meta
+    else GraftSqlTransactions
+      .readView(table.spark, table.location, table.meta)
       .getOrElse(table.meta)
 
   override def schema(): StructType =

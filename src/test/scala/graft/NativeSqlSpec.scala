@@ -1702,4 +1702,58 @@ class NativeSqlSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("a schema-only first touch (DESCRIBE) records the begin-time " +
+      "pin; explicit time travel resolves committed schema even with a " +
+      "staged rename; CREATE DATABASE refuses inside a transaction") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "pin1", Seq("id" -> "long"))
+    t.append(Seq(1L, 2L).toDF("id"))
+    // --- DESCRIBE is the first touch: it resolves the handle's schema
+    // and nothing else — the pin must still record, or a commit racing
+    // in before the first actual SELECT hands the transaction
+    // post-race state
+    spark.sql("BEGIN TRANSACTION")
+    assert(spark.sql("DESCRIBE TABLE graft.db.pin1").collect().nonEmpty)
+    t.append(Seq(3L).toDF("id")) // racer between DESCRIBE and SELECT
+    assert(spark.sql("SELECT count(*) FROM graft.db.pin1")
+      .head().getLong(0) == 2,
+      "a schema-only first touch must pin like any read")
+    spark.sql("COMMIT")
+    // --- explicit VERSION AS OF inside a transaction with a STAGED
+    // rename on the same table: the time-travel read resolves against
+    // COMMITTED metadata (readAsOfVersion pairs historical files with
+    // the live schema), so the relation's attributes must come from
+    // the committed document, not the staged preview — otherwise the
+    // rebind desyncs on the renamed column
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat2 = freshCat()
+      val t2 = cat2.createTable("db", "pin2", Seq("id" -> "long"))
+      t2.append(Seq(1L, 2L).toDF("id"))
+      val v = t2.meta.currentSnapshot.get.snapshotId
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("ALTER TABLE graft.db.pin2 RENAME COLUMN id TO ident")
+      // RYOW: the plain read serves the staged schema
+      assert(spark.sql("SELECT ident FROM graft.db.pin2").count() == 2)
+      // the explicit time travel still resolves (committed schema)
+      assert(spark.sql(
+        s"SELECT id FROM graft.db.pin2 VERSION AS OF $v ORDER BY id")
+        .as[Long].collect().toSeq == Seq(1L, 2L))
+      spark.sql("ROLLBACK")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+    // --- CREATE DATABASE has no staged form: refuse, like the rest of
+    // the non-stageable DDL
+    spark.sql("BEGIN TRANSACTION")
+    val e = intercept[Exception](spark.sql("CREATE DATABASE graft.newdb"))
+    assert(e.getMessage.contains("BEGIN TRANSACTION"), e.getMessage)
+    spark.sql("ROLLBACK")
+  }
 }
