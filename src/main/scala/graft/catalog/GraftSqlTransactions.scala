@@ -36,14 +36,24 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   * refuse loudly rather than silently committing outside the
   * transaction.
   *
-  * Reads are SNAPSHOT-ISOLATED: a staged table resolves against the
-  * preview metadata (read-your-own-writes, [[readView]] wired through
-  * the relation swap in [[ResolveGraftRelations]]); an untouched table
-  * is PINNED to its committed snapshot at first touch, so a concurrent
+  * Reads are SNAPSHOT-ISOLATED at ONE INSTANT: a staged table resolves
+  * against the preview metadata (read-your-own-writes, [[readView]]
+  * wired through the relation swap in [[ResolveGraftRelations]]); an
+  * untouched table is PINNED to its snapshot AT THE TRANSACTION'S
+  * BEGIN instant (evaluated lazily at first touch), so a concurrent
   * commit between two statements cannot change the second statement's
-  * input. Explicit VERSION/TIMESTAMP AS OF overrides the pin (it
-  * names its own snapshot); metadata tables (history/snapshots/refs)
-  * keep showing committed state — staged work is not a snapshot yet.
+  * input — and because every table pins to the SAME instant, and the
+  * write side stamps a multi-table transaction's slots with one shared
+  * timestamp, two pinned reads can never observe HALF of a racing
+  * multi-table commit (the torn corpus-without-index pair). The
+  * begin-instant clock argument is same-process: [[begin]] spins past
+  * its own millisecond, so any commit PUBLISHING after BEGIN on this
+  * clock carries a strictly later timestamp; cross-process writers
+  * with skewed-backward clocks share the residual hazard of every
+  * timestamp-ordered read (the same one TIMESTAMP AS OF has). Explicit
+  * VERSION/TIMESTAMP AS OF overrides the pin (it names its own
+  * snapshot); metadata tables (history/snapshots/refs) keep showing
+  * committed state — staged work is not a snapshot yet.
   *
   * Conflict contract: any chain containing row-level DML or DDL
   * REVALIDATES its table's committed metadata DOCUMENT version against
@@ -52,9 +62,14 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   * commits produce no snapshot but still invalidate the plan) aborts
   * the whole transaction loudly (first-committer-wins snapshot
   * isolation), never silently lands a rewrite planned against stale
-  * state. Staged view redefinitions revalidate their document's
-  * version id the same way. Pure-append chains skip the check: appends
-  * compose with any base by construction.
+  * state. A racer landing in the BEGIN-to-first-touch window is caught
+  * too: the pin records the table as DIRTY (its live snapshot is
+  * younger than the begin instant), and COMMIT refuses any
+  * revalidating chain on a dirty table — its plan was made against the
+  * begin-time state the reads served, not the racer's. Staged view
+  * redefinitions revalidate their document's version id the same way.
+  * Pure-append chains skip the checks: appends compose with any base
+  * by construction.
   */
 object GraftSqlTransactions {
 
@@ -72,9 +87,15 @@ object GraftSqlTransactions {
     * `previews` holds, per table location, the metadata produced by
     * applying the staged transforms so far — the read-your-own-writes
     * source and the planning base for follow-up statements on the same
-    * table. `pins` records each location's COMMITTED metadata at its
-    * first touch (read or write) — the snapshot-isolation read view
-    * and the base that revalidating chains check at claim time.
+    * table. `pins` records each location's metadata AT THE BEGIN
+    * INSTANT, evaluated at its first touch (read or write): the
+    * committed document read then, with its current snapshot rewound
+    * to `beginMillis` when a racer already moved it past the instant —
+    * the one-instant snapshot-isolation read view and the base that
+    * revalidating chains check at claim time. `dirtySinceBegin` marks
+    * pins that WERE rewound (the table moved between BEGIN and first
+    * touch): reads stay consistent, but COMMIT refuses revalidating
+    * chains on them — first-committer-wins against the begin instant.
     * `revalidating` marks locations whose chain contains row-level DML
     * or DDL (planned against specific files/schema — a racing commit
     * must abort, not silently compose).
@@ -85,7 +106,15 @@ object GraftSqlTransactions {
       scala.collection.mutable.LinkedHashMap.empty[String, TableMetadata]
     val pins =
       scala.collection.mutable.LinkedHashMap.empty[String, TableMetadata]
+    val dirtySinceBegin = scala.collection.mutable.Set.empty[String]
+    val viewDirtySinceBegin = scala.collection.mutable.Set.empty[String]
     val revalidating = scala.collection.mutable.Set.empty[String]
+    /** The transaction's snapshot instant — every pin resolves to this
+      * one moment, recorded when [[begin]] runs (which then spins past
+      * the millisecond, so no same-clock commit publishing after BEGIN
+      * can tie it).
+      */
+    var beginMillis: Long = 0L
     val viewOps = scala.collection.mutable.ArrayBuffer
       .empty[(String, ViewMetadata => ViewMetadata)]
     val viewPreviews =
@@ -121,14 +150,34 @@ object GraftSqlTransactions {
 
   def active(session: SparkSession): Boolean = open.containsKey(session)
 
+  /** The one-instant pin: `m` unchanged when its current snapshot is
+    * no younger than the instant (the overwhelmingly common case —
+    * identity, zero behavior change), else the document with its
+    * current snapshot rewound to the instant via the snapshot log.
+    * The boolean is DIRTY — the table moved past the instant before
+    * first touch; reads off the rewound pin stay consistent, but a
+    * revalidating chain planned against it must refuse at COMMIT.
+    * Snapshot timestamps (not metadata-log ones) are the selector
+    * because the write side stamps a multi-table transaction's slots
+    * with ONE shared, per-document-floored timestamp — so two pins at
+    * one instant see all of a racing transaction or none of it.
+    */
+  private def pinAt(m: TableMetadata, instant: Long)
+      : (TableMetadata, Boolean) =
+    if (m.currentSnapshot.forall(_.timestampMs <= instant)) (m, false)
+    else (m.copy(
+      currentSnapshotId = m.snapshotAsOfTime(instant).map(_.snapshotId)),
+      true)
+
   /** The transaction's READ view of a location: the staged PREVIEW
     * when this transaction staged the table (read-your-own-writes),
-    * else the BEGIN-TIME PIN — on first touch the caller's `live`
-    * committed metadata is recorded, and every later statement
-    * resolves the table to that same instant. This upgrades reads from
-    * read-committed-per-statement to snapshot isolation: a concurrent
-    * commit between two SELECTs of an untouched table cannot change
-    * the second result. None when no transaction is open.
+    * else the BEGIN-INSTANT PIN — on first touch the caller's `live`
+    * committed metadata is read and rewound to the begin instant
+    * ([[pinAt]]), and every later statement resolves the table to that
+    * same pin. One instant for ALL tables: a concurrent commit between
+    * two SELECTs cannot change the second result, and two tables read
+    * in one transaction can never observe half of a racing multi-table
+    * commit. None when no transaction is open.
     */
   private[catalog] def readView(session: SparkSession, location: String,
       live: => TableMetadata): Option[TableMetadata] = {
@@ -146,29 +195,37 @@ object GraftSqlTransactions {
     // stage()/readView() on the session behind the fetch. A losing
     // racer's extra read is an idempotent committed read; the first
     // recorded pin wins, as before.
-    val fresh = st.asOfMillis match {
-      // AS OF transaction: the pin is the table's snapshot AT the
-      // requested instant (a table with no snapshot then reads
-      // empty — the engine's own readAsOfTime contract)
-      case Some(ts) =>
-        val m = live
-        m.copy(currentSnapshotId = m.snapshotAsOfTime(ts).map(_.snapshotId))
-      case None => live
-    }
+    // AS OF transaction: the instant is the requested historical one
+    // (a table with no snapshot then reads empty — the engine's own
+    // readAsOfTime contract); otherwise the BEGIN instant
+    val (fresh, dirty) =
+      pinAt(live, st.asOfMillis.getOrElse(st.beginMillis))
     st.synchronized {
       if (st.closed) None
-      else Some(st.previews.getOrElse(location,
-        st.pins.getOrElseUpdate(location, fresh)))
+      else Some(st.previews.getOrElse(location, {
+        if (!st.pins.contains(location)) {
+          st.pins(location) = fresh
+          if (dirty) st.dirtySinceBegin += location
+        }
+        st.pins(location)
+      }))
     }
   }
 
   /** [[readView]] for VIEW DOCUMENTS: the staged redefinition preview
-    * (read-your-own-writes), else the begin-time document pin — a
-    * concurrent CREATE OR REPLACE VIEW between two statements cannot
-    * change which definition the second statement expands. The pin
-    * records the committed DOCUMENT version alongside the document
+    * (read-your-own-writes), else the begin-instant document pin — the
+    * committed document with its CURRENT pointer rewound to the
+    * definition at the transaction's instant, so a concurrent CREATE
+    * OR REPLACE VIEW between two statements cannot change which
+    * definition the second statement expands, whether it lands after
+    * the view's first touch or between BEGIN and it (same one-instant
+    * contract as tables; a view created after the instant refuses
+    * loudly). The pin records the committed DOCUMENT version alongside
     * (one atomic readWithVersion), the base staged redefinitions
-    * revalidate at COMMIT. None when no transaction is open.
+    * revalidate at COMMIT; a rewound pin additionally marks the view
+    * DIRTY — COMMIT refuses a staged redefinition of it
+    * (first-committer-wins against the instant). None when no
+    * transaction is open.
     */
   private[catalog] def viewReadView(session: SparkSession,
       location: String): Option[ViewMetadata] = {
@@ -181,12 +238,25 @@ object GraftSqlTransactions {
       if (hit.isDefined) return hit
     }
     val (doc, v) = ViewIO.readWithVersion(location) // I/O outside the lock
+    val instant =
+      st.synchronized(st.asOfMillis.getOrElse(st.beginMillis))
+    val (pinned, dirty) =
+      if (doc.current.timestampMs <= instant) (doc, false)
+      else {
+        val cands = doc.versions.filter(_.timestampMs <= instant)
+        if (cands.isEmpty) sys.error(
+          s"view ${doc.name}: no version existed at the transaction's " +
+            "instant — the view was created after it")
+        (doc.copy(
+          currentVersionId = cands.maxBy(_.timestampMs).versionId), true)
+      }
     st.synchronized {
       if (st.closed) None
       else Some(st.viewPreviews.getOrElse(location, {
         if (!st.viewPins.contains(location)) {
-          st.viewPins(location) = doc
+          st.viewPins(location) = pinned
           st.viewPinVersions(location) = v
+          if (dirty) st.viewDirtySinceBegin += location
         }
         st.viewPins(location)
       }))
@@ -209,6 +279,14 @@ object GraftSqlTransactions {
         "ROLLBACK it first (nested transactions are not supported)")
     val st = new TxState
     st.asOfMillis = asOfMillis
+    st.beginMillis = System.currentTimeMillis()
+    // spin past the begin millisecond (≤1 ms, once per BEGIN): any
+    // commit that PUBLISHES after this point on the same clock gets a
+    // strictly later timestamp, so a pin at beginMillis either sees it
+    // nowhere or — if it published before BEGIN — everywhere. Without
+    // the spin, a same-millisecond racer landing between two first
+    // touches could be half-seen.
+    while (System.currentTimeMillis() <= st.beginMillis) Thread.onSpinWait()
     open.put(session, st)
   }
 
@@ -244,12 +322,20 @@ object GraftSqlTransactions {
         case None =>
       }
     }
-    val fresh = live // metadata I/O outside the lock (see readView)
+    // metadata I/O outside the lock (see readView); the plan base is
+    // the same begin-instant pin reads use — a DML statement must plan
+    // against exactly the state the transaction's reads serve
+    val (fresh, dirty) = pinAt(live, st.beginMillis)
     st.synchronized {
       guards()
       st.previews.get(location) match {
         case Some(p) => (p, false)
-        case None    => (st.pins.getOrElseUpdate(location, fresh), true)
+        case None =>
+          if (!st.pins.contains(location)) {
+            st.pins(location) = fresh
+            if (dirty) st.dirtySinceBegin += location
+          }
+          (st.pins(location), true)
       }
     }
   }
@@ -355,14 +441,32 @@ object GraftSqlTransactions {
   def commit(session: SparkSession): Int = {
     val st = open.remove(session)
     require(st != null, "COMMIT without an open transaction")
-    val (ops, viewOps, pins, revalidating, viewPins, viewPinVersions) =
+    val (ops, viewOps, pins, revalidating, viewPins, viewPinVersions,
+        dirty, viewDirty) =
       st.synchronized {
         st.closed = true
         (st.ops.toVector, st.viewOps.toVector, st.pins.toMap,
           st.revalidating.toSet, st.viewPins.toMap,
-          st.viewPinVersions.toMap)
+          st.viewPinVersions.toMap, st.dirtySinceBegin.toSet,
+          st.viewDirtySinceBegin.toSet)
       }
     if (ops.isEmpty && viewOps.isEmpty) return 0
+    // first-committer-wins against the BEGIN instant: a revalidating
+    // chain (row-level DML / DDL) on a table that had already moved
+    // past the instant at first touch was planned against the
+    // begin-time state the reads served — committing it would land a
+    // rewrite that silently ignores the racer. Same for a staged
+    // redefinition of a view whose pinned definition was rewound.
+    // (Pure-append chains and plain reads of dirty documents are fine:
+    // appends compose with any base, reads never publish.)
+    (ops.map(_.location).filter(l => revalidating(l) && dirty(l)) ++
+      viewOps.map(_._1).filter(viewDirty)).headOption.foreach { loc =>
+      throw new java.util.ConcurrentModificationException(
+        s"transaction aborted: $loc was committed concurrently between " +
+          "BEGIN and this transaction's first touch of it — the staged " +
+          "statements were planned against the begin-instant state; " +
+          "retry the transaction")
+    }
     // compose per-location chains in statement order: each table gets
     // ONE claim-set slot whose transform applies its statements
     // sequentially. The chain's intermediate snapshots are then

@@ -405,6 +405,194 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     }
   }
 
+  test("snapshot-isolation differential fuzz: racing commits between " +
+      "the statements of an open transaction change neither what it " +
+      "reads (plain, filtered, view-expanded) nor what its " +
+      "INSERT..SELECT chains write — the transaction behaves as if it " +
+      "ran instantaneously at BEGIN") {
+    import spark.implicits._
+    val seed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "2026").toLong
+    val rnd = new scala.util.Random(seed)
+    val before = FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      FileIO.install(new CatalogFileIO("127.0.0.1", server.port))
+      val cat = new GraftCatalog(spark, tmp())
+      for (round <- 0 until 4) {
+        // `ref` is READ-ONLY inside the transaction; a racer commits
+        // API appends to it between every statement. `tgt` (txn) and
+        // `tgs` (sequential twin) receive the same statement chain —
+        // the twin runs FIRST, against ref's begin-time state, so the
+        // transaction run only matches if its pins really freeze ref.
+        val ref = cat.createTable("db", s"sif_r$round",
+          Seq("id" -> "long", "v" -> "long"))
+        ref.append((0L until 40L).map(i => (i, i * 2)).toDF("id", "v"))
+        val tgt = cat.createTable("db", s"sif_t$round",
+          Seq("id" -> "long", "v" -> "long"))
+        val tgs = cat.createTable("db", s"sif_s$round",
+          Seq("id" -> "long", "v" -> "long"))
+        spark.sql(s"CREATE VIEW graft.db.sif_v$round AS " +
+          s"SELECT id, v FROM graft.db.sif_r$round WHERE id % 2 = 0")
+        // the statement chain: reads of ref (through every surface the
+        // pin serves) interleaved with DML on tgt that SELECTs from
+        // ref — a staged write's INPUT must be the pinned state too
+        val stmts: Seq[(String, String => String)] =
+          (0 until 3 + rnd.nextInt(3)).map { k =>
+            rnd.nextInt(5) match {
+              case 0 => ("read", _ =>
+                s"SELECT count(*) AS c FROM graft.db.sif_r$round")
+              case 1 =>
+                val m = 2 + rnd.nextInt(4)
+                ("read", _ => "SELECT count(*) AS c, sum(v) AS s " +
+                  s"FROM graft.db.sif_r$round WHERE id % $m = 0")
+              case 2 => ("read", _ =>
+                s"SELECT count(*) AS c FROM graft.db.sif_v$round")
+              case 3 =>
+                val m = 2 + rnd.nextInt(4)
+                ("dml", (t: String) => s"INSERT INTO $t " +
+                  s"SELECT id + ${k * 1000}, v FROM graft.db.sif_r$round " +
+                  s"WHERE id % $m = $k % $m")
+              case _ =>
+                ("dml", (t: String) =>
+                  s"UPDATE $t SET v = v + 1 WHERE id % 3 = 0")
+            }
+          }
+        // sequential twin first: ref is still at its begin-time state
+        val expectedReads = stmts.collect { case ("read", f) =>
+          spark.sql(f("")).collect().map(_.toSeq).toSeq
+        }
+        stmts.foreach { case (kind, f) =>
+          if (kind == "dml") spark.sql(f(s"graft.db.sif_s$round"))
+        }
+        val expectedTgt = tgs.read().orderBy("id", "v")
+          .collect().map(_.toSeq).toSeq
+        // transaction run, a racer committing to ref between every
+        // statement (API append — not transaction-mediated, the
+        // concurrent-writer simulation)
+        var nextRacer = 1000L
+        spark.sql("BEGIN TRANSACTION")
+        val gotReads = scala.collection.mutable.Buffer
+          .empty[Seq[Seq[Any]]]
+        stmts.foreach { case (kind, f) =>
+          ref.append(Seq((nextRacer, nextRacer)).toDF("id", "v"))
+          nextRacer += 1
+          if (kind == "read")
+            gotReads += spark.sql(f("")).collect().map(_.toSeq).toSeq
+          else spark.sql(f(s"graft.db.sif_t$round"))
+        }
+        spark.sql("COMMIT")
+        assert(gotReads.toSeq == expectedReads,
+          s"round $round (seed $seed): a read inside the transaction " +
+            "saw a racing commit")
+        val gotTgt = tgt.read().orderBy("id", "v")
+          .collect().map(_.toSeq).toSeq
+        assert(gotTgt == expectedTgt,
+          s"round $round (seed $seed): the transaction's writes " +
+            "diverged from sequential-at-begin-time")
+        // after COMMIT the pins are gone: every racer row is visible
+        assert(spark.sql(s"SELECT count(*) FROM graft.db.sif_r$round")
+          .head().getLong(0) == 40L + stmts.size,
+          s"round $round: COMMIT must release the pin")
+      }
+    } finally {
+      FileIO.install(before)
+      server.close()
+    }
+  }
+
+  test("one-instant pins: a racing MULTI-TABLE commit landing between " +
+      "two first touches is seen nowhere (never the torn " +
+      "index-without-corpus pair); a revalidating chain on a table " +
+      "that moved between BEGIN and first touch aborts at COMMIT " +
+      "while a pure-append chain composes; a view redefined in that " +
+      "window expands its begin definition and a staged redefinition " +
+      "of it aborts") {
+    import spark.implicits._
+    val before = FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      FileIO.install(new CatalogFileIO("127.0.0.1", server.port))
+      val cat = new GraftCatalog(spark, tmp())
+      // --- the torn pair: corpus pinned BEFORE the racer's atomic
+      // corpus+index commit, index first-touched AFTER it. Per-table
+      // first-touch pinning would serve the racer's index half without
+      // its corpus half — exactly the subset read the engine's
+      // multi-table transactions exist to prevent. One-instant pins
+      // rewind the index to the BEGIN instant: the racer is seen
+      // nowhere.
+      val corpus = cat.createTable("db", "oi_c", Seq("id" -> "long"))
+      val index = cat.createTable("db", "oi_i", Seq("id" -> "long"))
+      corpus.append(Seq(1L, 2L).toDF("id"))
+      index.append(Seq(1L, 2L).toDF("id"))
+      spark.sql("BEGIN TRANSACTION")
+      assert(spark.sql("SELECT count(*) FROM graft.db.oi_c")
+        .head().getLong(0) == 2) // pins corpus
+      cat.transact( // the racer's ATOMIC two-table commit
+        corpus -> Seq(9L).toDF("id"),
+        index -> Seq(9L).toDF("id"))
+      assert(spark.sql("SELECT count(*) FROM graft.db.oi_i")
+        .head().getLong(0) == 2,
+        "the racing multi-table commit's index half leaked into a " +
+          "transaction that pinned corpus before it (torn-pair read)")
+      assert(spark.sql("SELECT count(*) FROM graft.db.oi_c")
+        .head().getLong(0) == 2)
+      spark.sql("COMMIT")
+      assert(index.read().count() == 3 && corpus.read().count() == 3)
+      // --- first-committer-wins against the instant: a racer landing
+      // between BEGIN and the transaction's FIRST TOUCH of a table
+      // makes any revalidating chain on it (row-level DML / DDL)
+      // abort at COMMIT — its plan matches the begin-time reads, not
+      // the racer's state
+      val t3 = cat.createTable("db", "oi_d", Seq("id" -> "long"))
+      t3.append(Seq(1L, 2L, 3L).toDF("id"))
+      spark.sql("BEGIN TRANSACTION")
+      t3.append(Seq(50L).toDF("id")) // racer, before any touch of t3
+      spark.sql("DELETE FROM graft.db.oi_d WHERE id = 2")
+      assert(spark.sql("SELECT count(*) FROM graft.db.oi_d")
+        .head().getLong(0) == 2, "RYOW over the begin-instant pin")
+      val e = intercept[Exception](spark.sql("COMMIT"))
+      assert(e.getMessage.contains("between BEGIN"), e.getMessage)
+      assert(t3.read().count() == 4,
+        "the aborted DELETE must leave the racer's state untouched")
+      // ...but a PURE-APPEND chain on the same dirty table composes:
+      // appends are base-free
+      spark.sql("BEGIN TRANSACTION")
+      t3.append(Seq(60L).toDF("id")) // racer again
+      spark.sql("INSERT INTO graft.db.oi_d VALUES (70)")
+      spark.sql("COMMIT")
+      assert(t3.read().as[Long].collect().toSet ==
+        Set(1L, 2L, 3L, 50L, 60L, 70L))
+      // --- views: redefined by a racer between BEGIN and the first
+      // expansion → the transaction expands the BEGIN definition; a
+      // staged redefinition of that view aborts at COMMIT
+      val vt = cat.createTable("db", "oi_v", Seq("id" -> "long"))
+      vt.append(Seq(1L, 2L).toDF("id"))
+      spark.sql("CREATE VIEW graft.db.oi_vv AS " +
+        "SELECT sum(id) AS s FROM graft.db.oi_v")
+      val vloc = cat.location("db", "oi_vv")
+      spark.sql("BEGIN TRANSACTION")
+      val d0 = ViewIO.read(vloc) // racer redefines before first touch
+      Thread.sleep(2)
+      val nid = d0.versions.map(_.versionId).max + 1
+      ViewIO.commit(vloc, d0.copy(currentVersionId = nid,
+        versions = d0.versions :+ d0.current.copy(versionId = nid,
+          timestampMs = System.currentTimeMillis(),
+          sql = "SELECT count(*) AS s FROM graft.db.oi_v")))
+      assert(spark.sql("SELECT * FROM graft.db.oi_vv")
+        .head().getLong(0) == 3L,
+        "the transaction must expand the BEGIN-instant definition")
+      spark.sql("CREATE OR REPLACE VIEW graft.db.oi_vv AS " +
+        "SELECT max(id) AS s FROM graft.db.oi_v")
+      val e2 = intercept[Exception](spark.sql("COMMIT"))
+      assert(e2.getMessage.contains("between BEGIN"), e2.getMessage)
+      assert(ViewIO.read(vloc).current.sql.contains("count(*)"),
+        "the racer's committed definition must stand")
+    } finally {
+      FileIO.install(before)
+      server.close()
+    }
+  }
+
   test("transactOpsIfNewMarker: a replayed sweep skips whole — no " +
       "double delete, no torn marker") {
     import spark.implicits._
