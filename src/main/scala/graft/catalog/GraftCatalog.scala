@@ -158,9 +158,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * shared commit timestamp across the set (refreshed per retry by
     * the first transform) keeps `TIMESTAMP AS OF` transaction-
     * consistent: no probe instant falls between one transaction's
-    * per-table snapshots. (A table whose history outpaced the hint
-    * bumps past it for monotonicity; consistency then degrades to
-    * per-table correctness, never to corruption.)
+    * per-table snapshots — including against a skewed-forward racer
+    * whose stamp outpaces the wall clock: a slot whose claim-time
+    * history sits above the chosen instant lifts the WHOLE set's
+    * instant past it ([[SharedInstant]]), never just its own stamp.
     */
   def transactOps(ops: Seq[TxOp]): Seq[Int] = {
     require(ops.nonEmpty, "empty transaction")
@@ -171,13 +172,18 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case Tx.Merge(t, src, on, m, nm, nms, al) =>
         t -> t.stageMerge(src, on, m, nm, nms, al)
     }
+    val floor = new java.util.concurrent.atomic.AtomicLong(0L)
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
-    MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
-      t.location -> ((cur: graft.tableformat.TableMetadata) => {
-        if (i == 0) sharedTs.set(System.currentTimeMillis())
-        f(cur, sharedTs.get)
+    SharedInstant.withFloorRetries(floor) { () =>
+      MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
+        t.location -> ((cur: graft.tableformat.TableMetadata) => {
+          if (i == 0) sharedTs.set(
+            math.max(System.currentTimeMillis(), floor.get + 1))
+          if (staged.size > 1) SharedInstant.check(cur, sharedTs.get)
+          f(cur, sharedTs.get)
+        })
       })
-    })
+    }
   }
 
   /** Exactly-once MULTI-TABLE publish — the streaming `foreachBatch`
@@ -219,18 +225,23 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case Tx.Merge(t, src, on, m, nm, nms, al) =>
         t -> t.stageMerge(src, on, m, nm, nms, al)
     }
+    val floor = new java.util.concurrent.atomic.AtomicLong(0L)
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
     final class SeenMarker extends RuntimeException
     try {
-      MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
-        t.location -> ((cur: graft.tableformat.TableMetadata) => {
-          if (seen(cur)) throw new SeenMarker // a racer published it
-          if (i == 0) sharedTs.set(System.currentTimeMillis())
-          val next = f(cur, sharedTs.get)
-          next.copy(properties =
-            next.properties + (markerKey -> markerValue.toString))
+      SharedInstant.withFloorRetries(floor) { () =>
+        MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
+          t.location -> ((cur: graft.tableformat.TableMetadata) => {
+            if (seen(cur)) throw new SeenMarker // a racer published it
+            if (i == 0) sharedTs.set(
+              math.max(System.currentTimeMillis(), floor.get + 1))
+            if (staged.size > 1) SharedInstant.check(cur, sharedTs.get)
+            val next = f(cur, sharedTs.get)
+            next.copy(properties =
+              next.properties + (markerKey -> markerValue.toString))
+          })
         })
-      })
+      }
       true
     } catch { case _: SeenMarker => false }
   }
@@ -396,15 +407,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** Timestamps/dates in SQL text are interpreted in UTC, matching the
     * pinned session timezone — java.sql.Timestamp.valueOf would use the
-    * JVM default zone and shift results between hosts.
+    * JVM default zone and shift results between hosts. One shared
+    * parser ([[GraftSqlTransactions.parseTsUtc]]) keeps every AS OF
+    * surface accepting the same formats.
     */
-  private def parseTs(s: String): Long = {
-    val t = s.trim
-    if (t.contains(":"))
-      java.time.LocalDateTime.parse(t.replace(" ", "T"))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    else
-      java.time.LocalDate.parse(t).atStartOfDay
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-  }
+  private def parseTs(s: String): Long =
+    GraftSqlTransactions.parseTsUtc(s)
 }

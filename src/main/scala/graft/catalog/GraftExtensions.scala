@@ -834,15 +834,8 @@ case class ResolveGraftRelations(spark: SparkSession) extends Rule[LogicalPlan] 
     case other => sys.error(s"non-constant time-travel timestamp $other")
   }
 
-  private def parseUtc(s: String): Long = {
-    val t = s.trim
-    if (t.contains(":"))
-      java.time.LocalDateTime.parse(t.replace(" ", "T"))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    else
-      java.time.LocalDate.parse(t).atStartOfDay
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-  }
+  private def parseUtc(s: String): Long =
+    GraftSqlTransactions.parseTsUtc(s)
 }
 
 /** Parents are already bound to the relation's attribute ids: alias

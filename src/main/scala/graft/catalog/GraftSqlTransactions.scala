@@ -50,7 +50,16 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   * its own millisecond, so any commit PUBLISHING after BEGIN on this
   * clock carries a strictly later timestamp; cross-process writers
   * with skewed-backward clocks share the residual hazard of every
-  * timestamp-ordered read (the same one TIMESTAMP AS OF has). Explicit
+  * timestamp-ordered read (the same one TIMESTAMP AS OF has). One more
+  * bounded residual, in the SAFE direction: the engine's per-document
+  * monotonic floor can stamp a commit a few ms PAST its publish
+  * wall-time (same-millisecond crowding), so a commit that published
+  * just before BEGIN may carry a stamp after the instant — the pin
+  * then rewinds past it, which is still SELF-CONSISTENT (timestamps
+  * are the one cross-document order; every `TIMESTAMP AS OF` probe of
+  * the instant agrees with the transaction's view), and a revalidating
+  * chain on such a table aborts spuriously rather than silently — the
+  * retry's fresh instant clears it. Explicit
   * VERSION/TIMESTAMP AS OF overrides the pin (it names its own
   * snapshot); metadata tables (history/snapshots/refs) keep showing
   * committed state — staged work is not a snapshot yet.
@@ -150,13 +159,23 @@ object GraftSqlTransactions {
 
   def active(session: SparkSession): Boolean = open.containsKey(session)
 
-  /** The one-instant pin: `m` unchanged when its current snapshot is
-    * no younger than the instant (the overwhelmingly common case —
+  /** The one-instant pin: `m` unchanged when the main pointer last
+    * MOVED at or before the instant (the overwhelmingly common case —
     * identity, zero behavior change), else the document with its
     * current snapshot rewound to the instant via the snapshot log.
     * The boolean is DIRTY — the table moved past the instant before
     * first touch; reads off the rewound pin stay consistent, but a
     * revalidating chain planned against it must refuse at COMMIT.
+    * The SNAPSHOT LOG (the pointer's move history), not the current
+    * snapshot's creation time, is the clean-check: a pointer-move
+    * commit (rollback_to_snapshot / set_current_snapshot /
+    * fast_forward) makes an OLD snapshot current again with its
+    * original creation stamp, which would pass a creation-time check
+    * and silently pin the racer's rolled-back state as clean — no
+    * rewind, no dirty mark, snapshot isolation and the
+    * first-committer-wins refusal both bypassed. Log entries are
+    * appended on every pointer move, so "no entry after the instant"
+    * is exactly "the state a begin-instant probe would read".
     * Snapshot timestamps (not metadata-log ones) are the selector
     * because the write side stamps a multi-table transaction's slots
     * with ONE shared, per-document-floored timestamp — so two pins at
@@ -164,7 +183,7 @@ object GraftSqlTransactions {
     */
   private def pinAt(m: TableMetadata, instant: Long)
       : (TableMetadata, Boolean) =
-    if (m.currentSnapshot.forall(_.timestampMs <= instant)) (m, false)
+    if (!m.snapshotLog.exists(_.timestampMs > instant)) (m, false)
     else (m.copy(
       currentSnapshotId = m.snapshotAsOfTime(instant).map(_.snapshotId)),
       true)
@@ -489,14 +508,25 @@ object GraftSqlTransactions {
     // same-millisecond crowding — must not leave the transaction's
     // table stamp behind its view stamp, or a TIMESTAMP AS OF probe
     // in between would pair the new table state with the stale view
-    // definition. Post-pin racers can't widen the window: revalidating
-    // chains and staged views abort on them.
-    val tsFloor = (pins.values.flatMap(m =>
+    // definition. The PIN-derived floor alone is not enough: a
+    // PURE-APPEND chain legally composes over a post-pin racer
+    // (revalidating chains and staged views abort on them, appends
+    // don't), and if that racer carried a skewed-forward stamp above
+    // sharedTs, the engine's per-document monotonic floor
+    // (withSnapshot) would silently stamp that one table HIGHER than
+    // the transaction's other slots — reopening the torn window.
+    // So every table slot re-checks the floor against its CLAIM-TIME
+    // document ([[SharedInstant.check]]); the retry loop lifts the
+    // floor and re-prepares the whole set.
+    val tsFloorInit = (pins.values.flatMap(m =>
       m.snapshots.map(_.timestampMs) ++ m.snapshotLog.map(_.timestampMs)) ++
       viewPins.values.flatMap(_.versions.map(_.timestampMs)))
       .maxOption.getOrElse(0L)
-    def nowTs(): Long = math.max(System.currentTimeMillis(), tsFloor + 1)
+    val tsFloor = new java.util.concurrent.atomic.AtomicLong(tsFloorInit)
+    def nowTs(): Long = math.max(System.currentTimeMillis(), tsFloor.get + 1)
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val multiSlot =
+      byLoc.size + viewOps.map(_._1).distinct.size > 1
     val tableTransforms = byLoc.toSeq.zipWithIndex.map { case ((loc, f), i) =>
       // a chain containing row-level DML or DDL was planned against
       // the transaction's pinned base — whatever kind its FIRST link
@@ -519,11 +549,14 @@ object GraftSqlTransactions {
                 "retry the transaction")
           }
         if (i == 0) sharedTs.set(nowTs())
+        if (multiSlot) SharedInstant.check(cur, sharedTs.get)
         f(cur, sharedTs.get)
       })
     }
+    def withFloorRetries[A](attempt: () => A): A =
+      SharedInstant.withFloorRetries(tsFloor)(attempt)
     if (viewOps.isEmpty) {
-      MetadataIO.commitAll(tableTransforms)
+      withFloorRetries(() => MetadataIO.commitAll(tableTransforms))
     } else {
       // view redefinitions join the SAME claim set (the DDL +
       // dependent-view-repair shape); per-location view chains compose
@@ -536,7 +569,7 @@ object GraftSqlTransactions {
           case Some(g) => (m: ViewMetadata) => f(g(m))
         }
       }
-      MetadataIO.commitSlots(
+      withFloorRetries(() => MetadataIO.commitSlots(
         tableTransforms.map { case (loc, f) =>
           () => MetadataIO.prepareTableSlot(loc, f)
         } ++ viewByLoc.toSeq.map { case (loc, f) =>
@@ -573,10 +606,11 @@ object GraftSqlTransactions {
                 else v.copy(timestampMs = sharedTs.get)))
             })
           }
-        })
+        }))
     }
     ops.size + viewOps.size
   }
+
 
   /** Splice a multi-statement chain's intermediate snapshots out of
     * the committed metadata: the chain's FINAL state becomes one
@@ -652,7 +686,9 @@ object GraftSqlTransactions {
 
   /** Timestamps/dates in the AS OF clause are interpreted in UTC,
     * matching the pinned session timezone and the engine's other
-    * time-travel surfaces.
+    * time-travel surfaces. THE shared parser for every AS OF surface
+    * (cat.sql time travel and the extension path delegate here), so
+    * the accepted formats can never diverge between surfaces.
     */
   private[catalog] def parseTsUtc(s: String): Long = {
     val t = s.trim
@@ -687,5 +723,66 @@ final case class GraftRollbackTransactionCommand()
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     GraftSqlTransactions.rollback(session)
     Nil
+  }
+}
+
+/** The ONE-INSTANT stamp discipline shared by every multi-table
+  * transaction surface (SQL COMMIT and the API-level `transactOps`
+  * family): all slots of a transaction publish with one shared
+  * timestamp, or a `TIMESTAMP AS OF` probe falling between two slots'
+  * stamps reads HALF the transaction. The engine's per-document
+  * monotonic floor (`withSnapshot`) silently bumps a stamp past the
+  * document's claim-time history — correct per table, torn across the
+  * set — so the shared instant must clear EVERY slot's claim-time
+  * floor: each slot [[check]]s its document, and a [[TooLow]] raise
+  * makes the commit loop lift the floor and re-prepare the whole set.
+  * Safe by construction: claims happen only after every prep thunk
+  * returned, so a raise never strands a partially-claimed set.
+  */
+private[catalog] object SharedInstant {
+
+  /** A slot's claim-time document floor sits above the chosen shared
+    * instant (a post-pin racer with a skewed-forward or
+    * same-millisecond-crowded stamp that a pure-append chain legally
+    * composes over) — lift and re-prepare.
+    */
+  final class TooLow(val need: Long)
+      extends RuntimeException(s"shared commit instant below $need",
+        null, false, false)
+
+  /** The stamp `withSnapshot`'s monotonic floor would force on a new
+    * snapshot of `cur` — mirrored exactly (snapshots AND the pointer
+    * log; log-only entries from pointer moves count).
+    */
+  def needFor(cur: TableMetadata): Long = math.max(
+    cur.snapshots.map(_.timestampMs).maxOption.getOrElse(0L),
+    cur.snapshotLog.map(_.timestampMs).maxOption.getOrElse(0L)) + 1
+
+  def check(cur: TableMetadata, sharedTs: Long): Unit = {
+    val need = needFor(cur)
+    if (need > sharedTs) throw new TooLow(need)
+  }
+
+  /** Run `attempt`, lifting `floor` past any [[TooLow]] raise and
+    * retrying. Each re-fire needs a FRESH racer landing an even higher
+    * stamp between attempts (the floor covers the observed need), so
+    * the bound is a backstop, not a budget.
+    */
+  def withFloorRetries[A](
+      floor: java.util.concurrent.atomic.AtomicLong)(attempt: () => A): A = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: TooLow =>
+          tries += 1
+          if (tries >= 50)
+            throw new java.util.ConcurrentModificationException(
+              "transaction aborted: the shared commit instant could not " +
+                "be floored past concurrent writers after 50 attempts")
+          floor.getAndUpdate(f => math.max(f, e.need - 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -1756,4 +1756,112 @@ class NativeSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("BEGIN TRANSACTION"), e.getMessage)
     spark.sql("ROLLBACK")
   }
+
+  test("snapshot isolation holds against a POINTER-MOVE racer: a " +
+      "rollback_to_snapshot landing between BEGIN and first touch is " +
+      "rewound (the pointer LOG, not the current snapshot's creation " +
+      "time, is the clean-check) and a DML chain on it aborts") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "ptrmv", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    val s1 = t.meta.currentSnapshot.get.snapshotId
+    t.append(Seq(2L).toDF("id"))
+    def n(): Long =
+      spark.sql("SELECT count(*) FROM graft.db.ptrmv").head().getLong(0)
+    spark.sql("BEGIN TRANSACTION")
+    // the racer's pointer-move commit lands BETWEEN BEGIN and the
+    // first touch. The rolled-back-to snapshot keeps its ORIGINAL
+    // creation stamp (before the instant) — a clean-check keyed on
+    // the current snapshot's creation time would pin the racer's
+    // rolled-back state as clean, serving 1 row and bypassing the
+    // dirty first-committer-wins refusal
+    t.rollbackTo(s1)
+    assert(n() == 2,
+      "first touch must rewind to the begin-instant state via the " +
+        "pointer log, not pin the racer's rolled-back state")
+    assert(n() == 2, "the pin holds across statements")
+    spark.sql("COMMIT") // read-only: vacuous on any backend
+    assert(n() == 1, "COMMIT releases the pin — live state is the racer's")
+    // --- the same race against a revalidating chain: the DML planned
+    // against the rewound (dirty) pin must abort at COMMIT, never
+    // silently land a rewrite on top of the racer's rollback
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat2 = freshCat()
+      val t2 = cat2.createTable("db", "ptrmv2", Seq("id" -> "long"))
+      t2.append(Seq(1L, 2L).toDF("id"))
+      val s1b = t2.meta.currentSnapshot.get.snapshotId
+      t2.append(Seq(3L).toDF("id"))
+      spark.sql("BEGIN TRANSACTION")
+      t2.rollbackTo(s1b) // pointer-move racer before first touch
+      spark.sql("DELETE FROM graft.db.ptrmv2 WHERE id = 1")
+      val e2 = intercept[Exception](spark.sql("COMMIT"))
+      assert(e2.getMessage.contains("between BEGIN"),
+        s"expected the dirty-pin abort, got: ${e2.getMessage}")
+      assert(t2.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+        "the aborted transaction lands nothing; the rollback stands")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+  }
+
+  test("a pure-append chain composing over a skewed-forward racer " +
+      "lifts the WHOLE transaction's shared instant: no slot may stamp " +
+      "above the others (the torn TIMESTAMP AS OF window)") {
+    import spark.implicits._
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = freshCat()
+      val ta = cat.createTable("db", "skewa", Seq("id" -> "long"))
+      val tb = cat.createTable("db", "skewb", Seq("id" -> "long"))
+      ta.append(Seq(1L).toDF("id"))
+      tb.append(Seq(1L).toDF("id"))
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.skewa VALUES (2)")
+      spark.sql("INSERT INTO graft.db.skewb VALUES (2)")
+      // cross-process racer with a +5 s clock appends to A AFTER both
+      // pins — a pure-append chain legally composes over it, but the
+      // engine's per-document monotonic floor would then stamp A's
+      // slot 5 s above B's unless COMMIT lifts the shared instant for
+      // BOTH: a TIMESTAMP AS OF probe in between would otherwise see
+      // B's half of the transaction without A's
+      val future = System.currentTimeMillis() + 5000L
+      graft.tableformat.MetadataIO.commitRetry(ta.location) { cur =>
+        val s = cur.currentSnapshot.get
+        val id = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+        cur.copy(
+          currentSnapshotId = Some(id),
+          snapshots = cur.snapshots :+ s.copy(
+            snapshotId = id, parentId = cur.currentSnapshotId,
+            timestampMs = future, operation = "append"),
+          snapshotLog = cur.snapshotLog :+
+            graft.tableformat.SnapshotLogEntry(future, id))
+      }
+      spark.sql("COMMIT")
+      val sa = ta.meta.currentSnapshot.get
+      val sb = tb.meta.currentSnapshot.get
+      assert(sa.timestampMs == sb.timestampMs,
+        s"the transaction's slots diverged: A stamped ${sa.timestampMs}, " +
+          s"B stamped ${sb.timestampMs} — the torn AS OF window is open")
+      assert(sa.timestampMs > future,
+        "the shared instant must clear the racer's skewed stamp")
+      assert(ta.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+        "the append chain composes over the racer's snapshot")
+      // per-document history stays strictly monotonic through the lift
+      val stamps = ta.meta.snapshotLog.map(_.timestampMs)
+      assert(stamps == stamps.sorted && stamps.distinct.size == stamps.size,
+        s"non-monotonic snapshot log after the floor lift: $stamps")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+  }
 }

@@ -474,8 +474,17 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
         val gotReads = scala.collection.mutable.Buffer
           .empty[Seq[Seq[Any]]]
         stmts.foreach { case (kind, f) =>
-          ref.append(Seq((nextRacer, nextRacer)).toDF("id", "v"))
-          nextRacer += 1
+          val parent = ref.meta.currentSnapshot.flatMap(_.parentId)
+          if (rnd.nextInt(3) == 0 && parent.isDefined)
+            // POINTER-MOVE racer: roll the pointer back one commit.
+            // The rolled-back-to snapshot keeps its original (possibly
+            // pre-BEGIN) creation stamp — only the log-ordered
+            // clean-check keeps the pin honest against this racer
+            ref.rollbackTo(parent.get)
+          else {
+            ref.append(Seq((nextRacer, nextRacer)).toDF("id", "v"))
+            nextRacer += 1
+          }
           if (kind == "read")
             gotReads += spark.sql(f("")).collect().map(_.toSeq).toSeq
           else spark.sql(f(s"graft.db.sif_t$round"))
@@ -489,9 +498,10 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
         assert(gotTgt == expectedTgt,
           s"round $round (seed $seed): the transaction's writes " +
             "diverged from sequential-at-begin-time")
-        // after COMMIT the pins are gone: every racer row is visible
+        // after COMMIT the pins are gone: the SQL surface reads the
+        // LIVE state the racers left (appends minus pointer rollbacks)
         assert(spark.sql(s"SELECT count(*) FROM graft.db.sif_r$round")
-          .head().getLong(0) == 40L + stmts.size,
+          .head().getLong(0) == ref.read().count(),
           s"round $round: COMMIT must release the pin")
       }
     } finally {
@@ -767,5 +777,41 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
     val (ca, cb) = counts()
     assert(ca == 8L && cb == 8L, s"final counts: corpus=$ca index=$cb")
     assert(polls > 0)
+  }
+
+  test("transactOps lifts the shared instant past a skewed-forward " +
+      "racer: no slot of the API-level transaction may stamp above " +
+      "the others") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark, tmp())
+    val a = cat.createTable("db", "ska", Seq("id" -> "long"))
+    val b = cat.createTable("db", "skb", Seq("id" -> "long"))
+    a.append(Seq(1L).toDF("id"))
+    b.append(Seq(1L).toDF("id"))
+    // cross-process writer with a +5 s clock: its stamp outruns this
+    // process's wall clock, so the engine's per-document monotonic
+    // floor would push A's slot 5 s above B's — the transaction must
+    // lift the WHOLE set's instant past it instead
+    val future = System.currentTimeMillis() + 5000L
+    graft.tableformat.MetadataIO.commitRetry(a.location) { cur =>
+      val s = cur.currentSnapshot.get
+      val id = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+      cur.copy(
+        currentSnapshotId = Some(id),
+        snapshots = cur.snapshots :+ s.copy(
+          snapshotId = id, parentId = cur.currentSnapshotId,
+          timestampMs = future, operation = "append"),
+        snapshotLog = cur.snapshotLog :+
+          graft.tableformat.SnapshotLogEntry(future, id))
+    }
+    cat.transact(
+      a -> Seq(2L).toDF("id"),
+      b -> Seq(2L).toDF("id"))
+    val sa = a.meta.currentSnapshot.get.timestampMs
+    val sb = b.meta.currentSnapshot.get.timestampMs
+    assert(sa == sb,
+      s"transactOps slots diverged: A stamped $sa, B stamped $sb — " +
+        "a TIMESTAMP AS OF probe between them reads half the transaction")
+    assert(sa > future, "the shared instant must clear the racer's stamp")
   }
 }
