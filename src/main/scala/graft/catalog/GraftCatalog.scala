@@ -177,8 +177,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     SharedInstant.withFloorRetries(floor) { () =>
       MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
         t.location -> ((cur: graft.tableformat.TableMetadata) => {
-          if (i == 0) sharedTs.set(
-            math.max(System.currentTimeMillis(), floor.get + 1))
+          if (i == 0) sharedTs.set(SharedInstant.stampAbove(floor))
           if (staged.size > 1) SharedInstant.check(cur, sharedTs.get)
           f(cur, sharedTs.get)
         })
@@ -233,8 +232,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         MetadataIO.commitAll(staged.zipWithIndex.map { case ((t, f), i) =>
           t.location -> ((cur: graft.tableformat.TableMetadata) => {
             if (seen(cur)) throw new SeenMarker // a racer published it
-            if (i == 0) sharedTs.set(
-              math.max(System.currentTimeMillis(), floor.get + 1))
+            if (i == 0) sharedTs.set(SharedInstant.stampAbove(floor))
             if (staged.size > 1) SharedInstant.check(cur, sharedTs.get)
             val next = f(cur, sharedTs.get)
             next.copy(properties =

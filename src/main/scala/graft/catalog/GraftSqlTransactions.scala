@@ -51,15 +51,22 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   * clock carries a strictly later timestamp; cross-process writers
   * with skewed-backward clocks share the residual hazard of every
   * timestamp-ordered read (the same one TIMESTAMP AS OF has). One more
-  * bounded residual, in the SAFE direction: the engine's per-document
-  * monotonic floor can stamp a commit a few ms PAST its publish
-  * wall-time (same-millisecond crowding), so a commit that published
-  * just before BEGIN may carry a stamp after the instant — the pin
-  * then rewinds past it, which is still SELF-CONSISTENT (timestamps
-  * are the one cross-document order; every `TIMESTAMP AS OF` probe of
-  * the instant agrees with the transaction's view), and a revalidating
-  * chain on such a table aborts spuriously rather than silently — the
-  * retry's fresh instant clears it. Explicit
+  * bounded residual, in the SAFE direction: a commit's stamp can run
+  * PAST its publish wall-time — by a few ms under same-millisecond
+  * crowding (the per-document monotonic floor), or by the full skew
+  * when a cross-process writer's clock runs fast (including a
+  * transaction that LIFTED its shared instant past such a racer's
+  * stamp — the lift propagates the skew to every slot of that set).
+  * A commit stamped in the future is invisible to pins until the wall
+  * clock passes its stamp: reads stay SELF-CONSISTENT (timestamps are
+  * the one cross-document order; every `TIMESTAMP AS OF` probe of the
+  * instant agrees with the transaction's view), and a revalidating
+  * chain on such a table aborts spuriously rather than silently —
+  * cleared by the retry for ms-scale crowding, or once the clock
+  * catches up for seconds-scale skew (the standard availability cost
+  * of timestamp-ordered transactions under broken clocks; the unsound
+  * alternatives are serving half a transaction or silently landing a
+  * stale-planned rewrite). Explicit
   * VERSION/TIMESTAMP AS OF overrides the pin (it names its own
   * snapshot); metadata tables (history/snapshots/refs) keep showing
   * committed state — staged work is not a snapshot yet.
@@ -184,9 +191,23 @@ object GraftSqlTransactions {
   private def pinAt(m: TableMetadata, instant: Long)
       : (TableMetadata, Boolean) =
     if (!m.snapshotLog.exists(_.timestampMs > instant)) (m, false)
-    else (m.copy(
-      currentSnapshotId = m.snapshotAsOfTime(instant).map(_.snapshotId)),
-      true)
+    else {
+      val asOf = m.snapshotAsOfTime(instant)
+      // a rewind to "no snapshot" is legitimate only when the table
+      // really had none at the instant (created/first-committed after
+      // BEGIN). If the LOG names a pre-instant snapshot that is no
+      // longer resolvable (expired between BEGIN and first touch),
+      // refuse loudly like the view twin does — silently serving an
+      // empty table for data that existed at the instant is the one
+      // outcome worse than an abort. (The check is log-based on
+      // purpose: `snapshots` also holds never-published branch
+      // commits, whose creation times say nothing about main.)
+      if (asOf.isEmpty && m.snapshotLog.exists(_.timestampMs <= instant))
+        sys.error(s"table ${m.name}: the snapshot current at the " +
+          "transaction's instant has been expired — the begin-time " +
+          "state is no longer readable; retry the transaction")
+      (m.copy(currentSnapshotId = asOf.map(_.snapshotId)), true)
+    }
 
   /** The transaction's READ view of a location: the staged PREVIEW
     * when this transaction staged the table (read-your-own-writes),
@@ -523,7 +544,7 @@ object GraftSqlTransactions {
       viewPins.values.flatMap(_.versions.map(_.timestampMs)))
       .maxOption.getOrElse(0L)
     val tsFloor = new java.util.concurrent.atomic.AtomicLong(tsFloorInit)
-    def nowTs(): Long = math.max(System.currentTimeMillis(), tsFloor.get + 1)
+    def nowTs(): Long = SharedInstant.stampAbove(tsFloor)
     val sharedTs = new java.util.concurrent.atomic.AtomicLong(0L)
     val multiSlot =
       byLoc.size + viewOps.map(_._1).distinct.size > 1
@@ -762,6 +783,14 @@ private[catalog] object SharedInstant {
     val need = needFor(cur)
     if (need > sharedTs) throw new TooLow(need)
   }
+
+  /** The shared instant for this attempt: now, lifted past the floor.
+    * The pairing with [[TooLow.need]] (stamp == max(now, need)) is
+    * what makes the lift protocol converge — every caller of
+    * [[withFloorRetries]] must stamp through this one expression.
+    */
+  def stampAbove(floor: java.util.concurrent.atomic.AtomicLong): Long =
+    math.max(System.currentTimeMillis(), floor.get + 1)
 
   /** Run `attempt`, lifting `floor` past any [[TooLow]] raise and
     * retrying. Each re-fire needs a FRESH racer landing an even higher

@@ -1810,6 +1810,38 @@ class NativeSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("a pin that can no longer RESOLVE the begin-instant snapshot " +
+      "refuses loudly instead of serving an empty table") {
+    import spark.implicits._
+    val cat = freshCat()
+    val t = cat.createTable("db", "expin", Seq("id" -> "long"))
+    t.append(Seq(1L).toDF("id"))
+    spark.sql("BEGIN TRANSACTION")
+    // racer: a divergent document — the begin-instant snapshot is gone
+    // from `snapshots` while its pointer-log entry survives (hand-
+    // truncated or corrupted metadata; engine expiry trims both
+    // together). The pin's rewind cannot name the begin-instant state;
+    // silently reading the table as empty would be worse than an abort
+    graft.tableformat.MetadataIO.commitRetry(t.location) { cur =>
+      val s = cur.currentSnapshot.get
+      val id = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+      val now = System.currentTimeMillis()
+      cur.copy(
+        currentSnapshotId = Some(id),
+        snapshots = Vector(s.copy(
+          snapshotId = id, parentId = cur.currentSnapshotId,
+          timestampMs = now, operation = "append")),
+        snapshotLog = cur.snapshotLog :+
+          graft.tableformat.SnapshotLogEntry(now, id))
+    }
+    val e = intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft.db.expin").collect())
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.toString + chain(x.getCause)
+    assert(chain(e).contains("expired"), chain(e))
+    spark.sql("ROLLBACK")
+  }
+
   test("a pure-append chain composing over a skewed-forward racer " +
       "lifts the WHOLE transaction's shared instant: no slot may stamp " +
       "above the others (the torn TIMESTAMP AS OF window)") {
