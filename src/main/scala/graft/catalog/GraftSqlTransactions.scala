@@ -18,7 +18,13 @@ import graft.tableformat.{MetadataIO, TableMetadata}
   * immediately — invisible until referenced, the same order every
   * commit uses) instead of committing; COMMIT publishes every staged
   * op in one claim set with one shared commit timestamp, ROLLBACK
-  * discards (the staged files become GC-able orphans). Catalog-
+  * discards (the staged files become GC-able orphans). `SAVEPOINT
+  * <name>` / `ROLLBACK TO SAVEPOINT <name>` / `RELEASE SAVEPOINT
+  * <name>` give partial rollback inside the open transaction: a mark
+  * captures the staged buffers and previews, rollback-to restores
+  * them (reads resume serving the restored preview; a chain whose
+  * row-level DML was all rolled back composes as pure-append again),
+  * release destroys the mark keeping the work. Catalog-
   * arbitrated backends only — COMMIT on a bare store refuses loudly,
   * like every multi-document transaction.
   *
@@ -156,7 +162,22 @@ object GraftSqlTransactions {
       * Read-only: staging refuses.
       */
     var asOfMillis: Option[Long] = None
+    /** SAVEPOINT marks, in declaration order. A mark captures the
+      * staged-buffer lengths and the preview/revalidating state —
+      * everything ROLLBACK TO SAVEPOINT restores. Pins, dirty sets,
+      * and view pin versions are NOT part of a mark: they are
+      * first-touch READ state, monotone over the transaction's life,
+      * and restoring them would un-observe reads that already
+      * happened.
+      */
+    val savepoints =
+      scala.collection.mutable.LinkedHashMap.empty[String, SavepointMark]
   }
+
+  private final case class SavepointMark(opsLen: Int, viewOpsLen: Int,
+      previews: Map[String, TableMetadata],
+      viewPreviews: Map[String, ViewMetadata],
+      revalidating: Set[String])
 
   // session-keyed so independent SparkSessions (tests, notebooks
   // sharing a JVM) can't observe each other's open transaction; weak
@@ -683,11 +704,85 @@ object GraftSqlTransactions {
     st.synchronized { st.closed = true; st.ops.size + st.viewOps.size }
   }
 
+  // ------------------------------------------------------------ savepoints
+
+  /** `SAVEPOINT <name>`: mark the current staged state. Re-declaring a
+    * name MOVES it (the SQL-standard destroy-and-recreate); marks
+    * declared after it are unaffected until a rollback crosses them.
+    */
+  def savepoint(session: SparkSession, name: String): Unit = {
+    val st = open.get(session)
+    require(st != null, s"SAVEPOINT $name without an open transaction")
+    st.synchronized {
+      require(!st.closed,
+        "transaction already closed by a concurrent COMMIT/ROLLBACK")
+      st.savepoints.remove(name) // re-declaration moves the mark
+      st.savepoints(name) = SavepointMark(st.ops.length, st.viewOps.length,
+        st.previews.toMap, st.viewPreviews.toMap, st.revalidating.toSet)
+    }
+  }
+
+  /** `ROLLBACK TO SAVEPOINT <name>`: discard every statement staged
+    * after the mark — the staged buffers truncate, the previews and
+    * the revalidating set restore (a chain whose only row-level DML
+    * was rolled back is a pure-append chain again and composes at
+    * COMMIT), and reads resume serving the restored preview (or the
+    * pin, for a table whose every op was discarded). Marks declared
+    * AFTER the target are destroyed; the target itself survives (SQL
+    * standard — it can be rolled back to again). Data files of
+    * discarded statements become GC orphans, exactly like ROLLBACK's.
+    * Pins and dirty sets are untouched: they record what the
+    * transaction has READ, which a partial rollback cannot un-observe.
+    */
+  def rollbackToSavepoint(session: SparkSession, name: String): Unit = {
+    val st = open.get(session)
+    require(st != null,
+      s"ROLLBACK TO SAVEPOINT $name without an open transaction")
+    st.synchronized {
+      require(!st.closed,
+        "transaction already closed by a concurrent COMMIT/ROLLBACK")
+      val m = st.savepoints.getOrElse(name,
+        sys.error(s"no savepoint $name in this transaction"))
+      st.ops.remove(m.opsLen, st.ops.length - m.opsLen)
+      st.viewOps.remove(m.viewOpsLen, st.viewOps.length - m.viewOpsLen)
+      st.previews.clear(); st.previews ++= m.previews
+      st.viewPreviews.clear(); st.viewPreviews ++= m.viewPreviews
+      st.revalidating.clear(); st.revalidating ++= m.revalidating
+      val later = st.savepoints.keys.iterator
+        .dropWhile(_ != name).drop(1).toVector
+      later.foreach(st.savepoints.remove)
+    }
+  }
+
+  /** `RELEASE SAVEPOINT <name>`: destroy the mark (and every one
+    * declared after it, per the SQL standard) — staged work is KEPT.
+    */
+  def releaseSavepoint(session: SparkSession, name: String): Unit = {
+    val st = open.get(session)
+    require(st != null,
+      s"RELEASE SAVEPOINT $name without an open transaction")
+    st.synchronized {
+      require(!st.closed,
+        "transaction already closed by a concurrent COMMIT/ROLLBACK")
+      require(st.savepoints.contains(name),
+        s"no savepoint $name in this transaction")
+      val from = st.savepoints.keys.iterator
+        .dropWhile(_ != name).toVector
+      from.foreach(st.savepoints.remove)
+    }
+  }
+
   private val BeginRe =
     "(?is)^\\s*BEGIN\\s+TRANSACTION(?:\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*$".r
   private val CommitRe = "(?is)^\\s*COMMIT(\\s+TRANSACTION)?\\s*;?\\s*$".r
   private val RollbackRe =
     "(?is)^\\s*ROLLBACK(\\s+TRANSACTION)?\\s*;?\\s*$".r
+  private val SavepointRe =
+    "(?is)^\\s*SAVEPOINT\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+  private val RollbackToRe = ("(?is)^\\s*ROLLBACK\\s+(?:TRANSACTION\\s+)?" +
+    "TO\\s+(?:SAVEPOINT\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+  private val ReleaseRe = ("(?is)^\\s*RELEASE\\s+(?:SAVEPOINT\\s+)?" +
+    "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
 
   /** Parser hook ([[GraftSqlParser]]): claim the three transaction
     * statements (BEGIN TRANSACTION optionally `AS OF '<ts>'` for a
@@ -701,7 +796,10 @@ object GraftSqlTransactions {
       case BeginRe(asOf)   =>
         Some(GraftBeginTransactionCommand(Option(asOf)))
       case CommitRe(_)     => Some(GraftCommitTransactionCommand())
+      case RollbackToRe(n) => Some(GraftRollbackToSavepointCommand(n))
       case RollbackRe(_)   => Some(GraftRollbackTransactionCommand())
+      case SavepointRe(n)  => Some(GraftSavepointCommand(n))
+      case ReleaseRe(n)    => Some(GraftReleaseSavepointCommand(n))
       case _               => None
     }
 
@@ -743,6 +841,30 @@ final case class GraftRollbackTransactionCommand()
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     GraftSqlTransactions.rollback(session)
+    Nil
+  }
+}
+
+final case class GraftSavepointCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    GraftSqlTransactions.savepoint(session, name)
+    Nil
+  }
+}
+
+final case class GraftRollbackToSavepointCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    GraftSqlTransactions.rollbackToSavepoint(session, name)
+    Nil
+  }
+}
+
+final case class GraftReleaseSavepointCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    GraftSqlTransactions.releaseSavepoint(session, name)
     Nil
   }
 }

@@ -1787,6 +1787,81 @@ object CatalogQueries {
                min(c_name) AS min_phone, max(c_name) AS max_phone,
                CAST(sum(c_custkey) AS BIGINT) AS sum_key
         FROM customer
+      """)),
+
+    // SAVEPOINT / ROLLBACK TO SAVEPOINT: partial rollback inside one
+    // SQL transaction. The flow stages an INSERT, marks a savepoint,
+    // stages a DELETE that turns out to be wrong, and rolls back TO
+    // the mark — COMMIT publishes the INSERT and NOT the DELETE, in
+    // one snapshot. The oracle recomputes the committed state from the
+    // base parquet: base customers plus the inserted block, with the
+    // "deleted" segment fully intact — a leaked DELETE breaks the
+    // BUILDING row counts, a lost INSERT breaks the offset block.
+    QueryDef(
+      "q178_savepoint_partial_rollback",
+      (s, d) => {
+        val wh = setupOnce("q178", d) {
+          val w = scratch("savepoint")
+          val before = graft.tableformat.FileIO.io
+          val server = new graft.tableformat.CatalogCommitServer
+          try {
+            graft.tableformat.FileIO.install(
+              new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+            val cat = new GraftCatalog(s, w)
+            cat.createDatabase("db1")
+            val t = cat.createTable("db1", "sp_docs", Seq(
+              "c_custkey" -> "long", "seg" -> "string"))
+            t.append(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_mktsegment").as("seg")))
+            val base = t.countRows()
+            val snaps0 = t.meta.snapshots.size
+            s.conf.set("spark.graft.warehouse", w)
+            try {
+              s.sql("BEGIN TRANSACTION")
+              s.sql("INSERT INTO graft.db1.sp_docs " +
+                "SELECT c_custkey + 1000000, seg FROM graft.db1.sp_docs " +
+                "WHERE seg = 'MACHINERY'")
+              s.sql("SAVEPOINT cleanup")
+              s.sql("DELETE FROM graft.db1.sp_docs WHERE seg = 'BUILDING'")
+              require(s.sql("SELECT count(*) FROM graft.db1.sp_docs " +
+                "WHERE seg = 'BUILDING'").head().getLong(0) == 0L,
+                "RYOW must serve the staged DELETE before the rollback")
+              s.sql("ROLLBACK TO SAVEPOINT cleanup")
+              require(s.sql("SELECT count(*) FROM graft.db1.sp_docs " +
+                "WHERE seg = 'BUILDING'").head().getLong(0) > 0L,
+                "the partial rollback must restore the deleted segment")
+              s.sql("COMMIT")
+            } finally {
+              if (graft.catalog.GraftSqlTransactions.active(s))
+                s.sql("ROLLBACK")
+            }
+            require(t.countRows() > base,
+              "the pre-savepoint INSERT did not commit")
+            require(t.meta.snapshots.size == snaps0 + 1,
+              "the surviving chain must publish ONE snapshot")
+          } finally {
+            graft.tableformat.FileIO.install(before)
+            server.close()
+          }
+          w
+        }
+        s.conf.set("spark.graft.warehouse", wh)
+        s.sql("""
+          SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c_custkey) AS BIGINT) AS sum_key
+          FROM graft.db1.sp_docs
+          GROUP BY seg ORDER BY seg""")
+      },
+      Some("""
+        SELECT seg, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        FROM (
+          SELECT c_mktsegment AS seg, c_custkey FROM customer
+          UNION ALL
+          SELECT c_mktsegment AS seg, c_custkey + 1000000 FROM customer
+          WHERE c_mktsegment = 'MACHINERY'
+        )
+        GROUP BY seg ORDER BY seg
       """))
   )
 }

@@ -1810,6 +1810,97 @@ class NativeSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SAVEPOINT / ROLLBACK TO SAVEPOINT / RELEASE: statements after " +
+      "the mark are discarded, previews restore, and a chain whose " +
+      "row-level DML was all rolled back composes as pure-append again") {
+    import spark.implicits._
+    // savepoint statements outside a transaction refuse loudly
+    val e0 = intercept[Exception](spark.sql("SAVEPOINT s1"))
+    assert(e0.getMessage.contains("without an open transaction"))
+    val e1 = intercept[Exception](spark.sql("ROLLBACK TO SAVEPOINT s1"))
+    assert(e1.getMessage.contains("without an open transaction"))
+    val before = graft.tableformat.FileIO.io
+    val server = new graft.tableformat.CatalogCommitServer
+    try {
+      graft.tableformat.FileIO.install(
+        new graft.tableformat.CatalogFileIO("127.0.0.1", server.port))
+      val cat = freshCat()
+      val t = cat.createTable("db", "sv", Seq("id" -> "long"))
+      t.append(Seq(1L).toDF("id"))
+      def n(): Long =
+        spark.sql("SELECT count(*) FROM graft.db.sv").head().getLong(0)
+      def minId(): Long =
+        spark.sql("SELECT min(id) FROM graft.db.sv").head().getLong(0)
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.sv VALUES (2)")
+      spark.sql("SAVEPOINT s1")
+      spark.sql("DELETE FROM graft.db.sv WHERE id = 1")
+      spark.sql("INSERT INTO graft.db.sv VALUES (3)")
+      assert(n() == 2 && minId() == 2, "RYOW before the partial rollback")
+      spark.sql("SAVEPOINT s2")
+      spark.sql("ROLLBACK TO SAVEPOINT s1")
+      assert(n() == 2 && minId() == 1,
+        "reads must serve the RESTORED preview: the DELETE and the " +
+          "second INSERT are gone, the first INSERT remains")
+      // marks after the target are destroyed; the target survives
+      val e2 = intercept[Exception](spark.sql("ROLLBACK TO SAVEPOINT s2"))
+      assert(e2.getMessage.contains("no savepoint"), e2.getMessage)
+      spark.sql("ROLLBACK TO SAVEPOINT s1") // idempotent re-rollback
+      // the rolled-back DELETE no longer marks the chain revalidating:
+      // a racing commit composes with the remaining pure-append chain
+      // instead of aborting the transaction
+      t.append(Seq(100L).toDF("id"))
+      spark.sql("COMMIT")
+      assert(t.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 100L),
+        "COMMIT publishes the surviving chain composed over the racer")
+      // --- RELEASE keeps the work, destroys the mark
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO graft.db.sv VALUES (5)")
+      spark.sql("SAVEPOINT a")
+      spark.sql("INSERT INTO graft.db.sv VALUES (6)")
+      spark.sql("RELEASE SAVEPOINT a")
+      val e3 = intercept[Exception](spark.sql("ROLLBACK TO SAVEPOINT a"))
+      assert(e3.getMessage.contains("no savepoint"), e3.getMessage)
+      spark.sql("COMMIT")
+      assert(t.read().as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 5L, 6L, 100L))
+      // --- re-declaring a name MOVES the mark
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("SAVEPOINT m")
+      spark.sql("INSERT INTO graft.db.sv VALUES (7)")
+      spark.sql("SAVEPOINT m")
+      spark.sql("INSERT INTO graft.db.sv VALUES (8)")
+      spark.sql("ROLLBACK TO SAVEPOINT m")
+      spark.sql("COMMIT")
+      assert(t.read().as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 5L, 6L, 7L, 100L),
+        "the moved mark keeps 7 and discards 8")
+      // --- staged DDL + view redefinition roll back to a mark too
+      val t2 = cat.createTable("db", "sv2", Seq("id" -> "long"))
+      t2.append(Seq(1L).toDF("id"))
+      spark.sql("CREATE VIEW graft.db.sv2_v AS " +
+        "SELECT id FROM graft.db.sv2")
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("SAVEPOINT pre")
+      spark.sql("ALTER TABLE graft.db.sv2 RENAME COLUMN id TO ident")
+      spark.sql("CREATE OR REPLACE VIEW graft.db.sv2_v AS " +
+        "SELECT ident FROM graft.db.sv2")
+      assert(spark.table("graft.db.sv2").columns.toSeq == Seq("ident"),
+        "RYOW serves the staged rename")
+      spark.sql("ROLLBACK TO SAVEPOINT pre")
+      assert(spark.table("graft.db.sv2").columns.toSeq == Seq("id"),
+        "the staged rename is gone after the partial rollback")
+      assert(spark.sql("SELECT * FROM graft.db.sv2_v").columns.toSeq ==
+        Seq("id"), "the staged view redefinition is gone too")
+      spark.sql("COMMIT") // nothing staged: vacuous
+      assert(t2.meta.currentSchema.fields.map(_.name) == Vector("id"),
+        "nothing published")
+    } finally {
+      graft.tableformat.FileIO.install(before)
+      server.close()
+    }
+  }
+
   test("a pin that can no longer RESOLVE the begin-instant snapshot " +
       "refuses loudly instead of serving an empty table") {
     import spark.implicits._

@@ -340,53 +340,81 @@ class TransactionSpec extends AnyFunSuite with CatalogBackend {
         // generation is sequential, so the rename arm can track the
         // tag column's current name deterministically
         var tagName = "tag"
-        var dataStmts = 0
-        val stmts: Seq[String => String] =
+        val stmtsK: Seq[(String, String => String)] =
           (0 until 2 + rnd.nextInt(3)).map { k =>
             rnd.nextInt(7) match {
               case 0 =>
-                dataStmts += 1
                 val id = 100 + round * 10 + k
-                (t: String) => s"INSERT INTO $t (id, v) VALUES ($id, $k)"
+                ("data",
+                  (t: String) => s"INSERT INTO $t (id, v) VALUES ($id, $k)")
               case 1 =>
-                dataStmts += 1
                 val m = 2 + rnd.nextInt(5)
-                (t: String) => s"DELETE FROM $t WHERE id % $m = 1"
+                ("data", (t: String) => s"DELETE FROM $t WHERE id % $m = 1")
               case 2 =>
-                dataStmts += 1
                 val m = 2 + rnd.nextInt(5)
-                (t: String) => s"UPDATE $t SET v = v + 10 WHERE id % $m = 0"
+                ("data",
+                  (t: String) => s"UPDATE $t SET v = v + 10 WHERE id % $m = 0")
               case 3 =>
-                dataStmts += 1
                 val sid = rnd.nextInt(60); val sv = k * 7
-                (t: String) => s"MERGE INTO $t x USING " +
+                ("data", (t: String) => s"MERGE INTO $t x USING " +
                   s"(SELECT CAST($sid AS BIGINT) AS sid, " +
                   s"CAST($sv AS BIGINT) AS sv) s ON x.id = s.sid " +
                   "WHEN MATCHED THEN UPDATE SET v = s.sv " +
-                  "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)"
+                  "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)")
               // DDL arms (r19: staged DDL must compose with DML in one
               // chain and land in the same claim set)
               case 4 =>
-                (t: String) => s"ALTER TABLE $t ADD COLUMN extra$k string"
+                ("ddl",
+                  (t: String) => s"ALTER TABLE $t ADD COLUMN extra$k string")
               case 5 =>
-                val old = tagName; tagName = s"tag$k"
-                (t: String) =>
-                  s"ALTER TABLE $t RENAME COLUMN $old TO $tagName"
+                // capture BOTH names by value: the closure runs after
+                // generation finished, and interpolating the tracking
+                // var would make every rename in the round target the
+                // FINAL name (a latent bug the savepoint arm's extra
+                // rnd draws surfaced at seed 7)
+                val old = tagName; val nw = s"tag$k"; tagName = nw
+                ("rename", (t: String) =>
+                  s"ALTER TABLE $t RENAME COLUMN $old TO $nw")
               case _ =>
-                (t: String) => s"ALTER TABLE $t SET TBLPROPERTIES " +
-                  s"('fuzz.k$k' = 'v$k')"
+                ("ddl", (t: String) => s"ALTER TABLE $t SET TBLPROPERTIES " +
+                  s"('fuzz.k$k' = 'v$k')")
             }
           }
+        // savepoint arm (r19): wrap a random RENAME-FREE segment in
+        // SAVEPOINT / ROLLBACK TO SAVEPOINT on the transaction side
+        // and skip it entirely on the sequential side — the committed
+        // results must still match. (Rename-free because later
+        // generated statements were built against the post-rename
+        // column name; every rename must run on both sides.)
+        val cutCandidates = for {
+          p <- stmtsK.indices; q <- p until stmtsK.size
+          if (p to q).forall(i => stmtsK(i)._1 != "rename")
+        } yield (p, q)
+        val cut: Option[(Int, Int)] =
+          if (rnd.nextInt(2) == 0 && cutCandidates.nonEmpty)
+            Some(cutCandidates(rnd.nextInt(cutCandidates.size)))
+          else None
+        def inCut(i: Int): Boolean =
+          cut.exists { case (p, q) => i >= p && i <= q }
+        val dataStmts = stmtsK.zipWithIndex.count { case ((kind, _), i) =>
+          kind == "data" && !inCut(i) }
         val snaps0 = txn.meta.snapshots.size
         spark.sql("BEGIN TRANSACTION")
-        stmts.foreach(f => spark.sql(f(s"graft.db.chf_t$round")))
+        stmtsK.zipWithIndex.foreach { case ((_, f), i) =>
+          if (cut.exists(_._1 == i)) spark.sql("SAVEPOINT fz")
+          spark.sql(f(s"graft.db.chf_t$round"))
+          if (cut.exists(_._2 == i))
+            spark.sql("ROLLBACK TO SAVEPOINT fz")
+        }
         spark.sql("COMMIT")
-        stmts.foreach(f => spark.sql(f(s"graft.db.chf_s$round")))
+        stmtsK.zipWithIndex.foreach { case ((_, f), i) =>
+          if (!inCut(i)) spark.sql(f(s"graft.db.chf_s$round"))
+        }
         val a = txn.read().orderBy("id").collect().map(_.toSeq).toSeq
         val b = seqT.read().orderBy("id").collect().map(_.toSeq).toSeq
         assert(a == b,
-          s"round $round (seed $seed, ${stmts.size} statements): " +
-            s"chained != sequential")
+          s"round $round (seed $seed, ${stmtsK.size} statements, " +
+            s"cut $cut): chained != sequential")
         assert(txn.meta.currentSchema.fields ==
           seqT.meta.currentSchema.fields,
           s"round $round: staged-DDL schema diverged from sequential")
