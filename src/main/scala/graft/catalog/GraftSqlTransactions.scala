@@ -216,14 +216,27 @@ object GraftSqlTransactions {
       val asOf = m.snapshotAsOfTime(instant)
       // a rewind to "no snapshot" is legitimate only when the table
       // really had none at the instant (created/first-committed after
-      // BEGIN). If the LOG names a pre-instant snapshot that is no
-      // longer resolvable (expired between BEGIN and first touch),
-      // refuse loudly like the view twin does — silently serving an
-      // empty table for data that existed at the instant is the one
-      // outcome worse than an abort. (The check is log-based on
+      // BEGIN). Two truncation shapes must refuse loudly instead of
+      // silently serving an empty table — the one outcome worse than
+      // an abort: (a) a DIVERGENT document — the log names a
+      // pre-instant snapshot that `snapshots` no longer resolves
+      // (hand-truncated metadata; engine expiry trims both together);
+      // (b) the ENGINE-EXPIRY shape — a racer committed after BEGIN
+      // and expireSnapshots then removed every pre-instant snapshot
+      // AND its log entry, leaving the earliest surviving pointer-log
+      // entry mid-chain (its snapshot carries a parentId; a table's
+      // genuine first commit has none). The checks are log-based on
       // purpose: `snapshots` also holds never-published branch
-      // commits, whose creation times say nothing about main.)
-      if (asOf.isEmpty && m.snapshotLog.exists(_.timestampMs <= instant))
+      // commits, whose creation times say nothing about main. A
+      // same-window false refusal is possible only for a table whose
+      // ENTIRE surviving history is younger than the instant — the
+      // abort-safe direction, cleared on retry.
+      val truncated = asOf.isEmpty && (
+        m.snapshotLog.exists(_.timestampMs <= instant) ||
+        m.snapshotLog.headOption
+          .flatMap(e => m.snapshotById(e.snapshotId))
+          .exists(_.parentId.isDefined))
+      if (truncated)
         sys.error(s"table ${m.name}: the snapshot current at the " +
           "transaction's instant has been expired — the begin-time " +
           "state is no longer readable; retry the transaction")
@@ -748,11 +761,21 @@ object GraftSqlTransactions {
       st.previews.clear(); st.previews ++= m.previews
       st.viewPreviews.clear(); st.viewPreviews ++= m.viewPreviews
       st.revalidating.clear(); st.revalidating ++= m.revalidating
-      val later = st.savepoints.keys.iterator
-        .dropWhile(_ != name).drop(1).toVector
-      later.foreach(st.savepoints.remove)
+      dropMarksFrom(st, name, inclusive = false)
     }
   }
+
+  /** Destroy `name` and/or the marks declared after it (declaration
+    * order = LinkedHashMap insertion order): rollback-to destroys only
+    * the LATER marks (the target survives and can be rolled back to
+    * again), RELEASE destroys the target too. Caller holds the state
+    * lock.
+    */
+  private def dropMarksFrom(st: TxState, name: String,
+      inclusive: Boolean): Unit =
+    st.savepoints.keys.iterator.dropWhile(_ != name)
+      .drop(if (inclusive) 0 else 1).toVector
+      .foreach(st.savepoints.remove)
 
   /** `RELEASE SAVEPOINT <name>`: destroy the mark (and every one
     * declared after it, per the SQL standard) — staged work is KEPT.
@@ -766,9 +789,7 @@ object GraftSqlTransactions {
         "transaction already closed by a concurrent COMMIT/ROLLBACK")
       require(st.savepoints.contains(name),
         s"no savepoint $name in this transaction")
-      val from = st.savepoints.keys.iterator
-        .dropWhile(_ != name).toVector
-      from.foreach(st.savepoints.remove)
+      dropMarksFrom(st, name, inclusive = true)
     }
   }
 
@@ -796,12 +817,23 @@ object GraftSqlTransactions {
       case BeginRe(asOf)   =>
         Some(GraftBeginTransactionCommand(Option(asOf)))
       case CommitRe(_)     => Some(GraftCommitTransactionCommand())
-      case RollbackToRe(n) => Some(GraftRollbackToSavepointCommand(n))
+      // savepoint names fold like unquoted SQL identifiers (Spark is
+      // case-insensitive; so is PostgreSQL's savepoint semantics this
+      // follows). A bare keyword captured as the "name" (the user
+      // forgot one: `ROLLBACK TO SAVEPOINT`) falls through to Spark's
+      // parser for a syntax error instead of a misleading
+      // "no savepoint SAVEPOINT" runtime failure.
+      case RollbackToRe(n) if !n.equalsIgnoreCase("savepoint") =>
+        Some(GraftRollbackToSavepointCommand(fold(n)))
       case RollbackRe(_)   => Some(GraftRollbackTransactionCommand())
-      case SavepointRe(n)  => Some(GraftSavepointCommand(n))
-      case ReleaseRe(n)    => Some(GraftReleaseSavepointCommand(n))
+      case SavepointRe(n)  => Some(GraftSavepointCommand(fold(n)))
+      case ReleaseRe(n) if !n.equalsIgnoreCase("savepoint") =>
+        Some(GraftReleaseSavepointCommand(fold(n)))
       case _               => None
     }
+
+  private def fold(name: String): String =
+    name.toLowerCase(java.util.Locale.ROOT)
 
   /** Timestamps/dates in the AS OF clause are interpreted in UTC,
     * matching the pinned session timezone and the engine's other

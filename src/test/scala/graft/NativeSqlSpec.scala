@@ -1875,6 +1875,23 @@ class NativeSqlSpec extends AnyFunSuite {
       assert(t.read().as[Long].collect().sorted.toSeq ==
         Seq(1L, 2L, 5L, 6L, 7L, 100L),
         "the moved mark keeps 7 and discards 8")
+      // --- names fold like unquoted SQL identifiers
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("SAVEPOINT Cleanup")
+      spark.sql("INSERT INTO graft.db.sv VALUES (9)")
+      spark.sql("ROLLBACK TO SAVEPOINT cleanup")
+      spark.sql("COMMIT") // vacuous: everything rolled back
+      assert(t.read().as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 5L, 6L, 7L, 100L),
+        "case-folded savepoint names must resolve")
+      // --- a name-less form is a SYNTAX error (Spark's parser), not
+      // a misleading "no savepoint SAVEPOINT" runtime failure
+      spark.sql("BEGIN TRANSACTION")
+      val e4 = intercept[Exception](spark.sql("ROLLBACK TO SAVEPOINT"))
+      assert(!e4.getMessage.contains("no savepoint"), e4.getMessage)
+      val e5 = intercept[Exception](spark.sql("RELEASE SAVEPOINT"))
+      assert(!e5.getMessage.contains("no savepoint"), e5.getMessage)
+      spark.sql("ROLLBACK")
       // --- staged DDL + view redefinition roll back to a mark too
       val t2 = cat.createTable("db", "sv2", Seq("id" -> "long"))
       t2.append(Seq(1L).toDF("id"))
@@ -1930,6 +1947,20 @@ class NativeSqlSpec extends AnyFunSuite {
     def chain(x: Throwable): String =
       if (x == null) "" else x.toString + chain(x.getCause)
     assert(chain(e).contains("expired"), chain(e))
+    spark.sql("ROLLBACK")
+    // --- the ENGINE-EXPIRY shape: a racer appends after BEGIN and
+    // expireSnapshots removes every pre-instant snapshot AND its log
+    // entry — the earliest surviving entry is mid-chain (its snapshot
+    // has a parent), so the pin refuses rather than reading the table
+    // as empty
+    val t2 = cat.createTable("db", "expin2", Seq("id" -> "long"))
+    t2.append(Seq(1L).toDF("id"))
+    spark.sql("BEGIN TRANSACTION")
+    t2.append(Seq(2L).toDF("id"))
+    t2.expireSnapshots(keepLast = 1)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft.db.expin2").collect())
+    assert(chain(e2).contains("expired"), chain(e2))
     spark.sql("ROLLBACK")
   }
 
