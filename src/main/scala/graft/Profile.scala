@@ -53,9 +53,18 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", Some(cpus.toInt))
+    val builder = GraftSession.builder(s"local[$cpus]", Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same tmpfs shuffle-dir treatment as Bench: /tmp is a virtio disk
+    // with shared-host writeback and poisons shuffle-write timings
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm) &&
+        shm.toFile.getUsableSpace > (8L << 30)) {
+      val d = shm.resolve(s"graft-profile-${ProcessHandle.current().pid()}")
+      java.nio.file.Files.createDirectories(d)
+      builder.config("spark.local.dir", d.toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val wanted = args.toSeq
     val queries = graft.queries.Registry.all.sortBy(_.name)
@@ -66,7 +75,12 @@ object Profile {
         run(q.fn(spark, sfDir)); run(q.fn(spark, sfDir))
         val df = q.fn(spark, sfDir)
         val t0 = System.nanoTime()
-        run(df)
+        // force execution through THIS QueryExecution (a noop write
+        // plans its own copy and leaves df's metrics empty); count()
+        // drains every partition's UnsafeRow iterator, so all columns
+        // evaluate — timing is close to, not identical to, the bench's
+        // noop sink (relative per-operator shares are what matter here)
+        df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val out = new StringBuilder
         out.append(f"==== ${q.name} ($sec%.3f s) ====%n")

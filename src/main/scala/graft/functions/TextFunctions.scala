@@ -111,7 +111,19 @@ object TextFunctions {
       case ((a, b), i) =>
         min(pmod(h * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
     }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // restore doc-locality before the wide aggregate: callers feed this
+    // from an element-hash-partitioned index, where EVERY partition
+    // holds rows of nearly every document — partial aggregation then
+    // emits one (id, numHashes longs) row per (doc, partition), a
+    // shuffle of docs x partitions x ~8*numHashes bytes that dwarfs the
+    // exploded input (measured 120 MB of partials vs 7 MB of (id, h)
+    // rows at sf0.1/32 partitions; at cluster partition counts the
+    // inflation is bounded only by elements-per-doc). One narrow
+    // exchange of the 16-byte input rows keyed by id makes the partial
+    // output exactly one row per document. AQE-coalescible on purpose —
+    // sizing is the planner's job; locality is the point.
+    exploded.repartition(col(idCol))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Deterministic (a, b) pairs in [1, p) / [0, p). */

@@ -92,7 +92,9 @@ object Curation {
       .select(explode(wordShingleHashes(lower(col(benchTextCol)), n))
         .as("__gram"))
       .distinct()
-    val hits = docs
+    // spread: the probe's gram hashing is the operator's dominant term
+    // and is scan-partitioned (no-op at scale, see Dedup.spread)
+    val hits = Dedup.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(wordShingleHashes(lower(col(textCol)), n)).as("__gram"))
       .join(broadcast(benchGrams), "__gram")
@@ -180,7 +182,10 @@ object Curation {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minDf: Int, sep: String = "\n"): DataFrame = {
     require(minDf >= 2, "minDf < 2 would remove every line")
-    val lines = df.select(col(idCol).as("__id"),
+    // spread: both consumers (df-count scan and probe) re-derive the
+    // line explode from the scan — a single small parquet file
+    // serializes the split+hash work otherwise; no-op at scale
+    val lines = Dedup.spread(df).select(col(idCol).as("__id"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
       .withColumn("__k", xxhash64(col("__line")))
@@ -221,7 +226,9 @@ object Curation {
       .select(explode(wordShingleHashes(lower(col(benchTextCol)), n))
         .as("__gram"))
       .distinct()
-    docs
+    // spread: same probe-side scan-parallelism treatment as
+    // [[decontaminate]] (no-op at scale)
+    Dedup.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(wordShingleHashes(lower(col(textCol)), n)).as("__gram"))
       .join(broadcast(benchGrams), "__gram")
@@ -463,7 +470,13 @@ object Curation {
         pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long"),
           lit(numBuckets.toLong))
       else pmod(xxhash64(f), lit(numBuckets.toLong))
-    df.select(col(idCol).as("id"), explode(
+    // spread: gram generation + per-feature hashing is the scorers'
+    // dominant term and is scan-partitioned — one small parquet file
+    // otherwise runs the whole feature pipeline on a single task
+    // (r19 profile: q121's two raw-side scans were 1-partition each).
+    // No-op at scale (stats-gated round-robin, see Dedup.spread).
+    Dedup.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), explode(
         graft.functions.ShingleExpressions.wordGrams(lower(col(textCol)), 2))
         .as("f"))
       .select(col("id"), bucket.as("b"))
@@ -606,13 +619,22 @@ object Curation {
     import graft.functions.ShingleExpressions.wordGrams
     val tf = new HashingTF().setInputCol("__grams")
       .setOutputCol("__feats").setNumFeatures(numFeatures)
+    // the probe scoring scan is spread (single pass, scan-partitioned —
+    // no-op at scale, see Dedup.spread); the TRAINING side deliberately
+    // is NOT: MLlib persists the featurized instances after one pass,
+    // so every one of the maxIter L-BFGS rounds is a treeAggregate over
+    // the instance partitions — on a labeled set small enough to plan
+    // few partitions, spreading it just multiplies per-iteration task
+    // scheduling (measured: 3.0 s -> 5.0 s at sf0.1 with the train side
+    // spread to 32 partitions)
     val train = tf.transform(labeled.select(
       col(labelCol).cast("double").as("label"),
       wordGrams(lower(col(textCol)), 2).as("__grams")))
     val model = new LogisticRegression().setFeaturesCol("__feats")
       .setMaxIter(maxIter).setRegParam(regParam).fit(train)
-    model.transform(tf.transform(probe.select(
-        col(probeIdCol), wordGrams(lower(col(probeTextCol)), 2).as("__grams"))))
+    model.transform(tf.transform(Dedup.spread(probe).select(
+        col(probeIdCol), wordGrams(lower(col(probeTextCol)), 2)
+          .as("__grams"))))
       .select(col(probeIdCol),
         vector_to_array(col("probability")).getItem(1).as("quality"))
   }

@@ -48,7 +48,7 @@ object Dedup {
     * coalesces it back; unknown-size sources (stats = default huge)
     * estimate high and are left untouched.
     */
-  private[pipeline] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
@@ -314,7 +314,11 @@ object Dedup {
     // higher-order form ran interpreted at ~35us/pair, which DOMINATED
     // this operator (17s for 320k pairs at sf0.1; 0.9s of that was the
     // join)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // spread: the all-pairs join's per-pair dot work is driven by the
+    // LEFT (streamed) side's scan partitioning — a single small parquet
+    // file otherwise serializes the whole quadratic verify on one task
+    // (r19 profile: the entire operator ran as 1 partition)
+    val v = spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -579,11 +583,20 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     val cand = candHist.unionByName(candBatch).distinct()
     val vAll = bVec.unionByName(histVectors).hint("SHUFFLE_MERGE")
+    // join ORDER moves the heavy payload once (guide-§8 shape): the
+    // corpus-sized side (vAll — history vectors) attaches first, while
+    // the pair rows are still NARROW (id1, id2), and the batch-side
+    // vectors then arrive by BROADCAST, so the wide vector-carrying
+    // intermediate never re-exchanges. The old order attached va first
+    // and shuffled (pairs x 2 vectors) into the second SMJ — a 300 MB
+    // exchange for 963k candidates at sf0.1. Broadcasting bVec is the
+    // operator's own contract (the BATCH is the bounded side; history
+    // streams as SMJ, never broadcast).
     cand
-      .join(bVec.hint("SHUFFLE_MERGE").select(col("id").as("id1"),
-        col("v").as("va"), col("nrm").as("na")), "id1")
       .join(vAll.select(col("id").as("id2"), col("v").as("vb"),
         col("nrm").as("nb")), "id2")
+      .join(broadcast(bVec.select(col("id").as("id1"),
+        col("v").as("va"), col("nrm").as("na"))), "id1")
       .select(col("id1"), col("id2"),
         safeRatio(dotF(col("va"), col("vb")),
           col("na") * col("nb")).as("sim"))

@@ -95,7 +95,11 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // spread: the per-(query, corpus-row) dot products are driven by the
+    // streamed corpus scan's partitioning — one small parquet file
+    // serializes the whole brute-force pass otherwise; no-op at scale
+    val c = Dedup.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = withCorpusNorm(c)
       .join(broadcast(withQueryNorm(q)),
         col("query_id") =!= col("neighbor_id"))
@@ -404,7 +408,9 @@ object Similarity {
     import graft.functions.VectorFunctions.dotF
     val spark = df.sparkSession
     val dimSub = books.head.head.length
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // spread: encode is m*k dots per corpus row against the broadcast
+    // codebooks, driven by the scan's partitioning (no-op at scale)
+    val v = Dedup.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
     // one cross join against the FLAT (subspace, centroid) relation —
     // m*k rows broadcast — then one max_by per (id, subspace): encode

@@ -31,7 +31,10 @@ object TextAnalysis {
     */
   def docFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    docs.select(
+    // spread: the tokenize/distinct/marker folds are scan-partitioned —
+    // a single small parquet file serializes them on one task; no-op at
+    // scale (stats-gated round-robin, see Dedup.spread)
+    Dedup.spread(docs).select(
       col("*"), // keep original columns: stats group by them
       toks.as("toks"),
       size(toks).as("n_tokens"),
@@ -121,7 +124,8 @@ object TextAnalysis {
     // gates the DOC-level columns so the explode doesn't weight each
     // document by its token count in the doc-level sketches
     val first = coalesce(col("pos"), lit(0)) === 0
-    docs.select(groupCols.map(col) :+ toks.as("toks"): _*)
+    // spread: same scan-parallelism treatment as docFeatures
+    Dedup.spread(docs).select(groupCols.map(col) :+ toks.as("toks"): _*)
       .select(groupCols.map(col) ++ Seq(
         size(col("toks")).as("n_tokens"),
         xxhash64(concat_ws(" ", col("toks"))).as("fp"),
@@ -285,11 +289,14 @@ object TextAnalysis {
       n: Int, minDf: Int): DataFrame = {
     require(n >= 1 && minDf >= 1, "n and minDf must be positive")
     import graft.functions.ShingleExpressions.{wordShingleHashes, wordShingles}
-    val hot = docs
+    // spread both scans: gram hashing and string recovery are the
+    // operator's cost and are scan-partitioned (no-op at scale)
+    val d = Dedup.spread(docs.select(col(textCol)))
+    val hot = d
       .select(explode(wordShingleHashes(lower(col(textCol)), n)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    docs.select(explode(wordShingles(lower(col(textCol)), n)).as("gram"))
+    d.select(explode(wordShingles(lower(col(textCol)), n)).as("gram"))
       .select(col("gram"), xxhash64(col("gram")).as("h"))
       .join(hot, "h")
       .groupBy(col("gram")).agg(max(col("df")).as("df"))
@@ -394,7 +401,8 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
-    docs.select(col(idCol),
+    // spread: shingling + per-shingle md5 are scan-partitioned
+    Dedup.spread(docs.select(col(idCol), col(textCol))).select(col(idCol),
         graft.functions.ShingleExpressions.wordShingles(col(textCol), k)
           .as("sh"))
       .select(col(idCol),

@@ -29,6 +29,20 @@ object Pipeline {
     Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"),
       col("source"))
 
+  /** docs, round-robin-spread to full parallelism when the scan would
+    * plan fewer partitions than cores (Dedup.spread — a stats-gated
+    * no-op at scale). Used by the queries whose cost is a per-row
+    * expression pipeline over the scan (tokenize/regex/shingle/md5):
+    * the sf fixtures are one small parquet file, so without it those
+    * pipelines run as ONE task while every other core idles (r19
+    * profile: q49's entire 1.7 s expression pipeline was 1 partition).
+    * The underlying operators with a pinned zero-shuffle scale
+    * contract (repetitionStats, gopherFilter, chunking) stay
+    * shuffle-free — the spread lives here at the query edge.
+    */
+  private def sdocs(s: SparkSession, d: String): DataFrame =
+    Dedup.spread(docs(s, d))
+
   /** documents ∪ exact copies of every 3rd doc (ids offset by 100000). */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val b = docs(s, d).select(col("doc_id"), col("text"))
@@ -269,7 +283,7 @@ object Pipeline {
     QueryDef(
       "q46_lang_id",
       (s, d) =>
-        docs(s, d)
+        sdocs(s, d)
           .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
           .select(Seq(col("doc_id"), col("lang")) ++
             TextAnalysis.langScores(col("toks"))
@@ -357,7 +371,7 @@ object Pipeline {
         // column re-inlines the whole shingle expression via predicate
         // pushdown (measured 5x); docs with <3 tokens instead surface
         // as (NULL fingerprint, 0 shingles) in Spark AND the oracle
-        docs(s, d).select(col("doc_id"), col("text"),
+        sdocs(s, d).select(col("doc_id"), col("text"),
             tokens(col("text")).as("toks"))
           .select(col("doc_id"), shingles(col("toks"), 3).as("sh"),
             size(col("toks")).as("ws_tokens"),
@@ -422,7 +436,7 @@ object Pipeline {
     QueryDef(
       "q84_pii_redaction",
       (s, d) => {
-        val withPii = docs(s, d).select(col("doc_id"),
+        val withPii = sdocs(s, d).select(col("doc_id"),
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com tel 55512"), lpad(col("doc_id").cast("string"), 5, "0"))
             .as("dirty"))
@@ -818,7 +832,7 @@ object Pipeline {
     // trick's math exactly.
     QueryDef(
       "q100_repetition",
-      (s, d) => TextAnalysis.repetitionStats(docs(s, d), "doc_id", "text")
+      (s, d) => TextAnalysis.repetitionStats(sdocs(s, d), "doc_id", "text")
         .orderBy(col("doc_id")),
       Some("""
         WITH c AS (
@@ -924,7 +938,7 @@ object Pipeline {
     // rule and mask the others.
     QueryDef(
       "q106_gopher_filter",
-      (s, d) => TextAnalysis.gopherFilter(docs(s, d), "doc_id", "text",
+      (s, d) => TextAnalysis.gopherFilter(sdocs(s, d), "doc_id", "text",
           minWords = 20)
         .orderBy(col("doc_id")),
       Some("""
@@ -1042,7 +1056,7 @@ object Pipeline {
       (s, d) => {
         val dirty = concat(lit("\u0001"),
           regexp_replace(col("text"), " ", "  "), lit("\n\n\n\ntail"))
-        docs(s, d).select(col("doc_id"),
+        sdocs(s, d).select(col("doc_id"),
             graft.pipeline.Curation.normalizeText(dirty).as("clean"))
           .orderBy(col("doc_id"))
       },
@@ -1071,6 +1085,10 @@ object Pipeline {
     QueryDef(
       "q112_curation_pipeline",
       (s, d) => {
+        // NOT spread: the downstream gate filter pushes back through any
+        // repartition and re-inlines the whole normalize+gate chain at
+        // the scan (measured 1.95 -> 2.2 s with a spread here), so the
+        // exchange buys no parallelism for this filter-topped shape
         val cleaned = dupCorpus(s, d).select(col("doc_id"),
           graft.pipeline.Curation.normalizeText(col("text")).as("text"))
         val gated = TextAnalysis.gopherFilter(cleaned, "doc_id", "text",
@@ -1621,7 +1639,14 @@ object Pipeline {
           .join(all.select(col("doc_id"), col("lang")), "doc_id")
           .withColumn("fluency",
             (-floor(col("nll") * 10)).cast("int"))
-        graft.pipeline.Curation.topPercentPerStratum(scored, "doc_id",
+        // one narrow exchange shared by the cut's three consumers
+        // (histogram, full-admission filter, tie ranking) — without it
+        // the whole lmScores chain re-evaluates once per consumer
+        // (duplicated subtrees, guide §7.2). (doc_id, lang, fluency)
+        // rows are ~20 bytes; at any scale exchanging them once beats
+        // re-deriving the hashed-feature scoring twice more.
+        graft.pipeline.Curation.topPercentPerStratum(
+            scored.repartition(col("doc_id")), "doc_id",
             "lang", "fluency", percent = 50)
           .select(col("doc_id"), col("lang"), col("fluency"))
           .orderBy(col("lang"), col("doc_id"))
@@ -1688,7 +1713,9 @@ object Pipeline {
           .join(all.select(col("doc_id"), col("lang")), "doc_id")
           .withColumn("fluency",
             (-floor(col("nll") * 10)).cast("int"))
-        graft.pipeline.Curation.topPercentPerStratum(scored, "doc_id",
+        // same shared-exchange treatment as q144 (three consumers)
+        graft.pipeline.Curation.topPercentPerStratum(
+            scored.repartition(col("doc_id")), "doc_id",
             "lang", "fluency", percent = 50)
           .select(col("doc_id"), col("lang"), col("fluency"))
           .orderBy(col("lang"), col("doc_id"))
