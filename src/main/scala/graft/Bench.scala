@@ -77,21 +77,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  /** The full-artifact placement decision, pure so BenchSpec can pin
-    * it: `true` = the RECORDED artifact stays (the new run lands in
-    * BENCH_pressured.json). The recorded one stays only when coverage
-    * is unchanged and the new run fails to win on BOTH axes — stall
-    * flags AND total seconds (2% slack) — because flag count alone let
-    * an 87s/35-flag run displace a 75s/38-flag one in round 15: a run
-    * that is slower overall is the noisier measurement no matter how
-    * the flags fell. Changed coverage always replaces (stale coverage
-    * is worse than noise).
+  /** The quiet-record placement decision, pure so BenchSpec can pin
+    * it: `true` = the RECORDED quiet artifact (BENCH_recorded.json)
+    * stays. The recorded one stays only when coverage is unchanged and
+    * the new run fails to win on BOTH axes — stall flags AND total
+    * seconds (2% slack) — because flag count alone let an 87s/35-flag
+    * run displace a 75s/38-flag one in round 15: a run that is slower
+    * overall is the noisier measurement no matter how the flags fell.
+    * Changed coverage always replaces (stale coverage is worse than
+    * noise).
+    *
+    * Round-20 contract fix: this guard used to decide whether the run
+    * landed in BENCH_full.json at all (losers went to
+    * BENCH_pressured.json) — which silently served the DRIVER a stale
+    * artifact when its own run was noisier than the recording (round
+    * 18's PERF comparison was lost exactly this way). BENCH_full.json
+    * is now ALWAYS the just-finished run; the guard only protects the
+    * separate committed quiet record.
     */
   private[graft] def keepRecorded(oldQueries: Set[String], oldStalls: Int,
       oldTotal: Double, newQueries: Set[String], newStalls: Int,
-      newTotal: Double): Boolean =
-    oldQueries == newQueries &&
-      !(newStalls <= oldStalls && newTotal <= oldTotal * 1.02)
+      newTotal: Double, oldSf: String = "", newSf: String = ""): Boolean =
+    // a run at a DIFFERENT scale factor never replaces the record —
+    // totals across scales are incomparable, and a dev smoke at
+    // sf0.001 is trivially "faster" than any sf0.1 recording (round-20
+    // near-miss: a smoke run would have replaced the quiet record)
+    oldSf != newSf ||
+      (oldQueries == newQueries &&
+        !(newStalls <= oldStalls && newTotal <= oldTotal * 1.02))
 
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -364,58 +377,64 @@ object Bench {
     val opt = (if (errors == "[]") "" else s""","errors":$errors""") +
       (if (stallsCompact == "{}") "" else s""","stalls":$stallsCompact""")
     val contract = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$opt,"sf":"$sfShort"}"""
-    println(contract)
     // the COMPLETE artifact — full-precision timings, raw passes, warm
     // baselines, stall flags — at the REPO ROOT, immune to the
     // driver's stdout tail cap (round 12 lost a fifth of the timings
     // to it); committed per round beside BENCH_r{N}.json.
     // ARTIFACT HYGIENE: a dev-loop subset run (SPARK_GRAFT_BENCH_ONLY)
     // writes BENCH_subset.json and NEVER touches BENCH_full.json — a
-    // partial run must not clobber the round's recorded quiet-host
-    // perf record (round 13 lost the working-tree copy exactly this
-    // way).
-    // ...and a pressured full run must not clobber a QUIETER recording
-    // (round 14 lost the 9-flag quiet artifact to a 26-flag driver run
-    // twice): a full run only replaces the recorded artifact when it
-    // is no worse on BOTH axes — stall flags AND total seconds (flag
-    // count alone let an 87s/35-flag run displace a 75s/38-flag one; a
-    // recording that is slower overall is the noisier measurement no
-    // matter how the flags fell). Otherwise it lands in
-    // BENCH_pressured.json. A changed query set always overwrites (a
-    // stale-coverage artifact is worse than a noisy one), and
-    // SPARK_GRAFT_BENCH_FORCE=1 overrides (a real regression should
-    // update the record once adjudicated).
+    // partial run must not clobber the round's full perf record (round
+    // 13 lost the working-tree copy exactly this way).
+    // BENCH_full.json is ALWAYS the just-finished full run: the driver
+    // falls back to it when the stdout tail truncates the contract
+    // line, so a stale copy silently replaces the driver's own
+    // measurement (round 18's PERF comparison was lost exactly this
+    // way — the old guard routed the noisier run to
+    // BENCH_pressured.json and left a stale BENCH_full.json behind).
+    // The QUIET-RECORD guard still exists, but now protects only the
+    // separate committed record, BENCH_recorded.json: a pressured full
+    // run must not clobber a QUIETER recording (round 14 lost the
+    // 9-flag quiet artifact to a 26-flag driver run twice). The
+    // recorded copy is replaced only when the new run is no worse on
+    // BOTH axes — stall flags AND total seconds. A changed query set
+    // always overwrites (a stale-coverage record is worse than a noisy
+    // one), and SPARK_GRAFT_BENCH_FORCE=1 overrides (a real regression
+    // should update the record once adjudicated).
     try {
       val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"stalls":$stalls,"sf":"$sfDir","raw":$raw,"warm":$warm}"""
       val newStallCount = results.count(_._5.flagged)
-      val artifact =
-        if (only.isDefined) "BENCH_subset.json"
-        else {
-          val fullPath = java.nio.file.Paths.get("BENCH_full.json")
-          val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-          val betterExists = !force &&
-            java.nio.file.Files.exists(fullPath) && (try {
-              val old = new com.fasterxml.jackson.databind.ObjectMapper()
-                .readTree(java.nio.file.Files.readString(fullPath))
-              val oldQueries = {
-                val it = old.path("queries").fieldNames()
-                val b = Set.newBuilder[String]
-                while (it.hasNext) b += it.next()
-                b.result()
-              }
-              keepRecorded(oldQueries, old.path("stalls").size(),
-                old.path("value").asDouble(Double.MaxValue),
-                queries.map(q => short(q.name)).toSet, newStallCount, total)
-            } catch { case scala.util.control.NonFatal(_) => false })
-          if (betterExists) {
-            println(s"[bench] recorded artifact is quieter (fewer/equal " +
-              s"flags and faster) — writing BENCH_pressured.json, " +
-              "BENCH_full.json untouched")
-            "BENCH_pressured.json"
-          } else "BENCH_full.json"
-        }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(artifact), full + "\n")
+      if (only.isDefined)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_subset.json"), full + "\n")
+      else {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_full.json"), full + "\n")
+        val recPath = java.nio.file.Paths.get("BENCH_recorded.json")
+        val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+        val recordedStays = !force &&
+          java.nio.file.Files.exists(recPath) && (try {
+            val old = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(java.nio.file.Files.readString(recPath))
+            val oldQueries = {
+              val it = old.path("queries").fieldNames()
+              val b = Set.newBuilder[String]
+              while (it.hasNext) b += it.next()
+              b.result()
+            }
+            keepRecorded(oldQueries, old.path("stalls").size(),
+              old.path("value").asDouble(Double.MaxValue),
+              queries.map(q => short(q.name)).toSet, newStallCount, total,
+              old.path("sf").asText(""), sfDir)
+          } catch { case scala.util.control.NonFatal(_) => false })
+        if (recordedStays)
+          // printed BEFORE the contract line (below): the contract must
+          // be the LAST stdout line or the driver's tail window loses it
+          println("[bench] recorded artifact is quieter (fewer/equal " +
+            "flags and faster) — BENCH_recorded.json untouched; " +
+            "BENCH_full.json carries this run")
+        else
+          java.nio.file.Files.writeString(recPath, full + "\n")
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
     // belt-and-braces against any stdout mangling between this JVM and
     // the driver's parser (logger prefixes, tail truncation): the same
@@ -425,6 +444,8 @@ object Bench {
         java.nio.file.Paths.get("target", "bench-contract.json"),
         contract + "\n")
     } catch { case scala.util.control.NonFatal(_) => () }
+    // the contract line is the FINAL stdout write of the run
+    println(contract)
     spark.stop()
     // the run-dir is RAM: reclaim it now rather than waiting for the
     // 2h age-based reaper in some future run

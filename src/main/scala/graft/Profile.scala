@@ -63,6 +63,18 @@ object Profile {
       val d = shm.resolve(s"graft-profile-${ProcessHandle.current().pid()}")
       java.nio.file.Files.createDirectories(d)
       builder.config("spark.local.dir", d.toString)
+      // the dir is RAM — reclaim it even on a crashed run (tmpfs leaks
+      // accumulate across profiling sessions otherwise)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val w = java.nio.file.Files.walk(d)
+          val paths = try {
+            import scala.jdk.CollectionConverters._
+            w.iterator().asScala.toSeq.reverse
+          } finally w.close()
+          paths.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

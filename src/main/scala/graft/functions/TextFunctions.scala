@@ -97,8 +97,9 @@ object TextFunctions {
     * traversals cost n interpreted passes over every element — the
     * round-2 bench's dominant term. A groupBy with n `min` aggregates
     * is whole-stage-codegen'd with map-side partial aggregation: each
-    * element is touched once, and the shuffle carries one (id,
-    * n longs) row per document per input partition.
+    * element is touched once, and (after the id repartition below
+    * restores doc-locality) the partial-aggregate output is exactly
+    * one (id, n longs) row per document.
     *
     * Permutations derive from `seed` via splitmix64 — deterministic
     * across runs, executors, and cluster sizes.

@@ -57,6 +57,39 @@ object Dedup {
     if (estParts < p) df.repartition(p) else df
   }
 
+  /** True when `df`'s estimated size already spans at least core-count
+    * scan partitions — [[spread]]'s stats gate, inverted: the
+    * incremental operators use it to decide whether a corpus-sized
+    * history relation is worth touched-slice pre-filtering. The
+    * broadcast-semi filter pays one broadcast build plus a probe and
+    * SERIALIZES the history stage behind the batch key scan (the
+    * stages ran concurrently without it), so it is pure added latency
+    * while the history exchange it removes is small — measured +0.4 s
+    * on q151's 400-doc inline index at sf0.1 — and an arbitrarily
+    * large win once history outgrows the batch (any real scale: the
+    * full-index exchange this removes is O(corpus) per batch).
+    */
+  private[graft] def atScale(df: DataFrame): Boolean = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPB + 1 >= p
+  }
+
+  /** `rel` pre-filtered to the touched slice — a broadcast LEFT SEMI
+    * against the (batch-bounded) `keys` relation on `joinCols` — when
+    * the [[atScale]] gate says the filter pays; `rel` unchanged
+    * otherwise. Output-preserving wherever rows of `rel` outside
+    * `keys` cannot affect the result (the incremental operators'
+    * probes all have this property).
+    */
+  private def touchedSlice(rel: DataFrame, keys: DataFrame,
+      joinCols: Seq[String]): DataFrame =
+    if (atScale(rel))
+      rel.join(broadcast(keys.select(joinCols.map(col): _*).distinct()),
+        joinCols, "left_semi")
+    else rel
+
   /** COMPLETE near-dup pairs by exact n-gram Jaccard >= threshold.
     *
     * Candidate generation is an inverted-index self-join on shingles:
@@ -458,7 +491,12 @@ object Dedup {
     * Scale: one map-side-combined groupBy over the BATCH (small) and
     * one anti-join against the index keyed on the 32-byte fingerprint
     * — shuffle volume is O(batch + matching index slice), never
-    * O(corpus). The historical text itself is never read.
+    * O(corpus): the corpus-sized index is pre-filtered by a broadcast
+    * LEFT SEMI on the batch's own distinct fingerprints (bounded by
+    * the batch contract) before its exchange, so only index rows that
+    * could actually veto a batch row ever shuffle (guide §3.2;
+    * stats-gated on the index size — see [[atScale]]). The historical
+    * text itself is never read.
     */
   def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
       seen: DataFrame, fpCol: String): DataFrame = {
@@ -468,9 +506,12 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
           .orderBy(col(idCol))))
       .filter(col("__rn") === 1).drop("__rn")
-    firstInBatch.join(
-      seen.select(col(fpCol).as("fp")).distinct(),
-      Seq("fp"), "left_anti")
+    // touched-slice probe (stats-gated): an index row whose fp no batch
+    // row carries can never remove anything from the anti join's left
+    // side
+    val seenTouched = touchedSlice(seen.select(col(fpCol).as("fp")),
+      batch.select(fp.as("fp")), Seq("fp"))
+    firstInBatch.join(seenTouched.distinct(), Seq("fp"), "left_anti")
   }
 
   /** Incremental MinHash near-dup — [[exactIncremental]]'s fuzzy twin:
@@ -494,16 +535,48 @@ object Dedup {
     * small, the history side streams as SMJ — never broadcast, bucket
     * keys are unbounded); verification joins the batch's shingles
     * against the union index keyed on the 8-byte hash. Work is
-    * O(batch + touched index slice), never O(corpus).
+    * O(batch + touched index slice), never O(corpus): the history
+    * index relations are corpus-sized, but a candidate or verification
+    * row can only ever match a key the BATCH itself produces — band
+    * keys for candidate generation, shingle hashes for verification —
+    * so both history sides are pre-filtered by a broadcast LEFT SEMI
+    * on the batch's own distinct key sets before any exchange
+    * (stats-gated: engaged once the history relation outgrows
+    * core-count scan partitions, i.e. at any real scale; a small
+    * history exchanges whole, cheaper than the filter's serialized
+    * broadcast — see [[atScale]]). Those key sets are bounded by the
+    * batch (the operator's bounded-side contract; mass duplication
+    * only SHRINKS a distinct set), unlike the matched-history-id set,
+    * which a duplicate-heavy history can blow up — which is why the
+    * filters key on batch-derived keys and never on candidate ids.
+    * Output-preserving by construction: a history row dropped here
+    * joins nothing downstream.
     */
   def nearDupMinhashIncremental(batch: DataFrame, idCol: String,
       textCol: String, histBands: DataFrame, histShingles: DataFrame,
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
-    val inv = shingleIndex(batch, idCol, textCol, k)
-    val bBands = bandsOf(inv, bands, rowsPerBand, seed).hint("SHUFFLE_MERGE")
-    val hBands = histBands.hint("SHUFFLE_MERGE")
+    // the BATCH-side index relations are materialized once per
+    // execution (localCheckpoint — per-DataFrame, so nothing survives
+    // the query; never CacheManager state): they are bounded by the
+    // operator's batch contract at any scale, and each feeds 3-4
+    // consumers (both candidate self-join sides, verification, and the
+    // touched-slice key broadcasts below) that AQE's stage cache fails
+    // to reuse across the self-join's b-side — the r20 profile showed
+    // the whole batch shingle+MinHash pipeline evaluated twice and the
+    // shingle index four times. This is the OPPOSITE call from the
+    // full-corpus operator (nearDupMinhashLsh keeps recompute-over-
+    // cache): there the relation is corpus-sized, here it is the
+    // bounded side.
+    val inv = shingleIndex(batch, idCol, textCol, k).localCheckpoint()
+    val bBands0 = bandsOf(inv, bands, rowsPerBand, seed).localCheckpoint()
+    val bBands = bBands0.hint("SHUFFLE_MERGE")
+    // touched-slice probe (guide §3.2 pre-filter the big side,
+    // stats-gated — see touchedSlice): only band buckets the batch
+    // occupies can generate candidates
+    val hBands = touchedSlice(histBands, bBands0, Seq("band", "key"))
+      .hint("SHUFFLE_MERGE")
     val candHist = bBands.as("a").join(hBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -512,7 +585,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     val cand = candHist.unionByName(candBatch).distinct()
-    val allSh = inv.unionByName(histShingles).hint("SHUFFLE_MERGE")
+    // touched-slice probe, verification side (stats-gated): the join
+    // below matches history rows on (id2, hv) where hv comes from the
+    // batch doc's own shingles — history shingles outside the batch's
+    // hv set can never contribute to `inter`
+    val histTouched = touchedSlice(histShingles, inv, Seq("hv"))
+    val allSh = inv.unionByName(histTouched).hint("SHUFFLE_MERGE")
     val invJ = inv.hint("SHUFFLE_MERGE")
     cand
       .join(invJ.select(col("id").as("id1"), col("n").as("na"), col("hv")),
@@ -570,9 +648,23 @@ object Dedup {
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.functions.VectorFunctions.{dotF, safeRatio}
     val bVec = vectorIndex(batch, idCol, vecCol)
-    val bBuckets = embeddingBucketIndex(batch, idCol, vecCol,
-      planesPerTable, numTables, dim, seed).hint("SHUFFLE_MERGE")
-    val hBuckets = histBuckets.hint("SHUFFLE_MERGE")
+    // batch-side bucket relation materialized once per execution (same
+    // bounded-side localCheckpoint call as nearDupMinhashIncremental —
+    // it feeds both candidate self-join sides plus the touched-slice
+    // key broadcast below)
+    val bBuckets0 = embeddingBucketIndex(batch, idCol, vecCol,
+      planesPerTable, numTables, dim, seed).localCheckpoint()
+    val bBuckets = bBuckets0.hint("SHUFFLE_MERGE")
+    // touched-slice probe (guide §3.2, same shape as
+    // nearDupMinhashIncremental, stats-gated): only buckets the batch
+    // occupies can generate candidates, and the batch's distinct
+    // (table, bucket) set is bounded by numTables x batch — history
+    // rows outside it join nothing. The VECTOR side has no such
+    // batch-derived key (id2 is a history id), so it stays an
+    // unfiltered SMJ stream.
+    val hBuckets = touchedSlice(histBuckets, bBuckets0,
+        Seq("table", "bucket"))
+      .hint("SHUFFLE_MERGE")
     val candHist = bBuckets.as("a").join(hBuckets.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket"))
@@ -769,7 +861,15 @@ object Dedup {
     * Work is O(batch + touched index slice): batch grams aggregate
     * map-side to distinct hashes, probe the index hash-keyed (SMJ —
     * the gram key space is unbounded, never broadcast), and only
-    * batch documents re-assemble.
+    * batch documents re-assemble. The corpus-sized index is
+    * pre-filtered by a broadcast LEFT SEMI on the batch's own distinct
+    * gram set before its exchange (guide §3.2; stats-gated on the
+    * index size — see [[atScale]]) — the left_outer probe can only
+    * ever match grams the batch itself produces, and that key set is
+    * bounded by the batch contract (duplication only shrinks it).
+    * When the index is computed inline rather than read from storage,
+    * Catalyst pushes the semi join below the index's aggregation, so
+    * untouched history grams are pruned before they are even counted.
     */
   def dedupSpansIncremental(batch: DataFrame, idCol: String,
       textCol: String, histIndex: DataFrame, k: Int = 13,
@@ -777,12 +877,23 @@ object Dedup {
     require(k >= 2, "span gram size must be >= 2")
     require(minDf >= 2, "minDf < 2 would cut every document")
     val base = spanBase(batch, idCol, textCol)
+    // grams is consumed by the ownership aggregate, the cut-occurrence
+    // probe, and (at scale) the touched-slice broadcast. Deliberately
+    // NOT checkpointed, unlike nearDupMinhashIncremental's batch index:
+    // each recompute here is ONE embarrassingly-parallel projection
+    // pass (near-zero wall time spread over the cores), while an eager
+    // checkpoint adds a serialized job barrier — measured +0.2-0.3 s
+    // on q151 at sf0.1. The MinHash case saves whole multi-stage
+    // aggregate CHAINS per recompute, which is why it checkpoints.
     val grams = spanGrams(base, k)
     val batchAgg = grams.groupBy(col("__g"))
       .agg(min(col("__id")).as("__bowner"),
         countDistinct(col("__id")).as("__bdocs"))
+    // touched-slice probe (guide §3.2, stats-gated): see the docstring
+    val histTouched = touchedSlice(histIndex,
+      grams.select(col("__g").as("g")), Seq("g"))
     val owners = batchAgg
-      .join(histIndex.select(col("g").as("__g"), col("owner"),
+      .join(histTouched.select(col("g").as("__g"), col("owner"),
         col("ndocs")).hint("SHUFFLE_MERGE"), Seq("__g"), "left_outer")
       .filter(col("__bdocs") + coalesce(col("ndocs"), lit(0L)) >= minDf)
       .select(col("__g"),

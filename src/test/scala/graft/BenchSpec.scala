@@ -26,6 +26,13 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.keepRecorded(q, 9, 68.8, q, 8, 69.9))
     // changed coverage always replaces, however noisy
     assert(!Bench.keepRecorded(q, 9, 68.8, Set("q1", "q2", "q3"), 40, 99.0))
+    // a different scale factor NEVER replaces (an sf0.001 smoke is
+    // trivially "faster" than any sf0.1 recording — r20 near-miss)
+    assert(Bench.keepRecorded(q, 9, 68.8, q, 0, 1.0,
+      oldSf = "/root/testdata/sf0.1", newSf = "/root/testdata/sf0.001"))
+    // same sf: the two-axis rule applies as before
+    assert(!Bench.keepRecorded(q, 9, 68.8, q, 0, 60.0,
+      oldSf = "/root/testdata/sf0.1", newSf = "/root/testdata/sf0.1"))
   }
 
   test("quiet host: two agreeing passes with a slower warmup are unflagged") {

@@ -227,6 +227,34 @@ class PlanSpec extends AnyFunSuite {
     // query's own deterministic output ORDER BY here
   }
 
+  test("incremental touched-slice probe: the history index is " +
+      "broadcast-semi pre-filtered by batch keys once the stats gate " +
+      "says history is at scale, and left whole below it") {
+    import graft.pipeline.Dedup
+    // a batch sized like a real batch
+    val batch = spark.range(100)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("alpha beta gamma delta epsilon zeta eta"),
+          col("id").cast("string")).as("text"))
+    // small history: the gate must NOT fire (the filter is pure
+    // serialized-broadcast latency when the exchange it removes is
+    // small — measured +0.4 s on q151's fixture index)
+    val smallIdx = Dedup.spanGramIndex(batch, "doc_id", "text")
+    val pSmall = Dedup.dedupSpansIncremental(batch, "doc_id", "text",
+      smallIdx).queryExecution.executedPlan.toString
+    assert(!pSmall.contains("LeftSemi"),
+      s"small history must skip the touched-slice filter:\n$pSmall")
+    // at-scale history: spark.range carries exact stats (8 bytes/row),
+    // so 4B rows estimate ~32 GB >> cores x maxPartitionBytes and the
+    // gate fires; the plan is only EXPLAINED, never executed
+    val bigIdx = spark.range(4L * 1000 * 1000 * 1000)
+      .select(col("id").as("g"), col("id").as("owner"), lit(2L).as("ndocs"))
+    val pBig = Dedup.dedupSpansIncremental(batch, "doc_id", "text", bigIdx)
+      .queryExecution.executedPlan.toString
+    assert(pBig.contains("LeftSemi") && pBig.contains("Broadcast"),
+      s"at-scale history must be broadcast-semi pre-filtered:\n$pBig")
+  }
+
   test("span dedup plans with equi-joins only — no nested-loop or " +
       "cartesian anywhere, batch and incremental alike") {
     for (name <- Seq("q150_span_dedup", "q151_span_dedup_incremental")) {
