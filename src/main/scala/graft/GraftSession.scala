@@ -51,8 +51,21 @@ object GraftSession {
       // wide-expression operators (MinHash/SimHash fan-outs) compile
       // large generated classes; the default 100-entry codegen cache
       // evicts them in sessions running many distinct queries, forcing
-      // multi-second Janino recompiles on every execution
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // multi-second Janino recompiles on every execution. 1000 (the
+      // r6-r19 value) stopped being enough when the suite grew past
+      // ~160 queries: at ~15 codegen units per query the suite's
+      // working set is ~2,500 classes, so by the time a query's
+      // MEASURED pass ran, its classes had been evicted by the 100+
+      // queries warmed up in between — profiled as steady-state passes
+      // uniformly 1-1.5 s slower than the warmup with near-zero GC on
+      // exactly the widest-codegen tier (q42/q63/q71/q92/q93/q127),
+      // the same signature as r19's driver-run "regressions". 5000
+      // covers the working set with headroom; memory bound is
+      // generated-class bytecode (~10-100 KB each), a few hundred MB
+      // worst case on the driver — measured: full suite 67.96 s /
+      // 14 stall flags at 1000 vs 57.90 s / 2 flags at 5000, same
+      // commit, same host.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // dynamic pruning's residual domains reach parquet as IN-sets;
       // above this threshold Spark degrades the pushed filter to a
       // min/max range, losing dictionary + bloom point skipping — a
