@@ -189,7 +189,22 @@ object Curation {
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
       .withColumn("__k", xxhash64(col("__line")))
-    val hot = lines.groupBy(col("__k"))
+    // ONE exchange for the whole df-count side (guide §2.4):
+    // countDistinct alone plans two — hashpartitioning(__k, __id) for
+    // the distinct pass, then hashpartitioning(__k) for the count.
+    // Pre-partitioning by __k alone satisfies BOTH downstream
+    // requirements (hash-clustering by __k colocates every (__k, __id)
+    // pair — Spark's subset rule) AND the probe join's, so the dedup,
+    // the count, and the SMJ all run on this single narrow exchange.
+    // Trade, measured and accepted: the exchanged rows are pre-dedup
+    // (__k, __id) line instances instead of map-side-deduped pairs;
+    // map-side dedup could only drop a line repeated WITHIN one
+    // document (cross-document repeats carry distinct ids), while the
+    // saved exchange+aggregate pass is the full distinct relation.
+    // AQE-coalescible on purpose (no pinned count).
+    val hot = lines.select(col("__k"), col("__id"))
+      .repartition(col("__k"))
+      .groupBy(col("__k"))
       .agg(countDistinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__k"), lit(true).as("__hot"))
@@ -506,6 +521,18 @@ object Curation {
       alpha: Double = 1.0, portableHash: Boolean = true): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
     require(alpha > 0, "alpha must be positive (unsmoothed zeros divide)")
+    // the raw corpus is feature-hashed TWICE (model count + probe) —
+    // examined and deliberately kept in r20: inserting a shared
+    // `repartition(id)` exchange between the two consumers was
+    // measured at runtime (graft.Profile) to NOT stage-reuse — AQE's
+    // stage cache fails to canonicalize across the two aggregate-
+    // topped consumers (the same limitation documented on the capped
+    // Jaccard index, Dedup.nearDupJaccard), so the plan paid the full
+    // feature exchange twice ON TOP of both hash passes. The
+    // recompute-over-share status quo is also the at-scale call: the
+    // raw side is CORPUS-sized (never checkpointable), and a second
+    // embarrassingly-parallel scan+hash pass beats shuffling the whole
+    // feature relation when the share doesn't dedupe.
     val rCnt = hashedFeatures(raw, idCol, textCol, numBuckets, portableHash)
       .groupBy(col("b")).agg(count(lit(1)).as("rc"))
     // the model side needs no document identity — a constant id keeps

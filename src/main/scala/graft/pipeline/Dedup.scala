@@ -312,7 +312,14 @@ object Dedup {
           Seq("band", "key"), "left_anti")
       case None => buckets0
     }
-    val buckets = buckets1.hint("SHUFFLE_MERGE")
+    // explicit repartition by the self-join key, the q41 inverted-index
+    // treatment (see nearDupJaccard): one exchange materializes the
+    // whole signature+banding pipeline and BOTH self-join sides consume
+    // it (the second as a runtime ReusedExchange — join-only consumers
+    // reuse, unlike the agg-topped shapes documented above), so the
+    // 64-min MinHash aggregate runs once per corpus, not once per side
+    val buckets = buckets1
+      .repartition(col("band"), col("key")).hint("SHUFFLE_MERGE")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

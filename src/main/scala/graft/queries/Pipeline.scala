@@ -1243,6 +1243,14 @@ object Pipeline {
     QueryDef(
       "q120_token_budget",
       (s, d) => {
+        // r20 note: a call-site shared exchange (q144/q147's Finding-4
+        // shape, `.repartition(col("doc_id"))` on f) was tried and
+        // REVERTED — graft.Profile showed the runtime plan did NOT
+        // stage-reuse it (the prefix-aggregate consumer and the join
+        // consumer each re-planned their own copy of the exchange, so
+        // the tokenize+quality chain still ran twice plus the new
+        // exchange); same stage-cache canonicalization limit as the
+        // capped Jaccard index.
         val f = TextAnalysis.docFeatures(docs(s, d), "doc_id", "text")
           .select(col("doc_id"), col("n_tokens"),
             TextAnalysis.qualityScore(col("n_tokens"), col("n_distinct"),
