@@ -97,12 +97,18 @@ object Bench {
     */
   private[graft] def keepRecorded(oldQueries: Set[String], oldStalls: Int,
       oldTotal: Double, newQueries: Set[String], newStalls: Int,
-      newTotal: Double, oldSf: String = "", newSf: String = ""): Boolean =
-    // a run at a DIFFERENT scale factor never replaces the record —
-    // totals across scales are incomparable, and a dev smoke at
-    // sf0.001 is trivially "faster" than any sf0.1 recording (round-20
-    // near-miss: a smoke run would have replaced the quiet record)
-    oldSf != newSf ||
+      newTotal: Double, oldSf: String = "", newSf: String = "",
+      oldCpus: String = "", newCpus: String = ""): Boolean =
+    // a run at a DIFFERENT scale factor or core count never replaces
+    // the record — totals across contexts are incomparable: a dev
+    // smoke at sf0.001 is trivially "faster" than any sf0.1 recording,
+    // and at fixture scale an 8-cpu run totals LOWER than a 32-cpu one
+    // (less fan-out overhead), so the driver's own scaling run would
+    // displace the primary record (both observed in round 20). Missing
+    // metadata (pre-r20 artifacts carried no "cpus") compares as the
+    // empty string on the old side only — treated as same-context so
+    // the first new-format run can still take the record.
+    (oldSf != newSf) || (oldCpus.nonEmpty && oldCpus != newCpus) ||
       (oldQueries == newQueries &&
         !(newStalls <= oldStalls && newTotal <= oldTotal * 1.02))
 
@@ -401,7 +407,7 @@ object Bench {
     // one), and SPARK_GRAFT_BENCH_FORCE=1 overrides (a real regression
     // should update the record once adjudicated).
     try {
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"stalls":$stalls,"sf":"$sfDir","raw":$raw,"warm":$warm}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"stalls":$stalls,"sf":"$sfDir","cpus":$cpus,"raw":$raw,"warm":$warm}"""
       val newStallCount = results.count(_._5.flagged)
       if (only.isDefined)
         java.nio.file.Files.writeString(
@@ -424,7 +430,8 @@ object Bench {
             keepRecorded(oldQueries, old.path("stalls").size(),
               old.path("value").asDouble(Double.MaxValue),
               queries.map(q => short(q.name)).toSet, newStallCount, total,
-              old.path("sf").asText(""), sfDir)
+              old.path("sf").asText(""), sfDir,
+              old.path("cpus").asText(""), cpus)
           } catch { case scala.util.control.NonFatal(_) => false })
         if (recordedStays)
           // printed BEFORE the contract line (below): the contract must

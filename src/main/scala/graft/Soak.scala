@@ -178,10 +178,18 @@ object Soak {
     // soak's wall clock; iterating on commit-path cost doesn't need
     // them)
     val metaOnly = sys.env.contains("SPARK_GRAFT_SOAK_META_ONLY")
+    // dev knob: comma-separated op-name substrings, for core-scaling
+    // runs at large factors where the heaviest ops would dominate the
+    // wall clock (r20: the 8-vs-32-cpu demonstration at factor 100)
+    val onlyOps = sys.env.get("SPARK_GRAFT_SOAK_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(n: String) = onlyOps.forall(_.exists(n.contains))
     val jobs =
       if (metaOnly) Seq.empty
-      else ops.map { case (n, op) => (n, base, big, op) } ++
-        evOps.map { case (n, op) => (n, evBase, bigEv, op) }
+      else ops.filter(o => wanted(o._1))
+        .map { case (n, op) => (n, base, big, op) } ++
+        evOps.filter(o => wanted(o._1))
+          .map { case (n, op) => (n, evBase, bigEv, op) }
     val results = jobs.map { case (name, small, large, op) =>
       run(op(small)) // warm both code paths
       val t1 = math.min(time(run(op(small))), time(run(op(small))))

@@ -690,12 +690,22 @@ object Dedup {
     // and shuffled (pairs x 2 vectors) into the second SMJ — a 300 MB
     // exchange for 963k candidates at sf0.1. Broadcasting bVec is the
     // operator's own contract (the BATCH is the bounded side; history
-    // streams as SMJ, never broadcast).
-    cand
+    // streams as SMJ, never broadcast) — but the contract is now also
+    // ENFORCED by a stats gate rather than assumed (r19 advice): a
+    // batch whose vector relation estimates past 512 MB falls back to
+    // the SMJ attach instead of dying on the 8 GB broadcast hard cap
+    // or an executor OOM.
+    val bVecJ = bVec.select(col("id").as("id1"),
+      col("v").as("va"), col("nrm").as("na"))
+    val withVb = cand
       .join(vAll.select(col("id").as("id2"), col("v").as("vb"),
         col("nrm").as("nb")), "id2")
-      .join(broadcast(bVec.select(col("id").as("id1"),
-        col("v").as("va"), col("nrm").as("na"))), "id1")
+    val paired =
+      if (bVecJ.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          (512L << 20))
+        withVb.join(broadcast(bVecJ), "id1")
+      else withVb.join(bVecJ.hint("SHUFFLE_MERGE"), "id1")
+    paired
       .select(col("id1"), col("id2"),
         safeRatio(dotF(col("va"), col("vb")),
           col("na") * col("nb")).as("sim"))

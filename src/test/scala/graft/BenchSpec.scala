@@ -33,6 +33,14 @@ class BenchSpec extends AnyFunSuite {
     // same sf: the two-axis rule applies as before
     assert(!Bench.keepRecorded(q, 9, 68.8, q, 0, 60.0,
       oldSf = "/root/testdata/sf0.1", newSf = "/root/testdata/sf0.1"))
+    // a different core count never replaces either (r20: the driver's
+    // 8-cpu scaling run totals LOWER than 32-cpu at fixture scale and
+    // displaced the primary record)
+    assert(Bench.keepRecorded(q, 1, 56.5, q, 0, 54.0,
+      oldSf = "s", newSf = "s", oldCpus = "32", newCpus = "8"))
+    // a pre-r20 record with no cpus metadata compares as same-context
+    assert(!Bench.keepRecorded(q, 9, 68.8, q, 0, 60.0,
+      oldSf = "s", newSf = "s", oldCpus = "", newCpus = "32"))
   }
 
   test("quiet host: two agreeing passes with a slower warmup are unflagged") {
